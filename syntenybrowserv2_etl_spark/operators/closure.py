@@ -1,0 +1,94 @@
+"""A3/A4 — transitive closure of a DAG by iterative self-join (semi-naïve).
+
+Reference: src/import_ontology.py:110-145 — a single-threaded worklist walk
+propagating descendant sets up the ontology `is_a` DAG, then emitting every
+(ancestor, descendant) pair and a per-ancestor descendant count.
+
+Spark formulation (the one genuinely algorithmic operator in the reference):
+semi-naïve iteration — join only the *frontier* (pairs discovered last round)
+against the edge set, so round k does work proportional to the new pairs, not
+the whole closure:
+
+    closure₀ = frontier₀ = edges
+    frontierₖ = (frontierₖ₋₁ ⋈ edges) \\ closureₖ₋₁
+    closureₖ  = closureₖ₋₁ ∪ frontierₖ          (until frontier empty)
+
+Scale notes:
+ - every round's results are ``localCheckpoint``-ed: the logical plan would
+   otherwise double per round and Catalyst analysis cost would dominate;
+   checkpointing also truncates lineage so a 20-deep ontology doesn't build
+   a 20-join megaplan.
+ - edge set is broadcast when small (ontologies: ~50k edges ≪ the 64 MB
+   threshold) making every round shuffle-free; for a huge graph the join
+   degrades gracefully to shuffle hash/sort-merge on the join key.
+ - iteration cap = closure depth, bounded at ``max_iterations`` to survive
+   accidentally cyclic input (OBO should be a DAG; don't hang on bad data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transitive_closure(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    max_iterations: int = 64,
+    broadcast_edges: bool = True,
+) -> DataFrame:
+    """All (ancestor, descendant) pairs reachable via 1+ edges.
+
+    ``edges`` rows read "child is_a parent". Output columns:
+    (ancestor, descendant) — matching the reference's on_pairs orientation
+    where `parent` is the ancestor and `child` the (transitive) descendant
+    (src/import_ontology.py:132-140).
+    """
+    base = (
+        edges.select(
+            F.col(parent_col).alias("ancestor"), F.col(child_col).alias("descendant")
+        )
+        .filter(F.col("ancestor").isNotNull() & F.col("descendant").isNotNull())
+        .distinct()
+    )
+    closure = base.localCheckpoint(eager=True)
+    frontier = closure
+    # Disjoint column names on the hop side sidestep self-join attribute
+    # ambiguity across checkpoint boundaries (Catalyst resolves by name).
+    hop = base.select(
+        F.col("ancestor").alias("__mid"), F.col("descendant").alias("__dst")
+    ).localCheckpoint(eager=True)
+    if broadcast_edges:
+        hop = F.broadcast(hop)
+
+    for _ in range(max_iterations):
+        # grandchild: frontier(ancestor, mid) ⋈ hop(mid, dst)
+        grown = (
+            frontier.join(hop, frontier["descendant"] == hop["__mid"])
+            .select("ancestor", F.col("__dst").alias("descendant"))
+            .distinct()
+        )
+        new_frontier = grown.join(
+            closure, ["ancestor", "descendant"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if new_frontier.isEmpty():
+            break
+        closure = closure.unionByName(new_frontier).localCheckpoint(eager=True)
+        frontier = new_frontier
+    else:
+        raise RuntimeError(
+            f"transitive_closure did not converge in {max_iterations} rounds — "
+            "cyclic input? (reference assumes a DAG: src/import_ontology.py:110-130)"
+        )
+    return closure
+
+
+def descendant_counts(closure: DataFrame) -> DataFrame:
+    """A4 — number of distinct descendants per ancestor.
+
+    Reference: src/import_ontology.py:141-145 (on_terms.count). Closure pairs
+    are already distinct, so a plain count is exact; partial aggregation
+    (map-side combine) applies.
+    """
+    return closure.groupBy("ancestor").agg(F.count("descendant").alias("count"))

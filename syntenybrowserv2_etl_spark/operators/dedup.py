@@ -1,0 +1,273 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all expressed as native Column expressions (no Python UDFs in
+any hot path) with engine-portable md5-based hashing (functions/hashing.py)
+so every variant is verifiable against a DuckDB oracle:
+
+  exact_dedup            hash-groupBy on normalized text
+  ngram_jaccard_pairs    exact n-gram-set Jaccard over candidate pairs
+  minhash_signatures     k-permutation MinHash over shingles
+  minhash_lsh_candidates banded LSH → candidate pairs (bucket join)
+  simhash_fingerprint    64-bit SimHash over token hashes
+  embedding_near_dupes   cosine-threshold pairs over embedding vectors
+
+Scale posture:
+ - exact: one shuffle on a 40-bit+length key; map-side combine.
+ - MinHash/LSH: per-doc work is linear in shingles; the candidate join
+   shuffles on (band, band_hash) buckets, never all-pairs. Bucket skew
+   (boilerplate docs) is the hot spot — AQE skew-join plus an optional
+   bucket-size cap handle it.
+ - n-gram Jaccard is quadratic per shared-gram group; it is the *verifier*
+   run on LSH candidates, not a standalone full-corpus pass. Common-gram
+   blowup is capped by dropping grams with document-frequency > max_df
+   (stopword-gram suppression), the standard scalable formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+
+
+def normalize_text(col):
+    """Canonicalization before hashing: lowercase, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the smallest id per normalized-text hash group.
+
+    Hash+length as group key keeps the shuffle key small (vs shuffling full
+    documents); the min-id winner rule is deterministic, so results are
+    stable across partitionings and match the SQL oracle.
+    """
+    key = hashing.md5_long(normalize_text(text_col))
+    return (
+        df.withColumn("__k", key)
+        .withColumn("__len", F.length(normalize_text(text_col)))
+        .groupBy("__k", "__len")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dupe_count"))
+        .select(id_col, "dupe_count")
+    )
+
+
+def tokenize(df: DataFrame, text_col: str, out: str = "token") -> DataFrame:
+    """Whitespace tokens of normalized text, position-stamped."""
+    return df.select(
+        *df.columns,
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", out),
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per document — native exprs only.
+
+    ``transform`` over a token-index sequence builds the shingle array
+    JVM-side; explode + distinct yields the shingle set.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingle).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str, num_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """MinHash signature: per doc, min over shingles of k permuted hashes.
+
+    One groupBy produces all k signature slots (k min-aggregates over the
+    same base hash — single shuffle, map-side combined).
+    """
+    base = hashing.md5_long(F.col("shingle"))
+    aggs = [
+        F.min(hashing.minhash_value(base, a, b)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(hashing._perm_params(num_hashes, seed))
+    ]
+    return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band signature become candidate pairs.
+
+    Band key = hash of the concatenated slots in the band; self-join within
+    (band_idx, band_key) buckets. Output: (id_a, id_b) with id_a < id_b,
+    distinct. The join shuffles only bucket keys + ids — documents never
+    move.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        slots = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                hashing.md5_long(F.concat_ws("_", *slots)).alias("key"),
+            )
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard similarity for pairs sharing a rare gram.
+
+    Inverted-index self-join: explode shingles → (optionally) drop grams
+    with document-frequency > max_df (common-gram suppression — bounds the
+    per-gram fan-out that makes naive token joins quadratic) → pair docs
+    sharing a surviving gram → |∩| by counting shared grams → |∪| from
+    per-doc set sizes. Jaccard computed on FULL set sizes, so max_df only
+    prunes the candidate space, not the similarity definition... with the
+    caveat that a pair sharing *only* ultra-common grams is not emitted —
+    the deliberate scalability trade (documented contract: recall on pairs
+    that share ≥1 rare gram).
+    """
+    sh = shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash: sign-aggregate token-hash bits into one integer per doc.
+
+    Per token, bit j of its 40-bit hash votes +1/-1; the fingerprint sets
+    bit j where the vote sum is positive. All bit math is ``shiftright`` /
+    ``% 2`` native exprs aggregated in one groupBy (40 effective bits from
+    the portable hash; ``bits`` capped accordingly).
+    """
+    bits = min(bits, 40)
+    toks = tokenize(df.select(id_col, text_col), text_col)
+    base = hashing.md5_long(F.col("token"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(base, j) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else (fp + term)
+    return votes.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def embedding_near_dupes(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bucket_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Cosine near-duplicate pairs over embeddings, LSH-bucketed.
+
+    Random-hyperplane signs (deterministic per-dimension ±1 pattern derived
+    from the portable hash) bucket vectors; exact cosine verifies within a
+    bucket. Near-identical vectors agree on all sign bits, so recall at
+    thresholds ≳0.9 is high while the join touches only same-bucket pairs.
+    """
+    from .similarity import cosine_expr  # local import to avoid cycle
+
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    sig_bits = []
+    for p in range(bucket_planes):
+        # deterministic pseudo-random ±1 per (plane, dim): parity of md5
+        signed = F.zip_with(
+            F.col(vec_col),
+            F.transform(
+                dim_idx,
+                lambda i, p=p: (
+                    hashing.md5_long(F.concat_ws(":", F.lit(seed), F.lit(p), i)) % 2
+                )
+                * 2
+                - 1,
+            ),
+            lambda v, s: v * s,
+        )
+        dot = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+        sig_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+    bucket = F.concat_ws("", *[b.cast("string") for b in sig_bits])
+    bucketed = emb.withColumn("__bucket", bucket)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

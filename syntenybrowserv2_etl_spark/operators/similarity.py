@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  knn_bruteforce — exact cosine top-k. The dot product is a native
+    ``zip_with``+``aggregate`` expression (JVM-side, no Python). The query
+    side is tiny → broadcast; the corpus never shuffles; top-k is a window
+    ranking per query (or a single ORDER BY ... LIMIT for one query).
+    At 100 TB this is one scan + map + per-partition partial top-k — the
+    right baseline and often the right answer.
+
+  knn_ivf — IVF-style: corpus vectors are assigned to the nearest of C
+    centroids (a broadcast list); queries probe the ``nprobe`` nearest
+    centroids and scan only those partitions. Partition pruning comes free
+    when the corpus is written partitioned by centroid id. Centroids here
+    are chosen deterministically (hash-seeded sample) rather than by
+    k-means — the plumbing (assignment, probing, pruning) is the part that
+    matters at scale and is fully tested; swap in trained centroids at will.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + (x * x).cast("double")))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries``: (query_id, vec) — broadcast (queries ≪ corpus always).
+    Output: (query_id, vec_id, cosine, rank), rank 1..k, ties broken by
+    corpus id for determinism.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = (
+        corpus.crossJoin(q)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine_expr(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def assign_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """IVF assignment: tag every corpus vector with its nearest centroid.
+
+    Centroids are broadcast; argmin is a min_by over the (small) cross
+    product per row — one narrow stage, no corpus shuffle. Writing the
+    result partitioned by centroid_id gives physical partition pruning for
+    probes.
+    """
+    c = F.broadcast(centroids.select(centroid_id_col, centroid_vec_col))
+    scored = corpus.crossJoin(c).select(
+        *corpus.columns,
+        F.col(centroid_id_col),
+        cosine_expr(F.col(vec_col), F.col(centroid_vec_col)).alias("__sim"),
+    )
+    return (
+        scored.groupBy(*corpus.columns)
+        .agg(F.max_by(F.col(centroid_id_col), F.col("__sim")).alias(centroid_id_col))
+    )
+
+
+def pick_centroids(
+    corpus: DataFrame,
+    num: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid choice: the ``num`` corpus vectors with the
+    smallest md5-hash of their id (a seeded uniform sample without RNG
+    state, reproducible across engines/runs)."""
+    from ..functions import hashing
+
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).alias("centroid"),
+            hashing.md5_long(F.col(id_col)).alias("__h"),
+        )
+        .orderBy("__h", id_col)
+        .limit(num)
+        .select(
+            F.row_number().over(Window.orderBy("__h", id_col)).alias("centroid_id"),
+            "centroid",
+        )
+    )
+
+
+def knn_ivf(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF probe: per query, rank centroids, scan only the top ``nprobe``
+    cells, exact-rank within them. Same output shape as knn_bruteforce."""
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    cw = Window.partitionBy(query_id_col).orderBy(
+        F.col("__csim").desc(), F.col("centroid_id").asc()
+    )
+    probe = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            query_id_col,
+            "__qvec",
+            "centroid_id",
+            cosine_expr(F.col("__qvec"), F.col("centroid")).alias("__csim"),
+        )
+        .withColumn("__cr", F.row_number().over(cw))
+        .filter(F.col("__cr") <= nprobe)
+        .select(query_id_col, "__qvec", "centroid_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probe), "centroid_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine_expr(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,112 @@
+"""Text-analysis operators for training-data pipelines.
+
+All native Column expressions — whole-stage-codegen'd, no Python in the hot
+path — and each SQL-expressible so the DuckDB oracle verifies values:
+
+  token_count        whitespace tokens + a BPE-ish subword estimate
+  quality_score      length / punctuation / stopword-ratio heuristics
+  lang_id            n-gram/stopword-hit heuristic over a small lexicon
+  fingerprint        order-insensitive content fingerprint (hash of sorted
+                     token multiset) — robust to token reordering
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+
+# Tiny per-language stopword lexicons for the heuristic language scorer.
+# Deliberately small + hardcoded: they are *constants of the operator*,
+# broadcast-inlined into the plan (isin folds to an in-list predicate).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "por", "que", "una", "en"],
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count of normalized text."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = _tokens(c)
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(toks)).cast("long")
+
+
+def subword_estimate(text: Column | str, chars_per_token: float = 4.0) -> Column:
+    """BPE-ish token estimate: ceil(chars / 4) blended with word count.
+
+    The standard cheap estimator for budget accounting when no tokenizer is
+    in the image; deterministic and engine-portable.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.ceil(F.length(c) / F.lit(chars_per_token)).cast("long")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return (n_punct / F.greatest(F.length(c), F.lit(1))).cast("double")
+
+
+def stopword_hits(text: Column | str, lang: str = "en") -> Column:
+    """Count of tokens that are stopwords of ``lang``."""
+    c = F.col(text) if isinstance(text, str) else text
+    sw = LANG_STOPWORDS[lang]
+    return F.size(F.filter(_tokens(c), lambda t: t.isin(sw)))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation
+    density, healthy mean word length. Weights are operator constants."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
+    mean_word = F.length(c) / F.greatest(n_tok, F.lit(1))
+    word_score = F.when((mean_word >= 3) & (mean_word <= 9), 1.0).otherwise(0.5)
+    return (len_score * 0.4 + punct_score * 0.3 + word_score * 0.3).cast("double")
+
+
+def lang_scores(text: Column | str) -> list[tuple[str, Column]]:
+    return [(lang, stopword_hits(text, lang)) for lang in LANG_STOPWORDS]
+
+
+def lang_id(text: Column | str) -> Column:
+    """Predicted language = argmax stopword hits; 'und' (undetermined) when
+    no lexicon hits at all. Ties break by lexicon order (deterministic)."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # forward fold with strict '>' ⇒ argmax with ties won by earlier lexicon
+    for lang, s in scores:
+        cond = s > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5-long of the sorted token
+    list — two docs with identical bags of words collide by design."""
+    c = F.col(text) if isinstance(text, str) else text
+    return hashing.md5_long(F.concat_ws(" ", F.sort_array(_tokens(c))))
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass profile: all text metrics in a single narrow projection."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        subword_estimate(text_col).alias("n_subwords"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

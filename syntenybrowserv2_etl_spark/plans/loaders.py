@@ -1,0 +1,334 @@
+"""The seven loader programs of the reference, re-expressed as DataFrame plans.
+
+Each loader is read → transform → validate → (DataFrame, warnings) — pure
+logical-plan construction; the caller decides write mode (overwrite/append,
+SURVEY S9/S10) and the write layout. Error channels follow SURVEY §2.6:
+hard aborts raise before any write (V1/V2), skip/warn channels return
+counted side-DataFrames (V3/V4).
+
+Reference programs (all under /root/reference/src/):
+  import_genes_exons.py       → load_genes_exons
+  import_synteny_blocks.py    → load_synteny_blocks
+  import_cytogenetic_loc.py   → load_cytobands
+  import_features.py          → load_features
+  import_variants.py          → load_variants
+  import_homologs.py          → load_homologs
+  import_ontology.py          → ontology.py functions (build_ontology)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..functions import transforms
+from ..operators import closure as closure_ops
+from ..operators import shape
+from ..sources import io, obo, text_sources
+
+
+@dataclass
+class LoadResult:
+    df: DataFrame
+    warnings: dict[str, DataFrame] = field(default_factory=dict)
+
+    def warning_counts(self) -> dict[str, int]:
+        return {k: v.count() for k, v in self.warnings.items()}
+
+
+# ---------------------------------------------------------------------------
+# genes + exons (src/import_genes_exons.py)
+# ---------------------------------------------------------------------------
+
+
+def load_genes_exons(
+    spark: SparkSession, path: str, taxon_id: int
+) -> tuple[LoadResult, LoadResult]:
+    """GFF3 → (gene, exon) DataFrames.
+
+    Semantics mirrored from src/import_genes_exons.py:80-139:
+      - gene rows: type == 'gene'; gene_id from Dbxref (required — missing →
+        skip+warn, V3 :108-113); Name optional (P7 :103-106); chr prefix
+        stripped (P3 :115); coords stored raw 0-based (Q6 :118).
+      - exon rows: type == 'exon', parent_gene from Parent attribute
+        (X1 :127-136).
+      - duplicate PK aborts the load (X6 :120-126) — checked by the caller
+        via io.assert_no_duplicates before write.
+    """
+    raw = text_sources.read_gff3(spark, path)
+    attrs = raw.withColumn("m", transforms.attributes_to_map("attributes"))
+    genes_all = attrs.filter(F.col("type") == "gene")
+    dbxref = F.col("m").getItem("Dbxref")
+    genes_ok = genes_all.filter(dbxref.isNotNull() & (F.length(dbxref) > 0))
+    genes_skipped = genes_all.filter(dbxref.isNull() | (F.length(dbxref) == 0))
+    gene = genes_ok.select(
+        dbxref.alias("gene_id"),
+        F.lit(taxon_id).cast("long").alias("gene_taxonid"),
+        F.col("m").getItem("Name").alias("gene_symbol"),
+        transforms.strip_chr_prefix("seq_id").alias("gene_chr"),
+        F.col("start").cast("long").alias("gene_start_pos"),
+        F.col("end").cast("long").alias("gene_end_pos"),
+        transforms.dot_to_null("strand").alias("gene_strand"),
+        F.col("m").getItem("biotype").alias("gene_type"),
+        F.col("m").getItem("description").alias("gene_name"),
+    )
+    exon = attrs.filter(F.col("type") == "exon").select(
+        F.col("m").getItem("ID").alias("exon_id"),
+        F.col("m").getItem("Parent").alias("parent_gene"),
+        F.lit(taxon_id).cast("long").alias("taxonid"),
+        transforms.strip_chr_prefix("seq_id").alias("exon_chr"),
+        F.col("start").cast("long").alias("exon_start_pos"),
+        F.col("end").cast("long").alias("exon_end_pos"),
+    )
+    return (
+        LoadResult(gene, {"missing_dbxref": genes_skipped}),
+        LoadResult(exon),
+    )
+
+
+# ---------------------------------------------------------------------------
+# synteny blocks (src/import_synteny_blocks.py)
+# ---------------------------------------------------------------------------
+
+
+def load_synteny_blocks(spark: SparkSession, path: str) -> LoadResult:
+    """Headerless 10-col TSV → symmetric syntenic_block rows.
+
+    src/import_synteny_blocks.py:63-120: validate block_id prefix
+    'ID=SynBlock' (V2 abort :70), strand → boolean (P5 :95), symbol =
+    block_id minus 'ID=' (P4 :101), swap chr/taxon input order into
+    taxon-first output (P1 :100-101), then insert forward AND reversed
+    (X3 :100-115) with INSERT OR REPLACE last-write-wins on the PK
+    (X5 :83-88) — order-insensitive here, so dropDuplicates.
+    """
+    raw = text_sources.read_headerless_tsv(spark, path, schemas.SYNTENY_TSV_RAW)
+    bad = raw.filter(
+        F.col("block_id").isNull() | ~F.col("block_id").startswith("ID=SynBlock")
+    )
+    if bad.limit(1).count() > 0:
+        raise io.LoadAborted(
+            "synteny block_id without 'ID=SynBlock' prefix (V2 abort, "
+            "reference src/import_synteny_blocks.py:63-70)"
+        )
+    fwd = raw.select(
+        F.col("ref_taxonid").cast("long"),
+        F.col("ref_chr"),
+        F.col("ref_start_pos").cast("long"),
+        F.col("ref_end_pos").cast("long"),
+        F.col("comp_taxonid").cast("long"),
+        F.col("comp_chr"),
+        F.col("comp_start_pos").cast("long"),
+        F.col("comp_end_pos").cast("long"),
+        transforms.orientation_to_bool("orientation").alias("same_orientation"),
+        transforms.strip_key_prefix("block_id", "ID=").alias("symbol"),
+    )
+    both = shape.symmetric_union(
+        fwd,
+        {
+            "ref_taxonid": "comp_taxonid",
+            "ref_chr": "comp_chr",
+            "ref_start_pos": "comp_start_pos",
+            "ref_end_pos": "comp_end_pos",
+        },
+    )
+    return LoadResult(io.upsert_dedup(both, schemas.SYNTENIC_BLOCK_PK))
+
+
+# ---------------------------------------------------------------------------
+# cytogenetic bands (src/import_cytogenetic_loc.py)
+# ---------------------------------------------------------------------------
+
+
+def load_cytobands(spark: SparkSession, path: str, taxon_id: int) -> LoadResult:
+    """GFF3 → cytogenetic_band; start gets the +1 shift (P9/Q6 :82)."""
+    raw = text_sources.read_gff3(spark, path)
+    m = transforms.attributes_to_map("attributes")
+    df = raw.select(
+        m.getItem("ID").alias("id"),
+        F.lit(taxon_id).cast("long").alias("taxon_id"),
+        transforms.strip_chr_prefix("seq_id").alias("chr"),
+        F.col("source"),
+        F.col("type"),
+        # BCBio parses GFF3 to 0-based; reference stores start+1 → net: the
+        # raw 1-based GFF3 start unchanged, end unchanged (SURVEY P9/Q6).
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        m.getItem("Location").alias("location"),
+        m.getItem("Color").alias("color"),
+    )
+    return LoadResult(df)
+
+
+# ---------------------------------------------------------------------------
+# features / QTL (src/import_features.py)
+# ---------------------------------------------------------------------------
+
+
+def load_features(spark: SparkSession, path: str, taxon_id: int) -> LoadResult:
+    """GFF3 → feature; blacklist filter, '.'→NULL, keep-first dedup.
+
+    src/import_features.py: version header check (V1 :72-76), type
+    blacklist (F2 :107-162), attribute whitelist via map access (P6
+    :93-99,175-185; Alias collected-but-dropped — Q1 parity), '.'→NULL
+    (P8 :187-191), duplicate-PK-skip keeping first (X7 :203-210).
+    """
+    raw = text_sources.read_gff3(spark, path, require_version_header=True)
+    kept = transforms.filter_type_blacklist(
+        raw, "type", transforms.FEATURE_TYPE_BLACKLIST
+    )
+    m = transforms.attributes_to_map("attributes")
+    df = kept.select(
+        F.lit(taxon_id).cast("long").alias("taxon_id"),
+        transforms.strip_chr_prefix("seq_id").alias("seq_id"),
+        transforms.dot_to_null("source").alias("source"),
+        F.col("type"),
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        transforms.dot_to_null("score").cast("double").alias("score"),
+        transforms.dot_to_null("strand").alias("strand"),
+        transforms.dot_to_null("phase").cast("long").alias("phase"),
+        m.getItem("ID").alias("id"),
+        m.getItem("Name").alias("name"),
+        m.getItem("Dbxref").alias("dbxref"),
+        m.getItem("bioType").alias("bio_type"),
+        m.getItem("Status").alias("status"),
+        m.getItem("Parent").alias("parent"),
+        F.monotonically_increasing_id().alias("__arrival"),
+    )
+    deduped = io.keep_first_dedup(df, schemas.FEATURE_PK, "__arrival").drop("__arrival")
+    return LoadResult(deduped)
+
+
+# ---------------------------------------------------------------------------
+# variants (src/import_variants.py)
+# ---------------------------------------------------------------------------
+
+
+def load_variants(spark: SparkSession, path: str, taxon_id: int = 9606) -> LoadResult:
+    """VCF → snp_variant; one row per gene in INFO['CG'] (X2 :80-82),
+    ALT joined '/' (P10 :86-90), AF/LT first element (P11 :93)."""
+    vcf = text_sources.read_vcf(spark, path)
+    info = F.col("info")
+    exploded = vcf.withColumn(
+        "gene",
+        F.explode_outer(F.split(info.getItem("CG"), ",")),
+    )
+    df = exploded.select(
+        transforms.strip_chr_prefix("chrom").alias("chr"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("id"),
+        F.col("ref").alias("ref_base"),
+        transforms.array_to_delimited("alt_alleles").alias("alt_allele"),
+        F.col("qual").alias("quality"),
+        F.col("filter"),
+        transforms.first_element(F.split(info.getItem("AF"), ","))
+        .cast("double")
+        .alias("frequency"),
+        F.col("gene"),
+        transforms.first_element(F.split(info.getItem("LT"), ",")).alias("trait_id"),
+        F.lit(taxon_id).cast("long").alias("taxon_id"),
+    )
+    return LoadResult(df)
+
+
+# ---------------------------------------------------------------------------
+# homologs (src/import_homologs.py)
+# ---------------------------------------------------------------------------
+
+
+def load_homologs(spark: SparkSession, path: str) -> LoadResult:
+    """Headered TSV → symmetric homolog rows + count.
+
+    src/import_homologs.py:88-150: header contract (V5 :97-103 — raises),
+    extra-column warn (V4 :105-108), non-ORTHOLOGUE type warn-and-keep
+    (V4 :129-132, implementing the *intended* warning — Q3), chr strip
+    case-insensitive (P3 :123-127), symmetric duplication (X3 :134-142),
+    INSERT OR REPLACE last-write-wins (X5 :114).
+    """
+    raw = text_sources.read_headered_tsv(spark, path, schemas.HOMOLOG_TSV_COLUMNS)
+    non_ortho = raw.filter(F.upper(F.trim(F.col("type"))) != "ORTHOLOGUE")
+    fwd = raw.select(
+        F.trim("id1").alias("ref_gene_id"),
+        F.trim("symbol1").alias("ref_gene_sym"),
+        F.col("taxonid1").cast("long").alias("ref_taxon_id"),
+        transforms.strip_chr_prefix(F.trim("seqid1")).alias("ref_seq_id"),
+        F.col("start1").cast("long").alias("ref_start"),
+        F.col("end1").cast("long").alias("ref_end"),
+        F.trim("id2").alias("comp_gene_id"),
+        F.trim("symbol2").alias("comp_gene_sym"),
+        F.col("taxonid2").cast("long").alias("comp_taxon_id"),
+        transforms.strip_chr_prefix(F.trim("seqid2")).alias("comp_seq_id"),
+        F.col("start2").cast("long").alias("comp_start"),
+        F.col("end2").cast("long").alias("comp_end"),
+    )
+    both = shape.symmetric_union(
+        fwd,
+        {
+            "ref_gene_id": "comp_gene_id",
+            "ref_gene_sym": "comp_gene_sym",
+            "ref_taxon_id": "comp_taxon_id",
+            "ref_seq_id": "comp_seq_id",
+            "ref_start": "comp_start",
+            "ref_end": "comp_end",
+        },
+    )
+    deduped = io.upsert_dedup(both, schemas.HOMOLOG_PK)
+    return LoadResult(deduped, {"non_orthologue_type": non_ortho})
+
+
+# ---------------------------------------------------------------------------
+# ontology (src/import_ontology.py)
+# ---------------------------------------------------------------------------
+
+
+def build_ontology(
+    spark: SparkSession,
+    obo_paths: list[str],
+    gaf_loads: list[tuple[str, int]],
+) -> tuple[LoadResult, LoadResult, LoadResult]:
+    """OBO + GAF → (on_terms, on_pairs, gene_ontology_map).
+
+    Mirrors src/import_ontology.py:312-349: all OBO files parse into one
+    term set; their is_a edges accumulate into ONE global graph before
+    closure (Q9 — module-global dict :54 accumulated across GO/MP/DO);
+    closure pairs materialize as on_pairs with relationship 'is_a'
+    (:132-140); per-ancestor descendant counts land on on_terms.count
+    (:141-145); GAF mappings filter by per-file taxon (F3 :297-299) and
+    dedup last-write-wins on (gene_id, ontology_id) — taxonid NOT in the
+    key (Q7 :175-183).
+    """
+    term_dfs = [obo.read_obo_terms(spark, p) for p in obo_paths]
+    terms_all = shape.accumulate(term_dfs)
+    # duplicate term id across files → X6 abort (reference :212-224)
+    io.assert_no_duplicates(terms_all.select("id"), ["id"], "on_terms")
+    edges = obo.obo_edges(terms_all)
+    pairs = closure_ops.transitive_closure(edges)
+    counts = closure_ops.descendant_counts(pairs)
+    on_terms = (
+        terms_all.select("id", "name", "namespace", "def")
+        .join(counts.withColumnRenamed("ancestor", "id"), "id", "left")
+        .withColumn("count", F.coalesce(F.col("count"), F.lit(0)))
+    )
+    on_pairs = pairs.select(
+        F.col("ancestor").alias("parent"),
+        F.col("descendant").alias("child"),
+        F.lit("is_a").alias("relationship"),
+    )
+    gaf_dfs = []
+    for i, (path, taxon) in enumerate(gaf_loads):
+        g = text_sources.read_gaf(spark, path)
+        g = g.filter(F.col("taxonid") == taxon).withColumn(
+            "__arrival", F.lit(i)
+        )
+        gaf_dfs.append(g)
+    gmap = shape.accumulate(gaf_dfs) if gaf_dfs else None
+    if gmap is not None:
+        gmap = io.upsert_dedup(
+            gmap, schemas.GENE_ONTOLOGY_MAP_PK, arrival_col="__arrival"
+        ).drop("__arrival")
+    else:
+        gmap = spark.createDataFrame([], schemas.GENE_ONTOLOGY_MAP)
+    return LoadResult(on_terms), LoadResult(on_pairs), LoadResult(gmap)

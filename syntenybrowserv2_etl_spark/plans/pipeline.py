@@ -1,0 +1,185 @@
+"""Full-pipeline driver — the engine's create_database.sh.
+
+Reference: /root/reference/create_database.sh:16-53 runs 13 sequential
+single-threaded processes over a shared SQLite file, with no error
+propagation. Here one SparkSession builds all nine tables; loads that the
+reference serialized only for table-creation ordering run as independent
+Spark jobs (submitted from threads — the scheduler interleaves their
+stages), and any validation failure fails the whole build (fail-fast,
+SURVEY §3.1 decision).
+
+Write layout (the index-emulation story, SURVEY §4): genomic tables are
+partitioned by taxon and sorted within files by (chr, start) so partition
+pruning + parquet row-group min/max stats serve the reference's 15 B-tree
+indexes' query workload.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from ..sources import io
+from .. import schemas
+from . import loaders
+
+
+@dataclass
+class SpeciesInputs:
+    taxon_id: int
+    genes_gff3: str
+    cytoband_gff3: str | None = None
+    feature_gff3: str | None = None
+
+
+@dataclass
+class PipelineInputs:
+    species: list[SpeciesInputs]
+    synteny_tsvs: list[str]
+    homolog_tsvs: list[str]
+    vcf_paths: list[str]
+    obo_paths: list[str]
+    gaf_loads: list[tuple[str, int]]
+
+
+def build_database(spark: SparkSession, inputs: PipelineInputs, out_dir: str) -> dict[str, int]:
+    """Build all nine tables under ``out_dir``; returns row counts."""
+    os.makedirs(out_dir, exist_ok=True)
+    results: dict[str, int] = {}
+
+    def genes_exons() -> list[tuple[str, int]]:
+        gene_parts, exon_parts, warn = [], [], []
+        for sp in inputs.species:
+            g, e = loaders.load_genes_exons(spark, sp.genes_gff3, sp.taxon_id)
+            gene_parts.append(g.df)
+            exon_parts.append(e.df)
+        from ..operators import shape
+
+        gene = shape.accumulate(gene_parts)
+        exon = shape.accumulate(exon_parts)
+        io.assert_no_duplicates(gene, schemas.GENE_PK, "gene")
+        io.assert_no_duplicates(exon, schemas.EXON_PK, "exon")
+        io.write_table(
+            gene,
+            f"{out_dir}/gene",
+            partition_by=["gene_taxonid"],
+            sort_within_by=["gene_chr", "gene_start_pos"],
+        )
+        io.write_table(
+            exon,
+            f"{out_dir}/exon",
+            partition_by=["taxonid"],
+            sort_within_by=["exon_chr", "exon_start_pos"],
+        )
+        return [("gene", gene.count()), ("exon", exon.count())]
+
+    def synteny() -> list[tuple[str, int]]:
+        from ..operators import shape
+
+        parts = [loaders.load_synteny_blocks(spark, p).df for p in inputs.synteny_tsvs]
+        df = io.upsert_dedup(shape.accumulate(parts), schemas.SYNTENIC_BLOCK_PK)
+        io.write_table(
+            df,
+            f"{out_dir}/syntenic_block",
+            partition_by=["ref_taxonid"],
+            sort_within_by=["ref_chr", "ref_start_pos"],
+        )
+        return [("syntenic_block", df.count())]
+
+    def cytobands() -> list[tuple[str, int]]:
+        from ..operators import shape
+
+        parts = [
+            loaders.load_cytobands(spark, sp.cytoband_gff3, sp.taxon_id).df
+            for sp in inputs.species
+            if sp.cytoband_gff3
+        ]
+        if not parts:
+            return []
+        df = shape.accumulate(parts)
+        io.write_table(
+            df,
+            f"{out_dir}/cytogenetic_band",
+            partition_by=["taxon_id"],
+            sort_within_by=["chr", "start"],
+        )
+        return [("cytogenetic_band", df.count())]
+
+    def features() -> list[tuple[str, int]]:
+        from ..operators import shape
+
+        parts = [
+            loaders.load_features(spark, sp.feature_gff3, sp.taxon_id).df
+            for sp in inputs.species
+            if sp.feature_gff3
+        ]
+        if not parts:
+            return []
+        df = shape.accumulate(parts)
+        io.write_table(
+            df,
+            f"{out_dir}/feature",
+            partition_by=["taxon_id"],
+            sort_within_by=["seq_id", "start"],
+        )
+        return [("feature", df.count())]
+
+    def variants() -> list[tuple[str, int]]:
+        from ..operators import shape
+
+        parts = [loaders.load_variants(spark, p).df for p in inputs.vcf_paths]
+        if not parts:
+            return []
+        df = shape.accumulate(parts)
+        io.write_table(
+            df,
+            f"{out_dir}/snp_variant",
+            partition_by=["taxon_id"],
+            sort_within_by=["chr", "pos"],
+        )
+        return [("snp_variant", df.count())]
+
+    def homologs() -> list[tuple[str, int]]:
+        from ..operators import shape
+
+        parts = [loaders.load_homologs(spark, p).df for p in inputs.homolog_tsvs]
+        if not parts:
+            return []
+        df = io.upsert_dedup(shape.accumulate(parts), schemas.HOMOLOG_PK)
+        io.write_table(
+            df,
+            f"{out_dir}/homolog",
+            partition_by=["ref_taxon_id"],
+            sort_within_by=["ref_seq_id", "ref_start"],
+        )
+        return [("homolog", df.count())]
+
+    def ontology() -> list[tuple[str, int]]:
+        if not inputs.obo_paths:
+            return []
+        terms, pairs, gmap = loaders.build_ontology(
+            spark, inputs.obo_paths, inputs.gaf_loads
+        )
+        io.write_table(terms.df, f"{out_dir}/on_terms")
+        io.write_table(pairs.df, f"{out_dir}/on_pairs", sort_within_by=["parent", "child"])
+        io.write_table(gmap.df, f"{out_dir}/gene_ontology_map")
+        return [
+            ("on_terms", terms.df.count()),
+            ("on_pairs", pairs.df.count()),
+            ("gene_ontology_map", gmap.df.count()),
+        ]
+
+    tasks = [genes_exons, synteny, cytobands, features, variants, homologs, ontology]
+    # Independent table families run concurrently: Spark's FAIR-ish FIFO
+    # scheduler interleaves their stages across the executor pool. Any
+    # exception cancels the build (fail-fast — unlike the reference shell,
+    # which ignores loader failures).
+    with cf.ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+        futures = [pool.submit(t) for t in tasks]
+        for fut in cf.as_completed(futures):
+            for name, n in fut.result():
+                results[name] = n
+    return results

@@ -1,0 +1,1073 @@
+"""Demo-query registry: every SURVEY §2 operator exercised over the driver's
+testdata tables, with a DuckDB oracle per query.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with the
+equivalent ANSI SQL (DuckDB dialect) over the pre-registered views
+``region nation customer supplier part orders lineitem events documents
+embeddings``. Column names/aliases are kept identical on both sides (the
+driver's value-hash sorts columns by name). Aggregates over doubles are
+rounded on BOTH sides so last-ulp summation-order differences can't flip the
+hash; integer-derived values are left exact.
+
+Determinism rules applied throughout:
+  - every top-k / limit has a total ordering (value, then id);
+  - every dedup has a deterministic winner rule (min id / explicit arrival);
+  - all hashing is the engine-portable md5 family (functions/hashing.py),
+    generated from the same Python constants for both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import hashing
+from .operators import closure as closure_ops
+from .operators import dedup as dedup_ops
+from .operators import range_join as rj
+from .operators import shape
+from .operators import similarity as sim_ops
+from .operators import text as text_ops
+
+
+@dataclass
+class QueryDef:
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: list[str] = field(default_factory=list)  # SURVEY §2 operator ids
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, tags: list[str]):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table.
+
+    The events table carries TIMESTAMP(NANOS) — a parquet type Spark's
+    vectorized reader rejects. ``nanosAsLong`` reads it as epoch-nanos
+    int64 which we convert with exact integer math (``div``, not double
+    division — epoch-nanos exceed double's 53-bit mantissa). Source data is
+    µs-grained so the ns→µs truncation is lossless and DuckDB-comparable.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# §A Relational core — scans, aggregates, joins (the implied query surface,
+#     SURVEY §2.7, plus standard OLAP shapes)
+# ===========================================================================
+
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(AVG(l_quantity), 2)                                    AS avg_qty,
+           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=["A4", "F*", "pushdown"],
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy groupBy with map-side partial aggregation.
+
+    Plan check: filter + column pruning reach the parquet scan; one shuffle
+    on the 6-group key; whole-stage codegen end-to-end.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_top_revenue_orders",
+    """
+    SELECT o_orderkey, o_orderdate,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    tags=["§2.7 joins", "top-k"],
+)
+def q02(spark, sf_dir):
+    """TPC-H Q3 shape: dim filter → join → agg → global top-k.
+
+    customer is broadcast (≪ threshold); lineitem never shuffles twice:
+    one exchange on o_orderkey feeds both the join and the aggregate.
+    """
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q03_revenue_by_nation",
+    """
+    SELECT r_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM region JOIN nation   ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders   ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    GROUP BY r_name, n_name
+    """,
+    tags=["§2.7 joins", "A4"],
+)
+def q03(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table star join, small dims broadcast.
+
+    The region→nation→customer chain collapses into one broadcast-hash
+    pipeline over the orders/lineitem fact flow; supplier closes the loop
+    with the co-nation equi condition.
+    """
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q04_topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders) x
+    WHERE rnk <= 3
+    """,
+    tags=["window", "top-k-per-group"],
+)
+def q04(spark, sf_dir):
+    """Top-k per group via ranking window (SURVEY §2.8 engine surface)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@register(
+    "q05_lww_dedup",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders) x
+    WHERE rn = 1
+    """,
+    tags=["X5", "S11"],
+)
+def q05(spark, sf_dir):
+    """X5 last-write-wins dedup (INSERT OR REPLACE semantics): latest order
+    per customer, deterministic tiebreak by key. Reference:
+    src/import_synteny_blocks.py:83-88."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q06_duplicate_check",
+    """
+    SELECT o_custkey, o_orderdate, COUNT(*) AS n_dupes
+    FROM orders
+    GROUP BY o_custkey, o_orderdate
+    HAVING COUNT(*) > 1
+    """,
+    tags=["X6", "V2"],
+)
+def q06(spark, sf_dir):
+    """X6 duplicate-as-error precheck: group by key, count>1 ⇒ offending
+    groups (the engine raises on these before write — sources/io.py).
+    Reference: src/import_genes_exons.py:120-126."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(F.count(F.lit(1)).alias("n_dupes"))
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
+@register(
+    "q07_symmetric_pairs",
+    """
+    SELECT n_nationkey AS ref_id, n_regionkey AS comp_id, n_name AS sym FROM nation
+    UNION ALL
+    SELECT n_regionkey AS ref_id, n_nationkey AS comp_id, n_name AS sym FROM nation
+    """,
+    tags=["X3"],
+)
+def q07(spark, sf_dir):
+    """X3 symmetric-pair duplication: every (ref, comp) row also emitted
+    role-swapped. Reference: src/import_homologs.py:134-142."""
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("ref_id"),
+        F.col("n_regionkey").cast("int").alias("comp_id"),
+        F.col("n_name").alias("sym"),
+    )
+    return shape.symmetric_union(n, {"ref_id": "comp_id"})
+
+
+@register(
+    "q08_explode_tokens",
+    """
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part) x
+    GROUP BY token
+    """,
+    tags=["X2"],
+)
+def q08(spark, sf_dir):
+    """X2 multi-valued explode: one row per delimited element.
+    Reference: src/import_variants.py:80-82 (INFO['CG'] genes)."""
+    p = t(spark, sf_dir, "part")
+    return (
+        shape.explode_delimited(p, "p_name", "token", " ")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q09_attr_extract",
+    """
+    SELECT CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k_val,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY k_val
+    """,
+    tags=["P6", "P7"],
+)
+def q09(spark, sf_dir):
+    """P6/P7 attribute-string extraction (the GFF3 col-9 pattern applied to
+    the events props payload). Reference: src/import_features.py:93-99."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn(
+            "k_val",
+            F.regexp_extract("props", '"k": (-?[0-9]+)', 1).cast("long"),
+        )
+        .groupBy("k_val")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@register(
+    "q10_prefix_strip",
+    """
+    SELECT c_custkey,
+           regexp_replace(c_name, '^(?i)Customer#', '') AS bare_id,
+           CAST(regexp_replace(c_name, '^(?i)Customer#', '') AS BIGINT) AS parsed_id
+    FROM customer
+    """,
+    tags=["P3", "P4"],
+)
+def q10(spark, sf_dir):
+    """P3/P4 prefix strip (the 'chr' / 'ID=' strip pattern), case-insensitive
+    anchored. Reference: src/import_homologs.py:123-127."""
+    c = t(spark, sf_dir, "customer")
+    bare = F.regexp_replace("c_name", "^(?i)Customer#", "")
+    return c.select(
+        "c_custkey", bare.alias("bare_id"), bare.cast("long").alias("parsed_id")
+    )
+
+
+@register(
+    "q11_split_normalize",
+    """
+    SELECT o_orderkey,
+           CAST(string_split(o_orderpriority, '-')[1] AS BIGINT) AS prio_rank,
+           NULLIF(string_split(o_orderpriority, '-')[2], '.') AS prio_name,
+           (string_split(o_orderpriority, '-')[1] = '1') AS is_urgent
+    FROM orders
+    """,
+    tags=["P5", "P8", "P11", "P12"],
+)
+def q11(spark, sf_dir):
+    """P8 dot→NULL + P11 element extraction + P5 boolean derivation in one
+    projection. Reference: src/import_features.py:187-191,
+    src/import_variants.py:93, src/import_synteny_blocks.py:95."""
+    o = t(spark, sf_dir, "orders")
+    parts = F.split("o_orderpriority", "-")
+    return o.select(
+        "o_orderkey",
+        parts.getItem(0).cast("long").alias("prio_rank"),
+        F.nullif(parts.getItem(1), F.lit(".")).alias("prio_name"),
+        (parts.getItem(0) == "1").alias("is_urgent"),
+    )
+
+
+@register(
+    "q12_point_in_interval",
+    """
+    SELECT i.band_id, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e
+    JOIN (SELECT i AS band_id,
+                 CAST(i*i AS DOUBLE) AS lo,
+                 CAST((i+1)*(i+1) AS DOUBLE) AS hi
+          FROM range(23) t(i)) i
+      ON e.value >= i.lo AND e.value < i.hi
+    GROUP BY i.band_id
+    """,
+    tags=["§2.7 range join"],
+)
+def q12(spark, sf_dir):
+    """Point-in-interval join via bin bucketization (the SNP-in-gene /
+    event-in-window shape). Irregular quadratic bands ensure the bins don't
+    trivially coincide with intervals; bin_width=64 bounds fan-out.
+    Index intent: src/import_genes_exons.py:58-61."""
+    e = t(spark, sf_dir, "events")
+    bands = spark.range(23).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * F.col("id")).cast("double").alias("lo"),
+        ((F.col("id") + 1) * (F.col("id") + 1)).cast("double").alias("hi"),
+    )
+    joined = rj.point_in_interval_join(
+        e,
+        bands,
+        on=[],
+        point_col="value",
+        range_cols=("lo", "hi"),
+        bin_width=64,
+        closed_end=False,
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+@register(
+    "q13_interval_overlap",
+    """
+    WITH w AS (
+      SELECT o_custkey, o_orderkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 30 AS e
+      FROM orders)
+    SELECT a.o_custkey AS custkey, a.o_orderkey AS okey_a, b.o_orderkey AS okey_b
+    FROM w a JOIN w b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.s <= b.e AND a.e >= b.s
+    """,
+    tags=["§2.7 range join", "X3"],
+)
+def q13(spark, sf_dir):
+    """Interval-overlap self-join with an equi-prefix (customer) — the
+    features-in-syntenic-block shape. The equi key keeps the plan a hash
+    join; the overlap predicate filters post-join.
+    Reference workload: src/import_synteny_blocks.py:45-52 coordinates."""
+    o = t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = o.select(
+        "o_custkey",
+        "o_orderkey",
+        days.cast("long").alias("s"),
+        (days + 30).cast("long").alias("e"),
+    )
+    joined = rj.overlap_join(
+        w.withColumnRenamed("o_orderkey", "okey_a"),
+        w.withColumnRenamed("o_orderkey", "okey_b"),
+        on=["o_custkey"],
+        left_range=("s", "e"),
+        right_range=("s", "e"),
+    )
+    return joined.filter(F.col("l.okey_a") < F.col("r.okey_b")).select(
+        F.col("l.o_custkey").alias("custkey"),
+        F.col("l.okey_a").alias("okey_a"),
+        F.col("r.okey_b").alias("okey_b"),
+    )
+
+
+@register(
+    "q14_transitive_closure",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT CAST(FLOOR(c_custkey / 2) AS BIGINT) AS parent, c_custkey AS child
+      FROM customer WHERE c_custkey >= 1
+    ), cl AS (
+      SELECT parent AS ancestor, child AS descendant FROM edges
+      UNION
+      SELECT cl.ancestor, e.child AS descendant
+      FROM cl JOIN edges e ON e.parent = cl.descendant
+    )
+    SELECT ancestor, descendant FROM cl
+    """,
+    tags=["A3"],
+)
+def q14(spark, sf_dir):
+    """A3 transitive closure — the reference's one algorithmic operator
+    (src/import_ontology.py:110-140) — as semi-naïve iterative self-join
+    with per-round localCheckpoint. Edge set: the binary-tree DAG
+    child→child/2 over customer keys (depth ~log2(n))."""
+    c = t(spark, sf_dir, "customer")
+    edges = c.filter(F.col("c_custkey") >= 1).select(
+        F.floor(F.col("c_custkey") / 2).cast("long").alias("parent"),
+        F.col("c_custkey").alias("child"),
+    )
+    return closure_ops.transitive_closure(edges)
+
+
+@register(
+    "q15_closure_counts",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT CAST(FLOOR(c_custkey / 2) AS BIGINT) AS parent, c_custkey AS child
+      FROM customer WHERE c_custkey >= 1
+    ), cl AS (
+      SELECT parent AS ancestor, child AS descendant FROM edges
+      UNION
+      SELECT cl.ancestor, e.child AS descendant
+      FROM cl JOIN edges e ON e.parent = cl.descendant
+    )
+    SELECT ancestor, COUNT(descendant) AS count FROM cl GROUP BY ancestor
+    """,
+    tags=["A4"],
+)
+def q15(spark, sf_dir):
+    """A4 per-ancestor descendant counts over the closure (on_terms.count).
+    Reference: src/import_ontology.py:141-145."""
+    c = t(spark, sf_dir, "customer")
+    edges = c.filter(F.col("c_custkey") >= 1).select(
+        F.floor(F.col("c_custkey") / 2).cast("long").alias("parent"),
+        F.col("c_custkey").alias("child"),
+    )
+    return closure_ops.descendant_counts(closure_ops.transitive_closure(edges))
+
+
+@register(
+    "q16_subtree_semijoin",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT CAST(FLOOR(c_custkey / 2) AS BIGINT) AS parent, c_custkey AS child
+      FROM customer WHERE c_custkey >= 1
+    ), cl AS (
+      SELECT parent AS ancestor, child AS descendant FROM edges
+      UNION
+      SELECT cl.ancestor, e.child AS descendant
+      FROM cl JOIN edges e ON e.parent = cl.descendant
+    ), subtree AS (
+      SELECT descendant AS k FROM cl WHERE ancestor = 3
+      UNION SELECT 3
+    )
+    SELECT COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_custkey IN (SELECT k FROM subtree)
+    """,
+    tags=["§2.7 semi-join", "A3"],
+)
+def q16(spark, sf_dir):
+    """'Genes annotated with term T or any descendant' (SURVEY §2.7) —
+    subtree expansion via the materialized closure, then a left_semi join
+    against the fact table. Reference: on_pairs index intent,
+    src/import_ontology.py:173."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    edges = c.filter(F.col("c_custkey") >= 1).select(
+        F.floor(F.col("c_custkey") / 2).cast("long").alias("parent"),
+        F.col("c_custkey").alias("child"),
+    )
+    cl = closure_ops.transitive_closure(edges)
+    subtree = (
+        cl.filter(F.col("ancestor") == 3)
+        .select(F.col("descendant").alias("k"))
+        .unionByName(spark.range(3, 4).select(F.col("id").alias("k")))
+        .distinct()
+    )
+    return (
+        o.join(F.broadcast(subtree), o.o_custkey == F.col("k"), "left_semi")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "q17_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    """,
+    tags=["§2.7 anti-join"],
+)
+def q17(spark, sf_dir):
+    """left_anti join — the 'species-specific genes' view (genes with no
+    homolog), time-restricted so the result is non-trivial.
+    Reference design: src/import_homologs.py:83-86."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q18_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=["§2.8 grouping sets"],
+)
+def q18(spark, sf_dir):
+    """Rollup aggregate (engine surface beyond the reference's plain
+    GROUP BY — SURVEY §2.8 notes absence; the engine supplies it)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q19_pivot",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS "click",
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS "view",
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS "signup",
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS "error"
+    FROM events GROUP BY user_id
+    """,
+    tags=["pivot"],
+)
+def q19(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns."""
+    e = t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "view", "purchase", "signup", "error"]],
+    )
+
+
+@register(
+    "q20_events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY hour, event_type
+    """,
+    tags=["§2.8 windows (batch twin of streaming/events.py)"],
+)
+def q20(spark, sf_dir):
+    """Tumbling-window aggregate, batch form — the DuckDB-checkable twin of
+    streaming/events.windowed_counts (same expressions, readStream source)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q21_sessionize",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM seq
+    ), sessions AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, ROUND(SUM(value), 2) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=["sessionization", "window"],
+)
+def q21(spark, sf_dir):
+    """Sessionization via lag + gap-flag cumsum (batch twin of the
+    streaming session_window in streaming/events.py)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ===========================================================================
+# §B Training-data pipeline operators — dedup / similarity / text analysis
+#     (BASELINE.json north-star extras; oracle SQL generated from the same
+#     Python constants as the Spark expressions)
+# ===========================================================================
+
+# Shared DuckDB CTE fragments ------------------------------------------------
+
+_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# distinct 3-token shingles per doc, built by positional self-joins
+_SHINGLES_CTE = f"""
+    sp AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS l FROM documents),
+    tok AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS tok FROM sp),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      FROM tok a
+      JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)
+"""
+
+
+@register(
+    "q22_exact_dedup",
+    f"""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dupe_count
+    FROM (SELECT doc_id,
+                 {hashing.md5_long_sql(_NORM_TEXT)} AS k,
+                 length({_NORM_TEXT}) AS len
+          FROM documents) x
+    GROUP BY k, len
+    """,
+    tags=["dedup-exact"],
+)
+def q22(spark, sf_dir):
+    """Exact dedup by content hash; min-id winner (operators/dedup.py)."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(d, "text", "doc_id")
+
+
+@register(
+    "q23_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+    shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.1
+    """,
+    tags=["dedup-ngram-jaccard"],
+)
+def q23(spark, sf_dir):
+    """Exact n-gram-set Jaccard over candidate pairs sharing a rare shingle
+    (document-frequency ≤ 100 — the common-gram suppression that bounds
+    fan-out at scale). operators/dedup.ngram_jaccard_pairs."""
+    d = t(spark, sf_dir, "documents")
+    out = dedup_ops.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.1, max_df=100
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _minhash_sql(num_hashes: int, seed: int = 42) -> str:
+    base = hashing.md5_long_sql("shingle")
+    cols = ",\n           ".join(
+        f"MIN({hashing.minhash_value_sql('base', a, b)}) AS mh_{i}"
+        for i, (a, b) in enumerate(hashing._perm_params(num_hashes, seed))
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (SELECT doc_id, {base} AS base FROM sh)
+    SELECT doc_id,
+           {cols}
+    FROM hashed GROUP BY doc_id
+    """
+
+
+@register("q24_minhash_signatures", _minhash_sql(8), tags=["dedup-minhash"])
+def q24(spark, sf_dir):
+    """MinHash signatures (8 permutations) over 3-token shingles — one
+    groupBy produces all slots. operators/dedup.minhash_signatures."""
+    d = t(spark, sf_dir, "documents")
+    sh = dedup_ops.shingles(d, "doc_id", "text", k=3)
+    return dedup_ops.minhash_signatures(sh, "doc_id", num_hashes=8)
+
+
+def _lsh_sql(num_hashes: int = 8, bands: int = 4, seed: int = 42) -> str:
+    rows = num_hashes // bands
+    base = hashing.md5_long_sql("shingle")
+    mh_cols = ",\n           ".join(
+        f"MIN({hashing.minhash_value_sql('base', a, b)}) AS mh_{i}"
+        for i, (a, b) in enumerate(hashing._perm_params(num_hashes, seed))
+    )
+    band_rows = []
+    for b in range(bands):
+        slots = " || '_' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, {hashing.md5_long_sql(f'({slots})')} AS key FROM sig"
+        )
+    banded = "\n      UNION ALL ".join(band_rows)
+    return f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (SELECT doc_id, {base} AS base FROM sh),
+    sig AS (SELECT doc_id,
+           {mh_cols}
+    FROM hashed GROUP BY doc_id),
+    banded AS ({banded})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+
+@register("q25_minhash_lsh_pairs", _lsh_sql(), tags=["dedup-minhash-lsh"])
+def q25(spark, sf_dir):
+    """Banded MinHash-LSH candidate pairs (8 hashes × 4 bands): docs agreeing
+    on any band bucket. operators/dedup.minhash_lsh_candidates."""
+    d = t(spark, sf_dir, "documents")
+    sh = dedup_ops.shingles(d, "doc_id", "text", k=3)
+    sig = dedup_ops.minhash_signatures(sh, "doc_id", num_hashes=8)
+    return dedup_ops.minhash_lsh_candidates(sig, "doc_id", num_hashes=8, bands=4)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    base = hashing.md5_long_sql("tok")
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+    WITH sp AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS l FROM documents),
+    tok AS (SELECT doc_id, unnest(l) AS tok FROM sp),
+    hashed AS (SELECT doc_id, {base} AS h FROM tok),
+    votes AS (SELECT doc_id,
+           {votes}
+    FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register("q26_simhash", _simhash_sql(16), tags=["dedup-simhash"])
+def q26(spark, sf_dir):
+    """16-bit SimHash fingerprints (sign-aggregated token-hash bits).
+    operators/dedup.simhash_fingerprint."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_ops.simhash_fingerprint(d, "doc_id", "text", bits=16)
+
+
+@register(
+    "q27_knn_bruteforce",
+    """
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    pairs AS (
+      SELECT v.vec_id,
+             list_sum(list_transform(list_zip(v.embedding, q.qvec),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             AS cos_exact
+      FROM embeddings v, q WHERE v.vec_id <> 0)
+    SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
+           ROUND(cos_exact, 4) AS cosine,
+           CAST(ROW_NUMBER() OVER (ORDER BY cos_exact DESC, vec_id ASC) AS INT) AS rank
+    FROM pairs
+    ORDER BY cos_exact DESC, vec_id ASC
+    LIMIT 10
+    """,
+    tags=["similarity-bruteforce"],
+)
+def q27(spark, sf_dir):
+    """Exact brute-force cosine top-10 for query vector vec_id=0 — native
+    zip_with/aggregate dot product, broadcast query side.
+    operators/similarity.knn_bruteforce."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim_ops.knn_bruteforce(emb, q, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register(
+    "q28_embedding_neardup",
+    """
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           , 4) AS cosine
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          >= 0.3
+    """,
+    tags=["dedup-embedding-cosine"],
+)
+def q28(spark, sf_dir):
+    """Embedding near-duplicate pairs: exact all-pairs cosine ≥ 0.3 over a
+    capped id range (the brute-force verifier; the LSH-bucketed scale path
+    is q29). operators/dedup.embedding_near_dupes with bucketing disabled
+    ≡ this exact form."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = sim_ops.cosine_expr(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos_exact"),
+        )
+        .filter(F.col("cos_exact") >= 0.3)
+        .select("id_a", "id_b", F.round("cos_exact", 4).alias("cosine"))
+    )
+
+
+@register("q29_embedding_neardup_lsh", None, tags=["dedup-embedding-lsh"])
+def q29(spark, sf_dir):
+    """LSH-bucketed near-dup pairs (random-hyperplane signs) — the 100 TB
+    path: same-bucket pairs only. Rows-only check (bucketing is
+    Spark-native; its exact-cosine verifier q28 is the oracle-checked twin).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    return dedup_ops.embedding_near_dupes(
+        emb, "vec_id", "embedding", threshold=0.3, bucket_planes=6
+    )
+
+
+@register("q30_knn_ivf", None, tags=["similarity-ivf"])
+def q30(spark, sf_dir):
+    """IVF approximate kNN: deterministic centroids, nprobe=4 probe, exact
+    re-rank within probed cells. Rows-only check (approximation is
+    recall-graded against q27 in tests, not hash-graded)."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = sim_ops.pick_centroids(emb, 16)
+    assigned = sim_ops.assign_centroids(emb, cents)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim_ops.knn_ivf(assigned, cents, q, k=10, nprobe=4)
+
+
+def _lang_case_sql() -> str:
+    score = {
+        lang: f"len(list_filter(string_split({_NORM_TEXT}, ' '), x -> x IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in text_ops.LANG_STOPWORDS.items()
+    }
+    langs = list(text_ops.LANG_STOPWORDS)
+    branches = []
+    for i, lang in enumerate(langs):
+        others = [score[o] for o in langs[i + 1:]]
+        conds = [f"s_{lang} > 0"] + [f"s_{lang} >= s_{o}" for o in langs[i + 1:]]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    scores_sql = ",\n             ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return scores_sql, case
+
+
+_SCORES_SQL, _LANG_CASE = _lang_case_sql()
+
+_TOKCNT = f"CASE WHEN length({_NORM_TEXT}) = 0 THEN 0 ELSE len(string_split({_NORM_TEXT}, ' ')) END"
+_PUNCT = f"CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)"
+
+
+@register(
+    "q31_text_profile",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST({_TOKCNT} AS BIGINT) AS n_tokens,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords,
+             ROUND({_PUNCT}, 6) AS punct_ratio,
+             {_SCORES_SQL},
+             {hashing.md5_long_sql(f"array_to_string(list_sort(string_split({_NORM_TEXT}, ' ')), ' ')")} AS fingerprint
+      FROM documents)
+    SELECT doc_id, n_tokens, n_subwords, punct_ratio,
+           {_LANG_CASE} AS lang_pred, fingerprint
+    FROM scored
+    """,
+    tags=["text-analysis"],
+)
+def q31(spark, sf_dir):
+    """Per-document text profile: token counts, subword estimate, punct
+    ratio, heuristic language id, order-insensitive fingerprint — all
+    native exprs (operators/text.py)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_ops.token_count("text").alias("n_tokens"),
+        text_ops.subword_estimate("text").alias("n_subwords"),
+        F.round(text_ops.punct_ratio("text"), 6).alias("punct_ratio"),
+        text_ops.lang_id("text").alias("lang_pred"),
+        text_ops.fingerprint("text").alias("fingerprint"),
+    )
+
+
+@register(
+    "q32_lang_confusion",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_SCORES_SQL} FROM documents)
+    SELECT lang, {_LANG_CASE} AS lang_pred, COUNT(*) AS n
+    FROM scored GROUP BY lang, lang_pred
+    """,
+    tags=["text-analysis"],
+)
+def q32(spark, sf_dir):
+    """Language-id confusion matrix: labeled lang × predicted lang."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", text_ops.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q33_token_stats",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM({_TOKCNT}) AS BIGINT) AS total_tokens,
+           ROUND(AVG({_TOKCNT}), 4) AS avg_tokens,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+    tags=["text-analysis"],
+)
+def q33(spark, sf_dir):
+    """Corpus token accounting per source — the budget/mixture query every
+    training-data pipeline runs."""
+    d = t(spark, sf_dir, "documents")
+    nt = text_ops.token_count("text")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(nt).alias("total_tokens"),
+        F.round(F.avg(nt), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.spark_fn for name, qd in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}

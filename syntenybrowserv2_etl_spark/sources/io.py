@@ -1,0 +1,99 @@
+"""Writers / sinks: SURVEY §2.1 S9-S11 + V2 atomic all-or-nothing semantics.
+
+The reference's sink is a SQLite file with three write disciplines:
+  - DROP+CREATE then INSERT  → overwrite        (S9, `-c` flag)
+  - plain INSERT into existing → append         (S10, 2nd/3rd species)
+  - INSERT OR REPLACE on PK   → last-write-wins (S11)
+and transactional rollback on any IntegrityError (V2: a bad row aborts the
+whole file's load — src/import_genes_exons.py:120-126).
+
+Spark-side equivalents:
+  - overwrite/append → parquet write modes, partitioned by taxon and sorted
+    within files by (chr, start) so parquet min/max row-group stats stand in
+    for the reference's 15 secondary indexes (SURVEY §4).
+  - INSERT OR REPLACE → window dedup BEFORE the write (upsert_dedup).
+  - transactionality → validate-then-write: the bad-row DataFrame is counted
+    first; only an empty one lets the write proceed. Parquet directory
+    commit via Spark's output committer is already atomic-enough for a
+    single writer; a staged tmp-dir + rename is used for multi-table runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+class LoadAborted(RuntimeError):
+    """V2 — a validation failure aborted the whole load (no partial write)."""
+
+
+def upsert_dedup(df: DataFrame, pk: list[str], arrival_col: str | None = None) -> DataFrame:
+    """S11/X5 — last-write-wins dedup emulating INSERT OR REPLACE on a PK.
+
+    Reference: src/import_synteny_blocks.py:83-88, src/import_homologs.py:114,
+    src/import_ontology.py:281-284. With an explicit ``arrival_col`` the
+    LAST arrival wins (replace semantics); without one, input order is not
+    meaningful in a distributed read and ``dropDuplicates`` (keep-any) is
+    both correct and cheaper — it map-side combines instead of a full
+    window sort.
+    """
+    if arrival_col is None:
+        return df.dropDuplicates(pk)
+    w = Window.partitionBy(*pk).orderBy(F.col(arrival_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def keep_first_dedup(df: DataFrame, pk: list[str], arrival_col: str) -> DataFrame:
+    """X7 — duplicate-as-skip: keep FIRST arrival, silently drop later ones.
+
+    Reference: src/import_features.py:203-210 (IntegrityError → rollback the
+    row, continue the load).
+    """
+    w = Window.partitionBy(*pk).orderBy(F.col(arrival_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def assert_no_duplicates(df: DataFrame, pk: list[str], table: str) -> None:
+    """X6 — duplicate-as-error: PK collision aborts the entire load.
+
+    Reference: src/import_genes_exons.py:120-126,130-136 (IntegrityError →
+    rollback + abort). Implemented as a pre-write check: group by PK, any
+    count > 1 ⇒ raise. ``limit(1)`` keeps the failure probe cheap — AQE
+    stops the scan early once one offending group is found.
+    """
+    dup = df.groupBy(*pk).count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        key = {k: dup[0][k] for k in pk}
+        raise LoadAborted(f"duplicate primary key in '{table}': {key} (V2/X6 abort)")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    sort_within_by: list[str] | None = None,
+) -> None:
+    """S9/S10 — write a table as parquet with the index-emulating layout.
+
+    ``partition_by`` (typically ["*_taxonid"]) gives partition pruning for
+    the per-species query workload; ``sort_within_by`` (typically chr, start)
+    orders rows inside each file so parquet row-group min/max statistics
+    answer range predicates — the Spark analogue of the reference's
+    (taxonid, chr, start) B-tree indexes (src/import_genes_exons.py:58-62).
+    """
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

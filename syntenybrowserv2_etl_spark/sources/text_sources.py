@@ -1,0 +1,175 @@
+"""File-format readers: SURVEY §2.1 S1-S6, S8.
+
+All readers are thin wrappers over ``spark.read.csv``/``text`` with declared
+schemas (never inferred) so Catalyst gets pushdown/pruning and the vectorized
+reader. Gzip (S1 — reference src/flex_open.py:10-20) is free: Spark infers
+the codec from the ``.gz`` suffix on any text-based source.
+
+Scale posture: multi-file reads parallelize by file and by 128 MB split for
+splittable formats. Gzipped text is NOT splittable — one .gz = one task — so
+at 100 TB the ingest layer should receive many moderate .gz files (or
+bgzip/zstd-seekable), which is exactly how genomics archives ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..functions import transforms
+
+
+class SourceFormatError(ValueError):
+    """Raised by precondition checks (V1/V5 hard-abort channels)."""
+
+
+def read_gff3(spark: SparkSession, path: str, require_version_header: bool = False) -> DataFrame:
+    """S2/S3 — GFF3 as a 9-column DataFrame, comments skipped at scan.
+
+    Reference: src/import_features.py:154-159 (hand-rolled split),
+    src/import_genes_exons.py:100-101 (BCBio). The gene→exon hierarchy is NOT
+    recovered recursively; it lives in the ``Parent`` attribute and is joined
+    relationally (SURVEY S2/X1).
+
+    ``require_version_header`` implements V1 (src/import_features.py:72-76):
+    the first line of each file must be ``##gff-version 3`` else hard abort.
+    The check reads only the file heads (limit pushdown), not the data.
+    """
+    if require_version_header:
+        heads = (
+            spark.read.text(path)
+            .withColumn("file", F.input_file_name())
+            .withColumn("rn", F.monotonically_increasing_id())
+        )
+        # First physical line per file: min monotonic id within the file.
+        first_lines = (
+            heads.groupBy("file").agg(F.min("rn").alias("rn"))
+            .join(heads, ["file", "rn"])
+            .select("file", "value")
+            .collect()
+        )
+        for row in first_lines:
+            if not row["value"].startswith("##gff-version 3"):
+                raise SourceFormatError(
+                    f"{row['file']}: missing '##gff-version 3' header (V1 abort, "
+                    "reference src/import_features.py:72-76)"
+                )
+    return (
+        spark.read.option("sep", "\t")
+        .option("comment", "#")
+        .option("emptyValue", "")
+        .schema(schemas.GFF3_RAW)
+        .csv(path)
+    )
+
+
+def read_headered_tsv(
+    spark: SparkSession,
+    path: str,
+    expected_columns: list[str],
+    header_prefix: str = "##",
+) -> DataFrame:
+    """S4 — headered TSV with a header contract (homolog files).
+
+    Reference: src/import_homologs.py:88-111 — strip the ``##`` prefix,
+    lowercase header cells, FAIL on missing expected columns (V5), WARN on
+    extras (V4, row kept). The reference reads the header with DictReader;
+    we read the first line, reconcile with set math on names, then read the
+    body with an explicit all-string schema and rename positionally.
+    """
+    first = spark.read.text(path).limit(1).collect()
+    if not first:
+        raise SourceFormatError(f"{path}: empty file")
+    raw_header = first[0]["value"]
+    if raw_header.startswith(header_prefix):
+        raw_header = raw_header[len(header_prefix):]
+    cols = [transforms_norm(c) for c in raw_header.split("\t")]
+    missing = [c for c in expected_columns if c not in cols]
+    if missing:
+        raise SourceFormatError(
+            f"{path}: missing required columns {missing} (V5 fail, "
+            "reference src/import_homologs.py:97-103)"
+        )
+    extras = [c for c in cols if c not in expected_columns]
+    if extras:
+        # V4 warn-and-keep channel (src/import_homologs.py:105-108)
+        print(f"WARN: {path}: unexpected extra columns {extras} (kept)")
+    body = (
+        spark.read.option("sep", "\t")
+        .option("header", "false")
+        .csv(path)
+        .toDF(*[f"_c{i}" for i in range(len(cols))])
+    )
+    # Drop the header line itself (matches the raw first line in column 0).
+    first_cell = raw_header.split("\t")[0]
+    body = body.filter(
+        ~(F.col("_c0").isNull() | F.col("_c0").isin(header_prefix + first_cell, first_cell))
+    )
+    return body.select(
+        *[F.col(f"_c{i}").alias(name) for i, name in enumerate(cols)]
+    )
+
+
+def transforms_norm(cell: str) -> str:
+    """Driver-side mirror of P12 strip().lower() for header cells."""
+    return cell.strip().lower()
+
+
+def read_headerless_tsv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S5 — positional headerless TSV (synteny blocks, 10 columns).
+
+    Reference: src/import_synteny_blocks.py:90-94. Blank lines (F6) are
+    dropped by the CSV reader's all-null filter below.
+    """
+    df = spark.read.option("sep", "\t").schema(schema).csv(path)
+    non_null = None
+    for name in df.columns:
+        cond = F.col(name).isNotNull()
+        non_null = cond if non_null is None else (non_null | cond)
+    return df.filter(non_null)
+
+
+def read_vcf(spark: SparkSession, path: str) -> DataFrame:
+    """S6 — VCF: 8 fixed columns + INFO → MapType + ALT → ArrayType.
+
+    Reference: src/import_variants.py:78-93 via PyVCF. Header/meta lines
+    start with ``#`` → comment-skipped at scan. ``str_to_map`` on INFO and
+    ``split`` on ALT keep everything in codegen.
+    """
+    raw = (
+        spark.read.option("sep", "\t")
+        .option("comment", "#")
+        .schema(schemas.VCF_RAW)
+        .csv(path)
+    )
+    return raw.select(
+        "chrom",
+        "pos",
+        "id",
+        "ref",
+        F.when(F.col("alt") == ".", F.lit(None))
+        .otherwise(F.split("alt", ","))
+        .alias("alt_alleles"),
+        transforms.dot_to_null("qual").cast("double").alias("qual"),
+        transforms.dot_to_null("filter").alias("filter"),
+        transforms.attributes_to_map("info").alias("info"),
+    )
+
+
+def read_gaf(spark: SparkSession, path: str) -> DataFrame:
+    """S8 — GAF annotation TSV; ``!`` comment lines skipped at scan.
+
+    Reference: src/import_ontology.py:286-300.
+    """
+    return (
+        spark.read.option("sep", "\t")
+        .option("comment", "!")
+        .schema(schemas.GAF_RAW)
+        .csv(path)
+        .select(
+            F.trim(F.col(schemas.GAF_GENE_ID_COL)).alias("gene_id"),
+            F.trim(F.col(schemas.GAF_TERM_COL)).alias("ontology_id"),
+            transforms.first_taxon(F.col(schemas.GAF_TAXON_COL)).alias("taxonid"),
+        )
+    )

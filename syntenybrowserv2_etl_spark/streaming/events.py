@@ -1,0 +1,105 @@
+"""Structured Streaming over the events stream (beyond-reference surface).
+
+The reference is strictly batch (SURVEY §2.8); the engine still ships a
+streaming path for the `events` table shape because a 100 TB training-data
+pipeline ingests continuously. Each transformation has a batch twin in
+queries.py (same logical expressions) so the DuckDB oracle validates the
+semantics while the streaming tests validate the incremental execution
+(watermarks, append-mode windows, stateful dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a directory of event parquet files.
+
+    ``maxFilesPerTrigger`` bounds per-batch work; in production this reader
+    is swapped for Kafka with identical downstream plans.
+    """
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts+sums per event_type with late-data watermark.
+
+    Watermark bounds state: events later than ``watermark`` behind the max
+    seen ts are dropped and their windows finalized — state size is
+    O(active windows × event types), independent of stream length.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon.
+
+    ``dropDuplicates`` on (event_id) with a watermark keeps bounded state —
+    the streaming twin of batch exact dedup.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user: events within ``gap`` of each other merge.
+
+    Native ``session_window`` — state per open session, closed by watermark.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drive a bounded file-source stream to completion into a memory sink
+    and return the materialized result (test/bench harness)."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.sql(f"SELECT * FROM {query_name}")
