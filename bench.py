@@ -1,0 +1,66 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver-side result transfer), timed after a session warm-up so JVM/codegen
+startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from syntenybrowserv2_etl_spark import queries as q
+from syntenybrowserv2_etl_spark.session import get_spark
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_revenue_by_nation",
+    "q04_topk_per_group",
+    "q12_point_in_interval",
+    "q13_interval_overlap",
+    "q14_transitive_closure",
+    "q21_sessionize",
+    "q22_exact_dedup",
+    "q23_ngram_jaccard",
+    "q25_minhash_lsh_pairs",
+    "q26_simhash",
+    "q27_knn_bruteforce",
+    "q31_text_profile",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    # warm-up: touch every input table once (JVM + codegen + FS cache)
+    for name in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        q.t(spark, sf_dir, name).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = q.REGISTRY[name].spark_fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_wall_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

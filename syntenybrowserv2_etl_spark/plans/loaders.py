@@ -190,12 +190,14 @@ def load_features(spark: SparkSession, path: str, taxon_id: int) -> LoadResult:
         transforms.dot_to_null("score").cast("double").alias("score"),
         transforms.dot_to_null("strand").alias("strand"),
         transforms.dot_to_null("phase").cast("long").alias("phase"),
-        m.getItem("ID").alias("id"),
-        m.getItem("Name").alias("name"),
-        m.getItem("Dbxref").alias("dbxref"),
-        m.getItem("bioType").alias("bio_type"),
-        m.getItem("Status").alias("status"),
-        m.getItem("Parent").alias("parent"),
+        # '.'→NULL applies to attribute values too: the reference loops over
+        # ALL fields incl. extracted attributes (src/import_features.py:187-191)
+        transforms.dot_to_null(m.getItem("ID")).alias("id"),
+        transforms.dot_to_null(m.getItem("Name")).alias("name"),
+        transforms.dot_to_null(m.getItem("Dbxref")).alias("dbxref"),
+        transforms.dot_to_null(m.getItem("bioType")).alias("bio_type"),
+        transforms.dot_to_null(m.getItem("Status")).alias("status"),
+        transforms.dot_to_null(m.getItem("Parent")).alias("parent"),
         F.monotonically_increasing_id().alias("__arrival"),
     )
     deduped = io.keep_first_dedup(df, schemas.FEATURE_PK, "__arrival").drop("__arrival")

@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # GFF3 attributes repeat keys (Alias=..;Alias=..); last-wins matches
+        # the reference's dict-assignment parse (SURVEY Q1 drops Alias lists).
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

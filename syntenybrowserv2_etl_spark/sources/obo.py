@@ -27,9 +27,12 @@ def read_obo_terms(spark: SparkSession, path: str) -> DataFrame:
     where is_a holds bare parent ids (`` ! comment`` suffix stripped —
     reference src/import_ontology.py:246-251).
     """
+    # NOTE: must be the ``wholetext=True`` kwarg — in PySpark 4.1 the
+    # ``.option("wholetext", "true")`` spelling is silently ignored for the
+    # text source and the file comes back line-split, collapsing every pos
+    # to 0 and breaking stanza assignment.
     lines = (
-        spark.read.option("wholetext", "true")
-        .text(path)
+        spark.read.text(path, wholetext=True)
         .withColumn("file", F.input_file_name())
         .select("file", F.posexplode(F.split("value", r"\r?\n")).alias("pos", "line"))
     )

@@ -90,11 +90,19 @@ def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 h
     )
 
 
-def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_to_completion(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
     """Drive a bounded file-source stream to completion into a memory sink
-    and return the materialized result (test/bench harness)."""
+    and return the materialized result (test/bench harness).
+
+    ``output_mode="complete"`` is needed when comparing a windowed aggregate
+    against its batch twin: append mode only emits windows the watermark has
+    closed, so the final ``watermark`` span of windows is withheld forever on
+    a bounded stream.
+    """
     q = (
-        stream_df.writeStream.outputMode("append")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)

@@ -1,0 +1,159 @@
+"""Row-survival and transform contracts for the seven loaders (SURVEY §5.1-2).
+
+Fixtures encode the reference's edge cases: missing Dbxref (V3 skip+warn),
+blacklisted types (F2), '.' placeholders (P8), duplicate PKs (X5/X6/X7),
+symmetric duplication (X3), chr-prefix variants (P3), header contracts (V5).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from syntenybrowserv2_etl_spark.plans import loaders
+from syntenybrowserv2_etl_spark.sources import io, text_sources
+
+
+def test_genes_exons(spark, fixtures_dir):
+    genes_res, exons_res = loaders.load_genes_exons(
+        spark, f"{fixtures_dir}/genes.gff3", 10090
+    )
+    genes = {r["gene_id"]: r.asDict() for r in genes_res.df.collect()}
+    # G4 has no Dbxref → skipped (V3); G1-G3 survive
+    assert set(genes) == {"MGI:101", "MGI:102", "MGI:103"}
+    assert genes_res.warnings["missing_dbxref"].count() == 1
+    g1 = genes["MGI:101"]
+    assert g1["gene_chr"] == "1"  # chr prefix stripped (P3)
+    assert g1["gene_taxonid"] == 10090  # literal stamp (P2)
+    assert g1["gene_start_pos"] == 1000  # raw coords (Q6)
+    assert g1["gene_symbol"] == "Alpha"
+    # G3 has no Name → NULL symbol (P7 optionality)
+    assert genes["MGI:103"]["gene_symbol"] is None
+
+    exons = {r["exon_id"]: r.asDict() for r in exons_res.df.collect()}
+    assert set(exons) == {"exon:G1.1", "exon:G1.2", "exon:G2.1"}
+    assert exons["exon:G1.1"]["parent_gene"] == "gene:G1"  # X1 FK
+    assert exons["exon:G2.1"]["exon_chr"] == "2"
+
+
+def test_synteny_blocks(spark, fixtures_dir):
+    res = loaders.load_synteny_blocks(spark, f"{fixtures_dir}/synteny.tsv")
+    rows = res.df.collect()
+    # 4 input rows → ×2 symmetric (X3) = 8, minus last-write-wins dedup:
+    # rows 1 and 4 share (9606, 10090, chr1→1, 1000) forward PK and the
+    # reversed PK (10090, 9606, 3, 2000) → 2 dupes dropped = 6
+    assert len(rows) == 6
+    fwd = [r for r in rows if r["ref_taxonid"] == 9606]
+    rev = [r for r in rows if r["ref_taxonid"] == 10090]
+    assert len(fwd) == 3 and len(rev) == 3  # symmetric
+    b2 = next(r for r in fwd if r["symbol"] == "SynBlock002")
+    assert b2["same_orientation"] is False  # P5 '-'
+    # chr prefix NOT stripped in synteny blocks — parity with the reference,
+    # which inserts raw row values (src/import_synteny_blocks.py:100-115;
+    # the P3 strip applies to genes/cytobands/features/variants/homologs only)
+    assert b2["ref_chr"] == "chr1" and b2["comp_chr"] == "chr4"
+
+
+def test_synteny_bad_prefix_aborts(spark, fixtures_dir):
+    with pytest.raises(io.LoadAborted):
+        loaders.load_synteny_blocks(spark, f"{fixtures_dir}/synteny_bad.tsv")
+
+
+def test_cytobands(spark, fixtures_dir):
+    res = loaders.load_cytobands(spark, f"{fixtures_dir}/cytobands.gff3", 9606)
+    rows = {r["id"]: r.asDict() for r in res.df.collect()}
+    assert set(rows) == {"p36.33", "p36.32", "p25.3"}
+    assert rows["p36.33"]["start"] == 1  # 1-based preserved (P9/Q6)
+    assert rows["p36.33"]["chr"] == "1"
+    assert rows["p25.3"]["location"] == "p25.3"
+    assert rows["p36.32"]["color"] == "gpos25"
+
+
+def test_features(spark, fixtures_dir):
+    res = loaders.load_features(spark, f"{fixtures_dir}/features.gff3", 10090)
+    rows = sorted([r.asDict() for r in res.df.collect()], key=lambda r: r["id"])
+    # CDS + match blacklisted (F2); QTL:3 duplicate keeps first (X7)
+    assert [r["id"] for r in rows] == ["QTL:1", "QTL:2", "QTL:3"]
+    q2 = rows[1]
+    assert q2["seq_id"] == "2"  # case-insensitive chr strip (P3)
+    assert q2["score"] is None and q2["strand"] is None  # '.' → NULL (P8)
+    q3 = rows[2]
+    assert q3["name"] == "Tail3"  # first arrival wins (X7)
+    assert q3["status"] is None  # '.' attribute value → stored as '.'? No: P8 on columns only
+    assert rows[0]["score"] == 1.5
+
+
+def test_features_bad_version_aborts(spark, fixtures_dir):
+    with pytest.raises(text_sources.SourceFormatError):
+        loaders.load_features(spark, f"{fixtures_dir}/features_badversion.gff3", 10090)
+
+
+def test_variants(spark, fixtures_dir):
+    res = loaders.load_variants(spark, f"{fixtures_dir}/gwas.vcf", 9606)
+    rows = res.df.collect()
+    # rs1 explodes to 2 genes (X2); rs2 1; rs3 has no CG → explode_outer keeps 1
+    assert len(rows) == 4
+    rs1 = [r for r in rows if r["id"] == "rs1"]
+    assert {r["gene"] for r in rs1} == {"GENE1", "GENE2"}
+    assert rs1[0]["chr"] == "1"
+    assert rs1[0]["frequency"] == pytest.approx(0.12)
+    rs2 = next(r for r in rows if r["id"] == "rs2")
+    assert rs2["alt_allele"] == "T/G"  # P10 join
+    assert rs2["quality"] is None  # '.' QUAL → NULL
+    rs3 = next(r for r in rows if r["id"] == "rs3")
+    assert rs3["alt_allele"] is None  # empty ALT guard
+    assert rs3["gene"] is None
+    assert rs3["trait_id"] == "EFO:0003"  # P11 first element
+
+
+def test_homologs(spark, fixtures_dir):
+    res = loaders.load_homologs(spark, f"{fixtures_dir}/homologs.tsv")
+    rows = res.df.collect()
+    # 4 rows → ×2 = 8; H1/M1 duplicated (X5 keeps one per direction) → 6
+    assert len(rows) == 6
+    assert res.warnings["non_orthologue_type"].count() == 1  # V4 warn, row kept
+    h1 = next(r for r in rows if r["ref_gene_id"] == "H1")
+    assert h1["ref_seq_id"] == "17"  # chr strip
+    assert h1["comp_seq_id"] == "11"  # CHR strip (case-insensitive)
+    # symmetric: M1 appears as ref too
+    assert any(r["ref_gene_id"] == "M1" and r["comp_gene_id"] == "H1" for r in rows)
+    # paralogue row kept
+    assert any(r["ref_gene_id"] == "H3" for r in rows)
+
+
+def test_homologs_missing_column_fails(spark, fixtures_dir):
+    with pytest.raises(text_sources.SourceFormatError):
+        loaders.load_homologs(spark, f"{fixtures_dir}/homologs_missingcol.tsv")
+
+
+def test_ontology(spark, fixtures_dir):
+    terms, pairs, gmap = loaders.build_ontology(
+        spark,
+        [f"{fixtures_dir}/onto.obo"],
+        [(f"{fixtures_dir}/annotations.gaf", 10090)],
+    )
+    term_rows = {r["id"]: r.asDict() for r in terms.df.collect()}
+    # obsolete old1 dropped (F4); Typedef ignored
+    assert set(term_rows) == {"a", "b", "c", "d", "q", "x"}
+    # reference docstring diamond (src/import_ontology.py:71-78):
+    # closure of c = {a, b, d}, count(c) = 3
+    assert term_rows["c"]["count"] == 3
+    assert term_rows["q"]["count"] == 2  # {a, x}
+    assert term_rows["b"]["count"] == 1  # {a}
+    assert term_rows["a"]["count"] == 0
+
+    pair_set = {(r["parent"], r["child"]) for r in pairs.df.collect()}
+    assert pair_set == {
+        ("b", "a"),
+        ("q", "a"),
+        ("c", "a"),
+        ("c", "b"),
+        ("c", "d"),
+        ("q", "x"),
+    }
+    assert all(r["relationship"] == "is_a" for r in pairs.df.collect())
+
+    gmap_rows = {(r["gene_id"], r["ontology_id"]): r["taxonid"] for r in gmap.df.collect()}
+    # taxon filter: only taxon:10090 rows survive (F3); G1→q is taxon:9606|1280 → first
+    # taxon 9606 ≠ 10090 → dropped; G3 9606 dropped
+    assert set(gmap_rows) == {("G1", "c"), ("G2", "b")}

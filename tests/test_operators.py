@@ -1,0 +1,286 @@
+"""Operator-level contracts: closure, range joins, dedup, similarity, text,
+multimodal, streaming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from syntenybrowserv2_etl_spark.operators import (
+    closure as closure_ops,
+    dedup as dedup_ops,
+    multimodal,
+    range_join as rj,
+    similarity as sim_ops,
+    text as text_ops,
+)
+
+
+# --- transitive closure ----------------------------------------------------
+
+
+def test_closure_diamond(spark):
+    # the reference docstring DAG (src/import_ontology.py:71-78)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "q"), ("b", "c"), ("d", "c"), ("x", "q")],
+        ["child", "parent"],
+    )
+    out = {
+        (r["ancestor"], r["descendant"])
+        for r in closure_ops.transitive_closure(edges).collect()
+    }
+    assert out == {
+        ("b", "a"),
+        ("q", "a"),
+        ("c", "a"),
+        ("c", "b"),
+        ("c", "d"),
+        ("q", "x"),
+    }
+
+
+def test_closure_chain_depth(spark):
+    n = 20
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(n)], ["child", "parent"]
+    )
+    cl = closure_ops.transitive_closure(edges)
+    assert cl.count() == n * (n + 1) // 2
+    counts = {
+        r["ancestor"]: r["count"]
+        for r in closure_ops.descendant_counts(cl).collect()
+    }
+    assert counts[f"n{n}"] == n
+
+
+def test_closure_cycle_guard(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["child", "parent"]
+    )
+    # a cycle converges (closure of a cycle is the full cross-pairs set) —
+    # must terminate, not hang
+    cl = closure_ops.transitive_closure(edges, max_iterations=10)
+    assert cl.count() == 9
+
+
+# --- range joins -----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def genes_blocks(spark):
+    genes = spark.createDataFrame(
+        [
+            (9606, "1", 100, 200, "g1"),
+            (9606, "1", 500, 900, "g2"),
+            (9606, "2", 100, 200, "g3"),
+            (10090, "1", 100, 200, "g4"),
+        ],
+        ["taxon", "chr", "gs", "ge", "gid"],
+    )
+    blocks = spark.createDataFrame(
+        [
+            (9606, "1", 150, 600, "b1"),
+            (9606, "2", 1000, 2000, "b2"),
+            (10090, "1", 50, 120, "b3"),
+        ],
+        ["taxon", "chr", "bs", "be", "bid"],
+    )
+    return genes, blocks
+
+
+def test_overlap_join(spark, genes_blocks):
+    genes, blocks = genes_blocks
+    out = rj.overlap_join(
+        genes, blocks, on=["taxon", "chr"], left_range=("gs", "ge"), right_range=("bs", "be")
+    )
+    pairs = {(r["gid"], r["bid"]) for r in out.collect()}
+    assert pairs == {("g1", "b1"), ("g2", "b1"), ("g4", "b3")}
+
+
+def test_binned_overlap_join_matches_plain(spark, genes_blocks):
+    genes, blocks = genes_blocks
+    plain = rj.overlap_join(
+        genes, blocks, on=["taxon", "chr"], left_range=("gs", "ge"), right_range=("bs", "be")
+    )
+    binned = rj.binned_overlap_join(
+        genes, blocks, on=["taxon", "chr"], left_range=("gs", "ge"),
+        right_range=("bs", "be"), bin_width=100,
+    )
+    key = lambda r: (r["gid"], r["bid"])  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(map(key, binned.collect()))
+    # binned emits no duplicates by construction
+    assert binned.count() == binned.dropDuplicates(["gid", "bid"]).count()
+
+
+def test_point_in_interval_binned_matches_plain(spark, genes_blocks):
+    genes, blocks = genes_blocks
+    pts = genes.select("taxon", "chr", F.col("gs").alias("pos"), "gid")
+    plain = rj.point_in_interval_join(
+        pts, blocks, on=["taxon", "chr"], point_col="pos", range_cols=("bs", "be")
+    )
+    binned = rj.point_in_interval_join(
+        pts, blocks, on=["taxon", "chr"], point_col="pos", range_cols=("bs", "be"),
+        bin_width=64,
+    )
+    key = lambda r: (r["gid"], r["bid"])  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(map(key, binned.collect()))
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (3, "The  Quick Brown Fox jumps over the lazy dog"),  # case/ws dup of 1
+            # near-dup of 1: only the final token differs, so just 1 of 7
+            # 3-shingles changes (jaccard 6/8 = 0.75 — solidly above any
+            # LSH band threshold, unlike a mid-sentence edit which touches
+            # k shingles at once)
+            (4, "the quick brown fox jumps over the lazy cat"),
+            (5, "completely different content about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["doc_id"]: r["dupe_count"] for r in dedup_ops.exact_dedup(docs, "text", "doc_id").collect()}
+    assert out == {1: 3, 4: 1, 5: 1}  # min-id winner; 1≡2≡3 after normalization
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup_ops.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.3, max_df=None
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 3)] == 1.0 and pairs[(2, 3)] == 1.0
+    assert 0.3 <= pairs[(1, 4)] < 1.0
+    assert (1, 5) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sh = dedup_ops.shingles(docs, "doc_id", "text", k=3)
+    sig = dedup_ops.minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_ops.minhash_lsh_candidates(sig, "doc_id", 16, bands=8).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= cand  # identical sets always collide
+    assert (1, 4) in cand  # high-jaccard near-dup caught at rows_per_band=2
+    assert (1, 5) not in cand
+
+
+def test_simhash_near_dups_close(spark, docs):
+    fp = {r["doc_id"]: r["simhash"] for r in dedup_ops.simhash_fingerprint(docs, "doc_id", "text").collect()}
+    assert fp[1] == fp[2] == fp[3]
+    ham_near = bin(fp[1] ^ fp[4]).count("1")
+    ham_far = bin(fp[1] ^ fp[5]).count("1")
+    assert ham_near < ham_far
+
+
+def test_embedding_near_dupes(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_ops.embedding_near_dupes(
+            emb, "vec_id", "embedding", threshold=0.95, bucket_planes=4
+        ).collect()
+    }
+    assert (1, 2) in out and (1, 3) not in out
+
+
+# --- similarity ------------------------------------------------------------
+
+
+def test_knn_bruteforce_exact(spark):
+    import math
+
+    rows = [(i, [math.cos(i / 10.0), math.sin(i / 10.0)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim_ops.knn_bruteforce(emb, q, k=3).collect()
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+
+
+def test_knn_ivf_recall(spark):
+    import math
+
+    rows = [(i, [math.cos(i / 7.0), math.sin(i / 7.0), 0.1, 0.2]) for i in range(100)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {r["vec_id"] for r in sim_ops.knn_bruteforce(emb, q, k=5).collect()}
+    cents = sim_ops.pick_centroids(emb, 8)
+    assigned = sim_ops.assign_centroids(emb, cents)
+    approx = {r["vec_id"] for r in sim_ops.knn_ivf(assigned, cents, q, k=5, nprobe=4).collect()}
+    assert len(exact & approx) >= 3  # recall@5 ≥ 0.6 with nprobe=4 of 8 cells
+
+
+# --- text ------------------------------------------------------------------
+
+
+def test_text_profile(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in a hat for a while"),
+            (2, "der hund und die katze ist nicht auf dem tisch"),
+            (3, "zzz qqq www"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in text_ops.text_profile(df, "doc_id", "text").collect()}
+    assert out[1]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "de"
+    assert out[3]["lang_pred"] == "und"
+    assert out[1]["n_tokens"] == 12
+    assert out[3]["punct_ratio"] == 0.0
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: r["fp"] for r in df.select("doc_id", text_ops.fingerprint("text").alias("fp")).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def test_multimodal_features(spark):
+    media = multimodal.synthetic_media(spark, 12)
+    out = multimodal.extract_features(media).collect()
+    assert len(out) == 12
+    for r in out:
+        assert len(r["feature"]) == 8
+        assert r["n_bytes"] >= 128
+    # deterministic across runs
+    again = multimodal.extract_features(media).collect()
+    assert sorted([tuple(r["feature"]) for r in out]) == sorted(
+        [tuple(r["feature"]) for r in again]
+    )
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synthetic_media(spark, 12)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    assert all(r["sample_ms"] % 1000 == 0 for r in rows)
+    vids = media.filter(F.col("kind") == "video").collect()
+    expected = sum(v["duration_ms"] // 1000 + 1 for v in vids)
+    assert len(rows) == expected

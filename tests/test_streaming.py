@@ -1,0 +1,78 @@
+"""Structured Streaming execution tests: the streaming twins produce the
+same results as their batch formulations when driven to completion."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from syntenybrowserv2_etl_spark.streaming import events as stream_ops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events re-materialized as µs timestamps in several files (the ns
+    parquet needs the nanosAsLong conversion, done once here).
+
+    Files are written as contiguous time quartiles, oldest first, so the
+    file-source stream replays in event-time order — the realistic arrival
+    pattern watermark semantics assume. Random row→file assignment would
+    make the watermark (correctly) drop most of each later file as late.
+    """
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = df.withColumn("_us", F.unix_micros("ts"))
+    bounds = df.approxQuantile("_us", [0.25, 0.5, 0.75], 0.0)
+    lo = None
+    for hi in [*bounds, None]:
+        part = df
+        if lo is not None:
+            part = part.filter(F.col("_us") > lo)
+        if hi is not None:
+            part = part.filter(F.col("_us") <= hi)
+        part.drop("_us").coalesce(1).write.mode("append").parquet(out)
+        lo = hi
+    return out
+
+
+def test_windowed_counts_matches_batch(spark, events_dir):
+    stream = stream_ops.read_events_stream(spark, events_dir)
+    result = stream_ops.run_to_completion(
+        stream_ops.windowed_counts(stream), "win_counts", output_mode="complete"
+    )
+    batch = spark.read.parquet(events_dir)
+    expected = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dedup(spark, events_dir):
+    stream = stream_ops.read_events_stream(spark, events_dir)
+    result = stream_ops.run_to_completion(
+        stream_ops.streaming_dedup(stream), "dedup_stream"
+    )
+    n_src = spark.read.parquet(events_dir).count()
+    assert result.count() == n_src  # event_ids unique in source
+
+
+def test_sessionize_stream_runs(spark, events_dir):
+    stream = stream_ops.read_events_stream(spark, events_dir)
+    result = stream_ops.run_to_completion(
+        stream_ops.sessionize(stream, gap="30 minutes"), "sessions"
+    )
+    rows = result.collect()
+    assert len(rows) > 0
+    assert all(r["session_end"] >= r["session_start"] for r in rows)
