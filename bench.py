@@ -45,9 +45,14 @@ def main() -> None:
     for name in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         q.t(spark, sf_dir, name).count()
 
+    # Per-query: one untimed warm-up pass, then the timed pass. Single-shot
+    # timings on a 32-core local JVM are dominated by C2-JIT of each query's
+    # generated code plus scheduler noise (~2-7× spread observed); the
+    # steady-state number is the one that reflects engine throughput.
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = q.REGISTRY[name].spark_fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)

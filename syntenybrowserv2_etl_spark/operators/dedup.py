@@ -29,6 +29,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import hashing
+from ..functions.transforms import fan_out
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Persist a DataFrame consumed by several downstream branches.
+
+    Without this, each branch of the operator DAG (set sizes, rarity filter,
+    both sides of a self-join) recomputes the full upstream — measured 3×
+    wall-time on the jaccard path. Eager localCheckpoint (not lazy persist:
+    concurrent downstream stages of a single action race to populate a lazy
+    cache and each recompute the upstream) materializes once to
+    memory-with-disk-spill. This is the local analogue of the 100 TB
+    deployment's staged-parquet materialization of the inverted index; the
+    traded-away lineage recompute-on-loss is what the staged write gives
+    back.
+    """
+    return df.localCheckpoint(eager=True)
 
 
 def normalize_text(col):
@@ -56,6 +73,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def tokenize(df: DataFrame, text_col: str, out: str = "token") -> DataFrame:
     """Whitespace tokens of normalized text, position-stamped."""
+    df = fan_out(df)
     return df.select(
         *df.columns,
         F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", out),
@@ -68,6 +86,7 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     ``transform`` over a token-index sequence builds the shingle array
     JVM-side; explode + distinct yields the shingle set.
     """
+    df = fan_out(df)
     toks = F.split(normalize_text(text_col), " ")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -120,9 +139,11 @@ def minhash_lsh_candidates(
                 hashing.md5_long(F.concat_ws("_", *slots)).alias("key"),
             )
         )
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _materialize(
+        signatures.select(
+            F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+        ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
     a, b_ = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -158,7 +179,7 @@ def ngram_jaccard_pairs(
     the deliberate scalability trade (documented contract: recall on pairs
     that share ≥1 rare gram).
     """
-    sh = shingles(df, id_col, text_col, k)
+    sh = _materialize(shingles(df, id_col, text_col, k))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     if max_df is not None:
         rare = (
@@ -256,7 +277,7 @@ def embedding_near_dupes(
         dot = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
         sig_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
     bucket = F.concat_ws("", *[b.cast("string") for b in sig_bits])
-    bucketed = emb.withColumn("__bucket", bucket)
+    bucketed = _materialize(emb.withColumn("__bucket", bucket))
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(

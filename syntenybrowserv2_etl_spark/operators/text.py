@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import hashing
+from ..functions.transforms import fan_out
 
 # Tiny per-language stopword lexicons for the heuristic language scorer.
 # Deliberately small + hardcoded: they are *constants of the operator*,
@@ -101,6 +102,7 @@ def fingerprint(text: Column | str) -> Column:
 
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass profile: all text metrics in a single narrow projection."""
+    df = fan_out(df)
     return df.select(
         F.col(id_col),
         token_count(text_col).alias("n_tokens"),

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import hashing
+from .functions import transforms
 from .operators import closure as closure_ops
 from .operators import dedup as dedup_ops
 from .operators import range_join as rj
@@ -1009,7 +1010,7 @@ def q31(spark, sf_dir):
     """Per-document text profile: token counts, subword estimate, punct
     ratio, heuristic language id, order-insensitive fingerprint — all
     native exprs (operators/text.py)."""
-    d = t(spark, sf_dir, "documents")
+    d = transforms.fan_out(t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         text_ops.token_count("text").alias("n_tokens"),
@@ -1032,7 +1033,7 @@ def q31(spark, sf_dir):
 )
 def q32(spark, sf_dir):
     """Language-id confusion matrix: labeled lang × predicted lang."""
-    d = t(spark, sf_dir, "documents")
+    d = transforms.fan_out(t(spark, sf_dir, "documents"))
     return (
         d.select("lang", text_ops.lang_id("text").alias("lang_pred"))
         .groupBy("lang", "lang_pred")
