@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 
 from .functions import hashing
 from .functions import transforms
+from .operators import asof as asof_ops
 from .operators import closure as closure_ops
+from .operators import multimodal as mm_ops
 from .operators import dedup as dedup_ops
 from .operators import range_join as rj
 from .operators import shape
@@ -1063,6 +1065,182 @@ def q33(spark, sf_dir):
         F.sum(nt).alias("total_tokens"),
         F.round(F.avg(nt), 4).alias("avg_tokens"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "q34_asof_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    purch AS (
+      SELECT user_id, ts, MAX(event_id) AS pevent, MAX(value) AS pvalue
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.user_id, c.event_id, c.ts,
+           p.pevent AS purchase_event,
+           ROUND(p.pvalue, 2) AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=["asof-join (beyond-reference operator)"],
+)
+def q34(spark, sf_dir):
+    """As-of join: each click paired with the user's latest at-or-before
+    purchase. Union-and-carry-forward formulation — one shuffle, no range
+    explosion (operators/asof.py)."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("pevent"), F.max("value").alias("pvalue"))
+    )
+    out = asof_ops.asof_join(clicks, purch, on=["user_id"], left_ts="ts")
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("pevent").alias("purchase_event"),
+        F.round("pvalue", 2).alias("purchase_value"),
+    )
+
+
+@register(
+    "q35_set_ops",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+    tags=["§2.8 set ops (engine surface beyond reference's union-only)"],
+)
+def q35(spark, sf_dir):
+    """INTERSECT / EXCEPT: customers active in both 1995 and 1996 but not
+    1997. SURVEY §2.8 notes the reference only ever unions; the engine
+    supplies the full set-op surface."""
+    o = t(spark, sf_dir, "orders")
+
+    def year(y):
+        return o.filter(F.year("o_orderdate") == y).select("o_custkey")
+
+    return year(1995).intersect(year(1996)).exceptAll(year(1997).distinct())
+
+
+@register(
+    "q36_frame_windows",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(CAST(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,6)), 2) AS DOUBLE) AS cum_spend,
+           CAST(ROUND(CAST(AVG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)), 2) AS DOUBLE) AS ma3
+    FROM orders
+    """,
+    tags=["window frames"],
+)
+def q36(spark, sf_dir):
+    """Frame-based windows: cumulative spend + 3-row moving average per
+    customer (ROWS frames — the §2.8 engine surface beyond ranking).
+
+    Rounding goes through decimal(18,6): the short moving-average frame
+    divides by 2/3, producing exact .xx5 halves where double HALF-rounding
+    is engine-dependent; the decimal hop pins HALF_UP on both sides."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+
+    def r2(c):
+        return F.round(c.cast("decimal(18,6)"), 2).cast("double")
+
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        r2(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0))).alias(
+            "cum_spend"
+        ),
+        r2(F.avg("o_totalprice").over(w.rowsBetween(-2, 0))).alias("ma3"),
+    )
+
+
+@register(
+    "q37_distinct_counts",
+    """
+    SELECT date_trunc('month', o_orderdate) AS month,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY month
+    """,
+    tags=["count-distinct"],
+)
+def q37(spark, sf_dir):
+    """Exact distinct counts per month (two-phase partial-agg plan)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("q38_approx_distinct", None, tags=["approx-count-distinct (sketch)"])
+def q38(spark, sf_dir):
+    """HyperLogLog++ approximate distinct customers per month — the sketch
+    path that replaces exact count-distinct's full shuffle of the key at
+    100 TB (fixed-size sketch per group, map-side combinable). Rows-only
+    check: sketch estimates are engine-specific; the exact twin q37 is the
+    oracle-checked baseline."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("n_cust_approx"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "q39_string_agg",
+    """
+    SELECT l_orderkey,
+           string_agg(CAST(l_linenumber AS VARCHAR), '/' ORDER BY l_linenumber)
+             AS line_str,
+           COUNT(*) AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    tags=["P10", "A6"],
+)
+def q39(spark, sf_dir):
+    """P10 array→delimited-string (the VCF ALT '/'-join pattern,
+    src/import_variants.py:86-90) with A6 deterministic element order."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(
+            "/",
+            F.transform(
+                F.sort_array(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("line_str"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register("q40_multimodal_features", None, tags=["multimodal mapInPandas"])
+def q40(spark, sf_dir):
+    """Multimodal plumbing end-to-end: synthetic binary payloads →
+    Arrow-batched mapInPandas feature extraction (stubbed decode kernel,
+    operators/multimodal.py) → per-kind aggregate. Rows-only check
+    (mapInPandas is not SQL-expressible; determinism is pinned by unit
+    tests on the stub kernel)."""
+    media = mm_ops.synthetic_media(spark, 96)
+    feats = mm_ops.extract_features(media)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_f0"),
+        )
     )
 
 

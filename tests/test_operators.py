@@ -284,3 +284,60 @@ def test_frame_sample_plan(spark):
     vids = media.filter(F.col("kind") == "video").collect()
     expected = sum(v["duration_ms"] // 1000 + 1 for v in vids)
     assert len(rows) == expected
+
+
+# --- as-of join ------------------------------------------------------------
+
+
+def test_asof_join_basic(spark):
+    from syntenybrowserv2_etl_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d"), (3, 10, "e")],
+        ["k", "ts", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "r5"), (1, 15, "r15"), (2, 10, "r10"), (2, 11, "r11")],
+        ["k", "ts", "rv"],
+    )
+    out = {
+        (r["k"], r["ts"]): r["rv"]
+        for r in asof.asof_join(left, right, on=["k"], left_ts="ts").collect()
+    }
+    assert out == {
+        (1, 10): "r5",   # latest right at-or-before 10
+        (1, 20): "r15",
+        (1, 5): "r5",    # inclusive: equal ts matches
+        (2, 10): "r10",  # r11 is in the future → excluded
+        (3, 10): None,   # no right rows for key → left join NULL
+    }
+
+
+def test_asof_join_tolerance(spark):
+    from syntenybrowserv2_etl_spark.operators import asof
+
+    left = spark.createDataFrame([(1, 100, "a"), (1, 200, "b")], ["k", "ts", "lv"])
+    right = spark.createDataFrame([(1, 95, "r95")], ["k", "ts", "rv"])
+    out = {
+        (r["k"], r["ts"]): r["rv"]
+        for r in asof.asof_join(
+            left, right, on=["k"], left_ts="ts", tolerance=F.lit(10)
+        ).collect()
+    }
+    # 100-95=5 within tolerance 10; 200-95=105 outside → nulled
+    assert out == {(1, 100): "r95", (1, 200): None}
+
+
+def test_asof_join_prefix_and_dedup(spark):
+    from syntenybrowserv2_etl_spark.operators import asof
+
+    left = spark.createDataFrame([(1, 10, "x")], ["k", "ts", "rv"])  # name collision
+    right = spark.createDataFrame(
+        [(1, 10, "dup1"), (1, 10, "dup2")], ["k", "ts", "rv"]
+    )
+    rows = asof.asof_join(
+        left, right, on=["k"], left_ts="ts", right_prefix="r_", dedup_right=True
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["rv"] == "x"
+    assert rows[0]["r_rv"] == "dup2"  # LWW dedup keeps max payload
