@@ -90,6 +90,37 @@ def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 h
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum) emitted on
+    every update — ``applyInPandasWithState``.
+
+    This is the escape hatch for stateful semantics no built-in window
+    expresses (entity-level accumulators, custom eviction): state is an
+    explicit typed tuple per key, batches arrive Arrow-columnar, and the
+    runtime shuffles only by key — state never leaves its partition, so the
+    operator scales with #keys/#executors like any keyed aggregation.
+    """
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, s double"
+
+    def update(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_completion(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -1,0 +1,100 @@
+"""Physical-plan shape contracts — the scale guarantees, asserted.
+
+Correctness tests prove the small-SF answer; these prove the *plan* is the
+one that survives 100 TB: filters and column pruning reach the parquet scan,
+small dimensions broadcast, range joins never degrade to
+BroadcastNestedLoop/Cartesian, and hot paths stay inside whole-stage codegen.
+A regression here is a performance bug even while every value still matches.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from syntenybrowserv2_etl_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = q.REGISTRY[name].spark_fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_pushdown_and_pruning(spark):
+    p = plan_of(spark, "q01_pricing_summary")
+    # shipdate predicate reaches the parquet scan
+    assert re.search(r"PushedFilters:.*LessThanOrEqual\(l_shipdate", p)
+    # column pruning: projected schema excludes unused columns
+    m = re.search(r"ReadSchema: struct<([^>]*)", p)
+    assert m and "l_partkey" not in m.group(1) and "l_suppkey" not in m.group(1)
+
+
+def test_q03_star_join_broadcasts(spark):
+    p = plan_of(spark, "q03_revenue_by_nation")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_range_joins_never_nested_loop(spark):
+    for name in ("q12_point_in_interval", "q13_interval_overlap"):
+        p = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", p), name
+
+
+def test_asof_join_single_sort_no_range_probe(spark):
+    p = plan_of(spark, "q34_asof_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # carry-forward runs as a window over the union — no join operator at all
+    assert "Window" in p
+
+
+def test_hot_paths_codegen(spark):
+    # UDF-free operators must stay inside whole-stage codegen: no Python
+    # evaluation operators anywhere in the relational/text plans. Codegen
+    # spans show as '*(n)' stage markers in simple explain mode.
+    for name in (
+        "q01_pricing_summary",
+        "q22_exact_dedup",
+        "q26_simhash",
+        "q31_text_profile",
+    ):
+        df = q.REGISTRY[name].spark_fn(spark, SF)
+        df.collect()  # AQE finalizes the physical plan only on execution
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        p = buf.getvalue()
+        assert re.search(r"\*\(\d+\)", p), name
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+
+
+def test_multimodal_is_arrow_batched(spark):
+    # the one deliberately-Python operator must be Arrow-batched mapInPandas,
+    # never row-at-a-time BatchEvalPython
+    df = q.REGISTRY["q40_multimodal_features"].spark_fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_dim_filter_pushed_through_join(spark):
+    # q02: the mktsegment filter must reach the customer scan, not run
+    # post-join
+    p = plan_of(spark, "q02_top_revenue_orders")
+    assert re.search(r"PushedFilters:.*EqualTo\(c_mktsegment,BUILDING\)", p)

@@ -76,3 +76,30 @@ def test_sessionize_stream_runs(spark, events_dir):
     rows = result.collect()
     assert len(rows) > 0
     assert all(r["session_end"] >= r["session_start"] for r in rows)
+
+
+def test_stateful_running_totals_matches_batch(spark, events_dir):
+    stream = stream_ops.read_events_stream(spark, events_dir)
+    result = stream_ops.run_to_completion(
+        stream_ops.running_user_totals(stream), "user_totals", output_mode="update"
+    )
+    # update mode emits one row per (user, microbatch); the final state is
+    # the last emission per user
+    final = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in result.orderBy("n_events").collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("s"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want)
+    for u in want:
+        assert final[u][0] == want[u][0]
+        assert abs(final[u][1] - want[u][1]) < 0.05  # per-batch rounding drift
