@@ -86,20 +86,39 @@ def assign_centroids(
 ) -> DataFrame:
     """IVF assignment: tag every corpus vector with its nearest centroid.
 
-    Centroids are broadcast; argmin is a min_by over the (small) cross
-    product per row — one narrow stage, no corpus shuffle. Writing the
-    result partitioned by centroid_id gives physical partition pruning for
+    Fully narrow — ZERO corpus shuffle: the centroid table collapses to a
+    single array<struct> row, broadcast to every task; per corpus row the
+    argmax is ``array_max`` over per-centroid (sim, -id) structs (struct
+    ordering gives highest-sim, ties to the smallest centroid id,
+    deterministically). The earlier formulation (cross-join + re-group on
+    all corpus columns) shuffled the full corpus incl. vectors once;
+    assignment is a pure map and should plan like one. Writing the result
+    partitioned by centroid_id then gives physical partition pruning for
     probes.
     """
-    c = F.broadcast(centroids.select(centroid_id_col, centroid_vec_col))
-    scored = corpus.crossJoin(c).select(
-        *corpus.columns,
-        F.col(centroid_id_col),
-        cosine_expr(F.col(vec_col), F.col(centroid_vec_col)).alias("__sim"),
+    cent_arr = F.broadcast(
+        centroids.agg(
+            F.collect_list(
+                F.struct(
+                    F.col(centroid_id_col).alias("id"),
+                    F.col(centroid_vec_col).alias("vec"),
+                )
+            ).alias("__cents")
+        )
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                cosine_expr(F.col(vec_col), c["vec"]).alias("sim"),
+                (-c["id"]).alias("negid"),
+            ),
+        )
     )
     return (
-        scored.groupBy(*corpus.columns)
-        .agg(F.max_by(F.col(centroid_id_col), F.col("__sim")).alias(centroid_id_col))
+        corpus.crossJoin(cent_arr)
+        .withColumn(centroid_id_col, -best["negid"])
+        .drop("__cents")
     )
 
 

@@ -93,6 +93,20 @@ def test_multimodal_is_arrow_batched(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_ivf_assignment_is_narrow(spark):
+    # centroid assignment must be a pure map over the corpus: the only
+    # Exchange allowed is the single-row centroid collect_list aggregate —
+    # the corpus (vectors included) never shuffles
+    from syntenybrowserv2_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned = sim.assign_centroids(emb, sim.pick_centroids(emb, 8))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assigned.explain()
+    assert len(re.findall("Exchange", buf.getvalue())) == 1
+
+
 def test_dim_filter_pushed_through_join(spark):
     # q02: the mktsegment filter must reach the customer scan, not run
     # post-join
