@@ -1,0 +1,128 @@
+"""Property-based cross-checks (hypothesis): the distributed formulations
+must agree with brute-force single-machine oracles on arbitrary inputs.
+
+Examples are kept small (each one runs real Spark jobs) but unconstrained in
+shape — random DAGs, random interval sets, random event streams — which is
+exactly where hand-picked fixtures miss edge cases (empty frontiers, ties,
+single-node graphs, zero-width intervals).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from syntenybrowserv2_etl_spark.operators import asof, closure, range_join as rj
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def py_closure(edges: set[tuple[int, int]]) -> set[tuple[int, int]]:
+    """Brute-force reachability: (ancestor, descendant) via 1+ child→parent
+    edges; edges are (child, parent)."""
+    from collections import defaultdict
+
+    children = defaultdict(set)
+    for c, p in edges:
+        children[p].add(c)
+    out = set()
+    for a in {p for _, p in edges} | {c for c, _ in edges}:
+        stack, seen = list(children[a]), set()
+        while stack:
+            d = stack.pop()
+            if d in seen:
+                continue
+            seen.add(d)
+            stack.extend(children[d])
+        out |= {(a, d) for d in seen}
+    return out
+
+
+# child > parent guarantees a DAG (edges always point to smaller ids)
+dag_edges = st.sets(
+    st.tuples(st.integers(1, 12), st.integers(0, 11)).filter(lambda e: e[0] > e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=dag_edges, method=st.sampled_from(["doubling", "seminaive"]))
+@settings(**SETTINGS)
+def test_closure_matches_bruteforce(spark, edges, method):
+    df = spark.createDataFrame(list(edges), ["child", "parent"])
+    got = {
+        (r["ancestor"], r["descendant"])
+        for r in closure.transitive_closure(df, method=method).collect()
+    }
+    assert got == py_closure(edges)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=15
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=15
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_matches_bruteforce(spark, left, right):
+    # unique right (k, ts) — the operator's documented determinism precondition
+    right = list({(k, ts): (k, ts) for k, ts in right}.values())
+    ldf = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)], ["k", "ts", "lid"]
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts, f"r{k}_{ts}") for k, ts in right], ["k", "ts", "rv"]
+    ) if right else spark.createDataFrame([], "k int, ts int, rv string")
+    got = {
+        r["lid"]: r["rv"]
+        for r in asof.asof_join(ldf, rdf, on=["k"], left_ts="ts").collect()
+    }
+    for i, (k, ts) in enumerate(left):
+        cands = [(rts, f"r{k2}_{rts}") for k2, rts in right if k2 == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, ts)
+
+
+intervals = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 30)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(a=intervals, b=intervals, bin_width=st.sampled_from([1, 7, 64]))
+@settings(**SETTINGS)
+def test_binned_overlap_matches_plain(spark, a, b, bin_width):
+    mk = lambda rows, tag: spark.createDataFrame(  # noqa: E731
+        [(k, s, s + w, f"{tag}{i}") for i, (k, s, w) in enumerate(rows)],
+        ["key", "s", "e", f"{tag}id"],
+    )
+    la, rb = mk(a, "a"), mk(b, "b")
+    plain = rj.overlap_join(la, rb, on=["key"], left_range=("s", "e"), right_range=("s", "e"))
+    binned = rj.binned_overlap_join(
+        la, rb, on=["key"], left_range=("s", "e"), right_range=("s", "e"), bin_width=bin_width
+    )
+    key = lambda r: (r["aid"], r["bid"])  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(map(key, binned.collect()))
+
+
+@given(vals=st.lists(st.integers(0, 5), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_lww_dedup_keeps_exactly_last(spark, vals):
+    from syntenybrowserv2_etl_spark.sources import io as sink
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], ["k", "arrival"]
+    )
+    got = {r["k"]: r["arrival"] for r in sink.upsert_dedup(df, ["k"], "arrival").collect()}
+    want = {}
+    for i, v in enumerate(vals):
+        want[v] = i
+    assert got == want
