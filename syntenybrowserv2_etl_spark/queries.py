@@ -1225,6 +1225,59 @@ def q39(spark, sf_dir):
     )
 
 
+@register(
+    "q41_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=["percentiles (§2.8 engine surface)"],
+)
+def q41(spark, sf_dir):
+    """Exact linear-interpolation percentiles per group (Spark `percentile`
+    ≡ DuckDB `quantile_cont`). The exact twin of sketch-based
+    approx_percentile — at 100 TB the approx path (fixed-size t-digest-like
+    sketch, map-side combinable) replaces this one-shuffle exact plan."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
+    "q42_scalar_subquery",
+    """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_weekly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS pk, 0.5 * AVG(l_quantity) AS qty_lim
+          FROM lineitem GROUP BY l_partkey) lim ON pk = l_partkey
+    WHERE p_type = 'ECONOMY' AND l_quantity < qty_lim
+    """,
+    tags=["correlated scalar subquery (TPC-H Q17 shape)"],
+)
+def q42(spark, sf_dir):
+    """TPC-H Q17 shape: per-part average threshold applied back to the fact
+    table. The per-part aggregate reuses lineitem's exchange (same join
+    key); part is broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    lim = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_lim")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(lim, li.l_partkey == lim.pk)
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_weekly"))
+    )
+
+
 @register("q40_multimodal_features", None, tags=["multimodal mapInPandas"])
 def q40(spark, sf_dir):
     """Multimodal plumbing end-to-end: synthetic binary payloads →

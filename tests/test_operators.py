@@ -341,3 +341,40 @@ def test_asof_join_prefix_and_dedup(spark):
     assert len(rows) == 1
     assert rows[0]["rv"] == "x"
     assert rows[0]["r_rv"] == "dup2"  # LWW dedup keeps max payload
+
+
+# --- skew-mitigation join ---------------------------------------------------
+
+
+def test_salted_join_matches_plain(spark):
+    from syntenybrowserv2_etl_spark.operators import skew
+
+    # heavily skewed: 90% of fact rows share key 0
+    fact = spark.createDataFrame(
+        [(0 if i % 10 else i % 3, i) for i in range(200)], ["k", "fid"]
+    )
+    dim = spark.createDataFrame([(0, "zero"), (1, "one"), (2, "two")], ["k", "name"])
+    plain = {(r["fid"], r["name"]) for r in fact.join(dim, "k").collect()}
+    salted = {
+        (r["fid"], r["name"])
+        for r in skew.salted_join(fact, dim, ["k"], salt_buckets=8).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from syntenybrowserv2_etl_spark.operators import skew
+
+    fact = spark.createDataFrame([(1, 10), (9, 11)], ["k", "fid"])
+    dim = spark.createDataFrame([(1, "one")], ["k", "name"])
+    rows = {r["fid"]: r["name"] for r in skew.salted_join(fact, dim, ["k"], 4, "left").collect()}
+    assert rows == {10: "one", 11: None}
+
+
+def test_salted_join_rejects_right_joins(spark):
+    from syntenybrowserv2_etl_spark.operators import skew
+    import pytest as _pytest
+
+    df = spark.range(1).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError):
+        skew.salted_join(df, df, ["k"], 4, "full")
