@@ -378,3 +378,21 @@ def test_salted_join_rejects_right_joins(spark):
     df = spark.range(1).withColumnRenamed("id", "k")
     with _pytest.raises(ValueError):
         skew.salted_join(df, df, ["k"], 4, "full")
+
+
+def test_embedding_neardup_star_links_to_representative(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (5, [0.998, 0.02, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),  # different bucket
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_ops.embedding_near_dupes(
+            emb, "vec_id", "embedding", threshold=0.95, bucket_planes=4, link="star"
+        ).collect()
+    }
+    # star: 2 and 5 each link to bucket representative 1; no (2,5) pair
+    assert out == {(1, 2), (1, 5)}

@@ -1,0 +1,164 @@
+"""Scale-stress harness: measure operator scaling at 1x / 4x / 16x data.
+
+The correctness gate proves answers at small SF; this proves the *growth
+curve*. Each replica of the base tables gets distinct ids (id offset per
+replica) and lightly perturbed content, so dedup/join cardinalities grow
+linearly with data — any super-linear wall-time growth is an operator
+problem (quadratic candidate blowup, un-pruned fan-out), not a data
+artifact.
+
+Usage: python tools/scale_stress.py [base_sf_dir] [factors...]
+Writes scaled inputs under /root/repo/.scratch/ (gitignored) and prints one
+JSON line per (operator, factor).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from syntenybrowserv2_etl_spark.operators import closure as cl
+from syntenybrowserv2_etl_spark.operators import dedup as dd
+from syntenybrowserv2_etl_spark.operators import range_join as rj
+from syntenybrowserv2_etl_spark.operators import similarity as sim
+from syntenybrowserv2_etl_spark.session import get_spark
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
+def scaled_docs(spark, base_dir: str, factor: int, path: str):
+    """documents ×factor: distinct doc_ids; every 7th replica doc keeps its
+    text verbatim (stable near-dup rate), others get a replica-tag suffix
+    so the corpus isn't one giant duplicate class."""
+    d = spark.read.parquet(f"{base_dir}/documents.parquet")
+    n = d.count()
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    out = (
+        d.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(n)).alias("doc_id"),
+            F.when(F.col("rep") % 7 == 0, F.col("text"))
+            .otherwise(F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("rep"))))
+            .alias("text"),
+        )
+    )
+    out.repartition(32).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def scaled_emb(spark, base_dir: str, factor: int, path: str):
+    e = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    n = e.count()
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    out = (
+        e.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(n)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x + (F.col("rep") % 5) * F.lit(0.003) * F.cos(i.cast("double")),
+            ).alias("embedding"),
+        )
+    )
+    out.repartition(32).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 2)
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factors = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
+    spark = get_spark("scale_stress")
+    os.makedirs(SCRATCH, exist_ok=True)
+    results = []
+    for f in factors:
+        docs = scaled_docs(spark, base, f, f"{SCRATCH}/docs_x{f}")
+        emb = scaled_emb(spark, base, f, f"{SCRATCH}/emb_x{f}")
+        n_docs, n_emb = docs.count(), emb.count()
+
+        r = {"factor": f, "n_docs": n_docs, "n_emb": n_emb}
+        r["exact_dedup"] = timed(lambda: noop(dd.exact_dedup(docs, "text", "doc_id")))
+        r["minhash_lsh"] = timed(
+            lambda: noop(
+                dd.minhash_lsh_candidates(
+                    dd.minhash_signatures(
+                        dd.shingles(docs, "doc_id", "text", 3), "doc_id", 8
+                    ),
+                    "doc_id",
+                    8,
+                    4,
+                )
+            )
+        )
+        r["ngram_jaccard"] = timed(
+            lambda: noop(
+                dd.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.1, max_df=100)
+            )
+        )
+        r["simhash"] = timed(lambda: noop(dd.simhash_fingerprint(docs, "doc_id", "text", 16)))
+        # star-linking: the scale path — all-pairs is quadratic in clone-class
+        # size by definition (measured 337s at 16x vs 3s at 1x)
+        r["emb_neardup_lsh_star"] = timed(
+            lambda: noop(
+                dd.embedding_near_dupes(
+                    emb, "vec_id", "embedding", 0.3, bucket_planes=8, link="star"
+                )
+            )
+        )
+        q = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        r["knn_bruteforce"] = timed(lambda: noop(sim.knn_bruteforce(emb, q, k=10)))
+
+        # closure on a 16-ary forest over n_docs*f nodes: depth ~log16(n)
+        edges = (
+            spark.range(1, n_docs)
+            .select(
+                F.floor(F.col("id") / 16).alias("parent"), F.col("id").alias("child")
+            )
+        )
+        r["closure_doubling"] = timed(lambda: noop(cl.transitive_closure(edges)))
+
+        # binned interval join: events-in-bands at growing point counts
+        from syntenybrowserv2_etl_spark import queries as q
+
+        ev = q.t(spark, base, "events")  # handles TIMESTAMP(NANOS) conf
+        pts = ev.crossJoin(spark.range(f).select(F.col("id").alias("rep"))).select(
+            (F.col("value") + F.col("rep")).alias("v")
+        )
+        bands = spark.range(50).select(
+            F.col("id").alias("band_id"),
+            (F.col("id") * F.col("id")).cast("double").alias("lo"),
+            ((F.col("id") + 1) * (F.col("id") + 1)).cast("double").alias("hi"),
+        )
+        r["binned_point_join"] = timed(
+            lambda: noop(
+                rj.point_in_interval_join(
+                    pts, bands, on=[], point_col="v", range_cols=("lo", "hi"), bin_width=64
+                )
+            )
+        )
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
