@@ -1,0 +1,120 @@
+"""Connected components — the cluster-assembly step of near-dup dedup.
+
+``embedding_near_dupes(link="star")`` / LSH candidate pairs emit edges; the
+dedup decision ("keep one representative per duplicate class") needs the
+transitive grouping of those edges. This is the distributed
+min-label-propagation algorithm with pointer jumping:
+
+    label(v) ← v
+    repeat:
+      hook:     label(v) ← min(label(v), min over neighbors u of label(u))
+      compress: label(v) ← label(label(v))          (pointer jumping)
+    until no label changes
+
+Hooking alone converges in O(diameter) rounds; the compress step shortcuts
+chains so convergence is O(log n) like the path-doubling closure. Each
+round is two joins + a groupBy-min on (id, label) pairs — all shuffles on
+the label key, localCheckpoint-ed to keep lineage flat. No GraphFrames
+dependency; no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(id, component) for every vertex; component = min vertex id reachable.
+
+    ``edges`` are undirected pairs (direction is ignored). Isolated vertices
+    don't appear (no edges → no row); callers wanting singletons left-join
+    this onto their vertex set and coalesce(component, id).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # hook: min label over self + neighbors
+        nbr = (
+            und.join(labels, und["a"] == labels["id"])
+            .select(F.col("b").alias("id"), "comp")
+        )
+        hooked = (
+            labels.unionByName(nbr).groupBy("id").agg(F.min("comp").alias("comp"))
+        )
+        # compress: comp ← comp(comp)
+        parent = hooked.select(
+            F.col("id").alias("__pid"), F.col("comp").alias("__pcomp")
+        )
+        compressed = (
+            hooked.join(parent, hooked["comp"] == parent["__pid"], "left")
+            .select(
+                "id", F.coalesce("__pcomp", "comp").alias("comp")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            compressed.join(labels.withColumnRenamed("comp", "__old"), "id")
+            .filter(F.col("comp") != F.col("__old"))
+            .limit(1)
+        )
+        stable = changed.isEmpty()
+        labels = compressed
+        if stable:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def dedup_clusters(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """End-to-end exact-dedup clustering: every row labeled with the min id
+    of its normalized-text duplicate class — star links per content-hash
+    bucket, then connected components. Output: (id, cluster_rep).
+
+    The scalable twin of a window min per hash group (which is also its
+    oracle); CC generalizes unchanged to NEAR-dup links (LSH star edges)
+    where no single grouping key exists.
+    """
+    from . import dedup as dd
+    from ..functions import hashing
+
+    buckets = df.select(
+        F.col(id_col).alias("id"),
+        hashing.md5_long(dd.normalize_text(text_col)).alias("__k"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__k")
+    links = (
+        buckets.withColumn("__rep", F.min("id").over(w))
+        .filter(F.col("id") != F.col("__rep"))
+        .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    comp = connected_components(links)
+    return (
+        buckets.select("id")
+        .join(comp, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("comp", "id").alias("cluster_rep"),
+        )
+    )

@@ -28,6 +28,7 @@ from .functions import hashing
 from .functions import transforms
 from .operators import asof as asof_ops
 from .operators import closure as closure_ops
+from .operators import components as comp_ops
 from .operators import multimodal as mm_ops
 from .operators import dedup as dedup_ops
 from .operators import range_join as rj
@@ -1276,6 +1277,26 @@ def q42(spark, sf_dir):
         .filter(F.col("l_quantity") < F.col("qty_lim"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_weekly"))
     )
+
+
+@register(
+    "q43_dedup_clusters",
+    f"""
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY {hashing.md5_long_sql(_NORM_TEXT)})
+             AS cluster_rep
+    FROM documents
+    """,
+    tags=["dedup-clustering (connected components)"],
+)
+def q43(spark, sf_dir):
+    """Duplicate-class clustering: star links per content-hash bucket →
+    distributed connected components (min-label propagation + pointer
+    jumping, operators/components.py). For exact dedup the result equals a
+    window-min per hash group (the oracle); the same CC operator assembles
+    NEAR-dup clusters from LSH star links where no grouping key exists."""
+    d = t(spark, sf_dir, "documents")
+    return comp_ops.dedup_clusters(d, "doc_id", "text")
 
 
 @register("q40_multimodal_features", None, tags=["multimodal mapInPandas"])

@@ -396,3 +396,27 @@ def test_embedding_neardup_star_links_to_representative(spark):
     }
     # star: 2 and 5 each link to bucket representative 1; no (2,5) pair
     assert out == {(1, 2), (1, 5)}
+
+
+# --- connected components ---------------------------------------------------
+
+
+def test_connected_components_chain_and_islands(spark):
+    from syntenybrowserv2_etl_spark.operators import components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)], ["id_a", "id_b"]
+    )
+    out = {r["id"]: r["comp"] for r in components.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_end_to_end(spark, docs):
+    from syntenybrowserv2_etl_spark.operators import components
+
+    out = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in components.dedup_clusters(docs, "doc_id", "text").collect()
+    }
+    # docs fixture: 1≡2≡3 after normalization; 4 and 5 are singletons
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}

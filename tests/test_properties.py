@@ -126,3 +126,41 @@ def test_lww_dedup_keeps_exactly_last(spark, vals):
     for i, v in enumerate(vals):
         want[v] = i
     assert got == want
+
+
+def py_components(edges: set[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min vertex per component
+    comp = {}
+    for v in parent:
+        comp[v] = find(v)
+    return comp
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_unionfind(spark, edges):
+    from syntenybrowserv2_etl_spark.operators import components
+
+    df = spark.createDataFrame(list(edges), ["id_a", "id_b"])
+    got = {r["id"]: r["comp"] for r in components.connected_components(df).collect()}
+    assert got == py_components(edges)
