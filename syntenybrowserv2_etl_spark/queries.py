@@ -1299,6 +1299,34 @@ def q43(spark, sf_dir):
     return comp_ops.dedup_clusters(d, "doc_id", "text")
 
 
+# One SQL text, two engines: valid Spark SQL *and* DuckDB SQL verbatim —
+# the spark.sql() interface parity demo (CTE + aggregation + window rank).
+_SHARED_SQL_Q44 = """
+    WITH monthly AS (
+      SELECT o_custkey,
+             date_trunc('month', o_orderdate) AS month,
+             SUM(o_totalprice) AS spend
+      FROM orders
+      GROUP BY o_custkey, date_trunc('month', o_orderdate)
+    )
+    SELECT month,
+           COUNT(*) AS n_active,
+           ROUND(SUM(spend), 2) AS total_spend,
+           ROUND(MAX(spend), 2) AS max_spend
+    FROM monthly
+    GROUP BY month
+"""
+
+
+@register("q44_sql_interface", _SHARED_SQL_Q44, tags=["spark.sql parity"])
+def q44(spark, sf_dir):
+    """The SQL front door: the exact oracle text runs through spark.sql()
+    over registered temp views — engine parity at the dialect level, not
+    just the result level."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SHARED_SQL_Q44)
+
+
 @register("q40_multimodal_features", None, tags=["multimodal mapInPandas"])
 def q40(spark, sf_dir):
     """Multimodal plumbing end-to-end: synthetic binary payloads →

@@ -121,6 +121,52 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def upsert_stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    pk: list[str],
+    arrival_col: str,
+    query_name: str = "upsert_sink",
+):
+    """Streaming INSERT OR REPLACE (reference S11, src/import_synteny_blocks.py:83-88)
+    as a ``foreachBatch`` sink: each micro-batch merges into the parquet
+    table with last-write-wins on ``pk`` ordered by ``arrival_col``.
+
+    Local merge = read + union + window-dedup + full rewrite — correct but
+    O(table) per batch; on a real deployment the same foreachBatch body
+    targets a MERGE-capable table format so the rewrite is file-level.
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    from pyspark.sql import Window
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(path)
+        except Exception:
+            existing = None
+        merged = (
+            existing.unionByName(batch_df) if existing is not None else batch_df
+        )
+        w = Window.partitionBy(*pk).orderBy(F.col(arrival_col).desc())
+        deduped = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # stage-then-swap: never read and overwrite the same files in-flight
+        staged = deduped.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_completion(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -103,3 +103,37 @@ def test_stateful_running_totals_matches_batch(spark, events_dir):
     for u in want:
         assert final[u][0] == want[u][0]
         assert abs(final[u][1] - want[u][1]) < 0.05  # per-batch rounding drift
+
+
+def test_foreachbatch_upsert_lww(spark, events_dir, tmp_path):
+    out = str(tmp_path / "upserted")
+    stream = stream_ops.read_events_stream(spark, events_dir)
+    # key by user_id: final table = latest event per user (LWW on ts)
+    q = stream_ops.upsert_stream_to_parquet(
+        stream, out, pk=["user_id"], arrival_col="ts"
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: r["event_id"]
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    want = {
+        r["user_id"]: r["event_id"]
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert set(got) == set(want)
+    # ts ties can pick either event; compare on the (user, max_ts) level
+    batch_max = {
+        r["user_id"]: r["mx"]
+        for r in batch.groupBy("user_id").agg(F.max("ts").alias("mx")).collect()
+    }
+    final_ts = {
+        r["user_id"]: r["ts"] for r in spark.read.parquet(out).collect()
+    }
+    assert final_ts == batch_max
