@@ -80,6 +80,21 @@ def tokenize(df: DataFrame, text_col: str, out: str = "token") -> DataFrame:
     )
 
 
+def shingle_array(text_col, k: int = 3):
+    """k-token shingle *array* of normalized text — a pure row-local expr.
+
+    The array (not exploded-row) form is what lets MinHash run shuffle-free:
+    min over a multiset equals min over the set, so neither `distinct` nor
+    `explode` is needed for signature computation.
+    """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(normalize_text(col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    arr = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.filter(arr, lambda s: F.length(s) > 0)
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Distinct k-token shingles per document — native exprs only.
 
@@ -114,6 +129,66 @@ def minhash_signatures(
         for i, (a, b) in enumerate(hashing._perm_params(num_hashes, seed))
     ]
     return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_inline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Shuffle-free MinHash: the entire signature is one row-local fold.
+
+    min(h_i over shingle set) == min(h_i over shingle multiset), so the
+    explode → distinct → groupBy pipeline of the relational formulation
+    (two full shuffles plus a row blowup of ~tokens-per-doc ×) collapses to
+    a single ``aggregate`` over the in-row shingle array. The accumulator
+    is the length-``num_hashes`` array of running minima; md5 runs ONCE per
+    shingle inside the fold, and each permutation adds only a multiply-add-
+    mod on the already-hashed value. A map-only stage: at 100 TB this scans
+    and never shuffles a byte — signatures land partition-aligned with the
+    source for the downstream LSH band join.
+
+    Docs with no shingles (empty text) produce no signature row, matching
+    the relational/SQL formulation where an empty group emits nothing.
+    """
+    df = fan_out(df)  # the fold is expression-heavy; never run it 1-task
+    params = hashing._perm_params(num_hashes, seed)
+    a_arr = F.array(*[F.lit(a) for a, _ in params])
+    b_arr = F.array(*[F.lit(b) for _, b in params])
+    init = F.array_repeat(F.lit(MERSENNE_MAX), num_hashes)
+    sig = F.aggregate(
+        shingle_array(text_col, k),
+        init,
+        lambda acc, s: _fold_min(acc, hashing.md5_long(s), a_arr, b_arr),
+    )
+    # "has ≥1 shingle" ⇔ "normalized text non-empty": a scan-pushable guard,
+    # NOT a predicate on the fold result (which Catalyst's filter-pushdown
+    # would clone the whole fold expression into).
+    sig_df = (
+        df.filter(F.length(normalize_text(text_col)) > 0)
+        .select(F.col(id_col), sig.alias("__sig"))
+        .localCheckpoint(eager=False)
+    )
+    return sig_df.select(
+        id_col, *[F.col("__sig")[i].alias(f"mh_{i}") for i in range(num_hashes)]
+    )
+
+
+MERSENNE_MAX = hashing.MERSENNE_P  # > any permuted hash value: identity for min
+
+
+def _fold_min(acc, base, a_arr, b_arr):
+    """One fold step: acc[i] = min(acc[i], (a_i*base + b_i) mod P)."""
+    return F.zip_with(
+        acc,
+        F.zip_with(a_arr, b_arr, lambda a, b: F.struct(a.alias("a"), b.alias("b"))),
+        lambda m, ab: F.least(
+            m, (base * ab["a"] + ab["b"]) % F.lit(hashing.MERSENNE_P)
+        ),
+    )
 
 
 def minhash_lsh_candidates(

@@ -800,8 +800,7 @@ def q24(spark, sf_dir):
     """MinHash signatures (8 permutations) over 3-token shingles — one
     groupBy produces all slots. operators/dedup.minhash_signatures."""
     d = t(spark, sf_dir, "documents")
-    sh = dedup_ops.shingles(d, "doc_id", "text", k=3)
-    return dedup_ops.minhash_signatures(sh, "doc_id", num_hashes=8)
+    return dedup_ops.minhash_signatures_inline(d, "doc_id", "text", k=3, num_hashes=8)
 
 
 def _lsh_sql(num_hashes: int = 8, bands: int = 4, seed: int = 42) -> str:
@@ -838,8 +837,7 @@ def q25(spark, sf_dir):
     """Banded MinHash-LSH candidate pairs (8 hashes × 4 bands): docs agreeing
     on any band bucket. operators/dedup.minhash_lsh_candidates."""
     d = t(spark, sf_dir, "documents")
-    sh = dedup_ops.shingles(d, "doc_id", "text", k=3)
-    sig = dedup_ops.minhash_signatures(sh, "doc_id", num_hashes=8)
+    sig = dedup_ops.minhash_signatures_inline(d, "doc_id", "text", k=3, num_hashes=8)
     return dedup_ops.minhash_lsh_candidates(sig, "doc_id", num_hashes=8, bands=4)
 
 
