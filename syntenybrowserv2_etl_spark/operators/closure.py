@@ -81,7 +81,11 @@ def transitive_closure(
             ).localCheckpoint(eager=True)
             if new_pairs.isEmpty():
                 return closure
-            closure = closure.unionByName(new_pairs).localCheckpoint(eager=True)
+            # Union of checkpointed chunks, NOT re-checkpointed: each round
+            # only materializes the new pairs; re-materializing the whole
+            # closure would copy O(closure) per round. The plan stays
+            # shallow — a k-way union of checkpointed leaves.
+            closure = closure.unionByName(new_pairs)
         raise RuntimeError(
             f"transitive_closure did not converge in {max_iterations} rounds — "
             "cyclic input? (reference assumes a DAG: src/import_ontology.py:110-130)"
@@ -108,7 +112,7 @@ def transitive_closure(
         ).localCheckpoint(eager=True)
         if new_frontier.isEmpty():
             break
-        closure = closure.unionByName(new_frontier).localCheckpoint(eager=True)
+        closure = closure.unionByName(new_frontier)  # chunks already checkpointed
         frontier = new_frontier
     else:
         raise RuntimeError(
