@@ -1,0 +1,93 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+``df.sample()`` is RNG-backed: resampling a 100 TB corpus after adding one
+file reshuffles every row's fate, and no external system can reproduce the
+subset. These operators derive each row's fate from a *content hash* of its
+id (the engine-portable md5 family, functions/hashing.py), which buys:
+
+  - reproducibility: same ids → same sample, on any cluster size, any
+    partitioning, any engine (the DuckDB oracle verifies value-for-value);
+  - stability under growth: adding rows never flips existing rows' fate —
+    the property that keeps train/test contamination impossible across
+    dataset versions;
+  - zero coordination: a pure row-local predicate/projection — no shuffle,
+    no RNG state, pushes down to the scan.
+
+All fates are computed on a fixed-denominator integer lattice
+(``_DENOM = 1_000_000``) rather than float compare, so Spark and SQL agree
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+
+_DENOM = 1_000_000
+
+
+def _fate(id_col, seed: int):
+    """Row fate in [0, _DENOM): hash of "<id>:<seed>".
+
+    Salting with the seed means independent samples (different seeds) are
+    uncorrelated — the standard way to draw k disjoint-by-construction or
+    overlapping-by-design subsets from one corpus.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return hashing.md5_long(F.concat_ws(":", c.cast("string"), F.lit(str(seed)))) % _DENOM
+
+
+def _fate_sql(id_expr: str, seed: int) -> str:
+    h = hashing.md5_long_sql(f"CAST({id_expr} AS VARCHAR) || ':' || '{seed}'")
+    return f"{h} % {_DENOM}"
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float, seed: int = 42) -> DataFrame:
+    """Keep ~fraction of rows, chosen by id hash. Row-local; scan-pushable."""
+    return df.filter(_fate(id_col, seed) < int(fraction * _DENOM))
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, test_fraction: float = 0.1, seed: int = 42
+) -> DataFrame:
+    """Stamp a ``split`` column: 'test' for the hash-lowest ``test_fraction``.
+
+    Disjoint and exhaustive by construction; membership of a given id never
+    changes as the corpus grows (contamination-proof across versions).
+    """
+    fate = _fate(id_col, seed)
+    return df.withColumn(
+        "split",
+        F.when(fate < int(test_fraction * _DENOM), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant languages).
+
+    The fraction table is a literal map baked into the predicate — no join,
+    no broadcast, row-local like the flat sampler. Strata missing from
+    ``fractions`` get ``default_fraction``.
+    """
+    thr = F.create_map(
+        *[
+            x
+            for k, v in fractions.items()
+            for x in (F.lit(k), F.lit(int(v * _DENOM)))
+        ]
+    )
+    threshold = F.coalesce(
+        thr[F.col(strata_col)], F.lit(int(default_fraction * _DENOM))
+    )
+    return df.filter(_fate(id_col, seed) < threshold)

@@ -189,3 +189,36 @@ def knn_ivf(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale_out: str = "scale",
+    codes_out: str = "codes",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — a row-local projection.
+
+    The 100 TB storage lever: fp32 embeddings → 1 byte/dim + one fp32
+    scale (≈4× smaller, and int8 dot products are SIMD-friendly on the
+    serving side). scale = max|v| / 127; code_i = round(v_i / scale),
+    so codes span [-127, 127] and reconstruction error per dim is ≤
+    scale/2. All math in double so the SQL oracle reproduces codes
+    value-for-value. Zero vectors quantize to all-zero codes (scale clamps
+    away from 0 instead of dividing by it).
+
+    ``scale`` is staged as its own column, NOT inlined into the transform
+    lambda: a loop-invariant aggregate inside a higher-order-function body
+    is re-evaluated per element (O(d²) per vector). CollapseProject leaves
+    the two projections separate because the non-cheap alias is consumed
+    twice (output + lambda), so the max|v| pass runs once per row.
+    """
+    c = F.col(vec_col)
+    max_abs = F.aggregate(
+        c, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    staged = df.withColumn(scale_out, F.greatest(max_abs, F.lit(1e-30)) / F.lit(127.0))
+    return staged.withColumn(
+        codes_out,
+        F.transform(c, lambda x: F.round(x.cast("double") / F.col(scale_out)).cast("int")),
+    )

@@ -1344,6 +1344,107 @@ def q40(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# §F Deterministic sampling & quantization (training-data pipeline extras)
+# ===========================================================================
+
+from .operators import sampling as sampling_ops  # noqa: E402
+
+
+def _fate_sql_q45(seed: int = 42) -> str:
+    return sampling_ops._fate_sql("doc_id", seed)
+
+
+@register(
+    "q45_hash_split",
+    f"""
+    WITH fated AS (
+      SELECT *, CASE WHEN {_fate_sql_q45()} < 200000 THEN 'test' ELSE 'train'
+             END AS split
+      FROM documents)
+    SELECT split, lang, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum
+    FROM fated GROUP BY split, lang
+    """,
+    tags=["deterministic train/test split (hash fate)"],
+)
+def q45(spark, sf_dir):
+    """Deterministic 80/20 train-test split: each doc's fate is a pure
+    function of its id hash — reproducible on any engine/partitioning and
+    contamination-proof as the corpus grows. operators/sampling.py.
+    id_sum pins exact membership, not just counts."""
+    d = t(spark, sf_dir, "documents")
+    split = sampling_ops.train_test_split(d, "doc_id", test_fraction=0.2, seed=42)
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+_Q46_FRACTIONS = {"en": 0.25, "zh": 0.5, "de": 1.0}
+
+
+@register(
+    "q46_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_fate_sql_q45(7)} <
+      CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 500000
+                WHEN 'de' THEN 1000000 ELSE 0 END
+    """,
+    tags=["stratified deterministic sampling"],
+)
+def q46(spark, sf_dir):
+    """Per-stratum hash sampling (downsample dominant languages; strata not
+    listed get fraction 0) — the language-rebalancing primitive of corpus
+    curation, as a pure row-local predicate. operators/sampling.py."""
+    d = t(spark, sf_dir, "documents")
+    out = sampling_ops.stratified_hash_sample(
+        d, "doc_id", "lang", _Q46_FRACTIONS, default_fraction=0.0, seed=7
+    )
+    return out.select("doc_id", "lang")
+
+
+@register(
+    "q47_quantize_int8",
+    """
+    WITH scaled AS (
+      SELECT vec_id,
+             greatest(list_aggregate(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-30) / 127.0
+             AS scale, embedding
+      FROM embeddings),
+    coded AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) AS codes
+      FROM scaled)
+    SELECT vec_id, ROUND(scale, 9) AS scale,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           list_aggregate(codes, 'min') AS code_min,
+           list_aggregate(codes, 'max') AS code_max,
+           len(list_filter(codes, x -> abs(x) = 127)) AS n_saturated
+    FROM coded
+    """,
+    tags=["int8 embedding quantization"],
+)
+def q47(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (fp32 → 1 byte/dim + scale):
+    the embedding-storage compression pass. Code arrays are pinned via
+    exact integer summaries (sum/min/max/saturation count) so the oracle
+    comparison is float-free. operators/similarity.quantize_int8."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = sim_ops.quantize_int8(emb, "embedding")
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "code_sum"
+        ),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        F.size(F.filter("codes", lambda x: F.abs(x) == 127)).alias("n_saturated"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark_fn for name, qd in REGISTRY.items()}
 

@@ -420,3 +420,71 @@ def test_dedup_clusters_end_to_end(spark, docs):
     }
     # docs fixture: 1≡2≡3 after normalization; 4 and 5 are singletons
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+
+# --- deterministic sampling / quantization ---------------------------------
+
+
+def test_hash_sample_deterministic_and_stable(spark):
+    from syntenybrowserv2_etl_spark.operators import sampling
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.3).collect()}
+    s2 = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.3).collect()}
+    assert s1 == s2  # rerun-identical (no RNG state)
+    # growth-stable: fate of existing ids unchanged when the corpus grows
+    bigger = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    s3 = {r["doc_id"] for r in sampling.hash_sample(bigger, "doc_id", 0.3).collect()}
+    assert {i for i in s3 if i < 2000} == s1
+    # nested: a smaller fraction is a subset of a larger one (same seed)
+    s_small = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.1).collect()}
+    assert s_small <= s1
+    assert abs(len(s1) / 2000 - 0.3) < 0.05
+    # different seeds decorrelate
+    s_seed = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.3, seed=9).collect()}
+    assert s_seed != s1
+
+
+def test_train_test_split_disjoint_exhaustive(spark):
+    from syntenybrowserv2_etl_spark.operators import sampling
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = sampling.train_test_split(df, "doc_id", test_fraction=0.2)
+    counts = dict(out.groupBy("split").count().collect())
+    assert counts["test"] + counts["train"] == 1000
+    assert abs(counts["test"] / 1000 - 0.2) < 0.05
+
+
+def test_stratified_hash_sample_fractions(spark):
+    from syntenybrowserv2_etl_spark.operators import sampling
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = sampling.stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 0.1, "de": 1.0}
+    )
+    got = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in got}
+    assert by_lang["de"] == 1000  # fraction 1.0 keeps every row
+    assert abs(by_lang["en"] / 1000 - 0.1) < 0.05
+    # absent stratum -> default 0.0 -> dropped
+    df2 = spark.createDataFrame([(1, "fr")], ["doc_id", "lang"])
+    assert sampling.stratified_hash_sample(
+        df2, "doc_id", "lang", {"en": 1.0}
+    ).count() == 0
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0]), (3, [3.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r for r in sim_ops.quantize_int8(emb).collect()}
+    assert out[1]["codes"] == [64, -127, 32, 0]  # max|v|=1.0 -> scale=1/127
+    assert out[1]["scale"] == pytest.approx(1.0 / 127)
+    assert out[2]["codes"] == [0, 0, 0, 0]  # zero vector: no div-by-zero
+    assert out[3]["codes"] == [127]
+    # reconstruction error bounded by scale/2 per dim
+    r = out[1]
+    for v, c in zip([0.5, -1.0, 0.25, 0.0], r["codes"]):
+        assert abs(v - c * r["scale"]) <= r["scale"] / 2 + 1e-12
