@@ -97,3 +97,35 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a catalog table hash-bucketed (and optionally sorted) by key.
+
+    The co-located-join layout: two tables bucketed by the same key into
+    the same bucket count join with NO exchange on either side — at 100 TB
+    the difference between a join that moves nothing and one that shuffles
+    both fact tables across the cluster every run. Bucket-pruning also
+    turns point lookups on the bucket key into single-bucket scans.
+
+    `sort_cols` additionally sorts within each bucket file, removing the
+    sort from sort-merge joins and letting parquet row-group stats answer
+    range predicates (the bucketed analogue of write_table's
+    sort_within_by; reference index intent src/import_genes_exons.py:58-62).
+
+    Spark bucketing is catalog-backed: written via saveAsTable, consumed
+    via spark.table(). Choose num_buckets for the TARGET scale — e.g.
+    ~2-4 GB of post-compression data per bucket; too few buckets caps join
+    parallelism, too many makes small files.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

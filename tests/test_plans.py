@@ -112,3 +112,64 @@ def test_dim_filter_pushed_through_join(spark):
     # post-join
     p = plan_of(spark, "q02_top_revenue_orders")
     assert re.search(r"PushedFilters:.*EqualTo\(c_mktsegment,BUILDING\)", p)
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path_factory):
+    """Two tables bucketed on the join key => sort-merge join with ZERO
+    Exchange operators: the co-located join layout that moves no data at
+    100 TB. Also: bucket-key scan filter triggers bucket pruning."""
+    from syntenybrowserv2_etl_spark.sources.io import write_bucketed
+
+    orders = spark.range(0, 10_000).selectExpr(
+        "id AS o_orderkey", "id % 997 AS o_custkey", "id * 7 % 1000 AS o_total"
+    )
+    items = spark.range(0, 30_000).selectExpr(
+        "id % 10000 AS l_orderkey", "id AS l_itemid", "id % 50 AS l_qty"
+    )
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], num_buckets=8)
+    write_bucketed(items, "t_items_b", ["l_orderkey"], num_buckets=8)
+    try:
+        joined = (
+            spark.table("t_orders_b")
+            .join(
+                spark.table("t_items_b"),
+                spark.table("t_orders_b")["o_orderkey"]
+                == spark.table("t_items_b")["l_orderkey"],
+            )
+            .groupBy("o_custkey")
+            .count()
+        )
+        with spark_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            # the only exchange allowed is the post-join groupBy shuffle
+            join_section = plan.split("HashAggregate")[0]
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in join_section, join_section
+            assert joined.count() == 997
+            # bucket pruning: a point filter on the bucket key scans 1 bucket.
+            # autoBucketedScan drops bucket-awareness from scans with no
+            # join/agg above them, hiding the pruning — pin it off here.
+            with spark_conf(
+                spark, "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+            ):
+                pruned = spark.table("t_orders_b").filter("o_orderkey = 42")
+                buf2 = io.StringIO()
+                with contextlib.redirect_stdout(buf2):
+                    pruned.explain("formatted")
+                assert re.search(r"SelectedBucketsCount: 1 out of 8", buf2.getvalue())
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_items_b")
+
+
+@contextlib.contextmanager
+def spark_conf(spark, key, value):
+    old = spark.conf.get(key)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
