@@ -1344,6 +1344,96 @@ def q40(spark, sf_dir):
     )
 
 
+@register(
+    "q48_json_props",
+    """
+    WITH parsed AS (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE props IS NOT NULL)
+    SELECT event_type, COUNT(*) AS n, SUM(k) AS k_sum,
+           MIN(k) AS k_min, MAX(k) AS k_max
+    FROM parsed GROUP BY event_type
+    """,
+    tags=["semi-structured JSON parsing (from_json)"],
+)
+def q48(spark, sf_dir):
+    """Schema-on-read over a semi-structured JSON column: ``from_json``
+    with an explicit struct schema (JVM Jackson parse, codegen-compatible
+    — not a Python UDF, not regex). The schema-declared stance mirrors the
+    engine's no-inference rule (SURVEY §1.4)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "struct<k: bigint>").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
+@register(
+    "q49_unpivot",
+    """
+    WITH long AS (
+      SELECT l_returnflag, 'quantity' AS metric, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', CAST(l_discount AS DOUBLE) FROM lineitem)
+    SELECT l_returnflag, metric, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM long GROUP BY l_returnflag, metric
+    """,
+    tags=["unpivot/melt (wide->long)"],
+)
+def q49(spark, sf_dir):
+    """Wide→long reshaping with native ``unpivot`` (pivot's inverse, q19's
+    dual). One scan, no join — the UNION ALL oracle formulation would scan
+    the fact table once per measure."""
+    li = t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "value",
+    ).withColumn("metric", F.regexp_replace("metric", "^l_", ""))
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+@register(
+    "q50_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    tags=["cube / grouping sets with grouping_id"],
+)
+def q50(spark, sf_dir):
+    """CUBE over (status, priority) with a grouping id disambiguating real
+    NULLs from subtotal rows — rollup's (q18) full-lattice sibling. Spark
+    expands grouping sets in one pass with partial aggregation; gid bit
+    order is pinned explicitly since engines differ."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            (
+                F.grouping("o_orderstatus") + F.lit(2) * F.grouping("o_orderpriority")
+            ).alias("gid"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total")
+    )
+
+
 # ===========================================================================
 # §F Deterministic sampling & quantization (training-data pipeline extras)
 # ===========================================================================
