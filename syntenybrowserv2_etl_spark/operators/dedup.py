@@ -254,8 +254,16 @@ def ngram_jaccard_pairs(
     the deliberate scalability trade (documented contract: recall on pairs
     that share ≥1 rare gram).
     """
-    sh = _materialize(shingles(df, id_col, text_col, k))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    # Per-doc shingle-set dedup is row-local (array_distinct), NOT a global
+    # distinct() — the set lives within one document, so no shuffle is
+    # needed to build it; set sizes likewise come from the array before the
+    # explode. Saves two full shuffles of the exploded index.
+    arr = F.array_distinct(shingle_array(text_col, k))
+    base = _materialize(
+        fan_out(df).select(F.col(id_col), arr.alias("__sh_arr"))
+    )
+    sh = base.select(F.col(id_col), F.explode("__sh_arr").alias("shingle"))
+    sizes = base.select(F.col(id_col), F.size("__sh_arr").alias("set_size"))
     if max_df is not None:
         rare = (
             sh.groupBy("shingle")
