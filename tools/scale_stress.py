@@ -97,8 +97,8 @@ def main():
         r["minhash_lsh"] = timed(
             lambda: noop(
                 dd.minhash_lsh_candidates(
-                    dd.minhash_signatures(
-                        dd.shingles(docs, "doc_id", "text", 3), "doc_id", 8
+                    dd.minhash_signatures_inline(
+                        docs, "doc_id", "text", k=3, num_hashes=8
                     ),
                     "doc_id",
                     8,
