@@ -118,6 +118,44 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Image-resize pass: payload→payload transform with metadata rewrite.
+
+    The Spark-side contract is the production one: same MEDIA_SCHEMA out as
+    in (so resize passes compose with any other media op), width/height
+    rewritten to the target, payload replaced by the re-encoded bytes,
+    non-images passed through untouched. Arrow-batched ``mapInPandas`` —
+    payloads move as columnar binary, never pickled rows.
+
+    STUB kernel: real deployments swap ``_resize_stub`` for PIL
+    ``Image.open(...).resize((w, h)).save(buf)``; the fake derives the
+    output bytes deterministically from (input bytes, target) so tests pin
+    byte-exact behavior without an image library in the container.
+    """
+
+    def _resize_stub(payload: bytes | None) -> bytes | None:
+        if payload is None:
+            return None
+        # deterministic fake "re-encode": size scales with target area
+        out_len = max(8, min(len(payload), (target_w * target_h) // 512))
+        return bytes(
+            (b + i) % 256 for i, b in enumerate(payload[:out_len])
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            pdf = pdf.copy()
+            pdf.loc[is_img, "payload"] = pdf.loc[is_img, "payload"].map(_resize_stub)
+            pdf.loc[is_img, "width"] = target_w
+            pdf.loc[is_img, "height"] = target_h
+            yield pdf
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic in-repo media fixture (no external files needed)."""
     rows = []

@@ -488,3 +488,23 @@ def test_quantize_int8_bounds_and_reconstruction(spark):
     r = out[1]
     for v, c in zip([0.5, -1.0, 0.25, 0.0], r["codes"]):
         assert abs(v - c * r["scale"]) <= r["scale"] / 2 + 1e-12
+
+
+def test_multimodal_resize(spark):
+    media = multimodal.synthetic_media(spark, 12)
+    out = {r["media_id"]: r for r in multimodal.resize_images(media, 224, 224).collect()}
+    src = {r["media_id"]: r for r in media.collect()}
+    assert set(out) == set(src)  # schema-in = schema-out, row-for-row
+    for mid, r in out.items():
+        if r["kind"] == "image":
+            assert (r["width"], r["height"]) == (224, 224)
+            assert r["payload"] != src[mid]["payload"]  # re-encoded
+        else:  # non-images pass through untouched
+            assert r["payload"] == src[mid]["payload"]
+            assert r["width"] == src[mid]["width"]
+    # composes with downstream media ops (same contract)
+    feats = multimodal.extract_features(multimodal.resize_images(media)).collect()
+    assert len(feats) == 12
+    # deterministic
+    again = {r["media_id"]: r["payload"] for r in multimodal.resize_images(media, 224, 224).collect()}
+    assert {m: r["payload"] for m, r in out.items()} == again
