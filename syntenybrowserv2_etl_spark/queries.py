@@ -1434,6 +1434,50 @@ def q50(spark, sf_dir):
     )
 
 
+_Q51_HS = hashing.md5_long_sql("substr(t, i, 8)")
+
+
+@register(
+    "q51_winnowing_fingerprints",
+    f"""
+    WITH s AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+               WHERE length({_NORM_TEXT}) > 0),
+    g AS (SELECT doc_id,
+                 list_transform(generate_series(1, greatest(length(t) - 7, 1)),
+                                i -> {_Q51_HS}) AS hs
+          FROM s),
+    w AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(hs) - 3, 1)),
+                   j -> list_aggregate(hs[j:j+3], 'min'))) AS fps
+          FROM g)
+    SELECT doc_id, len(fps) AS n_fp,
+           CAST(list_sum(fps) AS BIGINT) AS fp_sum,
+           list_aggregate(fps, 'min') AS fp_min,
+           list_aggregate(fps, 'max') AS fp_max
+    FROM w
+    """,
+    tags=["winnowing / rolling-hash fingerprints (MOSS)"],
+)
+def q51(spark, sf_dir):
+    """Winnowing (rolling char-8-gram hashes, window-4 local minima): the
+    substring-level fingerprint family — any shared substring ≥ 11 chars
+    produces a shared fingerprint. Row-local projection; pinned by exact
+    integer summaries. operators/text.rolling_fingerprints."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    staged = text_ops.rolling_fingerprints(
+        d.filter(F.length(norm) > 0), "text", out="__fps", k=8, window=4
+    )
+    return staged.select(
+        "doc_id",
+        F.size("__fps").alias("n_fp"),
+        F.aggregate("__fps", F.lit(0).cast("long"), lambda a, x: a + x).alias("fp_sum"),
+        F.array_min("__fps").alias("fp_min"),
+        F.array_max("__fps").alias("fp_max"),
+    )
+
+
 # ===========================================================================
 # §F Deterministic sampling & quantization (training-data pipeline extras)
 # ===========================================================================

@@ -508,3 +508,24 @@ def test_multimodal_resize(spark):
     # deterministic
     again = {r["media_id"]: r["payload"] for r in multimodal.resize_images(media, 224, 224).collect()}
     assert {m: r["payload"] for m, r in out.items()} == again
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    # any shared substring of length >= k + window - 1 (= 11) must yield
+    # at least one shared fingerprint; disjoint texts share none
+    shared = "zqxwvutsrqponm"  # 14 chars, embedded in both docs
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"epsilon {shared} zeta eta theta"),
+            (3, "completely different content here with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in text_ops.rolling_fingerprints(df, "text", k=8, window=4).collect()
+    }
+    assert out[1] & out[2], "shared 14-char substring must share a fingerprint"
+    assert not (out[1] & out[3])
+    assert not (out[2] & out[3])
