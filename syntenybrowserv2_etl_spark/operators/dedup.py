@@ -80,38 +80,42 @@ def tokenize(df: DataFrame, text_col: str, out: str = "token") -> DataFrame:
     )
 
 
-def shingle_array(text_col, k: int = 3):
-    """k-token shingle *array* of normalized text — a pure row-local expr.
+def with_shingle_array(
+    df: DataFrame, text_col: str, out: str, k: int = 3
+) -> DataFrame:
+    """Add a k-token shingle *array* column — row-local, staged, O(n).
 
     The array (not exploded-row) form is what lets MinHash run shuffle-free:
     min over a multiset equals min over the set, so neither `distinct` nor
     `explode` is needed for signature computation.
+
+    The token array is staged as its own column rather than inlined into
+    the per-position lambda: subexpressions inside higher-order-function
+    lambdas re-evaluate per element, so the inlined form re-normalizes and
+    re-splits the document once per shingle position — O(n²) per doc. The
+    staged alias is consumed twice (size + slice), which also stops
+    CollapseProject from re-inlining it.
     """
-    col = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(normalize_text(col), " ")
-    n = F.size(toks)
+    d1 = df.withColumn("__sha_toks", F.split(normalize_text(text_col), " "))
+    n = F.size("__sha_toks")
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    arr = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    return F.filter(arr, lambda s: F.length(s) > 0)
+    arr = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("__sha_toks"), i + 1, k))
+    )
+    return d1.withColumn(out, F.filter(arr, lambda s: F.length(s) > 0)).drop(
+        "__sha_toks"
+    )
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-token shingles per document — native exprs only.
+    """Distinct k-token shingles per document, as exploded rows.
 
-    ``transform`` over a token-index sequence builds the shingle array
-    JVM-side; explode + distinct yields the shingle set.
+    Per-doc set dedup is row-local ``array_distinct`` — the set lives
+    within one document, so no global ``distinct()`` shuffle is needed.
     """
-    df = fan_out(df)
-    toks = F.split(normalize_text(text_col), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    shingle = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
-    )
-    return (
-        df.select(F.col(id_col), F.explode(shingle).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-        .distinct()
+    staged = with_shingle_array(fan_out(df), text_col, "__sh_arr", k)
+    return staged.select(
+        F.col(id_col), F.explode(F.array_distinct("__sh_arr")).alias("shingle")
     )
 
 
@@ -160,7 +164,7 @@ def minhash_signatures_inline(
     b_arr = F.array(*[F.lit(b) for _, b in params])
     init = F.array_repeat(F.lit(MERSENNE_MAX), num_hashes)
     sig = F.aggregate(
-        shingle_array(text_col, k),
+        F.col("__mh_sh"),
         init,
         lambda acc, s: _fold_min(acc, hashing.md5_long(s), a_arr, b_arr),
     )
@@ -168,7 +172,9 @@ def minhash_signatures_inline(
     # NOT a predicate on the fold result (which Catalyst's filter-pushdown
     # would clone the whole fold expression into).
     sig_df = (
-        df.filter(F.length(normalize_text(text_col)) > 0)
+        with_shingle_array(
+            df.filter(F.length(normalize_text(text_col)) > 0), text_col, "__mh_sh", k
+        )
         .select(F.col(id_col), sig.alias("__sig"))
         .localCheckpoint(eager=False)
     )
@@ -258,9 +264,11 @@ def ngram_jaccard_pairs(
     # distinct() — the set lives within one document, so no shuffle is
     # needed to build it; set sizes likewise come from the array before the
     # explode. Saves two full shuffles of the exploded index.
-    arr = F.array_distinct(shingle_array(text_col, k))
+    staged = with_shingle_array(fan_out(df), text_col, "__sh_raw", k)
     base = _materialize(
-        fan_out(df).select(F.col(id_col), arr.alias("__sh_arr"))
+        staged.select(
+            F.col(id_col), F.array_distinct("__sh_raw").alias("__sh_arr")
+        )
     )
     sh = base.select(F.col(id_col), F.explode("__sh_arr").alias("shingle"))
     sizes = base.select(F.col(id_col), F.size("__sh_arr").alias("set_size"))
