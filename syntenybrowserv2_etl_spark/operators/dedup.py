@@ -316,11 +316,13 @@ def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, bits: int = 6
     """
     bits = min(bits, 40)
     toks = tokenize(df.select(id_col, text_col), text_col)
-    base = hashing.md5_long(F.col("token"))
-    votes = toks.groupBy(id_col).agg(
+    # stage the token hash once: as an inline subexpression it would be
+    # recomputed per vote column (bits× md5 per token)
+    hashed = toks.withColumn("__h", hashing.md5_long(F.col("token")))
+    votes = hashed.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.shiftright(base, j) % 2 == 1, 1).otherwise(-1)
+                F.when(F.shiftright(F.col("__h"), j) % 2 == 1, 1).otherwise(-1)
             ).alias(f"v{j}")
             for j in range(bits)
         ]
