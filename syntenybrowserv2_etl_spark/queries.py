@@ -1478,6 +1478,65 @@ def q51(spark, sf_dir):
     )
 
 
+_Q52_HS = hashing.md5_long_sql("substr(t, i, 20)")
+
+
+@register(
+    "q52_substring_overlap_pairs",
+    f"""
+    WITH s AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+               WHERE length({_NORM_TEXT}) > 0),
+    g AS (SELECT doc_id,
+                 list_transform(generate_series(1, greatest(length(t) - 19, 1)),
+                                i -> {_Q52_HS}) AS hs
+          FROM s),
+    w AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(hs) - 7, 1)),
+                   j -> list_aggregate(hs[j:j+7], 'min'))) AS fps
+          FROM g),
+    x AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+    rare AS (SELECT fp FROM x GROUP BY fp HAVING COUNT(*) <= 5),
+    xr AS (SELECT x.* FROM x JOIN rare USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fp
+    FROM xr a JOIN xr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+    tags=["substring-overlap candidate pairs (winnowing inverted index)"],
+)
+def q52(spark, sf_dir):
+    """The winnowing detector end-to-end: fingerprints → inverted index →
+    candidate pairs sharing ≥2 rare fingerprints. Long grams (k=20,
+    window=8 ⇒ shared substring ≥ 27 chars guaranteed detectable) keep
+    fingerprints discriminative; document-frequency ≤ 5 caps
+    per-fingerprint join fan-out (the same common-key suppression as
+    ngram_jaccard). Catches copied substrings token-set methods miss."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    staged = text_ops.rolling_fingerprints(
+        d.filter(F.length(norm) > 0), "text", out="__fps", k=20, window=8
+    )
+    x = staged.select("doc_id", F.explode("__fps").alias("fp")).localCheckpoint(
+        eager=True
+    )
+    rare = x.groupBy("fp").count().filter(F.col("count") <= 5).select("fp")
+    xr = x.join(rare, "fp")
+    a, b = xr.alias("a"), xr.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= 2)
+    )
+
+
 # ===========================================================================
 # §F Deterministic sampling & quantization (training-data pipeline extras)
 # ===========================================================================

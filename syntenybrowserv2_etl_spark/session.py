@@ -50,6 +50,19 @@ def get_spark(
         # GFF3 attributes repeat keys (Alias=..;Alias=..); last-wins matches
         # the reference's dict-assignment parse (SURVEY Q1 drops Alias lists).
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # InferFiltersFromGenerate adds `size(arr) > 0` above each explode;
+        # predicate pushdown then substitutes the generator's FULL defining
+        # expression into that filter. For this engine's exploded arrays
+        # (shingles, winnowing fingerprints — expression-heavy, nested-
+        # lambda computed) that re-evaluates the whole array build per row
+        # at the filter, measured 100×+ wall-time (550 s vs 5 s on the
+        # fingerprint explode). The rule's upside — skipping empty arrays
+        # before Generate — is negligible for us: the operators already
+        # guard empties with cheap scan-pushable predicates.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
