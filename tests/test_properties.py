@@ -164,3 +164,61 @@ def test_connected_components_matches_unionfind(spark, edges):
     df = spark.createDataFrame(list(edges), ["id_a", "id_b"])
     got = {r["id"]: r["comp"] for r in components.connected_components(df).collect()}
     assert got == py_components(edges)
+
+
+# --- minhash: inline (array-fold) formulation ≡ relational formulation -----
+
+doc_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab cd"),  # tiny alphabet → heavy collisions
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=doc_texts)
+@settings(**SETTINGS)
+def test_minhash_inline_matches_relational(spark, texts):
+    from syntenybrowserv2_etl_spark.operators import dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    inline = {
+        tuple(r)
+        for r in dedup.minhash_signatures_inline(
+            df, "doc_id", "text", k=2, num_hashes=4
+        ).collect()
+    }
+    relational = {
+        tuple(r)
+        for r in dedup.minhash_signatures(
+            dedup.shingles(df, "doc_id", "text", k=2), "doc_id", num_hashes=4
+        ).collect()
+    }
+    assert inline == relational
+
+
+# --- winnowing: shared-substring detection guarantee on random strings -----
+
+
+@given(
+    a=st.text(alphabet="xyz ", min_size=30, max_size=60),
+    b=st.text(alphabet="uvw ", min_size=30, max_size=60),
+    shared=st.text(alphabet="mnpq", min_size=11, max_size=20),
+)
+@settings(**SETTINGS)
+def test_winnowing_guarantee_random(spark, a, b, shared):
+    from syntenybrowserv2_etl_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, f"{a}{shared}{a}"), (2, f"{b}{shared}{b}")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in text_ops.rolling_fingerprints(df, "text", k=8, window=4).collect()
+    }
+    # shared substring of length >= k + window - 1 = 11 chars (disjoint
+    # alphabets guarantee it survives normalization intact)
+    assert out[1] & out[2]
