@@ -156,3 +156,20 @@ def rolling_fingerprints(
         F.transform(win_idx, lambda j: F.array_min(F.slice(F.col("__rfp_hs"), j, window)))
     )
     return d2.withColumn(out, fps).drop("__rfp_norm", "__rfp_hs")
+
+
+# GPT-2-style pretokenizer, lookahead-free so Java regex (Spark) and RE2
+# (DuckDB/production scanners) agree: contraction suffix | space?letters |
+# space?digits | space?punct-run. BPE merges only ever split WITHIN these
+# pretokens, so their count is the tight upper bound on BPE token count —
+# the budget-accurate corpus token counter (vs the chars/4 heuristic of
+# subword_estimate, which is the quick screen).
+PRETOKEN_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def pretoken_count(text: Column | str) -> Column:
+    """BPE-ish token count: number of pretokenizer matches (see above)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(PRETOKEN_PATTERN), F.lit(0))).cast(
+        "long"
+    )

@@ -1537,6 +1537,42 @@ def q52(spark, sf_dir):
     )
 
 
+@register(
+    "q53_pretoken_budget",
+    """
+    WITH per_doc AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text,
+                 $$'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+$$)) AS n_pretok,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS n_ws
+      FROM documents WHERE length(trim(text)) > 0)
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(n_pretok) AS pretok_total, SUM(n_ws) AS ws_total,
+           ROUND(AVG(CAST(n_pretok AS DOUBLE) / n_ws), 4) AS pretok_per_word
+    FROM per_doc GROUP BY lang
+    """,
+    tags=["BPE-ish pretokenizer token counting (corpus budget)"],
+)
+def q53(spark, sf_dir):
+    """Corpus token budgeting: GPT-2-style pretokenizer match counts (the
+    tight upper bound on BPE tokens — merges only split within pretokens)
+    vs whitespace words, per language. Lookahead-free pattern so Java
+    regex and RE2 tokenize identically. operators/text.pretoken_count."""
+    d = t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    per_doc = d.select(
+        "lang",
+        text_ops.pretoken_count("text").alias("n_pretok"),
+        text_ops.token_count(F.col("text")).alias("n_ws"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_pretok").alias("pretok_total"),
+        F.sum("n_ws").alias("ws_total"),
+        F.round(F.avg(F.col("n_pretok") / F.col("n_ws")), 4).alias("pretok_per_word"),
+    )
+
+
 # ===========================================================================
 # §F Deterministic sampling & quantization (training-data pipeline extras)
 # ===========================================================================
