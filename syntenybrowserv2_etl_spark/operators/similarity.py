@@ -222,3 +222,71 @@ def quantize_int8(
         codes_out,
         F.transform(c, lambda x: F.round(x.cast("double") / F.col(scale_out)).cast("int")),
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means training for the IVF index — DataFrame-only Lloyd.
+
+    Assignment is the shuffle-free broadcast argmax (assign_centroids);
+    the update step is one groupBy producing per-dimension means (dim
+    avg-aggregates, map-side combined — the single shuffle per iteration,
+    and it moves only (centroid_id, vector) pairs). Updated means are
+    L2-normalized: with cosine assignment the normalized-mean update is
+    the monotone (spherical) variant — plain Lloyd means are not monotone
+    under cosine. Empty clusters drop out (standard behavior); per-round
+    localCheckpoint keeps the lineage flat like the closure loop.
+
+    Deterministic given the corpus: init is the hash-minimal sample
+    (pick_centroids), no RNG anywhere.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    cents = pick_centroids(corpus, k, id_col, vec_col).localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = assign_centroids(corpus, cents, id_col, vec_col)
+        means = assigned.groupBy("centroid_id").agg(
+            *[
+                F.avg(F.col(vec_col)[i].cast("double")).alias(f"__d{i}")
+                for i in range(dim)
+            ]
+        )
+        staged = means.withColumn(
+            "__mean", F.array(*[F.col(f"__d{i}") for i in range(dim)])
+        ).select("centroid_id", "__mean")
+        normed = staged.withColumn("__nrm", norm_expr(F.col("__mean"))).select(
+            "centroid_id",
+            F.transform(
+                "__mean", lambda x: (x / F.col("__nrm")).cast("float")
+            ).alias("centroid"),
+        )
+        cents = normed.localCheckpoint(eager=True)
+    return cents
+
+
+def cluster_profile(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster size + mean cosine-to-centroid (the spherical objective)."""
+    assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+    cent_lookup = F.broadcast(
+        centroids.select(
+            F.col("centroid_id"), F.col("centroid").alias("__cvec")
+        )
+    )
+    return (
+        assigned.join(cent_lookup, "centroid_id")
+        .withColumn("__cos", cosine_expr(F.col(vec_col), F.col("__cvec")))
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("__cos"), 4).alias("mean_cosine"),
+        )
+    )

@@ -1573,6 +1573,18 @@ def q53(spark, sf_dir):
     )
 
 
+@register("q54_kmeans_clusters", None, tags=["spherical k-means (iterative, IVF training)"])
+def q54(spark, sf_dir):
+    """Distributed spherical k-means (3 Lloyd rounds, broadcast argmax
+    assignment + one groupBy per round) training the IVF centroids, then
+    the per-cluster profile. Iterative — not SQL-expressible; rows-only
+    driver check, monotonicity pinned by unit tests.
+    operators/similarity.kmeans_centroids."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = sim_ops.kmeans_centroids(emb, k=8, iters=3)
+    return sim_ops.cluster_profile(emb, cents).orderBy("centroid_id")
+
+
 # ===========================================================================
 # §F Deterministic sampling & quantization (training-data pipeline extras)
 # ===========================================================================

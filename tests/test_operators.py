@@ -529,3 +529,33 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert out[1] & out[2], "shared 14-char substring must share a fingerprint"
     assert not (out[1] & out[3])
     assert not (out[2] & out[3])
+
+
+def test_kmeans_objective_monotone(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def objective(cents):
+        prof = sim_ops.cluster_profile(emb, cents).collect()
+        n = sum(r["n_vectors"] for r in prof)
+        return sum(r["n_vectors"] * r["mean_cosine"] for r in prof) / n
+
+    objs = [
+        objective(sim_ops.kmeans_centroids(emb, k=4, iters=i)) for i in range(3)
+    ]
+    # spherical updates: mean cosine to assigned centroid never decreases
+    assert objs[1] >= objs[0] - 1e-6
+    assert objs[2] >= objs[1] - 1e-6
+    # centroids are unit-normalized after training
+    cents = sim_ops.kmeans_centroids(emb, k=4, iters=2).collect()
+    for r in cents:
+        nrm = sum(x * x for x in r["centroid"]) ** 0.5
+        assert abs(nrm - 1.0) < 1e-3
+
+
+def test_kmeans_deterministic(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r["centroid_id"]: list(r["centroid"]) for r in sim_ops.kmeans_centroids(emb, k=4, iters=2).collect()}
+    b = {r["centroid_id"]: list(r["centroid"]) for r in sim_ops.kmeans_centroids(emb, k=4, iters=2).collect()}
+    assert set(a) == set(b)
+    for cid in a:
+        assert all(abs(x - y) < 1e-5 for x, y in zip(a[cid], b[cid]))
