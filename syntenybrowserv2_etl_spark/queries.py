@@ -1585,6 +1585,97 @@ def q54(spark, sf_dir):
     return sim_ops.cluster_profile(emb, cents).orderBy("centroid_id")
 
 
+@register(
+    "q55_distribution_windows",
+    """
+    WITH ranked AS (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             NTILE(4) OVER w AS quartile,
+             ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+             ROUND(CUME_DIST() OVER w, 6) AS cume
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey))
+    SELECT c_nationkey, quartile, COUNT(*) AS n,
+           ROUND(MIN(c_acctbal), 2) AS lo, ROUND(MAX(c_acctbal), 2) AS hi,
+           ROUND(MAX(pct_rank), 6) AS max_pr, ROUND(MAX(cume), 6) AS max_cume
+    FROM ranked GROUP BY c_nationkey, quartile
+    """,
+    tags=["distribution windows: ntile / percent_rank / cume_dist"],
+)
+def q55(spark, sf_dir):
+    """Distribution window functions (quartile binning + rank statistics
+    per nation) — the remaining window family beyond ranking (q04) and
+    frames (q36). Total ordering (balance, then id) makes ntile
+    deterministic."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    ranked = c.select(
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    return ranked.groupBy("c_nationkey", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("lo"),
+        F.round(F.max("c_acctbal"), 2).alias("hi"),
+        F.round(F.max("pct_rank"), 6).alias("max_pr"),
+        F.round(F.max("cume"), 6).alias("max_cume"),
+    )
+
+
+@register(
+    "q56_snapshot_diff",
+    """
+    WITH now AS (SELECT o_orderkey, o_totalprice FROM orders),
+    prev AS (SELECT o_orderkey, o_totalprice * 0.98 AS o_totalprice
+             FROM orders WHERE o_orderkey % 10 <> 3),
+    d AS (
+      SELECT COALESCE(now.o_orderkey, prev.o_orderkey) AS o_orderkey,
+             CASE WHEN prev.o_orderkey IS NULL THEN 'added'
+                  WHEN now.o_orderkey IS NULL THEN 'removed'
+                  WHEN now.o_totalprice <> prev.o_totalprice THEN 'changed'
+                  ELSE 'same' END AS change
+      FROM now FULL OUTER JOIN prev ON now.o_orderkey = prev.o_orderkey)
+    SELECT change, COUNT(*) AS n, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM d GROUP BY change
+    """,
+    tags=["snapshot reconciliation (full outer join)"],
+)
+def q56(spark, sf_dir):
+    """Dataset-version reconciliation: full outer join of two snapshots
+    classifying rows added / removed / changed — the audit primitive for
+    incremental corpus builds. (Second snapshot derived deterministically
+    so both engines compare identical inputs.)"""
+    o = t(spark, sf_dir, "orders")
+    now = o.select("o_orderkey", "o_totalprice")
+    prev = (
+        o.filter(F.col("o_orderkey") % 10 != 3)
+        .select("o_orderkey", (F.col("o_totalprice") * 0.98).alias("o_totalprice"))
+    )
+    j = now.alias("now").join(
+        prev.alias("prev"),
+        F.col("now.o_orderkey") == F.col("prev.o_orderkey"),
+        "full_outer",
+    )
+    d = j.select(
+        F.coalesce(F.col("now.o_orderkey"), F.col("prev.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.when(F.col("prev.o_orderkey").isNull(), "added")
+        .when(F.col("now.o_orderkey").isNull(), "removed")
+        .when(F.col("now.o_totalprice") != F.col("prev.o_totalprice"), "changed")
+        .otherwise("same")
+        .alias("change"),
+    )
+    return d.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
 # ===========================================================================
 # §F Deterministic sampling & quantization (training-data pipeline extras)
 # ===========================================================================
