@@ -20,16 +20,25 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     A single-file / single-row-group input plans as ONE task, serializing
     regex/array/hash-heavy projections no matter how many cores exist
     (measured: the 3-shingle explode over 5k docs ran 5× slower through a
-    1-task scan than repartitioned). When the input has fewer partitions
-    than the session's default parallelism, round-robin repartition;
-    otherwise pass through untouched — at production scale inputs already
-    arrive well-partitioned and the extra shuffle would be pure waste.
+    1-task scan than repartitioned). Decision is PLAN-ONLY: ``inputFiles()``
+    reads the already-cached scan-relation file listing — no job, no
+    ``df.rdd`` conversion (the r1 version probed ``rdd.getNumPartitions()``,
+    materializing an RDD lineage on the driver per call). ≥ target files ⇒
+    the scan has ≥ target splits ⇒ pass through untouched — at production
+    scale inputs arrive as many files and the extra shuffle would be pure
+    waste. Fewer files than cores (local fixtures, single parquet) ⇒
+    round-robin repartition. Non-file sources (in-memory test frames)
+    report zero files and also repartition — correct for their size.
     """
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 # ---------------------------------------------------------------------------
@@ -107,6 +116,24 @@ def shift_coord(col: Column | str, by: int = 1) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return c + F.lit(by)
+
+
+def strand_to_int(col: Column | str) -> Column:
+    """P5 variant — GFF3 strand glyph → BCBio/Biopython int coding.
+
+    Reference: src/import_genes_exons.py:119 stores
+    ``feature.location.strand``, which Biopython codes as ``+``→1, ``-``→-1,
+    ``?``→0, ``.``→None. Kept as a nullable long (the reference's TEXT
+    column receives the same ints through SQLite type affinity).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(c == "+", 1)
+        .when(c == "-", -1)
+        .when(c == "?", 0)
+        .otherwise(F.lit(None))
+        .cast("long")
+    )
 
 
 def array_to_delimited(col: Column | str, sep: str = "/") -> Column:

@@ -210,6 +210,12 @@ def minhash_lsh_candidates(
     distinct. The join shuffles only bucket keys + ids — documents never
     move.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): a "
+            "remainder would silently drop trailing signature slots and "
+            "shift the LSH S-curve away from the requested parameters"
+        )
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):

@@ -35,6 +35,16 @@ def overlap_predicate(
     return (l_start <= r_end) & (l_end >= r_start)
 
 
+def _bin(col: Column | str, bin_width: int) -> Column:
+    """Floor-division bin id. ``floor``, not truncate-toward-zero: a plain
+    ``(x / w).cast('long')`` collapses bins -1 and 0 for negative
+    coordinates, mis-bucketing any interval that crosses or sits below the
+    origin (genomic coords are non-negative, but event deltas and offset
+    spaces aren't)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c / bin_width).cast("long")
+
+
 def overlap_join(
     left: DataFrame,
     right: DataFrame,
@@ -55,9 +65,10 @@ def overlap_join(
     for k in on:
         c = F.col(f"l.{k}") == F.col(f"r.{k}")
         cond = c if cond is None else (cond & c)
-    cond = cond & overlap_predicate(
+    ov = overlap_predicate(
         F.col(f"l.{ls}"), F.col(f"l.{le}"), F.col(f"r.{rs}"), F.col(f"r.{re_}")
     )
+    cond = ov if cond is None else (cond & ov)
     return lft.join(rgt, cond, how)
 
 
@@ -84,10 +95,7 @@ def binned_overlap_join(
         return df.withColumn(
             "__bin",
             F.explode(
-                F.sequence(
-                    (F.col(s) / bin_width).cast("long"),
-                    (F.col(e) / bin_width).cast("long"),
-                )
+                F.sequence(_bin(s, bin_width), _bin(e, bin_width))
             ),
         )
 
@@ -100,9 +108,7 @@ def binned_overlap_join(
         F.col(f"l.{ls}"), F.col(f"l.{le}"), F.col(f"r.{rs}"), F.col(f"r.{re_}")
     )
     # anchor bin: emit the pair only from the bin holding max(start_l, start_r)
-    anchor = (
-        F.greatest(F.col(f"l.{ls}"), F.col(f"r.{rs}")) / bin_width
-    ).cast("long")
+    anchor = _bin(F.greatest(F.col(f"l.{ls}"), F.col(f"r.{rs}")), bin_width)
     joined = lft.join(rgt, cond & (F.col("l.__bin") == anchor), "inner")
     return joined.drop("__bin")
 
@@ -139,14 +145,11 @@ def point_in_interval_join(
         rng = (F.col(f"l.{point_col}") >= F.col(f"r.{s}")) & hi
         cond = rng if cond is None else (cond & rng)
         return lft.join(rgt, cond, how)
-    pts = points.withColumn("__bin", (F.col(point_col) / bin_width).cast("long"))
+    pts = points.withColumn("__bin", _bin(point_col, bin_width))
     ivs = intervals.withColumn(
         "__bin",
         F.explode(
-            F.sequence(
-                (F.col(s) / bin_width).cast("long"),
-                (F.col(e) / bin_width).cast("long"),
-            )
+            F.sequence(_bin(s, bin_width), _bin(e, bin_width))
         ),
     )
     lft, rgt = pts.alias("l"), ivs.alias("r")

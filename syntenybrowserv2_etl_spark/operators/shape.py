@@ -11,22 +11,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def explode_children(
-    df: DataFrame, parent_type: str, child_type: str, type_col: str, parent_attr_col: str
-) -> tuple[DataFrame, DataFrame]:
-    """X1 — split a flat GFF3 read into parent rows and child rows.
+def split_hierarchy_level(df: DataFrame, parent_attr) -> tuple[DataFrame, DataFrame]:
+    """X1a — split a flat GFF3 scan into root rows and child rows.
 
-    Reference: src/import_genes_exons.py:127-136 walks BCBio's nested
-    record tree and emits exon rows carrying ``parent_gene``. In the flat
-    9-column representation the hierarchy is already relational: children
-    are rows whose ``type`` is the child type and whose ``Parent`` attribute
-    is the FK — no recursion, no explode, two filters over one scan.
+    Reference: src/import_genes_exons.py:100-136 walks BCBio's nested
+    record tree: ``rec.features`` are exactly the rows WITHOUT a ``Parent``
+    attribute (BCBio nests every Parent-bearing row under its parent), and
+    ``feature.sub_features`` are the rows whose Parent names a root's ID.
+    Relationally that's two filters over one scan — no recursion. The FK
+    re-key join (child.Parent → root's business key, X1b) lives with the
+    gene loader (plans/loaders.py) since the key choice (Dbxref) is
+    loader-specific.
     """
-    parents = df.filter(F.col(type_col) == parent_type)
-    children = df.filter(F.col(type_col) == child_type).withColumn(
-        "parent_gene", F.col(parent_attr_col)
-    )
-    return parents, children
+    roots = df.filter(parent_attr.isNull())
+    children = df.filter(parent_attr.isNotNull())
+    return roots, children
 
 
 def explode_delimited(df: DataFrame, col: str, out_col: str, sep: str = ",") -> DataFrame:

@@ -233,32 +233,49 @@ def kmeans_centroids(
 ) -> DataFrame:
     """Spherical k-means training for the IVF index — DataFrame-only Lloyd.
 
-    Assignment is the shuffle-free broadcast argmax (assign_centroids);
-    the update step is one groupBy producing per-dimension means (dim
-    avg-aggregates, map-side combined — the single shuffle per iteration,
-    and it moves only (centroid_id, vector) pairs). Updated means are
-    L2-normalized: with cosine assignment the normalized-mean update is
-    the monotone (spherical) variant — plain Lloyd means are not monotone
-    under cosine. Empty clusters drop out (standard behavior); per-round
-    localCheckpoint keeps the lineage flat like the closure loop.
+    Assignment is the shuffle-free broadcast argmax (assign_centroids).
+    The update step is posexplode → groupBy(centroid, dimension) → avg →
+    re-assemble: the plan carries ONE aggregate expression regardless of
+    vector width (the r1 version built ``dim`` separate avg columns —
+    thousands of expressions per round at production widths 768-4096,
+    Catalyst plan bloat). Scale shape: partial aggregation compresses each
+    map task's exploded rows to ≤ k·dim partial sums before the shuffle,
+    so the exchange moves O(tasks · k · dim) — never the corpus — and the
+    (centroid, dim) key space is k·dim-wide, immune to hot-cluster skew
+    (a per-centroid pandas group would put a whole cluster on one task).
+    The k·dim → k re-assembly groupBy is negligible.
+
+    Updated means are L2-normalized: with cosine assignment the
+    normalized-mean update is the monotone (spherical) variant — plain
+    Lloyd means are not monotone under cosine. Empty clusters drop out
+    (standard behavior); per-round localCheckpoint keeps lineage flat.
 
     Deterministic given the corpus: init is the hash-minimal sample
     (pick_centroids), no RNG anywhere.
     """
-    dim = len(corpus.select(vec_col).first()[0])
     cents = pick_centroids(corpus, k, id_col, vec_col).localCheckpoint(eager=True)
     for _ in range(iters):
         assigned = assign_centroids(corpus, cents, id_col, vec_col)
-        means = assigned.groupBy("centroid_id").agg(
-            *[
-                F.avg(F.col(vec_col)[i].cast("double")).alias(f"__d{i}")
-                for i in range(dim)
-            ]
+        dims = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("__pos", "__val")
+            )
+            .groupBy("centroid_id", "__pos")
+            .agg(F.avg(F.col("__val").cast("double")).alias("__avg"))
         )
-        staged = means.withColumn(
-            "__mean", F.array(*[F.col(f"__d{i}") for i in range(dim)])
-        ).select("centroid_id", "__mean")
-        normed = staged.withColumn("__nrm", norm_expr(F.col("__mean"))).select(
+        means = (
+            dims.groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__avg"))
+                ).alias("__pairs")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("__pairs"), lambda p: p["__avg"]).alias("__mean"),
+            )
+        )
+        normed = means.withColumn("__nrm", norm_expr(F.col("__mean"))).select(
             "centroid_id",
             F.transform(
                 "__mean", lambda x: (x / F.col("__nrm")).cast("float")

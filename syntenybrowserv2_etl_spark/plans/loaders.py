@@ -44,49 +44,89 @@ class LoadResult:
 # ---------------------------------------------------------------------------
 
 
-def load_genes_exons(
-    spark: SparkSession, path: str, taxon_id: int
+def genes_exons_from_gff3(
+    raw: DataFrame, taxon_id: int
 ) -> tuple[LoadResult, LoadResult]:
-    """GFF3 → (gene, exon) DataFrames.
+    """9-column GFF3 rows → (gene, exon) DataFrames.
 
-    Semantics mirrored from src/import_genes_exons.py:80-139:
-      - gene rows: type == 'gene'; gene_id from Dbxref (required — missing →
-        skip+warn, V3 :108-113); Name optional (P7 :103-106); chr prefix
-        stripped (P3 :115); coords stored raw 0-based (Q6 :118).
-      - exon rows: type == 'exon', parent_gene from Parent attribute
-        (X1 :127-136).
+    Reference-faithful (src/import_genes_exons.py:100-136):
+      - gene rows: EVERY top-level feature — BCBio's ``rec.features``, i.e.
+        the rows with no ``Parent`` attribute; there is NO ``type == 'gene'``
+        filter (:101, pseudogenes/ncRNA genes load too — SURVEY Q10).
+        ``gene_id`` = ``Dbxref[0]`` (missing → skip the gene AND its
+        children, V3 :108-113); ``gene_symbol`` = ``Symbol[0]`` (:118 — the
+        reference crashes on a missing Symbol, we NULL instead, Q11);
+        ``gene_name`` = ``Name[0]`` optional (P7 :103-106); ``gene_type`` =
+        the feature's ``type`` column (:118); strand = BCBio ±1 int (:119);
+        chr prefix stripped from the record id (:115); coordinates are
+        BCBio 0-based — GFF start-1, end unchanged (Q6 :118).
+      - exon rows: each surviving top-level feature's DIRECT children
+        (``sub_features``, exactly one nesting level — :127; a level-2 exon
+        under an mRNA is NOT emitted, and a non-exon direct child IS), with
+        ``parent_gene`` = the parent gene's **Dbxref id** (:128) — not the
+        raw GFF ``Parent`` string — so ``exon.parent_gene = gene.gene_id``
+        is the working FK (§2.7 J1).
       - duplicate PK aborts the load (X6 :120-126) — checked by the caller
         via io.assert_no_duplicates before write.
     """
-    raw = text_sources.read_gff3(spark, path)
     attrs = raw.withColumn("m", transforms.attributes_to_map("attributes"))
-    genes_all = attrs.filter(F.col("type") == "gene")
-    dbxref = F.col("m").getItem("Dbxref")
-    genes_ok = genes_all.filter(dbxref.isNotNull() & (F.length(dbxref) > 0))
-    genes_skipped = genes_all.filter(dbxref.isNull() | (F.length(dbxref) == 0))
-    gene = genes_ok.select(
+    top, subs = shape.split_hierarchy_level(attrs, F.col("m").getItem("Parent"))
+    dbxref = transforms.first_element(F.split(F.col("m").getItem("Dbxref"), ","))
+    genes_ok = top.filter(dbxref.isNotNull() & (F.length(dbxref) > 0))
+    genes_skipped = top.filter(dbxref.isNull() | (F.length(dbxref) == 0))
+    gene_keyed = genes_ok.select(
+        F.col("m").getItem("ID").alias("__gff_id"),
         dbxref.alias("gene_id"),
         F.lit(taxon_id).cast("long").alias("gene_taxonid"),
-        F.col("m").getItem("Name").alias("gene_symbol"),
+        transforms.first_element(
+            F.split(F.col("m").getItem("Symbol"), ",")
+        ).alias("gene_symbol"),
         transforms.strip_chr_prefix("seq_id").alias("gene_chr"),
-        F.col("start").cast("long").alias("gene_start_pos"),
+        (F.col("start").cast("long") - 1).alias("gene_start_pos"),
         F.col("end").cast("long").alias("gene_end_pos"),
-        transforms.dot_to_null("strand").alias("gene_strand"),
-        F.col("m").getItem("biotype").alias("gene_type"),
-        F.col("m").getItem("description").alias("gene_name"),
+        transforms.strand_to_int("strand").alias("gene_strand"),
+        F.col("type").alias("gene_type"),
+        transforms.first_element(
+            F.split(F.col("m").getItem("Name"), ",")
+        ).alias("gene_name"),
     )
-    exon = attrs.filter(F.col("type") == "exon").select(
+    # X1b FK re-key: child.Parent (GFF id, possibly multi-valued) → the
+    # parent gene's Dbxref id. Inner join drops children of skipped genes
+    # (the reference's `continue` skips sub_features too) and children of
+    # non-root features (level ≥ 2). Genes are the 1 side of 1:N — a full
+    # genome's gene table is MBs while exons are the bulk — so broadcast
+    # keeps the exon scan shuffle-free at any corpus size.
+    children = subs.select(
         F.col("m").getItem("ID").alias("exon_id"),
-        F.col("m").getItem("Parent").alias("parent_gene"),
-        F.lit(taxon_id).cast("long").alias("taxonid"),
-        transforms.strip_chr_prefix("seq_id").alias("exon_chr"),
-        F.col("start").cast("long").alias("exon_start_pos"),
-        F.col("end").cast("long").alias("exon_end_pos"),
+        F.explode(F.split(F.col("m").getItem("Parent"), ",")).alias("__parent"),
+        F.col("start").cast("long").alias("__start"),
+        F.col("end").cast("long").alias("__end"),
     )
+    exon = children.join(
+        F.broadcast(gene_keyed.select("__gff_id", "gene_id", "gene_chr")),
+        children["__parent"] == F.col("__gff_id"),
+    ).select(
+        "exon_id",
+        F.col("gene_id").alias("parent_gene"),
+        F.lit(taxon_id).cast("long").alias("taxonid"),
+        # reference uses the record (chromosome) id for the exon row (:128)
+        F.col("gene_chr").alias("exon_chr"),
+        (F.col("__start") - 1).alias("exon_start_pos"),
+        F.col("__end").alias("exon_end_pos"),
+    )
+    gene = gene_keyed.drop("__gff_id")
     return (
         LoadResult(gene, {"missing_dbxref": genes_skipped}),
         LoadResult(exon),
     )
+
+
+def load_genes_exons(
+    spark: SparkSession, path: str, taxon_id: int
+) -> tuple[LoadResult, LoadResult]:
+    """GFF3 file → (gene, exon); see genes_exons_from_gff3 for semantics."""
+    raw = text_sources.read_gff3(spark, path)
+    return genes_exons_from_gff3(raw, taxon_id)
 
 
 # ---------------------------------------------------------------------------
@@ -250,7 +290,9 @@ def load_homologs(spark: SparkSession, path: str) -> LoadResult:
     case-insensitive (P3 :123-127), symmetric duplication (X3 :134-142),
     INSERT OR REPLACE last-write-wins (X5 :114).
     """
-    raw = text_sources.read_headered_tsv(spark, path, schemas.HOMOLOG_TSV_COLUMNS)
+    raw, hdr_warnings = text_sources.read_headered_tsv(
+        spark, path, schemas.HOMOLOG_TSV_COLUMNS
+    )
     non_ortho = raw.filter(F.upper(F.trim(F.col("type"))) != "ORTHOLOGUE")
     fwd = raw.select(
         F.trim("id1").alias("ref_gene_id"),
@@ -278,7 +320,7 @@ def load_homologs(spark: SparkSession, path: str) -> LoadResult:
         },
     )
     deduped = io.upsert_dedup(both, schemas.HOMOLOG_PK)
-    return LoadResult(deduped, {"non_orthologue_type": non_ortho})
+    return LoadResult(deduped, {"non_orthologue_type": non_ortho, **hdr_warnings})
 
 
 # ---------------------------------------------------------------------------

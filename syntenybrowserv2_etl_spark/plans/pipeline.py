@@ -183,3 +183,101 @@ def build_database(spark: SparkSession, inputs: PipelineInputs, out_dir: str) ->
             for name, n in fut.result():
                 results[name] = n
     return results
+
+
+# ---------------------------------------------------------------------------
+# CLI — the reference's per-loader argv programs (create_database.sh:16-53)
+# ---------------------------------------------------------------------------
+
+
+def main(argv: list[str] | None = None) -> dict[str, int]:
+    """Per-loader CLI mirroring the reference programs' argv shape.
+
+    Reference: ``python src/import_genes_exons.py <database> <filepath>
+    <taxonid> [-c]`` etc., orchestrated by create_database.sh. Here
+    ``<database>`` is a parquet directory; ``-c/--create`` = overwrite
+    (the reference's DROP TABLE + CREATE, S9), default = append (S10).
+    Returns {table: rows written} (also printed, one line per table).
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(prog="python -m syntenybrowserv2_etl_spark.plans.pipeline")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name: str, with_taxon: bool) -> None:
+        sp = sub.add_parser(name)
+        sp.add_argument("database", help="output parquet directory")
+        sp.add_argument("filepath", help="source data file")
+        if with_taxon:
+            sp.add_argument("taxonid", type=int)
+        sp.add_argument(
+            "-c", "--create", action="store_true",
+            help="(re)create the table: overwrite instead of append",
+        )
+
+    add("genes-exons", True)       # import_genes_exons.py
+    add("cytobands", True)         # import_cytogenetic_loc.py
+    add("features", True)          # import_features.py
+    add("variants", True)          # import_variants.py
+    add("synteny-blocks", False)   # import_synteny_blocks.py
+    add("homologs", False)         # import_homologs.py
+    onto = sub.add_parser("ontology")  # import_ontology.py
+    onto.add_argument("database")
+    onto.add_argument("--obo", action="append", default=[], metavar="OBO_PATH")
+    onto.add_argument(
+        "--gaf", action="append", default=[], metavar="GAF_PATH:TAXON"
+    )
+    onto.add_argument("-c", "--create", action="store_true")
+    args = p.parse_args(argv)
+
+    from ..session import get_spark
+
+    spark = get_spark("pipeline-cli")
+    mode = "overwrite" if args.create else "append"
+    out = args.database
+    written: dict[str, int] = {}
+
+    def emit(name: str, df, partition_by=None, sort_within_by=None) -> None:
+        io.write_table(
+            df, f"{out}/{name}", mode=mode,
+            partition_by=partition_by, sort_within_by=sort_within_by,
+        )
+        written[name] = df.count()
+
+    if args.cmd == "genes-exons":
+        g, e = loaders.load_genes_exons(spark, args.filepath, args.taxonid)
+        io.assert_no_duplicates(g.df, schemas.GENE_PK, "gene")
+        io.assert_no_duplicates(e.df, schemas.EXON_PK, "exon")
+        emit("gene", g.df, ["gene_taxonid"], ["gene_chr", "gene_start_pos"])
+        emit("exon", e.df, ["taxonid"], ["exon_chr", "exon_start_pos"])
+    elif args.cmd == "cytobands":
+        res = loaders.load_cytobands(spark, args.filepath, args.taxonid)
+        emit("cytogenetic_band", res.df, ["taxon_id"], ["chr", "start"])
+    elif args.cmd == "features":
+        res = loaders.load_features(spark, args.filepath, args.taxonid)
+        emit("feature", res.df, ["taxon_id"], ["seq_id", "start"])
+    elif args.cmd == "variants":
+        res = loaders.load_variants(spark, args.filepath, args.taxonid)
+        emit("snp_variant", res.df, ["taxon_id"], ["chr", "pos"])
+    elif args.cmd == "synteny-blocks":
+        res = loaders.load_synteny_blocks(spark, args.filepath)
+        emit("syntenic_block", res.df, ["ref_taxonid"], ["ref_chr", "ref_start_pos"])
+    elif args.cmd == "homologs":
+        res = loaders.load_homologs(spark, args.filepath)
+        emit("homolog", res.df, ["ref_taxon_id"], ["ref_seq_id", "ref_start"])
+    elif args.cmd == "ontology":
+        gaf_loads = []
+        for spec in args.gaf:
+            path, taxon = spec.rsplit(":", 1)
+            gaf_loads.append((path, int(taxon)))
+        terms, pairs, gmap = loaders.build_ontology(spark, args.obo, gaf_loads)
+        emit("on_terms", terms.df)
+        emit("on_pairs", pairs.df, sort_within_by=["parent", "child"])
+        emit("gene_ontology_map", gmap.df)
+    for name, n in written.items():
+        print(f"{name}: {n} rows written ({mode})")
+    return written
+
+
+if __name__ == "__main__":
+    main()

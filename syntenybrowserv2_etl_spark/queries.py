@@ -672,12 +672,14 @@ def q20(spark, sf_dir):
                        OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
       FROM seq
     ), sessions AS (
-      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
-           MIN(ts) AS session_start, ROUND(SUM(value), 2) AS sum_value
+           epoch_us(MIN(ts)) AS session_start_us,
+           ROUND(SUM(value), 2) AS sum_value
     FROM sessions GROUP BY user_id, session_id
     """,
     tags=["sessionization", "window"],
@@ -704,7 +706,10 @@ def q21(spark, sf_dir):
     )
     return flagged.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
+        # epoch-micros bigint, not a raw timestamp: engines serialize
+        # timestamps at different resolutions (Spark µs vs DuckDB ns) and
+        # the driver hash is representation-sensitive (round-1 lesson)
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
 
@@ -1350,7 +1355,8 @@ def q40(spark, sf_dir):
     WITH parsed AS (
       SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
       FROM events WHERE props IS NOT NULL)
-    SELECT event_type, COUNT(*) AS n, SUM(k) AS k_sum,
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
            MIN(k) AS k_min, MAX(k) AS k_max
     FROM parsed GROUP BY event_type
     """,
@@ -1548,8 +1554,10 @@ def q52(spark, sf_dir):
                AS n_ws
       FROM documents WHERE length(trim(text)) > 0)
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(n_pretok) AS pretok_total, SUM(n_ws) AS ws_total,
-           ROUND(AVG(CAST(n_pretok AS DOUBLE) / n_ws), 4) AS pretok_per_word
+           CAST(SUM(n_pretok) AS BIGINT) AS pretok_total,
+           CAST(SUM(n_ws) AS BIGINT) AS ws_total,
+           CAST(ROUND(AVG(CAST(n_pretok AS DOUBLE) / n_ws) * 10000)
+                AS BIGINT) AS pretok_per_word_e4
     FROM per_doc GROUP BY lang
     """,
     tags=["BPE-ish pretokenizer token counting (corpus budget)"],
@@ -1569,7 +1577,11 @@ def q53(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_pretok").alias("pretok_total"),
         F.sum("n_ws").alias("ws_total"),
-        F.round(F.avg(F.col("n_pretok") / F.col("n_ws")), 4).alias("pretok_per_word"),
+        # rounded doubles live on an integer lattice (×1e4) — repr-level
+        # float drift between engines can't flip the driver hash
+        F.round(F.avg(F.col("n_pretok") / F.col("n_ws")) * 10000)
+        .cast("long")
+        .alias("pretok_per_word_e4"),
     )
 
 
@@ -1694,7 +1706,8 @@ def _fate_sql_q45(seed: int = 42) -> str:
       SELECT *, CASE WHEN {_fate_sql_q45()} < 200000 THEN 'test' ELSE 'train'
              END AS split
       FROM documents)
-    SELECT split, lang, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
     FROM fated GROUP BY split, lang
     """,
     tags=["deterministic train/test split (hash fate)"],
@@ -1774,6 +1787,102 @@ def q47(spark, sf_dir):
         F.array_min("codes").alias("code_min"),
         F.array_max("codes").alias("code_max"),
         F.size(F.filter("codes", lambda x: F.abs(x) == 127)).alias("n_saturated"),
+    )
+
+
+# ===========================================================================
+# §G Loader-chain parity — the gene↔exon FK surface (X1/J1), end-to-end
+# ===========================================================================
+
+from .plans import loaders as loader_plans  # noqa: E402
+
+
+@register(
+    "q57_gene_exon_join",
+    """
+    WITH gene AS (
+      SELECT 'MGI:' || p_partkey AS gene_id,
+             CAST(p_partkey % 5 AS VARCHAR) AS gene_chr,
+             CAST(CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE -1 END AS BIGINT)
+               AS gene_strand,
+             p_brand AS gene_symbol,
+             p_partkey AS pk
+      FROM part WHERE p_partkey % 97 <> 0),
+    exon AS (
+      SELECT l_partkey AS pk,
+             CAST(l_linenumber * 100 - 1 AS BIGINT) AS exon_start_pos,
+             CAST(l_linenumber * 100 + 50 AS BIGINT) AS exon_end_pos
+      FROM lineitem)
+    SELECT gene_id, gene_chr, gene_strand, gene_symbol,
+           COUNT(*) AS n_exons,
+           MIN(exon_start_pos) AS min_start,
+           MAX(exon_end_pos) AS max_end,
+           CAST(SUM(exon_start_pos) AS BIGINT) AS start_sum
+    FROM exon JOIN gene USING (pk)
+    GROUP BY gene_id, gene_chr, gene_strand, gene_symbol
+    """,
+    tags=["X1 FK re-key + J1 gene↔exon equi-join, loader chain end-to-end"],
+)
+def q57(spark, sf_dir):
+    """The round-1 X1 defect, pinned end-to-end: synthesize GFF3-shaped rows
+    from part (genes; every 97th missing Dbxref → V3 skip) and lineitem
+    (exons, Parent = the gene's GFF id), push them through the REAL loader
+    chain (attribute-map parse → root/child split → Dbxref[0] keying →
+    broadcast FK re-key → 0-based shift), then run the §2.7 implied join
+    exon.parent_gene = gene.gene_id. The oracle computes the expected
+    result directly — independent of the loader code path."""
+    pk = F.col("p_partkey")
+    gene_raw = t(spark, sf_dir, "part").select(
+        F.concat(F.lit("chr"), (pk % 5).cast("string")).alias("seq_id"),
+        F.lit("TPCH").alias("source"),
+        F.lit("gene").alias("type"),
+        ((pk % 1000) * 10 + 1).cast("long").alias("start"),
+        ((pk % 1000) * 10 + 5000).cast("long").alias("end"),
+        F.lit(".").alias("score"),
+        F.when(pk % 2 == 0, "+").otherwise("-").alias("strand"),
+        F.lit(".").alias("phase"),
+        F.when(
+            pk % 97 == 0,
+            F.concat(
+                F.lit("ID=g:"), pk.cast("string"), F.lit(";Symbol="), F.col("p_brand")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("ID=g:"), pk.cast("string"),
+                F.lit(";Symbol="), F.col("p_brand"),
+                F.lit(";Dbxref=MGI:"), pk.cast("string"),
+                F.lit(",ALT:"), pk.cast("string"),
+            )
+        )
+        .alias("attributes"),
+    )
+    lk, ln = F.col("l_partkey"), F.col("l_linenumber")
+    exon_raw = t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("chr"), (lk % 5).cast("string")).alias("seq_id"),
+        F.lit("TPCH").alias("source"),
+        F.lit("exon").alias("type"),
+        (ln * 100).cast("long").alias("start"),
+        (ln * 100 + 50).cast("long").alias("end"),
+        F.lit(".").alias("score"),
+        F.lit("+").alias("strand"),
+        F.lit(".").alias("phase"),
+        F.concat(
+            F.lit("ID=e:"), F.col("l_orderkey").cast("string"),
+            F.lit("."), ln.cast("string"),
+            F.lit(";Parent=g:"), lk.cast("string"),
+        ).alias("attributes"),
+    )
+    raw = gene_raw.unionByName(exon_raw)
+    genes_res, exons_res = loader_plans.genes_exons_from_gff3(raw, taxon_id=10090)
+    j = exons_res.df.join(
+        genes_res.df, F.col("parent_gene") == F.col("gene_id")
+    )
+    return j.groupBy("gene_id", "gene_chr", "gene_strand", "gene_symbol").agg(
+        F.count(F.lit(1)).alias("n_exons"),
+        F.min("exon_start_pos").alias("min_start"),
+        F.max("exon_end_pos").alias("max_end"),
+        F.sum("exon_start_pos").alias("start_sum"),
     )
 
 

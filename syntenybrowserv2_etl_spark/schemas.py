@@ -30,7 +30,8 @@ GENE = T.StructType(
         T.StructField("gene_chr", T.StringType(), False),
         T.StructField("gene_start_pos", T.LongType(), True),
         T.StructField("gene_end_pos", T.LongType(), True),
-        T.StructField("gene_strand", T.StringType(), True),
+        # BCBio int strand coding (+1/-1/0), see transforms.strand_to_int
+        T.StructField("gene_strand", T.LongType(), True),
         T.StructField("gene_type", T.StringType(), True),
         T.StructField("gene_name", T.StringType(), True),  # nullable: Name optional
     ]

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .. import schemas
 from ..functions import transforms
@@ -69,46 +70,76 @@ def read_headered_tsv(
     path: str,
     expected_columns: list[str],
     header_prefix: str = "##",
-) -> DataFrame:
-    """S4 — headered TSV with a header contract (homolog files).
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """S4 — headered TSV with a PER-FILE header contract (homolog files).
 
     Reference: src/import_homologs.py:88-111 — strip the ``##`` prefix,
     lowercase header cells, FAIL on missing expected columns (V5), WARN on
-    extras (V4, row kept). The reference reads the header with DictReader;
-    we read the first line, reconcile with set math on names, then read the
-    body with an explicit all-string schema and rename positionally.
+    extras (V4, columns kept). The reference's DictReader re-reads the
+    header per file; the relational equivalent validates EVERY file's first
+    physical line (one tiny driver-side collect over the heads, same
+    pattern as read_gff3's version check), requires one shared column order
+    across the glob, then lets the CSV reader's ``header`` option drop each
+    file's own first line — by POSITION, never by cell-value match, so a
+    data row that happens to repeat the header cell survives.
+
+    Returns ``(body, warnings)``; warnings may carry an ``extra_columns``
+    DataFrame (file, column) for the caller's LoadResult channel (V4).
     """
-    first = spark.read.text(path).limit(1).collect()
-    if not first:
+    heads = (
+        spark.read.text(path)
+        .withColumn("file", F.input_file_name())
+        .withColumn("rn", F.monotonically_increasing_id())
+    )
+    first_lines = (
+        heads.groupBy("file").agg(F.min("rn").alias("rn"))
+        .join(heads, ["file", "rn"])
+        .select("file", "value")
+        .collect()
+    )
+    if not first_lines:
         raise SourceFormatError(f"{path}: empty file")
-    raw_header = first[0]["value"]
-    if raw_header.startswith(header_prefix):
-        raw_header = raw_header[len(header_prefix):]
-    cols = [transforms_norm(c) for c in raw_header.split("\t")]
-    missing = [c for c in expected_columns if c not in cols]
-    if missing:
-        raise SourceFormatError(
-            f"{path}: missing required columns {missing} (V5 fail, "
-            "reference src/import_homologs.py:97-103)"
+    canonical: list[str] | None = None
+    extra_rows: list[tuple[str, str]] = []
+    for row in sorted(first_lines, key=lambda r: r["file"]):
+        raw_header = row["value"]
+        if raw_header.startswith(header_prefix):
+            raw_header = raw_header[len(header_prefix):]
+        cols = [transforms_norm(c) for c in raw_header.split("\t")]
+        missing = [c for c in expected_columns if c not in cols]
+        if missing:
+            raise SourceFormatError(
+                f"{row['file']}: missing required columns {missing} (V5 fail, "
+                "reference src/import_homologs.py:97-103)"
+            )
+        if canonical is None:
+            canonical = cols
+        elif cols != canonical:
+            raise SourceFormatError(
+                f"{row['file']}: header {cols} differs from first file's "
+                f"{canonical}; the positional multi-file read requires one "
+                "shared column order"
+            )
+        extra_rows += [
+            (row["file"], c) for c in cols if c not in expected_columns
+        ]
+    warnings: dict[str, DataFrame] = {}
+    if extra_rows:
+        warnings["extra_columns"] = spark.createDataFrame(
+            extra_rows, "file string, column string"
         )
-    extras = [c for c in cols if c not in expected_columns]
-    if extras:
-        # V4 warn-and-keep channel (src/import_homologs.py:105-108)
-        print(f"WARN: {path}: unexpected extra columns {extras} (kept)")
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in canonical]
+    )
     body = (
         spark.read.option("sep", "\t")
-        .option("header", "false")
+        # header=true drops each file's FIRST physical line, positionally;
+        # names/types come from the explicit schema (enforceSchema default)
+        .option("header", "true")
+        .schema(schema)
         .csv(path)
-        .toDF(*[f"_c{i}" for i in range(len(cols))])
     )
-    # Drop the header line itself (matches the raw first line in column 0).
-    first_cell = raw_header.split("\t")[0]
-    body = body.filter(
-        ~(F.col("_c0").isNull() | F.col("_c0").isin(header_prefix + first_cell, first_cell))
-    )
-    return body.select(
-        *[F.col(f"_c{i}").alias(name) for i, name in enumerate(cols)]
-    )
+    return body, warnings
 
 
 def transforms_norm(cell: str) -> str:

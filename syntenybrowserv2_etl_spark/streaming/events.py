@@ -63,12 +63,18 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
 
 
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Exactly-once-per-key within the watermark horizon.
+    """Exactly-once per event_id within the watermark horizon.
 
-    ``dropDuplicates`` on (event_id) with a watermark keeps bounded state —
-    the streaming twin of batch exact dedup.
+    ``dropDuplicatesWithinWatermark`` keys state on event_id ALONE: a
+    re-delivered event with the same id but a drifted timestamp (retry
+    after clock skew) still dedups — true at-least-once → exactly-once
+    repair, matching the batch exact-dedup twin. Plain ``dropDuplicates``
+    would need ts in the key for state eviction and so would miss those.
+    State per key is evicted once the watermark passes its first-seen ts.
     """
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
@@ -192,10 +198,15 @@ def upsert_stream_to_parquet(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            existing = spark.read.parquet(path)
-        except Exception:
-            existing = None
+        # Probe path existence explicitly: ONLY a missing table means "first
+        # batch". A transient read error (IO, permissions, partial files)
+        # must propagate and fail the batch for retry — swallowing it here
+        # would overwrite the whole table with one micro-batch.
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jvm_path.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        existing = spark.read.parquet(path) if fs.exists(jvm_path) else None
         merged = (
             existing.unionByName(batch_df) if existing is not None else batch_df
         )

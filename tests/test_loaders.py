@@ -19,21 +19,47 @@ def test_genes_exons(spark, fixtures_dir):
         spark, f"{fixtures_dir}/genes.gff3", 10090
     )
     genes = {r["gene_id"]: r.asDict() for r in genes_res.df.collect()}
-    # G4 has no Dbxref → skipped (V3); G1-G3 survive
+    # G4 has no Dbxref → skipped (V3); G1-G3 survive.
+    # gene_id = Dbxref[0] — multi-valued "MGI:101,ENSMUSG001" keeps first.
     assert set(genes) == {"MGI:101", "MGI:102", "MGI:103"}
     assert genes_res.warnings["missing_dbxref"].count() == 1
     g1 = genes["MGI:101"]
     assert g1["gene_chr"] == "1"  # chr prefix stripped (P3)
     assert g1["gene_taxonid"] == 10090  # literal stamp (P2)
-    assert g1["gene_start_pos"] == 1000  # raw coords (Q6)
-    assert g1["gene_symbol"] == "Alpha"
-    # G3 has no Name → NULL symbol (P7 optionality)
+    assert g1["gene_start_pos"] == 999  # BCBio 0-based start (Q6)
+    assert g1["gene_end_pos"] == 5000
+    assert g1["gene_symbol"] == "Alpha"  # Symbol[0] (ref :118)
+    assert g1["gene_name"] == "alpha gene"  # Name[0] (ref :104)
+    assert g1["gene_type"] == "gene"  # feature.type (ref :118)
+    assert g1["gene_strand"] == 1  # BCBio int strand
+    assert genes["MGI:102"]["gene_strand"] == -1
+    # G3: no type filter — pseudogene loads with gene_type = its type (Q10);
+    # missing Symbol → NULL (Q11)
+    assert genes["MGI:103"]["gene_type"] == "pseudogene"
     assert genes["MGI:103"]["gene_symbol"] is None
 
     exons = {r["exon_id"]: r.asDict() for r in exons_res.df.collect()}
-    assert set(exons) == {"exon:G1.1", "exon:G1.2", "exon:G2.1"}
-    assert exons["exon:G1.1"]["parent_gene"] == "gene:G1"  # X1 FK
+    # Direct children of surviving genes only: tx:T1 (an mRNA child of G1)
+    # IS emitted (ref iterates all sub_features), the level-2 exon:T1.1 is
+    # NOT, and exon:G4.1 drops with its skipped parent.
+    assert set(exons) == {"exon:G1.1", "exon:G1.2", "exon:G2.1", "tx:T1"}
+    # X1 FK: parent_gene carries the gene's Dbxref id (ref :128)
+    assert exons["exon:G1.1"]["parent_gene"] == "MGI:101"
+    assert exons["exon:G1.1"]["exon_start_pos"] == 999  # 0-based (Q6)
     assert exons["exon:G2.1"]["exon_chr"] == "2"
+
+
+def test_genes_exons_fk_joins(spark, fixtures_dir):
+    """The §2.7 implied join exon.parent_gene = gene.gene_id must be
+    non-empty on the engine's own tables (the round-1 X1 defect)."""
+    genes_res, exons_res = loaders.load_genes_exons(
+        spark, f"{fixtures_dir}/genes.gff3", 10090
+    )
+    joined = exons_res.df.join(
+        genes_res.df,
+        exons_res.df["parent_gene"] == genes_res.df["gene_id"],
+    )
+    assert joined.count() == 4  # every exon row resolves to its gene
 
 
 def test_synteny_blocks(spark, fixtures_dir):
@@ -124,6 +150,35 @@ def test_homologs(spark, fixtures_dir):
 def test_homologs_missing_column_fails(spark, fixtures_dir):
     with pytest.raises(text_sources.SourceFormatError):
         loaders.load_homologs(spark, f"{fixtures_dir}/homologs_missingcol.tsv")
+
+
+def test_headered_tsv_per_file_contract(spark, tmp_path):
+    """Header is stripped by POSITION per file; a data row repeating the
+    header cell survives; differing column order across files fails (the
+    round-1 cell-value-match dropped such rows silently)."""
+    d = tmp_path / "multi"
+    d.mkdir()
+    (d / "f1.tsv").write_text("##A\tB\nA\t1\nx\t2\n")
+    (d / "f2.tsv").write_text("##A\tB\ny\t3\n")
+    body, warnings = text_sources.read_headered_tsv(spark, str(d), ["a", "b"])
+    rows = {(r["a"], r["b"]) for r in body.collect()}
+    # the ("A", "1") data row — first cell equals the header name — is KEPT
+    assert rows == {("A", "1"), ("x", "2"), ("y", "3")}
+    assert warnings == {}
+
+    (d / "f3.tsv").write_text("##B\tA\nz\t4\n")  # same set, different order
+    with pytest.raises(text_sources.SourceFormatError):
+        text_sources.read_headered_tsv(spark, str(d), ["a", "b"])
+
+
+def test_headered_tsv_extras_warning_channel(spark, fixtures_dir):
+    """V4 extras flow through LoadResult.warnings, not a bare print."""
+    res = loaders.load_homologs(spark, f"{fixtures_dir}/homologs_extracol.tsv")
+    extras = {
+        (r["column"],) for r in res.warnings["extra_columns"].collect()
+    }
+    assert extras == {("note",)}
+    assert res.df.count() == 2  # the rows themselves load (warn-and-keep)
 
 
 def test_ontology(spark, fixtures_dir):

@@ -126,6 +126,45 @@ def test_point_in_interval_binned_matches_plain(spark, genes_blocks):
     assert sorted(map(key, plain.collect())) == sorted(map(key, binned.collect()))
 
 
+def test_binned_joins_negative_coordinates(spark):
+    """floor-division binning: bins -1 and 0 must not collapse (a
+    truncate-toward-zero bin id loses overlaps below the origin)."""
+    pts = spark.createDataFrame([(1, -5), (2, -101), (3, 3)], ["pid", "pos"])
+    ivs = spark.createDataFrame(
+        [(10, -110, -100), (11, -8, -2), (12, 1, 7)], ["iid", "s", "e"]
+    )
+    plain = rj.point_in_interval_join(
+        pts, ivs, on=[], point_col="pos", range_cols=("s", "e")
+    )
+    binned = rj.point_in_interval_join(
+        pts, ivs, on=[], point_col="pos", range_cols=("s", "e"), bin_width=4
+    )
+    key = lambda r: (r["pid"], r["iid"])  # noqa: E731
+    expect = sorted(map(key, plain.collect()))
+    assert expect == [(1, 11), (2, 10), (3, 12)]
+    assert sorted(map(key, binned.collect())) == expect
+
+    b_plain = rj.overlap_join(
+        ivs, ivs.select(F.col("iid").alias("jid"), F.col("s").alias("s2"),
+                        F.col("e").alias("e2")),
+        on=[], left_range=("s", "e"), right_range=("s2", "e2"),
+    )
+    b_binned = rj.binned_overlap_join(
+        ivs, ivs.select(F.col("iid").alias("jid"), F.col("s").alias("s2"),
+                        F.col("e").alias("e2")),
+        on=[], left_range=("s", "e"), right_range=("s2", "e2"), bin_width=4,
+    )
+    k2 = lambda r: (r["iid"], r["jid"])  # noqa: E731
+    assert sorted(map(k2, b_binned.collect())) == sorted(map(k2, b_plain.collect()))
+
+
+def test_lsh_bands_must_divide_num_hashes(spark):
+    with pytest.raises(ValueError, match="must divide"):
+        dedup_ops.minhash_lsh_candidates(
+            spark.range(1), "id", num_hashes=10, bands=4
+        )
+
+
 # --- dedup -----------------------------------------------------------------
 
 
@@ -548,6 +587,26 @@ def test_kmeans_objective_monotone(spark):
     # centroids are unit-normalized after training
     cents = sim_ops.kmeans_centroids(emb, k=4, iters=2).collect()
     for r in cents:
+        nrm = sum(x * x for x in r["centroid"]) ** 0.5
+        assert abs(nrm - 1.0) < 1e-3
+
+
+def test_kmeans_wide_dim_plan_constant(spark):
+    """Production embedding widths: the update step must not grow the plan
+    with dimension (r1 built one avg aggregate PER dim). At dim 512 the
+    round still runs through a single posexplode aggregate and returns
+    unit-normalized centroids of the right width."""
+    import math
+
+    rows = [
+        (i, [math.sin(i * 0.37 + j * 0.11) for j in range(512)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sim_ops.kmeans_centroids(df, k=4, iters=2).collect()
+    assert 1 <= len(cents) <= 4
+    for r in cents:
+        assert len(r["centroid"]) == 512
         nrm = sum(x * x for x in r["centroid"]) ** 0.5
         assert abs(nrm - 1.0) < 1e-3
 

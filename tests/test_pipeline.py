@@ -28,7 +28,7 @@ def test_build_database(spark, fixtures_dir, tmp_path):
     counts = pipeline.build_database(spark, inputs, out)
     assert counts == {
         "gene": 3,
-        "exon": 3,
+        "exon": 4,
         "syntenic_block": 6,
         "cytogenetic_band": 3,
         "feature": 3,
@@ -45,3 +45,21 @@ def test_build_database(spark, fixtures_dir, tmp_path):
     assert {(r["parent"], r["child"]) for r in on_pairs.collect()} == {
         ("b", "a"), ("q", "a"), ("c", "a"), ("c", "b"), ("c", "d"), ("q", "x"),
     }
+
+
+def test_cli_loader_roundtrip(spark, fixtures_dir, tmp_path):
+    """The create_database.sh argv surface: overwrite (-c) then append."""
+    from syntenybrowserv2_etl_spark.plans import pipeline
+
+    out = str(tmp_path / "db")
+    w1 = pipeline.main(
+        ["genes-exons", out, f"{fixtures_dir}/genes.gff3", "10090", "-c"]
+    )
+    assert w1 == {"gene": 3, "exon": 4}
+    # second species appends (S10), first stays
+    pipeline.main(["genes-exons", out, f"{fixtures_dir}/genes.gff3", "10116"])
+    gene = spark.read.parquet(f"{out}/gene")
+    assert gene.count() == 6
+    assert gene.filter("gene_taxonid = 10116").count() == 3
+    w3 = pipeline.main(["homologs", out, f"{fixtures_dir}/homologs.tsv", "-c"])
+    assert w3 == {"homolog": 6}

@@ -2,9 +2,17 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 at the given sf dir, compares row count, sorted column names, and
-order-insensitive values (exact string equality after canonicalization).
-Stricter than tolerant float compare on purpose: if this passes, any
-reasonable hash the driver uses passes too.
+order-insensitive values.
+
+Round-1 lesson: the driver's value-hash is REPRESENTATION-sensitive — three
+queries that value-matched under a %.9g/isoformat canonicalizer still
+hash-mismatched (raw timestamps, DuckDB HUGEINT sums, rounded-double repr
+drift). So this checker now compares raw representations: floats via
+``repr`` (shortest round-trip — any cross-engine ulp/exponent difference
+shows), timestamps via their epoch-ns integer, and it WARNS on output
+columns whose type is hash-risky (timestamp / unrounded float / non-int64
+integer) even when values match. Queries should emit integers, strings,
+booleans, and lattice-encoded doubles only.
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 """
@@ -28,16 +36,34 @@ def canon(df: pd.DataFrame) -> list[tuple]:
         for v in row:
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 vals.append("NULL")
-            elif isinstance(v, float):
-                vals.append(f"{v:.9g}")
             elif isinstance(v, pd.Timestamp):
-                vals.append(v.isoformat())
+                vals.append(str(v.value))  # epoch ns — resolution-proof
+            elif isinstance(v, float):
+                vals.append(repr(v))  # shortest round-trip, ulp-strict
             elif hasattr(v, "item"):
-                vals.append(str(v.item()))
+                vals.append(repr(v.item()))
             else:
                 vals.append(str(v))
         rows.append(tuple(vals))
     return sorted(rows)
+
+
+# dtype kinds that have bitten the driver hash before: raw timestamps (µs
+# vs ns serialization), object columns (DuckDB HUGEINT), plain floats that
+# aren't lattice-encoded (repr drift). 'f' is only a warning because many
+# queries ROUND(...) and those have hashed fine — but new queries should
+# prefer the integer lattice.
+def risky_cols(df: pd.DataFrame) -> list[str]:
+    out = []
+    for c in df.columns:
+        k = df[c].dtype.kind
+        if k == "M":
+            out.append(f"{c}:timestamp")
+        elif k == "O" and df[c].map(
+            lambda v: isinstance(v, int) and not isinstance(v, bool)
+        ).any():
+            out.append(f"{c}:int-as-object")  # DuckDB HUGEINT lands here
+    return out
 
 
 def main() -> int:
@@ -96,7 +122,11 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: {' | '.join(problems)}")
         else:
-            print(f"ok   {name}: {len(sdf)} rows match ({time.time()-t0:.1f}s)")
+            warn = risky_cols(sdf) + [
+                f"oracle:{w}" for w in risky_cols(odf) if w not in risky_cols(sdf)
+            ]
+            note = f"  [hash-risk: {', '.join(warn)}]" if warn else ""
+            print(f"ok   {name}: {len(sdf)} rows match ({time.time()-t0:.1f}s){note}")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
