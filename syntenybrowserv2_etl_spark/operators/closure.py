@@ -65,31 +65,55 @@ def transitive_closure(
         .filter(F.col("ancestor").isNotNull() & F.col("descendant").isNotNull())
         .distinct()
     )
-    closure = base.localCheckpoint(eager=True)
     if method == "doubling":
-        for _ in range(max_iterations):
+        # Pairs carry a path length (__dist, any-witness min) so the loop can
+        # prove convergence WITHOUT the trailing no-op round the r1 version
+        # paid (one full join+anti just to observe "nothing new"). Soundness
+        # of the early exit: after round k every pair with shortest distance
+        # ≤ 2^k is known. If some pair were still missing, its shortest path
+        # has length > 2^k, and that path's length-2^k prefix is a pair whose
+        # shortest distance is exactly 2^k — first discovered THIS round, and
+        # any derivation this round sums two ≤2^(k-1) halves, so its recorded
+        # __dist is exactly 2^k. Contrapositive: max(__dist of new pairs)
+        # < 2^k ⇒ the closure is already complete — stop now, not next round.
+        closure = base.withColumn("__dist", F.lit(1).cast("long")).localCheckpoint(
+            eager=True
+        )
+        for k in range(1, max_iterations + 1):
             hop = closure.select(
-                F.col("ancestor").alias("__mid"), F.col("descendant").alias("__dst")
+                F.col("ancestor").alias("__mid"),
+                F.col("descendant").alias("__dst"),
+                F.col("__dist").alias("__hop_dist"),
             )
             grown = (
                 closure.join(hop, closure["descendant"] == hop["__mid"])
-                .select("ancestor", F.col("__dst").alias("descendant"))
-                .distinct()
+                .select(
+                    "ancestor",
+                    F.col("__dst").alias("descendant"),
+                    (F.col("__dist") + F.col("__hop_dist")).alias("__dist"),
+                )
+                .groupBy("ancestor", "descendant")
+                .agg(F.min("__dist").alias("__dist"))
             )
             new_pairs = grown.join(
                 closure, ["ancestor", "descendant"], "left_anti"
             ).localCheckpoint(eager=True)
-            if new_pairs.isEmpty():
-                return closure
+            # one tiny agg on the just-materialized chunk (replaces isEmpty)
+            max_new = new_pairs.agg(F.max("__dist")).first()[0]
+            if max_new is None:
+                return closure.drop("__dist")
             # Union of checkpointed chunks, NOT re-checkpointed: each round
             # only materializes the new pairs; re-materializing the whole
             # closure would copy O(closure) per round. The plan stays
             # shallow — a k-way union of checkpointed leaves.
             closure = closure.unionByName(new_pairs)
+            if max_new < 2**k:
+                return closure.drop("__dist")
         raise RuntimeError(
             f"transitive_closure did not converge in {max_iterations} rounds — "
             "cyclic input? (reference assumes a DAG: src/import_ontology.py:110-130)"
         )
+    closure = base.localCheckpoint(eager=True)
 
     frontier = closure
     # Disjoint column names on the hop side sidestep self-join attribute
