@@ -618,3 +618,25 @@ def test_kmeans_deterministic(spark):
     assert set(a) == set(b)
     for cid in a:
         assert all(abs(x - y) < 1e-5 for x, y in zip(a[cid], b[cid]))
+
+
+def test_approx_distinct_within_rsd_of_exact(spark):
+    """q38's HLL++ sketch vs q37's exact twin: every group's estimate must
+    sit within 5x the configured rsd (0.02) of the exact distinct count —
+    a real accuracy contract instead of the r1 rows-only check."""
+    from syntenybrowserv2_etl_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["month"]: r["n_cust"]
+        for r in q.REGISTRY["q37_distinct_counts"].spark_fn(spark, sf).collect()
+    }
+    approx = {
+        r["month"]: r["n_cust_approx"]
+        for r in q.REGISTRY["q38_approx_distinct"].spark_fn(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for month, n in exact.items():
+        assert abs(approx[month] - n) <= max(1, 0.10 * n), (
+            f"{month}: approx {approx[month]} vs exact {n}"
+        )
