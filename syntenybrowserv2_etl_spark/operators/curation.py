@@ -1,0 +1,184 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The post-dedup passes a 100 TB pretraining corpus needs before tokens reach
+a trainer: benchmark-contamination detection, boilerplate measurement,
+weighted epoch mixing, and sequence packing. Everything is native Column
+expressions over the engine-portable md5 hash family (functions/hashing.py)
+— no RNG, no Python UDFs — so each op is reproducible across engines and
+verifiable against a DuckDB oracle.
+
+Scale posture per op is documented on the function; the common theme:
+row-local derivations, inverted-index joins instead of all-pairs, explicit
+sharding for anything that would otherwise need a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+from . import dedup as dedup_ops
+from .sampling import _DENOM, _fate
+
+
+def contaminated_ids(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination scan: train docs sharing ≥1 k-token gram
+    with any benchmark/eval document.
+
+    The decontamination pass every serious pretraining corpus runs (the
+    n-gram-overlap formulation popularized by GPT-3/PaLM dataset reports).
+    Gram sets are row-local (dedup.shingles — staged arrays, no global
+    distinct); the benchmark side collapses to distinct 40-bit gram hashes
+    — a few MB for any real eval suite — so the semi-join broadcasts and
+    the train corpus NEVER shuffles: scan → hash → broadcast-semi-join →
+    distinct ids. Output: distinct contaminated ``id_col`` rows.
+    """
+    t_grams = dedup_ops.shingles(train, id_col, text_col, k=k).select(
+        F.col(id_col), hashing.md5_long("shingle").alias("__g")
+    )
+    b_grams = (
+        dedup_ops.shingles(benchmark, id_col, text_col, k=k)
+        .select(hashing.md5_long("shingle").alias("__g"))
+        .distinct()
+    )
+    return (
+        t_grams.join(F.broadcast(b_grams), "__g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def boilerplate_stats(
+    df: DataFrame, id_col: str, text_col: str, min_chars: int = 1
+) -> DataFrame:
+    """Per-document boilerplate measurement: how many of a doc's sentences
+    also appear in OTHER documents (C4-style repeated-line removal, at
+    sentence granularity since the corpus is single-line text).
+
+    Sentences = '.'-separated spans, trimmed, lowercased, length ≥
+    ``min_chars``; per-doc sentence sets are row-local (array_distinct).
+    Cross-doc frequency is an inverted index: explode → groupBy(sentence)
+    countDistinct(doc) → join back — shuffles carry (sentence-hash, id)
+    pairs, never documents, and the frequency side aggregates before the
+    join. Output: (id, n_sentences, n_shared) — a doc with high
+    n_shared/n_sentences is boilerplate-heavy.
+    """
+    staged = df.withColumn(
+        "__raw_sents", F.split(F.lower(F.col(text_col)), r"\.")
+    )
+    sents = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.transform("__raw_sents", lambda s: F.trim(s)),
+                    lambda s: F.length(s) >= min_chars,
+                )
+            )
+        ).alias("__sent"),
+    )
+    # hash the sentence once: every downstream shuffle key is 8 bytes
+    keyed = dedup_ops._materialize(
+        sents.select(F.col(id_col), hashing.md5_long("__sent").alias("__s"))
+    )
+    freq = keyed.groupBy("__s").agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
+    )
+    return (
+        keyed.join(freq, "__s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum((F.col("__df") >= 2).cast("long")).alias("n_shared"),
+        )
+    )
+
+
+def upsample_by_weight(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted epoch mixing: each row appears
+    ``floor(w)`` times plus one more for the hash-chosen ``frac(w)``
+    fraction of its stratum — so a stratum with weight 2.25 contributes
+    exactly ~2.25 epochs, reproducibly (same ids every run, no RNG).
+
+    This is the corpus-mixing primitive (upweight rare languages / quality
+    tiers, downweight crawl dumps) — row-local arithmetic + explode, no
+    shuffle, no join; the fractional fates reuse the hash-sampling lattice
+    (operators/sampling.py) so mixes are stable as the corpus grows.
+    Output: input rows × their multiplicity with a 1-based ``copy`` index
+    (copy feeds downstream shard/shuffle keys so repeats land in
+    different training shards). Weight 0 drops the stratum.
+    """
+    wmap = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    w = F.coalesce(wmap[F.col(strata_col)], F.lit(float(default_weight)))
+    # integer-lattice fractional part: both engines compare exact integers
+    extra = (
+        _fate(id_col, seed)
+        < F.floor((w - F.floor(w)) * _DENOM).cast("long")
+    ).cast("long")
+    n = (F.floor(w).cast("long") + extra).alias("__n_copies")
+    return (
+        df.withColumn("__n_copies", n)
+        .filter(F.col("__n_copies") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("__n_copies"))))
+        .drop("__n_copies")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    shards: int = 32,
+) -> DataFrame:
+    """Contiguous-fill sequence packing: assign documents to fixed
+    token-budget training sequences.
+
+    Documents get a deterministic global order (id hash), a running token
+    cumsum, and ``seq = floor(preceding_tokens / budget)`` — each doc
+    *starts* in that sequence; an over-budget doc spans into the next
+    (truncate/continue is the consumer's policy, as in standard packed
+    pretraining loaders).
+
+    Scale shape: a single global window would sort the corpus on ONE task.
+    Packing is therefore sharded — ``shard = id_hash % shards`` partitions
+    the window, sequences are keyed (shard, seq), and each shard packs
+    independently (training shards are independent anyway). At 100 TB set
+    shards ≈ corpus_tokens / (budget · ~100k seqs) so per-shard sorts fit
+    an executor; fill efficiency is unchanged since docs ≪ budget·seqs
+    per shard. Output: input columns + shard, seq, seq_pos.
+    """
+    from pyspark.sql import Window
+
+    h = hashing.md5_long(F.col(id_col))
+    staged = df.withColumn("__shard", F.pmod(h, F.lit(shards)).cast("long"))
+    w = Window.partitionBy("__shard").orderBy(
+        hashing.md5_long(F.col(id_col)), F.col(id_col)
+    )
+    cum = F.sum(F.col(token_count_col)).over(w)
+    return (
+        staged.withColumn(
+            "seq",
+            F.floor(
+                (cum - F.col(token_count_col)) / F.lit(budget)
+            ).cast("long"),
+        )
+        .withColumn("seq_pos", F.row_number().over(w))
+        .withColumnRenamed("__shard", "shard")
+    )

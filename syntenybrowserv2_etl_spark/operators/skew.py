@@ -1,17 +1,11 @@
-"""Skew-mitigation join strategies.
+"""Skew-defeating join strategies.
 
-AQE's skew-join splitting (enabled in session.py) handles most hot keys at
-runtime by splitting oversized shuffle partitions. This module covers the
-case AQE cannot fix: a SINGLE join key so hot that even a split partition
-still pairs every fact row of that key against the same dim row copy — the
-classic mega-chromosome / null-key / stopword-token problem.
-
-``salted_join`` pre-shards the fact side into ``salt_buckets`` deterministic
-sub-keys and replicates the (small) dim side once per bucket, so the hot key
-spreads over ``salt_buckets`` reducers. Replication cost: |dim| ×
-salt_buckets rows — use only when dim is broadcast-scale but the join must
-shuffle anyway (e.g. dim too big to broadcast whole, or co-partitioned
-output needed).
+AQE's skew-join handles sort-merge skew after the fact by splitting
+oversized partitions; salting handles it BY CONSTRUCTION when a known-hot
+equi-join key (the head of a Zipfian domain distribution, the NULL bucket,
+a boilerplate dedup key) would otherwise pin one reducer. The engine uses
+salting where the skew is structural and predictable, AQE where it is
+data-dependent.
 """
 
 from __future__ import annotations
@@ -21,30 +15,43 @@ from pyspark.sql import functions as F
 
 
 def salted_join(
-    fact: DataFrame,
-    dim: DataFrame,
-    on: list[str],
-    salt_buckets: int = 16,
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    salt_buckets: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join with the fact side salted across ``salt_buckets`` shards.
+    """Equi-join where the BIG side's key distribution is heavily skewed.
 
-    The salt is a deterministic hash of the whole fact row (xxhash64 — no
-    RNG, reruns partition identically), so rows of one hot key scatter
-    uniformly. The dim side explodes ×salt_buckets; every fact row still
-    meets exactly one copy of its dim row, so results equal the plain join
-    for inner/left joins.
+    Each big-side row gets a salt in [0, salt_buckets); the small side is
+    replicated ``salt_buckets``× (explode of a literal sequence — its rows
+    are few by assumption). The join key becomes (*on, salt), so a hot
+    key's rows spread across ``salt_buckets`` reducers instead of one.
+    Results are IDENTICAL to the plain join for any salt assignment — the
+    salt only routes rows — so the unsalted query is the oracle. The salt
+    here is a deterministic spray (row id modulo buckets); any per-row
+    value works.
+
+    ``how``: inner or left only. A right/full join is semantically wrong
+    under salting — a small-side key with no match would surface once PER
+    SALT — so those raise instead of silently duplicating.
+
+    Cost model: small side ×salt_buckets (broadcast-sized by assumption),
+    big side unchanged; reducer max load drops ~salt_buckets× on the hot
+    key. Use when one key holds ≳ a task's worth of rows; otherwise the
+    replication is pure overhead and AQE alone is the better default.
     """
-    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+    if how.replace("_", "").lower() not in ("inner", "left", "leftouter"):
         raise ValueError(
-            f"salted_join replicates the right side; '{how}' joins would "
-            "multiply right-side rows — use a plain join"
+            f"salted_join supports inner/left only, not {how!r}: small-side "
+            "unmatched rows would appear once per salt bucket"
         )
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets)
-    ).cast("int")
-    fact_s = fact.withColumn("__salt", salt)
-    dim_s = dim.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    keys = [on] if isinstance(on, str) else list(on)
+    b = big.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     )
-    return fact_s.join(dim_s, on + ["__salt"], how).drop("__salt")
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = b.join(s, [*keys, "__salt"], how)
+    return out.drop("__salt")

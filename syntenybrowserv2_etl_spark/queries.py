@@ -1886,6 +1886,284 @@ def q57(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# §H Corpus curation — contamination, boilerplate, mixing, packing, PII,
+#     skew-handling (operators/curation.py, skew.py, text.scrub_pii)
+# ===========================================================================
+
+from .operators import curation as cur_ops  # noqa: E402
+from .operators import skew as skew_ops  # noqa: E402
+
+_5GRAMS_CTE = f"""
+    sp AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS l FROM documents),
+    tok AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS tok FROM sp),
+    g AS (
+      SELECT a.doc_id,
+             a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok || ' ' || e.tok AS gram
+      FROM tok a
+      JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+      JOIN tok d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+      JOIN tok e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4)
+"""
+
+
+@register(
+    "q58_contamination",
+    f"""
+    WITH {_5GRAMS_CTE},
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+    cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+             WHERE g.doc_id % 37 <> 0)
+    SELECT lang, COUNT(*) AS n_contaminated,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM cont JOIN documents USING (doc_id) GROUP BY lang
+    """,
+    tags=["benchmark contamination scan (5-gram semi-join)"],
+)
+def q58(spark, sf_dir):
+    """Decontamination: train docs sharing any 5-token gram with the
+    benchmark slice (doc_id % 37 — a stand-in eval suite). Benchmark gram
+    hashes broadcast; the train side never shuffles
+    (curation.contaminated_ids). id_sum pins exact membership."""
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    train = d.filter(F.col("doc_id") % 37 != 0)
+    hits = cur_ops.contaminated_ids(train, bench, "doc_id", "text", k=5)
+    return (
+        hits.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+
+
+_Q59_SENT_H = hashing.md5_long_sql("trim(sent)")
+
+
+@register(
+    "q59_boilerplate",
+    f"""
+    WITH s AS (SELECT doc_id, lang, unnest(string_split(lower(text), '.')) AS sent
+               FROM documents),
+    u AS (SELECT DISTINCT doc_id, lang, {_Q59_SENT_H} AS sh
+          FROM s WHERE length(trim(sent)) >= 1),
+    f AS (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM u GROUP BY sh),
+    d AS (SELECT doc_id, lang, COUNT(*) AS n_sent,
+                 SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_shared
+          FROM u JOIN f USING (sh) GROUP BY doc_id, lang)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_sent) AS BIGINT) AS sentences_total,
+           CAST(SUM(n_shared) AS BIGINT) AS shared_total,
+           CAST(SUM(CASE WHEN n_shared * 2 >= n_sent THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate_heavy
+    FROM d GROUP BY lang
+    """,
+    tags=["boilerplate / repeated-sentence measurement (C4-style)"],
+)
+def q59(spark, sf_dir):
+    """Sentence-level boilerplate profile per language: docs whose
+    sentences recur across the corpus (curation.boilerplate_stats —
+    inverted-index join on 40-bit sentence hashes, identical hashing on
+    the oracle side so even collisions agree)."""
+    d = t(spark, sf_dir, "documents")
+    stats = cur_ops.boilerplate_stats(d, "doc_id", "text")
+    return (
+        stats.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sentences").alias("sentences_total"),
+            F.sum("n_shared").alias("shared_total"),
+            F.sum(
+                (F.col("n_shared") * 2 >= F.col("n_sentences")).cast("long")
+            ).alias("n_boilerplate_heavy"),
+        )
+    )
+
+
+_Q60_WEIGHTS = {"en": 0.5, "de": 2.25, "fr": 1.75}
+
+
+@register(
+    "q60_corpus_mix",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 2.25
+                       WHEN 'fr' THEN 1.75 ELSE 1.0 END AS wt
+      FROM documents),
+    n AS (
+      SELECT doc_id, lang,
+             CAST(FLOOR(wt) AS BIGINT)
+             + CASE WHEN {sampling_ops._fate_sql("doc_id", 11)}
+                         < CAST(FLOOR((wt - FLOOR(wt)) * 1000000) AS BIGINT)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM w),
+    x AS (SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS copy
+          FROM n WHERE n_copies > 0)
+    SELECT lang, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(doc_id * copy) AS BIGINT) AS checksum
+    FROM x GROUP BY lang
+    """,
+    tags=["weighted epoch mixing (deterministic upsample)"],
+)
+def q60(spark, sf_dir):
+    """Corpus mixing: en ×0.5, de ×2.25, fr ×1.75, rest ×1.0 — fractional
+    epochs via hash fates, exact repetition via explode
+    (curation.upsample_by_weight). checksum = Σ id·copy pins the exact
+    multiset of emitted rows."""
+    d = t(spark, sf_dir, "documents")
+    mixed = cur_ops.upsample_by_weight(
+        d, "doc_id", "lang", _Q60_WEIGHTS, default_weight=1.0, seed=11
+    )
+    return mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        F.sum(F.col("doc_id") * F.col("copy")).alias("checksum"),
+    )
+
+
+_Q61_H = hashing.md5_long_sql("doc_id")
+
+
+@register(
+    "q61_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_Q61_H} AS h, {_Q61_H} % 8 AS shard,
+             len(string_split({_NORM_TEXT}, ' ')) AS n_tok
+      FROM documents WHERE length(trim(text)) > 0),
+    p AS (
+      SELECT shard, n_tok,
+             SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t),
+    q AS (SELECT shard, CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS seq,
+                 n_tok FROM p)
+    SELECT shard, seq, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens
+    FROM q GROUP BY shard, seq
+    """,
+    tags=["sequence packing (sharded contiguous fill)"],
+)
+def q61(spark, sf_dir):
+    """Token-budget sequence packing (512-token sequences, 8 shards):
+    deterministic hash order + running cumsum per shard
+    (curation.pack_sequences — sharded so no global sort exists at any
+    scale). Output: per-(shard, seq) fill profile."""
+    d = t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    sized = d.withColumn("n_tok", text_ops.token_count(F.col("text")))
+    packed = cur_ops.pack_sequences(
+        sized, "doc_id", "n_tok", budget=512, shards=8
+    )
+    return packed.groupBy("shard", "seq").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("tokens")
+    )
+
+
+@register(
+    "q62_pii_scrub",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, lang,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || doc_id || '@example.com now'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' from 10.0.' || (doc_id % 256) || '.5'
+                     ELSE '' END AS text2
+      FROM documents),
+    s1 AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text2, '{text_ops.EMAIL_PATTERN}')) AS n_emails,
+             regexp_replace(text2, '{text_ops.EMAIL_PATTERN}', '<EMAIL>', 'g') AS t1
+      FROM aug),
+    s2 AS (
+      SELECT doc_id, lang, n_emails,
+             len(regexp_extract_all(t1, '{text_ops.IPV4_PATTERN}')) AS n_ips,
+             regexp_replace(t1, '{text_ops.IPV4_PATTERN}', '<IP>', 'g') AS t2
+      FROM s1)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS emails,
+           CAST(SUM(n_ips) AS BIGINT) AS ips,
+           CAST(SUM(length(t2)) AS BIGINT) AS scrubbed_len
+    FROM s2 GROUP BY lang
+    """,
+    tags=["PII scrub (regex redaction, shared Java/RE2 syntax)"],
+)
+def q62(spark, sf_dir):
+    """PII scrubbing over synthetically-injected emails/IPs (the raw corpus
+    carries none, so injection makes the counts a real contract). Row-local
+    regexp passes (text.scrub_pii); scrubbed_len pins the exact redacted
+    text on both engines."""
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"), did.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(""),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".5")
+                ),
+            ).otherwise(""),
+        ).alias("text2"),
+    )
+    scrubbed = text_ops.scrub_pii(aug, "text2")
+    return scrubbed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").cast("long").alias("emails"),
+        F.sum("n_ips").cast("long").alias("ips"),
+        F.sum(F.length("scrubbed")).alias("scrubbed_len"),
+    )
+
+
+@register(
+    "q63_salted_join",
+    """
+    WITH big AS (SELECT l_partkey % 10 AS hot, l_extendedprice FROM lineitem),
+    dim AS (SELECT p_partkey % 10 AS hot, ROUND(AVG(p_retailprice), 2) AS avg_price
+            FROM part GROUP BY p_partkey % 10)
+    SELECT hot, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue,
+           ROUND(MAX(avg_price), 2) AS avg_price
+    FROM big JOIN dim USING (hot) GROUP BY hot
+    """,
+    tags=["salted skew join (10 hot keys, result == plain join)"],
+)
+def q63(spark, sf_dir):
+    """Structural-skew join: the whole fact table funnels into 10 hot keys
+    (l_partkey % 10) — unsalted, one reducer per key caps parallelism at
+    10. salted_join sprays each hot key across 8 salts (operators/skew.py);
+    the oracle is the PLAIN join, proving salting changes routing, never
+    results."""
+    li = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 10).alias("hot"), "l_extendedprice"
+    )
+    dim = (
+        t(spark, sf_dir, "part")
+        .groupBy((F.col("p_partkey") % 10).alias("hot"))
+        .agg(F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+    )
+    joined = skew_ops.salted_join(li, dim, "hot", salt_buckets=8)
+    return joined.groupBy("hot").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.round(F.max("avg_price"), 2).alias("avg_price"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark_fn for name, qd in REGISTRY.items()}
 

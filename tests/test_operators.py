@@ -640,3 +640,106 @@ def test_approx_distinct_within_rsd_of_exact(spark):
         assert abs(approx[month] - n) <= max(1, 0.10 * n), (
             f"{month}: approx {approx[month]} vs exact {n}"
         )
+
+
+# --- curation / skew -------------------------------------------------------
+
+from syntenybrowserv2_etl_spark.operators import curation as cur_ops
+from syntenybrowserv2_etl_spark.operators import skew as skew_ops
+
+
+def test_contaminated_ids(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally unrelated words here only once"),
+            (3, "prefix alpha beta gamma delta epsilon suffix"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "xx alpha beta gamma delta epsilon yy")], ["doc_id", "text"]
+    )
+    hits = {
+        r["doc_id"]
+        for r in cur_ops.contaminated_ids(train, bench, "doc_id", "text", k=5).collect()
+    }
+    assert hits == {1, 3}
+
+
+def test_boilerplate_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "shared sentence. unique one."),
+            (2, "shared sentence. another unique."),
+            (3, "totally distinct text here."),
+        ],
+        ["doc_id", "text"],
+    )
+    m = {
+        r["doc_id"]: (r["n_sentences"], r["n_shared"])
+        for r in cur_ops.boilerplate_stats(df, "doc_id", "text").collect()
+    }
+    assert m == {1: (2, 1), 2: (2, 1), 3: (1, 0)}
+
+
+def test_upsample_by_weight(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 100 else "b") for i in range(200)], ["id", "s"]
+    )
+    whole = cur_ops.upsample_by_weight(df, "id", "s", {"a": 2.0, "b": 0.0})
+    m = {r["s"]: r["count"] for r in whole.groupBy("s").count().collect()}
+    assert m == {"a": 200}  # exactly 2 copies each; weight-0 stratum dropped
+    # fractional weights keep a deterministic subset — same ids every run
+    frac = lambda: {  # noqa: E731
+        (r["id"], r["copy"])
+        for r in cur_ops.upsample_by_weight(df, "id", "s", {"b": 0.5})
+        .filter("s = 'b'")
+        .collect()
+    }
+    one, two = frac(), frac()
+    assert one == two
+    assert 20 <= len(one) <= 80  # ~50 of 100, hash-chosen
+
+
+def test_pack_sequences(spark):
+    docs = spark.createDataFrame([(i, 100) for i in range(50)], ["id", "n_tok"])
+    packed = cur_ops.pack_sequences(docs, "id", "n_tok", budget=300, shards=4)
+    assert packed.count() == 50  # every doc placed exactly once
+    prof = packed.groupBy("shard", "seq").agg(F.count(F.lit(1)).alias("n")).collect()
+    # equal 100-token docs, 300 budget: a sequence can seat at most 3 docs
+    assert all(r["n"] <= 3 for r in prof)
+    # deterministic across runs
+    a = sorted(map(tuple, packed.select("id", "shard", "seq").collect()))
+    b = sorted(
+        map(
+            tuple,
+            cur_ops.pack_sequences(docs, "id", "n_tok", budget=300, shards=4)
+            .select("id", "shard", "seq")
+            .collect(),
+        )
+    )
+    assert a == b
+
+
+def test_salted_join_equals_plain(spark):
+    big = spark.createDataFrame([(i % 3, i) for i in range(1000)], ["k", "v"])
+    small = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], ["k", "tag"])
+    salted = skew_ops.salted_join(big, small, "k", salt_buckets=4)
+    plain = big.join(small, "k")
+    assert salted.count() == plain.count() == 1000
+    sg = sorted(map(tuple, salted.groupBy("k", "tag").count().collect()))
+    pg = sorted(map(tuple, plain.groupBy("k", "tag").count().collect()))
+    assert sg == pg
+
+
+def test_scrub_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at bob@x.co or 10.1.2.3 ok"), (2, "clean text")],
+        ["id", "t"],
+    )
+    rows = {r["id"]: r for r in text_ops.scrub_pii(df, "t").collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_ips"] == 1
+    assert "<EMAIL>" in rows[1]["scrubbed"] and "<IP>" in rows[1]["scrubbed"]
+    assert "bob@" not in rows[1]["scrubbed"]
+    assert rows[2]["n_emails"] == 0 and rows[2]["scrubbed"] == "clean text"

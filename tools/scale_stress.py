@@ -25,9 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from syntenybrowserv2_etl_spark.operators import closure as cl
+from syntenybrowserv2_etl_spark.operators import curation as cur
 from syntenybrowserv2_etl_spark.operators import dedup as dd
 from syntenybrowserv2_etl_spark.operators import range_join as rj
 from syntenybrowserv2_etl_spark.operators import similarity as sim
+from syntenybrowserv2_etl_spark.operators import text as txt
 from syntenybrowserv2_etl_spark.session import get_spark
 
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
@@ -152,6 +154,36 @@ def main():
                 rj.point_in_interval_join(
                     pts, bands, on=[], point_col="v", range_cols=("lo", "hi"), bin_width=64
                 )
+            )
+        )
+
+        # curation passes (round 2): contamination semi-join, boilerplate
+        # inverted index, weighted mixing, sharded sequence packing
+        bench_slice = docs.filter(F.col("doc_id") % 37 == 0)
+        train_slice = docs.filter(F.col("doc_id") % 37 != 0)
+        r["contamination"] = timed(
+            lambda: noop(
+                cur.contaminated_ids(train_slice, bench_slice, "doc_id", "text", k=5)
+            )
+        )
+        r["boilerplate"] = timed(
+            lambda: noop(cur.boilerplate_stats(docs, "doc_id", "text"))
+        )
+        strat = docs.withColumn(
+            "stratum", (F.col("doc_id") % 4).cast("string")
+        )
+        r["upsample_mix"] = timed(
+            lambda: noop(
+                cur.upsample_by_weight(
+                    strat, "doc_id", "stratum",
+                    {"0": 0.5, "1": 2.25, "2": 1.75}, default_weight=1.0,
+                )
+            )
+        )
+        sized = docs.withColumn("n_tok", txt.token_count(F.col("text")))
+        r["pack_sequences"] = timed(
+            lambda: noop(
+                cur.pack_sequences(sized, "doc_id", "n_tok", budget=512, shards=32)
             )
         )
         results.append(r)
