@@ -173,3 +173,55 @@ def spark_conf(spark, key, value):
         yield
     finally:
         spark.conf.set(key, old)
+
+
+def test_contamination_broadcast_semijoin(spark):
+    """q58: benchmark gram hashes broadcast; the train side joins
+    left-semi without a shuffle of its rows."""
+    p = plan_of(spark, "q58_contamination")
+    assert re.search(r"BroadcastHashJoin.*LeftSemi", p) or (
+        "BroadcastHashJoin" in p and "LeftSemi" in p
+    )
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_upsample_is_narrow(spark):
+    """q60's mixing operator itself is explode + arithmetic — no join, no
+    exchange before the final aggregation."""
+    from syntenybrowserv2_etl_spark.operators import curation as cur_ops
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    mixed = cur_ops.upsample_by_weight(
+        d, "doc_id", "lang", {"en": 0.5, "de": 2.25}, default_weight=1.0
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mixed.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p and "Join" not in p
+
+
+def test_salted_join_no_nested_loop(spark):
+    p = plan_of(spark, "q63_salted_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_pack_sequences_single_exchange(spark):
+    """q61's packing: ONE hash exchange on the shard key feeds the sharded
+    window sort — no global (single-partition) sort anywhere."""
+    from syntenybrowserv2_etl_spark.operators import curation as cur_ops
+    from syntenybrowserv2_etl_spark.operators import text as text_ops
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "n_tok", text_ops.token_count(F.col("text"))
+    )
+    packed = cur_ops.pack_sequences(d, "doc_id", "n_tok", budget=512, shards=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        packed.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange SinglePartition" not in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
