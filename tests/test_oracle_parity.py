@@ -1,0 +1,75 @@
+"""Oracle parity for the registry entries demoted past the driver's 50-row
+correctness window (queries.py ``_DEMOTED_PAST_WINDOW``).
+
+The driver only records CORRECTNESS rows for the first 50 registry entries,
+so the double-green generic-SQL shapes were demoted to make room for newer
+operators.  This test keeps each demoted query pinned: the Spark result must
+still match its DuckDB oracle (row count, column set, order-insensitive
+values) at sf0.001 every pytest run.  Comparison semantics mirror
+``tools/check_oracle.py::canon`` — floats via shortest round-trip ``repr``
+(ulp-strict), timestamps via epoch-ns.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from syntenybrowserv2_etl_spark import queries as Q
+
+from conftest import SF_SMALL
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = df[cols]
+    rows = []
+    for row in out.itertuples(index=False):
+        vals = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                vals.append("NULL")
+            elif isinstance(v, pd.Timestamp):
+                vals.append(str(v.value))
+            elif isinstance(v, float):
+                vals.append(repr(v))
+            elif hasattr(v, "item"):
+                vals.append(repr(v.item()))
+            else:
+                vals.append(str(v))
+        rows.append(tuple(vals))
+    return sorted(rows)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for name in TABLES:
+        con.sql(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_SMALL}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", Q._DEMOTED_PAST_WINDOW)
+def test_demoted_query_matches_oracle(spark, duck, name):
+    qd = Q.REGISTRY[name]
+    assert qd.oracle is not None, f"{name} demoted without an oracle"
+    sdf = qd.spark_fn(spark, SF_SMALL).toPandas()
+    odf = duck.sql(qd.oracle).df()
+    assert len(sdf) == len(odf), f"row count {len(sdf)} vs {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    a, b = canon(sdf), canon(odf)
+    if a != b:
+        diff = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
+        detail = "; ".join(f"row{i}: {a[i]} vs {b[i]}" for i in diff)
+        pytest.fail(f"values differ: {detail}")

@@ -223,5 +223,9 @@ def test_pack_sequences_single_exchange(spark):
     with contextlib.redirect_stdout(buf):
         packed.explain("formatted")
     p = buf.getvalue()
+    # formatted explain prints the node header "(N) Exchange" with its
+    # "Arguments: hashpartitioning(...)" on a separate detail line — count
+    # node headers, not the single-line "Exchange hashpartitioning" form.
     assert "Exchange SinglePartition" not in p
-    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+    assert "Arguments: hashpartitioning" in p
