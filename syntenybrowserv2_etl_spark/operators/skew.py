@@ -29,8 +29,13 @@ def salted_join(
     key's rows spread across ``salt_buckets`` reducers instead of one.
     Results are IDENTICAL to the plain join for any salt assignment — the
     salt only routes rows — so the unsalted query is the oracle. The salt
-    here is a deterministic spray (row id modulo buckets); any per-row
-    value works.
+    is ``xxhash64`` over the big side's full row, modulo buckets: a
+    genuinely deterministic per-row value, so reruns route and partition
+    identically (the repo's reproducibility posture), unlike
+    ``monotonically_increasing_id`` which depends on partition layout.
+    Caveat: rows identical in EVERY column share a bucket, so a hot key
+    made of literal duplicate rows will not spread — dedup first, or add
+    a distinguishing column, if that is your skew shape.
 
     ``how``: inner or left only. A right/full join is semantically wrong
     under salting — a small-side key with no match would surface once PER
@@ -48,7 +53,7 @@ def salted_join(
         )
     keys = [on] if isinstance(on, str) else list(on)
     b = big.withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
     )
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -62,32 +62,32 @@ def build_database(spark: SparkSession, inputs: PipelineInputs, out_dir: str) ->
         exon = shape.accumulate(exon_parts)
         io.assert_no_duplicates(gene, schemas.GENE_PK, "gene")
         io.assert_no_duplicates(exon, schemas.EXON_PK, "exon")
-        io.write_table(
+        n_gene = io.write_table(
             gene,
             f"{out_dir}/gene",
             partition_by=["gene_taxonid"],
             sort_within_by=["gene_chr", "gene_start_pos"],
         )
-        io.write_table(
+        n_exon = io.write_table(
             exon,
             f"{out_dir}/exon",
             partition_by=["taxonid"],
             sort_within_by=["exon_chr", "exon_start_pos"],
         )
-        return [("gene", gene.count()), ("exon", exon.count())]
+        return [("gene", n_gene), ("exon", n_exon)]
 
     def synteny() -> list[tuple[str, int]]:
         from ..operators import shape
 
         parts = [loaders.load_synteny_blocks(spark, p).df for p in inputs.synteny_tsvs]
         df = io.upsert_dedup(shape.accumulate(parts), schemas.SYNTENIC_BLOCK_PK)
-        io.write_table(
+        n = io.write_table(
             df,
             f"{out_dir}/syntenic_block",
             partition_by=["ref_taxonid"],
             sort_within_by=["ref_chr", "ref_start_pos"],
         )
-        return [("syntenic_block", df.count())]
+        return [("syntenic_block", n)]
 
     def cytobands() -> list[tuple[str, int]]:
         from ..operators import shape
@@ -100,13 +100,13 @@ def build_database(spark: SparkSession, inputs: PipelineInputs, out_dir: str) ->
         if not parts:
             return []
         df = shape.accumulate(parts)
-        io.write_table(
+        n = io.write_table(
             df,
             f"{out_dir}/cytogenetic_band",
             partition_by=["taxon_id"],
             sort_within_by=["chr", "start"],
         )
-        return [("cytogenetic_band", df.count())]
+        return [("cytogenetic_band", n)]
 
     def features() -> list[tuple[str, int]]:
         from ..operators import shape
@@ -119,13 +119,13 @@ def build_database(spark: SparkSession, inputs: PipelineInputs, out_dir: str) ->
         if not parts:
             return []
         df = shape.accumulate(parts)
-        io.write_table(
+        n = io.write_table(
             df,
             f"{out_dir}/feature",
             partition_by=["taxon_id"],
             sort_within_by=["seq_id", "start"],
         )
-        return [("feature", df.count())]
+        return [("feature", n)]
 
     def variants() -> list[tuple[str, int]]:
         from ..operators import shape
@@ -134,13 +134,13 @@ def build_database(spark: SparkSession, inputs: PipelineInputs, out_dir: str) ->
         if not parts:
             return []
         df = shape.accumulate(parts)
-        io.write_table(
+        n = io.write_table(
             df,
             f"{out_dir}/snp_variant",
             partition_by=["taxon_id"],
             sort_within_by=["chr", "pos"],
         )
-        return [("snp_variant", df.count())]
+        return [("snp_variant", n)]
 
     def homologs() -> list[tuple[str, int]]:
         from ..operators import shape
@@ -149,13 +149,13 @@ def build_database(spark: SparkSession, inputs: PipelineInputs, out_dir: str) ->
         if not parts:
             return []
         df = io.upsert_dedup(shape.accumulate(parts), schemas.HOMOLOG_PK)
-        io.write_table(
+        n = io.write_table(
             df,
             f"{out_dir}/homolog",
             partition_by=["ref_taxon_id"],
             sort_within_by=["ref_seq_id", "ref_start"],
         )
-        return [("homolog", df.count())]
+        return [("homolog", n)]
 
     def ontology() -> list[tuple[str, int]]:
         if not inputs.obo_paths:
@@ -163,13 +163,15 @@ def build_database(spark: SparkSession, inputs: PipelineInputs, out_dir: str) ->
         terms, pairs, gmap = loaders.build_ontology(
             spark, inputs.obo_paths, inputs.gaf_loads
         )
-        io.write_table(terms.df, f"{out_dir}/on_terms")
-        io.write_table(pairs.df, f"{out_dir}/on_pairs", sort_within_by=["parent", "child"])
-        io.write_table(gmap.df, f"{out_dir}/gene_ontology_map")
+        n_terms = io.write_table(terms.df, f"{out_dir}/on_terms")
+        n_pairs = io.write_table(
+            pairs.df, f"{out_dir}/on_pairs", sort_within_by=["parent", "child"]
+        )
+        n_gmap = io.write_table(gmap.df, f"{out_dir}/gene_ontology_map")
         return [
-            ("on_terms", terms.df.count()),
-            ("on_pairs", pairs.df.count()),
-            ("gene_ontology_map", gmap.df.count()),
+            ("on_terms", n_terms),
+            ("on_pairs", n_pairs),
+            ("gene_ontology_map", n_gmap),
         ]
 
     tasks = [genes_exons, synteny, cytobands, features, variants, homologs, ontology]
@@ -238,11 +240,10 @@ def main(argv: list[str] | None = None) -> dict[str, int]:
     written: dict[str, int] = {}
 
     def emit(name: str, df, partition_by=None, sort_within_by=None) -> None:
-        io.write_table(
+        written[name] = io.write_table(
             df, f"{out}/{name}", mode=mode,
             partition_by=partition_by, sort_within_by=sort_within_by,
         )
-        written[name] = df.count()
 
     if args.cmd == "genes-exons":
         g, e = loaders.load_genes_exons(spark, args.filepath, args.taxonid)

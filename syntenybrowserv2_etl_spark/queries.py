@@ -1330,13 +1330,46 @@ def q44(spark, sf_dir):
     return spark.sql(_SHARED_SQL_Q44)
 
 
-@register("q40_multimodal_features", None, tags=["multimodal mapInPandas"])
+@register(
+    "q40_multimodal_features",
+    # Exact oracle for the stubbed decode kernel: synthetic_media(96) builds
+    # payload[i][j] = (i*7+j) % 251 with len = 128+i, and the stub's
+    # feature[0] = (sum of bytes at positions j ≡ 0 mod 8) % 997 / 997,
+    # stored float32 (CAST AS REAL mirrors the array<float> quantization;
+    # the double sums stay exact — 24-bit mantissas, < 2^5 total — so AVG
+    # is order-independent and engine-identical).
+    """
+    WITH f0s AS (
+        SELECT t.i,
+               CAST((SUM((t.i * 7 + s.j) % 251) % 997) / 997.0 AS REAL) AS f0
+        FROM range(0, 96) AS t(i)
+        JOIN range(0, 224) AS s(j)
+          ON s.j < 128 + t.i AND s.j % 8 = 0
+        GROUP BY t.i
+    ),
+    feat AS (
+        SELECT i,
+               CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               128 + i AS n_bytes,
+               f0
+        FROM f0s
+    )
+    SELECT kind,
+           CAST(COUNT(*) AS BIGINT)     AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           ROUND(AVG(f0), 4)            AS avg_f0
+    FROM feat
+    GROUP BY kind
+    """,
+    tags=["multimodal mapInPandas"],
+)
 def q40(spark, sf_dir):
     """Multimodal plumbing end-to-end: synthetic binary payloads →
     Arrow-batched mapInPandas feature extraction (stubbed decode kernel,
-    operators/multimodal.py) → per-kind aggregate. Rows-only check
-    (mapInPandas is not SQL-expressible; determinism is pinned by unit
-    tests on the stub kernel)."""
+    operators/multimodal.py) → per-kind aggregate. The stub kernel is
+    deterministic integer arithmetic, so the DuckDB oracle reproduces it
+    exactly (value-checked since round 3; rows-only before)."""
     media = mm_ops.synthetic_media(spark, 96)
     feats = mm_ops.extract_features(media)
     return (

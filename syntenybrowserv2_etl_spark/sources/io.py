@@ -20,7 +20,7 @@ Spark-side equivalents:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -82,7 +82,7 @@ def write_table(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     sort_within_by: list[str] | None = None,
-) -> None:
+) -> int:
     """S9/S10 — write a table as parquet with the index-emulating layout.
 
     ``partition_by`` (typically ["*_taxonid"]) gives partition pruning for
@@ -90,13 +90,22 @@ def write_table(
     orders rows inside each file so parquet row-group min/max statistics
     answer range predicates — the Spark analogue of the reference's
     (taxonid, chr, start) B-tree indexes (src/import_genes_exons.py:58-62).
+
+    Returns the number of rows written, measured by an ``Observation``
+    attached to the write job itself — NOT a second ``df.count()`` action,
+    which would recompute the whole loader DAG (at 100 TB, doubling build
+    cost). In append mode this is exactly the rows added by THIS call,
+    which a read-back count could not distinguish.
     """
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     if sort_within_by:
         df = df.sortWithinPartitions(*sort_within_by)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    return int(obs.get["rows"])
 
 
 def write_bucketed(
