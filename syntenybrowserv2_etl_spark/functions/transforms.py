@@ -14,29 +14,77 @@ from collections.abc import Iterable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+def _estimated_scan_splits(df: DataFrame) -> int:
+    """Estimate how many FilePartitions this DataFrame's scan will plan.
+
+    Mirrors Spark's own ``FilePartition.maxSplitBytes`` packing formula:
+    ``maxSplit = min(maxPartitionBytes, max(openCostInBytes,
+    (Σ size + openCost·n_files) / minPartitionNum))`` and
+    ``n ≈ ceil(totalWeightedBytes / maxSplit)``. File COUNT alone is wrong
+    in both directions — Spark packs many small files into few partitions
+    (maxPartitionBytes/openCostInBytes), and splits one large file into
+    many — so the estimate uses the real file sizes (driver metadata
+    lookups, capped at 1024 stats and extrapolated past that). Gzip files
+    are not splittable: one split each, whatever their size.
+
+    Returns 0 for non-file-backed frames (in-memory ranges, shells).
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0
+    if not files:
+        return 0
+    spark = df.sparkSession
+    jvm = spark._jvm
+    as_bytes = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+    max_pb = as_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    open_cost = as_bytes(spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    min_parts = int(
+        spark.conf.get(
+            "spark.sql.files.minPartitionNum",
+            str(spark.sparkContext.defaultParallelism),
+        )
+    )
+    hconf = spark._jsc.hadoopConfiguration()
+    sample = files[:1024]
+    sizes = []
+    for f in sample:
+        try:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            sizes.append(p.getFileSystem(hconf).getFileStatus(p).getLen())
+        except Exception:
+            sizes.append(0)
+    total = sum(sizes)
+    if len(files) > len(sample):  # extrapolate by mean size
+        total = int(total * len(files) / len(sample))
+    n_gz = sum(1 for f in files if f.endswith(".gz"))
+    splittable = total if n_gz == 0 else int(total * (1 - n_gz / len(files)))
+    weighted = splittable + open_cost * (len(files) - n_gz)
+    max_split = min(max_pb, max(open_cost, weighted // max(min_parts, 1)))
+    return n_gz + -(-weighted // max(max_split, 1))  # ceil-div
+
+
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     """Guarantee scan parallelism before expression-heavy per-row work.
 
     A single-file / single-row-group input plans as ONE task, serializing
     regex/array/hash-heavy projections no matter how many cores exist
     (measured: the 3-shingle explode over 5k docs ran 5× slower through a
-    1-task scan than repartitioned). Decision is PLAN-ONLY: ``inputFiles()``
-    reads the already-cached scan-relation file listing — no job, no
-    ``df.rdd`` conversion (the r1 version probed ``rdd.getNumPartitions()``,
-    materializing an RDD lineage on the driver per call). ≥ target files ⇒
-    the scan has ≥ target splits ⇒ pass through untouched — at production
-    scale inputs arrive as many files and the extra shuffle would be pure
-    waste. Fewer files than cores (local fixtures, single parquet) ⇒
+    1-task scan than repartitioned). Decision is PLAN-ONLY: the scan's
+    file listing (``inputFiles`` — already cached in the scan relation)
+    plus driver-side size metadata feed Spark's own split-packing formula
+    (``_estimated_scan_splits``); no job runs and no ``df.rdd`` lineage is
+    materialized. Estimated splits ≥ target ⇒ pass through untouched (a
+    large splittable file already scans in parallel; repartitioning it
+    would be a pure-waste shuffle). Fewer — including MANY SMALL FILES,
+    which Spark packs into few partitions despite their count — ⇒
     round-robin repartition. Non-file sources (in-memory test frames)
-    report zero files and also repartition — correct for their size.
+    report zero splits and also repartition — correct for their size.
     """
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        n_files = 0
-    if n_files >= target:
+    if _estimated_scan_splits(df) >= target:
         return df
     return df.repartition(target)
 

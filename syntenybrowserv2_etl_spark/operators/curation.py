@@ -63,12 +63,15 @@ def boilerplate_stats(
     sentence granularity since the corpus is single-line text).
 
     Sentences = '.'-separated spans, trimmed, lowercased, length ≥
-    ``min_chars``; per-doc sentence sets are row-local (array_distinct).
-    Cross-doc frequency is an inverted index: explode → groupBy(sentence)
-    countDistinct(doc) → join back — shuffles carry (sentence-hash, id)
-    pairs, never documents, and the frequency side aggregates before the
-    join. Output: (id, n_sentences, n_shared) — a doc with high
-    n_shared/n_sentences is boilerplate-heavy.
+    ``min_chars``; ``array_distinct`` pre-shrinks each row locally, and the
+    per-doc set is then made distinct on the HASHED key — so ``n_sentences``
+    counts post-hash-distinct sentences, collision-identically to any SQL
+    oracle that does ``DISTINCT (id, hash)``. Cross-doc frequency is an
+    inverted index: explode → groupBy(sentence) countDistinct(doc) → join
+    back — shuffles carry (sentence-hash, id) pairs, never documents, and
+    the frequency side aggregates before the join. Output: (id,
+    n_sentences, n_shared) — a doc with high n_shared/n_sentences is
+    boilerplate-heavy.
     """
     staged = df.withColumn(
         "__raw_sents", F.split(F.lower(F.col(text_col)), r"\.")
@@ -84,9 +87,12 @@ def boilerplate_stats(
             )
         ).alias("__sent"),
     )
-    # hash the sentence once: every downstream shuffle key is 8 bytes
+    # hash the sentence once: every downstream shuffle key is 8 bytes.
+    # distinct() AFTER hashing: a within-doc hash collision between two
+    # distinct sentences must count once on both engines.
     keyed = dedup_ops._materialize(
         sents.select(F.col(id_col), hashing.md5_long("__sent").alias("__s"))
+        .distinct()
     )
     freq = keyed.groupBy("__s").agg(
         F.count_distinct(F.col(id_col)).alias("__df")
@@ -126,10 +132,15 @@ def upsample_by_weight(
         *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
     )
     w = F.coalesce(wmap[F.col(strata_col)], F.lit(float(default_weight)))
-    # integer-lattice fractional part: both engines compare exact integers
+    # integer-lattice fractional part: both engines compare exact integers.
+    # ROUND (not FLOOR) before the cast: Spark computes the fraction in
+    # binary doubles while a SQL oracle typically uses DECIMAL, and a
+    # non-binary-exact weight (0.29 → 289999.999…) would floor one lattice
+    # unit apart cross-engine. Rounding makes any weight with ≤6 decimal
+    # digits land identically; finer weights are lattice-rounded.
     extra = (
         _fate(id_col, seed)
-        < F.floor((w - F.floor(w)) * _DENOM).cast("long")
+        < F.round((w - F.floor(w)) * _DENOM).cast("long")
     ).cast("long")
     n = (F.floor(w).cast("long") + extra).alias("__n_copies")
     return (

@@ -2032,7 +2032,7 @@ _Q60_WEIGHTS = {"en": 0.5, "de": 2.25, "fr": 1.75}
       SELECT doc_id, lang,
              CAST(FLOOR(wt) AS BIGINT)
              + CASE WHEN {sampling_ops._fate_sql("doc_id", 11)}
-                         < CAST(FLOOR((wt - FLOOR(wt)) * 1000000) AS BIGINT)
+                         < CAST(ROUND((wt - FLOOR(wt)) * 1000000) AS BIGINT)
                     THEN 1 ELSE 0 END AS n_copies
       FROM w),
     x AS (SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS copy

@@ -25,6 +25,68 @@ class SourceFormatError(ValueError):
     """Raised by precondition checks (V1/V5 hard-abort channels)."""
 
 
+def _list_files(spark: SparkSession, path: str) -> list[str]:
+    """Expand a file/dir/glob path to its data files via the Hadoop FS API.
+
+    Mirrors Spark's own listing rules: directories expand one level, names
+    starting with ``_`` or ``.`` (committer metadata) are skipped. Listing
+    is metadata-only — no data bytes are read — and works on any
+    Hadoop-supported filesystem, so the probe is cluster-correct.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    matches = fs.globStatus(jpath)
+    if matches is None:
+        raise SourceFormatError(f"{path}: no such file")
+    files: list[str] = []
+
+    def keep(p) -> bool:
+        name = p.getName()
+        return not (name.startswith("_") or name.startswith("."))
+
+    for st in matches:
+        if st.isDirectory():
+            files += [
+                sub.getPath().toString()
+                for sub in fs.listStatus(st.getPath())
+                if sub.isFile() and keep(sub.getPath())
+            ]
+        elif st.isFile() and keep(st.getPath()):
+            files.append(st.getPath().toString())
+    return sorted(files)
+
+
+def first_lines(spark: SparkSession, path: str) -> list[tuple[str, str]]:
+    """Each file's FIRST physical line, read per file.
+
+    The old probe derived "first line" from ``min(monotonically_increasing_id)``
+    over a whole-glob scan — which full-scans every file and, for a file
+    wider than one split, relies on an undocumented split-packing order
+    that can surface a mid-file line. Here each file gets its own
+    ``spark.read.text(file).limit(1)``: the limit is pushed into the scan,
+    so only the head of each file is decompressed/read (codec-safe for
+    .gz), and "first" is first by construction. Cost: O(n_files) tiny
+    jobs, submitted concurrently — a header probe, not a data scan.
+
+    Empty files yield ``""`` (they then fail the caller's header check,
+    which is the right V1/V5 outcome).
+    """
+    import concurrent.futures as cf
+
+    files = _list_files(spark, path)
+    if not files:
+        raise SourceFormatError(f"{path}: empty file")
+
+    def head(f: str) -> tuple[str, str]:
+        rows = spark.read.text(f).limit(1).collect()
+        return (f, rows[0]["value"] if rows else "")
+
+    with cf.ThreadPoolExecutor(max_workers=min(8, len(files))) as pool:
+        return list(pool.map(head, files))
+
+
 def read_gff3(spark: SparkSession, path: str, require_version_header: bool = False) -> DataFrame:
     """S2/S3 — GFF3 as a 9-column DataFrame, comments skipped at scan.
 
@@ -38,22 +100,10 @@ def read_gff3(spark: SparkSession, path: str, require_version_header: bool = Fal
     The check reads only the file heads (limit pushdown), not the data.
     """
     if require_version_header:
-        heads = (
-            spark.read.text(path)
-            .withColumn("file", F.input_file_name())
-            .withColumn("rn", F.monotonically_increasing_id())
-        )
-        # First physical line per file: min monotonic id within the file.
-        first_lines = (
-            heads.groupBy("file").agg(F.min("rn").alias("rn"))
-            .join(heads, ["file", "rn"])
-            .select("file", "value")
-            .collect()
-        )
-        for row in first_lines:
-            if not row["value"].startswith("##gff-version 3"):
+        for fname, line in first_lines(spark, path):
+            if not line.startswith("##gff-version 3"):
                 raise SourceFormatError(
-                    f"{row['file']}: missing '##gff-version 3' header (V1 abort, "
+                    f"{fname}: missing '##gff-version 3' header (V1 abort, "
                     "reference src/import_features.py:72-76)"
                 )
     return (
@@ -77,51 +127,37 @@ def read_headered_tsv(
     lowercase header cells, FAIL on missing expected columns (V5), WARN on
     extras (V4, columns kept). The reference's DictReader re-reads the
     header per file; the relational equivalent validates EVERY file's first
-    physical line (one tiny driver-side collect over the heads, same
-    pattern as read_gff3's version check), requires one shared column order
-    across the glob, then lets the CSV reader's ``header`` option drop each
-    file's own first line — by POSITION, never by cell-value match, so a
-    data row that happens to repeat the header cell survives.
+    physical line (per-file limit(1) head probes — see ``first_lines``),
+    requires one shared column order across the glob, then lets the CSV
+    reader's ``header`` option drop each file's own first line — by
+    POSITION, never by cell-value match, so a data row that happens to
+    repeat the header cell survives.
 
     Returns ``(body, warnings)``; warnings may carry an ``extra_columns``
     DataFrame (file, column) for the caller's LoadResult channel (V4).
     """
-    heads = (
-        spark.read.text(path)
-        .withColumn("file", F.input_file_name())
-        .withColumn("rn", F.monotonically_increasing_id())
-    )
-    first_lines = (
-        heads.groupBy("file").agg(F.min("rn").alias("rn"))
-        .join(heads, ["file", "rn"])
-        .select("file", "value")
-        .collect()
-    )
-    if not first_lines:
-        raise SourceFormatError(f"{path}: empty file")
     canonical: list[str] | None = None
     extra_rows: list[tuple[str, str]] = []
-    for row in sorted(first_lines, key=lambda r: r["file"]):
-        raw_header = row["value"]
+    for fname, raw_header in first_lines(spark, path):
         if raw_header.startswith(header_prefix):
             raw_header = raw_header[len(header_prefix):]
         cols = [transforms_norm(c) for c in raw_header.split("\t")]
         missing = [c for c in expected_columns if c not in cols]
         if missing:
             raise SourceFormatError(
-                f"{row['file']}: missing required columns {missing} (V5 fail, "
+                f"{fname}: missing required columns {missing} (V5 fail, "
                 "reference src/import_homologs.py:97-103)"
             )
         if canonical is None:
             canonical = cols
         elif cols != canonical:
             raise SourceFormatError(
-                f"{row['file']}: header {cols} differs from first file's "
+                f"{fname}: header {cols} differs from first file's "
                 f"{canonical}; the positional multi-file read requires one "
                 "shared column order"
             )
         extra_rows += [
-            (row["file"], c) for c in cols if c not in expected_columns
+            (fname, c) for c in cols if c not in expected_columns
         ]
     warnings: dict[str, DataFrame] = {}
     if extra_rows:

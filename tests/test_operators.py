@@ -702,6 +702,30 @@ def test_upsample_by_weight(spark):
     assert 20 <= len(one) <= 80  # ~50 of 100, hash-chosen
 
 
+def test_upsample_non_binary_exact_weight(spark):
+    """ADVICE r2: 0.29 is not binary-exact — 0.29*1e6 = 289999.999... in
+    doubles, so FLOOR would put Spark one lattice unit below a DECIMAL
+    oracle. ROUND-before-cast makes both engines use threshold 290000;
+    pin Spark against the exact-integer lattice computed in Python."""
+    import hashlib
+
+    from syntenybrowserv2_etl_spark.operators.sampling import _DENOM
+
+    def md5_long_py(s: str) -> int:  # python twin of hashing.md5_long
+        return int(hashlib.md5(s.encode()).hexdigest()[:10], 16)
+
+    df = spark.createDataFrame([(i, "x") for i in range(500)], ["id", "s"])
+    got = {
+        r["id"]
+        for r in cur_ops.upsample_by_weight(df, "id", "s", {"x": 0.29}, seed=7)
+        .select("id")
+        .collect()
+    }
+    thr = round(0.29 * _DENOM)  # exact 290000, the DECIMAL-oracle threshold
+    want = {i for i in range(500) if md5_long_py(f"{i}:7") % _DENOM < thr}
+    assert got == want
+
+
 def test_pack_sequences(spark):
     docs = spark.createDataFrame([(i, 100) for i in range(50)], ["id", "n_tok"])
     packed = cur_ops.pack_sequences(docs, "id", "n_tok", budget=300, shards=4)

@@ -222,3 +222,35 @@ def test_winnowing_guarantee_random(spark, a, b, shared):
     # shared substring of length >= k + window - 1 = 11 chars (disjoint
     # alphabets guarantee it survives normalization intact)
     assert out[1] & out[2]
+
+
+def test_fan_out_split_estimate(spark, tmp_path):
+    """fan_out decides from Spark's split-packing formula, not file count:
+    a few tiny files estimate below target (repartition); an input whose
+    size-based estimate reaches target passes through untouched."""
+    from pyspark.sql import functions as F
+    from syntenybrowserv2_etl_spark.functions import transforms
+
+    # two tiny files -> estimated splits ~2 < 8 -> repartition to 8
+    small = str(tmp_path / "small")
+    spark.range(100).repartition(2).write.parquet(small)
+    few = spark.read.parquet(small)
+    assert transforms._estimated_scan_splits(few) < 8
+    assert transforms.fan_out(few, target=8).rdd.getNumPartitions() == 8
+
+    # one ~24 MB splittable file: size-based estimate >= 4 even though
+    # n_files == 1, so no repartition shuffle is inserted
+    big = str(tmp_path / "big")
+    spark.range(3_000_000).select(
+        F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    ).coalesce(1).write.parquet(big)
+    one = spark.read.parquet(big)
+    assert len(one.inputFiles()) == 1
+    assert transforms._estimated_scan_splits(one) >= 4
+    plan = transforms.fan_out(one, target=4)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" not in plan
+
+    # in-memory frames report zero splits and still repartition
+    mem = spark.range(10)
+    assert transforms._estimated_scan_splits(mem) == 0
+    assert transforms.fan_out(mem, target=6).rdd.getNumPartitions() == 6
