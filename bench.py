@@ -37,6 +37,18 @@ HEADLINE = [
     "q31_text_profile",
 ]
 
+# round 3: the curation family joined the bench so the newest operators
+# show regressions too; HEADLINE above is kept intact (its sum is reported
+# separately as headline15_sec for cross-round continuity).
+CURATION = [
+    "q58_contamination",
+    "q59_boilerplate",
+    "q60_corpus_mix",
+    "q61_pack_sequences",
+    "q62_pii_scrub",
+    "q63_salted_join",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,17 +58,19 @@ def main() -> None:
     for name in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         q.t(spark, sf_dir, name).count()
 
-    # Per-query: one untimed warm-up pass, then two timed passes keeping the
-    # min. Single-shot timings on a 32-core local JVM are dominated by
+    # Per-query: one untimed warm-up pass, then three timed passes keeping
+    # the min. Single-shot timings on a 32-core local JVM are dominated by
     # C2-JIT of each query's generated code plus host scheduler noise
     # (~2-7× spread observed, incl. one 13s outlier on a 1s query); min of
-    # two steady-state passes is the number that reflects engine throughput.
+    # three steady-state passes is the number that reflects engine
+    # throughput (n raised 2→3 in round 3 after two queries moved ±17-19%
+    # between rounds with no code change).
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + CURATION:
         fn = q.REGISTRY[name].spark_fn
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         trials = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             trials.append(time.perf_counter() - t0)
@@ -68,6 +82,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "headline15_sec": round(sum(times[n] for n in HEADLINE), 3),
     }
     print(json.dumps(out))
 
