@@ -193,3 +193,68 @@ def pack_sequences(
         .withColumn("seq_pos", F.row_number().over(w))
         .withColumnRenamed("__shard", "shard")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks with overlap — the
+    context-window chunking pass that feeds embedding/retrieval indexing
+    and long-doc pretraining.
+
+    Chunk i covers tokens [i·stride, i·stride + chunk_tokens) of the
+    whitespace-normalized token array, stride = chunk_tokens − overlap;
+    the final chunk is short rather than padded. A doc with ≤ chunk_tokens
+    words (including an empty doc) yields exactly one chunk. Row-local
+    sequence arithmetic + explode — zero shuffle, output rows ≈
+    n_tokens/stride per doc, so the operator streams at scan bandwidth at
+    any corpus size. Output: (id, chunk_idx, start_tok, n_chunk_tokens,
+    chunk_text, chunk_hash).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    staged = (
+        df.withColumn(
+            "__ck_norm",
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+        )
+        .withColumn("__ck_toks", F.split(F.col("__ck_norm"), " "))
+        .withColumn(
+            "__ck_n",
+            F.when(F.length("__ck_norm") == 0, F.lit(0))
+            .otherwise(F.size("__ck_toks"))
+            .cast("long"),
+        )
+    )
+    n = F.col("__ck_n")
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        (F.floor((n - chunk_tokens + stride - 1) / stride) + 1).cast("long")
+    )
+    exploded = staged.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+    )
+    start = (F.col("chunk_idx").cast("long") * stride).alias("start_tok")
+    clen = F.greatest(
+        F.least(F.lit(chunk_tokens), n - F.col("chunk_idx") * stride), F.lit(0)
+    ).cast("long")
+    chunk_text = F.concat_ws(
+        " ",
+        F.slice(
+            F.col("__ck_toks"),
+            (F.col("chunk_idx") * stride + 1).cast("int"),
+            clen.cast("int"),
+        ),
+    )
+    d2 = exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start,
+        clen.alias("n_chunk_tokens"),
+        chunk_text.alias("chunk_text"),
+    )
+    return d2.withColumn("chunk_hash", hashing.md5_long("chunk_text"))

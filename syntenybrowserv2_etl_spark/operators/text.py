@@ -207,3 +207,147 @@ def scrub_pii(
             out_col, F.regexp_replace(F.col(out_col), IPV4_PATTERN, "<IP>")
         )
     )
+
+
+# --- Gopher-style quality rules -------------------------------------------
+
+# Rule thresholds from the published Gopher corpus-filtering heuristics
+# (Rae et al. 2021, "Scaling Language Models", table of MassiveWeb filters) —
+# operator defaults, overridable per call since corpora differ.
+GOPHER_DEFAULTS = dict(
+    min_words=50,
+    max_words=100_000,
+    min_mean_word=3.0,
+    max_mean_word=10.0,
+    max_symbol_ratio=0.1,
+    min_alpha_frac=0.8,
+    min_stop_hits=2,
+)
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word: float = 3.0,
+    max_mean_word: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-rule document quality signals + pass flags, one row per doc.
+
+    Signals: word count, mean word length (exact integer arithmetic over
+    the normalized text: total word chars = len(norm) - (n_words-1)),
+    symbol-to-word ratio ('#'/'…'), alphabetic-word fraction, English
+    stopword hits. ``passes`` = AND of the individual rule flags.
+
+    Entirely row-local (zero shuffle) and pure Column expressions, so the
+    filter runs at scan bandwidth over any corpus size; tokens are staged
+    once per row (HOF-lambda re-eval pitfall — see rolling_fingerprints).
+    """
+    c = F.col(text_col)
+    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    d1 = df.withColumn("__gq_norm", norm).withColumn(
+        "__gq_toks", F.split(F.col("__gq_norm"), " ")
+    )
+    n = F.when(F.length("__gq_norm") == 0, F.lit(0)).otherwise(
+        F.size("__gq_toks")
+    ).cast("long")
+    d2 = d1.withColumn("__gq_n", n)
+    nw = F.col("__gq_n")
+    denom = F.greatest(nw, F.lit(1))
+    mean_word = (
+        (F.length("__gq_norm") - (nw - 1)) / denom
+    ).cast("double")
+    mean_word = F.when(nw == 0, F.lit(0.0)).otherwise(mean_word)
+    symbol_ratio = (
+        F.regexp_count(F.col("__gq_norm"), F.lit("[#…]")) / denom
+    ).cast("double")
+    alpha_frac = (
+        F.size(F.filter(F.col("__gq_toks"), lambda t: t.rlike("[a-zA-Z]")))
+        / denom
+    ).cast("double")
+    stop_hits = F.size(
+        F.filter(F.col("__gq_toks"), lambda t: t.isin(LANG_STOPWORDS["en"]))
+    ).cast("long")
+    out = d2.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        mean_word.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    r_words = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    r_mean = (F.col("mean_word_len") >= min_mean_word) & (
+        F.col("mean_word_len") <= max_mean_word
+    )
+    r_symbol = F.col("symbol_ratio") <= max_symbol_ratio
+    r_alpha = F.col("alpha_frac") >= min_alpha_frac
+    r_stop = F.col("stop_hits") >= min_stop_hits
+    return out.select(
+        "*",
+        r_words.alias("r_words"),
+        r_mean.alias("r_mean_word"),
+        r_symbol.alias("r_symbol"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stopwords"),
+        (r_words & r_mean & r_symbol & r_alpha & r_stop).alias("passes"),
+    )
+
+
+def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Intra-document repetition (the Gopher repetition family): word-bigram
+    counts per document — total, distinct, and the most-frequent bigram's
+    count. A doc whose top bigram covers a large fraction of all bigrams is
+    degenerate boilerplate ("click here click here …").
+
+    Shape: row-local bigram build (staged token array; sequence+element_at,
+    no self-join) → explode → two-level aggregate keyed on (id, 40-bit
+    bigram hash) — shuffles carry 16-byte pairs, never documents, with
+    map-side partial aggregation; the doc side joins back only (id, stats).
+    Docs with < 2 words survive with zeroed stats (left join + coalesce).
+    """
+    staged = (
+        df.withColumn(
+            "__rp_norm",
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+        )
+        .withColumn("__rp_toks", F.split(F.col("__rp_norm"), " "))
+        .withColumn(
+            "__rp_n",
+            F.when(F.length("__rp_norm") == 0, F.lit(0))
+            .otherwise(F.size("__rp_toks"))
+            .cast("long"),
+        )
+    )
+    toks = F.col("__rp_toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), (F.col("__rp_n") - 1).cast("int")),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    pairs = (
+        staged.filter(F.col("__rp_n") >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("__bg"))
+        .select(F.col(id_col), hashing.md5_long("__bg").alias("__h"))
+    )
+    counts = pairs.groupBy(id_col, "__h").agg(F.count(F.lit(1)).alias("__c"))
+    stats = counts.groupBy(id_col).agg(
+        F.sum("__c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.max("__c").alias("top_bigram_count"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_distinct_bigrams", F.lit(0)).alias("n_distinct_bigrams"),
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+        )
+    )

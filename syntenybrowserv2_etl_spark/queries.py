@@ -2197,18 +2197,186 @@ def q63(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# §I Quality filtering, repetition, chunking (round 3 additions —
+#     operators/text.py gopher_quality/repetition_profile,
+#     operators/curation.py chunk_documents)
+# ===========================================================================
+
+
+@register(
+    "q64_gopher_quality",
+    f"""
+    WITH t AS (SELECT lang, {_NORM_TEXT} AS t FROM documents),
+    w AS (SELECT lang, t,
+                 CASE WHEN length(t) = 0 THEN 0
+                      ELSE len(string_split(t, ' ')) END AS n_words,
+                 string_split(t, ' ') AS toks
+          FROM t),
+    m AS (SELECT lang, n_words,
+                 CASE WHEN n_words = 0 THEN 0.0
+                      ELSE (length(t) - (n_words - 1)) * 1.0 / n_words
+                 END AS mean_word,
+                 len(regexp_extract_all(t, '[#…]')) * 1.0
+                     / GREATEST(n_words, 1) AS symbol_ratio,
+                 len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                     * 1.0 / GREATEST(n_words, 1) AS alpha_frac,
+                 len(list_filter(toks, x -> list_contains(
+                     ['the','and','of','to','a','in','is','that','it','for'],
+                     x))) AS stop_hits
+          FROM w)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_words BETWEEN 20 AND 80
+                          AND mean_word >= 3.0 AND mean_word <= 10.0
+                          AND symbol_ratio <= 0.1
+                          AND alpha_frac >= 0.8
+                          AND stop_hits >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stopword_pass,
+           ROUND(AVG(mean_word), 4) AS avg_mean_word
+    FROM m GROUP BY lang
+    """,
+    tags=["gopher quality rules (word/symbol/stopword filters)"],
+)
+def q64(spark, sf_dir):
+    """Gopher-rule quality filtering per language (text.gopher_quality):
+    row-local signals — word count, mean word length, symbol ratio,
+    alphabetic fraction, stopword hits — and the AND-of-rules pass flag.
+    Thresholds tightened to the synthetic corpus (20-80 words) so both
+    pass and fail populations exist."""
+    d = t(spark, sf_dir, "documents")
+    gq = text_ops.gopher_quality(
+        d, "doc_id", "text", min_words=20, max_words=80
+    )
+    return (
+        gq.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("passes").cast("long")).alias("n_pass"),
+            F.sum(F.col("r_stopwords").cast("long")).alias("n_stopword_pass"),
+            F.round(F.avg("mean_word_len"), 4).alias("avg_mean_word"),
+        )
+    )
+
+
+_Q65_BG_H = hashing.md5_long_sql("bigram")
+
+
+@register(
+    "q65_repetition_profile",
+    f"""
+    WITH w AS (SELECT doc_id, lang, string_split({_NORM_TEXT}, ' ') AS toks,
+                      CASE WHEN length({_NORM_TEXT}) = 0 THEN 0
+                           ELSE len(string_split({_NORM_TEXT}, ' ')) END AS n
+               FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, CAST(n AS INTEGER)),
+                                        j -> toks[j] || ' ' || toks[j + 1]))
+                      AS bigram
+           FROM w WHERE n >= 2),
+    bc AS (SELECT doc_id, {_Q65_BG_H} AS h, COUNT(*) AS c
+           FROM bg GROUP BY doc_id, h),
+    p AS (SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS n_distinct,
+                 MAX(c) AS top FROM bc GROUP BY doc_id),
+    d AS (SELECT w.doc_id, w.lang,
+                 COALESCE(n_bigrams, 0) AS n_bigrams,
+                 COALESCE(n_distinct, 0) AS n_distinct,
+                 COALESCE(top, 0) AS top
+          FROM w LEFT JOIN p ON w.doc_id = p.doc_id)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS bigrams_total,
+           CAST(SUM(n_distinct) AS BIGINT) AS distinct_total,
+           CAST(SUM(CASE WHEN n_bigrams > 0 AND top * 5 >= n_bigrams
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+    FROM d GROUP BY lang
+    """,
+    tags=["intra-doc repetition (top-bigram fraction, Gopher family)"],
+)
+def q65(spark, sf_dir):
+    """Intra-document repetition per language (text.repetition_profile):
+    word-bigram totals and the count of docs whose single most frequent
+    bigram covers ≥ 20% of all bigrams (integer compare top·5 ≥ n, no
+    float threshold)."""
+    d = t(spark, sf_dir, "documents")
+    rp = text_ops.repetition_profile(d, "doc_id", "text")
+    return (
+        rp.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("bigrams_total"),
+            F.sum("n_distinct_bigrams").alias("distinct_total"),
+            F.sum(
+                (
+                    (F.col("n_bigrams") > 0)
+                    & (F.col("top_bigram_count") * 5 >= F.col("n_bigrams"))
+                ).cast("long")
+            ).alias("n_repetitive"),
+        )
+    )
+
+
+_Q66_CHUNK_H = hashing.md5_long_sql(
+    "array_to_string(list_slice(toks, st + 1, st + clen), ' ')"
+)
+
+
+@register(
+    "q66_chunk_documents",
+    f"""
+    WITH w AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS toks,
+                      CASE WHEN length({_NORM_TEXT}) = 0 THEN 0
+                           ELSE len(string_split({_NORM_TEXT}, ' ')) END AS n
+               FROM documents),
+    c AS (SELECT doc_id, toks, n,
+                 unnest(range(0, CASE WHEN n <= 32 THEN 1
+                                      ELSE (n - 32 + 23) // 24 + 1 END))
+                     AS idx
+          FROM w),
+    x AS (SELECT doc_id, idx, idx * 24 AS st,
+                 GREATEST(LEAST(32, n - idx * 24), 0) AS clen, toks
+          FROM c),
+    h AS (SELECT doc_id, idx, clen, {_Q66_CHUNK_H} AS ch FROM x)
+    SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(clen) AS BIGINT) AS chunk_tokens_total,
+           CAST(SUM(ch % 1000003) AS BIGINT) AS checksum
+    FROM h GROUP BY doc_id
+    """,
+    tags=["fixed-token-window chunking with overlap"],
+)
+def q66(spark, sf_dir):
+    """Context-window chunking (curation.chunk_documents, 32-token chunks,
+    8-token overlap): per-doc chunk count, token total, and a chunk-hash
+    checksum pinning the exact chunk texts cross-engine."""
+    d = t(spark, sf_dir, "documents")
+    ch = cur_ops.chunk_documents(
+        d, "doc_id", "text", chunk_tokens=32, overlap=8
+    )
+    return ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("chunk_tokens_total"),
+        F.sum(F.pmod(F.col("chunk_hash"), F.lit(1000003))).alias("checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
 # first 50 in insertion order), so newly-added operators must sit inside that
 # window.  These generic-SQL shapes each passed the driver gate identically in
-# both rounds and are re-pinned every run by tests/test_oracle_parity.py, so
-# they are demoted past position 50 to make room.
+# rounds 1 and 2 and are re-pinned every run by tests/test_oracle_parity.py,
+# so they are demoted past position 50 to make room.
 _DEMOTED_PAST_WINDOW = [
+    "q04_topk_per_group",
     "q10_prefix_strip",
     "q11_split_normalize",
     "q18_rollup",
     "q19_pivot",
+    "q20_events_hourly",
+    "q32_lang_confusion",
     "q35_set_ops",
     "q36_frame_windows",
     "q37_distinct_counts",

@@ -767,3 +767,79 @@ def test_scrub_pii(spark):
     assert "<EMAIL>" in rows[1]["scrubbed"] and "<IP>" in rows[1]["scrubbed"]
     assert "bob@" not in rows[1]["scrubbed"]
     assert rows[2]["n_emails"] == 0 and rows[2]["scrubbed"] == "clean text"
+
+
+def test_gopher_quality_signals(spark):
+    from syntenybrowserv2_etl_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in a house that it liked for days"),
+            (2, ""),  # empty -> 0 words, fails everything
+            (3, "### ### ### ###"),  # symbols, no alpha words
+            (4, "one"),  # single word
+        ],
+        ["id", "text"],
+    )
+    rows = {
+        r["id"]: r
+        for r in text_ops.gopher_quality(
+            df, "id", "text", min_words=5, max_words=100
+        ).collect()
+    }
+    assert rows[1]["n_words"] == 14 and rows[1]["passes"]
+    assert rows[1]["stop_hits"] >= 2 and rows[1]["alpha_frac"] == 1.0
+    assert rows[2]["n_words"] == 0 and not rows[2]["passes"]
+    assert rows[3]["alpha_frac"] == 0.0 and not rows[3]["r_alpha"]
+    assert rows[3]["symbol_ratio"] > 0.1 and not rows[3]["r_symbol"]
+    assert rows[4]["n_words"] == 1 and not rows[4]["r_words"]
+
+
+def test_repetition_profile(spark):
+    from syntenybrowserv2_etl_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "click here click here click here"),  # 5 bigrams, top=3
+            (2, "all words differ completely here"),   # 4 bigrams all distinct
+            (3, "solo"),                               # 0 bigrams
+            (4, ""),                                   # 0 bigrams
+        ],
+        ["id", "text"],
+    )
+    m = {
+        r["id"]: (r["n_bigrams"], r["n_distinct_bigrams"], r["top_bigram_count"])
+        for r in text_ops.repetition_profile(df, "id", "text").collect()
+    }
+    assert m[1] == (5, 2, 3)  # 'click here' x3, 'here click' x2
+    assert m[2] == (4, 4, 1)
+    assert m[3] == (0, 0, 0)
+    assert m[4] == (0, 0, 0)
+
+
+def test_chunk_documents(spark):
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")], ["id", "text"])
+    rows = (
+        cur_ops.chunk_documents(df, "id", "text", chunk_tokens=4, overlap=1)
+        .orderBy("id", "chunk_idx")
+        .collect()
+    )
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    # doc 1: stride 3 -> starts 0,3,6 cover [0,4),[3,7),[6,10) -> 3 chunks
+    c1 = by_id[1]
+    assert [(r["start_tok"], r["n_chunk_tokens"]) for r in c1] == [
+        (0, 4), (3, 4), (6, 4),
+    ]
+    assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert c1[1]["chunk_text"] == "w3 w4 w5 w6"
+    assert c1[2]["chunk_text"] == "w6 w7 w8 w9"
+    # short doc: one chunk, whole text; empty doc: one empty chunk
+    assert [(r["n_chunk_tokens"], r["chunk_text"]) for r in by_id[2]] == [(2, "a b")]
+    assert [(r["n_chunk_tokens"], r["chunk_text"]) for r in by_id[3]] == [(0, "")]
+    # overlap guard
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cur_ops.chunk_documents(df, "id", "text", chunk_tokens=4, overlap=4)

@@ -229,3 +229,47 @@ def test_pack_sequences_single_exchange(spark):
     assert "Exchange SinglePartition" not in p
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
     assert "Arguments: hashpartitioning" in p
+
+
+def test_gopher_quality_rowlocal_zero_shuffle(spark):
+    """The quality filter itself is row-local: no Exchange anywhere before
+    the per-doc signal projection (scan-bandwidth at any corpus size)."""
+    from syntenybrowserv2_etl_spark.operators import text as text_ops
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    gq = text_ops.gopher_quality(d, "doc_id", "text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        gq.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_chunk_documents_rowlocal_zero_shuffle(spark):
+    """Chunking is sequence-arithmetic + explode: zero Exchange."""
+    from syntenybrowserv2_etl_spark.operators import curation as cur_ops
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    ch = cur_ops.chunk_documents(d, "doc_id", "text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ch.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_repetition_profile_narrow_shuffle(spark):
+    """Repetition stats shuffle only (id, 8-byte hash) pairs and the final
+    per-id stats — never document text. The doc-side join back is on id
+    only; no bigram string reaches an Exchange."""
+    from syntenybrowserv2_etl_spark.operators import text as text_ops
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    rp = text_ops.repetition_profile(d, "id" if "id" in d.columns else "doc_id", "text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rp.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange SinglePartition" not in p
+    # the exploded bigram string column must be hashed before any exchange:
+    # no Exchange node carries the raw '__bg' string column
+    for m in re.finditer(r"\(\d+\) Exchange\b.*?(?=\(\d+\) |\Z)", p, re.S):
+        assert "__bg" not in m.group(0)
