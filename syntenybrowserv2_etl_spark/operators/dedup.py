@@ -425,3 +425,108 @@ def embedding_near_dupes(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for an explicit candidate-pair list.
+
+    The verification half of the LSH pipeline: candidates come from a
+    recall stage (banded MinHash, SimHash radius, embedding buckets …) and
+    only those pairs pay the exact set comparison. The corpus is first
+    semi-join-reduced to the ids that appear in any pair — the candidate-id
+    set is tiny relative to the corpus (that is the point of LSH), so it
+    broadcasts and the full corpus is scanned once but never shuffled;
+    shingle arrays travel only for candidate docs.
+
+    Output: (id_a, id_b, inter, uni, jaccard). ``inter``/``uni`` are exact
+    integers so callers can threshold with integer math (inter*den >=
+    num*uni) — no float-boundary ambiguity across engines.
+    """
+    base = _materialize(
+        with_shingle_array(df, text_col, "__jv_raw", k).select(
+            F.col(id_col).alias("__jv_id"),
+            F.array_distinct("__jv_raw").alias("__jv_arr"),
+        )
+    )
+    needed = (
+        pairs.select(F.col("id_a").alias("__jv_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("__jv_id")))
+        .distinct()
+    )
+    sub = base.join(F.broadcast(needed), "__jv_id", "left_semi")
+    a = sub.select(
+        F.col("__jv_id").alias("id_a"), F.col("__jv_arr").alias("__arr_a")
+    )
+    b = sub.select(
+        F.col("__jv_id").alias("id_b"), F.col("__jv_arr").alias("__arr_b")
+    )
+    inter = F.size(F.array_intersect("__arr_a", "__arr_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", inter.cast("long"))
+        .withColumn(
+            "uni",
+            (F.size("__arr_a") + F.size("__arr_b") - F.col("inter")).cast("long"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "uni",
+            F.when(F.col("uni") > 0, F.col("inter") / F.col("uni"))
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
+    )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """End-to-end near-dup dedup: MinHash signatures → banded LSH
+    candidates → exact-Jaccard verification → connected components →
+    cluster representative (min id). The full 100 TB dedup path in one
+    call: every stage is bucketed/banded/broadcast — the corpus itself
+    never shuffles, and no stage is all-pairs.
+
+    Pairs with jaccard >= threshold_num/threshold_den (integer compare —
+    exact at the boundary on any engine) become edges; transitively linked
+    docs form one cluster whose representative is the minimum id.
+
+    Output: (id, cluster_rep) for every input row; non-duplicated docs are
+    their own representative.
+    """
+    from .components import connected_components
+
+    sig = minhash_signatures_inline(
+        df, id_col, text_col, k=k, num_hashes=num_hashes
+    )
+    cand = minhash_lsh_candidates(sig, id_col, num_hashes=num_hashes, bands=bands)
+    ver = jaccard_verify_pairs(df, cand, id_col, text_col, k=k)
+    edges = ver.filter(
+        (F.col("uni") > 0)
+        & (F.col("inter") * threshold_den >= threshold_num * F.col("uni"))
+    ).select("id_a", "id_b")
+    comp = connected_components(edges)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("comp", "id").alias("cluster_rep"),
+        )
+    )

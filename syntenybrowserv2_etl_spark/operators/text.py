@@ -351,3 +351,73 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 1,
+) -> DataFrame:
+    """Corpus-derived unigram-LM scoring — the scalable stand-in for the
+    perplexity filter of training-data pipelines (score docs by how typical
+    their vocabulary is for the corpus; prune the tails).
+
+    Two aggregation passes over the exploded token stream:
+      1. vocabulary document frequencies: groupBy(token) with map-side
+         partial aggregation, so the shuffle carries one row per distinct
+         token per task, not one per occurrence;
+      2. per-token log-probability log10(c/N) joined back to the stream,
+         then mean per document (again partial-agg'd: the doc_id shuffle is
+         O(docs), not O(tokens)).
+
+    The vocab side is small after the ``min_df`` prune (Zipf: the mass is
+    in few types), so AQE turns the scoring join into a broadcast and the
+    token stream itself never shuffles for it. Tokens with corpus count
+    < min_df are excluded from scoring (an OOV floor, the usual LM-filter
+    contract); with the default min_df=1 every token scores.
+
+    Output: (id, n_toks, n_scored, mean_logprob) — one row per input doc;
+    empty docs keep n_toks=0 and NULL mean_logprob.
+    """
+    staged = (
+        df.withColumn(
+            "__lm_norm",
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+        )
+        .withColumn("__lm_toks", F.split(F.col("__lm_norm"), " "))
+        .withColumn(
+            "__lm_n",
+            F.when(F.length("__lm_norm") == 0, F.lit(0))
+            .otherwise(F.size("__lm_toks"))
+            .cast("long"),
+        )
+    )
+    tok = staged.filter(F.col("__lm_n") > 0).select(
+        F.col(id_col), F.explode("__lm_toks").alias("__tok")
+    )
+    vocab_full = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab_full.agg(F.sum("__c").alias("__N"))  # one row
+    vocab = (
+        vocab_full.filter(F.col("__c") >= min_df) if min_df > 1 else vocab_full
+    )
+    scored = (
+        tok.join(vocab, "__tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__lp", F.log10(F.col("__c")) - F.log10(F.col("__N")))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.avg("__lp").alias("mean_logprob"),
+        )
+    )
+    return (
+        staged.select(F.col(id_col), F.col("__lm_n").alias("n_toks"))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_toks",
+            F.coalesce("n_scored", F.lit(0)).alias("n_scored"),
+            "mean_logprob",
+        )
+    )

@@ -2362,6 +2362,173 @@ def q66(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# §J Corpus-LM scoring, end-to-end dedup, report card (round 3 additions —
+#     operators/text.py unigram_logprob, operators/dedup.py dedup_corpus)
+# ===========================================================================
+
+
+@register(
+    "q67_unigram_logprob",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents),
+    w AS (SELECT doc_id, t,
+                 CASE WHEN length(t) = 0 THEN 0
+                      ELSE len(string_split(t, ' ')) END AS n,
+                 string_split(t, ' ') AS toks
+          FROM t),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM w WHERE n > 0),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS N FROM vocab),
+    scored AS (SELECT doc_id, COUNT(*) AS n_scored,
+                      AVG(log10(CAST(c AS DOUBLE)) - log10(CAST(N AS DOUBLE)))
+                          AS lp
+               FROM tok JOIN vocab USING (tok) CROSS JOIN tot
+               GROUP BY doc_id)
+    SELECT w.doc_id,
+           CAST(w.n AS BIGINT) AS n_toks,
+           CAST(COALESCE(s.n_scored, 0) AS BIGINT) AS n_scored,
+           ROUND(s.lp, 4) AS mean_logprob
+    FROM w LEFT JOIN scored s USING (doc_id)
+    """,
+    tags=["corpus unigram-LM scoring (perplexity-filter stand-in)"],
+)
+def q67(spark, sf_dir):
+    """Unigram log-probability per document (text.unigram_logprob): corpus
+    vocabulary counts → per-token log10 p(tok) → per-doc mean. The
+    perplexity-style quality filter of LLM data pipelines; vocab side
+    broadcasts after the Zipf collapse so the token stream never shuffles
+    for the scoring join. Rounded to 4 decimals on both engines (AVG
+    summation order)."""
+    d = t(spark, sf_dir, "documents")
+    out = text_ops.unigram_logprob(d, "doc_id", "text")
+    return out.withColumn("mean_logprob", F.round("mean_logprob", 4))
+
+
+def _dedup_pipeline_sql(
+    num_hashes: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> str:
+    """DuckDB twin of dedup_corpus: LSH candidates (same banding constants
+    as _lsh_sql) → exact-Jaccard verify with integer threshold compare →
+    connected components via recursive reachability (min reachable id)."""
+    rows = num_hashes // bands
+    base = hashing.md5_long_sql("shingle")
+    mh_cols = ",\n           ".join(
+        f"MIN({hashing.minhash_value_sql('base', a, b)}) AS mh_{i}"
+        for i, (a, b) in enumerate(hashing._perm_params(num_hashes, seed))
+    )
+    band_rows = []
+    for b in range(bands):
+        slots = " || '_' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, {hashing.md5_long_sql(f'({slots})')} AS key FROM sig"
+        )
+    banded = "\n      UNION ALL ".join(band_rows)
+    return f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    hashed AS (SELECT doc_id, {base} AS base FROM sh),
+    sig AS (SELECT doc_id,
+           {mh_cols}
+    FROM hashed GROUP BY doc_id),
+    banded AS ({banded}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.id_a
+              JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+              GROUP BY c.id_a, c.id_b),
+    edges AS (SELECT i.id_a, i.id_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.id_a
+              JOIN sizes sb ON sb.doc_id = i.id_b
+              WHERE i.inter * {t_den} >=
+                    {t_num} * (sa.set_size + sb.set_size - i.inter)),
+    und AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach AS (SELECT a AS id, a AS r FROM und
+              UNION
+              SELECT reach.id, und.b FROM reach JOIN und ON und.a = reach.r),
+    comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+    SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_rep
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """
+
+
+@register(
+    "q68_dedup_pipeline",
+    _dedup_pipeline_sql(),
+    tags=["end-to-end near-dup dedup (LSH -> verify -> components)"],
+)
+def q68(spark, sf_dir):
+    """The complete near-dup dedup path in one call (dedup.dedup_corpus):
+    MinHash signatures (8 hashes) → banded LSH candidates (4 bands) →
+    exact-Jaccard verification at ≥ 1/2 (integer compare, no float
+    boundary) → connected components → min-id representative per cluster.
+    Every stage bucketed/banded/broadcast — the corpus never shuffles and
+    no stage is all-pairs; the oracle rebuilds the identical pipeline in
+    SQL with recursive-CTE reachability for the components."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_ops.dedup_corpus(
+        d, "doc_id", "text", k=3, num_hashes=8, bands=4,
+        threshold_num=1, threshold_den=2,
+    )
+
+
+@register(
+    "q69_corpus_report",
+    f"""
+    WITH h AS (SELECT doc_id, source, lang, n_chars,
+                      CAST({_TOKCNT} AS BIGINT) AS nt,
+                      {hashing.md5_long_sql(_NORM_TEXT)} AS k
+               FROM documents),
+    d AS (SELECT *, COUNT(*) OVER (PARTITION BY k) > 1 AS is_dup FROM h)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM d GROUP BY source
+    """,
+    tags=["per-source corpus report card (composition)"],
+)
+def q69(spark, sf_dir):
+    """Per-source corpus report card: doc/token totals, exact-dup membership
+    rate (normalized-text hash shared with ≥1 other doc), language spread,
+    mean length. The at-a-glance curation summary a pipeline emits per
+    ingest source; all-integer metrics except the rounded mean."""
+    d = t(spark, sf_dir, "documents")
+    per = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        text_ops.token_count("text").alias("__nt"),
+        hashing.md5_long(dedup_ops.normalize_text("text")).alias("__k"),
+    )
+    w = Window.partitionBy("__k")
+    flagged = per.withColumn(
+        "__dup", (F.count(F.lit(1)).over(w) > 1).cast("long")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("tokens_total"),
+        F.sum("__dup").alias("n_dup_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -2370,6 +2537,13 @@ def q66(spark, sf_dir):
 # rounds 1 and 2 and are re-pinned every run by tests/test_oracle_parity.py,
 # so they are demoted past position 50 to make room.
 _DEMOTED_PAST_WINDOW = [
+    # round 3: three more twice-green shapes demoted to make room for
+    # q67-q69. q01/q02 are generic TPC-H join/agg shapes (the join surface
+    # stays driver-proven by q03 star and the q57 real-loader chain, both
+    # in-window); q24 is strictly a sub-stage of in-window q25.
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q24_minhash_signatures",
     "q04_topk_per_group",
     "q10_prefix_strip",
     "q11_split_normalize",

@@ -843,3 +843,71 @@ def test_chunk_documents(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         cur_ops.chunk_documents(df, "id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    from syntenybrowserv2_etl_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")], ["id", "text"]
+    )
+    # corpus: a:2 b:2 c:1, N=5
+    rows = {r["id"]: r for r in text_ops.unigram_logprob(df, "id", "text").collect()}
+    lp = lambda c: math.log10(c) - math.log10(5)  # noqa: E731
+    assert rows[1]["n_toks"] == 3 and rows[1]["n_scored"] == 3
+    assert rows[1]["mean_logprob"] == pytest.approx((2 * lp(2) + lp(2)) / 3)
+    assert rows[2]["mean_logprob"] == pytest.approx((lp(2) + lp(1)) / 2)
+    assert rows[3]["n_toks"] == 0 and rows[3]["n_scored"] == 0
+    assert rows[3]["mean_logprob"] is None
+    # min_df prunes rare tokens from scoring (OOV floor) but not from N
+    pruned = {
+        r["id"]: r
+        for r in text_ops.unigram_logprob(df, "id", "text", min_df=2).collect()
+    }
+    assert pruned[2]["n_scored"] == 1
+    assert pruned[2]["mean_logprob"] == pytest.approx(lp(2))
+
+
+def test_jaccard_verify_pairs(spark):
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),  # shingles {abc, bcd}
+            (2, "a b c e"),  # shingles {abc, bce}
+            (3, "x y z w"),  # shingles {xyz, yzw}
+        ],
+        ["id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["uni"], r["jaccard"])
+        for r in dd.jaccard_verify_pairs(docs, pairs, "id", "text", k=3).collect()
+    }
+    assert got[(1, 2)] == (1, 3, pytest.approx(1 / 3))
+    assert got[(1, 3)] == (0, 4, 0.0)
+
+
+def test_dedup_corpus_end_to_end(spark):
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("dog", "cat")  # 1 of 13 words differs
+    docs = spark.createDataFrame(
+        [
+            (10, base),
+            (11, base),            # exact dup of 10
+            (12, near),            # near dup (jaccard 8/14 over 3-shingles)
+            (13, "completely unrelated content with distinct vocabulary"),
+        ],
+        ["id", "text"],
+    )
+    reps = {
+        r["id"]: r["cluster_rep"]
+        for r in dd.dedup_corpus(docs, "id", "text").collect()
+    }
+    assert reps[10] == 10 and reps[11] == 10
+    assert reps[12] == 10  # pulled in through the verified near-dup edge
+    assert reps[13] == 13

@@ -273,3 +273,45 @@ def test_repetition_profile_narrow_shuffle(spark):
     # no Exchange node carries the raw '__bg' string column
     for m in re.finditer(r"\(\d+\) Exchange\b.*?(?=\(\d+\) |\Z)", p, re.S):
         assert "__bg" not in m.group(0)
+
+
+def test_jaccard_verify_semi_broadcast(spark):
+    """Verification stage of the dedup pipeline: the corpus is reduced by a
+    BROADCAST left-semi join on the candidate-id set before any pair join —
+    the full corpus never shuffles for verification."""
+    from pyspark.sql import functions as F
+
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = d.limit(6).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    out = dd.jaccard_verify_pairs(d, pairs, "doc_id", "text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", p), p
+    # the shingle arrays never appear in any Exchange: only candidate-id
+    # routing shuffles, array columns ride broadcast/local edges
+    for m in re.finditer(r"\(\d+\) Exchange\b.*?(?=\(\d+\) |\Z)", p, re.S):
+        assert "__jv_arr" not in m.group(0), m.group(0)
+
+
+def test_unigram_logprob_no_single_partition_bottleneck(spark):
+    """LM scoring: the only SinglePartition exchange is the one-row corpus
+    total; no document/token stream ever funnels into one partition (the
+    token aggregates keep map-side partial aggregation)."""
+    from syntenybrowserv2_etl_spark.operators import text as text_ops
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = text_ops.unigram_logprob(d, "doc_id", "text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    # partial aggregation present on both token-keyed aggregates
+    assert len(re.findall(r"HashAggregate", p)) >= 4
+    # single-partition exchanges: exactly the scalar corpus-total reduction
+    assert len(re.findall(r"Exchange SinglePartition", p)) <= 1

@@ -186,6 +186,21 @@ def main():
                 cur.pack_sequences(sized, "doc_id", "n_tok", budget=512, shards=32)
             )
         )
+
+        # round 3: corpus-LM scoring, chunking, repetition stats, and the
+        # full LSH->verify->components dedup pipeline end-to-end
+        r["unigram_logprob"] = timed(
+            lambda: noop(txt.unigram_logprob(docs, "doc_id", "text"))
+        )
+        r["chunk_documents"] = timed(
+            lambda: noop(cur.chunk_documents(docs, "doc_id", "text", 128, 16))
+        )
+        r["repetition_profile"] = timed(
+            lambda: noop(txt.repetition_profile(docs, "doc_id", "text"))
+        )
+        r["dedup_corpus_e2e"] = timed(
+            lambda: noop(dd.dedup_corpus(docs, "doc_id", "text"))
+        )
         results.append(r)
         print(json.dumps(r), flush=True)
 
