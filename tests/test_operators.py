@@ -911,3 +911,26 @@ def test_dedup_corpus_end_to_end(spark):
     assert reps[10] == 10 and reps[11] == 10
     assert reps[12] == 10  # pulled in through the verified near-dup edge
     assert reps[13] == 13
+
+
+def test_lsh_star_links_same_components(spark):
+    """Star links within LSH buckets yield the same candidate *components*
+    as all-pairs links (the CC input is what matters for dedup); the star
+    edge list is the linear-size spanning structure."""
+    from syntenybrowserv2_etl_spark.operators import components as comps
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = dd.minhash_signatures_inline(d, "doc_id", "text", k=3, num_hashes=8)
+    full = dd.minhash_lsh_candidates(sig, "doc_id", 8, 4, link="all")
+    star = dd.minhash_lsh_candidates(sig, "doc_id", 8, 4, link="star")
+    assert star.count() <= full.count()
+    comp_full = {
+        (r["id"], r["comp"])
+        for r in comps.connected_components(full).collect()
+    }
+    comp_star = {
+        (r["id"], r["comp"])
+        for r in comps.connected_components(star).collect()
+    }
+    assert comp_full == comp_star

@@ -201,6 +201,9 @@ def main():
         r["dedup_corpus_e2e"] = timed(
             lambda: noop(dd.dedup_corpus(docs, "doc_id", "text"))
         )
+        r["dedup_corpus_e2e_star"] = timed(
+            lambda: noop(dd.dedup_corpus(docs, "doc_id", "text", link="star"))
+        )
         results.append(r)
         print(json.dumps(r), flush=True)
 
