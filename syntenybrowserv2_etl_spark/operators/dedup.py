@@ -396,20 +396,25 @@ def embedding_near_dupes(
     from .similarity import cosine_expr  # local import to avoid cycle
 
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+
+    def plane_sign(p: int):
+        # Closure factory, NOT `lambda i, p=p`: pyspark dispatches on lambda
+        # ARITY, so a two-parameter lambda (even with a default) is compiled
+        # as the binary (element, index) form — the "seed" parameter would be
+        # silently rebound to the array index at runtime, collapsing every
+        # plane to the same sign pattern (caught by the q29 value oracle).
+        def f(i):
+            return (
+                hashing.md5_long(F.concat_ws(":", F.lit(seed), F.lit(p), i)) % 2
+            ) * 2 - 1
+
+        return f
+
     sig_bits = []
     for p in range(bucket_planes):
         # deterministic pseudo-random ±1 per (plane, dim): parity of md5
         signed = F.zip_with(
-            F.col(vec_col),
-            F.transform(
-                dim_idx,
-                lambda i, p=p: (
-                    hashing.md5_long(F.concat_ws(":", F.lit(seed), F.lit(p), i)) % 2
-                )
-                * 2
-                - 1,
-            ),
-            lambda v, s: v * s,
+            F.col(vec_col), F.transform(dim_idx, plane_sign(p)), lambda v, s: v * s
         )
         dot = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
         sig_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))

@@ -58,17 +58,23 @@ def register(name: str, oracle: str | None, tags: list[str]):
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a testdata table.
 
-    The events table carries TIMESTAMP(NANOS) — a parquet type Spark's
-    vectorized reader rejects. ``nanosAsLong`` reads it as epoch-nanos
-    int64 which we convert with exact integer math (``div``, not double
-    division — epoch-nanos exceed double's 53-bit mantissa). Source data is
-    µs-grained so the ns→µs truncation is lossless and DuckDB-comparable.
+    The events table's ``ts`` column has shipped as TIMESTAMP(NANOS) (a
+    parquet type Spark's vectorized reader rejects; ``nanosAsLong`` reads
+    it as epoch-nanos int64, converted with exact integer math — ``div``,
+    not double division, since epoch-nanos exceed double's 53-bit mantissa)
+    and as plain µs TIMESTAMP (read as TIMESTAMP_NTZ). Both are normalized
+    to TIMESTAMP_LTZ so downstream epoch extraction (``unix_micros``) and
+    interval arithmetic see one type; the session timezone is pinned UTC,
+    so the NTZ→LTZ cast preserves the underlying micros exactly.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -947,16 +953,57 @@ def q28(spark, sf_dir):
     )
 
 
-@register("q29_embedding_neardup_lsh", None, tags=["dedup-embedding-lsh"])
+def _hyperplane_bits_sql(seed: int, planes: int) -> str:
+    """DuckDB twin of embedding_near_dupes' bucket bits: per plane p, the
+    ±1 sign for dimension i is the md5 parity of "seed:p:i"; the bit is
+    sign(Σ v_i·s_i). Products are exact (±v), and both engines left-fold
+    the sum in array order (Spark ``aggregate``, DuckDB ``list_reduce``),
+    so the dot — hence the bit at the >= 0 boundary — is IEEE-identical."""
+    def dot(p: int) -> str:
+        return (
+            "list_reduce(list_transform(embedding, (x, i) -> "
+            "CAST(x AS DOUBLE) * "
+            "(CAST(CAST('0x' || substr(md5(concat_ws(':', "
+            f"{seed}, {p}, i - 1)), 1, 10) AS BIGINT) % 2 AS DOUBLE) * 2 - 1)"
+            "), (a, b) -> a + b)"
+        )
+
+    return ", ".join(
+        f"CASE WHEN {dot(p)} >= 0 THEN '1' ELSE '0' END" for p in range(planes)
+    )
+
+
+_Q29_COS = (
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+@register(
+    "q29_embedding_neardup_lsh",
+    f"""
+    WITH bk AS (
+      SELECT vec_id, embedding, concat({_hyperplane_bits_sql(7, 6)}) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_Q29_COS}, 4) AS cosine
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_Q29_COS} >= 0.3
+    """,
+    tags=["dedup-embedding-lsh"],
+)
 def q29(spark, sf_dir):
     """LSH-bucketed near-dup pairs (random-hyperplane signs) — the 100 TB
-    path: same-bucket pairs only. Rows-only check (bucketing is
-    Spark-native; its exact-cosine verifier q28 is the oracle-checked twin).
-    """
+    path: same-bucket pairs only. Value-checked since round 4: the bucket
+    bits are md5-parity signs over fixed-order array folds (exact ±v
+    products, deterministic double summation), so DuckDB reproduces the
+    bucketing bit-for-bit and the rounded cosine to the last ulp."""
     emb = t(spark, sf_dir, "embeddings")
     return dedup_ops.embedding_near_dupes(
         emb, "vec_id", "embedding", threshold=0.3, bucket_planes=6
-    )
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 @register("q30_knn_ivf", None, tags=["similarity-ivf"])

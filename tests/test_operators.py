@@ -239,6 +239,53 @@ def test_embedding_near_dupes(spark):
     assert (1, 2) in out and (1, 3) not in out
 
 
+def test_embedding_lsh_planes_are_distinct(spark):
+    """Regression: the per-plane hyperplane signs must actually vary by plane.
+
+    A two-parameter lambda (``lambda i, p=p``) inside F.transform is
+    dispatched by pyspark as the binary (element, index) form — the plane
+    number gets rebound to the array index at runtime, every plane computes
+    the same sign pattern, and the bucket string degenerates to one repeated
+    bit (2 effective buckets instead of up to 2^planes). On spread-out
+    vectors the candidate set then explodes; pin that 6 planes carve
+    strictly finer buckets than 1 plane, via the operator's own hash family.
+    """
+    import math
+
+    from syntenybrowserv2_etl_spark.functions import hashing as H
+
+    rows = [
+        (i, [math.cos(a), math.sin(a), math.cos(3 * a), math.sin(5 * a)])
+        for i, a in enumerate(x / 7.0 for x in range(60))
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    dim_idx = F.sequence(F.lit(0), F.size("embedding") - 1)
+
+    def plane_sign(p):
+        return lambda i: (
+            H.md5_long(F.concat_ws(":", F.lit(7), F.lit(p), i)) % 2
+        ) * 2 - 1
+
+    # the sign patterns themselves must differ across planes
+    pats = emb.limit(1).select(
+        *[F.transform(dim_idx, plane_sign(p)).alias(f"s{p}") for p in range(4)]
+    ).collect()[0]
+    assert len({tuple(pats[f"s{p}"]) for p in range(4)}) > 1
+
+    def n_buckets(n_planes):
+        sig = []
+        for p in range(n_planes):
+            signed = F.zip_with(
+                F.col("embedding"), F.transform(dim_idx, plane_sign(p)),
+                lambda v, s: v * s,
+            )
+            dot = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+            sig.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("string"))
+        return emb.select(F.concat_ws("", *sig).alias("b")).distinct().count()
+
+    assert n_buckets(6) > n_buckets(1) >= 2
+
+
 # --- similarity ------------------------------------------------------------
 
 
