@@ -1665,12 +1665,101 @@ def q53(spark, sf_dir):
     )
 
 
-@register("q54_kmeans_clusters", None, tags=["spherical k-means (iterative, IVF training)"])
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB twin of similarity.cosine_expr, float-for-float: products are
+    computed in FLOAT (REAL*REAL stays REAL in DuckDB, float*float stays
+    float in Spark — bitwise the same IEEE multiply), each product is cast
+    to double, and the sum left-folds in array order. Verified bit-identical
+    cross-engine, so even argmax/threshold boundaries are safe."""
+    dot = (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] * p[2] AS DOUBLE)), (s, v) -> s + v)"
+    )
+
+    def nrm(x: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_transform({x}, "
+            "x -> CAST(x * x AS DOUBLE)), (s, v) -> s + v))"
+        )
+
+    return f"({dot} / ({nrm(a)} * {nrm(b)}))"
+
+
+def _kmeans_profile_sql(k: int, iters: int) -> str:
+    """DuckDB reproduction of kmeans_centroids + cluster_profile, round by
+    round: hash-minimal init (pick_centroids), ``iters`` Lloyd rounds of
+    argmax-cosine assignment (ties to the smaller centroid id, matching the
+    operator's struct-max) and L2-normalized per-dimension means cast to
+    float. The only order-dependent arithmetic is the per-(centroid,dim)
+    AVG; its last-ulp spread is absorbed by the REAL cast of the normalized
+    mean, and any residual would still have to flip a 4-decimal rounding or
+    an argmax boundary to surface."""
+    nrm_mean = (
+        "sqrt(list_reduce(list_transform(mean, "
+        "x -> CAST(x * x AS DOUBLE)), (s, v) -> s + v))"
+    )
+    md5_id = hashing.md5_long_sql("vec_id")
+    ctes = [
+        "dims AS (SELECT unnest(generate_series(1, "
+        "(SELECT min(len(embedding)) FROM embeddings))) AS i)",
+        f"""c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS centroid_id,
+             embedding AS centroid
+      FROM (SELECT vec_id, embedding, {md5_id} AS h
+            FROM embeddings ORDER BY h, vec_id LIMIT {k}))""",
+    ]
+    prev = "c0"
+    for r in range(1, iters + 1):
+        cos = _cos_sql("e.embedding", "c.centroid")
+        ctes.append(
+            f"""a{r} AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos} DESC, c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""u{r} AS (
+      SELECT centroid_id, d.i, AVG(CAST(embedding[d.i] AS DOUBLE)) AS m
+      FROM a{r}, dims d GROUP BY centroid_id, d.i)"""
+        )
+        ctes.append(
+            f"""c{r} AS (
+      SELECT centroid_id,
+             list_transform(mean, x -> CAST(x / {nrm_mean} AS REAL)) AS centroid
+      FROM (SELECT centroid_id, list(m ORDER BY i) AS mean
+            FROM u{r} GROUP BY centroid_id))"""
+        )
+        prev = f"c{r}"
+    cos_f = _cos_sql("e.embedding", "c.centroid")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    af AS (
+      SELECT vec_id, centroid_id, cosv FROM (
+        SELECT e.vec_id, c.centroid_id, {cos_f} AS cosv,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_f} DESC, c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)
+    SELECT centroid_id, COUNT(*) AS n_vectors,
+           ROUND(AVG(cosv), 4) AS mean_cosine
+    FROM af GROUP BY centroid_id"""
+    )
+
+
+@register(
+    "q54_kmeans_clusters",
+    _kmeans_profile_sql(8, 3),
+    tags=["spherical k-means (iterative, IVF training)"],
+)
 def q54(spark, sf_dir):
     """Distributed spherical k-means (3 Lloyd rounds, broadcast argmax
     assignment + one groupBy per round) training the IVF centroids, then
-    the per-cluster profile. Iterative — not SQL-expressible; rows-only
-    driver check, monotonicity pinned by unit tests.
+    the per-cluster profile. RNG-free end-to-end (hash-minimal init, tie
+    rules everywhere), so the full iteration is value-checked against a
+    round-unrolled DuckDB oracle since round 4 (rows-only before).
     operators/similarity.kmeans_centroids."""
     emb = t(spark, sf_dir, "embeddings")
     cents = sim_ops.kmeans_centroids(emb, k=8, iters=3)
