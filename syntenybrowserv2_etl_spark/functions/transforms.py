@@ -14,6 +14,16 @@ from collections.abc import Iterable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# (file-list digest, conf triple) -> estimated splits. The size stats behind
+# an estimate are driver-side FS RPCs (getFileStatus ×min(n_files, 1024)) —
+# noticeable per-call planning latency on object stores, and repeated
+# fan_out calls over the same scan would repay it every time. Sizes of
+# immutable ingest files don't change under us, so memoize per (files,
+# conf) key; bounded to keep a long-lived session from growing it forever.
+_SPLITS_CACHE: dict[tuple, int] = {}
+_SPLITS_CACHE_MAX = 1024
+
+
 def _estimated_scan_splits(df: DataFrame) -> int:
     """Estimate how many FilePartitions this DataFrame's scan will plan.
 
@@ -46,6 +56,18 @@ def _estimated_scan_splits(df: DataFrame) -> int:
             str(spark.sparkContext.defaultParallelism),
         )
     )
+    import hashlib
+
+    key = (
+        hashlib.md5("\n".join(files).encode()).hexdigest(),
+        len(files),
+        max_pb,
+        open_cost,
+        min_parts,
+    )
+    cached = _SPLITS_CACHE.get(key)
+    if cached is not None:
+        return cached
     hconf = spark._jsc.hadoopConfiguration()
     sample = files[:1024]
     sizes = []
@@ -62,7 +84,11 @@ def _estimated_scan_splits(df: DataFrame) -> int:
     splittable = total if n_gz == 0 else int(total * (1 - n_gz / len(files)))
     weighted = splittable + open_cost * (len(files) - n_gz)
     max_split = min(max_pb, max(open_cost, weighted // max(min_parts, 1)))
-    return n_gz + -(-weighted // max(max_split, 1))  # ceil-div
+    est = n_gz + -(-weighted // max(max_split, 1))  # ceil-div
+    if len(_SPLITS_CACHE) >= _SPLITS_CACHE_MAX:
+        _SPLITS_CACHE.clear()
+    _SPLITS_CACHE[key] = est
+    return est
 
 
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:

@@ -465,16 +465,24 @@ def jaccard_verify_pairs(
     id_col: str,
     text_col: str,
     k: int = 3,
+    broadcast_candidates: bool | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for an explicit candidate-pair list.
 
     The verification half of the LSH pipeline: candidates come from a
     recall stage (banded MinHash, SimHash radius, embedding buckets …) and
     only those pairs pay the exact set comparison. The corpus is first
-    semi-join-reduced to the ids that appear in any pair — the candidate-id
-    set is tiny relative to the corpus (that is the point of LSH), so it
-    broadcasts and the full corpus is scanned once but never shuffled;
-    shingle arrays travel only for candidate docs.
+    semi-join-reduced to the ids that appear in any pair; when that id set
+    is small (the point of LSH) the semi-join broadcasts and the corpus is
+    scanned once but never shuffled.
+
+    ``broadcast_candidates``: ``None`` (default) leaves the strategy to
+    Catalyst/AQE — on a high-duplication corpus with ``link="all"`` the
+    candidate-id set can approach corpus size, and a forced broadcast
+    there risks driver/executor OOM, so AQE's stats-based choice (broadcast
+    when small, shuffled semi-join when not) is the scale-safe default.
+    ``True`` forces the broadcast hint for callers that KNOW the pair list
+    is bounded (e.g. a star-linked candidate set capped upstream).
 
     Output: (id_a, id_b, inter, uni, jaccard). ``inter``/``uni`` are exact
     integers so callers can threshold with integer math (inter*den >=
@@ -491,7 +499,9 @@ def jaccard_verify_pairs(
         .unionByName(pairs.select(F.col("id_b").alias("__jv_id")))
         .distinct()
     )
-    sub = base.join(F.broadcast(needed), "__jv_id", "left_semi")
+    if broadcast_candidates:
+        needed = F.broadcast(needed)
+    sub = base.join(needed, "__jv_id", "left_semi")
     a = sub.select(
         F.col("__jv_id").alias("id_a"), F.col("__jv_arr").alias("__arr_a")
     )

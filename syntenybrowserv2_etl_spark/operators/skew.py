@@ -10,7 +10,7 @@ data-dependent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -20,6 +20,7 @@ def salted_join(
     on: str | list[str],
     salt_buckets: int = 8,
     how: str = "inner",
+    tiebreaker: str | Column | None = None,
 ) -> DataFrame:
     """Equi-join where the BIG side's key distribution is heavily skewed.
 
@@ -34,8 +35,15 @@ def salted_join(
     identically (the repo's reproducibility posture), unlike
     ``monotonically_increasing_id`` which depends on partition layout.
     Caveat: rows identical in EVERY column share a bucket, so a hot key
-    made of literal duplicate rows will not spread — dedup first, or add
-    a distinguishing column, if that is your skew shape.
+    made of literal duplicate rows will not spread on its own — that skew
+    shape is common in raw corpora. Pass ``tiebreaker`` to fold a
+    distinguishing expression into the salt hash: an upstream unique id
+    if one exists outside the joined columns' values, or an explicitly
+    layout-dependent one (``F.spark_partition_id()``,
+    ``F.monotonically_increasing_id()``) when rows are true byte-clones —
+    result rows are identical for ANY salt assignment (the salt only
+    routes), so layout-dependence costs reproducibility of the physical
+    routing only, never of the output.
 
     ``how``: inner or left only. A right/full join is semantically wrong
     under salting — a small-side key with no match would surface once PER
@@ -52,8 +60,13 @@ def salted_join(
             "unmatched rows would appear once per salt bucket"
         )
     keys = [on] if isinstance(on, str) else list(on)
+    hash_inputs = [F.col(c) for c in big.columns]
+    if tiebreaker is not None:
+        hash_inputs.append(
+            F.col(tiebreaker) if isinstance(tiebreaker, str) else tiebreaker
+        )
     b = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+        "__salt", F.pmod(F.xxhash64(*hash_inputs), F.lit(salt_buckets))
     )
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -171,6 +171,64 @@ def test_headered_tsv_per_file_contract(spark, tmp_path):
         text_sources.read_headered_tsv(spark, str(d), ["a", "b"])
 
 
+def test_first_lines_batched_many_file_glob(spark, tmp_path):
+    """A glob wider than _BATCH_PROBE_THRESHOLD probes all heads in ONE
+    distributed job (O(1) jobs at a 100k-file lake, not O(files)); the
+    batched path must agree with per-file semantics: gzip heads, empty
+    files → \"\", CRLF stripped, no-trailing-newline single lines."""
+    import gzip
+
+    d = tmp_path / "many"
+    d.mkdir()
+    n = text_sources._BATCH_PROBE_THRESHOLD + 24
+    expect = {}
+    for i in range(n):
+        f = d / f"part_{i:03d}.tsv"
+        f.write_text(f"##header_{i}\tcol\nrow\t{i}\n")
+        expect[str(f)] = f"##header_{i}\tcol"
+    gz = d / "part_gz.tsv.gz"
+    with gzip.open(gz, "wt") as fh:
+        fh.write("##gz_header\tcol\nrow\t9\n")
+    expect[str(gz)] = "##gz_header\tcol"
+    (d / "part_empty.tsv").write_text("")
+    expect[str(d / "part_empty.tsv")] = ""
+    (d / "part_crlf.tsv").write_text("##crlf\tcol\r\nrow\t1\r\n")
+    expect[str(d / "part_crlf.tsv")] = "##crlf\tcol"
+    (d / "part_nonl.tsv").write_text("##only_line\tcol")
+    expect[str(d / "part_nonl.tsv")] = "##only_line\tcol"
+
+    got = text_sources.first_lines(spark, str(d))
+    assert len(got) == len(expect)
+    for fname, line in got:
+        key = fname[len("file:"):] if fname.startswith("file:") else fname
+        assert expect[key] == line, fname
+
+
+def test_first_lines_dispatches_batched_above_threshold(spark, tmp_path, monkeypatch):
+    d = tmp_path / "disp"
+    d.mkdir()
+    for i in range(text_sources._BATCH_PROBE_THRESHOLD + 1):
+        (d / f"f{i}.tsv").write_text("##h\nv\n")
+    calls = {"batched": 0}
+    real = text_sources._probe_batched
+
+    def spy(spark_, files):
+        calls["batched"] += 1
+        return real(spark_, files)
+
+    monkeypatch.setattr(text_sources, "_probe_batched", spy)
+    text_sources.first_lines(spark, str(d))
+    assert calls["batched"] == 1
+
+    # small glob stays on the per-file pushdown path
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "one.tsv").write_text("##h\nv\n")
+    calls["batched"] = 0
+    text_sources.first_lines(spark, str(small))
+    assert calls["batched"] == 0
+
+
 def test_headered_tsv_extras_warning_channel(spark, fixtures_dir):
     """V4 extras flow through LoadResult.warnings, not a bare print."""
     res = loaders.load_homologs(spark, f"{fixtures_dir}/homologs_extracol.tsv")

@@ -466,6 +466,40 @@ def test_salted_join_rejects_right_joins(spark):
         skew.salted_join(df, df, ["k"], 4, "full")
 
 
+def test_salted_join_tiebreaker_spreads_identical_rows(spark):
+    """Byte-identical big-side rows hash to one salt bucket (the full-row
+    xxhash64 can't tell them apart); a tiebreaker expression folded into
+    the salt must spread them — and results stay identical either way."""
+    from syntenybrowserv2_etl_spark.operators import skew
+
+    # 400 literal clones of one row: the classic raw-corpus hot-key shape
+    fact = spark.createDataFrame([(0, "same") for _ in range(400)], ["k", "v"])
+    dim = spark.createDataFrame([(0, "zero")], ["k", "name"])
+
+    def bucket_spread(tb):
+        b = fact.withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(
+                    *[F.col(c) for c in fact.columns],
+                    *([tb] if tb is not None else []),
+                ),
+                F.lit(8),
+            ),
+        )
+        return b.select("__salt").distinct().count()
+
+    assert bucket_spread(None) == 1  # degenerate without a tiebreaker
+    assert bucket_spread(F.monotonically_increasing_id()) > 1
+
+    out = skew.salted_join(
+        fact, dim, ["k"], salt_buckets=8,
+        tiebreaker=F.monotonically_increasing_id(),
+    )
+    assert out.count() == 400
+    assert {tuple(r) for r in out.collect()} == {(0, "same", "zero")}
+
+
 def test_embedding_neardup_star_links_to_representative(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),

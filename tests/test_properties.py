@@ -254,3 +254,23 @@ def test_fan_out_split_estimate(spark, tmp_path):
     mem = spark.range(10)
     assert transforms._estimated_scan_splits(mem) == 0
     assert transforms.fan_out(mem, target=6).rdd.getNumPartitions() == 6
+
+
+def test_scan_splits_estimate_memoized(spark, tmp_path):
+    """Repeated fan_out over the same file set must not re-stat the files:
+    the estimate is cached per (file-list digest, conf) — on object stores
+    the getFileStatus RPCs are the planning cost."""
+    from syntenybrowserv2_etl_spark.functions import transforms
+
+    p = str(tmp_path / "memo")
+    spark.range(50).repartition(2).write.parquet(p)
+    df = spark.read.parquet(p)
+    transforms._SPLITS_CACHE.clear()
+    first = transforms._estimated_scan_splits(df)
+    assert len(transforms._SPLITS_CACHE) == 1
+    # poison the cached value: a second call must come from the cache
+    key = next(iter(transforms._SPLITS_CACHE))
+    transforms._SPLITS_CACHE[key] = 777
+    assert transforms._estimated_scan_splits(spark.read.parquet(p)) == 777
+    transforms._SPLITS_CACHE.clear()
+    assert transforms._estimated_scan_splits(df) == first
