@@ -10,6 +10,7 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
+from syntenybrowserv2_etl_spark import queries
 from syntenybrowserv2_etl_spark.streaming import events as stream_ops
 
 SF = "/root/testdata/sf0.001"
@@ -26,9 +27,9 @@ def events_dir(spark, tmp_path_factory):
     make the watermark (correctly) drop most of each later file as late.
     """
     out = str(tmp_path_factory.mktemp("events_stream"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{SF}/events.parquet")
-    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # queries.t() owns the ts-dtype dispatch (ns-as-bigint vs µs NTZ);
+    # reusing it keeps this fixture immune to testdata type drift.
+    df = queries.t(spark, SF, "events")
     df = df.withColumn("_us", F.unix_micros("ts"))
     bounds = df.approxQuantile("_us", [0.25, 0.5, 0.75], 0.0)
     lo = None
