@@ -878,17 +878,36 @@ def q26(spark, sf_dir):
     return dedup_ops.simhash_fingerprint(d, "doc_id", "text", bits=16)
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB twin of similarity.cosine_expr, float-for-float: products are
+    computed in FLOAT (REAL*REAL stays REAL in DuckDB, float*float stays
+    float in Spark — bitwise the same IEEE multiply), each product is cast
+    to double, and the sum left-folds in array order. Verified bit-identical
+    cross-engine, so even argmax/threshold boundaries are safe. Every
+    cosine oracle (q27/q28/q29/q30/q54) MUST use this form — a
+    CAST-to-DOUBLE-before-multiply variant computes different doubles than
+    Spark and can flip a threshold or rank boundary."""
+    dot = (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] * p[2] AS DOUBLE)), (s, v) -> s + v)"
+    )
+
+    def nrm(x: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_transform({x}, "
+            "x -> CAST(x * x AS DOUBLE)), (s, v) -> s + v))"
+        )
+
+    return f"({dot} / ({nrm(a)} * {nrm(b)}))"
+
+
 @register(
     "q27_knn_bruteforce",
-    """
+    f"""
     WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
     pairs AS (
       SELECT v.vec_id,
-             list_sum(list_transform(list_zip(v.embedding, q.qvec),
-                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-             AS cos_exact
+             {_cos_sql("v.embedding", "q.qvec")} AS cos_exact
       FROM embeddings v, q WHERE v.vec_id <> 0)
     SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
            ROUND(cos_exact, 4) AS cosine,
@@ -915,21 +934,12 @@ def q27(spark, sf_dir):
 
 @register(
     "q28_embedding_neardup",
-    """
+    f"""
     WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(
-             list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-           , 4) AS cosine
+           ROUND({_cos_sql("a.embedding", "b.embedding")}, 4) AS cosine
     FROM sub a JOIN sub b ON a.vec_id < b.vec_id
-    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-          >= 0.3
+    WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.3
     """,
     tags=["dedup-embedding-cosine"],
 )
@@ -973,12 +983,7 @@ def _hyperplane_bits_sql(seed: int, planes: int) -> str:
     )
 
 
-_Q29_COS = (
-    "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
-    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
-    "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
-    "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
-)
+_Q29_COS = _cos_sql("a.embedding", "b.embedding")
 
 
 @register(
@@ -1006,18 +1011,75 @@ def q29(spark, sf_dir):
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
-@register("q30_knn_ivf", None, tags=["similarity-ivf"])
+def _ivf_knn_sql(n_centroids: int, nprobe: int, k: int) -> str:
+    """DuckDB reproduction of pick_centroids → assign_centroids → knn_ivf:
+    hash-minimal centroid pick (the q54 ``c0`` form), argmax-cosine cell
+    assignment (ties to the smaller centroid id, matching the operator's
+    struct-max), per-query centroid ranking truncated at ``nprobe``, and
+    exact top-``k`` within the probed cells (row_number over cosine DESC,
+    id ASC). Every cosine is ``_cos_sql`` — bit-identical to Spark's
+    cosine_expr — so centroid ranks, cell boundaries, and the final top-k
+    all agree exactly."""
+    from .functions import hashing
+
+    md5_id = hashing.md5_long_sql("vec_id")
+    assign_cos = _cos_sql("e.embedding", "c.centroid")
+    probe_cos = _cos_sql("q.qvec", "c.centroid")
+    score_cos = _cos_sql("a.embedding", "p.qvec")
+    return f"""
+    WITH c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS centroid_id,
+             embedding AS centroid
+      FROM (SELECT vec_id, embedding, {md5_id} AS h
+            FROM embeddings ORDER BY h, vec_id LIMIT {n_centroids})),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {assign_cos} DESC, c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT query_id, qvec, centroid_id FROM (
+        SELECT q.query_id, q.qvec, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {probe_cos} DESC, c.centroid_id) AS cr
+        FROM q CROSS JOIN c0 c) WHERE cr <= {nprobe}),
+    scored AS (
+      SELECT p.query_id, a.vec_id, {score_cos} AS cosv
+      FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.query_id)
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, ROUND(cosv, 4) AS cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosv DESC, vec_id) AS INT) AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+
+
+@register("q30_knn_ivf", _ivf_knn_sql(16, 4, 10), tags=["similarity-ivf"])
 def q30(spark, sf_dir):
     """IVF approximate kNN: deterministic centroids, nprobe=4 probe, exact
-    re-rank within probed cells. Rows-only check (approximation is
-    recall-graded against q27 in tests, not hash-graded)."""
+    re-rank within probed cells. Value-checked since round 5: centroid
+    pick, cell assignment, probe ranking, and in-cell top-k are all
+    RNG-free with explicit tie rules, and every cosine is bit-identical
+    cross-engine (_cos_sql), so the full approximate result hash-matches
+    the unrolled DuckDB oracle. Recall vs exact q27 is additionally graded
+    in tests."""
     emb = t(spark, sf_dir, "embeddings")
     cents = sim_ops.pick_centroids(emb, 16)
     assigned = sim_ops.assign_centroids(emb, cents)
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim_ops.knn_ivf(assigned, cents, q, k=10, nprobe=4)
+    out = sim_ops.knn_ivf(assigned, cents, q, k=10, nprobe=4)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 def _lang_case_sql() -> str:
@@ -1663,26 +1725,6 @@ def q53(spark, sf_dir):
         .cast("long")
         .alias("pretok_per_word_e4"),
     )
-
-
-def _cos_sql(a: str, b: str) -> str:
-    """DuckDB twin of similarity.cosine_expr, float-for-float: products are
-    computed in FLOAT (REAL*REAL stays REAL in DuckDB, float*float stays
-    float in Spark — bitwise the same IEEE multiply), each product is cast
-    to double, and the sum left-folds in array order. Verified bit-identical
-    cross-engine, so even argmax/threshold boundaries are safe."""
-    dot = (
-        f"list_reduce(list_transform(list_zip({a}, {b}), "
-        "p -> CAST(p[1] * p[2] AS DOUBLE)), (s, v) -> s + v)"
-    )
-
-    def nrm(x: str) -> str:
-        return (
-            f"sqrt(list_reduce(list_transform({x}, "
-            "x -> CAST(x * x AS DOUBLE)), (s, v) -> s + v))"
-        )
-
-    return f"({dot} / ({nrm(a)} * {nrm(b)}))"
 
 
 def _kmeans_profile_sql(k: int, iters: int) -> str:
