@@ -14,14 +14,25 @@ from collections.abc import Iterable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# (file-list digest, conf triple) -> estimated splits. The size stats behind
-# an estimate are driver-side FS RPCs (getFileStatus ×min(n_files, 1024)) —
-# noticeable per-call planning latency on object stores, and repeated
-# fan_out calls over the same scan would repay it every time. Sizes of
-# immutable ingest files don't change under us, so memoize per (files,
-# conf) key; bounded to keep a long-lived session from growing it forever.
+# (file-list digest, sentinel stat, conf triple) -> estimated splits. The
+# size stats behind an estimate are driver-side FS RPCs (getFileStatus
+# ×min(n_files, 1024)) — noticeable per-call planning latency on object
+# stores, and repeated fan_out calls over the same scan would repay it
+# every time. Ingest files are normally immutable, but a pipeline that
+# rewrites a path in place (same names, new sizes) must not be served a
+# stale estimate for the session lifetime — so the key folds in the
+# (size, mtime) of the FIRST file as a staleness sentinel (one RPC per
+# call instead of up to 1024; an in-place rewrite that somehow preserves
+# the sentinel byte-for-byte can still call clear_splits_cache()).
+# Bounded to keep a long-lived session from growing it forever.
 _SPLITS_CACHE: dict[tuple, int] = {}
 _SPLITS_CACHE_MAX = 1024
+
+
+def clear_splits_cache() -> None:
+    """Drop all memoized split estimates (for pipelines that rewrite
+    ingest paths in place and need the next fan_out to re-stat)."""
+    _SPLITS_CACHE.clear()
 
 
 def _estimated_scan_splits(df: DataFrame) -> int:
@@ -58,9 +69,21 @@ def _estimated_scan_splits(df: DataFrame) -> int:
     )
     import hashlib
 
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _stat(f: str):
+        try:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            st = p.getFileSystem(hconf).getFileStatus(p)
+            return st.getLen(), st.getModificationTime()
+        except Exception:
+            return 0, 0
+
+    sentinel = _stat(files[0])  # one RPC: detects in-place rewrites
     key = (
         hashlib.md5("\n".join(files).encode()).hexdigest(),
         len(files),
+        sentinel,
         max_pb,
         open_cost,
         min_parts,
@@ -68,15 +91,8 @@ def _estimated_scan_splits(df: DataFrame) -> int:
     cached = _SPLITS_CACHE.get(key)
     if cached is not None:
         return cached
-    hconf = spark._jsc.hadoopConfiguration()
     sample = files[:1024]
-    sizes = []
-    for f in sample:
-        try:
-            p = jvm.org.apache.hadoop.fs.Path(f)
-            sizes.append(p.getFileSystem(hconf).getFileStatus(p).getLen())
-        except Exception:
-            sizes.append(0)
+    sizes = [sentinel[0]] + [_stat(f)[0] for f in sample[1:]]
     total = sum(sizes)
     if len(files) > len(sample):  # extrapolate by mean size
         total = int(total * len(files) / len(sample))

@@ -218,16 +218,14 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
+    from . import dedup
+
+    _d, _norm, _toks = dedup.staged_tokens(df, text_col, "ck")
     staged = (
-        df.withColumn(
-            "__ck_norm",
-            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
-        )
-        .withColumn("__ck_toks", F.split(F.col("__ck_norm"), " "))
-        .withColumn(
+        _d.withColumn(
             "__ck_n",
-            F.when(F.length("__ck_norm") == 0, F.lit(0))
-            .otherwise(F.size("__ck_toks"))
+            F.when(F.length(_norm) == 0, F.lit(0))
+            .otherwise(F.size(_toks))
             .cast("long"),
         )
     )

@@ -54,6 +54,32 @@ def normalize_text(col):
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def staged_tokens(
+    df: DataFrame, text_col: str, prefix: str, *, toks: bool = True
+) -> tuple[DataFrame, str, str | None]:
+    """Stage normalized text (and optionally its whitespace tokens) as REAL
+    columns before any higher-order-function lambda consumes them.
+
+    This is the engine-wide HOF-lambda discipline (SCALE.md "Pitfall"):
+    Spark re-evaluates a lambda body per array element with no
+    common-subexpression hoisting, so an inlined normalize/split inside a
+    ``transform``/``filter``/``aggregate`` lambda is O(n²) per row
+    (measured ~200× on the winnowing fingerprinter). Staging as named
+    columns — each consumed at least twice downstream so CollapseProject
+    cannot re-inline — makes the expensive step once-per-row.
+
+    Returns ``(df, norm_col_name, toks_col_name)``; callers drop the
+    ``__{prefix}_*`` columns when done. ``toks=False`` skips the token
+    split for char-level consumers (e.g. rolling fingerprints).
+    """
+    norm = f"__{prefix}_norm"
+    out = df.withColumn(norm, normalize_text(text_col))
+    if not toks:
+        return out, norm, None
+    tok = f"__{prefix}_toks"
+    return out.withColumn(tok, F.split(F.col(norm), " ")), norm, tok
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: keep the smallest id per normalized-text hash group.
 
@@ -89,21 +115,18 @@ def with_shingle_array(
     min over a multiset equals min over the set, so neither `distinct` nor
     `explode` is needed for signature computation.
 
-    The token array is staged as its own column rather than inlined into
-    the per-position lambda: subexpressions inside higher-order-function
-    lambdas re-evaluate per element, so the inlined form re-normalizes and
-    re-splits the document once per shingle position — O(n²) per doc. The
-    staged alias is consumed twice (size + slice), which also stops
-    CollapseProject from re-inlining it.
+    The token array is staged via ``staged_tokens`` (the HOF-lambda
+    discipline — see its docstring): the inlined form would re-normalize
+    and re-split the document once per shingle position, O(n²) per doc.
     """
-    d1 = df.withColumn("__sha_toks", F.split(normalize_text(text_col), " "))
-    n = F.size("__sha_toks")
+    d1, norm, toks = staged_tokens(df, text_col, "sha")
+    n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     arr = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(F.col("__sha_toks"), i + 1, k))
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col(toks), i + 1, k))
     )
     return d1.withColumn(out, F.filter(arr, lambda s: F.length(s) > 0)).drop(
-        "__sha_toks"
+        norm, toks
     )
 
 

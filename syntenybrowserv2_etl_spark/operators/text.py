@@ -132,21 +132,20 @@ def rolling_fingerprints(
     least one shared fingerprint — the substring-level near-dup detector
     that token-set methods (bag fingerprint, MinHash) can't express.
 
-    Entirely row-local (no shuffle) — but staged as THREE chained
-    projections, not one expression: a subexpression referenced inside a
-    higher-order-function lambda is re-evaluated per element, so inlining
-    the normalized string into the gram lambda (or the hash array into the
+    Entirely row-local (no shuffle) — but staged as chained projections,
+    not one expression (``dedup.staged_tokens`` discipline): inlining the
+    normalized string into the gram lambda (or the hash array into the
     window lambda) makes the projection O(n²) per document — measured
     ~200× wall-time on real docs. Each stage's alias is consumed twice
     downstream, which also stops CollapseProject from re-inlining it.
     """
-    c = F.col(text_col)
-    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
-    d1 = df.withColumn("__rfp_norm", norm)
-    n = F.length("__rfp_norm")
+    from . import dedup
+
+    d1, norm, _ = dedup.staged_tokens(df, text_col, "rfp", toks=False)
+    n = F.length(norm)
     gram_idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
     hashes = F.transform(
-        gram_idx, lambda i: hashing.md5_long(F.col("__rfp_norm").substr(i, F.lit(k)))
+        gram_idx, lambda i: hashing.md5_long(F.col(norm).substr(i, F.lit(k)))
     )
     d2 = d1.withColumn("__rfp_hs", hashes)
     win_idx = F.sequence(
@@ -155,7 +154,7 @@ def rolling_fingerprints(
     fps = F.array_distinct(
         F.transform(win_idx, lambda j: F.array_min(F.slice(F.col("__rfp_hs"), j, window)))
     )
-    return d2.withColumn(out, fps).drop("__rfp_norm", "__rfp_hs")
+    return d2.withColumn(out, fps).drop(norm, "__rfp_hs")
 
 
 # GPT-2-style pretokenizer, lookahead-free so Java regex (Spark) and RE2
@@ -247,32 +246,30 @@ def gopher_quality(
 
     Entirely row-local (zero shuffle) and pure Column expressions, so the
     filter runs at scan bandwidth over any corpus size; tokens are staged
-    once per row (HOF-lambda re-eval pitfall — see rolling_fingerprints).
+    once per row via ``dedup.staged_tokens`` (the HOF-lambda discipline).
     """
-    c = F.col(text_col)
-    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
-    d1 = df.withColumn("__gq_norm", norm).withColumn(
-        "__gq_toks", F.split(F.col("__gq_norm"), " ")
-    )
-    n = F.when(F.length("__gq_norm") == 0, F.lit(0)).otherwise(
-        F.size("__gq_toks")
+    from . import dedup
+
+    d1, norm, toks = dedup.staged_tokens(df, text_col, "gq")
+    n = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(toks)
     ).cast("long")
     d2 = d1.withColumn("__gq_n", n)
     nw = F.col("__gq_n")
     denom = F.greatest(nw, F.lit(1))
     mean_word = (
-        (F.length("__gq_norm") - (nw - 1)) / denom
+        (F.length(norm) - (nw - 1)) / denom
     ).cast("double")
     mean_word = F.when(nw == 0, F.lit(0.0)).otherwise(mean_word)
     symbol_ratio = (
-        F.regexp_count(F.col("__gq_norm"), F.lit("[#…]")) / denom
+        F.regexp_count(F.col(norm), F.lit("[#…]")) / denom
     ).cast("double")
     alpha_frac = (
-        F.size(F.filter(F.col("__gq_toks"), lambda t: t.rlike("[a-zA-Z]")))
+        F.size(F.filter(F.col(toks), lambda t: t.rlike("[a-zA-Z]")))
         / denom
     ).cast("double")
     stop_hits = F.size(
-        F.filter(F.col("__gq_toks"), lambda t: t.isin(LANG_STOPWORDS["en"]))
+        F.filter(F.col(toks), lambda t: t.isin(LANG_STOPWORDS["en"]))
     ).cast("long")
     out = d2.select(
         F.col(id_col),
@@ -312,18 +309,14 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     map-side partial aggregation; the doc side joins back only (id, stats).
     Docs with < 2 words survive with zeroed stats (left join + coalesce).
     """
-    staged = (
-        df.withColumn(
-            "__rp_norm",
-            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
-        )
-        .withColumn("__rp_toks", F.split(F.col("__rp_norm"), " "))
-        .withColumn(
-            "__rp_n",
-            F.when(F.length("__rp_norm") == 0, F.lit(0))
-            .otherwise(F.size("__rp_toks"))
-            .cast("long"),
-        )
+    from . import dedup
+
+    _d, _norm, _toks = dedup.staged_tokens(df, text_col, "rp")
+    staged = _d.withColumn(
+        "__rp_n",
+        F.when(F.length(_norm) == 0, F.lit(0))
+        .otherwise(F.size(_toks))
+        .cast("long"),
     )
     toks = F.col("__rp_toks")
     bigrams = F.transform(
@@ -380,18 +373,14 @@ def unigram_logprob(
     Output: (id, n_toks, n_scored, mean_logprob) — one row per input doc;
     empty docs keep n_toks=0 and NULL mean_logprob.
     """
-    staged = (
-        df.withColumn(
-            "__lm_norm",
-            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
-        )
-        .withColumn("__lm_toks", F.split(F.col("__lm_norm"), " "))
-        .withColumn(
-            "__lm_n",
-            F.when(F.length("__lm_norm") == 0, F.lit(0))
-            .otherwise(F.size("__lm_toks"))
-            .cast("long"),
-        )
+    from . import dedup
+
+    _d, _norm, _toks = dedup.staged_tokens(df, text_col, "lm")
+    staged = _d.withColumn(
+        "__lm_n",
+        F.when(F.length(_norm) == 0, F.lit(0))
+        .otherwise(F.size(_toks))
+        .cast("long"),
     )
     tok = staged.filter(F.col("__lm_n") > 0).select(
         F.col(id_col), F.explode("__lm_toks").alias("__tok")

@@ -1733,9 +1733,15 @@ def _kmeans_profile_sql(k: int, iters: int) -> str:
     argmax-cosine assignment (ties to the smaller centroid id, matching the
     operator's struct-max) and L2-normalized per-dimension means cast to
     float. The only order-dependent arithmetic is the per-(centroid,dim)
-    AVG; its last-ulp spread is absorbed by the REAL cast of the normalized
-    mean, and any residual would still have to flip a 4-decimal rounding or
-    an argmax boundary to surface."""
+    AVG: Spark sums partial aggregates in partition order while DuckDB sums
+    sequentially, so a last-ulp spread is possible in principle. The REAL
+    cast of the normalized mean usually absorbs it, but that is a strong
+    empirical bet, not a guarantee — a residual ulp that flips an argmax
+    tie or a 4-decimal rounding midpoint would surface as a hash mismatch.
+    Accepted risk (green since r4 across sf0.001/0.01/0.1); if it ever
+    flakes, the fixture-scale mitigation is coalescing embeddings to one
+    partition in the Spark query (deterministic AVG order), not weakening
+    the oracle."""
     nrm_mean = (
         "sqrt(list_reduce(list_transform(mean, "
         "x -> CAST(x * x AS DOUBLE)), (s, v) -> s + v))"

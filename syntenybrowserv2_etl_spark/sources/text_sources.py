@@ -136,7 +136,17 @@ def first_lines(spark: SparkSession, path: str) -> list[tuple[str, str]]:
     if not files:
         raise SourceFormatError(f"{path}: empty file")
     if len(files) > _BATCH_PROBE_THRESHOLD:
-        return _probe_batched(spark, files)
+        try:
+            return _probe_batched(spark, files)
+        except Exception:
+            # pyarrow.fs covers fewer schemes than Hadoop FS (no
+            # abfss/wasbs; hdfs needs libhdfs) and cannot see
+            # Hadoop-conf-only credentials, so a deployment whose small
+            # globs probe fine must not start failing when a glob grows
+            # past the batch threshold — fall back to the per-file
+            # Hadoop-path probe below (slower, O(n_files) jobs, but it
+            # reads through the same stack as the real load).
+            pass
 
     def head(f: str) -> tuple[str, str]:
         rows = spark.read.text(f).limit(1).collect()

@@ -229,6 +229,26 @@ def test_first_lines_dispatches_batched_above_threshold(spark, tmp_path, monkeyp
     assert calls["batched"] == 0
 
 
+def test_first_lines_falls_back_when_batched_probe_fails(spark, tmp_path, monkeypatch):
+    """pyarrow.fs supports fewer URI schemes than Hadoop FS (no abfss/wasbs,
+    Hadoop-conf-only credentials invisible); if the batched executor-side
+    probe fails, a wide glob must fall back to the per-file Hadoop path
+    instead of failing a load that worked below the threshold."""
+    d = tmp_path / "fb"
+    d.mkdir()
+    n = text_sources._BATCH_PROBE_THRESHOLD + 4
+    for i in range(n):
+        (d / f"f{i:02d}.tsv").write_text(f"##h{i}\nv\n")
+
+    def boom(spark_, files):
+        raise RuntimeError("scheme not supported by pyarrow.fs")
+
+    monkeypatch.setattr(text_sources, "_probe_batched", boom)
+    got = dict(text_sources.first_lines(spark, str(d)))
+    assert len(got) == n
+    assert set(got.values()) == {f"##h{i}" for i in range(n)}
+
+
 def test_headered_tsv_extras_warning_channel(spark, fixtures_dir):
     """V4 extras flow through LoadResult.warnings, not a bare print."""
     res = loaders.load_homologs(spark, f"{fixtures_dir}/homologs_extracol.tsv")

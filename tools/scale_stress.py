@@ -198,6 +198,9 @@ def main():
         r["repetition_profile"] = timed(
             lambda: noop(txt.repetition_profile(docs, "doc_id", "text"))
         )
+        r["gopher_quality"] = timed(
+            lambda: noop(txt.gopher_quality(docs, "doc_id", "text"))
+        )
         r["dedup_corpus_e2e"] = timed(
             lambda: noop(dd.dedup_corpus(docs, "doc_id", "text"))
         )
