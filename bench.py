@@ -47,6 +47,10 @@ CURATION = [
     "q61_pack_sequences",
     "q62_pii_scrub",
     "q63_salted_join",
+    # round 5 additions
+    "q70_span_dedup",
+    "q71_shuffle_shards",
+    "q72_bloom_incremental",
 ]
 
 

@@ -14,7 +14,7 @@ sharding for anything that would otherwise need a global sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing
@@ -192,6 +192,71 @@ def pack_sequences(
         )
         .withColumn("seq_pos", F.row_number().over(w))
         .withColumnRenamed("__shard", "shard")
+    )
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 32,
+) -> DataFrame:
+    """Span-level (C4/RefinedWeb "line-level") dedup: remove REPEATED
+    passages across the corpus while keeping every document.
+
+    Each document splits into non-overlapping ``span_tokens``-token windows
+    (the span stands in for the newline-delimited line of C4 §2.2 — the
+    testdata corpus has no newlines, and fixed windows are the
+    boundary-free generalization); for each distinct span the FIRST
+    corpus-wide occurrence survives (first = smallest (doc_id, span_idx) —
+    deterministic, engine-portable), every later occurrence is dropped,
+    and documents are reassembled from their surviving spans in order.
+
+    Scale shape: chunking is row-local (zero shuffle, chunk_documents);
+    winner election shuffles (span_hash, span_len) pairs — 16 bytes per
+    span, never the text twice; reassembly shuffles surviving spans by
+    doc id once. No all-pairs stage anywhere, output ≤ input: linear at
+    any corpus size. Equal spans collide on the 40-bit hash identically
+    in Spark and the DuckDB oracle, so election is value-checkable.
+
+    Output: (id, n_spans, n_spans_kept, clean_text) — one row per input
+    document; fully deduped documents keep an empty clean_text (the
+    caller's filter decides their fate, matching C4's doc-survival rule).
+    """
+    spans = chunk_documents(
+        df, id_col, text_col, chunk_tokens=span_tokens, overlap=0
+    ).filter(F.col("n_chunk_tokens") > 0)
+    w = Window.partitionBy("chunk_hash", "n_chunk_tokens").orderBy(
+        F.col(id_col).asc(), F.col("chunk_idx").asc()
+    )
+    kept = (
+        spans.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
     )
 
 

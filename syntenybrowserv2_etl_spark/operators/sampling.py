@@ -91,3 +91,39 @@ def stratified_hash_sample(
         thr[F.col(strata_col)], F.lit(int(default_fraction * _DENOM))
     )
     return df.filter(_fate(id_col, seed) < threshold)
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, n_shards: int, seed: int = 42
+) -> DataFrame:
+    """Reproducible training-order shuffle + shard assignment.
+
+    A training run needs the corpus in a pseudo-random order that is (a)
+    uncorrelated with ingest order, (b) bit-reproducible across runs,
+    cluster sizes, and engines, and (c) addressable (shard s, position p →
+    one specific example). RNG-backed ``orderBy(rand())`` fails all three;
+    a single global ``orderBy(hash)`` is a full-corpus total sort whose
+    final stage bottlenecks on one range boundary at 100 TB.
+
+    Here each row's shard is ``md5(seed:id) % n_shards`` (row-local,
+    scan-pushable) and its position is the rank of that same hash WITHIN
+    the shard (ties broken by id, so byte-equal rows can't flip order).
+    One hash-partition shuffle on the shard key + a per-shard local sort —
+    the physical plan a sharded training-data writer wants anyway
+    (``partitionBy(shard)``), with no global ordering stage. Hash order
+    within a shard is uniform over ids, so concatenating shards 0..n-1 is
+    a valid global shuffle of the corpus.
+
+    Output: input columns + (shard: long, pos: long), pos 1-based within
+    shard in hash order.
+    """
+    from pyspark.sql import Window
+
+    h = hashing.md5_long(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    out = df.withColumn("__h", h).withColumn(
+        "shard", (F.col("__h") % n_shards).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("__h")

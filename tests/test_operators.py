@@ -1015,3 +1015,92 @@ def test_lsh_star_links_same_components(spark):
         for r in comps.connected_components(star).collect()
     }
     assert comp_full == comp_star
+
+
+# --- round 5: span dedup, deterministic shuffle, bloom incremental ---------
+
+
+def test_dedup_spans_semantics(spark):
+    """First corpus-wide occurrence of each span survives; documents
+    reassemble in span order; empty and fully-deduped docs keep a row."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),   # spans(k=4): abcd | efgh | ij
+            (2, "a b c d x y z w"),       # abcd is doc1's → dropped
+            (3, ""),                      # no spans at all
+            (4, "e f g h"),               # single span, owned by doc1
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cur_ops.dedup_spans(docs, "doc_id", "text", span_tokens=4).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["clean_text"] == "a b c d e f g h i j"
+    assert (out[1]["n_spans"], out[1]["n_spans_kept"]) == (3, 3)
+    assert out[2]["clean_text"] == "x y z w"
+    assert (out[2]["n_spans"], out[2]["n_spans_kept"]) == (2, 1)
+    assert (out[3]["n_spans"], out[3]["n_spans_kept"]) == (0, 0)
+    assert out[3]["clean_text"] == ""
+    assert (out[4]["n_spans"], out[4]["n_spans_kept"]) == (1, 0)
+    assert out[4]["clean_text"] == ""
+
+
+def test_deterministic_shuffle_is_a_reproducible_permutation(spark):
+    from syntenybrowserv2_etl_spark.operators import sampling as samp
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = samp.deterministic_shuffle(docs, "doc_id", n_shards=4, seed=7)
+    rows = a.collect()
+    # every id exactly once; shards in range; pos contiguous 1..|shard|
+    assert sorted(r["doc_id"] for r in rows) == list(range(200))
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # bit-reproducible across runs and partitionings
+    b = samp.deterministic_shuffle(
+        docs.repartition(13), "doc_id", n_shards=4, seed=7
+    )
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in b.collect()} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in rows
+    }
+    # a different seed produces a different order (not the identity check,
+    # a correlation check: some id changes (shard, pos))
+    c = samp.deterministic_shuffle(docs, "doc_id", n_shards=4, seed=8)
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in c.collect()} != {
+        (r["doc_id"], r["shard"], r["pos"]) for r in rows
+    }
+
+
+def test_bloom_incremental_dedup_contract(spark):
+    """is_dup agrees exactly with the anti-join truth; bloom has zero
+    false negatives; the false-positive excess respects a loose fpp bound."""
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} alpha beta") for i in range(300)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        # 100 true dups (same text, new ids), 200 genuinely new
+        [(1000 + i, f"corpus document number {i} alpha beta") for i in range(100)]
+        + [(2000 + i, f"fresh unseen text {i} gamma delta") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    out = dd.bloom_incremental_dedup(
+        corpus, batch, "doc_id", "text", expected_corpus_rows=300, fpp=0.01
+    ).collect()
+    assert len(out) == 300
+    truth = {r["doc_id"]: r["doc_id"] < 2000 for r in out}  # ids 1000-1099 are dups
+    for r in out:
+        assert r["is_dup"] == truth[r["doc_id"]], r
+        if r["is_dup"]:
+            assert r["bloom_hit"], f"false negative on {r['doc_id']}"
+        if not r["bloom_hit"]:
+            assert not r["is_dup"]
+    fp = sum(1 for r in out if r["bloom_hit"] and not r["is_dup"])
+    assert fp <= 20  # 200 new rows @ fpp=0.01 → expect ~2; 20 = 10× slack
