@@ -696,11 +696,19 @@ def bloom_incremental_dedup(
             "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
         ).alias("__mask"),
     ).groupBy("__word").agg(F.bit_or("__mask").alias("__bits"))
+    # materialized: ``probed`` is consumed twice (output base + confirm
+    # filter), and without this the whole sketch sub-DAG — including its
+    # exchanges — re-executes per consumer. The sketch is one row of m/64
+    # longs, so the checkpoint is free; the remaining duplicated work is
+    # the row-local batch re-scan, which is the map-only cost a second
+    # pass over an un-checkpointed batch should pay at scale.
     sketch = F.broadcast(
-        words.agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("__word", "__bits"))
-            ).alias("__bloom")
+        _materialize(
+            words.agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("__word", "__bits"))
+                ).alias("__bloom")
+            )
         )
     )
     probe_bit = " AND ".join(
