@@ -315,3 +315,35 @@ def test_unigram_logprob_no_single_partition_bottleneck(spark):
     assert len(re.findall(r"HashAggregate", p)) >= 4
     # single-partition exchanges: exactly the scalar corpus-total reduction
     assert len(re.findall(r"Exchange SinglePartition", p)) <= 1
+
+
+def test_shuffle_shards_single_exchange(spark):
+    """q71: exactly one (shard) hash exchange and one per-shard sort — no
+    global total-order stage, no extra shuffles."""
+    df = q.REGISTRY["q71_shuffle_shards"].spark_fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in p.lower()  # the 100 TB anti-pattern
+    assert "CartesianProduct" not in p
+
+
+def test_span_dedup_winner_uses_window_group_limit(spark):
+    """q70: winner election must plan as WindowGroupLimit (rank-1 pushdown
+    with a partial stage before the shuffle), shuffling only (hash, len)
+    keyed rows — and never a cartesian/nested-loop stage."""
+    df = q.REGISTRY["q70_span_dedup"].spark_fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Exchange hashpartitioning(chunk_hash" in p
+
+
+def test_bloom_sketch_builds_once(spark):
+    """q72: the bit_or sketch aggregation must execute ONCE (materialized)
+    even though the probed frame has two consumers; the probe itself is a
+    broadcast, never a shuffle of the batch."""
+    df = q.REGISTRY["q72_bloom_incremental"].spark_fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "bit_or" not in p  # sketch pre-materialized via checkpoint
+    # confirmation is a (broadcastable) semi join on the hash pair
+    assert "LeftSemi" in p

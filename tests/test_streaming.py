@@ -156,3 +156,26 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("d")
     ).collect()
     assert all(0 <= r["d"] <= 3_600_000_000 for r in spans)
+
+
+def test_stream_static_enrich_matches_batch(spark, events_dir):
+    """Stream-static dimension join (stateless, append-mode) produces the
+    same enriched rows as the identical batch join."""
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    stream = stream_ops.read_events_stream(spark, events_dir)
+    got = stream_ops.run_to_completion(
+        stream_ops.enrich_with_dim(stream, customer), "enrich_test"
+    )
+    batch = spark.read.parquet(events_dir)
+    want = stream_ops.enrich_with_dim(batch, customer)
+    g = {
+        (r["event_id"], r["c_name"], r["c_nationkey"])
+        for r in got.select("event_id", "c_name", "c_nationkey").collect()
+    }
+    w = {
+        (r["event_id"], r["c_name"], r["c_nationkey"])
+        for r in want.select("event_id", "c_name", "c_nationkey").collect()
+    }
+    assert g == w and len(g) == batch.count()
+    # the join actually enriches: at least one event got a real c_name
+    assert any(name is not None for (_, name, _) in g)

@@ -207,6 +207,26 @@ def main():
         r["dedup_corpus_e2e_star"] = timed(
             lambda: noop(dd.dedup_corpus(docs, "doc_id", "text", link="star"))
         )
+
+        # round 5: span dedup, deterministic shuffle, bloom incremental
+        from syntenybrowserv2_etl_spark.operators import sampling as smp
+
+        r["dedup_spans"] = timed(
+            lambda: noop(cur.dedup_spans(docs, "doc_id", "text", span_tokens=16))
+        )
+        r["deterministic_shuffle"] = timed(
+            lambda: noop(smp.deterministic_shuffle(docs, "doc_id", n_shards=32))
+        )
+        corpus_part = docs.filter(F.col("doc_id") % 3 != 0)
+        batch_part = docs.filter(F.col("doc_id") % 3 == 0)
+        r["bloom_incremental"] = timed(
+            lambda: noop(
+                dd.bloom_incremental_dedup(
+                    corpus_part, batch_part, "doc_id", "text",
+                    expected_corpus_rows=n_docs * 2 // 3,
+                )
+            )
+        )
         results.append(r)
         print(json.dumps(r), flush=True)
 
