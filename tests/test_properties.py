@@ -274,3 +274,99 @@ def test_scan_splits_estimate_memoized(spark, tmp_path):
     assert transforms._estimated_scan_splits(spark.read.parquet(p)) == 777
     transforms._SPLITS_CACHE.clear()
     assert transforms._estimated_scan_splits(df) == first
+
+
+# --- round 5: span dedup / deterministic shuffle / bloom ------------------
+
+words = st.sampled_from("alpha beta gamma delta epsilon zeta".split())
+rand_docs = st.lists(
+    st.lists(words, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+def py_span_dedup(texts: list[str], k: int) -> dict[int, tuple[int, int, str]]:
+    """Single-machine oracle for dedup_spans: first (doc, idx) occurrence
+    of each distinct span wins, docs reassemble from surviving spans."""
+    seen: set[str] = set()
+    out = {}
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in " ".join(text.split()).split(" ") if t]
+        spans = [
+            " ".join(toks[i : i + k]) for i in range(0, len(toks), k)
+        ] if toks else []
+        kept = []
+        for s in spans:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        out[doc_id] = (len(spans), len(kept), " ".join(kept))
+    return out
+
+
+@given(texts=rand_docs, k=st.sampled_from([1, 3, 4]))
+@settings(**SETTINGS)
+def test_dedup_spans_matches_bruteforce(spark, texts, k):
+    from syntenybrowserv2_etl_spark.operators import curation as cur
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_spans_kept"], r["clean_text"])
+        for r in cur.dedup_spans(df, "doc_id", "text", span_tokens=k).collect()
+    }
+    assert got == py_span_dedup(texts, k)
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    n_shards=st.sampled_from([1, 3, 8]),
+    seed=st.integers(0, 5),
+)
+@settings(**SETTINGS)
+def test_deterministic_shuffle_partitions_exactly(spark, ids, n_shards, seed):
+    from syntenybrowserv2_etl_spark.operators import sampling as smp
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    rows = smp.deterministic_shuffle(df, "doc_id", n_shards, seed=seed).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(ids)
+    per = {}
+    for r in rows:
+        assert 0 <= r["shard"] < n_shards
+        per.setdefault(r["shard"], []).append(r["pos"])
+    for poss in per.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+@given(
+    corpus_texts=st.lists(
+        st.lists(words, min_size=1, max_size=6).map(" ".join),
+        min_size=1, max_size=15,
+    ),
+    batch_texts=st.lists(
+        st.lists(words, min_size=1, max_size=6).map(" ".join),
+        min_size=1, max_size=15,
+    ),
+)
+@settings(**SETTINGS)
+def test_bloom_incremental_matches_exact_membership(spark, corpus_texts, batch_texts):
+    """is_dup must equal exact normalized-text membership for ANY corpus and
+    batch; bloom_hit must never be false for a true member."""
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    corpus = spark.createDataFrame(list(enumerate(corpus_texts)), ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(batch_texts)], ["doc_id", "text"]
+    )
+    norm = lambda s: " ".join(s.split())  # noqa: E731
+    member = {norm(t) for t in corpus_texts}
+    out = dd.bloom_incremental_dedup(
+        corpus, batch, "doc_id", "text",
+        expected_corpus_rows=len(corpus_texts),
+    ).collect()
+    assert len(out) == len(batch_texts)
+    for r in out:
+        want = norm(batch_texts[r["doc_id"] - 1000]) in member
+        assert r["is_dup"] == want
+        if want:
+            assert r["bloom_hit"]
