@@ -51,6 +51,7 @@ CURATION = [
     "q70_span_dedup",
     "q71_shuffle_shards",
     "q72_bloom_incremental",
+    "q73_curate_pipeline",
 ]
 
 
