@@ -99,3 +99,34 @@ def test_build_database_single_computation(spark, fixtures_dir, tmp_path, monkey
         "syntenic_block": 6,
         "cytogenetic_band": 3,
     }
+
+
+def test_build_bench_small_deterministic(spark, monkeypatch, capsys):
+    """The build-benchmark generator + 9-table build is deterministic end
+    to end: seeded input synthesis at 1/10 scale (~170k input lines)
+    produces byte-stable inputs and exactly these table counts. Guards the
+    whole loader surface (gzip, version gate, headered/headerless TSV,
+    VCF explode, OBO closure, GAF taxon filter, upsert channels) at a
+    scale the unit fixtures don't reach."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import build_bench
+
+    monkeypatch.setattr(sys, "argv", ["build_bench.py", "--small"])
+    build_bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["tables"] == {
+        "cytogenetic_band": 2646,
+        "exon": 28901,
+        "feature": 5000,
+        "gene": 7200,
+        "gene_ontology_map": 40553,
+        "homolog": 10000,
+        "on_pairs": 63498,
+        "on_terms": 6622,
+        "snp_variant": 50000,
+        "syntenic_block": 6000,
+    }
+    assert out["input_lines"] == 170248
