@@ -52,6 +52,7 @@ CURATION = [
     "q71_shuffle_shards",
     "q72_bloom_incremental",
     "q73_curate_pipeline",
+    "q74_bpe_merges",
 ]
 
 

@@ -410,3 +410,101 @@ def unigram_logprob(
             "mean_logprob",
         )
     )
+
+
+def bpe_merge_table(
+    df: DataFrame, text_col: str, n_merges: int = 8
+) -> DataFrame:
+    """Byte-pair-encoding merge learning — the canonical tokenizer-training
+    iteration, as a declarative Spark plan.
+
+    Classic BPE (Sennrich et al. 2016): represent every vocabulary word as
+    a space-separated symbol sequence; per round, count adjacent symbol
+    pairs weighted by word frequency, pick the most frequent pair
+    (deterministic tiebreak: count DESC, pair ASC), and fuse its
+    occurrences. The 100 TB-relevant property: the CORPUS is scanned
+    exactly once (word-frequency aggregation); every merge round then
+    operates on the VOCABULARY table (|V| rows, ~10⁵-10⁶ at any corpus
+    size) — pair explode → partial-aggregated groupBy → single-row argmax
+    broadcast → map-side literal replace. Rounds cost O(|V|), never
+    O(corpus).
+
+    Merge semantics: one pass of leftmost non-overlapping literal
+    replacement of ``" a b "`` per round — byte-identical in Spark and
+    DuckDB (verified), hence value-checkable. This equals textbook greedy
+    BPE except when consecutive occurrences of the pair share a boundary
+    space within one word (e.g. alternating ``a b a b``): the shared-
+    boundary occurrence merges in a later round instead of the same one.
+    Deterministic either way, and both engines agree bit-for-bit.
+
+    If the pair space exhausts before ``n_merges`` rounds, later rounds
+    emit no row (and the vocab goes empty) — callers size n_merges to the
+    corpus.
+
+    Output: (rank, pair, merged, pair_count) — one row per learned merge.
+    """
+    from functools import reduce as _reduce
+
+    from . import dedup
+    from .dedup import _materialize
+
+    d1, _norm, toks = dedup.staged_tokens(fan_out(df), text_col, "bp")
+    wf = (
+        d1.select(F.explode(toks).alias("__w"))
+        .filter(F.length("__w") > 0)
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__wf"))
+    )
+    vocab = wf.select(
+        "__wf",
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", F.split("__w", "")), F.lit(" ")
+        ).alias("__sym"),
+    )
+    merge_rows = []
+    for r in range(1, n_merges + 1):
+        v = _materialize(vocab)  # |V| rows; consumed by pairs AND next vocab
+        va = v.withColumn("__el", F.split(F.trim("__sym"), " "))
+        el = F.col("__el")
+        pair_arr = F.when(
+            F.size(el) > 1,
+            F.transform(
+                # guard: Spark sequence(1, 0) DESCENDS, so the single-symbol
+                # case must not reach sequence at all
+                F.sequence(F.lit(1), F.size(el) - 1),
+                lambda i: F.concat(
+                    F.element_at(el, i), F.lit(" "), F.element_at(el, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        pairs = va.select("__wf", F.explode(pair_arr).alias("__pair"))
+        counts = pairs.groupBy("__pair").agg(F.sum("__wf").alias("__c"))
+        best = _materialize(
+            counts.orderBy(F.col("__c").desc(), F.col("__pair").asc()).limit(1)
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(r).alias("rank"),
+                F.col("__pair").alias("pair"),
+                F.replace(F.col("__pair"), F.lit(" "), F.lit("")).alias("merged"),
+                F.col("__c").alias("pair_count"),
+            )
+        )
+        bp = F.broadcast(best.select(F.col("__pair").alias("__bp")))
+        vocab = (
+            v.crossJoin(bp)
+            .withColumn(
+                "__sym",
+                F.replace(
+                    F.col("__sym"),
+                    F.concat(F.lit(" "), F.col("__bp"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("__bp"), F.lit(" "), F.lit("")),
+                        F.lit(" "),
+                    ),
+                ),
+            )
+            .drop("__bp")
+        )
+    return _reduce(lambda a, b: a.unionByName(b), merge_rows)

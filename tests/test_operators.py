@@ -1104,3 +1104,44 @@ def test_bloom_incremental_dedup_contract(spark):
             assert not r["is_dup"]
     fp = sum(1 for r in out if r["bloom_hit"] and not r["is_dup"])
     assert fp <= 20  # 200 new rows @ fpp=0.01 → expect ~2; 20 = 10× slack
+
+
+def test_bpe_merges_textbook_example(spark):
+    """The Sennrich et al. walkthrough corpus learns the expected merges
+    with exact weighted counts."""
+    from syntenybrowserv2_etl_spark.operators import text as txt
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lower newest newest newest newest widest widest"),
+            (2, "low lowest newest"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = [
+        (r["rank"], r["pair"], r["merged"], r["pair_count"])
+        for r in sorted(
+            txt.bpe_merge_table(docs, "text", n_merges=6).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    assert got == [
+        (1, "e s", "es", 8),
+        (2, "es t", "est", 8),
+        (3, "l o", "lo", 7),
+        (4, "lo w", "low", 7),
+        (5, "e w", "ew", 5),
+        (6, "ew est", "ewest", 5),
+    ]
+
+
+def test_bpe_exhaustion_emits_no_rows(spark):
+    """When the pair space runs out before n_merges, later rounds emit
+    nothing instead of failing or looping."""
+    from syntenybrowserv2_etl_spark.operators import text as txt
+
+    docs = spark.createDataFrame([(1, "ab ab")], ["doc_id", "text"])
+    rows = txt.bpe_merge_table(docs, "text", n_merges=4).collect()
+    # only one mergeable pair exists ('a b'); after it merges, the single
+    # fused symbol has no neighbors
+    assert [(r["rank"], r["pair"]) for r in rows] == [(1, "a b")]

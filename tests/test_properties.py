@@ -370,3 +370,62 @@ def test_bloom_incremental_matches_exact_membership(spark, corpus_texts, batch_t
         assert r["is_dup"] == want
         if want:
             assert r["bloom_hit"]
+
+
+def py_bpe(texts: list[str], n_merges: int) -> list[tuple[int, str, int]]:
+    """Brute-force BPE with the operator's exact semantics: weighted pair
+    counts over the word-frequency vocab, (count DESC, pair ASC) argmax,
+    and Python str.replace (same leftmost non-overlapping contract as
+    Spark/DuckDB replace)."""
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in " ".join(t.lower().split()).split(" "):
+            if w:
+                wf[w] += 1
+    vocab = {(" " + " ".join(word) + " "): f for word, f in wf.items()}
+    # NB dict keyed by sym string: two words can collapse to one sym only
+    # if equal as words, so no collision; merge keeps multiplicity via sum
+    merges = []
+    for r in range(1, n_merges + 1):
+        counts = Counter()
+        for sym, f in vocab.items():
+            el = sym.split()
+            for i in range(len(el) - 1):
+                counts[f"{el[i]} {el[i + 1]}"] += f
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        merges.append((r, pair, counts[pair]))
+        new_vocab = {}
+        for sym, f in vocab.items():
+            ns = sym.replace(f" {pair} ", " " + pair.replace(" ", "") + " ")
+            new_vocab[ns] = new_vocab.get(ns, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("ab abc ba aab bba cab abab ccc".split()),
+            min_size=1, max_size=8,
+        ).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    n=st.sampled_from([1, 3, 5]),
+)
+@settings(**SETTINGS)
+def test_bpe_matches_bruteforce(spark, texts, n):
+    from syntenybrowserv2_etl_spark.operators import text as txt
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = [
+        (r["rank"], r["pair"], r["pair_count"])
+        for r in sorted(
+            txt.bpe_merge_table(df, "text", n_merges=n).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    assert got == py_bpe(texts, n)
