@@ -227,6 +227,9 @@ def main():
                 )
             )
         )
+        r["bpe_merges_4"] = timed(
+            lambda: noop(txt.bpe_merge_table(docs, "text", n_merges=4))
+        )
         results.append(r)
         print(json.dumps(r), flush=True)
 
