@@ -445,6 +445,40 @@ def bpe_merge_table(
     """
     from functools import reduce as _reduce
 
+    merge_rows, _vocab = _bpe_rounds(df, text_col, n_merges)
+    return _reduce(lambda a, b: a.unionByName(b), merge_rows)
+
+
+def bpe_segment_vocab(
+    df: DataFrame, text_col: str, n_merges: int = 8
+) -> DataFrame:
+    """The APPLY half of BPE: the learned segmentation of every corpus
+    word after ``n_merges`` merge rounds.
+
+    Output: (word, segmented, n_pieces) — ``segmented`` is the
+    space-separated symbol sequence, ``n_pieces`` its length, i.e. the
+    EXACT token count of the word under the learned tokenizer (vs the
+    chars/4 and pretoken upper-bound estimators). Joining a corpus's
+    exploded words against this table (broadcast at sane vocab sizes —
+    leave the choice to AQE) prices any corpus in true BPE tokens without
+    re-running the tokenizer per document. Callers size ``n_merges``
+    below pair-space exhaustion — an exhausted round empties the vocab
+    (same contract as bpe_merge_table).
+    """
+    _rows, vocab = _bpe_rounds(df, text_col, n_merges)
+    seg = F.trim(F.col("__sym"))
+    return vocab.select(
+        F.col("__w").alias("word"),
+        seg.alias("segmented"),
+        F.size(F.split(seg, " ")).cast("long").alias("n_pieces"),
+    )
+
+
+def _bpe_rounds(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared BPE iteration: returns (per-round merge rows, final vocab
+    with ``__w``/``__wf``/``__sym``). See bpe_merge_table for semantics."""
     from . import dedup
     from .dedup import _materialize
 
@@ -456,6 +490,7 @@ def bpe_merge_table(
         .agg(F.count(F.lit(1)).alias("__wf"))
     )
     vocab = wf.select(
+        "__w",
         "__wf",
         F.concat(
             F.lit(" "), F.concat_ws(" ", F.split("__w", "")), F.lit(" ")
@@ -507,4 +542,4 @@ def bpe_merge_table(
             )
             .drop("__bp")
         )
-    return _reduce(lambda a, b: a.unionByName(b), merge_rows)
+    return merge_rows, vocab

@@ -2924,19 +2924,21 @@ def q73(spark, sf_dir):
     )
 
 
-def _bpe_sql(n_merges: int) -> str:
-    """DuckDB reproduction of text.bpe_merge_table, round-unrolled like the
-    q54 k-means oracle: shared word-frequency CTE, then per round the pair
-    count (integer sums — exact), argmax with (count DESC, pair ASC)
+def _bpe_ctes(n_merges: int) -> str:
+    """DuckDB CTE chain reproducing text._bpe_rounds, round-unrolled like
+    the q54 k-means oracle: shared word-frequency CTE, then per round the
+    pair count (integer sums — exact), argmax with (count DESC, pair ASC)
     tiebreak, and the same leftmost non-overlapping literal replace both
     engines implement identically. Empty-best rounds propagate an empty
-    vocab exactly as the operator does."""
+    vocab exactly as the operator does. Yields ``b1..bN`` (per-round
+    winners) and ``v0..vN`` (vocab states incl. ``word``); the caller
+    writes the final select."""
     ctes = [
         f"""wf AS (
       SELECT w AS word, COUNT(*) AS wf FROM (
         SELECT unnest(string_split({_NORM_TEXT}, ' ')) AS w FROM documents)
       WHERE length(w) > 0 GROUP BY w)""",
-        """v0 AS (SELECT wf,
+        """v0 AS (SELECT word, wf,
       ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sym
       FROM wf)""",
     ]
@@ -2954,17 +2956,21 @@ def _bpe_sql(n_merges: int) -> str:
         )
         ctes.append(
             f"""v{r} AS (
-      SELECT v.wf,
+      SELECT v.word, v.wf,
              replace(v.sym, ' ' || b.pair || ' ',
                      ' ' || replace(b.pair, ' ', '') || ' ') AS sym
       FROM v{r - 1} v, b{r} b)"""
         )
+    return ",\n    ".join(ctes)
+
+
+def _bpe_sql(n_merges: int) -> str:
     unions = "\n    UNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS rank, pair, replace(pair, ' ', '') AS merged, "
         f"c AS pair_count FROM b{r}"
         for r in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+    return "WITH " + _bpe_ctes(n_merges) + "\n    " + unions
 
 
 @register(
@@ -2983,6 +2989,51 @@ def q74(spark, sf_dir):
     operators/text.bpe_merge_table."""
     d = t(spark, sf_dir, "documents")
     return text_ops.bpe_merge_table(d, "text", n_merges=8)
+
+
+@register(
+    "q75_bpe_token_budget",
+    f"""
+    WITH {_bpe_ctes(8)},
+    seg AS (SELECT word,
+                   len(string_split(trim(sym), ' ')) AS n_pieces
+            FROM v8),
+    dw AS (SELECT source, unnest(string_split({_NORM_TEXT}, ' ')) AS w
+           FROM documents)
+    SELECT source,
+           COUNT(*) AS n_words,
+           CAST(SUM(s.n_pieces) AS BIGINT) AS n_bpe_tokens
+    FROM dw JOIN seg s ON dw.w = s.word
+    WHERE length(dw.w) > 0
+    GROUP BY source
+    """,
+    tags=["exact BPE token budget (apply the learned tokenizer)"],
+)
+def q75(spark, sf_dir):
+    """The APPLY half of tokenizer training: price the corpus in EXACT
+    tokens of the just-learned 8-merge BPE — explode words, join the
+    (word → n_pieces) segmentation vocab (broadcast-sized; AQE decides),
+    aggregate per source. The upgrade over chars/4 (q31) and the pretoken
+    upper bound (q53): true token counts, computed without re-running the
+    tokenizer per document. operators/text.bpe_segment_vocab."""
+    d = t(spark, sf_dir, "documents")
+    vocab = text_ops.bpe_segment_vocab(d, "text", n_merges=8).select(
+        F.col("word").alias("__w"), "n_pieces"
+    )
+    words = (
+        transforms.fan_out(d)
+        .select(
+            "source",
+            F.explode(
+                F.split(dedup_ops.normalize_text("text"), " ")
+            ).alias("__w"),
+        )
+        .filter(F.length("__w") > 0)
+    )
+    return words.join(vocab, "__w").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_pieces").alias("n_bpe_tokens"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3029,6 +3080,7 @@ _DEMOTED_PAST_WINDOW = [
     "q72_bloom_incremental",
     "q73_curate_pipeline",
     "q74_bpe_merges",
+    "q75_bpe_token_budget",
 ]
 
 

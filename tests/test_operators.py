@@ -1145,3 +1145,28 @@ def test_bpe_exhaustion_emits_no_rows(spark):
     # only one mergeable pair exists ('a b'); after it merges, the single
     # fused symbol has no neighbors
     assert [(r["rank"], r["pair"]) for r in rows] == [(1, "a b")]
+
+
+def test_bpe_segment_vocab_prices_words_exactly(spark):
+    """After the 6 textbook merges, the learned segmentation prices each
+    word with its exact piece count, and every corpus word is priced."""
+    from syntenybrowserv2_etl_spark.operators import text as txt
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lower newest newest newest newest widest widest"),
+            (2, "low lowest newest"),
+        ],
+        ["doc_id", "text"],
+    )
+    seg = {
+        r["word"]: (r["segmented"], r["n_pieces"])
+        for r in txt.bpe_segment_vocab(docs, "text", n_merges=6).collect()
+    }
+    # merges learned: es, est, lo, low, ew, ewest
+    assert seg["low"] == ("low", 1)
+    assert seg["lower"] == ("low e r", 3)
+    assert seg["newest"] == ("n ewest", 2)
+    assert seg["widest"] == ("w i d est", 4)
+    assert seg["lowest"] == ("low est", 2)
+    assert set(seg) == {"low", "lower", "newest", "widest", "lowest"}
