@@ -728,7 +728,11 @@ def bloom_incremental_dedup(
     confirmed = (
         probed.filter(F.col("bloom_hit"))
         .join(ckeys.select("__h1", "__h2").distinct(), ["__h1", "__h2"], "left_semi")
-        .select(F.col(id_col).alias("__dup_id"), F.lit(True).alias("is_dup"))
+        .select(F.col(id_col).alias("__dup_id"))
+        # distinct: a batch with repeated ids must not fan out the final
+        # left join (one confirm row per id, not per batch row)
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
     )
     return (
         probed.join(

@@ -1170,3 +1170,22 @@ def test_bpe_segment_vocab_prices_words_exactly(spark):
     assert seg["widest"] == ("w i d est", 4)
     assert seg["lowest"] == ("low est", 2)
     assert set(seg) == {"low", "lower", "newest", "widest", "lowest"}
+
+
+def test_bloom_incremental_duplicate_batch_ids_no_fanout(spark):
+    """A batch that repeats an id (retried ingest) must yield exactly one
+    output row per batch row — the confirm join must not multiply."""
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    corpus = spark.createDataFrame([(1, "known text here")], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(7, "known text here"), (7, "known text here"), (8, "new text")],
+        ["doc_id", "text"],
+    )
+    out = dd.bloom_incremental_dedup(
+        corpus, batch, "doc_id", "text", expected_corpus_rows=1
+    ).collect()
+    assert len(out) == 3
+    assert sorted((r["doc_id"], r["is_dup"]) for r in out) == [
+        (7, True), (7, True), (8, False),
+    ]
