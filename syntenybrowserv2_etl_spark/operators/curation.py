@@ -213,11 +213,14 @@ def dedup_spans(
     and documents are reassembled from their surviving spans in order.
 
     Scale shape: chunking is row-local (zero shuffle, chunk_documents);
-    winner election shuffles (span_hash, span_len) pairs — 16 bytes per
-    span, never the text twice; reassembly shuffles surviving spans by
-    doc id once. No all-pairs stage anywhere, output ≤ input: linear at
-    any corpus size. Equal spans collide on the 40-bit hash identically
-    in Spark and the DuckDB oracle, so election is value-checkable.
+    winner election is one shuffle of the span rows (WindowGroupLimit
+    prunes non-winners before the exchange); reassembly shuffles
+    surviving spans by doc id once. No all-pairs stage anywhere, output
+    ≤ input: linear at any corpus size. The election key is (40-bit
+    hash, token count, SPAN TEXT): the hash prefix keeps comparisons
+    cheap, and the text suffix — already in the shuffled row — makes a
+    hash collision between distinct spans harmless (each keeps its own
+    group) instead of silently deleting passages at billion-span scale.
 
     Output: (id, n_spans, n_spans_kept, clean_text) — one row per input
     document; fully deduped documents keep an empty clean_text (the
@@ -226,7 +229,7 @@ def dedup_spans(
     spans = chunk_documents(
         df, id_col, text_col, chunk_tokens=span_tokens, overlap=0
     ).filter(F.col("n_chunk_tokens") > 0)
-    w = Window.partitionBy("chunk_hash", "n_chunk_tokens").orderBy(
+    w = Window.partitionBy("chunk_hash", "n_chunk_tokens", "chunk_text").orderBy(
         F.col(id_col).asc(), F.col("chunk_idx").asc()
     )
     kept = (

@@ -620,13 +620,6 @@ def bloom_params(n: int, fpp: float) -> tuple[int, int]:
     return m, k
 
 
-def _bloom_positions(h1, h2, i: int, m: int):
-    """i-th probe bit position via Kirsch-Mitzenmacher double hashing:
-    pos_i = (h1 + i·h2) mod m. h1, h2 < 2^40 and i ≤ ~16, so the product
-    stays far under signed-64 overflow in both engines."""
-    return F.pmod(h1 + F.lit(i) * h2, F.lit(m))
-
-
 def bloom_incremental_dedup(
     corpus: DataFrame,
     batch: DataFrame,
@@ -725,19 +718,20 @@ def bloom_incremental_dedup(
         .withColumn("bloom_hit", F.expr(probe_bit))
         .drop("__bloom")
     )
+    # the confirm verdict is keyed on the TEXT-HASH pair, not the id:
+    # is_dup is a property of the content, and a batch repeating an id
+    # with different texts (retry + edit) must get per-row verdicts.
+    # Distinct pairs cannot fan out the join (each probed row carries
+    # exactly one pair).
     confirmed = (
         probed.filter(F.col("bloom_hit"))
-        .join(ckeys.select("__h1", "__h2").distinct(), ["__h1", "__h2"], "left_semi")
-        .select(F.col(id_col).alias("__dup_id"))
-        # distinct: a batch with repeated ids must not fan out the final
-        # left join (one confirm row per id, not per batch row)
+        .select("__h1", "__h2")
         .distinct()
+        .join(ckeys.select("__h1", "__h2").distinct(), ["__h1", "__h2"], "left_semi")
         .withColumn("is_dup", F.lit(True))
     )
     return (
-        probed.join(
-            confirmed.withColumnRenamed("__dup_id", id_col), id_col, "left"
-        )
+        probed.join(confirmed, ["__h1", "__h2"], "left")
         .withColumn("is_dup", F.coalesce("is_dup", F.lit(False)))
         .drop("__h1", "__h2")
     )

@@ -2741,7 +2741,7 @@ def _span_dedup_ctes(src: str, k: int, p: str = "") -> str:
       SELECT doc_id, span_idx, span,
              row_number() OVER (
                PARTITION BY {hashing.md5_long_sql("span")},
-                            len(string_split(span, ' '))
+                            len(string_split(span, ' ')), span
                ORDER BY doc_id, span_idx) AS rn
       FROM {p}s),
     {p}kept AS (SELECT doc_id, span_idx, span FROM {p}w WHERE rn = 1),
@@ -2813,7 +2813,7 @@ _Q72_M, _Q72_KH = dedup_ops.bloom_params(_Q72_N, _Q72_FPP)
     WITH corpus AS (
       SELECT {_NORM_TEXT} AS norm FROM documents WHERE doc_id < {_Q72_N}),
     batch AS (
-      SELECT doc_id + 10000 AS doc_id, {_NORM_TEXT} AS norm
+      SELECT doc_id + 10000000 AS doc_id, {_NORM_TEXT} AS norm
       FROM documents WHERE doc_id < 50
       UNION ALL
       SELECT doc_id, {_NORM_TEXT} AS norm
@@ -2853,7 +2853,7 @@ def q72(spark, sf_dir):
     corpus = d.filter(F.col("doc_id") < _Q72_N)
     batch = (
         d.filter(F.col("doc_id") < 50)
-        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
         .unionByName(d.filter(F.col("doc_id") >= _Q72_N).select("doc_id", "text"))
     )
     out = dedup_ops.bloom_incremental_dedup(
@@ -3074,7 +3074,7 @@ _DEMOTED_PAST_WINDOW = [
     # stays proven by its parity row (and A6 by sources/io tests).
     "q55_distribution_windows",
     "q39_string_agg",
-    # q72-q74 are parity-gated from birth: their oracles are fully
+    # q72-q75 are parity-gated from birth: their oracles are fully
     # deterministic, but the driver window stays reserved for the operator
     # set whose in-window history the judge tracks round-over-round.
     "q72_bloom_incremental",

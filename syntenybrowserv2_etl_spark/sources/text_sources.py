@@ -138,15 +138,24 @@ def first_lines(spark: SparkSession, path: str) -> list[tuple[str, str]]:
     if len(files) > _BATCH_PROBE_THRESHOLD:
         try:
             return _probe_batched(spark, files)
-        except Exception:
+        except Exception as e:
             # pyarrow.fs covers fewer schemes than Hadoop FS (no
             # abfss/wasbs; hdfs needs libhdfs) and cannot see
             # Hadoop-conf-only credentials, so a deployment whose small
             # globs probe fine must not start failing when a glob grows
             # past the batch threshold — fall back to the per-file
             # Hadoop-path probe below (slower, O(n_files) jobs, but it
-            # reads through the same stack as the real load).
-            pass
+            # reads through the same stack as the real load). Warn
+            # loudly: at a 100k-file lake the fallback is a multi-hour
+            # degradation, and a genuine infra error must not hide in it.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "batched header probe failed (%s: %s); falling back to "
+                "per-file probes over %d files — this is O(n_files) Spark "
+                "jobs and may be slow",
+                type(e).__name__, e, len(files),
+            )
 
     def head(f: str) -> tuple[str, str]:
         rows = spark.read.text(f).limit(1).collect()

@@ -1174,18 +1174,31 @@ def test_bpe_segment_vocab_prices_words_exactly(spark):
 
 def test_bloom_incremental_duplicate_batch_ids_no_fanout(spark):
     """A batch that repeats an id (retried ingest) must yield exactly one
-    output row per batch row — the confirm join must not multiply."""
+    output row per batch row, and the verdict must be per-CONTENT: the
+    same id carrying a known text and a new text (retry + edit) gets
+    is_dup True for the former, False for the latter."""
     from syntenybrowserv2_etl_spark.operators import dedup as dd
 
     corpus = spark.createDataFrame([(1, "known text here")], ["doc_id", "text"])
     batch = spark.createDataFrame(
-        [(7, "known text here"), (7, "known text here"), (8, "new text")],
+        [
+            (7, "known text here"),
+            (7, "known text here"),
+            (7, "brand new edited text"),
+            (8, "new text"),
+        ],
         ["doc_id", "text"],
     )
     out = dd.bloom_incremental_dedup(
         corpus, batch, "doc_id", "text", expected_corpus_rows=1
     ).collect()
-    assert len(out) == 3
-    assert sorted((r["doc_id"], r["is_dup"]) for r in out) == [
-        (7, True), (7, True), (8, False),
+    assert len(out) == 4
+    assert sorted((r["doc_id"], r["text"], r["is_dup"]) for r in out) == [
+        (7, "brand new edited text", False),
+        (7, "known text here", True),
+        (7, "known text here", True),
+        (8, "new text", False),
     ]
+    for r in out:
+        if r["is_dup"]:
+            assert r["bloom_hit"]  # content-keyed: no false negatives

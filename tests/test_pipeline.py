@@ -109,9 +109,12 @@ def test_build_bench_small_deterministic(spark, monkeypatch, capsys):
     VCF explode, OBO closure, GAF taxon filter, upsert channels) at a
     scale the unit fixtures don't reach."""
     import json
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
     import build_bench
 
     monkeypatch.setattr(sys, "argv", ["build_bench.py", "--small"])
