@@ -643,13 +643,22 @@ def bloom_incremental_dedup(
       build:  per corpus row, k = ``bloom_params`` probe positions via
               Kirsch-Mitzenmacher double hashing (h1 + i·h2 mod m);
               explode → (word, or-mask) → ``bit_or`` groupBy — ONE
-              map-side-combined shuffle of m/64 tiny rows, then a
-              single-row (word → bits) map, broadcast to the batch.
-              In production the sketch table persists per corpus version;
-              rebuilds are one corpus scan, never a corpus shuffle.
-      probe:  row-local k-way bit test on the broadcast map — rows the
-              filter rejects are DEFINITELY new (no false negatives),
-              zero join for the mostly-new common case;
+              map-side-combined shuffle producing the SHARDED sketch
+              TABLE of m/64 ``(word, bits)`` rows. The sketch never
+              collapses to driver-side or single-row state: at n=10⁹,
+              fpp=0.01 it is ~1.5×10⁸ rows (~2.4 GB) — partitionable,
+              and in production persisted per corpus version bucketed
+              by ``__word`` so per-batch probes never reshuffle it.
+              Rebuilds are one corpus scan, never a corpus shuffle.
+      probe:  per DISTINCT batch hash-pair, explode the k word indexes
+              and inner-equi-join the sketch table on ``__word``; a pair
+              is a ``bloom_hit`` iff all k probes land on a present word
+              with its bit set (count-of-set == k, so words absent from
+              the sketch correctly read as unset bits). Inner join keeps
+              BOTH broadcast directions open to AQE: tiny sketch →
+              broadcast sketch; huge sketch + small batch → broadcast
+              the k·|distinct batch| probe rows. Only 16-byte hash
+              pairs of the batch ever shuffle, never its payload rows.
       verify: only ``bloom_hit`` candidates (true dups + ~fpp false
               positives) pay the exact confirmation semi-join, so the
               join input is |dups| + fpp·|batch|, not |batch|.
@@ -659,7 +668,9 @@ def bloom_incremental_dedup(
     sketch (contrast q38 HLL).
 
     Output: batch rows + ``bloom_hit`` (probe verdict) + ``is_dup``
-    (exact). Invariants pinned by tests: ``is_dup ⇒ bloom_hit`` (no false
+    (exact). NULL/unhashable text rows get ``bloom_hit = is_dup = False``
+    (a NULL key equi-joins nothing, so they are definitionally new).
+    Invariants pinned by tests: ``is_dup ⇒ bloom_hit`` (no false
     negatives), ``is_dup`` equals the exact anti-join truth, and the
     false-positive excess ``bloom_hit ∧ ¬is_dup`` stays near fpp·|batch|.
     """
@@ -681,57 +692,87 @@ def bloom_incremental_dedup(
             "__pos"
         )
     )
-    words = exploded.select(
-        (F.col("__pos") / 64).cast("int").alias("__word"),
-        # pyspark's F.shiftleft only takes a literal shift; the SQL form
-        # accepts a column
-        F.expr(
-            "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
-        ).alias("__mask"),
-    ).groupBy("__word").agg(F.bit_or("__mask").alias("__bits"))
-    # materialized: ``probed`` is consumed twice (output base + confirm
-    # filter), and without this the whole sketch sub-DAG — including its
-    # exchanges — re-executes per consumer. The sketch is one row of m/64
-    # longs, so the checkpoint is free; the remaining duplicated work is
-    # the row-local batch re-scan, which is the map-only cost a second
-    # pass over an un-checkpointed batch should pay at scale.
-    sketch = F.broadcast(
-        _materialize(
-            words.agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("__word", "__bits"))
-                ).alias("__bloom")
-            )
+    # materialized: the sketch is consumed by the probe join and, without
+    # a checkpoint, every downstream consumer would re-execute the whole
+    # build sub-DAG including its exchange. m/64 (word, bits) rows stay a
+    # TABLE — sharded, partitionable — never a single-row map or a
+    # driver-side structure; this is the representation that survives
+    # 10⁹-row corpora (the production analogue persists it per corpus
+    # version, bucketed by __word).
+    sketch = _materialize(
+        exploded.select(
+            (F.col("__pos") / 64).cast("int").alias("__word"),
+            # pyspark's F.shiftleft only takes a literal shift; the SQL
+            # form accepts a column
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+            ).alias("__mask"),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__mask").alias("__bits"))
+    )
+    # the probe and confirm verdicts are keyed on the TEXT-HASH pair, not
+    # the id: is_dup is a property of the content, and a batch repeating
+    # an id with different texts (retry + edit) must get per-row verdicts.
+    # Distinct pairs cannot fan out the join back (each batch row carries
+    # exactly one pair), and shrink probe volume to k·|distinct texts|.
+    bkeys = (
+        batch.select(key.alias("__h1"), key2.alias("__h2"))
+        .filter(F.col("__h1").isNotNull())
+        .distinct()
+    )
+    probes = (
+        bkeys.select(
+            "__h1",
+            "__h2",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"),
+        )
+        .select(
+            "__h1",
+            "__h2",
+            F.pmod(F.col("__h1") + F.col("__i") * F.col("__h2"), F.lit(m)).alias(
+                "__pos"
+            ),
+        )
+        .select(
+            "__h1",
+            "__h2",
+            (F.col("__pos") / 64).cast("int").alias("__word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+            ).alias("__mask"),
         )
     )
-    probe_bit = " AND ".join(
-        f"(coalesce(element_at(__bloom, CAST(pmod(__h1 + {i} * __h2, {m}) DIV 64 AS INT)),"
-        f" CAST(0 AS BIGINT))"
-        f" & shiftleft(CAST(1 AS BIGINT), CAST(pmod(__h1 + {i} * __h2, {m}) % 64 AS INT))"
-        f") != 0"
-        for i in range(k)
+    # INNER join on the word index: a probe whose word is absent from the
+    # sketch is an unset bit, which the count-of-set == k verdict already
+    # treats as a miss — and inner (unlike left-outer) lets AQE broadcast
+    # whichever side is small.
+    # materialized: ``hits`` feeds both the confirm semi-join and the
+    # verdict join back to the batch; without the checkpoint the probe
+    # join + aggregate would re-execute per consumer. |bloom-hit pairs| =
+    # |dups| + ~fpp·|batch| rows of two longs — the checkpoint is free.
+    hits = _materialize(
+        probes.join(sketch, "__word", "inner")
+        .groupBy("__h1", "__h2")
+        .agg(
+            F.sum(
+                ((F.col("__bits").bitwiseAND(F.col("__mask"))) != 0).cast("int")
+            ).alias("__n_set")
+        )
+        .filter(F.col("__n_set") == k)
+        .select("__h1", "__h2", F.lit(True).alias("bloom_hit"))
     )
-    probed = (
-        batch.withColumn("__h1", key)
-        .withColumn("__h2", key2)
-        .crossJoin(sketch)
-        .withColumn("bloom_hit", F.expr(probe_bit))
-        .drop("__bloom")
-    )
-    # the confirm verdict is keyed on the TEXT-HASH pair, not the id:
-    # is_dup is a property of the content, and a batch repeating an id
-    # with different texts (retry + edit) must get per-row verdicts.
-    # Distinct pairs cannot fan out the join (each probed row carries
-    # exactly one pair).
     confirmed = (
-        probed.filter(F.col("bloom_hit"))
-        .select("__h1", "__h2")
-        .distinct()
+        hits.select("__h1", "__h2")
         .join(ckeys.select("__h1", "__h2").distinct(), ["__h1", "__h2"], "left_semi")
         .withColumn("is_dup", F.lit(True))
     )
+    verdict = hits.join(confirmed, ["__h1", "__h2"], "left")
     return (
-        probed.join(confirmed, ["__h1", "__h2"], "left")
+        batch.withColumn("__h1", key)
+        .withColumn("__h2", key2)
+        .join(verdict, ["__h1", "__h2"], "left")
+        .withColumn("bloom_hit", F.coalesce("bloom_hit", F.lit(False)))
         .withColumn("is_dup", F.coalesce("is_dup", F.lit(False)))
         .drop("__h1", "__h2")
     )

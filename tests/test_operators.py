@@ -1202,3 +1202,30 @@ def test_bloom_incremental_duplicate_batch_ids_no_fanout(spark):
     for r in out:
         if r["is_dup"]:
             assert r["bloom_hit"]  # content-keyed: no false negatives
+
+
+def test_bloom_incremental_null_text_is_new(spark):
+    """NULL-text batch rows are unhashable: they must come out with
+    bloom_hit = is_dup = False (not NULL), preserving the documented
+    boolean contract and the is_dup ⇒ bloom_hit invariant."""
+    from pyspark.sql import types as T
+
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    corpus = spark.createDataFrame([(1, "known text here")], schema)
+    batch = spark.createDataFrame(
+        [(7, "known text here"), (8, None), (9, "fresh")], schema
+    )
+    out = {
+        r["doc_id"]: (r["bloom_hit"], r["is_dup"])
+        for r in dd.bloom_incremental_dedup(
+            corpus, batch, "doc_id", "text", expected_corpus_rows=1
+        ).collect()
+    }
+    assert out == {7: (True, True), 8: (False, False), 9: (False, False)}

