@@ -14,19 +14,23 @@ from collections.abc import Iterable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# (file-list digest, sentinel stat, conf triple) -> estimated splits. The
-# size stats behind an estimate are driver-side FS RPCs (getFileStatus
+# (file-list digest, conf triple) -> (estimate, sentinel stats, stored-at).
+# The size stats behind an estimate are driver-side FS RPCs (getFileStatus
 # ×min(n_files, 1024)) — noticeable per-call planning latency on object
 # stores, and repeated fan_out calls over the same scan would repay it
 # every time. Ingest files are normally immutable, but a pipeline that
 # rewrites a path in place (same names, new sizes) must not be served a
-# stale estimate for the session lifetime — so the key folds in the
-# (size, mtime) of the FIRST file as a staleness sentinel (one RPC per
-# call instead of up to 1024; an in-place rewrite that somehow preserves
-# the sentinel byte-for-byte can still call clear_splits_cache()).
-# Bounded to keep a long-lived session from growing it forever.
-_SPLITS_CACHE: dict[tuple, int] = {}
+# stale estimate for the session lifetime — so each entry carries the
+# (size, mtime) of THREE spread-out files (first, middle, last) as a
+# staleness sentinel. Lookups younger than _SPLITS_CACHE_TTL_S skip even
+# the sentinel RPCs (tight re-plan loops pay zero RPCs); older hits
+# re-stat the 3 sentinels and invalidate on any change. An in-place
+# rewrite that preserves all three sentinels byte-for-byte can still
+# call clear_splits_cache(). Bounded to keep a long-lived session from
+# growing it forever.
+_SPLITS_CACHE: dict[tuple, tuple[int, tuple, float]] = {}
 _SPLITS_CACHE_MAX = 1024
+_SPLITS_CACHE_TTL_S = 60.0
 
 
 def clear_splits_cache() -> None:
@@ -68,6 +72,7 @@ def _estimated_scan_splits(df: DataFrame) -> int:
         )
     )
     import hashlib
+    import time
 
     hconf = spark._jsc.hadoopConfiguration()
 
@@ -79,20 +84,27 @@ def _estimated_scan_splits(df: DataFrame) -> int:
         except Exception:
             return 0, 0
 
-    sentinel = _stat(files[0])  # one RPC: detects in-place rewrites
+    # three spread-out sentinel files: an in-place rewrite that skips the
+    # first file still trips the middle/last sentinel
+    sentinel_files = sorted({files[0], files[len(files) // 2], files[-1]})
     key = (
         hashlib.md5("\n".join(files).encode()).hexdigest(),
         len(files),
-        sentinel,
         max_pb,
         open_cost,
         min_parts,
     )
+    now = time.monotonic()
     cached = _SPLITS_CACHE.get(key)
     if cached is not None:
-        return cached
+        est, cached_sentinel, stored_at = cached
+        if now - stored_at < _SPLITS_CACHE_TTL_S:
+            return est  # young entry: zero RPCs
+        if tuple(_stat(f) for f in sentinel_files) == cached_sentinel:
+            _SPLITS_CACHE[key] = (est, cached_sentinel, now)
+            return est
     sample = files[:1024]
-    sizes = [sentinel[0]] + [_stat(f)[0] for f in sample[1:]]
+    sizes = [_stat(f)[0] for f in sample]
     total = sum(sizes)
     if len(files) > len(sample):  # extrapolate by mean size
         total = int(total * len(files) / len(sample))
@@ -103,7 +115,7 @@ def _estimated_scan_splits(df: DataFrame) -> int:
     est = n_gz + -(-weighted // max(max_split, 1))  # ceil-div
     if len(_SPLITS_CACHE) >= _SPLITS_CACHE_MAX:
         _SPLITS_CACHE.clear()
-    _SPLITS_CACHE[key] = est
+    _SPLITS_CACHE[key] = (est, tuple(_stat(f) for f in sentinel_files), now)
     return est
 
 

@@ -115,10 +115,18 @@ def deterministic_shuffle(
     a valid global shuffle of the corpus.
 
     Output: input columns + (shard: long, pos: long), pos 1-based within
-    shard in hash order.
+    shard in hash order. Raises if the input already carries a ``shard``,
+    ``pos``, or ``__h`` column — silently overwriting a caller's column
+    with an unrelated meaning is how training orders go quietly wrong.
     """
     from pyspark.sql import Window
 
+    clash = {"shard", "pos", "__h"}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"deterministic_shuffle would overwrite existing column(s) "
+            f"{sorted(clash)}; rename them before calling"
+        )
     h = hashing.md5_long(
         F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
     )

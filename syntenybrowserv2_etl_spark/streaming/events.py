@@ -133,24 +133,30 @@ def enrich_with_dim(
     on_stream: str = "user_id",
     on_dim: str = "c_custkey",
     cols: tuple[str, ...] = ("c_name", "c_nationkey"),
+    broadcast: bool = True,
 ) -> DataFrame:
     """Stream-static enrichment join — the lookup-table shape every event
     pipeline needs (events × user/account/device dimension).
 
     Stream-static joins are STATELESS on the stream side: each micro-batch
     joins against the current static snapshot, so no watermark and no state
-    store are involved, and append output mode works. The static side gets
-    the broadcast hint — at 100 TB of events the dimension (even hundreds
-    of millions of rows after AQE pre-filters) is the side that must move,
-    never the stream. The same function applied to a batch DataFrame
-    produces the identical plan, which is what the twin test asserts.
+    store are involved, and append output mode works. With
+    ``broadcast=True`` (default) the static side gets the broadcast hint —
+    right for dimensions that fit executor memory, which is the common
+    lookup-table case, and it keeps the stream side from ever shuffling.
+    For dimensions too large to broadcast (past Spark's 8 GB broadcast
+    ceiling, or enough to pressure executor heap), pass ``broadcast=False``
+    and let AQE choose the strategy from the dimension's measured size —
+    a forced hint would override that choice and can OOM the driver.
+    The same function applied to a batch DataFrame produces the identical
+    plan, which is what the twin test asserts.
 
     Left join: events with no dimension row survive with NULL attributes
     (the telemetry-before-signup reality), matching the batch-left-join
     twin exactly.
     """
     d = dim.select(F.col(on_dim).alias(on_stream), *cols)
-    return events.join(F.broadcast(d), on_stream, "left")
+    return events.join(F.broadcast(d) if broadcast else d, on_stream, "left")
 
 
 def click_purchase_attribution(

@@ -1076,6 +1076,20 @@ def test_deterministic_shuffle_is_a_reproducible_permutation(spark):
     }
 
 
+def test_deterministic_shuffle_rejects_column_collision(spark):
+    """Inputs already carrying shard/pos must raise instead of being
+    silently overwritten with unrelated values."""
+    import pytest as _pytest
+
+    from syntenybrowserv2_etl_spark.operators import sampling as samp
+
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit(3).alias("shard")
+    )
+    with _pytest.raises(ValueError, match="shard"):
+        samp.deterministic_shuffle(docs, "doc_id", n_shards=4)
+
+
 def test_bloom_incremental_dedup_contract(spark):
     """is_dup agrees exactly with the anti-join truth; bloom has zero
     false negatives; the false-positive excess respects a loose fpp bound."""

@@ -268,10 +268,20 @@ def test_scan_splits_estimate_memoized(spark, tmp_path):
     transforms._SPLITS_CACHE.clear()
     first = transforms._estimated_scan_splits(df)
     assert len(transforms._SPLITS_CACHE) == 1
-    # poison the cached value: a second call must come from the cache
+    # poison the cached estimate: a second call must come from the cache
+    # (young entries skip even the sentinel stat RPCs)
     key = next(iter(transforms._SPLITS_CACHE))
-    transforms._SPLITS_CACHE[key] = 777
+    est, sent, stored_at = transforms._SPLITS_CACHE[key]
+    transforms._SPLITS_CACHE[key] = (777, sent, stored_at)
     assert transforms._estimated_scan_splits(spark.read.parquet(p)) == 777
+    # an aged entry whose sentinel stats still match is revalidated, not
+    # recomputed: the poisoned estimate survives with a refreshed stamp
+    transforms._SPLITS_CACHE[key] = (777, sent, stored_at - 3600.0)
+    assert transforms._estimated_scan_splits(spark.read.parquet(p)) == 777
+    assert transforms._SPLITS_CACHE[key][2] > stored_at - 3600.0
+    # an aged entry whose sentinels changed (in-place rewrite) recomputes
+    transforms._SPLITS_CACHE[key] = (777, ((1, 1),) * len(sent), stored_at - 3600.0)
+    assert transforms._estimated_scan_splits(spark.read.parquet(p)) == first
     transforms._SPLITS_CACHE.clear()
     assert transforms._estimated_scan_splits(df) == first
 

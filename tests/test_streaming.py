@@ -179,3 +179,19 @@ def test_stream_static_enrich_matches_batch(spark, events_dir):
     assert g == w and len(g) == batch.count()
     # the join actually enriches: at least one event got a real c_name
     assert any(name is not None for (_, name, _) in g)
+
+
+def test_enrich_broadcast_opt_out_leaves_strategy_to_aqe(spark, events_dir):
+    """broadcast=False must emit no broadcast hint so AQE sizes the join
+    itself — the escape hatch for dimensions past the broadcast ceiling.
+    (With the hint, the plan is pinned to BroadcastHashJoin.)"""
+    batch = spark.read.parquet(events_dir)
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    hinted = stream_ops.enrich_with_dim(batch, customer)
+    free = stream_ops.enrich_with_dim(batch, customer, broadcast=False)
+    hp = hinted._jdf.queryExecution().optimizedPlan().toString()
+    fp = free._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" in hp or "broadcast" in hp.lower()
+    assert "ResolvedHint" not in fp
+    # same results either way
+    assert hinted.count() == free.count()
