@@ -353,6 +353,24 @@ def test_bloom_sketch_builds_once(spark):
     assert "LeftSemi" in p
 
 
+def test_bpe_pricing_join_is_broadcast_and_pushed(spark):
+    """q75: the corpus-pricing join (exploded words × segmentation vocab)
+    must resolve to a broadcast hash join of the |V|-row vocab side —
+    never a shuffle of the exploded corpus words, and never a cartesian
+    stage. This is the plan that keeps corpus pricing one-pass at 100 TB
+    (the vocab grows sub-linearly in the corpus)."""
+    df = q.REGISTRY["q75_bpe_token_budget"].spark_fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # (the BPE learner's own single-row best-pair broadcast crossJoin is
+    # also in this plan and is deliberate — the pin here is only that the
+    # PRICING join is a broadcast hash join with no shuffle of the
+    # exploded corpus words)
+    assert "BroadcastHashJoin" in p
+    # the corpus side must not hash-exchange on the join key: only the
+    # final groupBy(source) aggregation may shuffle
+    assert "Exchange hashpartitioning(__w" not in p
+
+
 def test_bloom_probe_is_sharded_table_join(spark, monkeypatch):
     """The full un-checkpointed bloom plan (materialization patched to
     identity) must contain the sketch as a bit_or TABLE aggregation probed

@@ -439,3 +439,38 @@ def test_bpe_matches_bruteforce(spark, texts, n):
         )
     ]
     assert got == py_bpe(texts, n)
+
+
+def test_ivf_recall_monotone_in_nprobe(spark):
+    """The IVF approximation contract, not just oracle equality: recall@10
+    vs the exact brute-force twin must be monotone non-decreasing in
+    nprobe (probing more cells can only add candidates — the per-cell
+    ranking is exact), and must clear a floor at the q30 operating point
+    (nprobe=4 of 16 cells)."""
+    from syntenybrowserv2_etl_spark.operators import similarity as sim
+    from conftest import SF_SMALL
+    from syntenybrowserv2_etl_spark import queries as Q
+
+    emb = Q.t(spark, SF_SMALL, "embeddings")
+    cents = sim.pick_centroids(emb, 16)
+    assigned = sim.assign_centroids(emb, cents).localCheckpoint(eager=True)
+    qs = emb.filter(F.col("vec_id").isin([0, 7, 13, 21])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in sim.knn_bruteforce(emb, qs, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = []
+    for nprobe in (1, 2, 4):
+        got = {}
+        for r in sim.knn_ivf(assigned, cents, qs, k=10, nprobe=nprobe).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recalls.append(
+            sum(
+                len(got.get(q, set()) & exact[q]) / len(exact[q])
+                for q in exact
+            )
+            / len(exact)
+        )
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] >= 0.5, f"recall@10 floor failed at nprobe=4: {recalls}"

@@ -181,6 +181,141 @@ def test_stream_static_enrich_matches_batch(spark, events_dir):
     assert any(name is not None for (_, name, _) in g)
 
 
+# --- late-data semantics: events past the watermark ------------------------
+#
+# Each stateful twin is driven with three micro-batches: batch 1 carries
+# the on-time rows plus a watermark advancer at 13:01, batch 2 is a benign
+# on-time row, batch 3 carries rows with event times behind the watermark.
+# The three-file shape matters: Spark enforces the watermark with a
+# one-batch lag (the value computed from batch N's data takes effect in
+# batch N+2's late-row filter — measured via numRowsDroppedByWatermark),
+# so late rows must arrive two batches after the advancer to be reliably
+# dropped. The assertions pin EXACT surviving output — late rows are
+# dropped by the watermark-carrying operators and kept by
+# running_user_totals, whose documented contract is an unwindowed
+# accumulator with no watermark.
+
+from datetime import datetime as _dt
+
+
+def _late_fixture(spark, out: str) -> None:
+    """Three parquet files with strictly increasing mtimes so the file
+    source replays them as three ordered micro-batches."""
+    import time as _time
+
+    def _ev(eid, ts, uid, etype, value):
+        return (eid, _dt.fromisoformat(ts), uid, etype, float(value), "{}")
+
+    batch1 = [
+        _ev(1, "2026-01-01 10:00:00", 1, "click", 1.0),
+        _ev(2, "2026-01-01 10:10:00", 1, "click", 2.0),
+        _ev(3, "2026-01-01 12:50:00", 2, "click", 3.0),
+        _ev(4, "2026-01-01 13:00:00", 2, "purchase", 40.0),
+        # watermark advancer: max ts 13:01 → watermark 11:01 (2 h delay)
+        _ev(99, "2026-01-01 13:01:00", 9, "view", 0.0),
+    ]
+    batch2 = [
+        # benign on-time row; its batch puts the 11:01 watermark in force
+        _ev(100, "2026-01-01 13:02:00", 9, "view", 0.0),
+    ]
+    batch3 = [
+        # all of these are behind the in-force 11:01 watermark
+        _ev(1, "2026-01-01 10:05:00", 1, "click", 1.0),  # dup id, drifted ts
+        _ev(5, "2026-01-01 10:20:00", 1, "click", 50.0),  # late new event
+        _ev(6, "2026-01-01 10:30:00", 1, "purchase", 60.0),  # late purchase
+    ]
+    for rows in (batch1, batch2, batch3):
+        df = spark.createDataFrame(rows, stream_ops.EVENTS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(out)
+        _time.sleep(1.1)  # distinct mtimes even at 1 s filesystem granularity
+
+
+@pytest.fixture(scope="module")
+def late_events_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("late_events"))
+    _late_fixture(spark, out)
+    return out
+
+
+def test_windowed_counts_drops_late_rows(spark, late_events_dir):
+    """Append mode: the 10:00 window finalizes once the watermark passes
+    11:00 and must contain only the two on-time clicks — the late 10:20
+    click (batch 2) never reaches the finalized window."""
+    stream = stream_ops.read_events_stream(spark, late_events_dir)
+    got = stream_ops.run_to_completion(
+        stream_ops.windowed_counts(stream), "late_win"
+    ).collect()
+    rows = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in got
+    }
+    # exactly one finalized window: [10:00, 11:00) × click, on-time rows only
+    assert rows == {(_dt.fromisoformat("2026-01-01 10:00:00"), "click"): (2, 3.0)}
+
+
+def test_streaming_dedup_drops_late_rows(spark, late_events_dir):
+    """Late rows (behind the watermark) are dropped before dedup state is
+    consulted: the re-delivered id 1 and the genuinely new-but-late ids 5/6
+    all vanish; each on-time id survives exactly once."""
+    stream = stream_ops.read_events_stream(spark, late_events_dir)
+    got = stream_ops.run_to_completion(
+        stream_ops.streaming_dedup(stream), "late_dedup"
+    ).collect()
+    ids = sorted(r["event_id"] for r in got)
+    assert ids == [1, 2, 3, 4, 99, 100]
+
+
+def test_sessionize_closes_sessions_against_late_rows(spark, late_events_dir):
+    """User 1's session closes at 10:40 (last event 10:10 + 30 min gap);
+    the late 10:20 click would have extended it but arrives behind the
+    watermark — the emitted session must show the on-time shape only."""
+    stream = stream_ops.read_events_stream(spark, late_events_dir)
+    got = stream_ops.run_to_completion(
+        stream_ops.sessionize(stream, gap="30 minutes"), "late_sessions"
+    ).collect()
+    by_user = {r["user_id"]: r for r in got}
+    # only user 1's session is past the final watermark (11:01); users 2/9
+    # sessions end later than the watermark ever advances → withheld
+    assert set(by_user) == {1}
+    s = by_user[1]
+    assert s["n_events"] == 2 and s["sum_value"] == 3.0
+    assert s["session_start"] == _dt.fromisoformat("2026-01-01 10:00:00")
+    assert s["session_end"] == _dt.fromisoformat("2026-01-01 10:40:00")
+
+
+def test_stream_stream_join_drops_late_and_evicts_state(spark, late_events_dir):
+    """The on-time (click 12:50 → purchase 13:00) pair attributes; the late
+    10:30 purchase does not — it is behind the watermark AND user 1's
+    10:00/10:10 click state is evictable (watermark 11:01 > click+horizon).
+    Exact surviving output: the single user-2 attribution."""
+    stream = stream_ops.read_events_stream(spark, late_events_dir)
+    got = stream_ops.run_to_completion(
+        stream_ops.click_purchase_attribution(stream, horizon="1 hour"),
+        "late_attrib",
+    ).collect()
+    assert [(r["user_id"], r["click_id"], r["purchase_id"]) for r in got] == [
+        (2, 3, 4)
+    ]
+
+
+def test_running_totals_keep_late_rows_by_contract(spark, late_events_dir):
+    """running_user_totals carries NO watermark: it is an entity accumulator
+    over every arrival, so the late batch-2 rows MUST be counted — the
+    keep-side pin that the drop-side tests above complement."""
+    stream = stream_ops.read_events_stream(spark, late_events_dir)
+    got = stream_ops.run_to_completion(
+        stream_ops.running_user_totals(stream), "late_totals", output_mode="update"
+    )
+    final = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in got.orderBy("n_events").collect()
+    }
+    # user 1: 2 on-time + 3 late arrivals all counted
+    assert final[1] == (5, 114.0)
+    assert final[2] == (2, 43.0)
+    assert final[9] == (2, 0.0)
+
+
 def test_enrich_broadcast_opt_out_leaves_strategy_to_aqe(spark, events_dir):
     """broadcast=False must emit no broadcast hint so AQE sizes the join
     itself — the escape hatch for dimensions past the broadcast ceiling.

@@ -7,9 +7,12 @@ linearly with data — any super-linear wall-time growth is an operator
 problem (quadratic candidate blowup, un-pruned fan-out), not a data
 artifact.
 
-Usage: python tools/scale_stress.py [base_sf_dir] [factors...]
+Usage: python tools/scale_stress.py [base_sf_dir] [factors...] [--ops=a,b,c]
 Writes scaled inputs under /root/repo/.scratch/ (gitignored) and prints one
-JSON line per (operator, factor).
+JSON line per (operator, factor). ``--ops=`` restricts to a comma-separated
+subset of operator keys — the deep (64x) tranche measures only the
+operators whose cost is tied to corpus size by contract, instead of paying
+every operator at every factor.
 """
 
 from __future__ import annotations
@@ -84,10 +87,17 @@ def noop(df):
 
 
 def main():
-    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    factors = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    for a in list(args):
+        if a.startswith("--ops="):
+            only = set(a[len("--ops="):].split(","))
+            args.remove(a)
+    base = args[0] if args else "/root/testdata/sf0.1"
+    factors = [int(a) for a in args[1:]] or [1, 4, 16]
     spark = get_spark("scale_stress")
     os.makedirs(SCRATCH, exist_ok=True)
+
     results = []
     for f in factors:
         docs = scaled_docs(spark, base, f, f"{SCRATCH}/docs_x{f}")
@@ -95,8 +105,13 @@ def main():
         n_docs, n_emb = docs.count(), emb.count()
 
         r = {"factor": f, "n_docs": n_docs, "n_emb": n_emb}
-        r["exact_dedup"] = timed(lambda: noop(dd.exact_dedup(docs, "text", "doc_id")))
-        r["minhash_lsh"] = timed(
+
+        def measure(name, fn):
+            if only is None or name in only:
+                r[name] = timed(fn)
+
+        measure("exact_dedup", lambda: noop(dd.exact_dedup(docs, "text", "doc_id")))
+        measure("minhash_lsh", 
             lambda: noop(
                 dd.minhash_lsh_candidates(
                     dd.minhash_signatures_inline(
@@ -108,15 +123,15 @@ def main():
                 )
             )
         )
-        r["ngram_jaccard"] = timed(
+        measure("ngram_jaccard", 
             lambda: noop(
                 dd.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.1, max_df=100)
             )
         )
-        r["simhash"] = timed(lambda: noop(dd.simhash_fingerprint(docs, "doc_id", "text", 16)))
+        measure("simhash", lambda: noop(dd.simhash_fingerprint(docs, "doc_id", "text", 16)))
         # star-linking: the scale path — all-pairs is quadratic in clone-class
         # size by definition (measured 337s at 16x vs 3s at 1x)
-        r["emb_neardup_lsh_star"] = timed(
+        measure("emb_neardup_lsh_star", 
             lambda: noop(
                 dd.embedding_near_dupes(
                     emb, "vec_id", "embedding", 0.3, bucket_planes=8, link="star"
@@ -126,7 +141,7 @@ def main():
         q = emb.filter(F.col("vec_id") == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        r["knn_bruteforce"] = timed(lambda: noop(sim.knn_bruteforce(emb, q, k=10)))
+        measure("knn_bruteforce", lambda: noop(sim.knn_bruteforce(emb, q, k=10)))
 
         # closure on a 16-ary forest over n_docs*f nodes: depth ~log16(n)
         edges = (
@@ -135,7 +150,7 @@ def main():
                 F.floor(F.col("id") / 16).alias("parent"), F.col("id").alias("child")
             )
         )
-        r["closure_doubling"] = timed(lambda: noop(cl.transitive_closure(edges)))
+        measure("closure_doubling", lambda: noop(cl.transitive_closure(edges)))
 
         # binned interval join: events-in-bands at growing point counts
         from syntenybrowserv2_etl_spark import queries as q
@@ -149,7 +164,7 @@ def main():
             (F.col("id") * F.col("id")).cast("double").alias("lo"),
             ((F.col("id") + 1) * (F.col("id") + 1)).cast("double").alias("hi"),
         )
-        r["binned_point_join"] = timed(
+        measure("binned_point_join", 
             lambda: noop(
                 rj.point_in_interval_join(
                     pts, bands, on=[], point_col="v", range_cols=("lo", "hi"), bin_width=64
@@ -161,18 +176,18 @@ def main():
         # inverted index, weighted mixing, sharded sequence packing
         bench_slice = docs.filter(F.col("doc_id") % 37 == 0)
         train_slice = docs.filter(F.col("doc_id") % 37 != 0)
-        r["contamination"] = timed(
+        measure("contamination", 
             lambda: noop(
                 cur.contaminated_ids(train_slice, bench_slice, "doc_id", "text", k=5)
             )
         )
-        r["boilerplate"] = timed(
+        measure("boilerplate", 
             lambda: noop(cur.boilerplate_stats(docs, "doc_id", "text"))
         )
         strat = docs.withColumn(
             "stratum", (F.col("doc_id") % 4).cast("string")
         )
-        r["upsample_mix"] = timed(
+        measure("upsample_mix", 
             lambda: noop(
                 cur.upsample_by_weight(
                     strat, "doc_id", "stratum",
@@ -181,7 +196,7 @@ def main():
             )
         )
         sized = docs.withColumn("n_tok", txt.token_count(F.col("text")))
-        r["pack_sequences"] = timed(
+        measure("pack_sequences", 
             lambda: noop(
                 cur.pack_sequences(sized, "doc_id", "n_tok", budget=512, shards=32)
             )
@@ -189,37 +204,37 @@ def main():
 
         # round 3: corpus-LM scoring, chunking, repetition stats, and the
         # full LSH->verify->components dedup pipeline end-to-end
-        r["unigram_logprob"] = timed(
+        measure("unigram_logprob", 
             lambda: noop(txt.unigram_logprob(docs, "doc_id", "text"))
         )
-        r["chunk_documents"] = timed(
+        measure("chunk_documents", 
             lambda: noop(cur.chunk_documents(docs, "doc_id", "text", 128, 16))
         )
-        r["repetition_profile"] = timed(
+        measure("repetition_profile", 
             lambda: noop(txt.repetition_profile(docs, "doc_id", "text"))
         )
-        r["gopher_quality"] = timed(
+        measure("gopher_quality", 
             lambda: noop(txt.gopher_quality(docs, "doc_id", "text"))
         )
-        r["dedup_corpus_e2e"] = timed(
+        measure("dedup_corpus_e2e", 
             lambda: noop(dd.dedup_corpus(docs, "doc_id", "text"))
         )
-        r["dedup_corpus_e2e_star"] = timed(
+        measure("dedup_corpus_e2e_star", 
             lambda: noop(dd.dedup_corpus(docs, "doc_id", "text", link="star"))
         )
 
         # round 5: span dedup, deterministic shuffle, bloom incremental
         from syntenybrowserv2_etl_spark.operators import sampling as smp
 
-        r["dedup_spans"] = timed(
+        measure("dedup_spans", 
             lambda: noop(cur.dedup_spans(docs, "doc_id", "text", span_tokens=16))
         )
-        r["deterministic_shuffle"] = timed(
+        measure("deterministic_shuffle", 
             lambda: noop(smp.deterministic_shuffle(docs, "doc_id", n_shards=32))
         )
         corpus_part = docs.filter(F.col("doc_id") % 3 != 0)
         batch_part = docs.filter(F.col("doc_id") % 3 == 0)
-        r["bloom_incremental"] = timed(
+        measure("bloom_incremental", 
             lambda: noop(
                 dd.bloom_incremental_dedup(
                     corpus_part, batch_part, "doc_id", "text",
@@ -227,9 +242,31 @@ def main():
                 )
             )
         )
-        r["bpe_merges_4"] = timed(
+        measure("bpe_merges_4",
             lambda: noop(txt.bpe_merge_table(docs, "text", n_merges=4))
         )
+
+        # round 6: the corpus-pricing join (q75 shape) — explode corpus
+        # words, join the learned (word -> n_pieces) segmentation vocab,
+        # aggregate. Proves the pricing join stays linear in the corpus
+        # (the vocab side grows sub-linearly and stays AQE/broadcast-safe).
+        def _price_corpus():
+            vocab = txt.bpe_segment_vocab(docs, "text", n_merges=4).select(
+                F.col("word").alias("__w"), "n_pieces"
+            )
+            words = docs.select(
+                "doc_id",
+                F.explode(
+                    F.split(dd.normalize_text("text"), " ")
+                ).alias("__w"),
+            ).filter(F.length("__w") > 0)
+            noop(
+                words.join(vocab, "__w")
+                .groupBy((F.col("doc_id") % 20).alias("g"))
+                .agg(F.sum("n_pieces").alias("n_bpe_tokens"))
+            )
+
+        measure("bpe_price_corpus", _price_corpus)
         results.append(r)
         print(json.dumps(r), flush=True)
 
