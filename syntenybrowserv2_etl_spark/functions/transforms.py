@@ -95,17 +95,19 @@ def _estimated_scan_splits(df: DataFrame) -> int:
         min_parts,
     )
     now = time.monotonic()
+    fresh_sentinel: tuple | None = None  # reused below to avoid re-stats
     cached = _SPLITS_CACHE.get(key)
     if cached is not None:
         est, cached_sentinel, stored_at = cached
         if now - stored_at < _SPLITS_CACHE_TTL_S:
             return est  # young entry: zero RPCs
-        if tuple(_stat(f) for f in sentinel_files) == cached_sentinel:
+        fresh_sentinel = tuple(_stat(f) for f in sentinel_files)
+        if fresh_sentinel == cached_sentinel:
             _SPLITS_CACHE[key] = (est, cached_sentinel, now)
             return est
     sample = files[:1024]
-    sizes = [_stat(f)[0] for f in sample]
-    total = sum(sizes)
+    stats = {f: _stat(f) for f in sample}
+    total = sum(s[0] for s in stats.values())
     if len(files) > len(sample):  # extrapolate by mean size
         total = int(total * len(files) / len(sample))
     n_gz = sum(1 for f in files if f.endswith(".gz"))
@@ -115,7 +117,11 @@ def _estimated_scan_splits(df: DataFrame) -> int:
     est = n_gz + -(-weighted // max(max_split, 1))  # ceil-div
     if len(_SPLITS_CACHE) >= _SPLITS_CACHE_MAX:
         _SPLITS_CACHE.clear()
-    _SPLITS_CACHE[key] = (est, tuple(_stat(f) for f in sentinel_files), now)
+    if fresh_sentinel is None:  # reuse sample / aged-path stats, no re-stat
+        fresh_sentinel = tuple(
+            stats[f] if f in stats else _stat(f) for f in sentinel_files
+        )
+    _SPLITS_CACHE[key] = (est, fresh_sentinel, now)
     return est
 
 

@@ -91,13 +91,22 @@ def _png_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 raise NotImplementedError(
                     "only 8-bit non-interlaced non-palette PNG supported"
                 )
+            if ctype not in (0, 2, 4, 6):
+                raise ValueError(f"bad PNG color type {ctype}")
             channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
         elif typ == b"IDAT":
             idat += chunk
         elif typ == b"IEND":
             break
-    raw = zlib.decompress(idat)
+    if w is None or channels is None:
+        raise ValueError("PNG missing IHDR chunk")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
     out = bytearray()
     prev = bytearray(stride)
     p = 0
@@ -154,6 +163,7 @@ def _wav_decode(data: bytes) -> tuple[int, int, list[int]]:
     audio_fmt, n_ch, rate, _bps, _block, bits = fmt
     if audio_fmt != 1 or bits != 16:
         raise NotImplementedError("only PCM16 WAV supported")
+    pcm = pcm[: len(pcm) // 2 * 2]  # a truncated final sample byte is dropped
     samples = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
     return n_ch, rate, samples
 
@@ -182,10 +192,11 @@ def decode_real(payload: bytes, kind: str) -> list[float]:
             chan_means[c] = (
                 sum(pix[i] for i in range(c, len(pix), ch)) / n_px / 255.0
             )
-        # quadrant luminance: mean over the first min(ch, 3) channels
+        # quadrant luminance: mean over the color channels only — alpha is
+        # excluded for both gray+alpha (ch=2) and RGBA (ch=4)
         quads = [0.0] * 4
         counts = [0] * 4
-        lum_ch = min(ch, 3)
+        lum_ch = 1 if ch == 2 else min(ch, 3)
         for y in range(h):
             row = y * w * ch
             for x in range(w):

@@ -1354,3 +1354,59 @@ def test_extract_features_with_real_decoder(spark):
     # stub path unchanged (q40 oracle): same media through default kernel
     stub = multimodal.extract_features(media).collect()
     assert len(stub) == 2
+
+
+def test_decode_real_malformed_payloads_raise_clean_errors():
+    """Malformed payloads that pass the magic check must surface as
+    ValueError/NotImplementedError (classifiable bad-payload), never raw
+    KeyError/TypeError/struct.error that would kill the Spark task."""
+    import pytest as _pt
+    import struct
+    import zlib
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    # invalid color type 5 -> ValueError, not KeyError
+    bad_ctype = magic + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 5, 0, 0, 0))
+    with _pt.raises(ValueError, match="color type"):
+        multimodal._png_decode(bad_ctype)
+    # no IHDR at all -> ValueError, not TypeError on w=None
+    with _pt.raises(ValueError, match="IHDR"):
+        multimodal._png_decode(magic + chunk(b"IEND", b""))
+    # truncated IDAT -> ValueError, not IndexError in the unfilter loop
+    good = _make_png(2, 2, [bytes([1] * 6), bytes([2] * 6)])
+    ihdr = magic + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+    short = ihdr + chunk(b"IDAT", zlib.compress(b"\x00" + bytes(6))) + chunk(b"IEND", b"")
+    with _pt.raises(ValueError, match="truncated"):
+        multimodal._png_decode(short)
+    # garbage IDAT bytes -> ValueError, not zlib.error
+    corrupt = ihdr + chunk(b"IDAT", b"\xde\xad\xbe\xef") + chunk(b"IEND", b"")
+    with _pt.raises(ValueError, match="IDAT"):
+        multimodal._png_decode(corrupt)
+    assert multimodal._png_decode(good)  # the helpers themselves are fine
+
+
+def test_wav_decode_odd_length_data_chunk_drops_final_byte():
+    """A data chunk whose declared length overruns the buffer by an odd
+    byte count decodes the whole samples (struct.error would escape the
+    ValueError seam and kill the mapInPandas task)."""
+    wav = _make_wav([100, 200, 300])
+    truncated = wav[:-1]  # 5 pcm bytes remain under a 6-byte declared len
+    n_ch, rate, samples = multimodal._wav_decode(truncated)
+    assert samples == [100, 200]
+
+
+def test_png_gray_alpha_luminance_excludes_alpha():
+    """Gray+alpha (ctype 4): quadrant luminance uses the gray channel
+    only, consistent with RGBA where alpha is excluded — an opaque
+    mid-gray image reads ~0.5, not (gray+alpha)/2."""
+    rows = [bytes([128, 255] * 2), bytes([128, 255] * 2)]
+    f = multimodal.decode_real(_make_png(2, 2, rows, ctype=4), "image")
+    assert f[0] == 128 / 255.0  # channel-0 mean: gray
+    assert f[1] == 1.0  # channel-1 mean: alpha
+    assert f[4:] == [128 / 255.0] * 4  # luminance excludes alpha

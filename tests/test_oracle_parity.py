@@ -82,12 +82,11 @@ def duck_med():
     con.close()
 
 
-@pytest.mark.parametrize("name", Q._DEMOTED_PAST_WINDOW)
-def test_demoted_query_matches_oracle(spark, duck, name):
+def _assert_parity(spark, con, name: str, sf_dir: str) -> None:
     qd = Q.REGISTRY[name]
     assert qd.oracle is not None, f"{name} demoted without an oracle"
-    sdf = qd.spark_fn(spark, SF_SMALL).toPandas()
-    odf = duck.sql(qd.oracle).df()
+    sdf = qd.spark_fn(spark, sf_dir).toPandas()
+    odf = con.sql(qd.oracle).df()
     assert len(sdf) == len(odf), f"row count {len(sdf)} vs {len(odf)}"
     assert sorted(sdf.columns) == sorted(odf.columns)
     a, b = canon(sdf), canon(odf)
@@ -95,6 +94,11 @@ def test_demoted_query_matches_oracle(spark, duck, name):
         diff = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
         detail = "; ".join(f"row{i}: {a[i]} vs {b[i]}" for i in diff)
         pytest.fail(f"values differ: {detail}")
+
+
+@pytest.mark.parametrize("name", Q._DEMOTED_PAST_WINDOW)
+def test_demoted_query_matches_oracle(spark, duck, name):
+    _assert_parity(spark, duck, name, SF_SMALL)
 
 
 @pytest.mark.parametrize("name", SF_MED_STRENGTHENED)
@@ -102,13 +106,4 @@ def test_newest_parity_entries_match_oracle_at_sf001(spark, duck_med, name):
     """q72+ run their full value oracle at sf0.01 as well — an order of
     magnitude more data than the sf0.001 sweep above, matching the
     verification strength of the driver's own correctness window."""
-    qd = Q.REGISTRY[name]
-    sdf = qd.spark_fn(spark, SF_MED).toPandas()
-    odf = duck_med.sql(qd.oracle).df()
-    assert len(sdf) == len(odf), f"row count {len(sdf)} vs {len(odf)}"
-    assert sorted(sdf.columns) == sorted(odf.columns)
-    a, b = canon(sdf), canon(odf)
-    if a != b:
-        diff = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
-        detail = "; ".join(f"row{i}: {a[i]} vs {b[i]}" for i in diff)
-        pytest.fail(f"values differ: {detail}")
+    _assert_parity(spark, duck_med, name, SF_MED)

@@ -86,6 +86,20 @@ def noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+# Every key a measure() call below can emit — validated against --ops= so a
+# typo fails fast instead of silently building scaled inputs and measuring
+# nothing for the intended operator.
+KNOWN_OPS = frozenset({
+    "exact_dedup", "minhash_lsh", "ngram_jaccard", "simhash",
+    "emb_neardup_lsh_star", "knn_bruteforce", "closure_doubling",
+    "binned_point_join", "contamination", "boilerplate", "upsample_mix",
+    "pack_sequences", "unigram_logprob", "chunk_documents",
+    "repetition_profile", "gopher_quality", "dedup_corpus_e2e",
+    "dedup_corpus_e2e_star", "dedup_spans", "deterministic_shuffle",
+    "bloom_incremental", "bpe_merges_4", "bpe_price_corpus",
+})
+
+
 def main():
     args = sys.argv[1:]
     only: set[str] | None = None
@@ -93,6 +107,12 @@ def main():
         if a.startswith("--ops="):
             only = set(a[len("--ops="):].split(","))
             args.remove(a)
+            unknown = only - KNOWN_OPS
+            if unknown:
+                raise SystemExit(
+                    f"unknown --ops entries {sorted(unknown)}; "
+                    f"known: {sorted(KNOWN_OPS)}"
+                )
     base = args[0] if args else "/root/testdata/sf0.1"
     factors = [int(a) for a in args[1:]] or [1, 4, 16]
     spark = get_spark("scale_stress")
