@@ -1727,9 +1727,12 @@ def q53(spark, sf_dir):
     )
 
 
-def _kmeans_profile_sql(k: int, iters: int) -> str:
-    """DuckDB reproduction of kmeans_centroids + cluster_profile, round by
-    round: hash-minimal init (pick_centroids), ``iters`` Lloyd rounds of
+def _kmeans_assign_ctes(k: int, iters: int) -> str:
+    """CTE chain reproducing kmeans_centroids + final assignment in DuckDB,
+    round by round; ends at ``af`` (vec_id, embedding, centroid_id, cosv).
+    Shared by the q54 cluster-profile and q76 semantic-dedup oracles.
+
+    Hash-minimal init (pick_centroids), ``iters`` Lloyd rounds of
     argmax-cosine assignment (ties to the smaller centroid id, matching the
     operator's struct-max) and L2-normalized per-dimension means cast to
     float. The only order-dependent arithmetic is the per-(centroid,dim)
@@ -1782,15 +1785,22 @@ def _kmeans_profile_sql(k: int, iters: int) -> str:
         prev = f"c{r}"
     cos_f = _cos_sql("e.embedding", "c.centroid")
     return (
-        "WITH "
-        + ",\n".join(ctes)
+        ",\n".join(ctes)
         + f""",
     af AS (
-      SELECT vec_id, centroid_id, cosv FROM (
-        SELECT e.vec_id, c.centroid_id, {cos_f} AS cosv,
+      SELECT vec_id, embedding, centroid_id, cosv FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id, {cos_f} AS cosv,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {cos_f} DESC, c.centroid_id) AS rn
-        FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)
+        FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)"""
+    )
+
+
+def _kmeans_profile_sql(k: int, iters: int) -> str:
+    return (
+        "WITH "
+        + _kmeans_assign_ctes(k, iters)
+        + """
     SELECT centroid_id, COUNT(*) AS n_vectors,
            ROUND(AVG(cosv), 4) AS mean_cosine
     FROM af GROUP BY centroid_id"""
@@ -3036,6 +3046,37 @@ def q75(spark, sf_dir):
     )
 
 
+@register(
+    "q76_semantic_dedup",
+    "WITH "
+    + _kmeans_assign_ctes(8, 3)
+    + f""",
+    d AS (
+      SELECT DISTINCT a.vec_id
+      FROM af a JOIN af b
+        ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+      WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.35)
+    SELECT af.vec_id, af.centroid_id,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM af LEFT JOIN d USING (vec_id)
+    """,
+    tags=["SemDeDup semantic dedup (cluster-bounded near-dup pruning)"],
+)
+def q76(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): spherical k-means partitions the
+    corpus, then near-duplicate search runs only WITHIN clusters — the
+    production answer to embedding dedup without an all-pairs join
+    (O(Σ cᵢ²), bounded by cluster size, with k ∝ corpus rows). Training
+    rounds, assignment, and the keep-first rule are all RNG-free, so the
+    full pipeline is value-checked against the round-unrolled k-means
+    oracle (q54's CTEs) extended with the within-cluster pair predicate.
+    operators/dedup.semantic_dedup."""
+    emb = t(spark, sf_dir, "embeddings")
+    return dedup_ops.semantic_dedup(
+        emb, "vec_id", "embedding", k=8, iters=3, threshold=0.35
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -3081,6 +3122,8 @@ _DEMOTED_PAST_WINDOW = [
     "q73_curate_pipeline",
     "q74_bpe_merges",
     "q75_bpe_token_budget",
+    # round 6: new operators are parity-gated from birth (same policy).
+    "q76_semantic_dedup",
 ]
 
 

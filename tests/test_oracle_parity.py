@@ -35,6 +35,7 @@ SF_MED_STRENGTHENED = [
     "q73_curate_pipeline",
     "q74_bpe_merges",
     "q75_bpe_token_budget",
+    "q76_semantic_dedup",
 ]
 
 

@@ -389,3 +389,16 @@ def test_bloom_probe_is_sharded_table_join(spark, monkeypatch):
     assert "bit_or" in p  # the sketch is a (word, bits) table aggregation
     assert "map_from_entries" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_semantic_dedup_no_allpairs_and_no_corpus_shuffle_for_assignment(spark):
+    """q76: SemDeDup's whole point is bounding pair work by cluster — the
+    plan must contain no cartesian/nested-loop stage (the pair join is an
+    equi-join on centroid_id), and assignment must be the broadcast argmax
+    (no corpus exchange feeding it)."""
+    df = q.REGISTRY["q76_semantic_dedup"].spark_fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the within-cluster pair search is an equi-join keyed on centroid_id
+    assert "centroid_id" in p

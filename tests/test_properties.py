@@ -474,3 +474,46 @@ def test_ivf_recall_monotone_in_nprobe(spark):
         )
     assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
     assert recalls[-1] >= 0.5, f"recall@10 floor failed at nprobe=4: {recalls}"
+
+
+_sd_vecs = st.lists(
+    st.lists(st.integers(-5, 5), min_size=4, max_size=4).filter(
+        lambda v: any(v)
+    ),
+    min_size=3,
+    max_size=20,
+)
+
+
+@given(vecs=_sd_vecs, k=st.sampled_from([2, 3]), th=st.sampled_from([0.5, 0.9]))
+@settings(**SETTINGS)
+def test_semantic_dedup_pair_rule_matches_bruteforce(spark, vecs, k, th):
+    """Self-consistency of the SemDeDup pair rule: given the operator's own
+    cluster assignment, is_dup must equal the brute-force 'exists a
+    same-cluster smaller-id vector with cosine >= threshold'. (The
+    clustering itself is value-checked by the q76/q54 unrolled oracles.)"""
+    import math
+
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["centroid_id"], r["is_dup"])
+        for r in dd.semantic_dedup(emb, k=k, iters=2, threshold=th).collect()
+    }
+    assert set(out) == set(range(len(vecs)))
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    for i, (ci, dup) in out.items():
+        expect = any(
+            out[j][0] == ci and cos(vecs[j], vecs[i]) >= th
+            for j in range(i)
+        )
+        assert dup == expect, f"vec {i}: is_dup={dup}, brute-force={expect}"

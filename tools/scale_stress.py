@@ -97,6 +97,7 @@ KNOWN_OPS = frozenset({
     "repetition_profile", "gopher_quality", "dedup_corpus_e2e",
     "dedup_corpus_e2e_star", "dedup_spans", "deterministic_shuffle",
     "bloom_incremental", "bpe_merges_4", "bpe_price_corpus",
+    "semantic_dedup",
 })
 
 
@@ -287,6 +288,15 @@ def main():
             )
 
         measure("bpe_price_corpus", _price_corpus)
+
+        # round 6: SemDeDup — pair work is bounded by cluster size; with
+        # k fixed the within-cluster join grows O(Σ c_i²), so the measured
+        # curve at fixed k=8 is the WORST case (production scales k with
+        # the corpus to hold n/k members per cluster flat).
+        measure("semantic_dedup",
+            lambda: noop(dd.semantic_dedup(emb, "vec_id", "embedding",
+                                           k=8, iters=3, threshold=0.35))
+        )
         results.append(r)
         print(json.dumps(r), flush=True)
 
