@@ -12,7 +12,7 @@ path — and each SQL-expressible so the DuckDB oracle verifies values:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing
@@ -543,3 +543,136 @@ def _bpe_rounds(
             .drop("__bp")
         )
     return merge_rows, vocab
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 3,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword extractor,
+    smooth-idf form (idf = ln((N+1)/(df+1)) + 1, sklearn's default).
+
+    One pass over the exploded token stream feeds BOTH aggregates:
+    per-(doc, term) tf and per-term document frequency (each partial-
+    aggregated map-side, so the two shuffles move one row per distinct
+    key per task, never per occurrence). The Zipf-small df table joins
+    back broadcast/AQE-sized; the final per-doc top-k is a window that
+    plans as WindowGroupLimit (rank ≤ k pruned BEFORE the exchange).
+
+    Determinism across engines: ranking and output use the 6-decimal
+    rounded score, so a last-ulp ``ln`` difference between the JVM and
+    the oracle engine cannot flip an ordering; residual risk is only an
+    exact .5e-6 rounding midpoint (accepted, same class as q54).
+
+    Output: (id, term, tf, df, score, rank), rank 1..top_k by
+    (score desc, term asc).
+    """
+    from . import dedup
+
+    _d, _norm, _toks = dedup.staged_tokens(df, text_col, "ti")
+    tok = _d.filter(F.length(_norm) > 0).select(
+        F.col(id_col), F.explode(_toks).alias("__term")
+    )
+    tok = tok.localCheckpoint(eager=True)  # feeds tf, df, and N once
+    tf = tok.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = (
+        tok.groupBy("__term")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    n_docs = tok.select(id_col).distinct().count()  # scalar, driver-held
+    scored = tf.join(dft, "__term").withColumn(
+        "score",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("__term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            F.col("__term").alias("term"),
+            "tf",
+            "df",
+            "score",
+            "rank",
+        )
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 document ranking against a fixed term query (Robertson/
+    Sparck-Jones idf: ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Scale shape: ONE corpus scan stages (doc, length, per-query-term tf)
+    row-locally — the query is a handful of terms, so tf per term is an
+    ``array`` filter over the token array, no explode and no shuffle for
+    the tf side. Corpus stats (N, avgdl, per-term df) aggregate to a
+    single broadcast row. The only exchange is the final top-k, which
+    plans as WindowGroupLimit (per-partition partial top-k before one
+    single-partition merge).
+
+    Ranking and output use the 6-decimal rounded score (same cross-engine
+    determinism contract as tfidf_top_terms); ties break on id.
+
+    Output: (id, dl, score, rank), rank 1..top_k by (score desc, id asc).
+    """
+    from . import dedup
+
+    terms = sorted(set(query_terms))
+    _d, _norm, _toks = dedup.staged_tokens(df, text_col, "bm")
+    staged = _d.withColumn(
+        "__bm_dl",
+        F.when(F.length(_norm) == 0, F.lit(0)).otherwise(F.size(_toks)).cast("long"),
+    )
+    for i, term in enumerate(terms):
+        staged = staged.withColumn(
+            f"__tf{i}",
+            F.size(F.filter(_toks, lambda x: x == F.lit(term))).cast("long"),
+        )
+    staged = staged.localCheckpoint(eager=True)  # one scan feeds stats+score
+    stats = staged.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.avg("__bm_dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = staged.crossJoin(F.broadcast(stats))
+    parts = []
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__N") - F.col(f"__df{i}") + 0.5) / (F.col(f"__df{i}") + 0.5)
+        )
+        tf = F.col(f"__tf{i}").cast("double")
+        denom = tf + k1 * (1.0 - b + b * F.col("__bm_dl") / F.col("__avgdl"))
+        parts.append(idf * tf * (k1 + 1.0) / denom)
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    scored = scored.withColumn("score", F.round(total, 6))
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, F.col("__bm_dl").alias("dl"), "score", "rank")
+    )

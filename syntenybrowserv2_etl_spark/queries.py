@@ -3077,6 +3077,89 @@ def q76(spark, sf_dir):
     )
 
 
+@register(
+    "q77_tfidf_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({_NORM_TEXT}, ' ')) AS term
+      FROM documents WHERE length({_NORM_TEXT}) > 0),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+             ROUND(tf.tf * (ln((n.n + 1.0) / (dft.df + 1.0)) + 1.0), 6) AS score
+      FROM tf JOIN dft USING (term) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rank
+          FROM scored)
+    SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3
+    """,
+    tags=["TF-IDF keyword extraction (smooth idf, per-doc top-k)"],
+)
+def q77(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms: one exploded-token pass feeds both
+    the (doc, term) tf and the per-term df aggregates; the df table joins
+    back AQE/broadcast-sized; top-k is a WindowGroupLimit-planned window.
+    Ranking uses the 6-decimal rounded score so a cross-engine ln() ulp
+    cannot flip an ordering. operators/text.tfidf_top_terms."""
+    d = t(spark, sf_dir, "documents")
+    return text_ops.tfidf_top_terms(d, "doc_id", "text", top_k=3)
+
+
+_BM25_TERMS = ["join", "spark", "window"]  # sorted; match operator's sort
+
+
+def _bm25_sql(terms: list[str], k1: float = 1.2, b: float = 0.75, top_k: int = 20) -> str:
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(string_split({_NORM_TEXT}, ' '), x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    # mirror the operator's float grouping exactly: ((idf*tf)*(k1+1))/denom,
+    # denom = tf + k1*( (1-b) + (b*dl)/avgdl ), parts summed left to right
+    parts = " + ".join(
+        f"((ln(1.0 + ((n - df{i}) + 0.5) / (df{i} + 0.5)) * CAST(tf{i} AS DOUBLE))"
+        f" * {k1 + 1.0}) / (CAST(tf{i} AS DOUBLE)"
+        f" + {k1} * ({1.0 - b} + ({b} * dl) / avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN length({_NORM_TEXT}) = 0 THEN 0
+                  ELSE len(string_split({_NORM_TEXT}, ' ')) END AS dl,
+             {tf_cols}
+      FROM documents),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl, {df_cols} FROM d),
+    scored AS (
+      SELECT doc_id, dl, ROUND({parts}, 6) AS score
+      FROM d CROSS JOIN stats),
+    r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM scored)
+    SELECT doc_id, dl, score, rank FROM r WHERE rank <= {top_k}
+    """
+
+
+@register(
+    "q78_bm25_rank",
+    _bm25_sql(_BM25_TERMS),
+    tags=["BM25 relevance ranking (fixed term query)"],
+)
+def q78(spark, sf_dir):
+    """BM25 top-20 against a fixed 3-term query. One corpus scan stages
+    (dl, per-term tf) row-locally — no explode: tf per query term is an
+    array filter over the token array. Corpus stats (N, avgdl, per-term
+    df) collapse to one broadcast row; the only exchange is the final
+    WindowGroupLimit top-k. Score rounded to 6 decimals for cross-engine
+    rank determinism. operators/text.bm25_rank."""
+    d = t(spark, sf_dir, "documents")
+    return text_ops.bm25_rank(d, "doc_id", "text", _BM25_TERMS, top_k=20)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -3124,6 +3207,8 @@ _DEMOTED_PAST_WINDOW = [
     "q75_bpe_token_budget",
     # round 6: new operators are parity-gated from birth (same policy).
     "q76_semantic_dedup",
+    "q77_tfidf_terms",
+    "q78_bm25_rank",
 ]
 
 

@@ -1410,3 +1410,58 @@ def test_png_gray_alpha_luminance_excludes_alpha():
     assert f[0] == 128 / 255.0  # channel-0 mean: gray
     assert f[1] == 1.0  # channel-1 mean: alpha
     assert f[4:] == [128 / 255.0] * 4  # luminance excludes alpha
+
+
+def test_tfidf_top_terms_hand_corpus(spark):
+    """3-doc corpus with hand-computed smooth-idf scores."""
+    import math
+
+    from syntenybrowserv2_etl_spark.operators import text as txt
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog fish"), (3, "fish fish fish cat")],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["score"], r["rank"])
+        for r in txt.tfidf_top_terms(docs, "doc_id", "text", top_k=2).collect()
+    }
+
+    def s(tf, df):
+        return round(tf * (math.log(4.0 / (df + 1.0)) + 1.0), 6)
+
+    # doc1: cat tf=2 df=2 -> rank1; dog tf=1 df=2
+    assert out[(1, "cat")] == (2, 2, s(2, 2), 1)
+    assert out[(1, "dog")] == (1, 2, s(1, 2), 2)
+    # doc2: equal scores (tf=1, df=2 both) -> tie to lexicographic 'dog'
+    assert out[(2, "dog")][3] == 1 and out[(2, "fish")][3] == 2
+    # doc3: fish tf=3 beats cat
+    assert out[(3, "fish")] == (3, 2, s(3, 2), 1)
+    assert len(out) == 6  # top-2 per doc exactly
+
+
+def test_bm25_rank_hand_corpus(spark):
+    """BM25 against a 1-term query: more hits in a shorter doc wins; docs
+    without the term score 0; scores match the closed-form formula."""
+    import math
+
+    from syntenybrowserv2_etl_spark.operators import text as txt
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark"), (2, "spark and other words here"),
+         (3, "nothing relevant at all")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in txt.bm25_rank(docs, "doc_id", "text", ["spark"], top_k=3).collect()
+    }
+    n, avgdl = 3, (3 + 5 + 4) / 3.0
+    idf = math.log(1.0 + (n - 2 + 0.5) / (2 + 0.5))
+
+    def bm(tf, dl):
+        return round((idf * tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+
+    assert rows[1]["rank"] == 1 and rows[1]["score"] == bm(3, 3)
+    assert rows[2]["rank"] == 2 and rows[2]["score"] == bm(1, 5)
+    assert rows[3]["rank"] == 3 and rows[3]["score"] == 0.0

@@ -36,6 +36,8 @@ SF_MED_STRENGTHENED = [
     "q74_bpe_merges",
     "q75_bpe_token_budget",
     "q76_semantic_dedup",
+    "q77_tfidf_terms",
+    "q78_bm25_rank",
 ]
 
 

@@ -402,3 +402,27 @@ def test_semantic_dedup_no_allpairs_and_no_corpus_shuffle_for_assignment(spark):
     assert "BroadcastNestedLoopJoin" not in p
     # the within-cluster pair search is an equi-join keyed on centroid_id
     assert "centroid_id" in p
+
+
+def test_tfidf_topk_uses_window_group_limit(spark):
+    """q77: the per-doc top-k must plan as WindowGroupLimit (rank<=k pruned
+    before the exchange) and the df-table join back onto tf must never be
+    a cartesian stage."""
+    df = q.REGISTRY["q77_tfidf_terms"].spark_fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bm25_single_scan_no_explode_shuffle(spark):
+    """q78: per-term tf is an array filter (no explode), corpus stats ride
+    one broadcast row (single-row BNLJ — the documented bounded pattern),
+    and the global top-k plans as TakeOrderedAndProject: per-partition
+    partial top-20, one tiny merge, row_number only over the survivors."""
+    df = q.REGISTRY["q78_bm25_rank"].spark_fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "Generate explode" not in p  # the tf side never explodes
+    # stats join is a broadcast of the single aggregated row
+    assert "BroadcastExchange" in p

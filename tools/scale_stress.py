@@ -97,7 +97,7 @@ KNOWN_OPS = frozenset({
     "repetition_profile", "gopher_quality", "dedup_corpus_e2e",
     "dedup_corpus_e2e_star", "dedup_spans", "deterministic_shuffle",
     "bloom_incremental", "bpe_merges_4", "bpe_price_corpus",
-    "semantic_dedup",
+    "semantic_dedup", "tfidf_top_terms", "bm25_rank",
 })
 
 
@@ -296,6 +296,13 @@ def main():
         measure("semantic_dedup",
             lambda: noop(dd.semantic_dedup(emb, "vec_id", "embedding",
                                            k=8, iters=3, threshold=0.35))
+        )
+        measure("tfidf_top_terms",
+            lambda: noop(txt.tfidf_top_terms(docs, "doc_id", "text", top_k=3))
+        )
+        measure("bm25_rank",
+            lambda: noop(txt.bm25_rank(docs, "doc_id", "text",
+                                       ["join", "spark", "window"], top_k=20))
         )
         results.append(r)
         print(json.dumps(r), flush=True)
