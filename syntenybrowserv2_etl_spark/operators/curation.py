@@ -324,3 +324,44 @@ def chunk_documents(
         chunk_text.alias("chunk_text"),
     )
     return d2.withColumn("chunk_hash", hashing.md5_long("chunk_text"))
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    budget: float = 1000.0,
+) -> DataFrame:
+    """Temperature-based sampling weights across corpus sources — the
+    multilingual/multi-source mixing rule (p_g ∝ n_g^α) of mT5/XLM-R-style
+    training pipelines: α=1 is proportional sampling, α→0 uniform;
+    0<α<1 upweights small sources without letting giants starve them.
+
+    One partial-aggregated groupBy produces the per-source counts; the
+    weight normalization happens against a single broadcast total row
+    (the source table is tiny relative to the corpus — thousands of
+    entries at web scale — so this stage is negligible whatever the
+    corpus size). Probabilities and expected document counts are rounded
+    to 6 decimals for cross-engine comparability; the double pow/sum ulp
+    risk under the rounding is the same accepted class as q54's AVG.
+
+    Output: (group, n_docs, p, expected_docs) — p sums to ~1, and
+    expected_docs = budget·p is the per-source draw for one epoch of
+    ``budget`` documents.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = counts.withColumn(
+        "__w", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    )
+    tot = F.broadcast(w.agg(F.sum("__w").alias("__tot")))
+    return (
+        w.crossJoin(tot)
+        .select(
+            group_col,
+            "n_docs",
+            F.round(F.col("__w") / F.col("__tot"), 6).alias("p"),
+            F.round(
+                F.lit(float(budget)) * (F.col("__w") / F.col("__tot")), 6
+            ).alias("expected_docs"),
+        )
+    )

@@ -135,3 +135,35 @@ def deterministic_shuffle(
     )
     w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
     return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("__h")
+
+
+def cap_per_group(
+    df: DataFrame, id_col: str, group_col: str, cap: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic per-group row cap — the "max N pages per domain" rule
+    of web-corpus curation (CCNet/RefinedWeb-style domain balancing).
+
+    Each row ranks within its group by (salted id-hash, id): an unbiased,
+    RNG-free draw whose membership for a given id set never changes across
+    runs or engines. Rows with rank > cap drop.
+
+    Scale shape: the rank-≤-cap filter plans as WindowGroupLimit — every
+    map task pre-prunes to its local top-``cap`` per group BEFORE the
+    exchange, so a mega-domain ships O(tasks·cap) rows to the window,
+    never its full row set; the groups-keyed shuffle otherwise skew-proof
+    by the same pruning. This beats sampling by fraction (needs a per-group
+    count first) and beats groupBy+collect_list (materializes whole groups
+    on single tasks).
+
+    Output: input columns + ``rk`` (1-based kept rank within the group).
+    """
+    if "rk" in df.columns:
+        raise ValueError("cap_per_group would overwrite existing 'rk' column")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _fate(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return df.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= cap
+    )

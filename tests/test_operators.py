@@ -1465,3 +1465,30 @@ def test_bm25_rank_hand_corpus(spark):
     assert rows[1]["rank"] == 1 and rows[1]["score"] == bm(3, 3)
     assert rows[2]["rank"] == 2 and rows[2]["score"] == bm(1, 5)
     assert rows[3]["rank"] == 3 and rows[3]["score"] == 0.0
+
+
+def test_temperature_mix_weights_alpha_limits(spark):
+    """alpha=1 reproduces proportional sampling; alpha=0 is uniform; the
+    default alpha=0.5 upweights the small source; p sums to ~1 and
+    expected_docs to ~budget."""
+    from syntenybrowserv2_etl_spark.operators import curation as cur
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        ["doc_id", "src"],
+    )
+    prop = {
+        r["src"]: r for r in cur.temperature_mix_weights(df, "src", alpha=1.0).collect()
+    }
+    assert prop["big"]["p"] == 0.9 and prop["small"]["p"] == 0.1
+    unif = {
+        r["src"]: r["p"]
+        for r in cur.temperature_mix_weights(df, "src", alpha=0.0).collect()
+    }
+    assert unif == {"big": 0.5, "small": 0.5}
+    temp = {
+        r["src"]: r for r in cur.temperature_mix_weights(df, "src", alpha=0.5).collect()
+    }
+    assert 0.1 < temp["small"]["p"] < 0.5  # upweighted, not dominant
+    assert abs(temp["big"]["p"] + temp["small"]["p"] - 1.0) < 1e-5
+    assert abs(temp["big"]["expected_docs"] + temp["small"]["expected_docs"] - 1000.0) < 1e-2

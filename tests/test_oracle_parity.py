@@ -38,6 +38,8 @@ SF_MED_STRENGTHENED = [
     "q76_semantic_dedup",
     "q77_tfidf_terms",
     "q78_bm25_rank",
+    "q79_domain_cap",
+    "q80_temperature_mix",
 ]
 
 

@@ -426,3 +426,13 @@ def test_bm25_single_scan_no_explode_shuffle(spark):
     assert "Generate explode" not in p  # the tf side never explodes
     # stats join is a broadcast of the single aggregated row
     assert "BroadcastExchange" in p
+
+
+def test_domain_cap_uses_window_group_limit(spark):
+    """q79: the rank<=cap filter must push into a WindowGroupLimit so map
+    tasks pre-prune to their local top-cap per group before the exchange
+    (mega-domain skew-proofing)."""
+    df = q.REGISTRY["q79_domain_cap"].spark_fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p

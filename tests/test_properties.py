@@ -517,3 +517,39 @@ def test_semantic_dedup_pair_rule_matches_bruteforce(spark, vecs, k, th):
             for j in range(i)
         )
         assert dup == expect, f"vec {i}: is_dup={dup}, brute-force={expect}"
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=40, unique_by=lambda r: r[0],
+    ),
+    cap=st.sampled_from([1, 2, 5]),
+)
+@settings(**SETTINGS)
+def test_cap_per_group_keeps_hash_lowest(spark, rows, cap):
+    """cap_per_group keeps exactly min(cap, |group|) rows per group, and
+    the kept set is the cap hash-lowest ids of each group (brute-force
+    recompute of the salted fate)."""
+    from syntenybrowserv2_etl_spark.operators import sampling as smp
+
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    kept = smp.cap_per_group(df, "doc_id", "grp", cap=cap, seed=7).collect()
+    # recompute fates via the operator's own Column form (engine-portable
+    # md5 fate, already value-pinned by the q45/q46/q79 oracles)
+    fates = {
+        r["doc_id"]: r["f"]
+        for r in df.select("doc_id", smp._fate("doc_id", 7).alias("f")).collect()
+    }
+    by_grp: dict[str, list[int]] = {}
+    for i, g in rows:
+        by_grp.setdefault(g, []).append(i)
+    expect = {
+        (g, i)
+        for g, ids in by_grp.items()
+        for i in sorted(ids, key=lambda x: (fates[x], x))[:cap]
+    }
+    got = {(r["grp"], r["doc_id"]) for r in kept}
+    assert got == expect
+    for r in kept:
+        assert 1 <= r["rk"] <= cap

@@ -97,7 +97,7 @@ KNOWN_OPS = frozenset({
     "repetition_profile", "gopher_quality", "dedup_corpus_e2e",
     "dedup_corpus_e2e_star", "dedup_spans", "deterministic_shuffle",
     "bloom_incremental", "bpe_merges_4", "bpe_price_corpus",
-    "semantic_dedup", "tfidf_top_terms", "bm25_rank",
+    "semantic_dedup", "tfidf_top_terms", "bm25_rank", "cap_per_group",
 })
 
 
@@ -303,6 +303,10 @@ def main():
         measure("bm25_rank",
             lambda: noop(txt.bm25_rank(docs, "doc_id", "text",
                                        ["join", "spark", "window"], top_k=20))
+        )
+        capped = docs.withColumn("grp", (F.col("doc_id") % 16).cast("string"))
+        measure("cap_per_group",
+            lambda: noop(smp.cap_per_group(capped, "doc_id", "grp", cap=100))
         )
         results.append(r)
         print(json.dumps(r), flush=True)
