@@ -53,6 +53,12 @@ CURATION = [
     "q72_bloom_incremental",
     "q73_curate_pipeline",
     "q74_bpe_merges",
+    # round 6 additions
+    "q76_semantic_dedup",
+    "q77_tfidf_terms",
+    "q78_bm25_rank",
+    "q79_domain_cap",
+    "q80_temperature_mix",
 ]
 
 

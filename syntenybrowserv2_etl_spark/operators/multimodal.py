@@ -84,9 +84,13 @@ def _png_decode(data: bytes) -> tuple[int, int, int, bytes]:
         chunk = data[pos + 8 : pos + 8 + ln]
         pos += 12 + ln  # len + type + data + crc
         if typ == b"IHDR":
+            if len(chunk) < 13:
+                raise ValueError("truncated PNG IHDR chunk")
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", chunk
+                ">IIBBBBB", chunk[:13]
             )
+            if w == 0 or h == 0:
+                raise ValueError("zero-dimension PNG")
             if depth != 8 or interlace != 0 or ctype == 3:
                 raise NotImplementedError(
                     "only 8-bit non-interlaced non-palette PNG supported"
@@ -100,12 +104,17 @@ def _png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             break
     if w is None or channels is None:
         raise ValueError("PNG missing IHDR chunk")
+    stride = w * channels
+    expected = h * (stride + 1)
     try:
-        raw = zlib.decompress(idat)
+        # Cap inflation at the IHDR-declared pixel volume: a crafted
+        # few-KB IDAT must not balloon to gigabytes inside an executor.
+        raw = zlib.decompressobj().decompress(idat, expected + 1)
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
+    if len(raw) > expected:
+        raise ValueError("PNG IDAT inflates past declared dimensions")
+    if len(raw) < expected:
         raise ValueError("truncated PNG pixel data")
     out = bytearray()
     prev = bytearray(stride)
@@ -155,6 +164,8 @@ def _wav_decode(data: bytes) -> tuple[int, int, list[int]]:
         body = data[pos + 8 : pos + 8 + ln]
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             pcm = body

@@ -637,6 +637,8 @@ def bm25_rank(
     from . import dedup
 
     terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
     _d, _norm, _toks = dedup.staged_tokens(df, text_col, "bm")
     staged = _d.withColumn(
         "__bm_dl",
@@ -647,7 +649,12 @@ def bm25_rank(
             f"__tf{i}",
             F.size(F.filter(_toks, lambda x: x == F.lit(term))).cast("long"),
         )
-    staged = staged.localCheckpoint(eager=True)  # one scan feeds stats+score
+    # Prune to exactly what stats + scoring consume BEFORE checkpointing:
+    # without the select, the checkpoint would materialize the raw text
+    # plus its normalized and tokenized copies (~3-4x the text bytes/row).
+    staged = staged.select(
+        id_col, "__bm_dl", *[f"__tf{i}" for i in range(len(terms))]
+    ).localCheckpoint(eager=True)  # one scan feeds stats+score
     stats = staged.agg(
         F.count(F.lit(1)).alias("__N"),
         F.avg("__bm_dl").alias("__avgdl"),

@@ -1389,6 +1389,39 @@ def test_decode_real_malformed_payloads_raise_clean_errors():
     with _pt.raises(ValueError, match="IDAT"):
         multimodal._png_decode(corrupt)
     assert multimodal._png_decode(good)  # the helpers themselves are fine
+    # IHDR body shorter than the 13 declared bytes -> ValueError, not struct.error
+    trunc_ihdr = magic + struct.pack(">I", 13) + b"IHDR" + b"\x00" * 5
+    with _pt.raises(ValueError, match="IHDR"):
+        multimodal._png_decode(trunc_ihdr)
+    # zero-dimension image -> ValueError here, not ZeroDivisionError downstream
+    zero = magic + chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 0, 8, 2, 0, 0, 0))
+    with _pt.raises(ValueError, match="zero-dimension"):
+        multimodal._png_decode(zero)
+    # IDAT inflating past the IHDR-declared volume -> ValueError (bomb guard)
+    bomb = (
+        ihdr
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 1_000_000))
+        + chunk(b"IEND", b"")
+    )
+    with _pt.raises(ValueError, match="inflates past"):
+        multimodal._png_decode(bomb)
+    # WAV fmt chunk with a short body -> ValueError, not struct.error
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 16) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+    )
+    with _pt.raises(ValueError, match="fmt"):
+        multimodal._wav_decode(short_fmt)
+
+
+def test_bm25_rank_empty_query_terms_rejected(spark):
+    import pytest as _pt
+
+    from syntenybrowserv2_etl_spark.operators import text as txt
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pt.raises(ValueError, match="non-empty"):
+        txt.bm25_rank(docs, "doc_id", "text", [])
 
 
 def test_wav_decode_odd_length_data_chunk_drops_final_byte():
