@@ -59,6 +59,10 @@ CURATION = [
     "q78_bm25_rank",
     "q79_domain_cap",
     "q80_temperature_mix",
+    "q81_perplexity_buckets",
+    "q82_dsir_importance",
+    "q83_funnel",
+    "q84_cohort_retention",
 ]
 
 

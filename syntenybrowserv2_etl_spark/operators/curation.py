@@ -365,3 +365,52 @@ def temperature_mix_weights(
             ).alias("expected_docs"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): score each
+    document with the corpus unigram LM (text.unigram_logprob — the
+    scalable stand-in for a KenLM perplexity), then split each language
+    into equal head / middle / tail tertiles. Bucket 1 = head (most
+    corpus-typical vocabulary), ``n_buckets`` = tail; CCNet trains on
+    head+middle and drops or down-weights the tail.
+
+    Ranking uses the 4-decimal-rounded score (the same cross-engine AVG
+    contract as q67) with id tie-break, and bucket assignment is ntile —
+    a rank computation, no float-threshold compare, so the cut can never
+    flip on a ulp. Docs with no scoreable tokens are excluded (CCNet
+    drops empties before bucketing).
+
+    Scale posture: ntile needs each group sorted, so this exact form
+    shuffles once on ``group_col`` and sorts within groups — fine while
+    the largest language fits a task spill budget. The 100 TB variant
+    keeps the same contract but learns the two cutoff scores from a
+    hash-sample (sampling.hash_sample) and assigns buckets row-locally
+    by broadcast-joined thresholds; the tertile boundaries move by
+    O(1/sqrt(sample)) while the pipeline loses the global sort.
+
+    Output: (id, group, score, bucket).
+    """
+    from . import text as text_ops
+
+    scored = (
+        text_ops.unigram_logprob(df, id_col, text_col)
+        .filter(F.col("n_scored") > 0)
+        .select(id_col, F.round("mean_logprob", 4).alias("score"))
+    )
+    keyed = df.select(id_col, group_col).join(scored, id_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return keyed.select(
+        F.col(id_col),
+        F.col(group_col),
+        "score",
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )

@@ -167,3 +167,103 @@ def cap_per_group(
     return df.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= cap
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target,
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much its hashed-bigram distribution looks like a TARGET domain
+    relative to the RAW corpus, then keep the top of the ranking (or
+    resample proportionally) to tilt the training mix toward the target.
+
+    ``target`` is a boolean Column predicate selecting the target-domain
+    rows WITHIN ``df`` (e.g. ``F.col("source") == "wiki"``); the raw
+    distribution is the whole input.
+
+    Pipeline (all built-in Column ops, zero UDFs):
+      1. tokenize once (shared normalized split), build word bigrams
+         row-locally, hash each into one of ``n_buckets`` buckets with the
+         engine-portable md5 hash;
+      2. two partial-agg'd groupBys produce the raw and target bucket
+         histograms — at most ``n_buckets`` rows each, REGARDLESS of
+         corpus size, so the log-ratio table
+         lr[b] = ln p_target(b) - ln p_raw(b)   (add-alpha smoothed)
+         is a broadcast-sized dimension;
+      3. each document's weight is the mean lr over its bigram
+         occurrences — the bucket join broadcasts (AQE sees n_buckets
+         rows), so the token stream shuffles exactly once, on doc id,
+         carrying one (id, lr) row per bigram.
+
+    At 100 TB the histogram stays n_buckets rows (DSIR production uses
+    1e4); the only data-sized exchanges are the two histogram partial
+    aggregations (map-side combined to n_buckets rows per task) and the
+    per-doc mean. Weight is rounded to 4 decimals (AVG summation-order
+    contract, same class as unigram_logprob).
+
+    Output: (id, n_bigrams, weight) — weight NULL for docs with < 2
+    tokens. Higher weight = more target-like.
+    """
+    from . import dedup
+
+    _d, _norm, _toks = dedup.staged_tokens(df, text_col, "ds")
+    staged = _d.withColumn(
+        "__ds_n",
+        F.when(F.length(_norm) == 0, F.lit(0)).otherwise(F.size(_toks)).cast("long"),
+    ).withColumn("__ds_tgt", target)
+    bigrams = staged.withColumn(
+        "__bg",
+        F.when(
+            F.col("__ds_n") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), (F.col("__ds_n") - 1).cast("int")),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(_toks, i), F.element_at(_toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    occ = bigrams.select(
+        F.col(id_col),
+        "__ds_tgt",
+        F.explode("__bg").alias("__g"),
+    ).withColumn("__b", hashing.md5_long(F.col("__g")) % n_buckets)
+    hist = occ.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cr"),
+        F.sum(F.col("__ds_tgt").cast("long")).alias("__ct"),
+    )
+    totals = hist.agg(
+        F.sum("__cr").alias("__Nr"), F.sum("__ct").alias("__Nt")
+    )  # one row
+    lr = (
+        hist.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__lr",
+            (F.log(F.col("__ct") + alpha) - F.log(F.col("__Nt") + alpha * n_buckets))
+            - (F.log(F.col("__cr") + alpha) - F.log(F.col("__Nr") + alpha * n_buckets)),
+        )
+        .select("__b", "__lr")
+    )
+    scored = (
+        occ.join(F.broadcast(lr), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__nbg"),
+            F.round(F.avg("__lr"), 4).alias("weight"),
+        )
+    )
+    return (
+        staged.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("__nbg", F.lit(0)).cast("long").alias("n_bigrams"),
+            "weight",
+        )
+    )

@@ -3206,6 +3206,230 @@ def q80(spark, sf_dir):
     return cur_ops.temperature_mix_weights(d, "source", alpha=0.5, budget=1000.0)
 
 
+@register(
+    "q81_perplexity_buckets",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_NORM_TEXT} AS t FROM documents),
+    w AS (SELECT doc_id, lang, t,
+                 CASE WHEN length(t) = 0 THEN 0
+                      ELSE len(string_split(t, ' ')) END AS n,
+                 string_split(t, ' ') AS toks
+          FROM t),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM w WHERE n > 0),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS N FROM vocab),
+    scored AS (SELECT doc_id, COUNT(*) AS n_scored,
+                      AVG(log10(CAST(c AS DOUBLE)) - log10(CAST(N AS DOUBLE)))
+                          AS lp
+               FROM tok JOIN vocab USING (tok) CROSS JOIN tot
+               GROUP BY doc_id),
+    s AS (SELECT w.doc_id, w.lang, ROUND(scored.lp, 4) AS score
+          FROM w JOIN scored ON w.doc_id = scored.doc_id
+          WHERE scored.n_scored > 0)
+    SELECT doc_id, lang, score,
+           CAST(ntile(3) OVER (PARTITION BY lang
+                               ORDER BY score DESC, doc_id) AS BIGINT)
+               AS bucket
+    FROM s
+    """,
+    tags=["CCNet perplexity bucketing (per-lang head/middle/tail tertiles)"],
+)
+def q81(spark, sf_dir):
+    """CCNet-style quality tertiles per language: unigram-LM score (q67's
+    machinery) → ntile(3) within lang ordered by (rounded score desc, id).
+    Rank-based cuts, so no float-threshold compare can flip on a ulp; the
+    100 TB variant swaps the per-lang sort for sampled broadcast cutoffs
+    (documented in the operator). operators/curation.perplexity_buckets."""
+    d = t(spark, sf_dir, "documents")
+    out = cur_ops.perplexity_buckets(d, "doc_id", "text", "lang", n_buckets=3)
+    return out.withColumn("bucket", F.col("bucket").cast("long"))
+
+
+_DSIR_BUCKETS = 256
+_DSIR_ALPHA = 0.5
+
+
+@register(
+    "q82_dsir_importance",
+    f"""
+    WITH t AS (SELECT doc_id, (source = 'src13') AS tgt,
+                      string_split({_NORM_TEXT}, ' ') AS toks
+               FROM documents),
+    bg AS (SELECT doc_id, tgt,
+                  unnest(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1]))
+                      AS g
+           FROM t),
+    occ AS (SELECT doc_id, tgt,
+                   {hashing.md5_long_sql("g")} % {_DSIR_BUCKETS} AS b
+            FROM bg),
+    hist AS (SELECT b, COUNT(*) AS cr,
+                    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+             FROM occ GROUP BY b),
+    tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS Nr,
+                   CAST(SUM(ct) AS BIGINT) AS Nt FROM hist),
+    lr AS (SELECT b,
+                  (ln(ct + {_DSIR_ALPHA}) - ln(Nt + {_DSIR_ALPHA} * {_DSIR_BUCKETS}))
+                  - (ln(cr + {_DSIR_ALPHA}) - ln(Nr + {_DSIR_ALPHA} * {_DSIR_BUCKETS}))
+                      AS lr
+           FROM hist CROSS JOIN tot),
+    sc AS (SELECT doc_id, COUNT(*) AS nbg, ROUND(AVG(lr), 4) AS weight
+           FROM occ JOIN lr USING (b) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(sc.nbg, 0) AS BIGINT) AS n_bigrams,
+           sc.weight
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+    tags=["DSIR importance weights (hashed-bigram target/raw log-ratio)"],
+)
+def q82(spark, sf_dir):
+    """DSIR importance weighting toward a target domain (source='src13'):
+    hashed-bigram histograms for target and raw collapse to 256 rows each
+    regardless of corpus size, the log-ratio table broadcasts, and each
+    doc averages its bigrams' ratios — so the token stream shuffles once,
+    on doc id. operators/sampling.dsir_importance."""
+    d = t(spark, sf_dir, "documents")
+    return sampling_ops.dsir_importance(
+        d,
+        "doc_id",
+        "text",
+        target=F.col("source") == "src13",
+        n_buckets=_DSIR_BUCKETS,
+        alpha=_DSIR_ALPHA,
+    )
+
+
+@register(
+    "q83_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, event_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) OVER w AS fv
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > fv THEN ts END)
+                    OVER w AS fca
+      FROM s1
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s3 AS (
+      SELECT user_id, fv, fca,
+             CASE WHEN event_type = 'purchase' AND ts > fca THEN 1 END AS pa
+      FROM s2
+    ), u AS (
+      SELECT user_id,
+             MAX(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS reached_view,
+             MAX(CASE WHEN fca IS NOT NULL THEN 1 ELSE 0 END) AS reached_click,
+             MAX(COALESCE(pa, 0)) AS reached_purchase
+      FROM s3 GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(reached_view AS BIGINT) AS reached_view,
+           CAST(reached_click AS BIGINT) AS reached_click,
+           CAST(reached_purchase AS BIGINT) AS reached_purchase,
+           CAST(reached_view + reached_click + reached_purchase AS BIGINT)
+               AS stage
+    FROM u
+    """,
+    tags=["ordered funnel analysis (view→click→purchase per user)"],
+)
+def q83(spark, sf_dir):
+    """Sequential funnel view→click→purchase per user: cumulative
+    conditional-min windows find the first view, the first click strictly
+    after it, and any purchase strictly after that — ONE shuffle on
+    user_id, one sort reused by both window passes (same partitioning and
+    ordering), no self-joins. The three-self-join formulation would scan
+    and shuffle events three times; this is the plan a funnel should
+    have at 100 TB of events."""
+    e = t(spark, sf_dir, "events")
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s1 = e.withColumn(
+        "fv",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wc),
+    )
+    s2 = s1.withColumn(
+        "fca",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("fv")),
+                F.col("ts"),
+            )
+        ).over(wc),
+    )
+    s3 = s2.withColumn(
+        "pa",
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("fca")),
+            F.lit(1),
+        ),
+    )
+    u = s3.groupBy("user_id").agg(
+        F.max(F.col("fv").isNotNull().cast("long")).alias("reached_view"),
+        F.max(F.col("fca").isNotNull().cast("long")).alias("reached_click"),
+        F.max(F.coalesce(F.col("pa"), F.lit(0)).cast("long")).alias(
+            "reached_purchase"
+        ),
+    )
+    return u.withColumn(
+        "stage",
+        (
+            F.col("reached_view")
+            + F.col("reached_click")
+            + F.col("reached_purchase")
+        ).cast("long"),
+    )
+
+
+@register(
+    "q84_cohort_retention",
+    """
+    WITH c AS (
+      SELECT user_id,
+             date_trunc('week', MIN(ts) OVER (PARTITION BY user_id)) AS cw,
+             date_trunc('week', ts) AS aw
+      FROM events
+    ), d AS (SELECT DISTINCT user_id, cw, aw FROM c)
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cw, aw) // 7 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM d GROUP BY 1, 2
+    """,
+    tags=["cohort retention (first-seen week x active-week offset)"],
+)
+def q84(spark, sf_dir):
+    """Weekly cohort retention: each user's cohort is the Monday-truncated
+    week of their first event (a full-frame window min — one shuffle on
+    user_id, no join back), activity is the distinct (user, cohort,
+    active-week) set, and the cells count users per (cohort, offset).
+    Offsets use integer day math on Monday-aligned dates (exact ÷7), and
+    the cohort key is emitted as an ISO date STRING — timestamps hash
+    representation-sensitively across engines (round-1 lesson)."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    d = (
+        e.select(
+            "user_id",
+            F.date_trunc("week", F.min("ts").over(wu)).cast("date").alias("cw"),
+            F.date_trunc("week", "ts").cast("date").alias("aw"),
+        )
+        .distinct()
+    )
+    return (
+        d.withColumn("week_offset", F.expr("CAST(datediff(aw, cw) div 7 AS LONG)"))
+        .groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -3257,6 +3481,10 @@ _DEMOTED_PAST_WINDOW = [
     "q78_bm25_rank",
     "q79_domain_cap",
     "q80_temperature_mix",
+    "q81_perplexity_buckets",
+    "q82_dsir_importance",
+    "q83_funnel",
+    "q84_cohort_retention",
 ]
 
 

@@ -1525,3 +1525,94 @@ def test_temperature_mix_weights_alpha_limits(spark):
     assert 0.1 < temp["small"]["p"] < 0.5  # upweighted, not dominant
     assert abs(temp["big"]["p"] + temp["small"]["p"] - 1.0) < 1e-5
     assert abs(temp["big"]["expected_docs"] + temp["small"]["expected_docs"] - 1000.0) < 1e-2
+
+
+def test_perplexity_buckets_hand_corpus(spark):
+    """Per-lang tertiles: most corpus-typical doc gets bucket 1, least
+    bucket 3; empty docs are dropped; buckets stay within 1..n."""
+    from syntenybrowserv2_etl_spark.operators import curation as cur
+
+    docs = spark.createDataFrame(
+        [
+            # lang A: 'x' dominates the corpus vocab, 'q r s' are rare
+            (1, "x x x x", "A"),
+            (2, "x x y", "A"),
+            (3, "q r s", "A"),
+            (4, "", "A"),  # unscoreable: excluded
+            (5, "x y", "B"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in cur.perplexity_buckets(
+            docs, "doc_id", "text", "lang", n_buckets=3
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3, 5}
+    assert rows[1]["bucket"] == 1  # all-'x' doc is the head
+    assert rows[3]["bucket"] == 3  # rare-vocab doc is the tail
+    assert rows[5]["bucket"] == 1  # sole doc of lang B
+    assert all(1 <= r["bucket"] <= 3 for r in rows.values())
+
+
+def test_dsir_importance_orders_target_like_docs_first(spark):
+    """Docs sharing the target domain's bigrams must outweigh docs with
+    bigrams seen only in the raw remainder; short docs get NULL weight."""
+    from syntenybrowserv2_etl_spark.operators import sampling as smp
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta", "wiki"),
+            (2, "alpha beta gamma", "wiki"),
+            (3, "alpha beta", "web"),      # target-like non-target doc
+            (4, "delta epsilon zeta", "web"),  # raw-only bigrams
+            (5, "solo", "web"),            # < 2 tokens: no bigrams
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in smp.dsir_importance(
+            docs, "doc_id", "text", target=F.col("source") == "wiki"
+        ).collect()
+    }
+    assert out[5]["n_bigrams"] == 0 and out[5]["weight"] is None
+    assert out[3]["n_bigrams"] == 1
+    # 'alpha beta' appears in the target; 'delta epsilon' never does
+    assert out[3]["weight"] > out[4]["weight"]
+    assert out[1]["weight"] > out[4]["weight"]
+
+
+def test_funnel_requires_strict_stage_order(spark):
+    """q83 semantics: a click only counts after the first view; a purchase
+    only after such a click — out-of-order events never advance a user."""
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + _dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, ts(0), 1, "view"), (2, ts(1), 1, "click"), (3, ts(2), 1, "purchase"),
+        # user 2: click BEFORE the only view -> stage stops at view
+        (4, ts(0), 2, "click"), (5, ts(1), 2, "view"),
+        # user 3: purchase without an intervening click -> stage 1
+        (6, ts(0), 3, "view"), (7, ts(1), 3, "purchase"),
+        # user 4: no view at all
+        (8, ts(0), 4, "purchase"),
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    ).withColumn("value", F.lit(0.0)).withColumn("props", F.lit("{}"))
+    import syntenybrowserv2_etl_spark.queries as q
+
+    orig_t = q.t
+    try:
+        q.t = lambda spark_, sf_dir, name: e
+        out = {r["user_id"]: r["stage"] for r in q.REGISTRY["q83_funnel"].spark_fn(spark, "ignored").collect()}
+    finally:
+        q.t = orig_t
+    assert out == {1: 3, 2: 1, 3: 1, 4: 0}

@@ -40,6 +40,10 @@ SF_MED_STRENGTHENED = [
     "q78_bm25_rank",
     "q79_domain_cap",
     "q80_temperature_mix",
+    "q81_perplexity_buckets",
+    "q82_dsir_importance",
+    "q83_funnel",
+    "q84_cohort_retention",
 ]
 
 

@@ -436,3 +436,25 @@ def test_domain_cap_uses_window_group_limit(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
+
+
+def test_dsir_scoring_join_is_broadcast(spark):
+    """q82: the (256-row) log-ratio table must broadcast into the bigram
+    stream — the stream's only hash exchanges are the histogram partial
+    aggregation and the per-doc mean, never a shuffle to co-locate with
+    the bucket dimension."""
+    df = q.REGISTRY["q82_dsir_importance"].spark_fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [__b" in p
+    # the bucket-dimension join must not sort-merge (that would shuffle
+    # every bigram occurrence on __b a second time)
+    assert not re.search(r"SortMergeJoin \[__b", p)
+
+
+def test_funnel_single_user_exchange(spark):
+    """q83: both cumulative windows and the final per-user aggregate must
+    reuse ONE hash exchange on user_id — the funnel is a single-shuffle
+    plan, not one shuffle per stage."""
+    df = q.REGISTRY["q83_funnel"].spark_fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning(user_id") == 1
