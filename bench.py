@@ -63,6 +63,8 @@ CURATION = [
     "q82_dsir_importance",
     "q83_funnel",
     "q84_cohort_retention",
+    "q85_pagerank",
+    "q86_scd2_history",
 ]
 
 

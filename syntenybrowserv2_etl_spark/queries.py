@@ -3430,6 +3430,120 @@ def q84(spark, sf_dir):
     )
 
 
+def _pagerank_sql(iters: int, damping: float = 0.85, round_to: int = 8) -> str:
+    """Round-unrolled PageRank oracle (the q54/q74 pattern). All float
+    literals are CAST to DOUBLE — DuckDB parses bare `0.85` as DECIMAL,
+    whose exact `1 - 0.85 = 0.15` differs from the IEEE double Spark
+    computes; the casts pin both engines to the same doubles."""
+    d = f"CAST({damping} AS DOUBLE)"
+    ctes = [
+        "e AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,"
+        " 's' || CAST(l_suppkey AS VARCHAR) AS dst"
+        " FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "ee AS (SELECT src, dst FROM e"
+        " UNION ALL SELECT dst AS src, src AS dst FROM e)",
+        "nodes AS (SELECT DISTINCT src AS node FROM ee)",
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS N FROM nodes)",
+        "od AS (SELECT src, COUNT(*) AS od FROM ee GROUP BY src)",
+        f"r0 AS (SELECT node, ROUND(CAST(1 AS DOUBLE) / n.N, {round_to})"
+        " AS rank FROM nodes CROSS JOIN n)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"c{k} AS (SELECT ee.dst AS node, SUM(r.rank / od.od) AS s"
+            f" FROM ee JOIN r{k - 1} r ON ee.src = r.node"
+            " JOIN od ON ee.src = od.src GROUP BY ee.dst)"
+        )
+        ctes.append(
+            f"r{k} AS (SELECT nodes.node,"
+            f" ROUND((CAST(1 AS DOUBLE) - {d}) / n.N"
+            f" + {d} * COALESCE(c{k}.s, CAST(0 AS DOUBLE)), {round_to}) AS rank"
+            f" FROM nodes CROSS JOIN n"
+            f" LEFT JOIN c{k} ON nodes.node = c{k}.node)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node, rank FROM r{iters}"
+    )
+
+
+@register(
+    "q85_pagerank",
+    _pagerank_sql(3),
+    tags=["fixed-iteration PageRank (customer-supplier trade graph)"],
+)
+def q85(spark, sf_dir):
+    """PageRank, 3 rounds, over the symmetric customer↔supplier trade
+    graph (an edge per distinct trading pair in orders⋈lineitem). Each
+    round is ranks ⋈ edges ⋈ out-degree → partial-agg'd SUM per node,
+    checkpointed; per-round rounding to 8 decimals makes the full
+    iteration value-checkable against the round-unrolled oracle.
+    operators/components.pagerank."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ee = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return comp_ops.pagerank(ee, iters=3, damping=0.85, round_to=8)
+
+
+@register(
+    "q86_scd2_history",
+    """
+    WITH k AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE props IS NOT NULL
+    ), ch AS (
+      SELECT *, LAG(k) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_k
+      FROM k
+    ), runs AS (
+      SELECT user_id, ts, event_id, k FROM ch
+      WHERE prev_k IS NULL OR k <> prev_k
+    )
+    SELECT user_id, k,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS valid_to_us
+    FROM runs
+    """,
+    tags=["SCD type-2 history build (change detection, validity intervals)"],
+)
+def q86(spark, sf_dir):
+    """Slowly-changing-dimension type-2 history from an event stream: per
+    user, each change of the JSON attribute ``k`` opens a validity
+    interval that the next change closes (open-ended rows keep NULL
+    valid_to). One shuffle on user_id feeds both windows — change
+    detection (lag) and interval close (lead) share the same partitioning
+    and sort. Intervals emit as epoch-µs integers (the q21 timestamp
+    representation contract)."""
+    e = t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    k = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.from_json("props", "struct<k: bigint>").getField("k").alias("k"),
+    )
+    runs = (
+        k.withColumn("prev_k", F.lag("k").over(w))
+        .filter(F.col("prev_k").isNull() | (F.col("k") != F.col("prev_k")))
+        .drop("prev_k")
+    )
+    return runs.select(
+        "user_id",
+        "k",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -3485,6 +3599,8 @@ _DEMOTED_PAST_WINDOW = [
     "q82_dsir_importance",
     "q83_funnel",
     "q84_cohort_retention",
+    "q85_pagerank",
+    "q86_scd2_history",
 ]
 
 

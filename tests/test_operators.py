@@ -1616,3 +1616,58 @@ def test_funnel_requires_strict_stage_order(spark):
     finally:
         q.t = orig_t
     assert out == {1: 3, 2: 1, 3: 1, 4: 0}
+
+
+def test_pagerank_star_graph_ranks_hub_highest(spark):
+    """On a symmetric star (hub <-> 4 leaves) the hub must out-rank every
+    leaf, leaves tie exactly (same rounded arithmetic), and total rank
+    mass stays ~1."""
+    from syntenybrowserv2_etl_spark.operators import components as comp
+
+    leaves = ["l1", "l2", "l3", "l4"]
+    edges = spark.createDataFrame(
+        [("hub", x) for x in leaves] + [(x, "hub") for x in leaves],
+        ["src", "dst"],
+    )
+    rows = {r["node"]: r["rank"] for r in comp.pagerank(edges, iters=3).collect()}
+    assert set(rows) == {"hub", *leaves}
+    assert all(rows["hub"] > rows[x] for x in leaves)
+    assert len({rows[x] for x in leaves}) == 1
+    assert abs(sum(rows.values()) - 1.0) < 1e-6
+
+
+def test_scd2_history_intervals_are_contiguous(spark):
+    """q86 semantics: per user, valid_to of one row equals valid_from of
+    the next; the last row stays open (NULL); unchanged values never open
+    a new interval."""
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, '{"k": 5}'),
+        (2, base + _dt.timedelta(minutes=1), 1, '{"k": 5}'),   # no change
+        (3, base + _dt.timedelta(minutes=2), 1, '{"k": 7}'),   # change
+        (4, base + _dt.timedelta(minutes=3), 1, '{"k": 5}'),   # change back
+        (5, base, 2, '{"k": 9}'),
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "props"]
+    ).withColumn("event_type", F.lit("x")).withColumn("value", F.lit(0.0))
+    import syntenybrowserv2_etl_spark.queries as q
+
+    orig_t = q.t
+    try:
+        q.t = lambda spark_, sf_dir, name: e
+        out = sorted(
+            q.REGISTRY["q86_scd2_history"].spark_fn(spark, "ignored").collect(),
+            key=lambda r: (r["user_id"], r["valid_from_us"]),
+        )
+    finally:
+        q.t = orig_t
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert [r["k"] for r in u1] == [5, 7, 5]
+    assert u1[0]["valid_to_us"] == u1[1]["valid_from_us"]
+    assert u1[1]["valid_to_us"] == u1[2]["valid_from_us"]
+    assert u1[2]["valid_to_us"] is None
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["valid_to_us"] is None

@@ -44,6 +44,8 @@ SF_MED_STRENGTHENED = [
     "q82_dsir_importance",
     "q83_funnel",
     "q84_cohort_retention",
+    "q85_pagerank",
+    "q86_scd2_history",
 ]
 
 

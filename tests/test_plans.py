@@ -458,3 +458,12 @@ def test_funnel_single_user_exchange(spark):
     df = q.REGISTRY["q83_funnel"].spark_fn(spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_scd2_windows_share_one_user_exchange(spark):
+    """q86: the change-detection lag and the interval-closing lead use the
+    same (user_id, ts, event_id) partitioning+sort — one exchange, one
+    sort, two window passes."""
+    df = q.REGISTRY["q86_scd2_history"].spark_fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning(user_id") == 1

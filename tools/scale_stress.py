@@ -98,6 +98,7 @@ KNOWN_OPS = frozenset({
     "dedup_corpus_e2e_star", "dedup_spans", "deterministic_shuffle",
     "bloom_incremental", "bpe_merges_4", "bpe_price_corpus",
     "semantic_dedup", "tfidf_top_terms", "bm25_rank", "cap_per_group",
+    "perplexity_buckets", "dsir_importance",
 })
 
 
@@ -307,6 +308,19 @@ def main():
         capped = docs.withColumn("grp", (F.col("doc_id") % 16).cast("string"))
         measure("cap_per_group",
             lambda: noop(smp.cap_per_group(capped, "doc_id", "grp", cap=100))
+        )
+        # round 6: CCNet bucketing — cost is the LM scoring passes plus one
+        # per-group sort for ntile; 8 synthetic "languages" keep group sizes
+        # growing linearly with the corpus (the skew-worst case).
+        langed = docs.withColumn("lang", (F.col("doc_id") % 8).cast("string"))
+        measure("perplexity_buckets",
+            lambda: noop(cur.perplexity_buckets(langed, "doc_id", "text", "lang"))
+        )
+        # round 6: DSIR — histogram stays 256 rows at every factor; the
+        # only data-sized work is the bigram build + two partial aggs.
+        measure("dsir_importance",
+            lambda: noop(smp.dsir_importance(
+                docs, "doc_id", "text", target=F.col("doc_id") % 5 == 0))
         )
         results.append(r)
         print(json.dumps(r), flush=True)
