@@ -65,6 +65,7 @@ CURATION = [
     "q84_cohort_retention",
     "q85_pagerank",
     "q86_scd2_history",
+    "q87_quality_classifier",
 ]
 
 

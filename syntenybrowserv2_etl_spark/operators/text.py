@@ -683,3 +683,69 @@ def bm25_rank(
         .filter(F.col("rank") <= top_k)
         .select(id_col, F.col("__bm_dl").alias("dl"), "score", "rank")
     )
+
+
+# Logistic "pages classifier" weights — operator constants shared by the
+# Spark expression and the SQL oracle (generated from this dict) so both
+# engines evaluate literally the same doubles.
+QUALITY_CLF_WEIGHTS: dict[str, float] = {
+    "bias": -2.0,
+    "f_len": 2.5,      # saturating length credit
+    "f_stop": 3.0,     # function-word density ~ naturalness
+    "f_punct": -4.0,   # symbol soup penalty
+    "f_word": 0.15,    # mean word length credit
+}
+
+
+def quality_classifier(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """FastText-style linear quality classifier — the "pages classifier"
+    gate of GPT-3/LLaMA-style curation: a logistic score over cheap
+    row-local features (length credit, stopword density, punctuation
+    penalty, mean word length), thresholded at 0.5 into keep/drop.
+
+    The heuristic twin of quality_score with a decision contract: the
+    score is a calibrated-looking probability, the label is the gate. In
+    production the weights come from a trained model; here they are fixed
+    operator constants (QUALITY_CLF_WEIGHTS) — swapping in trained
+    weights changes no plan shape.
+
+    Scale shape: pure row-local projection — zero shuffles, zero UDFs,
+    scan-pushable; the token split is staged once (HOF-lambda
+    discipline). Score rounds to 6 decimals and the label compares the
+    ROUNDED score, so the gate can't flip on an exp() ulp.
+
+    Output: (id, n_tokens, score, keep).
+    """
+    from . import dedup
+
+    w = QUALITY_CLF_WEIGHTS
+    _d, _norm, _toks = dedup.staged_tokens(df, text_col, "qc")
+    staged = _d.withColumn(
+        "__qc_n",
+        F.when(F.length(_norm) == 0, F.lit(0)).otherwise(F.size(_toks)).cast("long"),
+    )
+    n = F.col("__qc_n")
+    f_len = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    f_stop = (
+        F.size(F.filter(F.col(_toks), lambda t: t.isin(LANG_STOPWORDS["en"])))
+        .cast("double")
+        / F.greatest(n, F.lit(1))
+    )
+    f_punct = punct_ratio(text_col)
+    f_word = F.when(n == 0, F.lit(0.0)).otherwise(
+        (F.length(_norm) - (n - 1)).cast("double") / n
+    )
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["f_len"]) * f_len
+        + F.lit(w["f_stop"]) * f_stop
+        + F.lit(w["f_punct"]) * f_punct
+        + F.lit(w["f_word"]) * f_word
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return staged.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        score.alias("score"),
+        (score >= 0.5).alias("keep"),
+    )

@@ -1671,3 +1671,25 @@ def test_scd2_history_intervals_are_contiguous(spark):
     assert u1[2]["valid_to_us"] is None
     u2 = [r for r in out if r["user_id"] == 2]
     assert len(u2) == 1 and u2[0]["valid_to_us"] is None
+
+
+def test_quality_classifier_gate_semantics(spark):
+    """Clean prose passes the gate; symbol soup and empty docs fail; the
+    label always equals score >= 0.5 exactly (rounded-score contract)."""
+    from syntenybrowserv2_etl_spark.operators import text as txt
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a good day for all of us "
+                "to walk in the park with friends and talk about the news"),
+            (2, "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) !!!!"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in txt.quality_classifier(docs, "doc_id", "text").collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False
+    assert out[3]["keep"] is False and out[3]["n_tokens"] == 0
+    for r in out.values():
+        assert r["keep"] == (r["score"] >= 0.5)

@@ -46,6 +46,7 @@ SF_MED_STRENGTHENED = [
     "q84_cohort_retention",
     "q85_pagerank",
     "q86_scd2_history",
+    "q87_quality_classifier",
 ]
 
 
