@@ -620,6 +620,95 @@ def bloom_params(n: int, fpp: float) -> tuple[int, int]:
     return m, k
 
 
+def bloom_hash_pair(text_col: str):
+    """The two independent md5 hashes Kirsch-Mitzenmacher double hashing
+    derives every probe position from. One definition shared by the batch
+    operator, the streaming ingest twin, and the q72 oracle."""
+    key = hashing.md5_long(normalize_text(text_col))
+    key2 = hashing.md5_long(F.concat(normalize_text(text_col), F.lit("#b2")))
+    return key, key2
+
+
+def _positions(pairs: DataFrame, m: int, k: int, keep: list[str]) -> DataFrame:
+    """Explode k probe positions per (__h1, __h2) pair → (__word, __mask),
+    carrying the ``keep`` columns through (the probe keeps the pair itself
+    to key its verdict; the build keeps nothing)."""
+    return (
+        pairs.select(
+            "__h1",
+            "__h2",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"),
+        )
+        .select(
+            *keep,
+            F.pmod(F.col("__h1") + F.col("__i") * F.col("__h2"), F.lit(m)).alias(
+                "__pos"
+            ),
+        )
+        .select(
+            *keep,
+            (F.col("__pos") / 64).cast("int").alias("__word"),
+            # pyspark's F.shiftleft only takes a literal shift; the SQL
+            # form accepts a column
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+            ).alias("__mask"),
+        )
+    )
+
+
+def bloom_word_rows(pairs: DataFrame, m: int, k: int) -> DataFrame:
+    """Sketch build: (__h1, __h2) pairs → aggregated (__word, __bits) rows.
+
+    ONE map-side-combined shuffle; the result is the sharded sketch TABLE
+    (m/64 rows max) — partitionable, persistable per corpus version,
+    never single-row or driver-side state."""
+    return (
+        _positions(pairs, m, k, keep=[])
+        .groupBy("__word")
+        .agg(F.bit_or("__mask").alias("__bits"))
+    )
+
+
+def bloom_sketch_merge(
+    sketch: DataFrame | None, new_pairs: DataFrame, m: int, k: int
+) -> DataFrame:
+    """Incrementally fold new content pairs into an existing sketch table:
+    union + one bit_or re-aggregation over at most m/64 + new rows. This
+    is what makes ingest INCREMENTAL — the corpus is never rescanned; the
+    sketch table is the only state that updates per batch."""
+    words = bloom_word_rows(new_pairs, m, k)
+    if sketch is None:
+        return words
+    return (
+        sketch.unionByName(words)
+        .groupBy("__word")
+        .agg(F.bit_or("__bits").alias("__bits"))
+    )
+
+
+def bloom_probe(sketch: DataFrame, pairs: DataFrame, m: int, k: int) -> DataFrame:
+    """Probe: distinct (__h1, __h2) pairs → the subset that are bloom
+    hits, as (__h1, __h2, bloom_hit=True) rows.
+
+    INNER join on the word index: a probe whose word is absent from the
+    sketch is an unset bit, which the count-of-set == k verdict already
+    treats as a miss — and inner (unlike left-outer) lets AQE broadcast
+    whichever side is small."""
+    probes = _positions(pairs, m, k, keep=["__h1", "__h2"])
+    return (
+        probes.join(sketch, "__word", "inner")
+        .groupBy("__h1", "__h2")
+        .agg(
+            F.sum(
+                ((F.col("__bits").bitwiseAND(F.col("__mask"))) != 0).cast("int")
+            ).alias("__n_set")
+        )
+        .filter(F.col("__n_set") == k)
+        .select("__h1", "__h2", F.lit(True).alias("bloom_hit"))
+    )
+
+
 def bloom_incremental_dedup(
     corpus: DataFrame,
     batch: DataFrame,
@@ -678,90 +767,34 @@ def bloom_incremental_dedup(
         # one extra count job; callers at scale pass the known row count
         expected_corpus_rows = corpus.count()
     m, k = bloom_params(expected_corpus_rows, fpp)
-    key = hashing.md5_long(normalize_text(text_col))
-    key2 = hashing.md5_long(F.concat(normalize_text(text_col), F.lit("#b2")))
+    key, key2 = bloom_hash_pair(text_col)
     ckeys = _materialize(
         corpus.select(key.alias("__h1"), key2.alias("__h2"))
-    )
-    exploded = ckeys.select(
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"),
-        "__h1",
-        "__h2",
-    ).select(
-        F.pmod(F.col("__h1") + F.col("__i") * F.col("__h2"), F.lit(m)).alias(
-            "__pos"
-        )
     )
     # materialized: the sketch is consumed by the probe join and, without
     # a checkpoint, every downstream consumer would re-execute the whole
     # build sub-DAG including its exchange. m/64 (word, bits) rows stay a
-    # TABLE — sharded, partitionable — never a single-row map or a
+    # TABLE -- sharded, partitionable -- never a single-row map or a
     # driver-side structure; this is the representation that survives
-    # 10⁹-row corpora (the production analogue persists it per corpus
-    # version, bucketed by __word).
-    sketch = _materialize(
-        exploded.select(
-            (F.col("__pos") / 64).cast("int").alias("__word"),
-            # pyspark's F.shiftleft only takes a literal shift; the SQL
-            # form accepts a column
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
-            ).alias("__mask"),
-        )
-        .groupBy("__word")
-        .agg(F.bit_or("__mask").alias("__bits"))
-    )
+    # 10^9-row corpora (the production analogue persists it per corpus
+    # version, bucketed by __word; streaming/events.bloom_ingest_stream
+    # maintains exactly that persisted table incrementally).
+    sketch = _materialize(bloom_word_rows(ckeys, m, k))
     # the probe and confirm verdicts are keyed on the TEXT-HASH pair, not
     # the id: is_dup is a property of the content, and a batch repeating
     # an id with different texts (retry + edit) must get per-row verdicts.
     # Distinct pairs cannot fan out the join back (each batch row carries
-    # exactly one pair), and shrink probe volume to k·|distinct texts|.
+    # exactly one pair), and shrink probe volume to k*|distinct texts|.
     bkeys = (
         batch.select(key.alias("__h1"), key2.alias("__h2"))
         .filter(F.col("__h1").isNotNull())
         .distinct()
     )
-    probes = (
-        bkeys.select(
-            "__h1",
-            "__h2",
-            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"),
-        )
-        .select(
-            "__h1",
-            "__h2",
-            F.pmod(F.col("__h1") + F.col("__i") * F.col("__h2"), F.lit(m)).alias(
-                "__pos"
-            ),
-        )
-        .select(
-            "__h1",
-            "__h2",
-            (F.col("__pos") / 64).cast("int").alias("__word"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
-            ).alias("__mask"),
-        )
-    )
-    # INNER join on the word index: a probe whose word is absent from the
-    # sketch is an unset bit, which the count-of-set == k verdict already
-    # treats as a miss — and inner (unlike left-outer) lets AQE broadcast
-    # whichever side is small.
     # materialized: ``hits`` feeds both the confirm semi-join and the
     # verdict join back to the batch; without the checkpoint the probe
     # join + aggregate would re-execute per consumer. |bloom-hit pairs| =
-    # |dups| + ~fpp·|batch| rows of two longs — the checkpoint is free.
-    hits = _materialize(
-        probes.join(sketch, "__word", "inner")
-        .groupBy("__h1", "__h2")
-        .agg(
-            F.sum(
-                ((F.col("__bits").bitwiseAND(F.col("__mask"))) != 0).cast("int")
-            ).alias("__n_set")
-        )
-        .filter(F.col("__n_set") == k)
-        .select("__h1", "__h2", F.lit(True).alias("bloom_hit"))
-    )
+    # |dups| + ~fpp*|batch| rows of two longs -- the checkpoint is free.
+    hits = _materialize(bloom_probe(sketch, bkeys, m, k))
     confirmed = (
         hits.select("__h1", "__h2")
         .join(ckeys.select("__h1", "__h2").distinct(), ["__h1", "__h2"], "left_semi")

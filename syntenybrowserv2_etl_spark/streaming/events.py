@@ -282,3 +282,105 @@ def run_to_completion(
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def bloom_ingest_stream(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_path: str,
+    sketch_path: str,
+    expected_total_rows: int,
+    fpp: float = 0.01,
+    query_name: str = "bloom_ingest",
+):
+    """Continuous corpus ingestion with INCREMENTAL bloom dedup — the
+    streaming twin of operators/dedup.bloom_incremental_dedup, maintaining
+    the persisted state its docstring promises: the sharded (word, bits)
+    sketch table lives at ``sketch_path`` and is FOLDED FORWARD per batch
+    (dedup.bloom_sketch_merge) instead of rebuilt from the corpus, so
+    per-batch cost is O(batch + m/64), never O(corpus).
+
+    Per micro-batch (foreachBatch):
+      1. within-batch keep-first: min ``id_col`` per content hash-pair
+         (a batch repeating the same text keeps one copy);
+      2. probe the persisted sketch (dedup.bloom_probe) — only bloom-hit
+         pairs (true dups + ~fpp false positives) pay step 3;
+      3. exact confirm: semi-join the hit pairs against the survivor
+         table's STORED hash pairs (persisted alongside the payload so
+         the corpus is never re-hashed per batch);
+      4. append survivors to ``out_path``; merge their words into the
+         sketch with one bit_or re-aggregation (staged swap write).
+
+    The filter is sized ONCE from ``expected_total_rows`` — capacity
+    planning for the TARGET corpus; resizing means a new corpus version
+    (rebuild via bloom_word_rows over the survivors, one scan).
+
+    Exactly-once caveat: parquet append + sketch overwrite are not
+    atomic across a crashed batch retry; production targets a
+    MERGE-capable table format where both writes are one transaction.
+    The sketch side is safe to replay (bit_or is idempotent); the append
+    side is the documented seam.
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    from ..operators import dedup as dd
+
+    m, k = dd.bloom_params(expected_total_rows, fpp)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        key, key2 = dd.bloom_hash_pair(text_col)
+        b = batch_df.withColumn("__h1", key).withColumn("__h2", key2)
+        w = Window.partitionBy("__h1", "__h2").orderBy(F.col(id_col).asc())
+        b = (
+            b.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__h1").isNull() | (F.col("__rn") == 1))
+            .drop("__rn")
+            .localCheckpoint(eager=True)
+        )
+        conf = spark._jsc.hadoopConfiguration()
+        sk_p = spark._jvm.org.apache.hadoop.fs.Path(sketch_path)
+        out_p = spark._jvm.org.apache.hadoop.fs.Path(out_path)
+        fs = sk_p.getFileSystem(conf)
+        sketch = spark.read.parquet(sketch_path) if fs.exists(sk_p) else None
+        pairs = (
+            b.filter(F.col("__h1").isNotNull()).select("__h1", "__h2").distinct()
+        )
+        if sketch is not None:
+            hits = dd.bloom_probe(sketch, pairs, m, k)
+            corpus_pairs = (
+                spark.read.parquet(out_path).select("__h1", "__h2").distinct()
+                if fs.exists(out_p)
+                else None
+            )
+            dup_pairs = (
+                hits.select("__h1", "__h2").join(
+                    corpus_pairs, ["__h1", "__h2"], "left_semi"
+                )
+                if corpus_pairs is not None
+                else hits.select("__h1", "__h2").limit(0)
+            )
+            survivors = b.join(dup_pairs, ["__h1", "__h2"], "left_anti")
+        else:
+            survivors = b
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(out_path)
+        new_pairs = (
+            survivors.filter(F.col("__h1").isNotNull())
+            .select("__h1", "__h2")
+            .distinct()
+        )
+        new_sketch = dd.bloom_sketch_merge(sketch, new_pairs, m, k)
+        staged = new_sketch.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").parquet(sketch_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(ingest)
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

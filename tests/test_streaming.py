@@ -330,3 +330,45 @@ def test_enrich_broadcast_opt_out_leaves_strategy_to_aqe(spark, events_dir):
     assert "ResolvedHint" not in fp
     # same results either way
     assert hinted.count() == free.count()
+
+
+def test_bloom_ingest_stream_incremental_dedup(spark, tmp_path_factory):
+    """The streaming ingest twin: three micro-batches with within-batch,
+    cross-batch, and normalization-equivalent duplicates. Survivors must
+    be exactly the first arrival of each distinct normalized text; the
+    sketch table must persist as sharded (word, bits) rows and be folded
+    forward per batch (never rebuilt from the corpus)."""
+    base = str(tmp_path_factory.mktemp("bloom_ingest"))
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "corpus")
+    sketch = os.path.join(base, "sketch")
+    os.makedirs(src)
+    batches = [
+        [(1, "aaa"), (2, "bbb"), (3, "aaa")],          # within-batch dup
+        [(4, "bbb"), (5, "ccc")],                      # cross-batch dup + new
+        [(6, "ccc"), (7, "AAA "), (8, "ddd")],         # dup, norm-dup, new
+    ]
+    # one file per micro-batch (maxFilesPerTrigger=1), oldest first
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        # distinct mtimes so the file source replays in write order
+        newest = max(glob.glob(os.path.join(src, "*.parquet")), key=os.path.getmtime)
+        os.utime(newest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ops.bloom_ingest_stream(
+        stream, "doc_id", "text", out, sketch, expected_total_rows=1000
+    )
+    q.awaitTermination(120)
+    survivors = spark.read.parquet(out)
+    assert {r["doc_id"] for r in survivors.select("doc_id").collect()} == {1, 2, 5, 8}
+    sk = spark.read.parquet(sketch)
+    assert set(sk.columns) == {"__word", "__bits"}
+    assert sk.count() >= 1
+    # the persisted hash pairs make per-batch confirms corpus-rescan-free
+    assert {"__h1", "__h2"}.issubset(set(survivors.columns))
