@@ -318,3 +318,61 @@ def read_gaf(spark: SparkSession, path: str) -> DataFrame:
             transforms.first_taxon(F.col(schemas.GAF_TAXON_COL)).alias("taxonid"),
         )
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    required: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus-scale JSON-lines source with an explicit bad-record channel —
+    the V3 skip-row-and-warn contract (reference
+    src/import_genes_exons.py's missing-qualifier rule) applied to the
+    format web-corpus pipelines actually ingest.
+
+    Schema is DECLARED, never inferred (the engine's no-inference rule,
+    SURVEY §1.4 — inference costs an extra full scan and locks in whatever
+    the first sampled files happened to contain). PERMISSIVE parse routes
+    every malformed line into ``_corrupt_record`` instead of killing the
+    scan (one bad line in a billion must not fail the job); rows missing
+    any ``required`` field join the bad channel too (a parseable line is
+    not necessarily a usable document).
+
+    Returns ``(good, bad)``:
+      good — declared columns, required fields non-null;
+      bad  — (reason, raw) rows for the warn/quarantine sink.
+
+    Scale notes: uncompressed/bzip2 JSONL splits within files; gzip does
+    not (one task per .gz file — shard uploads accordingly). Spark refuses
+    a query whose only referenced column is the internal corrupt column,
+    so the parsed scan is cache()'d (the fix Spark's own error text
+    prescribes); at 100 TB the production form stages the parse to
+    parquet once and reads good/bad from the staged copy instead —
+    either way the JSON text is parsed exactly once.
+    """
+    corrupt = "_corrupt_record"
+    full_schema = f"{schema}, {corrupt} STRING"
+    raw = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .json(path)
+        .cache()
+    )
+    parsed_ok = F.col(corrupt).isNull()
+    good = raw.filter(parsed_ok).drop(corrupt)
+    bad_parse = raw.filter(~parsed_ok).select(
+        F.lit("malformed_json").alias("reason"), F.col(corrupt).alias("raw")
+    )
+    bad = bad_parse
+    for col in required or []:
+        missing = good.filter(F.col(col).isNull())
+        bad = bad.unionByName(
+            missing.select(
+                F.lit(f"missing_required:{col}").alias("reason"),
+                F.to_json(F.struct(*[c for c in good.columns])).alias("raw"),
+            )
+        )
+        good = good.filter(F.col(col).isNotNull())
+    return good, bad

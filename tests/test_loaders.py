@@ -290,3 +290,33 @@ def test_ontology(spark, fixtures_dir):
     # taxon filter: only taxon:10090 rows survive (F3); G1→q is taxon:9606|1280 → first
     # taxon 9606 ≠ 10090 → dropped; G3 9606 dropped
     assert set(gmap_rows) == {("G1", "c"), ("G2", "b")}
+
+
+def test_jsonl_source_routes_bad_records(spark, tmp_path):
+    """read_jsonl: malformed lines and rows missing required fields land
+    in the bad channel with a reason; good rows carry the declared schema
+    only. One bad line must never fail the scan (PERMISSIVE contract)."""
+    from syntenybrowserv2_etl_spark.sources.text_sources import read_jsonl
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
+        'this is not json at all\n'
+        '{"doc_id": 2, "lang": "en"}\n'            # missing required text
+        '{"doc_id": 3, "text": "bonjour", "lang": "fr"}\n'
+        '{"doc_id": 4, "text": "ok", "lang": null}\n'  # lang not required
+    )
+    good, bad = read_jsonl(
+        spark,
+        str(p),
+        "doc_id LONG, text STRING, lang STRING",
+        required=["text"],
+    )
+    g = {r["doc_id"]: r for r in good.collect()}
+    assert set(g) == {1, 3, 4}
+    assert g[1]["text"] == "hello world" and g[4]["lang"] is None
+    assert set(good.columns) == {"doc_id", "text", "lang"}
+    b = sorted((r["reason"], r["raw"]) for r in bad.collect())
+    assert len(b) == 2
+    assert b[0][0] == "malformed_json" and "not json" in b[0][1]
+    assert b[1][0] == "missing_required:text" and '"doc_id":2' in b[1][1]
