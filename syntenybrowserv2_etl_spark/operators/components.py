@@ -152,19 +152,29 @@ def pagerank(
 
     Output: (node, rank) — one row per node, Σ rank ≈ 1.
     """
-    nodes = edges.select(F.col(src).alias("node")).distinct()
+    nodes = edges.select(F.col(src).alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
     n_nodes = nodes.count()
     outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__od"))
+    # out-degree folds into the edge table ONCE — every round then pays a
+    # single join (ranks ⋈ weighted edges) instead of two; this is also
+    # the table a production deployment pre-partitions/buckets by __src
+    # so the per-round join reuses one layout.
+    wedges = (
+        edges.join(outdeg, src)
+        .select(F.col(src).alias("__src"), F.col(dst).alias("__dst"), "__od")
+        .localCheckpoint(eager=True)
+    )
     base = (F.lit(1.0) - F.lit(damping)) / F.lit(float(n_nodes))
     ranks = nodes.select(
         "node", F.round(F.lit(1.0) / F.lit(float(n_nodes)), round_to).alias("rank")
     ).localCheckpoint(eager=True)
     for _ in range(iters):
         contribs = (
-            edges.join(ranks, edges[src] == ranks["node"])
-            .join(outdeg, src)
+            wedges.join(ranks, wedges["__src"] == ranks["node"])
             .select(
-                F.col(dst).alias("node"),
+                F.col("__dst").alias("node"),
                 (F.col("rank") / F.col("__od")).alias("__c"),
             )
             .groupBy("node")
