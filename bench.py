@@ -66,6 +66,7 @@ CURATION = [
     "q85_pagerank",
     "q86_scd2_history",
     "q87_quality_classifier",
+    "q88_pq_adc_topk",
 ]
 
 

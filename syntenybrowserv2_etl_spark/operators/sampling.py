@@ -255,7 +255,10 @@ def dsir_importance(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("__nbg"),
-            F.round(F.avg("__lr"), 4).alias("weight"),
+            # + 0.0 collapses IEEE -0.0 to +0.0: a mean that rounds to
+            # zero from below otherwise reprs as '-0.0' on one engine and
+            # '0.0' on the other (observed at sf0.1)
+            (F.round(F.avg("__lr"), 4) + F.lit(0.0)).alias("weight"),
         )
     )
     return (

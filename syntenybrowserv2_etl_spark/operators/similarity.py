@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import hashing
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -306,4 +308,208 @@ def cluster_profile(
             F.count(F.lit(1)).alias("n_vectors"),
             F.round(F.avg("__cos"), 4).alias("mean_cosine"),
         )
+    )
+
+
+# --- Product quantization (PQ) ---------------------------------------------
+
+
+def _subvectors(
+    df: DataFrame, vec_col: str, m_subspaces: int, sub_len: int
+) -> DataFrame:
+    """Long-form (…, s, sub) rows: one per (row, subspace). Row-local."""
+    return df.select(
+        *[c for c in df.columns if c != vec_col],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(F.col(vec_col), s * sub_len + 1, sub_len).alias(
+                            "__sub"
+                        ),
+                    )
+                    for s in range(m_subspaces)
+                ]
+            )
+        ).alias("__sv"),
+    ).select("*", F.col("__sv.s").alias("s"), F.col("__sv.__sub").alias("__sub")).drop(
+        "__sv"
+    )
+
+
+def _l2sq_expr(a: Column, b: Column) -> Column:
+    """Σ (a_i - b_i)² — differences multiply in FLOAT, each square is cast
+    to DOUBLE, the sum left-folds in array order (the _cos_sql bit-parity
+    discipline, applied to L2)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+
+
+def _pq_assign(sv: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest codeword per (row, subspace): broadcast per-subspace codeword
+    arrays, row-local argmin via struct-max over (-dist, -id) — zero
+    shuffle of the vectors, the assign_centroids pattern under L2."""
+    cb = F.broadcast(
+        codebooks.groupBy("s").agg(
+            F.collect_list(
+                F.struct(F.col("centroid_id").alias("id"), F.col("centroid").alias("vec"))
+            ).alias("__cands")
+        )
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("__cands"),
+            lambda c: F.struct(
+                (-_l2sq_expr(F.col("__sub"), c["vec"])).alias("negd"),
+                (-c["id"]).alias("negid"),
+            ),
+        )
+    )
+    return sv.join(cb, "s").withColumn("code", -best["negid"]).drop("__cands")
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m_subspaces: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Product-quantization codebook training (Jégou et al. 2011): split
+    each vector into ``m_subspaces`` contiguous subvectors and run plain
+    Lloyd k-means INDEPENDENTLY per subspace — all subspaces train in the
+    SAME jobs (subspace is a column, not a loop), so the per-round cost is
+    one assign pass + one (s, centroid, dim)-keyed partial aggregation
+    regardless of M.
+
+    Deterministic: hash-minimal init (the same k corpus rows seed every
+    subspace), argmin ties to the smaller codeword id, no RNG. Updates are
+    per-dimension means cast to float (no normalization — L2 Lloyd);
+    empty codewords drop out. Per-round localCheckpoint keeps lineage
+    flat. Output: (s, centroid_id, centroid).
+    """
+    if dim is None:
+        dim = corpus.select(F.min(F.size(vec_col)).alias("d")).first()["d"]
+    sub_len = dim // m_subspaces
+    sv = _subvectors(
+        corpus.select(id_col, vec_col), vec_col, m_subspaces, sub_len
+    ).localCheckpoint(eager=True)
+    seeds = (
+        corpus.select(
+            F.col(id_col),
+            hashing.md5_long(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h", id_col)
+        .limit(k)
+        .select(
+            F.col(id_col),
+            F.row_number().over(Window.orderBy("__h", id_col)).alias("centroid_id"),
+        )
+    )
+    cents = (
+        sv.join(seeds, id_col)
+        .select("s", "centroid_id", F.col("__sub").alias("centroid"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(sv, cents)
+        dims_agg = (
+            assigned.select(
+                "s", "code", F.posexplode(F.col("__sub")).alias("__pos", "__val")
+            )
+            .groupBy("s", "code", "__pos")
+            .agg(F.avg(F.col("__val").cast("double")).alias("__avg"))
+        )
+        cents = (
+            dims_agg.groupBy("s", "code")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("__pos", "__avg"))).alias(
+                    "__pairs"
+                )
+            )
+            .select(
+                "s",
+                F.col("code").alias("centroid_id"),
+                F.transform(
+                    F.col("__pairs"), lambda p: p["__avg"].cast("float")
+                ).alias("centroid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m_subspaces: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Encode each vector as its nearest codeword per subspace —
+    (id, s, code) long form, the layout that joins against an ADC lookup
+    table without any pivot. Row-local given the broadcast codebooks:
+    at 100 TB this is a map-only pass that shrinks 4-byte floats to
+    log2(k)-bit codes (the entire point of PQ)."""
+    if dim is None:
+        dim = corpus.select(F.min(F.size(vec_col)).alias("d")).first()["d"]
+    sub_len = dim // m_subspaces
+    sv = _subvectors(corpus.select(id_col, vec_col), vec_col, m_subspaces, sub_len)
+    return _pq_assign(sv, codebooks).select(id_col, "s", "code")
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    m_subspaces: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    dim: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: score(x) ≈ Σ_m dot(q_m, c_m[code_m]).
+
+    The per-query lookup table (M·k dot products) broadcasts; the corpus
+    side touches only its integer codes — the scan that makes PQ search
+    cheap at scale. Scores round to 6 decimals (the M-way sum is the only
+    order-dependent float op) and rank ties break on id; the final top-k
+    plans as WindowGroupLimit. Output: (query_id, id, score, rank).
+    """
+    if dim is None:
+        dim = queries.select(F.min(F.size(query_vec_col)).alias("d")).first()["d"]
+    sub_len = dim // m_subspaces
+    qsv = _subvectors(
+        queries.select(query_id_col, query_vec_col),
+        query_vec_col,
+        m_subspaces,
+        sub_len,
+    )
+    lut = F.broadcast(
+        qsv.join(codebooks, "s").select(
+            query_id_col,
+            "s",
+            F.col("centroid_id").alias("code"),
+            dot_expr(F.col("__sub"), F.col("centroid")).alias("__partial"),
+        )
+    )
+    scored = (
+        codes.join(lut, ["s", "code"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("__partial"), 6).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

@@ -3273,7 +3273,8 @@ _DSIR_ALPHA = 0.5
                   - (ln(cr + {_DSIR_ALPHA}) - ln(Nr + {_DSIR_ALPHA} * {_DSIR_BUCKETS}))
                       AS lr
            FROM hist CROSS JOIN tot),
-    sc AS (SELECT doc_id, COUNT(*) AS nbg, ROUND(AVG(lr), 4) AS weight
+    sc AS (SELECT doc_id, COUNT(*) AS nbg,
+                  ROUND(AVG(lr), 4) + 0.0 AS weight
            FROM occ JOIN lr USING (b) GROUP BY doc_id)
     SELECT d.doc_id,
            CAST(COALESCE(sc.nbg, 0) AS BIGINT) AS n_bigrams,
@@ -3577,6 +3578,106 @@ def _quality_clf_sql() -> str:
     """
 
 
+def _pq_sql(
+    m_sub: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    topk: int = 10,
+    query_id: int = 0,
+) -> str:
+    """Round-unrolled PQ oracle (codebook training + encode + ADC top-k).
+    Distances and dot products follow the _cos_sql bit-parity discipline:
+    FLOAT arithmetic per element, CAST to DOUBLE per term, left-fold sum."""
+    sub_len = dim // m_sub
+    md5_id = hashing.md5_long_sql("vec_id")
+    l2 = (
+        "list_reduce(list_transform(list_zip(sv.sub, c.centroid), "
+        "p -> CAST((p[1] - p[2]) * (p[1] - p[2]) AS DOUBLE)), (a, b) -> a + b)"
+    )
+    dot = (
+        "list_reduce(list_transform(list_zip(qsv.sub, cb.centroid), "
+        "p -> CAST(p[1] * p[2] AS DOUBLE)), (a, b) -> a + b)"
+    )
+    ctes = [
+        f"sv AS (SELECT vec_id, s,"
+        f" embedding[(s * {sub_len} + 1):(s * {sub_len} + {sub_len})] AS sub"
+        f" FROM embeddings CROSS JOIN (SELECT unnest(range(0, {m_sub})) AS s))",
+        f"seeds AS (SELECT vec_id,"
+        " CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS centroid_id"
+        f" FROM (SELECT vec_id, {md5_id} AS h FROM embeddings"
+        f" ORDER BY h, vec_id LIMIT {k}))",
+        "c0 AS (SELECT s, centroid_id, sub AS centroid"
+        " FROM sv JOIN seeds USING (vec_id))",
+    ]
+    prev = "c0"
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"a{r} AS (SELECT vec_id, s, sub, centroid_id AS code FROM ("
+            " SELECT sv.vec_id, sv.s, sv.sub, c.centroid_id,"
+            " row_number() OVER (PARTITION BY sv.vec_id, sv.s"
+            f" ORDER BY {l2} ASC, c.centroid_id ASC) AS rn"
+            f" FROM sv JOIN {prev} c ON sv.s = c.s) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"u{r} AS (SELECT s, code, d.i, AVG(CAST(sub[d.i] AS DOUBLE)) AS m"
+            f" FROM a{r}, (SELECT unnest(range(1, {sub_len} + 1)) AS i) d"
+            " GROUP BY s, code, d.i)"
+        )
+        ctes.append(
+            f"c{r} AS (SELECT s, code AS centroid_id,"
+            " list_transform(mean, x -> CAST(x AS REAL)) AS centroid"
+            f" FROM (SELECT s, code, list(m ORDER BY i) AS mean FROM u{r}"
+            " GROUP BY s, code))"
+        )
+        prev = f"c{r}"
+    ctes += [
+        f"codes AS (SELECT vec_id, s, centroid_id AS code FROM ("
+        " SELECT sv.vec_id, sv.s, c.centroid_id,"
+        " row_number() OVER (PARTITION BY sv.vec_id, sv.s"
+        f" ORDER BY {l2} ASC, c.centroid_id ASC) AS rn"
+        f" FROM sv JOIN {prev} c ON sv.s = c.s) WHERE rn = 1)",
+        f"qsv AS (SELECT s, sub FROM sv WHERE vec_id = {query_id})",
+        f"lut AS (SELECT qsv.s, cb.centroid_id AS code, {dot} AS partial"
+        f" FROM qsv JOIN {prev} cb ON qsv.s = cb.s)",
+        "scored AS (SELECT codes.vec_id, ROUND(SUM(lut.partial), 6) AS score"
+        " FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code"
+        f" WHERE codes.vec_id <> {query_id} GROUP BY codes.vec_id)",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST({query_id} AS BIGINT) AS query_id, vec_id, score, rank FROM (
+      SELECT vec_id, score,
+             row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= {topk}
+    """
+    )
+
+
+@register(
+    "q88_pq_adc_topk",
+    _pq_sql(),
+    tags=["product quantization: codebooks + encode + ADC top-k"],
+)
+def q88(spark, sf_dir):
+    """IVF's missing half: PQ codebook training (per-subspace Lloyd, all
+    subspaces in the same jobs), integer-code encoding, and
+    asymmetric-distance top-10 for a fixed query vector — the
+    memory-side of billion-scale ANN (codes are log2(k) bits where the
+    floats were 32). Training, encoding, and the ADC sum are all
+    value-checked against a round-unrolled oracle.
+    operators/similarity.pq_codebooks/pq_encode/pq_adc_topk."""
+    emb = t(spark, sf_dir, "embeddings")
+    cb = sim_ops.pq_codebooks(emb, m_subspaces=4, k=4, iters=2, dim=64)
+    codes = sim_ops.pq_encode(emb, cb, 4, dim=64)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return sim_ops.pq_adc_topk(codes, cb, qv, 4, k=10, dim=64)
+
+
 @register(
     "q87_quality_classifier",
     _quality_clf_sql(),
@@ -3650,6 +3751,7 @@ _DEMOTED_PAST_WINDOW = [
     "q85_pagerank",
     "q86_scd2_history",
     "q87_quality_classifier",
+    "q88_pq_adc_topk",
 ]
 
 

@@ -1693,3 +1693,54 @@ def test_quality_classifier_gate_semantics(spark):
     assert out[3]["keep"] is False and out[3]["n_tokens"] == 0
     for r in out.values():
         assert r["keep"] == (r["score"] >= 0.5)
+
+
+def test_pq_adc_score_equals_reconstructed_dot(spark):
+    """ADC invariant: the subspace-decomposed score Σ_m dot(q_m, c_m[code])
+    must equal the dot product of the query with the RECONSTRUCTED
+    (quantized) vector — PQ's defining identity. Also: every vector gets
+    exactly m codes, each within [1, k]."""
+    from syntenybrowserv2_etl_spark import queries as q
+    from syntenybrowserv2_etl_spark.operators import similarity as sim
+
+    emb = q.t(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+    emb = emb.localCheckpoint(eager=True)
+    cb = sim.pq_codebooks(emb, m_subspaces=4, k=4, iters=2, dim=64)
+    codes = sim.pq_encode(emb, cb, 4, dim=64)
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 4 for r in per_vec) and len(per_vec) == 100
+    rng = codes.agg(F.min("code").alias("lo"), F.max("code").alias("hi")).first()
+    assert rng["lo"] >= 1 and rng["hi"] <= 4
+    qv = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    adc = {
+        r["vec_id"]: r["score"]
+        for r in sim.pq_adc_topk(codes, cb, qv, 4, k=100, dim=64).collect()
+    }
+    # reconstruct each vector from its codewords (ordered by subspace)
+    recon = (
+        codes.join(cb, (codes["s"] == cb["s"]) & (codes["code"] == cb["centroid_id"]))
+        .select("vec_id", codes["s"].alias("ss"), "centroid")
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("ss"), F.col("centroid")))),
+                    lambda p: p["centroid"],
+                )
+            ).alias("rvec")
+        )
+    )
+    qrow = qv.first()
+    exact = {
+        r["vec_id"]: r["d"]
+        for r in recon.withColumn(
+            "d", sim.dot_expr(F.col("rvec"), F.lit(qrow["qvec"]).cast("array<float>"))
+        ).collect()
+    }
+    checked = 0
+    for vid, score in adc.items():
+        assert abs(score - exact[vid]) < 1e-4, (vid, score, exact[vid])
+        checked += 1
+    assert checked > 50

@@ -47,6 +47,7 @@ SF_MED_STRENGTHENED = [
     "q85_pagerank",
     "q86_scd2_history",
     "q87_quality_classifier",
+    "q88_pq_adc_topk",
 ]
 
 

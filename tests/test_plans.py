@@ -467,3 +467,13 @@ def test_scd2_windows_share_one_user_exchange(spark):
     df = q.REGISTRY["q86_scd2_history"].spark_fn(spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_pq_adc_lut_joins_broadcast(spark):
+    """q88: the ADC lookup table (M·k rows) must broadcast into the code
+    stream — the corpus side touches only integer codes and never
+    shuffles to meet the LUT."""
+    df = q.REGISTRY["q88_pq_adc_topk"].spark_fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert not re.search(r"SortMergeJoin \[s#", p)
