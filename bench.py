@@ -67,6 +67,7 @@ CURATION = [
     "q86_scd2_history",
     "q87_quality_classifier",
     "q88_pq_adc_topk",
+    "q89_weighted_sample",
 ]
 
 

@@ -270,3 +270,41 @@ def dsir_importance(
             "weight",
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight,
+    n: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling without replacement, A-ES style (Efraimidis &
+    Spirakis 2006): every row draws a deterministic pseudo-uniform
+    u ∈ (0, 1] from its id hash and competes with key = ln(u) / w —
+    the top-n keys are a true weight-proportional sample. One pass, no
+    per-row RNG state, reproducible across runs and engines.
+
+    ``weight`` is a Column (or name) of positive weights — e.g. document
+    length for byte-budget sampling, or a quality score.
+
+    Scale shape: key computation is row-local; the top-n plans as
+    WindowGroupLimit (every map task pre-prunes to its local top-n before
+    the single-partition merge, so the exchange carries O(tasks·n) rows).
+    Keys round to 9 decimals with id tie-break, so a cross-engine ln()
+    ulp cannot reorder the selection.
+
+    Output: input columns + (key, rank), rank 1..n by (key desc, id asc).
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = (_fate(id_col, seed) + 1) / F.lit(float(_DENOM))
+    key = F.round(F.log(u) / w.cast("double"), 9)
+    win = Window.orderBy(F.col("__aes_key").desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__aes_key", key)
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= n)
+        .withColumnRenamed("__aes_key", "key")
+    )

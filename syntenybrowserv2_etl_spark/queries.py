@@ -3545,6 +3545,34 @@ def q86(spark, sf_dir):
     )
 
 
+@register(
+    "q89_weighted_sample",
+    f"""
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             ROUND(ln(CAST({sampling_ops._fate_sql("doc_id", 7)} + 1 AS DOUBLE)
+                      / 1000000.0)
+                   / CAST(greatest(n_chars, 1) AS DOUBLE), 9) AS key
+      FROM documents),
+    r AS (SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+          FROM s)
+    SELECT doc_id, source, n_chars, key, rank FROM r WHERE rank <= 50
+    """,
+    tags=["weighted sampling without replacement (Efraimidis-Spirakis A-ES)"],
+)
+def q89(spark, sf_dir):
+    """Length-weighted top-50 sample (A-ES): key = ln(u)/w from the id
+    hash, so longer documents win proportionally more often, the draw is
+    RNG-free and engine-reproducible, and the selection is one row-local
+    projection + a WindowGroupLimit top-n. Keys round to 9 decimals with
+    id tie-break so an ln() ulp cannot flip the selection.
+    operators/sampling.weighted_sample."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return sampling_ops.weighted_sample(
+        d, "doc_id", F.greatest(F.col("n_chars"), F.lit(1)), n=50, seed=7
+    )
+
+
 def _quality_clf_sql() -> str:
     """q87 oracle generated from text.QUALITY_CLF_WEIGHTS — one source of
     truth for both engines; every weight is CAST to DOUBLE (the q85
@@ -3752,6 +3780,7 @@ _DEMOTED_PAST_WINDOW = [
     "q86_scd2_history",
     "q87_quality_classifier",
     "q88_pq_adc_topk",
+    "q89_weighted_sample",
 ]
 
 

@@ -1744,3 +1744,23 @@ def test_pq_adc_score_equals_reconstructed_dot(spark):
         assert abs(score - exact[vid]) < 1e-4, (vid, score, exact[vid])
         checked += 1
     assert checked > 50
+
+
+def test_weighted_sample_favors_heavy_rows_and_is_deterministic(spark):
+    """A-ES contract: with weights 100:1, heavy rows dominate the sample;
+    the same seed reproduces the exact selection; a different seed draws a
+    different one."""
+    from syntenybrowserv2_etl_spark.operators import sampling as smp
+
+    rows = [(i, 100 if i < 50 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    picked = lambda seed: [
+        r["doc_id"]
+        for r in smp.weighted_sample(df, "doc_id", "w", n=30, seed=seed).collect()
+    ]
+    a = picked(1)
+    heavy = sum(1 for i in a if i < 50)
+    # 50 rows carry 100x weight vs 450 rows at 1x: ~92% of total mass
+    assert heavy >= 20, heavy
+    assert picked(1) == a
+    assert set(picked(2)) != set(a)

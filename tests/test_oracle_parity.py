@@ -48,6 +48,7 @@ SF_MED_STRENGTHENED = [
     "q86_scd2_history",
     "q87_quality_classifier",
     "q88_pq_adc_topk",
+    "q89_weighted_sample",
 ]
 
 
