@@ -68,6 +68,7 @@ CURATION = [
     "q87_quality_classifier",
     "q88_pq_adc_topk",
     "q89_weighted_sample",
+    "q90_ivf_pq",
 ]
 
 

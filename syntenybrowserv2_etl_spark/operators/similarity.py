@@ -513,3 +513,88 @@ def pq_adc_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_pq_topk(
+    assigned: DataFrame,
+    codes: DataFrame,
+    cells: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    m_subspaces: int = 4,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-PQ search — the billion-scale ANN shape (Jégou et al. 2011;
+    what FAISS serves in production): the IVF coarse index routes each
+    query to its ``nprobe`` nearest cells, and only those cells'
+    vectors are scored — via their PQ codes (ADC), never their floats.
+
+    ``assigned``: (id, centroid_id) from assign_centroids over ``cells``;
+    ``codes``: (id, s, code) from pq_encode. At scale both live
+    partitioned by centroid_id, so the probe is a partition-pruned read
+    of nprobe/n_cells of the corpus; here it is a join on the cell id.
+    The cell table and the per-query ADC lookup table both broadcast —
+    the only per-query work proportional to the corpus is the pruned
+    code scan. Scores round to 6 decimals, ties break on id, top-k plans
+    as WindowGroupLimit. Output: (query_id, id, score, rank).
+    """
+    if dim is None:
+        dim = queries.select(F.min(F.size(query_vec_col)).alias("d")).first()["d"]
+    sub_len = dim // m_subspaces
+    probe = F.broadcast(
+        queries.crossJoin(
+            F.broadcast(cells.select("centroid_id", F.col("centroid").alias("__cv")))
+        )
+        .select(
+            query_id_col,
+            "centroid_id",
+            F.row_number()
+            .over(
+                Window.partitionBy(query_id_col).orderBy(
+                    cosine_expr(F.col(query_vec_col), F.col("__cv")).desc(),
+                    F.col("centroid_id").asc(),
+                )
+            )
+            .alias("__cr"),
+        )
+        .filter(F.col("__cr") <= nprobe)
+        .select(query_id_col, "centroid_id")
+    )
+    candidates = assigned.join(probe, "centroid_id").select(query_id_col, id_col)
+    qsv = _subvectors(
+        queries.select(query_id_col, query_vec_col),
+        query_vec_col,
+        m_subspaces,
+        sub_len,
+    )
+    lut = F.broadcast(
+        qsv.join(codebooks, "s").select(
+            F.col(query_id_col).alias("__qid"),
+            "s",
+            F.col("centroid_id").alias("code"),
+            dot_expr(F.col("__sub"), F.col("centroid")).alias("__partial"),
+        )
+    )
+    scored = (
+        codes.join(candidates, id_col)
+        .join(
+            lut,
+            (F.col(query_id_col) == F.col("__qid"))
+            & (codes["s"] == lut["s"])
+            & (codes["code"] == lut["code"]),
+        )
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("__partial"), 6).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

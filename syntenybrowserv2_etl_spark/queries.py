@@ -3606,6 +3606,72 @@ def _quality_clf_sql() -> str:
     """
 
 
+def _pq_ctes(
+    m_sub: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+) -> tuple[list[str], str]:
+    """Round-unrolled PQ CTE chain (codebook training + encode), ending at
+    ``codes`` (vec_id, s, code) and ``psv`` (vec_id, s, sub). Returns
+    (ctes, final_codebook_cte). CTE names are pq-prefixed so the chain
+    composes with the IVF CTEs (q90) without collisions. Distances follow
+    the _cos_sql bit-parity discipline: FLOAT arithmetic per element, CAST
+    to DOUBLE per term, left-fold sum."""
+    sub_len = dim // m_sub
+    md5_id = hashing.md5_long_sql("vec_id")
+    l2 = (
+        "list_reduce(list_transform(list_zip(psv.sub, c.centroid), "
+        "p -> CAST((p[1] - p[2]) * (p[1] - p[2]) AS DOUBLE)), (a, b) -> a + b)"
+    )
+    ctes = [
+        f"psv AS (SELECT vec_id, s,"
+        f" embedding[(s * {sub_len} + 1):(s * {sub_len} + {sub_len})] AS sub"
+        f" FROM embeddings CROSS JOIN (SELECT unnest(range(0, {m_sub})) AS s))",
+        f"pseeds AS (SELECT vec_id,"
+        " CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS centroid_id"
+        f" FROM (SELECT vec_id, {md5_id} AS h FROM embeddings"
+        f" ORDER BY h, vec_id LIMIT {k}))",
+        "pc0 AS (SELECT s, centroid_id, sub AS centroid"
+        " FROM psv JOIN pseeds USING (vec_id))",
+    ]
+    prev = "pc0"
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"pa{r} AS (SELECT vec_id, s, sub, centroid_id AS code FROM ("
+            " SELECT psv.vec_id, psv.s, psv.sub, c.centroid_id,"
+            " row_number() OVER (PARTITION BY psv.vec_id, psv.s"
+            f" ORDER BY {l2} ASC, c.centroid_id ASC) AS rn"
+            f" FROM psv JOIN {prev} c ON psv.s = c.s) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"pu{r} AS (SELECT s, code, d.i, AVG(CAST(sub[d.i] AS DOUBLE)) AS m"
+            f" FROM pa{r}, (SELECT unnest(range(1, {sub_len} + 1)) AS i) d"
+            " GROUP BY s, code, d.i)"
+        )
+        ctes.append(
+            f"pc{r} AS (SELECT s, code AS centroid_id,"
+            " list_transform(mean, x -> CAST(x AS REAL)) AS centroid"
+            f" FROM (SELECT s, code, list(m ORDER BY i) AS mean FROM pu{r}"
+            " GROUP BY s, code))"
+        )
+        prev = f"pc{r}"
+    ctes.append(
+        f"codes AS (SELECT vec_id, s, centroid_id AS code FROM ("
+        " SELECT psv.vec_id, psv.s, c.centroid_id,"
+        " row_number() OVER (PARTITION BY psv.vec_id, psv.s"
+        f" ORDER BY {l2} ASC, c.centroid_id ASC) AS rn"
+        f" FROM psv JOIN {prev} c ON psv.s = c.s) WHERE rn = 1)"
+    )
+    return ctes, prev
+
+
+_PQ_DOT = (
+    "list_reduce(list_transform(list_zip(qsv.sub, cb.centroid), "
+    "p -> CAST(p[1] * p[2] AS DOUBLE)), (a, b) -> a + b)"
+)
+
+
 def _pq_sql(
     m_sub: int = 4,
     k: int = 4,
@@ -3614,60 +3680,12 @@ def _pq_sql(
     topk: int = 10,
     query_id: int = 0,
 ) -> str:
-    """Round-unrolled PQ oracle (codebook training + encode + ADC top-k).
-    Distances and dot products follow the _cos_sql bit-parity discipline:
-    FLOAT arithmetic per element, CAST to DOUBLE per term, left-fold sum."""
-    sub_len = dim // m_sub
-    md5_id = hashing.md5_long_sql("vec_id")
-    l2 = (
-        "list_reduce(list_transform(list_zip(sv.sub, c.centroid), "
-        "p -> CAST((p[1] - p[2]) * (p[1] - p[2]) AS DOUBLE)), (a, b) -> a + b)"
-    )
-    dot = (
-        "list_reduce(list_transform(list_zip(qsv.sub, cb.centroid), "
-        "p -> CAST(p[1] * p[2] AS DOUBLE)), (a, b) -> a + b)"
-    )
-    ctes = [
-        f"sv AS (SELECT vec_id, s,"
-        f" embedding[(s * {sub_len} + 1):(s * {sub_len} + {sub_len})] AS sub"
-        f" FROM embeddings CROSS JOIN (SELECT unnest(range(0, {m_sub})) AS s))",
-        f"seeds AS (SELECT vec_id,"
-        " CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS centroid_id"
-        f" FROM (SELECT vec_id, {md5_id} AS h FROM embeddings"
-        f" ORDER BY h, vec_id LIMIT {k}))",
-        "c0 AS (SELECT s, centroid_id, sub AS centroid"
-        " FROM sv JOIN seeds USING (vec_id))",
-    ]
-    prev = "c0"
-    for r in range(1, iters + 1):
-        ctes.append(
-            f"a{r} AS (SELECT vec_id, s, sub, centroid_id AS code FROM ("
-            " SELECT sv.vec_id, sv.s, sv.sub, c.centroid_id,"
-            " row_number() OVER (PARTITION BY sv.vec_id, sv.s"
-            f" ORDER BY {l2} ASC, c.centroid_id ASC) AS rn"
-            f" FROM sv JOIN {prev} c ON sv.s = c.s) WHERE rn = 1)"
-        )
-        ctes.append(
-            f"u{r} AS (SELECT s, code, d.i, AVG(CAST(sub[d.i] AS DOUBLE)) AS m"
-            f" FROM a{r}, (SELECT unnest(range(1, {sub_len} + 1)) AS i) d"
-            " GROUP BY s, code, d.i)"
-        )
-        ctes.append(
-            f"c{r} AS (SELECT s, code AS centroid_id,"
-            " list_transform(mean, x -> CAST(x AS REAL)) AS centroid"
-            f" FROM (SELECT s, code, list(m ORDER BY i) AS mean FROM u{r}"
-            " GROUP BY s, code))"
-        )
-        prev = f"c{r}"
-    ctes += [
-        f"codes AS (SELECT vec_id, s, centroid_id AS code FROM ("
-        " SELECT sv.vec_id, sv.s, c.centroid_id,"
-        " row_number() OVER (PARTITION BY sv.vec_id, sv.s"
-        f" ORDER BY {l2} ASC, c.centroid_id ASC) AS rn"
-        f" FROM sv JOIN {prev} c ON sv.s = c.s) WHERE rn = 1)",
-        f"qsv AS (SELECT s, sub FROM sv WHERE vec_id = {query_id})",
-        f"lut AS (SELECT qsv.s, cb.centroid_id AS code, {dot} AS partial"
-        f" FROM qsv JOIN {prev} cb ON qsv.s = cb.s)",
+    """q88 oracle: PQ codebooks + encode + full-corpus ADC top-k."""
+    ctes, cb = _pq_ctes(m_sub, k, iters, dim)
+    ctes = ctes + [
+        f"qsv AS (SELECT s, sub FROM psv WHERE vec_id = {query_id})",
+        f"lut AS (SELECT qsv.s, cb.centroid_id AS code, {_PQ_DOT} AS partial"
+        f" FROM qsv JOIN {cb} cb ON qsv.s = cb.s)",
         "scored AS (SELECT codes.vec_id, ROUND(SUM(lut.partial), 6) AS score"
         " FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code"
         f" WHERE codes.vec_id <> {query_id} GROUP BY codes.vec_id)",
@@ -3681,6 +3699,94 @@ def _pq_sql(
              row_number() OVER (ORDER BY score DESC, vec_id) AS rank
       FROM scored) WHERE rank <= {topk}
     """
+    )
+
+
+def _ivf_pq_sql(
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    topk: int = 10,
+    query_id: int = 0,
+) -> str:
+    """q90 oracle: IVF coarse routing (hash-seeded cells, the q30 pattern)
+    composed with PQ/ADC scoring — only vectors in the probed cells are
+    scored, via their codes."""
+    md5_id = hashing.md5_long_sql("vec_id")
+    assign_cos = _cos_sql("e.embedding", "c.centroid")
+    probe_cos = _cos_sql("q.qvec", "c.centroid")
+    ctes, cb = _pq_ctes(m_sub, k, iters, dim)
+    ctes = ctes + [
+        f"""ic AS (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS centroid_id,
+             embedding AS centroid
+      FROM (SELECT vec_id, embedding, {md5_id} AS h
+            FROM embeddings ORDER BY h, vec_id LIMIT {n_cells}))""",
+        f"""iassigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {assign_cos} DESC, c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN ic c) WHERE rn = 1)""",
+        f"q AS (SELECT vec_id AS query_id, embedding AS qvec"
+        f" FROM embeddings WHERE vec_id = {query_id})",
+        f"""iprobe AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {probe_cos} DESC, c.centroid_id) AS cr
+        FROM q CROSS JOIN ic c) WHERE cr <= {nprobe})""",
+        "cand AS (SELECT p.query_id, ia.vec_id"
+        " FROM iassigned ia JOIN iprobe p USING (centroid_id))",
+        f"qsv AS (SELECT s, sub FROM psv WHERE vec_id = {query_id})",
+        f"lut AS (SELECT qsv.s, cb.centroid_id AS code, {_PQ_DOT} AS partial"
+        f" FROM qsv JOIN {cb} cb ON qsv.s = cb.s)",
+        "scored AS (SELECT cand.query_id, codes.vec_id,"
+        " ROUND(SUM(lut.partial), 6) AS score"
+        " FROM codes JOIN cand ON codes.vec_id = cand.vec_id"
+        " JOIN lut ON codes.s = lut.s AND codes.code = lut.code"
+        " WHERE codes.vec_id <> cand.query_id"
+        " GROUP BY cand.query_id, codes.vec_id)",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= {topk}
+    """
+    )
+
+
+@register(
+    "q90_ivf_pq",
+    _ivf_pq_sql(),
+    tags=["IVF-PQ search (coarse cell routing + ADC over codes)"],
+)
+def q90(spark, sf_dir):
+    """The billion-scale ANN shape end-to-end: IVF cells route the query
+    to its 4 nearest of 16 cells (partition-pruned read in production);
+    only those cells' vectors score, via their PQ codes (ADC) — floats
+    are touched exactly once, at encode time. Cell table and ADC lookup
+    table both broadcast. Training, routing, encoding, and scoring are
+    all value-checked against the composed round-unrolled oracle.
+    operators/similarity.ivf_pq_topk."""
+    emb = t(spark, sf_dir, "embeddings")
+    cells = sim_ops.pick_centroids(emb, 16)
+    assigned = sim_ops.assign_centroids(emb, cells).select("vec_id", "centroid_id")
+    cb = sim_ops.pq_codebooks(emb, m_subspaces=4, k=4, iters=2, dim=64)
+    codes = sim_ops.pq_encode(emb, cb, 4, dim=64)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return sim_ops.ivf_pq_topk(
+        assigned, codes, cells, cb, qv, m_subspaces=4, nprobe=4, k=10, dim=64
     )
 
 
@@ -3781,6 +3887,7 @@ _DEMOTED_PAST_WINDOW = [
     "q87_quality_classifier",
     "q88_pq_adc_topk",
     "q89_weighted_sample",
+    "q90_ivf_pq",
 ]
 
 

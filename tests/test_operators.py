@@ -1764,3 +1764,35 @@ def test_weighted_sample_favors_heavy_rows_and_is_deterministic(spark):
     assert heavy >= 20, heavy
     assert picked(1) == a
     assert set(picked(2)) != set(a)
+
+
+def test_ivf_pq_scores_subset_of_full_adc(spark):
+    """IVF-PQ invariant: every (vec, score) it returns appears with the
+    IDENTICAL score in the full-corpus ADC ranking (same codebooks), and
+    every returned vector belongs to a probed cell."""
+    from syntenybrowserv2_etl_spark import queries as q
+    from syntenybrowserv2_etl_spark.operators import similarity as sim
+
+    emb = q.t(spark, "/root/testdata/sf0.001", "embeddings").localCheckpoint(
+        eager=True
+    )
+    cells = sim.pick_centroids(emb, 16)
+    assigned = sim.assign_centroids(emb, cells).select("vec_id", "centroid_id")
+    cb = sim.pq_codebooks(emb, 4, 4, 2, dim=64)
+    codes = sim.pq_encode(emb, cb, 4, dim=64)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    ivf = {
+        r["vec_id"]: r["score"]
+        for r in sim.ivf_pq_topk(
+            assigned, codes, cells, cb, qv, 4, nprobe=4, k=10, dim=64
+        ).collect()
+    }
+    full = {
+        r["vec_id"]: r["score"]
+        for r in sim.pq_adc_topk(codes, cb, qv, 4, k=500, dim=64).collect()
+    }
+    assert len(ivf) == 10
+    for vid, score in ivf.items():
+        assert full[vid] == score, (vid, score, full[vid])

@@ -49,6 +49,7 @@ SF_MED_STRENGTHENED = [
     "q87_quality_classifier",
     "q88_pq_adc_topk",
     "q89_weighted_sample",
+    "q90_ivf_pq",
 ]
 
 
