@@ -98,7 +98,7 @@ KNOWN_OPS = frozenset({
     "dedup_corpus_e2e_star", "dedup_spans", "deterministic_shuffle",
     "bloom_incremental", "bpe_merges_4", "bpe_price_corpus",
     "semantic_dedup", "tfidf_top_terms", "bm25_rank", "cap_per_group",
-    "perplexity_buckets", "dsir_importance",
+    "perplexity_buckets", "dsir_importance", "pq_encode_adc",
 })
 
 
@@ -322,6 +322,20 @@ def main():
             lambda: noop(smp.dsir_importance(
                 docs, "doc_id", "text", target=F.col("doc_id") % 5 == 0))
         )
+
+        # round 6: PQ train + encode + ADC top-k over the scaled embedding
+        # table — training cost is bounded by (s, code, dim) aggregation
+        # keys, encode is map-only, ADC touches only integer codes.
+        def _pq_pipeline():
+            cb = sim.pq_codebooks(emb, 4, 4, 2, dim=64)
+            codes = sim.pq_encode(emb, cb, 4, dim=64)
+            qv = emb.limit(1).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"),
+            )
+            noop(sim.pq_adc_topk(codes, cb, qv, 4, k=10, dim=64))
+
+        measure("pq_encode_adc", _pq_pipeline)
         results.append(r)
         print(json.dumps(r), flush=True)
 
