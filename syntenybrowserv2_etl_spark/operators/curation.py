@@ -399,12 +399,11 @@ def perplexity_buckets(
     """
     from . import text as text_ops
 
-    scored = (
-        text_ops.unigram_logprob(df, id_col, text_col)
+    keyed = (
+        text_ops.unigram_logprob(df, id_col, text_col, keep_cols=[group_col])
         .filter(F.col("n_scored") > 0)
-        .select(id_col, F.round("mean_logprob", 4).alias("score"))
+        .select(id_col, group_col, F.round("mean_logprob", 4).alias("score"))
     )
-    keyed = df.select(id_col, group_col).join(scored, id_col)
     w = Window.partitionBy(group_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )

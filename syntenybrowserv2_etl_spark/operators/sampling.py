@@ -216,7 +216,14 @@ def dsir_importance(
     staged = _d.withColumn(
         "__ds_n",
         F.when(F.length(_norm) == 0, F.lit(0)).otherwise(F.size(_toks)).cast("long"),
-    ).withColumn("__ds_tgt", target)
+    ).withColumn(
+        # NULL-evaluating predicates (e.g. source == 'wiki' over NULL
+        # source) must count as non-target: a bucket populated only by
+        # NULL-predicate rows would otherwise SUM to NULL __ct and
+        # silently drop its occurrences from every doc's mean
+        "__ds_tgt",
+        F.coalesce(target.cast("boolean"), F.lit(False)),
+    )
     bigrams = staged.withColumn(
         "__bg",
         F.when(
@@ -281,9 +288,14 @@ def weighted_sample(
 ) -> DataFrame:
     """Weighted sampling without replacement, A-ES style (Efraimidis &
     Spirakis 2006): every row draws a deterministic pseudo-uniform
-    u ∈ (0, 1] from its id hash and competes with key = ln(u) / w —
-    the top-n keys are a true weight-proportional sample. One pass, no
-    per-row RNG state, reproducible across runs and engines.
+    u ∈ (0, 1] from its id hash; ranking rows by u^(1/w) descending is a
+    true weight-proportional draw. The key used here is the monotone
+    transform w / (-ln u) — SAME ordering as u^(1/w) (both are monotone
+    in ln(u)/w), but its magnitude scales WITH the weight, so a fixed
+    6-decimal rounding keeps keys distinct at any weight scale (rounding
+    ln(u)/w directly collapses large-weight keys onto a tiny lattice and
+    degrades the draw into lowest-id selection). One pass, no per-row RNG
+    state, reproducible across runs and engines.
 
     ``weight`` is a Column (or name) of positive weights — e.g. document
     length for byte-budget sampling, or a quality score.
@@ -291,7 +303,7 @@ def weighted_sample(
     Scale shape: key computation is row-local; the top-n plans as
     WindowGroupLimit (every map task pre-prunes to its local top-n before
     the single-partition merge, so the exchange carries O(tasks·n) rows).
-    Keys round to 9 decimals with id tie-break, so a cross-engine ln()
+    Keys round to 6 decimals with id tie-break, so a cross-engine ln()
     ulp cannot reorder the selection.
 
     Output: input columns + (key, rank), rank 1..n by (key desc, id asc).
@@ -299,8 +311,10 @@ def weighted_sample(
     from pyspark.sql import Window
 
     w = F.col(weight) if isinstance(weight, str) else weight
-    u = (_fate(id_col, seed) + 1) / F.lit(float(_DENOM))
-    key = F.round(F.log(u) / w.cast("double"), 9)
+    # denominator _DENOM + 1 keeps u strictly below 1: u = 1 would make
+    # -ln(u) = 0 and the key infinite
+    u = (_fate(id_col, seed) + 1) / F.lit(float(_DENOM + 1))
+    key = F.round(w.cast("double") / -F.log(u), 6)
     win = Window.orderBy(F.col("__aes_key").desc(), F.col(id_col).asc())
     return (
         df.withColumn("__aes_key", key)

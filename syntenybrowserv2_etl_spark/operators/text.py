@@ -351,6 +351,7 @@ def unigram_logprob(
     id_col: str,
     text_col: str,
     min_df: int = 1,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Corpus-derived unigram-LM scoring — the scalable stand-in for the
     perplexity filter of training-data pipelines (score docs by how typical
@@ -370,8 +371,11 @@ def unigram_logprob(
     < min_df are excluded from scoring (an OOV floor, the usual LM-filter
     contract); with the default min_df=1 every token scores.
 
-    Output: (id, n_toks, n_scored, mean_logprob) — one row per input doc;
-    empty docs keep n_toks=0 and NULL mean_logprob.
+    Output: (id, *keep_cols, n_toks, n_scored, mean_logprob) — one row per
+    input doc; empty docs keep n_toks=0 and NULL mean_logprob.
+    ``keep_cols`` pass through from the input spine, so callers that need
+    extra attributes (e.g. the language for CCNet bucketing) don't pay a
+    second corpus scan plus an id join to recover them.
     """
     from . import dedup
 
@@ -401,10 +405,13 @@ def unigram_logprob(
         )
     )
     return (
-        staged.select(F.col(id_col), F.col("__lm_n").alias("n_toks"))
+        staged.select(
+            F.col(id_col), *(keep_cols or []), F.col("__lm_n").alias("n_toks")
+        )
         .join(scored, id_col, "left")
         .select(
             F.col(id_col),
+            *(keep_cols or []),
             "n_toks",
             F.coalesce("n_scored", F.lit(0)).alias("n_scored"),
             "mean_logprob",

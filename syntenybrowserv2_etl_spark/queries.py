@@ -3501,12 +3501,13 @@ def q85(spark, sf_dir):
              CAST(json_extract(props, '$.k') AS BIGINT) AS k
       FROM events WHERE props IS NOT NULL
     ), ch AS (
-      SELECT *, LAG(k) OVER (PARTITION BY user_id
-                             ORDER BY ts, event_id) AS prev_k
+      SELECT *, LAG(k) OVER w AS prev_k,
+             row_number() OVER w AS rn
       FROM k
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), runs AS (
       SELECT user_id, ts, event_id, k FROM ch
-      WHERE prev_k IS NULL OR k <> prev_k
+      WHERE rn = 1 OR k IS DISTINCT FROM prev_k
     )
     SELECT user_id, k,
            epoch_us(ts) AS valid_from_us,
@@ -3522,7 +3523,10 @@ def q86(spark, sf_dir):
     interval that the next change closes (open-ended rows keep NULL
     valid_to). One shuffle on user_id feeds both windows — change
     detection (lag) and interval close (lead) share the same partitioning
-    and sort. Intervals emit as epoch-µs integers (the q21 timestamp
+    and sort. Change detection is NULL-SAFE (row 1, else k IS DISTINCT
+    FROM prev — a plain <> both loses transitions to a missing attribute
+    and explodes runs of missing values into per-event intervals).
+    Intervals emit as epoch-µs integers (the q21 timestamp
     representation contract)."""
     e = t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -3534,8 +3538,11 @@ def q86(spark, sf_dir):
     )
     runs = (
         k.withColumn("prev_k", F.lag("k").over(w))
-        .filter(F.col("prev_k").isNull() | (F.col("k") != F.col("prev_k")))
-        .drop("prev_k")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1) | ~F.col("k").eqNullSafe(F.col("prev_k"))
+        )
+        .drop("prev_k", "rn")
     )
     return runs.select(
         "user_id",
@@ -3550,9 +3557,9 @@ def q86(spark, sf_dir):
     f"""
     WITH s AS (
       SELECT doc_id, source, n_chars,
-             ROUND(ln(CAST({sampling_ops._fate_sql("doc_id", 7)} + 1 AS DOUBLE)
-                      / 1000000.0)
-                   / CAST(greatest(n_chars, 1) AS DOUBLE), 9) AS key
+             ROUND(CAST(greatest(n_chars, 1) AS DOUBLE)
+                   / -ln(CAST({sampling_ops._fate_sql("doc_id", 7)} + 1 AS DOUBLE)
+                         / 1000001.0), 6) AS key
       FROM documents),
     r AS (SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS rank
           FROM s)
@@ -3561,10 +3568,12 @@ def q86(spark, sf_dir):
     tags=["weighted sampling without replacement (Efraimidis-Spirakis A-ES)"],
 )
 def q89(spark, sf_dir):
-    """Length-weighted top-50 sample (A-ES): key = ln(u)/w from the id
-    hash, so longer documents win proportionally more often, the draw is
-    RNG-free and engine-reproducible, and the selection is one row-local
-    projection + a WindowGroupLimit top-n. Keys round to 9 decimals with
+    """Length-weighted top-50 sample (A-ES): key = w / (-ln u) from the id
+    hash (the weight-scaled monotone transform of u^(1/w) — see the
+    operator docstring for why rounding ln(u)/w directly is a trap), so
+    longer documents win proportionally more often, the draw is RNG-free
+    and engine-reproducible, and the selection is one row-local
+    projection + a WindowGroupLimit top-n. Keys round to 6 decimals with
     id tie-break so an ln() ulp cannot flip the selection.
     operators/sampling.weighted_sample."""
     d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")

@@ -346,10 +346,13 @@ def read_jsonl(
     Scale notes: uncompressed/bzip2 JSONL splits within files; gzip does
     not (one task per .gz file — shard uploads accordingly). Spark refuses
     a query whose only referenced column is the internal corrupt column,
-    so the parsed scan is cache()'d (the fix Spark's own error text
-    prescribes); at 100 TB the production form stages the parse to
-    parquet once and reads good/bad from the staged copy instead —
-    either way the JSON text is parsed exactly once.
+    so the parsed scan is materialized once (the fix Spark's own error
+    text prescribes): both channels are EAGERLY computed from one cached
+    parse and the cache entry is released before returning — callers of a
+    long-lived application never accumulate pinned corpus-sized cache
+    entries. At 100 TB the production form stages the parse to parquet
+    once and reads good/bad from the staged copy; either way the JSON
+    text is parsed exactly once.
     """
     corrupt = "_corrupt_record"
     full_schema = f"{schema}, {corrupt} STRING"
@@ -360,19 +363,23 @@ def read_jsonl(
         .json(path)
         .cache()
     )
-    parsed_ok = F.col(corrupt).isNull()
-    good = raw.filter(parsed_ok).drop(corrupt)
-    bad_parse = raw.filter(~parsed_ok).select(
-        F.lit("malformed_json").alias("reason"), F.col(corrupt).alias("raw")
-    )
-    bad = bad_parse
-    for col in required or []:
-        missing = good.filter(F.col(col).isNull())
-        bad = bad.unionByName(
-            missing.select(
-                F.lit(f"missing_required:{col}").alias("reason"),
-                F.to_json(F.struct(*[c for c in good.columns])).alias("raw"),
-            )
+    try:
+        parsed_ok = F.col(corrupt).isNull()
+        good = raw.filter(parsed_ok).drop(corrupt)
+        bad = raw.filter(~parsed_ok).select(
+            F.lit("malformed_json").alias("reason"), F.col(corrupt).alias("raw")
         )
-        good = good.filter(F.col(col).isNotNull())
+        for col in required or []:
+            missing = good.filter(F.col(col).isNull())
+            bad = bad.unionByName(
+                missing.select(
+                    F.lit(f"missing_required:{col}").alias("reason"),
+                    F.to_json(F.struct(*[c for c in good.columns])).alias("raw"),
+                )
+            )
+            good = good.filter(F.col(col).isNotNull())
+        good = good.localCheckpoint(eager=True)
+        bad = bad.localCheckpoint(eager=True)
+    finally:
+        raw.unpersist()
     return good, bad

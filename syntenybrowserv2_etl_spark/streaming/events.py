@@ -298,8 +298,13 @@ def bloom_ingest_stream(
     streaming twin of operators/dedup.bloom_incremental_dedup, maintaining
     the persisted state its docstring promises: the sharded (word, bits)
     sketch table lives at ``sketch_path`` and is FOLDED FORWARD per batch
-    (dedup.bloom_sketch_merge) instead of rebuilt from the corpus, so
-    per-batch cost is O(batch + m/64), never O(corpus).
+    (dedup.bloom_sketch_merge) instead of rebuilt from the corpus. The
+    SKETCH side is O(batch + m/64) per batch; the exact confirm of bloom
+    hits is a column-pruned, shuffle-free scan of the survivor table's
+    stored hash pairs filtered by the broadcast hit set — O(corpus) in
+    pruned bytes read but zero corpus shuffle, and in production the
+    survivor pair table is bucketed by ``__h1`` so the confirm becomes a
+    pruned read of the hit buckets only.
 
     Per micro-batch (foreachBatch):
       1. within-batch keep-first: min ``id_col`` per content hash-pair
@@ -350,17 +355,16 @@ def bloom_ingest_stream(
             b.filter(F.col("__h1").isNotNull()).select("__h1", "__h2").distinct()
         )
         if sketch is not None:
-            hits = dd.bloom_probe(sketch, pairs, m, k)
-            corpus_pairs = (
-                spark.read.parquet(out_path).select("__h1", "__h2").distinct()
-                if fs.exists(out_p)
-                else None
-            )
+            hits = dd.bloom_probe(sketch, pairs, m, k).localCheckpoint(eager=True)
+            # Exact confirm: column-pruned scan of the survivor table's
+            # stored hash pairs, FILTERED by the broadcast hit set — no
+            # distinct, no shuffle of the corpus side; only pairs that
+            # bloom-hit (dups + ~fpp false positives) survive the join.
             dup_pairs = (
-                hits.select("__h1", "__h2").join(
-                    corpus_pairs, ["__h1", "__h2"], "left_semi"
-                )
-                if corpus_pairs is not None
+                spark.read.parquet(out_path)
+                .select("__h1", "__h2")
+                .join(F.broadcast(hits.select("__h1", "__h2")), ["__h1", "__h2"], "left_semi")
+                if fs.exists(out_p)
                 else hits.select("__h1", "__h2").limit(0)
             )
             survivors = b.join(dup_pairs, ["__h1", "__h2"], "left_anti")

@@ -1796,3 +1796,63 @@ def test_ivf_pq_scores_subset_of_full_adc(spark):
     assert len(ivf) == 10
     for vid, score in ivf.items():
         assert full[vid] == score, (vid, score, full[vid])
+
+
+def test_scd2_null_attribute_is_null_safe(spark):
+    """Review fix: a missing attribute is a real SCD2 state — transitions
+    to/from NULL are detected, runs of NULLs stay ONE interval, and plain
+    <> semantics (which lose both) are rejected."""
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, '{"k": 5}'),
+        (2, base + _dt.timedelta(minutes=1), 1, '{}'),        # 5 -> NULL
+        (3, base + _dt.timedelta(minutes=2), 1, '{}'),        # same run
+        (4, base + _dt.timedelta(minutes=3), 1, '{"k": 5}'),  # NULL -> 5
+        (5, base, 2, '{}'),                                   # opens NULL
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "props"]
+    ).withColumn("event_type", F.lit("x")).withColumn("value", F.lit(0.0))
+    import syntenybrowserv2_etl_spark.queries as q
+
+    orig_t = q.t
+    try:
+        q.t = lambda spark_, sf_dir, name: e
+        out = sorted(
+            q.REGISTRY["q86_scd2_history"].spark_fn(spark, "ignored").collect(),
+            key=lambda r: (r["user_id"], r["valid_from_us"]),
+        )
+    finally:
+        q.t = orig_t
+    u1 = [r["k"] for r in out if r["user_id"] == 1]
+    assert u1 == [5, None, 5]
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["k"] is None
+
+
+def test_dsir_null_source_counts_as_non_target(spark):
+    """Review fix: rows where the target predicate evaluates NULL must
+    count as raw-only — weights stay finite and n_bigrams consistent."""
+    from syntenybrowserv2_etl_spark.operators import sampling as smp
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "wiki"),
+            (2, "delta epsilon zeta", None),   # NULL-predicate rows
+            (3, "delta epsilon zeta", None),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in smp.dsir_importance(
+            docs, "doc_id", "text", target=F.col("source") == "wiki"
+        ).collect()
+    }
+    for vid in (1, 2, 3):
+        assert out[vid]["weight"] is not None
+        assert out[vid]["n_bigrams"] == 2
+    # NULL-source docs share raw-only bigrams: weight below the target doc
+    assert out[2]["weight"] < out[1]["weight"]
