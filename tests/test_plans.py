@@ -477,3 +477,12 @@ def test_pq_adc_lut_joins_broadcast(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p
     assert not re.search(r"SortMergeJoin \[s#", p)
+
+
+def test_quality_classifier_prunes_scan_to_two_columns(spark):
+    """q87 is a pure projection: the parquet scan must read exactly
+    (doc_id, text) — a classifier gate that drags the full row width
+    through the corpus scan is wrong at 100 TB."""
+    p = plan_of(spark, "q87_quality_classifier")
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", p)
+    assert "Exchange" not in p  # zero shuffles: row-local end to end
