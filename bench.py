@@ -69,6 +69,7 @@ CURATION = [
     "q88_pq_adc_topk",
     "q89_weighted_sample",
     "q90_ivf_pq",
+    "q91_setsim_prefix_join",
 ]
 
 

@@ -872,3 +872,112 @@ def semantic_dedup(
             F.coalesce("__dup", F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def setsim_join_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (the
+    PPJoin/AllPairs family, Chaudhuri et al. 2006 / Xiao et al. 2008) —
+    the exact-result counterpart to MinHash-LSH: every pair of documents
+    whose ``k``-shingle-set Jaccard ≥ ``threshold``, no false negatives
+    and no sketch approximation. Shingle sets (not unigram token sets)
+    are the near-dup contract: documents drawn from one vocabulary share
+    most TOKENS while sharing almost no 3-shingles unless passages
+    actually repeat (the q23/q25 granularity).
+
+    Prefix principle: order every document's distinct shingles by global
+    rarity; two sets with Jaccard ≥ t MUST share an element among each
+    one's first |d| - ⌈t·|d|⌉ + 1 rarest. So only prefix shingles are
+    indexed, and candidates are pairs sharing a prefix shingle —
+    rare-shingle buckets, tiny by construction (the boilerplate shingles
+    that would explode a naive join are exactly the ones prefixes
+    exclude).
+
+    Rarity order is (document-frequency asc, shingle asc) — a total
+    order, no dense rank materialization: documents sort their own
+    (df, shingle) structs row-locally (array_sort), so there is NO
+    global vocab sort. Shuffles: shingle df count, per-doc collect,
+    prefix pair join, pair distinct — all partial-agg'd/bucketed; never
+    all-pairs. Verification is exact: |A∩B| via array_intersect of the
+    full sorted shingle arrays (integer arithmetic — the Jaccard is a
+    ratio of exact ints, cross-engine safe by construction).
+
+    Output: (id_a, id_b, inter, n_a, n_b, jaccard) with id_a < id_b,
+    jaccard ≥ threshold, rounded to 6 decimals.
+    """
+    staged = with_shingle_array(fan_out(df), text_col, "__ss_arr", k)
+    tok = staged.select(
+        F.col(id_col),
+        F.explode(F.array_distinct("__ss_arr")).alias("__t"),
+    ).filter(F.length("__t") > 0)
+    dfreq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    # per-doc tokens in global-rarity order, assembled row-locally
+    docs = _materialize(
+        tok.join(dfreq, "__t")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("__t")))
+            ).alias("__pairs")
+        )
+        .select(
+            F.col(id_col),
+            F.transform("__pairs", lambda p: p["__t"]).alias("__set"),
+            F.size("__pairs").alias("__n"),
+        )
+        .withColumn(
+            "__L",
+            (F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1).cast(
+                "int"
+            ),
+        )
+    )
+    prefix = docs.select(
+        F.col(id_col),
+        F.explode(F.slice("__set", 1, F.col("__L"))).alias("__t"),
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), "__t")
+    b = prefix.select(F.col(id_col).alias("id_b"), "__t")
+    cand = (
+        a.join(b, "__t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    da = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__set").alias("__sa"),
+        F.col("__n").alias("n_a"),
+    )
+    db = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__set").alias("__sb"),
+        F.col("__n").alias("n_b"),
+    )
+    verified = (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("__sa", "__sb")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "inter",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "jaccard",
+    )

@@ -3615,6 +3615,48 @@ def _quality_clf_sql() -> str:
     """
 
 
+@register(
+    "q91_setsim_prefix_join",
+    f"""
+    WITH {_SHINGLES_CTE.strip()},
+    shf AS (SELECT doc_id, shingle FROM sh WHERE length(shingle) > 0),
+    dfreq AS (SELECT shingle, COUNT(*) AS dfc FROM shf GROUP BY shingle),
+    docs AS (SELECT doc_id,
+                    list(shingle ORDER BY dfc, shingle) AS s,
+                    COUNT(*) AS n
+             FROM shf JOIN dfreq USING (shingle) GROUP BY doc_id),
+    d2 AS (SELECT doc_id, s, n,
+                  CAST(n - ceil(0.5 * n) + 1 AS INT) AS L
+           FROM docs),
+    pref AS (SELECT doc_id, unnest(s[1:L]) AS shingle FROM d2),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM pref a JOIN pref b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    v AS (SELECT id_a, id_b,
+                 len(list_intersect(da.s, db.s)) AS inter,
+                 da.n AS n_a, db.n AS n_b
+          FROM cand JOIN d2 da ON cand.id_a = da.doc_id
+                    JOIN d2 db ON cand.id_b = db.doc_id)
+    SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
+    FROM v
+    WHERE ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) >= 0.5
+    """,
+    tags=["exact set-similarity join (PPJoin-style prefix filtering)"],
+)
+def q91(spark, sf_dir):
+    """Exact 3-shingle-set Jaccard ≥ 0.5 self-join via prefix filtering —
+    the no-false-negative counterpart to the MinHash-LSH path (q25):
+    only each document's rarest-shingle prefix is indexed, so candidate
+    buckets are rare-shingle-sized and the boilerplate shingles that
+    would explode a naive join never enter the index. The Jaccard is a
+    ratio of exact integers: cross-engine safe by construction.
+    operators/dedup.setsim_join_prefix."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_ops.setsim_join_prefix(d, "doc_id", "text", threshold=0.5, k=3)
+
+
 def _pq_ctes(
     m_sub: int = 4,
     k: int = 4,
@@ -3897,6 +3939,7 @@ _DEMOTED_PAST_WINDOW = [
     "q88_pq_adc_topk",
     "q89_weighted_sample",
     "q90_ivf_pq",
+    "q91_setsim_prefix_join",
 ]
 
 

@@ -50,6 +50,7 @@ SF_MED_STRENGTHENED = [
     "q88_pq_adc_topk",
     "q89_weighted_sample",
     "q90_ivf_pq",
+    "q91_setsim_prefix_join",
 ]
 
 

@@ -553,3 +553,46 @@ def test_cap_per_group_keeps_hash_lowest(spark, rows, cap):
     assert got == expect
     for r in kept:
         assert 1 <= r["rk"] <= cap
+
+
+def test_setsim_prefix_join_matches_bruteforce(spark):
+    """Prefix filtering is lossless: the PPJoin-style operator must return
+    EXACTLY the pairs a brute-force all-pairs shingle-Jaccard finds —
+    same pairs, same intersection counts, same rounded scores."""
+    from itertools import combinations
+
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, base),
+        (2, base),                                   # exact dup
+        (3, base + " with a small tail change"),     # near dup
+        (4, "completely different words live in this one document here"),
+        (5, "the quick brown fox sleeps all day long under a warm sun"),
+        (6, ""),                                     # empty
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["jaccard"])
+        for r in dd.setsim_join_prefix(df, "doc_id", "text", 0.5, k=3).collect()
+    }
+
+    def shingle_set(text):
+        toks = text.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))} or (
+            {" ".join(toks)} if toks else set()
+        )
+
+    want = {}
+    sets = {i: shingle_set(t) for i, t in docs}
+    for a, b in combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        jac = round(inter / union, 6)
+        if jac >= 0.5:
+            want[(a, b)] = (inter, jac)
+    assert got == want and (1, 2) in got and (4, 5) not in got
