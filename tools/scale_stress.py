@@ -99,6 +99,7 @@ KNOWN_OPS = frozenset({
     "bloom_incremental", "bpe_merges_4", "bpe_price_corpus",
     "semantic_dedup", "tfidf_top_terms", "bm25_rank", "cap_per_group",
     "perplexity_buckets", "dsir_importance", "pq_encode_adc",
+    "setsim_prefix",
 })
 
 
@@ -336,6 +337,14 @@ def main():
             noop(sim.pq_adc_topk(codes, cb, qv, 4, k=10, dim=64))
 
         measure("pq_encode_adc", _pq_pipeline)
+
+        # round 6: exact set-similarity join — the scaled corpus keeps a
+        # stable verbatim-duplicate rate (every 7th replica), so the true
+        # pair count grows ~quadratically in the replica factor while the
+        # prefix filter must keep CANDIDATE work near the true pairs.
+        measure("setsim_prefix",
+            lambda: noop(dd.setsim_join_prefix(docs, "doc_id", "text", 0.5))
+        )
         results.append(r)
         print(json.dumps(r), flush=True)
 
