@@ -70,6 +70,7 @@ CURATION = [
     "q89_weighted_sample",
     "q90_ivf_pq",
     "q91_setsim_prefix_join",
+    "q92_stat_aggregates",
 ]
 
 

@@ -3616,6 +3616,41 @@ def _quality_clf_sql() -> str:
 
 
 @register(
+    "q92_stat_aggregates",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+           ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS icept
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=["statistical aggregates (corr/covar/stddev/linear regression)"],
+)
+def q92(spark, sf_dir):
+    """The statistical-aggregate engine surface: Pearson correlation,
+    sample covariance, sample stddev, and OLS slope/intercept per group —
+    all map-side-combinable moment aggregates (one shuffle of 5 partial
+    moments per group, never the rows), identical definitions in both
+    engines, rounded for the cross-engine summation-order contract."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qp"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("slope"),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 2
+        ).alias("icept"),
+    )
+
+
+@register(
     "q91_setsim_prefix_join",
     f"""
     WITH {_SHINGLES_CTE.strip()},
@@ -3940,6 +3975,7 @@ _DEMOTED_PAST_WINDOW = [
     "q89_weighted_sample",
     "q90_ivf_pq",
     "q91_setsim_prefix_join",
+    "q92_stat_aggregates",
 ]
 
 

@@ -51,6 +51,7 @@ SF_MED_STRENGTHENED = [
     "q89_weighted_sample",
     "q90_ivf_pq",
     "q91_setsim_prefix_join",
+    "q92_stat_aggregates",
 ]
 
 
