@@ -3616,6 +3616,59 @@ def _quality_clf_sql() -> str:
 
 
 @register(
+    "q93_media_text_match",
+    f"""
+    WITH fs AS (
+        SELECT t.i, s.j % 8 AS c,
+               CAST((SUM((t.i * 7 + s.j) % 251) % 997) / 997.0 AS REAL) AS f
+        FROM range(0, 96) AS t(i)
+        JOIN range(0, 224) AS s(j) ON s.j < 128 + t.i
+        GROUP BY t.i, s.j % 8
+    ),
+    mf AS (SELECT i AS media_id, list(f ORDER BY c) AS feat
+           FROM fs GROUP BY i),
+    emb8 AS (SELECT vec_id, embedding[1:8] AS e8 FROM embeddings),
+    scored AS (SELECT mf.media_id, emb8.vec_id,
+                      {_cos_sql("mf.feat", "emb8.e8")} AS cosv
+               FROM mf CROSS JOIN emb8),
+    r AS (SELECT media_id, vec_id, ROUND(cosv, 4) AS cosine,
+                 row_number() OVER (PARTITION BY media_id
+                                    ORDER BY cosv DESC, vec_id) AS rn
+          FROM scored)
+    SELECT media_id, vec_id, cosine FROM r WHERE rn = 1
+    """,
+    tags=["media-text matching (CLIP/LAION-filter shape over the Arrow path)"],
+)
+def q93(spark, sf_dir):
+    """LAION-style pairing: every media row's feature vector (computed
+    through the REAL Arrow mapInPandas path — q40's stub kernel) finds
+    its best-matching 'text embedding' (the embedding table's first 8
+    dims as stand-in) by cosine. The media side broadcasts (items ≪
+    texts always in retrieval-filtering); per-media top-1 plans as
+    WindowGroupLimit. The stub kernel is deterministic integer
+    arithmetic, so even the mapInPandas leg is value-checked.
+    operators/multimodal.extract_features + similarity.cosine_expr."""
+    media = mm_ops.synthetic_media(spark, 96)
+    feats = mm_ops.extract_features(media).select("media_id", "feature")
+    emb8 = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 8).alias("__e8")
+    )
+    scored = emb8.crossJoin(F.broadcast(feats)).select(
+        "media_id",
+        "vec_id",
+        sim_ops.cosine_expr(F.col("feature"), F.col("__e8")).alias("__cos"),
+    )
+    w = Window.partitionBy("media_id").orderBy(
+        F.col("__cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("media_id", "vec_id", F.round("__cos", 4).alias("cosine"))
+    )
+
+
+@register(
     "q92_stat_aggregates",
     """
     SELECT l_returnflag,
@@ -3976,6 +4029,7 @@ _DEMOTED_PAST_WINDOW = [
     "q90_ivf_pq",
     "q91_setsim_prefix_join",
     "q92_stat_aggregates",
+    "q93_media_text_match",
 ]
 
 

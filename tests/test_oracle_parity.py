@@ -52,6 +52,7 @@ SF_MED_STRENGTHENED = [
     "q90_ivf_pq",
     "q91_setsim_prefix_join",
     "q92_stat_aggregates",
+    "q93_media_text_match",
 ]
 
 
