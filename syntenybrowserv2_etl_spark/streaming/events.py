@@ -388,3 +388,63 @@ def bloom_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Real-time sequential funnel (the streaming twin of the batch q83
+    cumulative-window funnel): per user, a state MACHINE tracks the first
+    view, the first click strictly after it, and whether a purchase
+    followed — emitted on every update.
+
+    This is the stateful pattern the accumulator twin
+    (running_user_totals) doesn't cover: ORDER-dependent state
+    transitions. Rows within a micro-batch are sorted by (ts, event_id)
+    before feeding the machine, so batch boundaries can't reorder a
+    user's events as long as the source replays in event-time order (the
+    contract a funnel over a log stream assumes; late cross-batch
+    stragglers would need the watermark + re-sort treatment of the
+    windowed twins). State is three typed fields per user — epoch-µs of
+    first view and first qualifying click, and the purchase flag — so
+    state size is O(#users), never O(#events).
+    """
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, reached_view bigint, reached_click bigint, "
+        "reached_purchase bigint, stage bigint"
+    )
+    state_schema = "fv_us bigint, fca_us bigint, purchased bigint"
+
+    def update(key, pdfs, state):
+        fv, fca, purchased = state.get if state.exists else (None, None, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+            for r in rows.itertuples():
+                t_us = r.ts.value // 1000  # pandas ns → µs
+                if r.event_type == "view":
+                    if fv is None:
+                        fv = t_us
+                elif r.event_type == "click":
+                    if fv is not None and t_us > fv and fca is None:
+                        fca = t_us
+                elif r.event_type == "purchase":
+                    if fca is not None and t_us > fca:
+                        purchased = 1
+        state.update((fv, fca, purchased))
+        rv = int(fv is not None)
+        rc = int(fca is not None)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "reached_view": [rv],
+                "reached_click": [rc],
+                "reached_purchase": [purchased],
+                "stage": [rv + rc + purchased],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

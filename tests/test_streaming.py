@@ -372,3 +372,40 @@ def test_bloom_ingest_stream_incremental_dedup(spark, tmp_path_factory):
     assert sk.count() >= 1
     # the persisted hash pairs make per-batch confirms corpus-rescan-free
     assert {"__h1", "__h2"}.issubset(set(survivors.columns))
+
+
+def test_funnel_stream_matches_batch_q83(spark, events_dir):
+    """The stateful streaming funnel must land every user on the same
+    final stage as the batch cumulative-window formulation (q83)."""
+    stream = stream_ops.read_events_stream(spark, events_dir)
+    result = stream_ops.run_to_completion(
+        stream_ops.funnel_stream(stream), "funnel_state", output_mode="update"
+    )
+    # stage is monotone non-decreasing per user: last emission = max stage
+    final = {
+        r["user_id"]: (
+            r["reached_view"],
+            r["reached_click"],
+            r["reached_purchase"],
+            r["stage"],
+        )
+        for r in result.orderBy("stage").collect()
+    }
+    import syntenybrowserv2_etl_spark.queries as q
+
+    orig_t = q.t
+    batch_events = spark.read.parquet(events_dir)
+    try:
+        q.t = lambda spark_, sf_dir, name: batch_events
+        want = {
+            r["user_id"]: (
+                r["reached_view"],
+                r["reached_click"],
+                r["reached_purchase"],
+                r["stage"],
+            )
+            for r in q.REGISTRY["q83_funnel"].spark_fn(spark, "ignored").collect()
+        }
+    finally:
+        q.t = orig_t
+    assert final == want and len(final) > 5
