@@ -132,11 +132,17 @@ def pagerank(
     primitive of corpus curation (CommonCrawl ranks domains by link
     centrality to pick what to crawl/keep).
 
-    Every node must appear as a source (feed symmetric edges for an
-    undirected graph); dangling nodes are therefore excluded by contract
-    rather than silently leaking rank mass.
+    The node set is src ∪ dst, so a directed edge list with sink pages
+    (dst-only "dangling" nodes — the dominant shape of a real web graph)
+    loses no rank mass: per round the summed rank of dangling nodes is
+    redistributed uniformly (the canonical random-surfer teleport from a
+    dead end), keeping Σ rank ≈ 1 by construction instead of by caller
+    contract. The dangling sum is a one-row aggregate broadcast back into
+    the update — metadata-scale, like N. For a symmetric (undirected)
+    edge feed the dangling set is empty and the iteration is identical to
+    the src-only form (q85's oracle is unchanged).
 
-    Each round is the canonical two-join shape: ranks ⋈ edges ⋈ out-degree
+    Each round is the canonical shape: ranks ⋈ out-degree-weighted edges
     → per-destination partial-aggregated SUM — all hash exchanges on the
     node key, so a production deployment pre-partitions (or buckets) the
     edge table by ``src`` once and every round reuses that layout; ranks
@@ -152,11 +158,19 @@ def pagerank(
 
     Output: (node, rank) — one row per node, Σ rank ≈ 1.
     """
-    nodes = edges.select(F.col(src).alias("node")).distinct().localCheckpoint(
-        eager=True
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
     outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__od"))
+    # dst-only nodes have no out-edges: their rank teleports uniformly
+    # each round instead of silently draining out of the distribution
+    dangling = nodes.join(
+        outdeg.select(F.col(src).alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
     # out-degree folds into the edge table ONCE — every round then pays a
     # single join (ranks ⋈ weighted edges) instead of two; this is also
     # the table a production deployment pre-partitions/buckets by __src
@@ -180,12 +194,25 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))
         )
+        # one-row dangling-mass aggregate, broadcast into the update;
+        # an empty dangling set sums to NULL → coalesce 0.0 (q85's case)
+        dmass = F.broadcast(
+            ranks.join(dangling, "node", "left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+            )
+        )
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(dmass)
             .select(
                 "node",
                 F.round(
-                    base + F.lit(damping) * F.coalesce("__s", F.lit(0.0)),
+                    base
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("__s", F.lit(0.0))
+                        + F.col("__dm") / F.lit(float(n_nodes))
+                    ),
                     round_to,
                 ).alias("rank"),
             )

@@ -874,6 +874,24 @@ def semantic_dedup(
     )
 
 
+def setsim_prefix_len(threshold: float, n_col) -> "F.Column":
+    """PPJoin prefix length L = n - ⌈t·n⌉ + 1 on the EXACT product.
+
+    The raw double t*n can land one ulp ABOVE an integer value
+    (0.07 * 100 = 7.000000000000001), and ceil of that overshoots by 1 —
+    a prefix one element SHORTER than the theorem requires, i.e. silent
+    false negatives in an operator whose whole contract is "exact, no
+    false negatives". Rounding to 9 decimals first snaps the product back
+    onto its lattice (shingle-set sizes are far below 1e9, so a true
+    non-integer t·n is never within 1e-9 of an integer for any threshold
+    written with ≤ 9 decimals). Mirrored verbatim in the q91 oracle SQL
+    (``ceil(round(t * n, 9))``). Pinned against exact Fraction arithmetic
+    in tests/test_properties.py.
+    """
+    n = F.col(n_col) if isinstance(n_col, str) else n_col
+    return (n - F.ceil(F.round(F.lit(threshold) * n, 9)) + 1).cast("int")
+
+
 def setsim_join_prefix(
     df: DataFrame,
     id_col: str,
@@ -930,12 +948,7 @@ def setsim_join_prefix(
             F.transform("__pairs", lambda p: p["__t"]).alias("__set"),
             F.size("__pairs").alias("__n"),
         )
-        .withColumn(
-            "__L",
-            (F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1).cast(
-                "int"
-            ),
-        )
+        .withColumn("__L", setsim_prefix_len(threshold, "__n"))
     )
     prefix = docs.select(
         F.col(id_col),

@@ -236,11 +236,17 @@ def dsir_importance(
             ),
         ).otherwise(F.array().cast("array<string>")),
     )
-    occ = bigrams.select(
-        F.col(id_col),
-        "__ds_tgt",
-        F.explode("__bg").alias("__g"),
-    ).withColumn("__b", hashing.md5_long(F.col("__g")) % n_buckets)
+    # materialized: ``occ`` feeds BOTH the bucket histogram and the
+    # per-doc scoring join; without the checkpoint the whole
+    # normalize → tokenize → bigram-explode → md5 lineage executes twice
+    # per run (the dedup._materialize shared-stage discipline)
+    occ = dedup._materialize(
+        bigrams.select(
+            F.col(id_col),
+            "__ds_tgt",
+            F.explode("__bg").alias("__g"),
+        ).withColumn("__b", hashing.md5_long(F.col("__g")) % n_buckets)
+    )
     hist = occ.groupBy("__b").agg(
         F.count(F.lit(1)).alias("__cr"),
         F.sum(F.col("__ds_tgt").cast("long")).alias("__ct"),

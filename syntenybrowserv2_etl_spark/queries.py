@@ -3714,7 +3714,7 @@ def q92(spark, sf_dir):
                     COUNT(*) AS n
              FROM shf JOIN dfreq USING (shingle) GROUP BY doc_id),
     d2 AS (SELECT doc_id, s, n,
-                  CAST(n - ceil(0.5 * n) + 1 AS INT) AS L
+                  CAST(n - ceil(round(0.5 * n, 9)) + 1 AS INT) AS L
            FROM docs),
     pref AS (SELECT doc_id, unnest(s[1:L]) AS shingle FROM d2),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -1636,6 +1636,45 @@ def test_pagerank_star_graph_ranks_hub_highest(spark):
     assert abs(sum(rows.values()) - 1.0) < 1e-6
 
 
+def test_pagerank_dangling_nodes_keep_rank_mass(spark):
+    """A directed edge list with a dst-only sink must neither drop the sink
+    from the output nor leak its rank mass: the dangling sum teleports
+    uniformly each round (canonical random-surfer dead-end handling), so
+    the result matches a pure-Python power iteration with identical
+    per-round rounding and sums to ~1."""
+    from syntenybrowserv2_etl_spark.operators import components as comp
+
+    # a -> b, a -> c, b -> c ; c has NO out-edges (dangling sink)
+    pairs = [("a", "b"), ("a", "c"), ("b", "c")]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in comp.pagerank(edges, iters=3).collect()}
+
+    nodes = sorted({x for p_ in pairs for x in p_})
+    n = len(nodes)
+    out = {}
+    for s_, d_ in pairs:
+        out.setdefault(s_, []).append(d_)
+    d = 0.85
+    ranks = {x: round(1.0 / n, 8) for x in nodes}
+    for _ in range(3):
+        contrib = {x: 0.0 for x in nodes}
+        dmass = 0.0
+        for x in nodes:
+            dsts = out.get(x)
+            if not dsts:
+                dmass += ranks[x]
+                continue
+            for y in dsts:
+                contrib[y] += ranks[x] / len(dsts)
+        ranks = {
+            x: round((1 - d) / n + d * (contrib[x] + dmass / n), 8)
+            for x in nodes
+        }
+    assert got == ranks
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert "c" in got and got["c"] > got["b"] > got["a"]
+
+
 def test_scd2_history_intervals_are_contiguous(spark):
     """q86 semantics: per user, valid_to of one row equals valid_from of
     the next; the last row stays open (NULL); unchanged values never open

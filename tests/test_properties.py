@@ -596,3 +596,33 @@ def test_setsim_prefix_join_matches_bruteforce(spark):
         if jac >= 0.5:
             want[(a, b)] = (inter, jac)
     assert got == want and (1, 2) in got and (4, 5) not in got
+
+
+def test_setsim_prefix_len_exact_ceiling(spark):
+    """The PPJoin prefix length must use the EXACT ceiling ⌈t·n⌉: the raw
+    double product can overshoot an integer by one ulp (0.07 * 100 =
+    7.000000000000001 → ceil 8, not 7), shortening the prefix below what
+    the no-false-negative theorem requires. Pin the Column expression
+    against exact Fraction arithmetic across thresholds that include
+    known overshooting products AND the exactly-representable default."""
+    from fractions import Fraction
+    from math import ceil
+
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    df = spark.createDataFrame([(n,) for n in range(1, 301)], "n int")
+    for num, den in [(7, 100), (1, 10), (29, 100), (1, 2), (3, 4), (41, 50)]:
+        t = num / den  # the float the caller would pass
+        got = {
+            r["n"]: r["L"]
+            for r in df.select(
+                "n", dd.setsim_prefix_len(t, "n").alias("L")
+            ).collect()
+        }
+        for n in range(1, 301):
+            want = n - ceil(Fraction(num, den) * n) + 1
+            assert got[n] == want, (num, den, n, got[n], want)
+    # the motivating ulp case, explicitly: raw ceil(0.07 * 100) == 8
+    import math
+
+    assert math.ceil(0.07 * 100) == 8  # the trap the fix removes
