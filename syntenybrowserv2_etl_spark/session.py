@@ -63,6 +63,15 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # Bucketed tables in this engine exist FOR bucket pruning and
+        # co-located joins (sources/io.write_bucketed; the streaming bloom
+        # confirm's pair table). The auto-bucketed-scan heuristic disables
+        # bucketed reading when it sees no join/agg needing the
+        # distribution — which also silently drops bucket PRUNING, turning
+        # the confirm's pruned read back into a full-corpus scan. Force
+        # bucketed scan so literal filters on the bucket key always prune
+        # (plan shows "SelectedBucketsCount: h out of n").
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -115,6 +115,7 @@ def write_bucketed(
     num_buckets: int = 16,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Write a catalog table hash-bucketed (and optionally sorted) by key.
 
@@ -133,8 +134,17 @@ def write_bucketed(
     via spark.table(). Choose num_buckets for the TARGET scale — e.g.
     ~2-4 GB of post-compression data per bucket; too few buckets caps join
     parallelism, too many makes small files.
+
+    ``path`` makes the table EXTERNAL at that location — table state that
+    belongs to a dataset (e.g. the streaming bloom confirm's pair table
+    under its corpus directory) lives WITH the dataset instead of in the
+    warehouse, and survives a fresh catalog: a later saveAsTable append
+    re-registers over the existing files (managed tables instead refuse a
+    pre-existing location).
     """
     writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)

@@ -284,6 +284,162 @@ def run_to_completion(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def bloom_confirm_read(
+    spark: SparkSession,
+    pair_table: str,
+    hits: DataFrame,
+    exclude_batch_id: int | None = None,
+) -> DataFrame:
+    """Bucket-pruned exact confirm of bloom hits against the persisted
+    survivor pair table: the (__h1, __h2) pairs in ``hits`` that already
+    exist in the corpus.
+
+    The pair table is hash-bucketed by ``__h1`` (sources/io.write_bucketed),
+    so filtering on literal ``__h1`` values prunes at the SCAN — the
+    physical plan shows ``SelectedBucketsCount: h out of n`` and only the
+    bucket files that can contain a hit key are read. Per micro-batch the
+    confirm therefore costs O(|hits| / n_buckets · corpus-bucket-bytes),
+    NOT an O(corpus) scan of every stored pair: the whole point of the
+    bloom filter, restored on the I/O axis. (pinned by
+    tests/test_plans.py::test_bloom_confirm_read_prunes_buckets and the
+    SCALE.md streaming-confirm curve.)
+
+    The hit keys come to the driver as literals — that is what makes the
+    prune STATIC (Spark's v1 bucket pruning needs literal EqualTo/In on
+    the bucket column). ``hits`` is batch-bounded by construction
+    (|true dups| + ~fpp·|batch| pairs of two longs), so the collect is
+    the same scale as the broadcast the join does anyway — never
+    corpus-sized.
+
+    ``exclude_batch_id``: ignore pair rows written BY the batch being
+    (re)processed — a crashed-mid-commit replay must not see its own
+    first attempt's pairs as pre-existing corpus (it would classify its
+    entire batch as duplicates and overwrite its partition with nothing).
+    The filter is on a non-bucket column, so pruning is unaffected.
+    """
+    h1s = [r["__h1"] for r in hits.select("__h1").distinct().collect()]
+    if not h1s:
+        return hits.select("__h1", "__h2").limit(0)
+    stored = spark.table(pair_table).filter(F.col("__h1").isin(h1s))
+    if exclude_batch_id is not None:
+        stored = stored.filter(F.col("__batch_id") != F.lit(exclude_batch_id))
+    return stored.select("__h1", "__h2").join(
+        F.broadcast(hits.select("__h1", "__h2")),
+        ["__h1", "__h2"],
+        "left_semi",
+    )
+
+
+def bloom_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    id_col: str,
+    text_col: str,
+    out_path: str,
+    sketch_path: str,
+    pair_table: str,
+    m: int,
+    k: int,
+    num_buckets: int = 16,
+) -> None:
+    """One micro-batch of incremental bloom-dedup ingestion (the
+    foreachBatch body of bloom_ingest_stream, module-level so tests can
+    replay a batch directly).
+
+    Steps:
+      1. replay guard: a ``_batches/<id>`` marker under ``out_path`` means
+         this batch already committed fully — skip (idempotent redelivery);
+      2. within-batch keep-first: min ``id_col`` per content hash-pair;
+      3. probe the persisted sketch (dedup.bloom_probe) — only bloom-hit
+         pairs (true dups + ~fpp false positives) pay step 4;
+      4. exact confirm via ``bloom_confirm_read``: a BUCKET-PRUNED read of
+         the persisted survivor pair table (bucketed by __h1), never a
+         full scan of the corpus's stored pairs;
+      5. write survivors to ``out_path/__ingest_batch=<id>`` with
+         overwrite — a replayed batch that crashed mid-commit overwrites
+         ITS OWN partition directory instead of double-appending;
+      6. append the survivors' pairs to the bucketed pair table and fold
+         their words into the sketch (bit_or re-aggregation, staged swap).
+
+    Crash-window semantics: the marker is written LAST, so any replay
+    re-runs 2–6; step 5 is overwrite-idempotent, the sketch bit_or is
+    idempotent, and a double pair-append (crash between 6 and the marker)
+    only duplicates rows in a table consumed exclusively by a semi-join —
+    correctness holds through every crash point without a transactional
+    format; a MERGE-capable table would additionally reclaim the
+    duplicated pair bytes.
+    """
+    from pyspark.sql import Window
+
+    from ..operators import dedup as dd
+    from ..sources import io as sio
+
+    spark = batch_df.sparkSession
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    marker_p = hpath(f"{out_path}/_batches/{batch_id}")
+    fs = marker_p.getFileSystem(conf)
+    if fs.exists(marker_p):
+        return  # fully-committed batch redelivered: skip
+
+    key, key2 = dd.bloom_hash_pair(text_col)
+    b = batch_df.withColumn("__h1", key).withColumn("__h2", key2)
+    w = Window.partitionBy("__h1", "__h2").orderBy(F.col(id_col).asc())
+    b = (
+        b.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__h1").isNull() | (F.col("__rn") == 1))
+        .drop("__rn")
+        .localCheckpoint(eager=True)
+    )
+    sk_p = hpath(sketch_path)
+    sketch = spark.read.parquet(sketch_path) if fs.exists(sk_p) else None
+    pairs = b.filter(F.col("__h1").isNotNull()).select("__h1", "__h2").distinct()
+    if sketch is not None and spark.catalog.tableExists(pair_table):
+        hits = dd.bloom_probe(sketch, pairs, m, k).localCheckpoint(eager=True)
+        dup_pairs = bloom_confirm_read(
+            spark, pair_table, hits, exclude_batch_id=batch_id
+        )
+        survivors = b.join(dup_pairs, ["__h1", "__h2"], "left_anti")
+    else:
+        survivors = b
+    survivors = survivors.localCheckpoint(eager=True)
+    survivors.write.mode("overwrite").parquet(
+        f"{out_path}/__ingest_batch={batch_id}"
+    )
+    new_pairs = (
+        survivors.filter(F.col("__h1").isNotNull())
+        .select("__h1", "__h2")
+        .distinct()
+        # provenance column: lets a crashed-batch replay's confirm exclude
+        # its own first attempt's rows (see bloom_confirm_read)
+        .withColumn("__batch_id", F.lit(batch_id))
+    )
+    # external table under the corpus directory (underscore prefix keeps
+    # it out of out_path's partition discovery): the pair state travels
+    # with its corpus and survives a fresh catalog. Sorted by __h1 within
+    # each bucket file so parquet row-group min/max stats prune WITHIN the
+    # selected buckets too — with bucket pruning picking the files and
+    # row-group stats picking the pages, confirm bytes-read tracks the
+    # HIT count, not the corpus (SCALE.md streaming_confirm curve). Each
+    # batch appends one sorted file per non-empty bucket; a production
+    # deployment compacts periodically (file count, not byte count, is
+    # the growth axis).
+    sio.write_bucketed(
+        new_pairs,
+        pair_table,
+        ["__h1"],
+        num_buckets=num_buckets,
+        sort_cols=["__h1", "__h2"],
+        mode="append",
+        path=f"{out_path}/_pairs",
+    )
+    new_sketch = dd.bloom_sketch_merge(sketch, new_pairs, m, k)
+    staged = new_sketch.localCheckpoint(eager=True)
+    staged.write.mode("overwrite").parquet(sketch_path)
+    fs.mkdirs(marker_p)
+
+
 def bloom_ingest_stream(
     stream_df: DataFrame,
     id_col: str,
@@ -293,93 +449,60 @@ def bloom_ingest_stream(
     expected_total_rows: int,
     fpp: float = 0.01,
     query_name: str = "bloom_ingest",
+    pair_table: str | None = None,
+    num_buckets: int = 16,
 ):
     """Continuous corpus ingestion with INCREMENTAL bloom dedup — the
     streaming twin of operators/dedup.bloom_incremental_dedup, maintaining
     the persisted state its docstring promises: the sharded (word, bits)
     sketch table lives at ``sketch_path`` and is FOLDED FORWARD per batch
-    (dedup.bloom_sketch_merge) instead of rebuilt from the corpus. The
-    SKETCH side is O(batch + m/64) per batch; the exact confirm of bloom
-    hits is a column-pruned, shuffle-free scan of the survivor table's
-    stored hash pairs filtered by the broadcast hit set — O(corpus) in
-    pruned bytes read but zero corpus shuffle, and in production the
-    survivor pair table is bucketed by ``__h1`` so the confirm becomes a
-    pruned read of the hit buckets only.
+    (dedup.bloom_sketch_merge) instead of rebuilt from the corpus, and the
+    survivors' (__h1, __h2) pairs live in a catalog table hash-bucketed by
+    ``__h1`` so the per-batch exact confirm of bloom hits is a
+    BUCKET-PRUNED read of only the buckets a hit key can live in
+    (``bloom_confirm_read``) — per-batch cost scales with the batch, not
+    the corpus, on both the shuffle AND the I/O axis.
 
-    Per micro-batch (foreachBatch):
-      1. within-batch keep-first: min ``id_col`` per content hash-pair
-         (a batch repeating the same text keeps one copy);
-      2. probe the persisted sketch (dedup.bloom_probe) — only bloom-hit
-         pairs (true dups + ~fpp false positives) pay step 3;
-      3. exact confirm: semi-join the hit pairs against the survivor
-         table's STORED hash pairs (persisted alongside the payload so
-         the corpus is never re-hashed per batch);
-      4. append survivors to ``out_path``; merge their words into the
-         sketch with one bit_or re-aggregation (staged swap write).
+    Per-batch mechanics, replay idempotency, and crash-window semantics
+    live in ``bloom_ingest_batch`` (the foreachBatch body).
 
     The filter is sized ONCE from ``expected_total_rows`` — capacity
     planning for the TARGET corpus; resizing means a new corpus version
     (rebuild via bloom_word_rows over the survivors, one scan).
+    ``num_buckets`` is likewise a per-corpus-version choice (aim for a few
+    GB of pair rows per bucket at target scale).
 
-    Exactly-once caveat: parquet append + sketch overwrite are not
-    atomic across a crashed batch retry; production targets a
-    MERGE-capable table format where both writes are one transaction.
-    The sketch side is safe to replay (bit_or is idempotent); the append
-    side is the documented seam.
+    A catalog entry named ``pair_table`` left over from an EARLIER corpus
+    (out_path absent) is dropped at stream start; an existing corpus
+    resumes against its existing pair table.
 
     Returns the started StreamingQuery (availableNow trigger).
     """
     from ..operators import dedup as dd
 
     m, k = dd.bloom_params(expected_total_rows, fpp)
+    pair_table = pair_table or f"{query_name}_pairs"
+
+    spark = stream_df.sparkSession
+    conf = spark._jsc.hadoopConfiguration()
+    out_p = spark._jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = out_p.getFileSystem(conf)
+    if not fs.exists(out_p) and spark.catalog.tableExists(pair_table):
+        spark.sql(f"DROP TABLE `{pair_table}`")
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-
-        spark = batch_df.sparkSession
-        key, key2 = dd.bloom_hash_pair(text_col)
-        b = batch_df.withColumn("__h1", key).withColumn("__h2", key2)
-        w = Window.partitionBy("__h1", "__h2").orderBy(F.col(id_col).asc())
-        b = (
-            b.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__h1").isNull() | (F.col("__rn") == 1))
-            .drop("__rn")
-            .localCheckpoint(eager=True)
+        bloom_ingest_batch(
+            batch_df,
+            batch_id,
+            id_col=id_col,
+            text_col=text_col,
+            out_path=out_path,
+            sketch_path=sketch_path,
+            pair_table=pair_table,
+            m=m,
+            k=k,
+            num_buckets=num_buckets,
         )
-        conf = spark._jsc.hadoopConfiguration()
-        sk_p = spark._jvm.org.apache.hadoop.fs.Path(sketch_path)
-        out_p = spark._jvm.org.apache.hadoop.fs.Path(out_path)
-        fs = sk_p.getFileSystem(conf)
-        sketch = spark.read.parquet(sketch_path) if fs.exists(sk_p) else None
-        pairs = (
-            b.filter(F.col("__h1").isNotNull()).select("__h1", "__h2").distinct()
-        )
-        if sketch is not None:
-            hits = dd.bloom_probe(sketch, pairs, m, k).localCheckpoint(eager=True)
-            # Exact confirm: column-pruned scan of the survivor table's
-            # stored hash pairs, FILTERED by the broadcast hit set — no
-            # distinct, no shuffle of the corpus side; only pairs that
-            # bloom-hit (dups + ~fpp false positives) survive the join.
-            dup_pairs = (
-                spark.read.parquet(out_path)
-                .select("__h1", "__h2")
-                .join(F.broadcast(hits.select("__h1", "__h2")), ["__h1", "__h2"], "left_semi")
-                if fs.exists(out_p)
-                else hits.select("__h1", "__h2").limit(0)
-            )
-            survivors = b.join(dup_pairs, ["__h1", "__h2"], "left_anti")
-        else:
-            survivors = b
-        survivors = survivors.localCheckpoint(eager=True)
-        survivors.write.mode("append").parquet(out_path)
-        new_pairs = (
-            survivors.filter(F.col("__h1").isNotNull())
-            .select("__h1", "__h2")
-            .distinct()
-        )
-        new_sketch = dd.bloom_sketch_merge(sketch, new_pairs, m, k)
-        staged = new_sketch.localCheckpoint(eager=True)
-        staged.write.mode("overwrite").parquet(sketch_path)
 
     return (
         stream_df.writeStream.foreachBatch(ingest)

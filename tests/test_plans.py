@@ -486,3 +486,41 @@ def test_quality_classifier_prunes_scan_to_two_columns(spark):
     p = plan_of(spark, "q87_quality_classifier")
     assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", p)
     assert "Exchange" not in p  # zero shuffles: row-local end to end
+
+
+def test_bloom_confirm_read_prunes_buckets(spark, tmp_path_factory):
+    """The streaming bloom confirm must be a BUCKET-PRUNED read of the
+    persisted survivor pair table — the scan touches only the buckets a
+    hit __h1 can hash into, never all of them. At 10^10 ingested docs the
+    difference is ~160 GB of parquet read per micro-batch vs a
+    batch-proportional sliver; this pin is what keeps that property from
+    regressing."""
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from syntenybrowserv2_etl_spark.sources import io as sio
+    from syntenybrowserv2_etl_spark.streaming import events as se
+
+    name = "t_confirm_prune_pairs"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = str(tmp_path_factory.mktemp("confirm_prune")) + "/pairs"
+    pairs = spark.range(0, 4096).select(
+        F.col("id").alias("__h1"), (F.col("id") * 7).alias("__h2")
+    )
+    sio.write_bucketed(pairs, name, ["__h1"], num_buckets=16, path=loc)
+    hits = spark.createDataFrame([(5, 35), (6, 41)], ["__h1", "__h2"])
+    confirmed = se.bloom_confirm_read(spark, name, hits)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        confirmed.explain("formatted")
+    p = buf.getvalue()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", p)
+    assert m, p
+    assert int(m.group(1)) < int(m.group(2)) and int(m.group(2)) == 16
+    # and the pruned read still confirms exactly the true pairs:
+    # (5, 35) exists in the table, (6, 41) does not (6*7 = 42)
+    got = {(r["__h1"], r["__h2"]) for r in confirmed.collect()}
+    assert got == {(5, 35)}
+    spark.sql(f"DROP TABLE {name}")

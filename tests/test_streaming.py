@@ -374,6 +374,46 @@ def test_bloom_ingest_stream_incremental_dedup(spark, tmp_path_factory):
     assert {"__h1", "__h2"}.issubset(set(survivors.columns))
 
 
+def test_bloom_ingest_batch_replay_is_idempotent(spark, tmp_path_factory):
+    """A redelivered micro-batch (foreachBatch at-least-once retry) must not
+    duplicate corpus rows: a fully-committed batch is skipped via its
+    marker, and a crashed-mid-commit batch (marker absent) overwrites its
+    own partition directory instead of double-appending."""
+    import shutil
+
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    base = str(tmp_path_factory.mktemp("bloom_replay"))
+    out, sketch = os.path.join(base, "corpus"), os.path.join(base, "sketch")
+    m, k = dd.bloom_params(1000, 0.01)
+    table = "t_bloom_replay_pairs"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    cfg = dict(
+        id_col="doc_id", text_col="text", out_path=out, sketch_path=sketch,
+        pair_table=table, m=m, k=k,
+    )
+    b0 = spark.createDataFrame([(1, "aaa"), (2, "bbb")], ["doc_id", "text"])
+    b1 = spark.createDataFrame([(3, "aaa"), (4, "ccc")], ["doc_id", "text"])
+    stream_ops.bloom_ingest_batch(b0, 0, **cfg)
+    stream_ops.bloom_ingest_batch(b1, 1, **cfg)
+    want = {1, 2, 4}
+    got = lambda: sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert set(got()) == want and len(got()) == 3
+
+    # fully-committed replay: marker present -> whole batch skipped
+    stream_ops.bloom_ingest_batch(b1, 1, **cfg)
+    assert len(got()) == 3
+
+    # crashed-mid-commit replay: marker removed (crash before the final
+    # mkdirs), payload partition already written -> overwrite, not append
+    shutil.rmtree(os.path.join(out, "_batches", "1"))
+    stream_ops.bloom_ingest_batch(b1, 1, **cfg)
+    assert set(got()) == want and len(got()) == 3
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_funnel_stream_matches_batch_q83(spark, events_dir):
     """The stateful streaming funnel must land every user on the same
     final stage as the batch cumulative-window formulation (q83)."""

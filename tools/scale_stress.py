@@ -99,7 +99,7 @@ KNOWN_OPS = frozenset({
     "bloom_incremental", "bpe_merges_4", "bpe_price_corpus",
     "semantic_dedup", "tfidf_top_terms", "bm25_rank", "cap_per_group",
     "perplexity_buckets", "dsir_importance", "pq_encode_adc",
-    "setsim_prefix",
+    "setsim_prefix", "streaming_confirm",
 })
 
 
@@ -345,6 +345,45 @@ def main():
         measure("setsim_prefix",
             lambda: noop(dd.setsim_join_prefix(docs, "doc_id", "text", 0.5))
         )
+
+        # round 7: the streaming bloom confirm — per-batch cost against a
+        # GROWING persisted survivor pair table must stay ~flat: the table
+        # is bucketed by __h1 (bucket pruning picks files) and sorted by
+        # __h1 within buckets (row-group stats pick pages), so bytes read
+        # track the fixed hit-set size, not the corpus. The table build is
+        # NOT timed (it is amortized ingest work); only the confirm is.
+        def _streaming_confirm():
+            from syntenybrowserv2_etl_spark.sources import io as sio
+            from syntenybrowserv2_etl_spark.streaming import events as se
+
+            tname = f"scale_confirm_pairs_x{f}"
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")
+            h1, h2 = dd.bloom_hash_pair("text")
+            pairs = (
+                docs.select(h1.alias("__h1"), h2.alias("__h2"))
+                .filter(F.col("__h1").isNotNull())
+                .distinct()
+                .withColumn("__batch_id", F.lit(0))
+            )
+            sio.write_bucketed(
+                pairs, tname, ["__h1"], num_buckets=64,
+                sort_cols=["__h1", "__h2"], path=f"{SCRATCH}/confirm_pairs_x{f}",
+            )
+            hits = (
+                spark.table(tname)
+                .select("__h1", "__h2")
+                .filter(F.pmod("__h1", F.lit(997)) < 4)  # ~0.4% fixed-rate hit set
+                .limit(200)
+                .localCheckpoint(eager=True)
+            )
+            r["streaming_confirm"] = timed(
+                lambda: noop(se.bloom_confirm_read(spark, tname, hits))
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+        if only is None or "streaming_confirm" in only:
+            _streaming_confirm()
+
         results.append(r)
         print(json.dumps(r), flush=True)
 
