@@ -1297,17 +1297,56 @@ def q37(spark, sf_dir):
     )
 
 
-@register("q38_approx_distinct", None, tags=["approx-count-distinct (sketch)"])
+@register(
+    "q38_approx_distinct",
+    """
+    SELECT date_trunc('month', o_orderdate) AS month,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           COUNT(*) AS n_orders,
+           true AS within_bound
+    FROM orders GROUP BY 1
+    """,
+    tags=["approx-count-distinct (sketch)"],
+)
 def q38(spark, sf_dir):
     """HyperLogLog++ approximate distinct customers per month — the sketch
     path that replaces exact count-distinct's full shuffle of the key at
-    100 TB (fixed-size sketch per group, map-side combinable). Rows-only
-    check: sketch estimates are engine-specific; the exact twin q37 is the
-    oracle-checked baseline."""
+    100 TB (fixed-size sketch per group, map-side combinable).
+
+    Self-verifying formulation: the sketch estimate itself is
+    engine-specific (DuckDB cannot reproduce Spark's HLL++ registers), so
+    the query emits the ORACLE-COMPARABLE facts — the exact per-group
+    distinct (computed on both engines) plus ``within_bound`` asserting
+    the estimate sits inside the 3·rsd envelope the sketch contracts
+    (≥ 99.7% per group at rsd=0.02), with an absolute floor of 5 for the
+    integer-quantized linear-counting regime at tiny groups. The oracle
+    emits ``within_bound = true``,
+    so a drifting estimate hash-mismatches instead of hiding behind a
+    rows-only check. The rsd property is additionally pinned by
+    tests/test_operators.py::test_approx_distinct_within_rsd_of_exact."""
     o = t(spark, sf_dir, "orders")
-    return o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("n_cust_approx"),
-        F.count(F.lit(1)).alias("n_orders"),
+    rsd = 0.02
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.approx_count_distinct("o_custkey", rsd).alias("__approx"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "month",
+            "n_cust",
+            "n_orders",
+            (
+                F.abs(F.col("__approx") - F.col("n_cust"))
+                # 3·rsd relative envelope with an absolute floor of 5: at
+                # tiny cardinalities 3·rsd·n is sub-integer while the
+                # sketch's linear-counting regime still quantizes to whole
+                # counts (observed ±1 at n≈15, ±4 at n≈200 — inside the
+                # floor / inside 3·rsd respectively)
+                <= F.greatest(F.lit(3.0 * rsd) * F.col("n_cust"), F.lit(5.0))
+            ).alias("within_bound"),
+        )
     )
 
 

@@ -702,9 +702,10 @@ def test_kmeans_deterministic(spark):
 
 
 def test_approx_distinct_within_rsd_of_exact(spark):
-    """q38's HLL++ sketch vs q37's exact twin: every group's estimate must
-    sit within 5x the configured rsd (0.02) of the exact distinct count —
-    a real accuracy contract instead of the r1 rows-only check."""
+    """q38 is now SELF-verifying: it emits the exact per-group distinct
+    (oracle-hashed) plus a within_bound flag asserting the HLL++ estimate
+    sits inside the 3·rsd envelope. Pin (a) every group's flag is true,
+    (b) the exact counts agree with q37's independent formulation."""
     from syntenybrowserv2_etl_spark import queries as q
 
     sf = "/root/testdata/sf0.001"
@@ -712,15 +713,11 @@ def test_approx_distinct_within_rsd_of_exact(spark):
         r["month"]: r["n_cust"]
         for r in q.REGISTRY["q37_distinct_counts"].spark_fn(spark, sf).collect()
     }
-    approx = {
-        r["month"]: r["n_cust_approx"]
-        for r in q.REGISTRY["q38_approx_distinct"].spark_fn(spark, sf).collect()
-    }
-    assert set(exact) == set(approx)
-    for month, n in exact.items():
-        assert abs(approx[month] - n) <= max(1, 0.10 * n), (
-            f"{month}: approx {approx[month]} vs exact {n}"
-        )
+    rows = q.REGISTRY["q38_approx_distinct"].spark_fn(spark, sf).collect()
+    assert {r["month"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["within_bound"] is True, r
+        assert r["n_cust"] == exact[r["month"]], r
 
 
 # --- curation / skew -------------------------------------------------------
