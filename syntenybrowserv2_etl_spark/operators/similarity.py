@@ -546,7 +546,25 @@ def ivf_pq_topk(
     if dim is None:
         dim = queries.select(F.min(F.size(query_vec_col)).alias("d")).first()["d"]
     sub_len = dim // m_subspaces
-    probe = F.broadcast(
+    probe = _ivf_probe(queries, cells, nprobe, query_id_col, query_vec_col)
+    candidates = assigned.join(probe, "centroid_id").select(query_id_col, id_col)
+    lut = _adc_lut(
+        queries, codebooks, m_subspaces, sub_len, query_id_col, query_vec_col
+    )
+    scored_codes = codes.join(candidates, id_col)
+    return _adc_rank(scored_codes, lut, k, id_col, query_id_col)
+
+
+def _ivf_probe(
+    queries: DataFrame,
+    cells: DataFrame,
+    nprobe: int,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Coarse routing: each query's ``nprobe`` nearest cells as broadcast
+    (query_id, centroid_id) rows — query-batch-sized, never corpus-sized."""
+    return F.broadcast(
         queries.crossJoin(
             F.broadcast(cells.select("centroid_id", F.col("centroid").alias("__cv")))
         )
@@ -565,14 +583,24 @@ def ivf_pq_topk(
         .filter(F.col("__cr") <= nprobe)
         .select(query_id_col, "centroid_id")
     )
-    candidates = assigned.join(probe, "centroid_id").select(query_id_col, id_col)
+
+
+def _adc_lut(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    m_subspaces: int,
+    sub_len: int,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Per-query ADC lookup table — |queries|·M·k rows, broadcast."""
     qsv = _subvectors(
         queries.select(query_id_col, query_vec_col),
         query_vec_col,
         m_subspaces,
         sub_len,
     )
-    lut = F.broadcast(
+    return F.broadcast(
         qsv.join(codebooks, "s").select(
             F.col(query_id_col).alias("__qid"),
             "s",
@@ -580,13 +608,23 @@ def ivf_pq_topk(
             dot_expr(F.col("__sub"), F.col("centroid")).alias("__partial"),
         )
     )
+
+
+def _adc_rank(
+    scored_codes: DataFrame,
+    lut: DataFrame,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """ADC scoring + top-k: codes ⋈ broadcast LUT → per-(query, id) SUM →
+    WindowGroupLimit rank. Scores round to 6 decimals, ties break on id."""
     scored = (
-        codes.join(candidates, id_col)
-        .join(
+        scored_codes.join(
             lut,
             (F.col(query_id_col) == F.col("__qid"))
-            & (codes["s"] == lut["s"])
-            & (codes["code"] == lut["code"]),
+            & (scored_codes["s"] == lut["s"])
+            & (scored_codes["code"] == lut["code"]),
         )
         .filter(F.col(id_col) != F.col(query_id_col))
         .groupBy(query_id_col, id_col)
@@ -598,3 +636,74 @@ def ivf_pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def write_ivf_index(
+    assigned: DataFrame,
+    codes: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the IVF-PQ index in its query-serving layout: each vector's
+    PQ codes co-located with its coarse cell, parquet-partitioned by
+    ``centroid_id`` — one directory per cell holding (id, s, code) rows.
+
+    This materializes the layout ivf_pq_topk's docstring promises: a probe
+    of ``nprobe`` cells becomes a PARTITION-PRUNED read touching only
+    nprobe directories out of n_cells (pinned by
+    tests/test_plans.py::test_ivf_index_probe_prunes_partitions via
+    inputFiles), so per-query corpus I/O is nprobe/n_cells of the codes —
+    the FAISS serving contract expressed as parquet partition pruning.
+    Production sizes n_cells ∝ corpus (√n is the IVF rule of thumb) to
+    hold per-cell bytes flat as the corpus grows.
+    """
+    (
+        codes.join(assigned.select(id_col, "centroid_id"), id_col)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
+def probe_ivf_index(spark, path: str, cell_ids: list[int]) -> DataFrame:
+    """Partition-pruned read of probe cells: ``centroid_id`` IN (literals)
+    resolves at planning time against the partition directories, so only
+    the probed cells' files are ever listed or read."""
+    return spark.read.parquet(path).filter(
+        F.col("centroid_id").isin([int(c) for c in cell_ids])
+    )
+
+
+def ivf_pq_topk_indexed(
+    spark,
+    index_path: str,
+    cells: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    m_subspaces: int = 4,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-PQ search against the PERSISTED index (write_ivf_index): the
+    query batch's probed cells collect to literals (nprobe·|queries| ids,
+    driver-metadata-scale) and the code scan is a partition-pruned read of
+    exactly those cell directories — identical results to ivf_pq_topk on
+    the in-memory frames, but corpus I/O is nprobe/n_cells by layout.
+    """
+    if dim is None:
+        dim = queries.select(F.min(F.size(query_vec_col)).alias("d")).first()["d"]
+    sub_len = dim // m_subspaces
+    probe = _ivf_probe(
+        queries, cells, nprobe, query_id_col, query_vec_col
+    ).localCheckpoint(eager=True)
+    cell_ids = [r["centroid_id"] for r in probe.select("centroid_id").distinct().collect()]
+    pruned = probe_ivf_index(spark, index_path, cell_ids)
+    scored_codes = pruned.join(probe, "centroid_id").drop("centroid_id")
+    lut = _adc_lut(
+        queries, codebooks, m_subspaces, sub_len, query_id_col, query_vec_col
+    )
+    return _adc_rank(scored_codes, lut, k, id_col, query_id_col)

@@ -524,3 +524,59 @@ def test_bloom_confirm_read_prunes_buckets(spark, tmp_path_factory):
     got = {(r["__h1"], r["__h2"]) for r in confirmed.collect()}
     assert got == {(5, 35)}
     spark.sql(f"DROP TABLE {name}")
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path_factory):
+    """The persisted IVF-PQ index (write_ivf_index, partitioned by
+    centroid_id) must serve probes as PARTITION-PRUNED reads: probing
+    nprobe cells lists/reads only those cells' files — the layout claim
+    ivf_pq_topk's docstring makes, demonstrated. Also: the indexed search
+    returns IDENTICAL results to the in-memory formulation."""
+    from pyspark.sql import functions as F
+
+    from syntenybrowserv2_etl_spark import queries as q
+    from syntenybrowserv2_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cells = sim.kmeans_centroids(emb, k=8, iters=2)
+    assigned = sim.assign_centroids(emb, cells)
+    cb = sim.pq_codebooks(emb, 4, 4, 2, dim=64)
+    codes = sim.pq_encode(emb, cb, 4, dim=64)
+    idx = str(tmp_path_factory.mktemp("ivf_index")) + "/codes"
+    sim.write_ivf_index(assigned, codes, idx)
+
+    total_files = len(spark.read.parquet(idx).inputFiles())
+    n_cells = assigned.select("centroid_id").distinct().count()
+    probe_cells = [
+        r["centroid_id"]
+        for r in assigned.select("centroid_id").distinct().limit(2).collect()
+    ]
+    probed = sim.probe_ivf_index(spark, idx, probe_cells)
+    probed.collect()
+    # pruned SCAN: the executed leaf's numFiles metric counts the files the
+    # read actually touched — only the probed cells' files, never all cells
+    leaf = probed._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    n_read = int(leaf.metrics().apply("numFiles").value())
+    assert 0 < n_read <= len(probe_cells) < n_cells
+    assert n_read < total_files
+    # and the plan carries the partition filter (static pruning, not scan+filter)
+    p = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p and "centroid_id" in p
+
+    # end-to-end: indexed search == in-memory search
+    qv = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    mem = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in sim.ivf_pq_topk(
+            assigned, codes, cells, cb, qv, 4, nprobe=3, k=5, dim=64
+        ).collect()
+    }
+    ind = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in sim.ivf_pq_topk_indexed(
+            spark, idx, cells, cb, qv, 4, nprobe=3, k=5, dim=64
+        ).collect()
+    }
+    assert mem == ind and len(ind) == 10

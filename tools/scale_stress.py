@@ -99,7 +99,7 @@ KNOWN_OPS = frozenset({
     "bloom_incremental", "bpe_merges_4", "bpe_price_corpus",
     "semantic_dedup", "tfidf_top_terms", "bm25_rank", "cap_per_group",
     "perplexity_buckets", "dsir_importance", "pq_encode_adc",
-    "setsim_prefix", "streaming_confirm",
+    "setsim_prefix", "streaming_confirm", "ivf_probe_indexed",
 })
 
 
@@ -383,6 +383,33 @@ def main():
 
         if only is None or "streaming_confirm" in only:
             _streaming_confirm()
+
+        # round 7: IVF-PQ probe against the PERSISTED index — production
+        # sizes n_cells with the corpus (per-cell bytes flat), so cells
+        # scale 16·factor here; the probe is a partition-pruned read of
+        # nprobe directories and must stay ~flat. Index build (train +
+        # encode + write) is amortized indexing work and is NOT timed.
+        def _ivf_probe_indexed():
+            tpath = f"{SCRATCH}/ivf_idx_x{f}"
+            cells = sim.kmeans_centroids(emb, k=16 * f, iters=2)
+            assigned = sim.assign_centroids(emb, cells)
+            cb = sim.pq_codebooks(emb, 4, 4, 2, dim=64)
+            codes = sim.pq_encode(emb, cb, 4, dim=64)
+            sim.write_ivf_index(assigned, codes, tpath)
+            qv = emb.limit(1).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"),
+            )
+            r["ivf_probe_indexed"] = timed(
+                lambda: noop(
+                    sim.ivf_pq_topk_indexed(
+                        spark, tpath, cells, cb, qv, 4, nprobe=4, k=10, dim=64
+                    )
+                )
+            )
+
+        if only is None or "ivf_probe_indexed" in only:
+            _ivf_probe_indexed()
 
         results.append(r)
         print(json.dumps(r), flush=True)
