@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from .functions import hashing
 from .functions import transforms
 from .operators import asof as asof_ops
+from .operators import scd as scd_ops
 from .operators import closure as closure_ops
 from .operators import components as comp_ops
 from .operators import multimodal as mm_ops
@@ -3568,27 +3569,58 @@ def q86(spark, sf_dir):
     Intervals emit as epoch-µs integers (the q21 timestamp
     representation contract)."""
     e = t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     k = e.select(
         "user_id",
         "ts",
         "event_id",
         F.from_json("props", "struct<k: bigint>").getField("k").alias("k"),
     )
-    runs = (
-        k.withColumn("prev_k", F.lag("k").over(w))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(
-            (F.col("rn") == 1) | ~F.col("k").eqNullSafe(F.col("prev_k"))
-        )
-        .drop("prev_k", "rn")
+    return scd_ops.scd2_history(k)
+
+
+@register(
+    "q94_scd2_apply",
+    """
+    WITH k AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE props IS NOT NULL
+    ), ch AS (
+      SELECT *, LAG(k) OVER w AS prev_k,
+             row_number() OVER w AS rn
+      FROM k
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, ts, event_id, k FROM ch
+      WHERE rn = 1 OR k IS DISTINCT FROM prev_k
     )
-    return runs.select(
+    SELECT user_id, k,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS valid_to_us
+    FROM runs
+    """,
+    tags=["SCD2 apply (CDC MERGE of a change batch into existing history)"],
+)
+def q94(spark, sf_dir):
+    """Incremental SCD2: build the dimension snapshot from the FIRST half
+    of the event log (scd2_history), then MERGE the second half in as a
+    CDC change batch (apply_scd2). The oracle rebuilds from the FULL log —
+    the equivalence apply(build(old), new) == build(old ∪ new) is the
+    operator's contract, checked cross-engine. At 100 TB the apply path
+    touches only the open-row set and the batch (closed history passes
+    through untouched) — the rebuild the oracle runs is exactly the cost
+    the operator exists to avoid. operators/scd.apply_scd2."""
+    e = t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = e.select(
         "user_id",
-        "k",
-        F.unix_micros("ts").alias("valid_from_us"),
-        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+        "ts",
+        "event_id",
+        F.from_json("props", "struct<k: bigint>").getField("k").alias("k"),
     )
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    snapshot = scd_ops.scd2_history(k.filter(F.col("ts") < cutoff))
+    return scd_ops.apply_scd2(snapshot, k.filter(F.col("ts") >= cutoff))
 
 
 @register(
@@ -4069,6 +4101,8 @@ _DEMOTED_PAST_WINDOW = [
     "q91_setsim_prefix_join",
     "q92_stat_aggregates",
     "q93_media_text_match",
+    # round 7: parity-gated from birth (same policy).
+    "q94_scd2_apply",
 ]
 
 

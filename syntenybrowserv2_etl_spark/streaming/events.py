@@ -571,3 +571,93 @@ def funnel_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def scd2_apply_stream(
+    stream_df: DataFrame,
+    hist_path: str,
+    key_col: str = "user_id",
+    attr_col: str = "k",
+    ts_col: str = "ts",
+    ord_col: str = "event_id",
+    query_name: str = "scd2_apply",
+):
+    """Streaming SCD2 maintenance — the foreachBatch twin of
+    operators/scd.apply_scd2, and the MERGE-shaped answer to
+    upsert_stream_to_parquet's documented O(table)-per-batch rewrite:
+    history lives split by mutability, so each micro-batch touches only
+    what can change.
+
+      ``hist_path/closed`` — immutable intervals, APPEND-only: a row
+          lands here exactly once, when its interval closes. Never
+          rewritten, never re-read by the apply.
+      ``hist_path/open``   — the current open row per key (≤ one row per
+          key), staged-OVERWRITE per batch. This is the only state the
+          merge reads.
+
+    Per batch: apply_scd2(open-rows snapshot, batch) — closed history is
+    not passed in, so its pass-through branch is empty by construction —
+    then rows whose interval just closed append to ``closed`` and the new
+    open set replaces ``open``. Per-batch cost is O(open set + batch),
+    never O(accumulated history); at scale the open set additionally
+    buckets by key (sources/io.write_bucketed) so the batch join is
+    exchange-free on the corpus side. Read the full history as
+    closed ∪ open (``scd2_read_history``).
+
+    Ordering contract: batches must replay in event-time order per key
+    (the apply_scd2 append-only CDC contract); the staged-swap write
+    keeps the open set readable mid-overwrite.
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    from ..operators import scd as scd_ops
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        conf = spark._jsc.hadoopConfiguration()
+        hpath = spark._jvm.org.apache.hadoop.fs.Path
+        open_p = hpath(f"{hist_path}/open")
+        fs = open_p.getFileSystem(conf)
+        if fs.exists(open_p):
+            snapshot = spark.read.parquet(f"{hist_path}/open")
+        else:
+            snapshot = spark.createDataFrame(
+                [],
+                f"{key_col} bigint, {attr_col} bigint, "
+                "valid_from_us bigint, valid_to_us bigint",
+            )
+        merged = scd_ops.apply_scd2(
+            snapshot, batch_df, key_col, attr_col, ts_col, ord_col
+        ).localCheckpoint(eager=True)
+        merged.filter(F.col("valid_to_us").isNotNull()).write.mode(
+            "append"
+        ).parquet(f"{hist_path}/closed")
+        merged.filter(F.col("valid_to_us").isNull()).write.mode(
+            "overwrite"
+        ).parquet(f"{hist_path}/open")
+
+    return (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def scd2_read_history(spark: SparkSession, hist_path: str) -> DataFrame:
+    """The full SCD2 history maintained by scd2_apply_stream:
+    closed ∪ open."""
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    parts = []
+    for sub in ("closed", "open"):
+        p = hpath(f"{hist_path}/{sub}")
+        if p.getFileSystem(conf).exists(p):
+            parts.append(spark.read.parquet(f"{hist_path}/{sub}"))
+    if not parts:
+        raise ValueError(f"no SCD2 history at {hist_path}")
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out

@@ -1892,3 +1892,49 @@ def test_dsir_null_source_counts_as_non_target(spark):
         assert out[vid]["n_bigrams"] == 2
     # NULL-source docs share raw-only bigrams: weight below the target doc
     assert out[2]["weight"] < out[1]["weight"]
+
+
+def test_apply_scd2_edge_cases(spark):
+    """apply_scd2 merge semantics at the boundary: heartbeat-only batches
+    leave the open row untouched; a first-run change closes it; brand-new
+    keys open intervals even with NULL attribute values (the 'has open
+    row' guard, not eqNullSafe alone)."""
+    import datetime as _dt
+
+    from syntenybrowserv2_etl_spark.operators import scd as scd_ops
+
+    base = _dt.datetime(2024, 3, 1)
+    us = lambda m: int((base + _dt.timedelta(minutes=m)).timestamp() * 1_000_000)
+    snapshot = spark.createDataFrame(
+        [
+            (1, 5, us(0), us(10)),   # closed: passes through untouched
+            (1, 7, us(10), None),    # open, k=7
+            (2, None, us(0), None),  # open, k=NULL
+        ],
+        "user_id bigint, k bigint, valid_from_us bigint, valid_to_us bigint",
+    )
+    changes = spark.createDataFrame(
+        [
+            (101, base + _dt.timedelta(minutes=20), 1, 7),     # heartbeat: absorbed
+            (102, base + _dt.timedelta(minutes=30), 1, 9),     # change: closes open
+            (103, base + _dt.timedelta(minutes=20), 2, None),  # NULL heartbeat: absorbed
+            (104, base + _dt.timedelta(minutes=20), 3, None),  # NEW key, NULL value
+            (105, base + _dt.timedelta(minutes=25), 3, 4),     # its first change
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, k bigint",
+    )
+    got = {
+        tuple(r)
+        for r in scd_ops.apply_scd2(snapshot, changes)
+        .select("user_id", "k", "valid_from_us", "valid_to_us")
+        .collect()
+    }
+    want = {
+        (1, 5, us(0), us(10)),      # untouched closed
+        (1, 7, us(10), us(30)),     # open closed at the REAL change, not the heartbeat
+        (1, 9, us(30), None),       # new open
+        (2, None, us(0), None),     # heartbeat-only key: still open, untouched
+        (3, None, us(20), us(25)),  # new key's NULL interval exists
+        (3, 4, us(25), None),
+    }
+    assert got == want

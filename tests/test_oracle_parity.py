@@ -53,6 +53,7 @@ SF_MED_STRENGTHENED = [
     "q91_setsim_prefix_join",
     "q92_stat_aggregates",
     "q93_media_text_match",
+    "q94_scd2_apply",
 ]
 
 

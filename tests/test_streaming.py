@@ -449,3 +449,57 @@ def test_funnel_stream_matches_batch_q83(spark, events_dir):
     finally:
         q.t = orig_t
     assert final == want and len(final) > 5
+
+
+def test_scd2_apply_stream_matches_batch_rebuild(spark, tmp_path_factory):
+    """The foreachBatch SCD2 twin: applying micro-batches (event-time
+    ordered) against the open/closed split layout must land the exact
+    history a from-scratch scd2_history rebuild produces over the full
+    log — the apply_scd2 equivalence contract, replayed incrementally."""
+    import datetime as _dt
+
+    from syntenybrowserv2_etl_spark.operators import scd as scd_ops
+
+    base = _dt.datetime(2024, 3, 1)
+    rows = [
+        # (event_id, minutes, user, k)
+        (1, 0, 1, 5), (2, 1, 1, 5), (3, 2, 2, None),
+        (4, 10, 1, 7), (5, 11, 2, 4), (6, 12, 3, 9),
+        (7, 20, 1, 5), (8, 21, 2, 4), (9, 22, 3, None),
+    ]
+    mk = lambda sl: spark.createDataFrame(
+        [(e, base + _dt.timedelta(minutes=m), u, k) for e, m, u, k in sl],
+        "event_id bigint, ts timestamp, user_id bigint, k bigint",
+    )
+    tmp = str(tmp_path_factory.mktemp("scd2_stream"))
+    src, hist = os.path.join(tmp, "src"), os.path.join(tmp, "hist")
+    os.makedirs(src)
+    for i, sl in enumerate([rows[:3], rows[3:6], rows[6:]]):
+        mk(sl).coalesce(1).write.mode("append").parquet(src)
+        newest = max(glob.glob(os.path.join(src, "*.parquet")), key=os.path.getmtime)
+        os.utime(newest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint, k bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ops.scd2_apply_stream(stream, hist)
+    q.awaitTermination(120)
+
+    got = {
+        tuple(r)
+        for r in stream_ops.scd2_read_history(spark, hist)
+        .select("user_id", "k", "valid_from_us", "valid_to_us")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in scd_ops.scd2_history(mk(rows))
+        .select("user_id", "k", "valid_from_us", "valid_to_us")
+        .collect()
+    }
+    assert got == want and len(want) >= 6
+    # incremental layout: closed rows accumulated append-only, open set is
+    # exactly one row per live key
+    open_rows = spark.read.parquet(os.path.join(hist, "open"))
+    assert open_rows.count() == open_rows.select("user_id").distinct().count() == 3
