@@ -413,3 +413,79 @@ def perplexity_buckets(
         "score",
         F.ntile(n_buckets).over(w).alias("bucket"),
     )
+
+
+def perplexity_buckets_sampled(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n_buckets: int = 3,
+    sample_mod: int = 10,
+    seed: int = 7,
+) -> DataFrame:
+    """The 100 TB variant of perplexity_buckets: SAME contract (per-group
+    head/middle/tail quality buckets from the corpus-LM score, bucket 1 =
+    head), but the cut scores are learned from a deterministic hash
+    sample and broadcast — bucketing becomes a row-local threshold
+    compare, and the per-group global sort (ntile's requirement, the
+    exact version's only data-sized cost) disappears entirely.
+
+    Stages: score every doc (unchanged) → hash-sample ~1/``sample_mod``
+    of each group (md5 fate on the id — deterministic, engine-portable,
+    the sampling.hash_sample discipline) → per-group approximate
+    quantiles at (nb-1)/nb … 1/nb via percentile_approx over the SAMPLE
+    (n_groups rows out) → broadcast-join the cutoff arrays back →
+    bucket = 1 + |{cutoffs c : score < c}|, a row-local array op.
+
+    Accuracy: tertile boundaries from a q-sample move by O(1/√|sample|)
+    relative rank — at production group sizes (10⁸+ docs, 10⁷ samples)
+    the boundary jitter is ~1e-4 of the group, far below any training
+    signal; the EXACT ntile twin (perplexity_buckets, q81) remains the
+    oracle-checked reference and the audit path for small groups, and
+    the sampled variant is pinned against it by tolerance tests
+    (bucket-size balance, score monotonicity, agreement rate).
+
+    Plan shape: zero Window/Sort over the corpus (plan-pinned) — the only
+    aggregations beyond the LM scorer are over the sample, and the cutoff
+    join broadcasts n_groups rows.
+
+    Output: (id, group, score, bucket) — same schema as the exact twin.
+    """
+    from . import text as text_ops
+
+    keyed = (
+        text_ops.unigram_logprob(df, id_col, text_col, keep_cols=[group_col])
+        .filter(F.col("n_scored") > 0)
+        .select(id_col, group_col, F.round("mean_logprob", 4).alias("score"))
+    )
+    probs = [round((n_buckets - i) / n_buckets, 9) for i in range(1, n_buckets)]
+    sample = keyed.filter(
+        F.pmod(hashing.md5_long(F.concat_ws("#", F.col(id_col), F.lit(str(seed)))), F.lit(sample_mod)) == 0
+    )
+    cutoffs = F.broadcast(
+        sample.groupBy(group_col).agg(
+            F.percentile_approx("score", probs).alias("__cuts")
+        )
+    )
+    return (
+        keyed.join(cutoffs, group_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            "score",
+            # descending cutoffs c_1 >= … >= c_{nb-1}: bucket = 1 + count
+            # of cutoffs the score falls strictly below; a group too small
+            # to have sampled cutoffs lands whole in bucket 1 (head) —
+            # the conservative keep-it choice
+            F.when(F.col("__cuts").isNull(), F.lit(1))
+            .otherwise(
+                F.lit(1)
+                + F.size(
+                    F.filter("__cuts", lambda c: F.col("score") < c)
+                )
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+    )

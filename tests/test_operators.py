@@ -1938,3 +1938,40 @@ def test_apply_scd2_edge_cases(spark):
         (3, 4, us(25), None),
     }
     assert got == want
+
+
+def test_perplexity_buckets_sampled_matches_exact_contract(spark):
+    """The sampled-cutoff variant must honor the exact twin's contract
+    within sample jitter: buckets partition each group, scores are
+    monotone across buckets (every head doc outscores every tail doc up
+    to the shared cutoff), sizes stay near-balanced, and per-doc
+    agreement with the exact ntile stays high at this sample rate."""
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("lang", (F.col("doc_id") % 3).cast("string"))
+    )
+    exact = {
+        r["doc_id"]: r["bucket"]
+        for r in cur_ops.perplexity_buckets(d, "doc_id", "text", "lang").collect()
+    }
+    rows = cur_ops.perplexity_buckets_sampled(
+        d, "doc_id", "text", "lang", sample_mod=3
+    ).collect()
+    assert {r["doc_id"] for r in rows} == set(exact)
+    by_grp: dict[tuple, list] = {}
+    for r in rows:
+        by_grp.setdefault(r["lang"], []).append(r)
+    for grp, rs in by_grp.items():
+        sizes = {b: sum(1 for r in rs if r["bucket"] == b) for b in (1, 2, 3)}
+        n = len(rs)
+        assert set(sizes) == {1, 2, 3}
+        for b, c in sizes.items():
+            assert abs(c - n / 3) < 0.25 * n, (grp, sizes)
+        # monotone: min score of bucket b >= max score of bucket b+1
+        # (threshold assignment makes this exact, not approximate)
+        for b in (1, 2):
+            lo = min(r["score"] for r in rs if r["bucket"] == b)
+            hi = max(r["score"] for r in rs if r["bucket"] == b + 1)
+            assert lo >= hi, (grp, b, lo, hi)
+    agree = sum(exact[r["doc_id"]] == r["bucket"] for r in rows) / len(rows)
+    assert agree > 0.75, agree

@@ -580,3 +580,30 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path_factory):
         ).collect()
     }
     assert mem == ind and len(ind) == 10
+
+
+def test_perplexity_buckets_sampled_has_no_corpus_window(spark, tmp_path_factory):
+    """The sampled-cutoff bucketing must carry NO window function and no
+    per-group corpus sort — that is its whole reason to exist (the exact
+    twin's ntile needs each language sorted; at 100 TB the largest
+    language is the bottleneck). The only aggregations beyond the LM
+    scorer run over the hash sample."""
+    from pyspark.sql import functions as F
+
+    from syntenybrowserv2_etl_spark.operators import curation as cur
+
+    d = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .withColumn("lang", (F.col("doc_id") % 3).cast("string"))
+    )
+    df = cur.perplexity_buckets_sampled(d, "doc_id", "text", "lang")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "Window" not in p
+    # the exact twin DOES window — the contrast that proves the pin bites
+    pe_buf = io.StringIO()
+    with contextlib.redirect_stdout(pe_buf):
+        cur.perplexity_buckets(d, "doc_id", "text", "lang").explain("formatted")
+    assert "Window" in pe_buf.getvalue()

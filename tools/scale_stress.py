@@ -100,6 +100,7 @@ KNOWN_OPS = frozenset({
     "semantic_dedup", "tfidf_top_terms", "bm25_rank", "cap_per_group",
     "perplexity_buckets", "dsir_importance", "pq_encode_adc",
     "setsim_prefix", "streaming_confirm", "ivf_probe_indexed",
+    "perplexity_buckets_sampled",
 })
 
 
@@ -316,6 +317,12 @@ def main():
         langed = docs.withColumn("lang", (F.col("doc_id") % 8).cast("string"))
         measure("perplexity_buckets",
             lambda: noop(cur.perplexity_buckets(langed, "doc_id", "text", "lang"))
+        )
+        # round 7: the sampled-cutoff variant — no per-lang corpus sort;
+        # growth should track the LM scorer alone.
+        measure("perplexity_buckets_sampled",
+            lambda: noop(cur.perplexity_buckets_sampled(
+                langed, "doc_id", "text", "lang", sample_mod=10))
         )
         # round 6: DSIR — histogram stays 256 rows at every factor; the
         # only data-sized work is the bigram build + two partial aggs.
