@@ -513,22 +513,37 @@ def bloom_ingest_stream(
     )
 
 
-def funnel_stream(events: DataFrame) -> DataFrame:
+def funnel_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Real-time sequential funnel (the streaming twin of the batch q83
-    cumulative-window funnel): per user, a state MACHINE tracks the first
+    cumulative-window funnel): per user, the machine tracks the first
     view, the first click strictly after it, and whether a purchase
-    followed — emitted on every update.
+    followed — emitted on every update, CORRECT under cross-batch
+    out-of-order arrival within the watermark.
 
-    This is the stateful pattern the accumulator twin
-    (running_user_totals) doesn't cover: ORDER-dependent state
-    transitions. Rows within a micro-batch are sorted by (ts, event_id)
-    before feeding the machine, so batch boundaries can't reorder a
-    user's events as long as the source replays in event-time order (the
-    contract a funnel over a log stream assumes; late cross-batch
-    stragglers would need the watermark + re-sort treatment of the
-    windowed twins). State is three typed fields per user — epoch-µs of
-    first view and first qualifying click, and the purchase flag — so
-    state size is O(#users), never O(#events).
+    Late data is handled by recompute-from-retained, not by assuming
+    in-order replay: the derived state (first view fv, first qualifying
+    click fca, purchased) is re-derived each batch from the finals plus
+    WATERMARK-BOUNDED pending buffers of click/purchase timestamps. The
+    invariants that make eviction safe (and state O(#users + in-flight
+    horizon), never O(#events)):
+
+      - fv = min(view ts) is monotone under late arrivals — keep the
+        scalar only, no view buffer;
+      - a click below the watermark is FINAL: its qualification (ts > fv)
+        can only flip if fv drops below its ts, which would need a view
+        even older — already excluded by the watermark. Qualifying
+        clicks fold into fca (a min — monotone non-increasing), the rest
+        are discarded; clicks at/above the watermark stay pending;
+      - purchased (∃ purchase ts > fca) is monotone because fca only
+        decreases; a pending purchase below the watermark that does not
+        qualify can only be unlocked by a new qualifying click BELOW its
+        ts — again watermark-excluded, so it is safely dropped.
+
+    With ``watermark=None`` nothing is ever evicted (correct for bounded
+    replays without a watermark; unbounded state on a true stream —
+    always set a watermark in production). The late-data fixture test
+    replays a click BEFORE its unlocking view across batch boundaries
+    and must land the batch-q83 result exactly.
     """
     import pandas as pd  # local: keep module import light
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -537,25 +552,39 @@ def funnel_stream(events: DataFrame) -> DataFrame:
         "user_id bigint, reached_view bigint, reached_click bigint, "
         "reached_purchase bigint, stage bigint"
     )
-    state_schema = "fv_us bigint, fca_us bigint, purchased bigint"
+    state_schema = (
+        "fv_us bigint, fca_us bigint, purchased bigint, "
+        "pend_c array<bigint>, pend_p array<bigint>"
+    )
 
     def update(key, pdfs, state):
-        fv, fca, purchased = state.get if state.exists else (None, None, 0)
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        if len(rows):
-            rows = rows.sort_values(["ts", "event_id"])
-            for r in rows.itertuples():
+        fv, fca, purchased, pend_c, pend_p = (
+            state.get if state.exists else (None, None, 0, [], [])
+        )
+        clicks = list(pend_c or [])
+        purch = list(pend_p or [])
+        for pdf in pdfs:
+            for r in pdf.itertuples():
                 t_us = r.ts.value // 1000  # pandas ns → µs
                 if r.event_type == "view":
-                    if fv is None:
+                    if fv is None or t_us < fv:
                         fv = t_us
                 elif r.event_type == "click":
-                    if fv is not None and t_us > fv and fca is None:
-                        fca = t_us
+                    clicks.append(t_us)
                 elif r.event_type == "purchase":
-                    if fca is not None and t_us > fca:
-                        purchased = 1
-        state.update((fv, fca, purchased))
+                    purch.append(t_us)
+        # re-derive fca from every retained click (fv may have dropped,
+        # unlocking clicks that predate previously-qualifying ones)
+        if fv is not None:
+            for c in clicks:
+                if c > fv and (fca is None or c < fca):
+                    fca = c
+        if fca is not None and not purchased:
+            purchased = int(any(p > fca for p in purch))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        keep_c = [c for c in clicks if c >= wm_us]
+        keep_p = [] if purchased else [p for p in purch if p >= wm_us]
+        state.update((fv, fca, purchased, keep_c, keep_p))
         rv = int(fv is not None)
         rc = int(fca is not None)
         yield pd.DataFrame(
@@ -568,6 +597,8 @@ def funnel_stream(events: DataFrame) -> DataFrame:
             }
         )
 
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )

@@ -503,3 +503,51 @@ def test_scd2_apply_stream_matches_batch_rebuild(spark, tmp_path_factory):
     # exactly one row per live key
     open_rows = spark.read.parquet(os.path.join(hist, "open"))
     assert open_rows.count() == open_rows.select("user_id").distinct().count() == 3
+
+
+def test_funnel_stream_late_cross_batch_events(spark, tmp_path_factory):
+    """Late-data correctness: a click consumed BEFORE its unlocking view
+    (the view arrives one batch later, within watermark) must still
+    complete the funnel — the in-order-replay assumption the r6 version
+    made is gone. A late click that precedes the first view must NOT
+    qualify (order semantics preserved, not just recovered)."""
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 3, 1, 9, 0)
+    m = lambda mins: base + _dt.timedelta(minutes=mins)
+    batches = [
+        # batch 0: user 42's click arrives FIRST (its view is late);
+        #          user 43's view
+        [(2, m(60), 42, "click"), (10, m(0), 43, "view")],
+        # batch 1: user 42's LATE view (event-time BEFORE the click);
+        #          user 43's LATE click that precedes its view
+        [(1, m(30), 42, "view"), (11, m(-30), 43, "click")],
+        # batch 2: user 42 purchases
+        [(3, m(90), 42, "purchase")],
+    ]
+    tmp = str(tmp_path_factory.mktemp("late_funnel"))
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        newest = max(glob.glob(os.path.join(src, "*.parquet")), key=os.path.getmtime)
+        os.utime(newest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    result = stream_ops.run_to_completion(
+        stream_ops.funnel_stream(stream, watermark="4 hours"),
+        "late_funnel_state",
+        output_mode="update",
+    )
+    final = {r["user_id"]: r["stage"] for r in result.orderBy("stage").collect()}
+    # user 42: view(9:30) -> click(10:00) -> purchase(10:30) = stage 3,
+    # despite the click arriving a batch before the view
+    # user 43: click(8:30) precedes view(9:00) -> stage 1 only
+    assert final == {42: 3, 43: 1}
