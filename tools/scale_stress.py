@@ -100,7 +100,7 @@ KNOWN_OPS = frozenset({
     "semantic_dedup", "tfidf_top_terms", "bm25_rank", "cap_per_group",
     "perplexity_buckets", "dsir_importance", "pq_encode_adc",
     "setsim_prefix", "streaming_confirm", "ivf_probe_indexed",
-    "perplexity_buckets_sampled",
+    "perplexity_buckets_sampled", "pagerank_skew",
 })
 
 
@@ -417,6 +417,38 @@ def main():
 
         if only is None or "ivf_probe_indexed" in only:
             _ivf_probe_indexed()
+
+        # round 7: PageRank on a power-law graph — one hub whose
+        # out-degree is ~N/2 (10^4x the mean of ~2) while every other
+        # node has one out-edge plus one edge into the hub. The skew
+        # stresses (a) the ranks ⋈ edges join on __src (the hub key
+        # fans out to half the edge table) and (b) the per-dst partial
+        # aggregation (the hub also RECEIVES half the edges). AQE
+        # skew-join splitting + map-side combine must keep the curve
+        # ~linear in |edges|.
+        def _pagerank_skew():
+            from syntenybrowserv2_etl_spark.operators import components as comp
+
+            N = 20_000 * f
+            ring = spark.range(1, N).select(
+                F.col("id").alias("src"),
+                (F.col("id") * 7 % N).alias("dst"),
+            )
+            hub_out = spark.range(1, N // 2).select(
+                F.lit(0).cast("long").alias("src"),
+                (F.col("id") * 2).alias("dst"),
+            )
+            hub_in = spark.range(1, N // 2).select(
+                (F.col("id") * 2 + 1).alias("src"),
+                F.lit(0).cast("long").alias("dst"),
+            )
+            edges = ring.union(hub_out).union(hub_in)
+            r["pagerank_skew"] = timed(
+                lambda: noop(comp.pagerank(edges, iters=3))
+            )
+
+        if only is None or "pagerank_skew" in only:
+            _pagerank_skew()
 
         results.append(r)
         print(json.dumps(r), flush=True)
