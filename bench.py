@@ -72,6 +72,10 @@ CURATION = [
     "q91_setsim_prefix_join",
     "q92_stat_aggregates",
     "q93_media_text_match",
+    # round 7 additions
+    "q94_scd2_apply",
+    "q95_leakage_free_split",
+    "q96_best_of_cluster",
 ]
 
 

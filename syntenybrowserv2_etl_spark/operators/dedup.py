@@ -994,3 +994,48 @@ def setsim_join_prefix(
         F.col("n_b").cast("long").alias("n_b"),
         "jaccard",
     )
+
+
+def keep_best_representative(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality,
+    **dedup_kwargs,
+) -> DataFrame:
+    """Quality-aware representative selection: within each near-dup
+    cluster keep the HIGHEST-quality member instead of the min-id one —
+    the curation policy real pipelines use (RefinedWeb keeps the longest
+    page of a dup family; quality-classifier pipelines keep the
+    best-scoring), because which copy survives matters as much as
+    deduplicating at all: boilerplate-stripped originals beat mirrored
+    scrapes with navigation chrome.
+
+    ``quality`` is any Column over ``df`` (token count, gopher score,
+    classifier probability — caller's policy). Clusters come from the
+    full LSH → exact-verify → connected-components pipeline
+    (dedup_corpus); the selection is one window over the cluster key with
+    (quality desc, id asc) order — deterministic under ties. The rank-1
+    filter plans as WindowGroupLimit, so map tasks pre-prune to one
+    candidate per cluster before the exchange; cluster_size rides the
+    same single shuffle.
+
+    Output: one row per cluster — (id, cluster_rep, cluster_size,
+    quality), the surviving document and how many it speaks for (the
+    weight a dedup-aware sampler feeds to upsample_by_weight).
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_corpus(df, id_col, text_col, **dedup_kwargs)
+    scored = df.select(F.col(id_col), quality.alias("quality"))
+    j = clusters.join(scored, id_col)
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("cluster_rep")
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cluster_rep", "cluster_size", "quality")
+    )

@@ -328,3 +328,47 @@ def weighted_sample(
         .filter(F.col("rank") <= n)
         .withColumnRenamed("__aes_key", "key")
     )
+
+
+def leakage_free_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    test_fraction: float = 0.1,
+    seed: int = 42,
+    **dedup_kwargs,
+) -> DataFrame:
+    """Train/test split that CANNOT leak near-duplicates across the
+    boundary: every document inherits the fate of its DEDUP CLUSTER
+    representative, so a near-dup family lands whole on one side.
+
+    The plain hash split (train_test_split) is contamination-proof across
+    corpus versions but blind to content: two near-identical documents
+    hash independently and straddle the boundary ~2·p·(1-p) of the time —
+    the eval set then scores memorization, not generalization (the
+    benchmark-contamination failure mode measured by Lee et al. 2022).
+    Here the near-dup clusters come from the full LSH → exact-verify →
+    connected-components pipeline (dedup.dedup_corpus — the q68 oracle
+    shape), and the split key is the cluster representative's salted md5
+    fate: deterministic, engine-portable, stable as the corpus grows
+    (adding documents can merge clusters but never reassigns an existing
+    cluster fate unless its representative changes — exactly the rebuild
+    semantics a versioned corpus wants).
+
+    Scale: the split itself adds ZERO work beyond the dedup pipeline
+    already run for curation — one row-local fate hash on the cluster
+    key. Output: (id, cluster_rep, split).
+    """
+    from . import dedup
+
+    clusters = dedup.dedup_corpus(df, id_col, text_col, **dedup_kwargs)
+    fate = _fate("cluster_rep", seed)
+    return clusters.select(
+        F.col(id_col),
+        "cluster_rep",
+        F.when(
+            fate < int(round(test_fraction * _DENOM)), F.lit("test")
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -3624,6 +3624,61 @@ def q94(spark, sf_dir):
 
 
 @register(
+    "q95_leakage_free_split",
+    f"""
+    SELECT doc_id, cluster_rep,
+           CASE WHEN {sampling_ops._fate_sql("cluster_rep", 42)} < 100000
+                THEN 'test' ELSE 'train' END AS split
+    FROM ({_dedup_pipeline_sql()}) p
+    """,
+    tags=["leakage-free train/test split (near-dup clusters never straddle)"],
+)
+def q95(spark, sf_dir):
+    """Train/test split keyed on the NEAR-DUP CLUSTER, not the document:
+    every document inherits its dedup-cluster representative's salted-hash
+    fate, so a near-dup family can never straddle the train/eval boundary
+    (the benchmark-contamination failure a per-document hash split admits
+    ~2·p·(1-p) of the time per family — Lee et al. 2022's memorization
+    audit motivation). Clusters come from the full LSH → exact-verify →
+    connected-components pipeline (the q68 oracle shape); the split adds
+    one row-local fate hash on top. operators/sampling.leakage_free_split."""
+    d = t(spark, sf_dir, "documents")
+    return sampling_ops.leakage_free_split(
+        d, "doc_id", "text", test_fraction=0.1, seed=42
+    )
+
+
+@register(
+    "q96_best_of_cluster",
+    f"""
+    WITH p AS ({_dedup_pipeline_sql()}),
+    q AS (SELECT doc_id, CAST({_TOKCNT} AS BIGINT) AS quality FROM documents),
+    j AS (SELECT p.doc_id, p.cluster_rep, q.quality,
+                 row_number() OVER (PARTITION BY p.cluster_rep
+                                    ORDER BY q.quality DESC, p.doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY p.cluster_rep) AS cluster_size
+          FROM p JOIN q USING (doc_id))
+    SELECT doc_id, cluster_rep, CAST(cluster_size AS BIGINT) AS cluster_size,
+           quality
+    FROM j WHERE rn = 1
+    """,
+    tags=["quality-aware dedup representative (keep best of cluster)"],
+)
+def q96(spark, sf_dir):
+    """Keep the highest-quality member of each near-dup cluster (token
+    count as the policy here — the RefinedWeb keep-longest rule) instead
+    of the min-id default: which copy survives dedup matters as much as
+    deduplicating. One WindowGroupLimit over the cluster key on top of
+    the q68 pipeline; cluster_size rides the same shuffle (it is the
+    weight a dedup-aware sampler feeds back into mixing).
+    operators/dedup.keep_best_representative."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_ops.keep_best_representative(
+        d, "doc_id", "text", text_ops.token_count("text")
+    )
+
+
+@register(
     "q89_weighted_sample",
     f"""
     WITH s AS (
@@ -4103,6 +4158,8 @@ _DEMOTED_PAST_WINDOW = [
     "q93_media_text_match",
     # round 7: parity-gated from birth (same policy).
     "q94_scd2_apply",
+    "q95_leakage_free_split",
+    "q96_best_of_cluster",
 ]
 
 

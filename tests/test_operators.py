@@ -1975,3 +1975,48 @@ def test_perplexity_buckets_sampled_matches_exact_contract(spark):
             assert lo >= hi, (grp, b, lo, hi)
     agree = sum(exact[r["doc_id"]] == r["bucket"] for r in rows) / len(rows)
     assert agree > 0.75, agree
+
+
+def test_leakage_free_split_never_straddles_clusters(spark):
+    """Every near-dup cluster must land whole on one side of the split —
+    the operator's entire contract — and the test fraction must stay in
+    the right neighborhood."""
+    from syntenybrowserv2_etl_spark.operators import sampling as smp
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = smp.leakage_free_split(d, "doc_id", "text", test_fraction=0.2).collect()
+    assert len(rows) == d.count()
+    split_of_cluster: dict = {}
+    for r in rows:
+        prev = split_of_cluster.setdefault(r["cluster_rep"], r["split"])
+        assert prev == r["split"], f"cluster {r['cluster_rep']} straddles"
+    frac = sum(1 for r in rows if r["split"] == "test") / len(rows)
+    assert 0.05 < frac < 0.45, frac
+
+
+def test_keep_best_representative_hand_corpus(spark):
+    """The survivor of each near-dup family must be its highest-quality
+    member (longest here), with ties broken by id; singletons survive as
+    themselves with cluster_size 1."""
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+    from syntenybrowserv2_etl_spark.operators import text as txt
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, base),
+        (2, base + " with a much longer informative tail added here"),
+        (3, base),                                # ties with 1 -> min id wins among equals
+        (4, "completely different words live in this one document here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["cluster_size"], r["quality"])
+        for r in dd.keep_best_representative(
+            df, "doc_id", "text", txt.token_count("text")
+        ).collect()
+    }
+    # docs 1,2,3 cluster (2 is a near-dup of the base at j >= 1/2); doc 2
+    # is longest so IT survives, speaking for 3 docs; doc 4 is a singleton
+    assert set(got) == {2, 4}
+    assert got[2][0] == 3 and got[4][0] == 1
+    assert got[2][1] > got[4][1] == 9

@@ -54,6 +54,8 @@ SF_MED_STRENGTHENED = [
     "q92_stat_aggregates",
     "q93_media_text_match",
     "q94_scd2_apply",
+    "q95_leakage_free_split",
+    "q96_best_of_cluster",
 ]
 
 
