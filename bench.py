@@ -76,6 +76,7 @@ CURATION = [
     "q94_scd2_apply",
     "q95_leakage_free_split",
     "q96_best_of_cluster",
+    "q97_audio_frames",
 ]
 
 

@@ -350,3 +350,125 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("start_sample", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def audio_frame_features(media: DataFrame, frame_samples: int = 256) -> DataFrame:
+    """Per-frame acoustic features over PCM16 WAV payloads — the audio
+    analogue of video frame sampling, and the front half of every speech
+    pipeline (VAD gating, silence trimming, energy-based segmentation
+    before ASR): each audio row EXPLODES into one row per
+    ``frame_samples``-sample mono frame carrying RMS energy, peak
+    amplitude (both /2^15), and the zero-crossing count (the classic
+    cheap voiced/unvoiced discriminator).
+
+    Decode runs through the REAL stdlib WAV kernel (_wav_decode) inside
+    Arrow-batched ``mapInPandas`` — the sanctioned Python path: columnar
+    batches in, a frame-rows DataFrame out, fan-out bounded by
+    duration/frame. Multi-channel audio downmixes to mono by per-sample
+    channel mean BEFORE framing (deterministic integer→float order, so
+    the exact-value tests can reproduce every float bit). Non-audio rows,
+    NULL payloads, and undecodable bytes contribute zero rows — the
+    quarantine discipline belongs upstream (sources/jsonl bad-record
+    channel), not inside a feature kernel.
+
+    At scale this is a map-only stage: no shuffle, output partitioning
+    inherits the input, and `frame_samples` controls the fan-out (at
+    16 kHz, 256 samples = 16 ms frames — the standard hop ballpark).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in AUDIO_FRAME_SCHEMA.fields}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "audio" or payload is None:
+                    continue
+                try:
+                    n_ch, _rate, samples = _wav_decode(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                if n_ch > 1:
+                    usable = len(samples) // n_ch * n_ch
+                    samples = [
+                        sum(samples[i : i + n_ch]) / n_ch
+                        for i in range(0, usable, n_ch)
+                    ]
+                for fi in range(0, max(len(samples), 1), frame_samples):
+                    frame = samples[fi : fi + frame_samples]
+                    if not frame:
+                        break
+                    rms = (sum(v * v for v in frame) / len(frame)) ** 0.5
+                    peak = max(abs(v) for v in frame)
+                    zc = sum(
+                        1
+                        for a, b in zip(frame, frame[1:])
+                        if (a < 0) != (b < 0)
+                    )
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(fi // frame_samples)
+                    out["start_sample"].append(fi)
+                    out["n_samples"].append(len(frame))
+                    out["rms"].append(rms / 32768.0)
+                    out["peak"].append(peak / 32768.0)
+                    out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        gen, AUDIO_FRAME_SCHEMA
+    )
+
+
+def synthetic_wav_media(
+    spark, n: int = 48, base_samples: int = 200
+) -> DataFrame:
+    """Deterministic REAL-WAV fixture: every payload is a valid RIFF/PCM16
+    file whose samples follow the closed form
+
+        sample(id, j) = ((id·37 + j·11) mod 2048) − 1024,
+        length(id)    = base_samples + id mod 7   (exercises partial frames)
+
+    so a SQL oracle can recompute per-frame acoustic features from pure
+    integer arithmetic while the Spark side goes through the FULL byte
+    path (WAV container → _wav_decode → audio_frame_features). This is
+    the q93 fixture discipline upgraded from the stub kernel to the real
+    decoder: the parquet-binary → Arrow → Python decode leg itself
+    becomes value-checked cross-engine (q97).
+    """
+    import struct
+
+    rows = []
+    for i in range(n):
+        samples = [
+            ((i * 37 + j * 11) % 2048) - 1024
+            for j in range(base_samples + i % 7)
+        ]
+        pcm = struct.pack(f"<{len(samples)}h", *samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (
+            b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", len(fmt))
+            + fmt
+            + b"data"
+            + struct.pack("<I", len(pcm))
+            + pcm
+        )
+        wav = b"RIFF" + struct.pack("<I", len(body)) + body
+        rows.append(
+            (i, "audio", wav, None, None, len(samples) * 1000 // 8000, "pcm")
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -3530,7 +3530,12 @@ def q85(spark, sf_dir):
         .distinct()
     )
     ee = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return comp_ops.pagerank(ee, iters=3, damping=0.85, round_to=8)
+    return comp_ops.pagerank(
+        ee, iters=3, damping=0.85, round_to=8,
+        # ee is symmetric by construction (union with its reverse), so
+        # every node is a source — skip the dangling detection scan
+        assume_no_dangling=True,
+    )
 
 
 @register(
@@ -3675,6 +3680,52 @@ def q96(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return dedup_ops.keep_best_representative(
         d, "doc_id", "text", text_ops.token_count("text")
+    )
+
+
+@register(
+    "q97_audio_frames",
+    """
+    WITH ids AS (SELECT unnest(range(0, 48)) AS media_id),
+    s AS (SELECT media_id, j,
+                 ((media_id * 37 + j * 11) % 2048) - 1024 AS v,
+                 CAST(j // 64 AS BIGINT) AS frame_idx
+          FROM ids, LATERAL (SELECT unnest(range(0, 200 + media_id % 7)) AS j)),
+    zc AS (SELECT media_id, frame_idx, j, v,
+                  LAG(v) OVER (PARTITION BY media_id, frame_idx
+                               ORDER BY j) AS pv
+           FROM s)
+    SELECT media_id, frame_idx,
+           CAST(MIN(j) AS BIGINT) AS start_sample,
+           COUNT(*) AS n_samples,
+           ROUND(sqrt(SUM(CAST(v AS DOUBLE) * v) / COUNT(*)) / 32768.0, 6)
+               AS rms,
+           ROUND(MAX(abs(v)) / 32768.0, 6) AS peak,
+           CAST(SUM(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM zc GROUP BY media_id, frame_idx
+    """,
+    tags=["audio frame features through the REAL WAV decode (mapInPandas)"],
+)
+def q97(spark, sf_dir):
+    """Per-frame RMS / peak / zero-crossings computed through the FULL
+    binary path — valid RIFF/PCM16 payloads in a parquet binary column,
+    Arrow-batched mapInPandas, the stdlib WAV chunk parser — while the
+    oracle recomputes every frame from the fixture's closed-form sample
+    formula in pure SQL arithmetic. This value-checks the decode leg
+    itself (container parse, sample extraction, framing), not just the
+    downstream math; q93 did this for the stub kernel, q97 does it for
+    the real one. operators/multimodal.audio_frame_features."""
+    media = mm_ops.synthetic_wav_media(spark, 48)
+    f = mm_ops.audio_frame_features(media, frame_samples=64)
+    return f.select(
+        "media_id",
+        "frame_idx",
+        "start_sample",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+        "zero_crossings",
     )
 
 
@@ -4160,6 +4211,7 @@ _DEMOTED_PAST_WINDOW = [
     "q94_scd2_apply",
     "q95_leakage_free_split",
     "q96_best_of_cluster",
+    "q97_audio_frames",
 ]
 
 

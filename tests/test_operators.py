@@ -2020,3 +2020,58 @@ def test_keep_best_representative_hand_corpus(spark):
     assert set(got) == {2, 4}
     assert got[2][0] == 3 and got[4][0] == 1
     assert got[2][1] > got[4][1] == 9
+
+
+def test_audio_frame_features_exact_values(spark):
+    """Per-frame RMS / peak / zero-crossings over a REAL WAV decode must be
+    exact: an alternating-sign square wave has a known crossing count and
+    constant RMS; a stereo payload downmixes to the channel mean before
+    framing; non-audio and undecodable rows contribute zero frames."""
+    # mono: 10 alternating +1000/-1000 samples, frame size 4 -> frames of
+    # 4, 4, 2 samples
+    mono = [1000 if i % 2 == 0 else -1000 for i in range(10)]
+    # stereo: L=2000, R=0 constant -> mono mean 1000, no crossings
+    stereo = [2000, 0] * 6
+    media = spark.createDataFrame(
+        [
+            (1, "audio", _make_wav(mono), None, None, 2, "pcm"),
+            (2, "audio", _make_wav(stereo, n_ch=2), None, None, 2, "pcm"),
+            (3, "image", b"not audio", None, None, None, "png"),
+            (4, "audio", None, None, None, None, "pcm"),
+            (5, "audio", b"garbage-bytes", None, None, None, "pcm"),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in multimodal.audio_frame_features(media, frame_samples=4).collect()
+    }
+    assert {k[0] for k in rows} == {1, 2}
+    # media 1: frames (4, 4, 2) samples; rms = 1000/32768 everywhere;
+    # crossings = transitions within the frame (3, 3, 1)
+    assert [rows[(1, i)]["n_samples"] for i in range(3)] == [4, 4, 2]
+    for i, zc in [(0, 3), (1, 3), (2, 1)]:
+        r = rows[(1, i)]
+        assert r["zero_crossings"] == zc
+        assert r["rms"] == 1000.0 / 32768.0
+        assert r["peak"] == 1000.0 / 32768.0
+        assert r["start_sample"] == i * 4
+    # media 2: 6 mono samples after downmix -> frames (4, 2); constant
+    # +1000 -> zero crossings nowhere
+    assert [rows[(2, i)]["n_samples"] for i in range(2)] == [4, 2]
+    assert all(rows[(2, i)]["zero_crossings"] == 0 for i in range(2))
+    assert all(rows[(2, i)]["rms"] == 1000.0 / 32768.0 for i in range(2))
+
+
+def test_synthetic_wav_media_roundtrips_through_decoder(spark):
+    """The closed-form WAV fixture must decode back to its formula samples
+    byte-exactly — the premise that lets q97 value-check the real decode
+    path against SQL arithmetic."""
+    media = multimodal.synthetic_wav_media(spark, 5)
+    for r in media.collect():
+        n_ch, rate, samples = multimodal._wav_decode(bytes(r["payload"]))
+        i = r["media_id"]
+        want = [
+            ((i * 37 + j * 11) % 2048) - 1024 for j in range(200 + i % 7)
+        ]
+        assert (n_ch, rate) == (1, 8000) and samples == want

@@ -56,6 +56,7 @@ SF_MED_STRENGTHENED = [
     "q94_scd2_apply",
     "q95_leakage_free_split",
     "q96_best_of_cluster",
+    "q97_audio_frames",
 ]
 
 
