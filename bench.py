@@ -77,6 +77,7 @@ CURATION = [
     "q95_leakage_free_split",
     "q96_best_of_cluster",
     "q97_audio_frames",
+    "q98_session_examples",
 ]
 
 

@@ -489,3 +489,76 @@ def perplexity_buckets_sampled(
             .alias("bucket"),
         )
     )
+
+
+def session_examples(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    ord_col: str = "event_id",
+    label_col: str = "event_type",
+    gap_minutes: int = 30,
+    max_prefix: int = 8,
+) -> DataFrame:
+    """Next-event-prediction examples from a sessionized behavior log —
+    the dataset-construction step that turns raw clickstream into
+    supervised (context → next action) training rows: for every event
+    past the first in its session, emit the last ``max_prefix`` in-session
+    actions as the context and the event itself as the label.
+
+    ONE exchange total, by construction: sessionization (gap-flag
+    cumsum), step position, and the context window all run as window
+    functions over the SAME (user) partitioning and (ts, ord) order —
+    the step is ``rn − session_start_rn + 1`` (session start recovered
+    as a running max of flagged row numbers) instead of a second
+    row_number over (user, session), which would force a second
+    hash exchange on the composite key (plan-pinned: exactly one
+    Exchange).
+
+    The context is a FIXED window frame (``max_prefix`` preceding rows,
+    the training context-window cap), sliced down to the in-session
+    suffix — bounded per-row state, so a mega-user cannot quadratically
+    inflate the window buffer the way an unbounded running collect_list
+    would (each row would otherwise carry its full history).
+
+    Output: (user, session_id, step, prefix, label) — prefix is the
+    '/'-joined last min(step−1, max_prefix) in-session labels, step ≥ 2.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, ord_col)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ctx = w.rowsBetween(-max_prefix, -1)
+    flagged = events.withColumn("__prev_ts", F.lag(ts_col).over(w)).withColumn(
+        "__new_s",
+        F.when(
+            F.col("__prev_ts").isNull()
+            | (
+                F.col(ts_col)
+                > F.col("__prev_ts") + F.expr(f"INTERVAL {gap_minutes} MINUTE")
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    staged = (
+        flagged.withColumn("session_id", F.sum("__new_s").over(cum))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "__start_rn",
+            F.max(F.when(F.col("__new_s") == 1, F.col("__rn"))).over(cum),
+        )
+        .withColumn("__arr", F.collect_list(label_col).over(ctx))
+    )
+    step = F.col("__rn") - F.col("__start_rn") + 1
+    plen = F.least(step - 1, F.lit(max_prefix))
+    return (
+        staged.withColumn("step", step.cast("long"))
+        .filter(F.col("step") >= 2)
+        .select(
+            F.col(user_col),
+            F.col("session_id").cast("long").alias("session_id"),
+            "step",
+            F.concat_ws(
+                "/", F.slice("__arr", F.size("__arr") - plen + 1, plen)
+            ).alias("prefix"),
+            F.col(label_col).alias("label"),
+        )
+    )

@@ -3730,6 +3730,54 @@ def q97(spark, sf_dir):
 
 
 @register(
+    "q98_session_examples",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM seq
+    ), st AS (
+      SELECT *, CAST(SUM(new_s) OVER w AS BIGINT) AS session_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM flagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), ctx AS (
+      SELECT *, MAX(CASE WHEN new_s = 1 THEN rn END) OVER w AS start_rn,
+             list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS arr
+      FROM st
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, session_id,
+           CAST(rn - start_rn + 1 AS BIGINT) AS step,
+           array_to_string(
+             arr[len(arr) - least(rn - start_rn, 8) + 1 : len(arr)], '/')
+             AS prefix,
+           event_type AS label
+    FROM ctx WHERE rn - start_rn + 1 >= 2
+    """,
+    tags=["behavioral dataset construction (session context -> next-event label)"],
+)
+def q98(spark, sf_dir):
+    """Clickstream → supervised training rows: per sessionized user
+    journey, every event past the first becomes a (context, label)
+    example with the last ≤8 in-session actions as context. Single
+    exchange by construction — sessionization, step, and the bounded
+    context frame all share one (user_id)/(ts, event_id) window spec
+    (plan-pinned); the fixed 8-row frame caps per-row state where a
+    running collect_list would grow quadratically on mega-users.
+    operators/curation.session_examples."""
+    e = t(spark, sf_dir, "events")
+    return cur_ops.session_examples(e, max_prefix=8)
+
+
+@register(
     "q89_weighted_sample",
     f"""
     WITH s AS (
@@ -4212,6 +4260,7 @@ _DEMOTED_PAST_WINDOW = [
     "q95_leakage_free_split",
     "q96_best_of_cluster",
     "q97_audio_frames",
+    "q98_session_examples",
 ]
 
 

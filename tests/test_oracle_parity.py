@@ -57,6 +57,7 @@ SF_MED_STRENGTHENED = [
     "q95_leakage_free_split",
     "q96_best_of_cluster",
     "q97_audio_frames",
+    "q98_session_examples",
 ]
 
 

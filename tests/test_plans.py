@@ -607,3 +607,14 @@ def test_perplexity_buckets_sampled_has_no_corpus_window(spark, tmp_path_factory
     with contextlib.redirect_stdout(pe_buf):
         cur.perplexity_buckets(d, "doc_id", "text", "lang").explain("formatted")
     assert "Window" in pe_buf.getvalue()
+
+
+def test_session_examples_single_exchange(spark):
+    """q98's sessionize + step + context windows must share ONE (user_id)
+    hash exchange — deriving step from a second row_number over
+    (user, session) would silently add a composite-key exchange."""
+    p = plan_of(spark, "q98_session_examples")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert p.count("hashpartitioning(user_id") == 1
+    # no composite (user, session) exchange sneaked in
+    assert not re.search(r"hashpartitioning\(user_id#\d+L?, session", p)
