@@ -82,8 +82,10 @@ def write_table(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     sort_within_by: list[str] | None = None,
+    fmt: str = "parquet",
 ) -> int:
-    """S9/S10 — write a table as parquet with the index-emulating layout.
+    """S9/S10 — write a table as parquet (default) or ORC with the
+    index-emulating layout.
 
     ``partition_by`` (typically ["*_taxonid"]) gives partition pruning for
     the per-species query workload; ``sort_within_by`` (typically chr, start)
@@ -91,12 +93,21 @@ def write_table(
     answer range predicates — the Spark analogue of the reference's
     (taxonid, chr, start) B-tree indexes (src/import_genes_exons.py:58-62).
 
+    ``fmt="orc"`` writes ORC instead — same layout semantics (ORC stripe
+    stats play the row-group-stats role, and ORC predicate pushdown is on
+    by default in Spark), for consumers pinned to the Hive/Trino ORC
+    ecosystem. Both formats go through the same Observation row counting
+    and sort/partition layout, so the choice is a storage-format flag,
+    not a different writer path.
+
     Returns the number of rows written, measured by an ``Observation``
     attached to the write job itself — NOT a second ``df.count()`` action,
     which would recompute the whole loader DAG (at 100 TB, doubling build
     cost). In append mode this is exactly the rows added by THIS call,
     which a read-back count could not distinguish.
     """
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported table format {fmt!r} (parquet|orc)")
     obs = Observation()
     df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     if sort_within_by:
@@ -104,7 +115,7 @@ def write_table(
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    writer.format(fmt).save(path)
     return int(obs.get["rows"])
 
 
