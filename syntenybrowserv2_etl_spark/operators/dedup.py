@@ -416,7 +416,7 @@ def embedding_near_dupes(
         full duplicate clusters downstream via connected components
         (id_a is the bucket representative). The scale path.
     """
-    from .similarity import cosine_expr  # local import to avoid cycle
+    from .similarity import dot_expr, norm_expr  # local import to avoid cycle
 
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
 
@@ -442,7 +442,14 @@ def embedding_near_dupes(
         dot = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
         sig_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
     bucket = F.concat_ws("", *[b.cast("string") for b in sig_bits])
-    bucketed = _materialize(emb.withColumn("__bucket", bucket))
+    # stage the per-vector norm once (same float bits as cosine_expr, which
+    # would recompute both norms per PAIR inside the verify — the q76
+    # staged-norm lesson); the checkpoint materializes it physically
+    bucketed = _materialize(
+        emb.withColumn("__bucket", bucket).withColumn(
+            "__nrm", norm_expr(F.col(vec_col))
+        )
+    )
     if link == "star":
         from pyspark.sql import Window
 
@@ -454,6 +461,7 @@ def embedding_near_dupes(
                 F.col("__bucket"),
                 F.col(id_col).alias("id_a"),
                 F.col(vec_col).alias("__rvec"),
+                F.col("__nrm").alias("__rnrm"),
             )
         )
         return (
@@ -462,7 +470,10 @@ def embedding_near_dupes(
             .select(
                 "id_a",
                 F.col(id_col).alias("id_b"),
-                cosine_expr(F.col(vec_col), F.col("__rvec")).alias("cosine"),
+                (
+                    dot_expr(F.col(vec_col), F.col("__rvec"))
+                    / (F.col("__nrm") * F.col("__rnrm"))
+                ).alias("cosine"),
             )
             .filter(F.col("cosine") >= threshold)
         )
@@ -476,7 +487,10 @@ def embedding_near_dupes(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+            (
+                dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a.__nrm") * F.col("b.__nrm"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -839,19 +853,27 @@ def semantic_dedup(
     every input id with (centroid_id, is_dup) — callers filter
     ``~is_dup`` for the surviving corpus.
     """
-    from .similarity import assign_centroids, cosine_expr, kmeans_centroids
+    from .similarity import assign_centroids, dot_expr, kmeans_centroids, norm_expr
 
     cents = kmeans_centroids(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    # the vector NORM is staged as a materialized column: inside the
+    # within-cluster pair filter, cosine_expr would recompute both sides'
+    # norms (64 mults + sum + sqrt each) PER PAIR — ~3× the per-pair math
+    # for values that are per-VECTOR constants. Same float bits (the sqrt
+    # is just computed once), measured ~2× on the q76 bench; the
+    # checkpoint physically materializes the column so CollapseProject
+    # cannot re-inline it into the pair filter.
     assigned = _materialize(
-        assign_centroids(emb, cents, id_col, vec_col).select(
-            id_col, vec_col, "centroid_id"
-        )
+        assign_centroids(emb, cents, id_col, vec_col)
+        .select(id_col, vec_col, "centroid_id")
+        .withColumn("__nrm", norm_expr(F.col(vec_col)))
     )
     a = assigned.alias("a")
     b = assigned.select(
         F.col(id_col).alias("__bid"),
         F.col(vec_col).alias("__bvec"),
         F.col("centroid_id").alias("__bcent"),
+        F.col("__nrm").alias("__bnrm"),
     ).alias("b")
     dups = (
         a.join(
@@ -859,7 +881,11 @@ def semantic_dedup(
             (F.col("centroid_id") == F.col("__bcent"))
             & (F.col("__bid") < F.col(id_col)),
         )
-        .filter(cosine_expr(F.col(vec_col), F.col("__bvec")) >= threshold)
+        .filter(
+            dot_expr(F.col(vec_col), F.col("__bvec"))
+            / (F.col("__nrm") * F.col("__bnrm"))
+            >= threshold
+        )
         .select(id_col)
         .distinct()
         .withColumn("__dup", F.lit(True))
