@@ -98,12 +98,21 @@ def assign_centroids(
     partitioned by centroid_id then gives physical partition pruning for
     probes.
     """
+    # norms are staged OUT of the argmax lambda: HOF lambdas re-evaluate
+    # per element with no CSE (the engine-wide staging discipline), so the
+    # inlined cosine_expr would recompute the ROW's norm once per centroid
+    # and each centroid's norm once per row. The centroid norm rides the
+    # broadcast struct; the row norm is a staged column consumed twice in
+    # the final projection (which is what keeps CollapseProject from
+    # re-inlining it into the lambda). Same float bits as cosine_expr —
+    # the identical sqrt, computed once.
     cent_arr = F.broadcast(
         centroids.agg(
             F.collect_list(
                 F.struct(
                     F.col(centroid_id_col).alias("id"),
                     F.col(centroid_vec_col).alias("vec"),
+                    norm_expr(F.col(centroid_vec_col)).alias("nrm"),
                 )
             ).alias("__cents")
         )
@@ -112,15 +121,25 @@ def assign_centroids(
         F.transform(
             F.col("__cents"),
             lambda c: F.struct(
-                cosine_expr(F.col(vec_col), c["vec"]).alias("sim"),
+                (
+                    dot_expr(F.col(vec_col), c["vec"])
+                    / (F.col("__vnrm") * c["nrm"])
+                ).alias("sim"),
                 (-c["id"]).alias("negid"),
             ),
         )
     )
     return (
-        corpus.crossJoin(cent_arr)
-        .withColumn(centroid_id_col, -best["negid"])
-        .drop("__cents")
+        corpus.withColumn("__vnrm", norm_expr(F.col(vec_col)))
+        .crossJoin(cent_arr)
+        .withColumn(
+            centroid_id_col,
+            # second __vnrm reference (NaN guard on the zero vector — the
+            # same NaN cosine_expr would produce) doubles as the
+            # anti-re-inline consumption
+            F.when(F.col("__vnrm").isNotNull(), -best["negid"]),
+        )
+        .drop("__cents", "__vnrm")
     )
 
 
