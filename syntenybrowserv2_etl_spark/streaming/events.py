@@ -451,6 +451,7 @@ def bloom_ingest_stream(
     query_name: str = "bloom_ingest",
     pair_table: str | None = None,
     num_buckets: int = 16,
+    checkpoint: str | None = None,
 ):
     """Continuous corpus ingestion with INCREMENTAL bloom dedup — the
     streaming twin of operators/dedup.bloom_incremental_dedup, maintaining
@@ -504,13 +505,17 @@ def bloom_ingest_stream(
             num_buckets=num_buckets,
         )
 
-    return (
+    writer = (
         stream_df.writeStream.foreachBatch(ingest)
         .outputMode("append")
         .queryName(query_name)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint is not None:
+        # durable batch-id resume across restarts — what keys the
+        # _batches replay guard (see scd2_apply_stream)
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
 
 
 def funnel_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -612,32 +617,43 @@ def scd2_apply_stream(
     ts_col: str = "ts",
     ord_col: str = "event_id",
     query_name: str = "scd2_apply",
+    n_open_buckets: int = 64,
+    checkpoint: str | None = None,
 ):
     """Streaming SCD2 maintenance — the foreachBatch twin of
     operators/scd.apply_scd2, and the MERGE-shaped answer to
     upsert_stream_to_parquet's documented O(table)-per-batch rewrite:
-    history lives split by mutability, so each micro-batch touches only
-    what can change.
+    history lives split by mutability AND by key bucket, so each
+    micro-batch touches only what can change.
 
-      ``hist_path/closed`` — immutable intervals, APPEND-only: a row
-          lands here exactly once, when its interval closes. Never
-          rewritten, never re-read by the apply.
+      ``hist_path/closed`` — immutable intervals, one
+          ``__ingest_batch=<id>`` partition per batch (a replayed batch
+          overwrites ITS OWN partition — idempotent). Never re-read by
+          the apply.
       ``hist_path/open``   — the current open row per key (≤ one row per
-          key), staged-OVERWRITE per batch. This is the only state the
-          merge reads.
+          key), parquet-partitioned by ``__kb = pmod(key,
+          n_open_buckets)``. Per batch only the buckets containing the
+          batch's keys are READ (partition-pruned via the batch's bucket
+          literals) and only those buckets are REWRITTEN (dynamic
+          partition overwrite) — per-batch open-set I/O is
+          O(touched buckets), not O(all keys).
 
-    Per batch: apply_scd2(open-rows snapshot, batch) — closed history is
-    not passed in, so its pass-through branch is empty by construction —
-    then rows whose interval just closed append to ``closed`` and the new
-    open set replaces ``open``. Per-batch cost is O(open set + batch),
-    never O(accumulated history); at scale the open set additionally
-    buckets by key (sources/io.write_bucketed) so the batch join is
-    exchange-free on the corpus side. Read the full history as
-    closed ∪ open (``scd2_read_history``).
+    Per batch: apply_scd2(touched-bucket open rows, batch) — closed
+    history is never passed in, so its pass-through branch is empty by
+    construction — then just-closed intervals land in this batch's
+    ``closed`` partition and the touched buckets' new open rows replace
+    exactly those bucket partitions. A ``_batches/<id>`` marker (written
+    last) skips fully-committed redeliveries; every earlier crash point
+    replays idempotently (both writes target batch-/bucket-scoped
+    partitions). Read the full history as closed ∪ open
+    (``scd2_read_history``).
 
     Ordering contract: batches must replay in event-time order per key
-    (the apply_scd2 append-only CDC contract); the staged-swap write
-    keeps the open set readable mid-overwrite.
+    (the apply_scd2 append-only CDC contract).
+
+    Size ``n_open_buckets`` for the TARGET key cardinality (a few
+    hundred MB of open rows per bucket); the batch's touched-bucket list
+    is batch-bounded by construction, like the bloom confirm's hit keys.
 
     Returns the started StreamingQuery (availableNow trigger).
     """
@@ -647,10 +663,26 @@ def scd2_apply_stream(
         spark = batch_df.sparkSession
         conf = spark._jsc.hadoopConfiguration()
         hpath = spark._jvm.org.apache.hadoop.fs.Path
+        marker_p = hpath(f"{hist_path}/_batches/{batch_id}")
+        fs = marker_p.getFileSystem(conf)
+        if fs.exists(marker_p):
+            return  # fully-committed batch redelivered: skip
+        batch_df = batch_df.localCheckpoint(eager=True)
+        touched = [
+            r["__kb"]
+            for r in batch_df.select(
+                F.pmod(F.col(key_col), F.lit(n_open_buckets)).alias("__kb")
+            )
+            .distinct()
+            .collect()
+        ]
         open_p = hpath(f"{hist_path}/open")
-        fs = open_p.getFileSystem(conf)
-        if fs.exists(open_p):
-            snapshot = spark.read.parquet(f"{hist_path}/open")
+        if fs.exists(open_p) and touched:
+            snapshot = (
+                spark.read.parquet(f"{hist_path}/open")
+                .filter(F.col("__kb").isin(touched))
+                .drop("__kb")
+            )
         else:
             snapshot = spark.createDataFrame(
                 [],
@@ -661,19 +693,31 @@ def scd2_apply_stream(
             snapshot, batch_df, key_col, attr_col, ts_col, ord_col
         ).localCheckpoint(eager=True)
         merged.filter(F.col("valid_to_us").isNotNull()).write.mode(
-            "append"
-        ).parquet(f"{hist_path}/closed")
-        merged.filter(F.col("valid_to_us").isNull()).write.mode(
             "overwrite"
-        ).parquet(f"{hist_path}/open")
+        ).parquet(f"{hist_path}/closed/__ingest_batch={batch_id}")
+        (
+            merged.filter(F.col("valid_to_us").isNull())
+            .withColumn("__kb", F.pmod(F.col(key_col), F.lit(n_open_buckets)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__kb")
+            .parquet(f"{hist_path}/open")
+        )
+        fs.mkdirs(marker_p)
 
-    return (
+    writer = (
         stream_df.writeStream.foreachBatch(apply_batch)
         .outputMode("append")
         .queryName(query_name)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint is not None:
+        # production shape: a durable checkpoint makes batch ids resume
+        # across restarts, which is what keys the _batches replay guard
+        # (without one, a restarted query re-numbers from 0 and the guard
+        # would skip genuinely new batches)
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
 
 
 def scd2_read_history(spark: SparkSession, hist_path: str) -> DataFrame:
@@ -682,10 +726,11 @@ def scd2_read_history(spark: SparkSession, hist_path: str) -> DataFrame:
     conf = spark._jsc.hadoopConfiguration()
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     parts = []
-    for sub in ("closed", "open"):
+    for sub, layout_col in (("closed", "__ingest_batch"), ("open", "__kb")):
         p = hpath(f"{hist_path}/{sub}")
         if p.getFileSystem(conf).exists(p):
-            parts.append(spark.read.parquet(f"{hist_path}/{sub}"))
+            df = spark.read.parquet(f"{hist_path}/{sub}")
+            parts.append(df.drop(layout_col))  # layout, not data
     if not parts:
         raise ValueError(f"no SCD2 history at {hist_path}")
     out = parts[0]

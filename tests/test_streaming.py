@@ -503,6 +503,9 @@ def test_scd2_apply_stream_matches_batch_rebuild(spark, tmp_path_factory):
     # exactly one row per live key
     open_rows = spark.read.parquet(os.path.join(hist, "open"))
     assert open_rows.count() == open_rows.select("user_id").distinct().count() == 3
+    # bucketed layout: the open set is partitioned by key bucket so later
+    # batches rewrite only touched buckets
+    assert "__kb" in open_rows.columns
 
 
 def test_funnel_stream_late_cross_batch_events(spark, tmp_path_factory):
@@ -551,3 +554,52 @@ def test_funnel_stream_late_cross_batch_events(spark, tmp_path_factory):
     # despite the click arriving a batch before the view
     # user 43: click(8:30) precedes view(9:00) -> stage 1 only
     assert final == {42: 3, 43: 1}
+
+
+def test_scd2_apply_stream_rewrites_only_touched_buckets(spark, tmp_path_factory):
+    """The open set is partitioned by key bucket: a batch touching one key
+    must rewrite ONLY that key's bucket partition (dynamic partition
+    overwrite) — untouched buckets' files stay physically identical, and
+    a redelivered batch is skipped via its marker."""
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 3, 1)
+    tmp = str(tmp_path_factory.mktemp("scd2_buckets"))
+    src, hist = os.path.join(tmp, "src"), os.path.join(tmp, "hist")
+    os.makedirs(src)
+    schema = "event_id bigint, ts timestamp, user_id bigint, k bigint"
+    mk = lambda rows: spark.createDataFrame(
+        [(e, base + _dt.timedelta(minutes=m), u, k) for e, m, u, k in rows], schema
+    )
+
+    def run(rows, i):
+        mk(rows).coalesce(1).write.mode("append").parquet(src)
+        newest = max(glob.glob(os.path.join(src, "*.parquet")), key=os.path.getmtime)
+        os.utime(newest, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 10)
+            .parquet(src)
+        )
+        q = stream_ops.scd2_apply_stream(
+            stream, hist, checkpoint=os.path.join(tmp, "ckpt")
+        )
+        q.awaitTermination(120)
+
+    run([(1, 0, 1, 5), (2, 0, 2, 8), (3, 0, 3, 9)], 0)  # buckets 1, 2, 3
+    files_before = {
+        kb: sorted(glob.glob(os.path.join(hist, "open", f"__kb={kb}", "*")))
+        for kb in (2, 3)
+    }
+    run([(4, 10, 1, 7)], 1)  # touches ONLY user 1 -> bucket 1
+    files_after = {
+        kb: sorted(glob.glob(os.path.join(hist, "open", f"__kb={kb}", "*")))
+        for kb in (2, 3)
+    }
+    assert files_before == files_after  # untouched buckets not rewritten
+    hist_df = stream_ops.scd2_read_history(spark, hist)
+    got = {(r["user_id"], r["k"], r["valid_to_us"] is None) for r in hist_df.collect()}
+    assert (1, 5, False) in got and (1, 7, True) in got
+    assert (2, 8, True) in got and (3, 9, True) in got
+    # replay guard: both batch markers exist
+    assert sorted(os.listdir(os.path.join(hist, "_batches"))) == ["0", "1"]
