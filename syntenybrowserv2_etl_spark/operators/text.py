@@ -590,14 +590,22 @@ def tfidf_top_terms(
         .agg(F.count_distinct(F.col(id_col)).alias("df"))
         .filter(F.col("df") >= min_df)
     )
-    n_docs = tok.select(id_col).distinct().count()  # scalar, driver-held
-    scored = tf.join(dft, "__term").withColumn(
-        "score",
-        F.round(
-            F.col("tf")
-            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
-            6,
-        ),
+    # N stays a lazy one-row broadcast (not a driver .count()): the whole
+    # operator remains a single action with no extra job per call
+    n_docs = F.broadcast(
+        tok.select(F.count_distinct(F.col(id_col)).alias("__N"))
+    )
+    scored = (
+        tf.join(dft, "__term")
+        .crossJoin(n_docs)
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__N") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("__term").asc()

@@ -406,13 +406,16 @@ def test_semantic_dedup_no_allpairs_and_no_corpus_shuffle_for_assignment(spark):
 
 def test_tfidf_topk_uses_window_group_limit(spark):
     """q77: the per-doc top-k must plan as WindowGroupLimit (rank<=k pruned
-    before the exchange) and the df-table join back onto tf must never be
-    a cartesian stage."""
+    before the exchange); the df-table join back onto tf must never be a
+    cartesian stage; the only nested-loop join is the ONE-ROW broadcast
+    corpus-N stats row (the bounded bm25/q78 pattern — round 7 made N a
+    lazy broadcast instead of a driver-held .count() scalar, removing an
+    extra job per call)."""
     df = q.REGISTRY["q77_tfidf_terms"].spark_fn(spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 1  # the 1-row N stats side
 
 
 def test_bm25_single_scan_no_explode_shuffle(spark):
