@@ -609,6 +609,69 @@ def funnel_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def scd2_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    hist_path: str,
+    key_col: str = "user_id",
+    attr_col: str = "k",
+    ts_col: str = "ts",
+    ord_col: str = "event_id",
+    n_open_buckets: int = 64,
+) -> None:
+    """One micro-batch of streaming SCD2 maintenance (the foreachBatch
+    body of scd2_apply_stream, module-level so tests and the scale
+    harness can drive batches directly). Layout, idempotency, and cost
+    contracts are documented on scd2_apply_stream."""
+    from ..operators import scd as scd_ops
+
+    spark = batch_df.sparkSession
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    marker_p = hpath(f"{hist_path}/_batches/{batch_id}")
+    fs = marker_p.getFileSystem(conf)
+    if fs.exists(marker_p):
+        return  # fully-committed batch redelivered: skip
+    batch_df = batch_df.localCheckpoint(eager=True)
+    touched = [
+        r["__kb"]
+        for r in batch_df.select(
+            F.pmod(F.col(key_col), F.lit(n_open_buckets)).alias("__kb")
+        )
+        .distinct()
+        .collect()
+    ]
+    open_p = hpath(f"{hist_path}/open")
+    if fs.exists(open_p) and touched:
+        snapshot = (
+            spark.read.parquet(f"{hist_path}/open")
+            .filter(F.col("__kb").isin(touched))
+            .drop("__kb")
+        )
+    else:
+        snapshot = spark.createDataFrame(
+            [],
+            f"{key_col} bigint, {attr_col} bigint, "
+            "valid_from_us bigint, valid_to_us bigint",
+        )
+    merged = scd_ops.apply_scd2(
+        snapshot, batch_df, key_col, attr_col, ts_col, ord_col
+    ).localCheckpoint(eager=True)
+    merged.filter(F.col("valid_to_us").isNotNull()).write.mode(
+        "overwrite"
+    ).parquet(f"{hist_path}/closed/__ingest_batch={batch_id}")
+    (
+        merged.filter(F.col("valid_to_us").isNull())
+        .withColumn("__kb", F.pmod(F.col(key_col), F.lit(n_open_buckets)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__kb")
+        .parquet(f"{hist_path}/open")
+    )
+    fs.mkdirs(marker_p)
+
+
 def scd2_apply_stream(
     stream_df: DataFrame,
     hist_path: str,
@@ -657,53 +720,17 @@ def scd2_apply_stream(
 
     Returns the started StreamingQuery (availableNow trigger).
     """
-    from ..operators import scd as scd_ops
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        conf = spark._jsc.hadoopConfiguration()
-        hpath = spark._jvm.org.apache.hadoop.fs.Path
-        marker_p = hpath(f"{hist_path}/_batches/{batch_id}")
-        fs = marker_p.getFileSystem(conf)
-        if fs.exists(marker_p):
-            return  # fully-committed batch redelivered: skip
-        batch_df = batch_df.localCheckpoint(eager=True)
-        touched = [
-            r["__kb"]
-            for r in batch_df.select(
-                F.pmod(F.col(key_col), F.lit(n_open_buckets)).alias("__kb")
-            )
-            .distinct()
-            .collect()
-        ]
-        open_p = hpath(f"{hist_path}/open")
-        if fs.exists(open_p) and touched:
-            snapshot = (
-                spark.read.parquet(f"{hist_path}/open")
-                .filter(F.col("__kb").isin(touched))
-                .drop("__kb")
-            )
-        else:
-            snapshot = spark.createDataFrame(
-                [],
-                f"{key_col} bigint, {attr_col} bigint, "
-                "valid_from_us bigint, valid_to_us bigint",
-            )
-        merged = scd_ops.apply_scd2(
-            snapshot, batch_df, key_col, attr_col, ts_col, ord_col
-        ).localCheckpoint(eager=True)
-        merged.filter(F.col("valid_to_us").isNotNull()).write.mode(
-            "overwrite"
-        ).parquet(f"{hist_path}/closed/__ingest_batch={batch_id}")
-        (
-            merged.filter(F.col("valid_to_us").isNull())
-            .withColumn("__kb", F.pmod(F.col(key_col), F.lit(n_open_buckets)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__kb")
-            .parquet(f"{hist_path}/open")
+        scd2_apply_batch(
+            batch_df,
+            batch_id,
+            hist_path=hist_path,
+            key_col=key_col,
+            attr_col=attr_col,
+            ts_col=ts_col,
+            ord_col=ord_col,
+            n_open_buckets=n_open_buckets,
         )
-        fs.mkdirs(marker_p)
 
     writer = (
         stream_df.writeStream.foreachBatch(apply_batch)

@@ -100,7 +100,7 @@ KNOWN_OPS = frozenset({
     "semantic_dedup", "tfidf_top_terms", "bm25_rank", "cap_per_group",
     "perplexity_buckets", "dsir_importance", "pq_encode_adc",
     "setsim_prefix", "streaming_confirm", "ivf_probe_indexed",
-    "perplexity_buckets_sampled", "pagerank_skew",
+    "perplexity_buckets_sampled", "pagerank_skew", "scd2_apply",
 })
 
 
@@ -449,6 +449,60 @@ def main():
 
         if only is None or "pagerank_skew" in only:
             _pagerank_skew()
+
+        # round 7: streaming SCD2 per-batch apply against a GROWING
+        # accumulated history — must stay ~flat: the open set is
+        # bucket-partitioned, so a fixed-size batch prunes its read to
+        # the touched buckets and rewrites only those, regardless of how
+        # much closed history has accumulated. History build is untimed
+        # (it is the amortized past); only one apply batch is timed.
+        def _scd2_apply():
+            import datetime as _dt
+
+            from syntenybrowserv2_etl_spark.operators import scd as scd_ops
+            from syntenybrowserv2_etl_spark.streaming import events as se
+
+            hist = f"{SCRATCH}/scd2_hist_x{f}"
+            shutil.rmtree(hist, ignore_errors=True)
+            n_users = 2000 * f
+            base_us = 1_700_000_000_000_000
+            # 10 changes per user -> accumulated history ~20k*f intervals
+            ev = (
+                spark.range(n_users * 10)
+                .select(
+                    F.col("id").alias("event_id"),
+                    F.timestamp_micros(
+                        F.lit(base_us) + (F.col("id") / n_users).cast("long") * 60_000_000
+                    ).alias("ts"),
+                    (F.col("id") % n_users).alias("user_id"),
+                    (F.col("id") % 7).alias("k"),
+                )
+            )
+            hist_df = scd_ops.scd2_history(ev).localCheckpoint(eager=True)
+            hist_df.filter(F.col("valid_to_us").isNotNull()).write.mode(
+                "overwrite"
+            ).parquet(f"{hist}/closed/__ingest_batch=0")
+            (
+                hist_df.filter(F.col("valid_to_us").isNull())
+                .withColumn("__kb", F.pmod(F.col("user_id"), F.lit(64)))
+                .write.mode("overwrite")
+                .partitionBy("__kb")
+                .parquet(f"{hist}/open")
+            )
+            batch = spark.range(500).select(
+                (F.col("id") + n_users * 10).alias("event_id"),
+                F.timestamp_micros(
+                    F.lit(base_us) + F.lit(11 * 60_000_000) + F.col("id")
+                ).alias("ts"),
+                (F.col("id") * 37 % n_users).alias("user_id"),
+                (F.col("id") % 5 + 10).alias("k"),
+            ).localCheckpoint(eager=True)
+            r["scd2_apply"] = timed(
+                lambda: se.scd2_apply_batch(batch, 1, hist_path=hist)
+            )
+
+        if only is None or "scd2_apply" in only:
+            _scd2_apply()
 
         results.append(r)
         print(json.dumps(r), flush=True)
