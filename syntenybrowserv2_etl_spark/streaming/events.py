@@ -394,6 +394,15 @@ def bloom_ingest_batch(
     )
     sk_p = hpath(sketch_path)
     sketch = spark.read.parquet(sketch_path) if fs.exists(sk_p) else None
+    if sketch is None and spark.catalog.tableExists(pair_table):
+        # crash-recovery: the staged sketch overwrite died mid-swap (or the
+        # sketch was deleted) while the pair table survived. Without this,
+        # the next merge would seed a FRESH sketch from this batch alone —
+        # every older survivor's words silently gone, i.e. future batches
+        # stop deduping against the old corpus. One scan of the pair table
+        # rebuilds it (the documented rebuild path).
+        stored = spark.table(pair_table).select("__h1", "__h2").distinct()
+        sketch = dd.bloom_word_rows(stored, m, k).localCheckpoint(eager=True)
     pairs = b.filter(F.col("__h1").isNotNull()).select("__h1", "__h2").distinct()
     if sketch is not None and spark.catalog.tableExists(pair_table):
         hits = dd.bloom_probe(sketch, pairs, m, k).localCheckpoint(eager=True)
@@ -644,11 +653,20 @@ def scd2_apply_batch(
     ]
     open_p = hpath(f"{hist_path}/open")
     if fs.exists(open_p) and touched:
-        snapshot = (
-            spark.read.parquet(f"{hist_path}/open")
-            .filter(F.col("__kb").isin(touched))
-            .drop("__kb")
+        raw = spark.read.parquet(f"{hist_path}/open").filter(
+            F.col("__kb").isin(touched)
         )
+        # replay-after-crash detection: open rows carry the batch id that
+        # last rewrote them (__b). The write order is closed → open →
+        # marker, so if THIS batch's id is already visible in the touched
+        # buckets, both data writes committed and only the marker was
+        # lost — re-deriving the merge from the POST-state would corrupt
+        # intervals (the batch's first change would close the already-
+        # advanced open row backwards in time). Finish the commit instead.
+        if raw.filter(F.col("__b") == batch_id).limit(1).count() > 0:
+            fs.mkdirs(marker_p)
+            return
+        snapshot = raw.drop("__kb", "__b")
     else:
         snapshot = spark.createDataFrame(
             [],
@@ -663,6 +681,7 @@ def scd2_apply_batch(
     ).parquet(f"{hist_path}/closed/__ingest_batch={batch_id}")
     (
         merged.filter(F.col("valid_to_us").isNull())
+        .withColumn("__b", F.lit(batch_id).cast("long"))
         .withColumn("__kb", F.pmod(F.col(key_col), F.lit(n_open_buckets)))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -753,11 +772,14 @@ def scd2_read_history(spark: SparkSession, hist_path: str) -> DataFrame:
     conf = spark._jsc.hadoopConfiguration()
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     parts = []
-    for sub, layout_col in (("closed", "__ingest_batch"), ("open", "__kb")):
+    for sub, layout_cols in (
+        ("closed", ("__ingest_batch",)),
+        ("open", ("__kb", "__b")),
+    ):
         p = hpath(f"{hist_path}/{sub}")
         if p.getFileSystem(conf).exists(p):
             df = spark.read.parquet(f"{hist_path}/{sub}")
-            parts.append(df.drop(layout_col))  # layout, not data
+            parts.append(df.drop(*layout_cols))  # layout/provenance, not data
     if not parts:
         raise ValueError(f"no SCD2 history at {hist_path}")
     out = parts[0]

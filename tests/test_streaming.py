@@ -603,3 +603,66 @@ def test_scd2_apply_stream_rewrites_only_touched_buckets(spark, tmp_path_factory
     assert (2, 8, True) in got and (3, 9, True) in got
     # replay guard: both batch markers exist
     assert sorted(os.listdir(os.path.join(hist, "_batches"))) == ["0", "1"]
+
+
+def test_bloom_ingest_sketch_rebuilds_from_pair_table(spark, tmp_path_factory):
+    """Crash-recovery: if the sketch vanishes (died mid-staged-swap) while
+    the pair table survived, the next batch must REBUILD it from the
+    stored pairs — not seed a fresh sketch from itself, which would stop
+    deduping against every older survivor."""
+    import shutil
+
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    base = str(tmp_path_factory.mktemp("bloom_rebuild"))
+    out, sketch = os.path.join(base, "corpus"), os.path.join(base, "sketch")
+    m, k = dd.bloom_params(1000, 0.01)
+    table = "t_bloom_rebuild_pairs"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    cfg = dict(
+        id_col="doc_id", text_col="text", out_path=out, sketch_path=sketch,
+        pair_table=table, m=m, k=k,
+    )
+    stream_ops.bloom_ingest_batch(
+        spark.createDataFrame([(1, "aaa"), (2, "bbb")], ["doc_id", "text"]), 0, **cfg
+    )
+    shutil.rmtree(sketch)  # simulated mid-swap crash
+    stream_ops.bloom_ingest_batch(
+        spark.createDataFrame([(3, "aaa"), (4, "ccc")], ["doc_id", "text"]), 1, **cfg
+    )
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert got == [1, 2, 4]  # doc 3 still recognized as a dup of doc 1
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_scd2_apply_batch_replay_after_open_write_crash(spark, tmp_path_factory):
+    """The nastiest crash window: both data writes committed but the
+    marker was lost. A naive replay would merge the batch against the
+    POST-state (its first change closing the already-advanced open row
+    BACKWARDS in time); the __b provenance check must instead detect the
+    completed commit and only restore the marker."""
+    import datetime as _dt
+    import shutil
+
+    base = _dt.datetime(2024, 3, 1)
+    tmp = str(tmp_path_factory.mktemp("scd2_crash"))
+    hist = os.path.join(tmp, "hist")
+    schema = "event_id bigint, ts timestamp, user_id bigint, k bigint"
+    mk = lambda rows: spark.createDataFrame(
+        [(e, base + _dt.timedelta(minutes=m), u, k) for e, m, u, k in rows], schema
+    )
+    stream_ops.scd2_apply_batch(mk([(1, 0, 1, 5)]), 0, hist_path=hist)
+    stream_ops.scd2_apply_batch(mk([(2, 10, 1, 7)]), 1, hist_path=hist)
+    want = {
+        tuple(r) for r in stream_ops.scd2_read_history(spark, hist).collect()
+    }
+    # crash simulation: marker for batch 1 lost AFTER both writes committed
+    shutil.rmtree(os.path.join(hist, "_batches", "1"))
+    stream_ops.scd2_apply_batch(mk([(2, 10, 1, 7)]), 1, hist_path=hist)
+    got = {
+        tuple(r) for r in stream_ops.scd2_read_history(spark, hist).collect()
+    }
+    assert got == want and len(want) == 2
+    assert os.path.isdir(os.path.join(hist, "_batches", "1"))  # marker restored
