@@ -1042,9 +1042,12 @@ def keep_best_representative(
     full LSH → exact-verify → connected-components pipeline
     (dedup_corpus); the selection is one window over the cluster key with
     (quality desc, id asc) order — deterministic under ties. The rank-1
-    filter plans as WindowGroupLimit, so map tasks pre-prune to one
-    candidate per cluster before the exchange; cluster_size rides the
-    same single shuffle.
+    filter plans as WindowGroupLimit (plan-pinned), so map tasks pre-prune
+    to one candidate per cluster BEFORE the exchange; cluster_size comes
+    from a partial-aggregated groupBy on the SAME key, deliberately NOT a
+    count() over the window — a full-partition window function in the
+    same spec disables the group-limit pruning, putting every cluster
+    member back on the exchange.
 
     Output: one row per cluster — (id, cluster_rep, cluster_size,
     quality), the surviving document and how many it speaks for (the
@@ -1052,16 +1055,18 @@ def keep_best_representative(
     """
     from pyspark.sql import Window
 
-    clusters = dedup_corpus(df, id_col, text_col, **dedup_kwargs)
+    clusters = _materialize(dedup_corpus(df, id_col, text_col, **dedup_kwargs))
     scored = df.select(F.col(id_col), quality.alias("quality"))
     j = clusters.join(scored, id_col)
     w = Window.partitionBy("cluster_rep").orderBy(
         F.col("quality").desc(), F.col(id_col).asc()
     )
-    wc = Window.partitionBy("cluster_rep")
+    sizes = clusters.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
     return (
         j.withColumn("__rn", F.row_number().over(w))
-        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
         .filter(F.col("__rn") == 1)
+        .join(sizes, "cluster_rep")
         .select(id_col, "cluster_rep", "cluster_size", "quality")
     )

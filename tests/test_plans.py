@@ -621,3 +621,12 @@ def test_session_examples_single_exchange(spark):
     assert p.count("hashpartitioning(user_id") == 1
     # no composite (user, session) exchange sneaked in
     assert not re.search(r"hashpartitioning\(user_id#\d+L?, session", p)
+
+
+def test_keep_best_representative_group_limits(spark):
+    """q96's per-cluster top-1 must plan as WindowGroupLimit — map tasks
+    pre-prune to one candidate per cluster before the exchange. A
+    full-partition count() in the same window spec would disable the
+    pruning (the bug this pin caught)."""
+    p = plan_of(spark, "q96_best_of_cluster")
+    assert "WindowGroupLimit" in p
