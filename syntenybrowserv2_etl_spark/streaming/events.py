@@ -497,8 +497,16 @@ def bloom_ingest_stream(
     conf = spark._jsc.hadoopConfiguration()
     out_p = spark._jvm.org.apache.hadoop.fs.Path(out_path)
     fs = out_p.getFileSystem(conf)
-    if not fs.exists(out_p) and spark.catalog.tableExists(pair_table):
-        spark.sql(f"DROP TABLE `{pair_table}`")
+    if not fs.exists(out_p):
+        # fresh corpus: every piece of leftover state from an earlier
+        # corpus must go — a stale sketch folded forward would inflate
+        # false-positive probe rates forever (results stay correct via
+        # the exact confirm, but every batch pays extra bucket reads)
+        if spark.catalog.tableExists(pair_table):
+            spark.sql(f"DROP TABLE `{pair_table}`")
+        sk_p = spark._jvm.org.apache.hadoop.fs.Path(sketch_path)
+        if fs.exists(sk_p):
+            fs.delete(sk_p, True)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         bloom_ingest_batch(
@@ -618,6 +626,20 @@ def funnel_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def _kb_expr(df: DataFrame, key_col: str, n_buckets: int):
+    """Open-set bucket id for a key column. Integral keys keep the
+    original pmod(key, n) layout (stable across releases for existing
+    histories); any other type (string dimension keys, decimals) routes
+    through a 32-bit hash first — pmod needs a numeric and a raw cast
+    would collide all non-numeric strings onto NULL."""
+    from pyspark.sql.types import IntegralType
+
+    key = F.col(key_col)
+    if not isinstance(df.schema[key_col].dataType, IntegralType):
+        key = F.abs(F.hash(key))
+    return F.pmod(key, F.lit(n_buckets))
+
+
 def scd2_apply_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -643,34 +665,77 @@ def scd2_apply_batch(
     if fs.exists(marker_p):
         return  # fully-committed batch redelivered: skip
     batch_df = batch_df.localCheckpoint(eager=True)
+    kb = _kb_expr(batch_df, key_col, n_open_buckets)
     touched = [
         r["__kb"]
-        for r in batch_df.select(
-            F.pmod(F.col(key_col), F.lit(n_open_buckets)).alias("__kb")
-        )
-        .distinct()
-        .collect()
+        for r in batch_df.select(kb.alias("__kb")).distinct().collect()
     ]
+
+    def write_open(df: DataFrame) -> None:
+        (
+            df.filter(F.col("valid_to_us").isNull())
+            .withColumn("__b", F.lit(batch_id).cast("long"))
+            .withColumn("__kb", kb)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__kb")
+            .parquet(f"{hist_path}/open")
+        )
+
     open_p = hpath(f"{hist_path}/open")
     if fs.exists(open_p) and touched:
         raw = spark.read.parquet(f"{hist_path}/open").filter(
             F.col("__kb").isin(touched)
         )
-        # replay-after-crash detection: open rows carry the batch id that
+        # Replay-after-crash detection: open rows carry the batch id that
         # last rewrote them (__b). The write order is closed → open →
-        # marker, so if THIS batch's id is already visible in the touched
-        # buckets, both data writes committed and only the marker was
-        # lost — re-deriving the merge from the POST-state would corrupt
-        # intervals (the batch's first change would close the already-
-        # advanced open row backwards in time). Finish the commit instead.
-        if raw.filter(F.col("__b") == batch_id).limit(1).count() > 0:
+        # marker, and every touched bucket necessarily receives batch
+        # open rows (each batch key's last change leaves an open row), so
+        # __b == batch_id in a bucket means that bucket's open rewrite
+        # committed — and the closed write (which completes before the
+        # open job starts) committed fully. Dynamic partition overwrite
+        # is NOT atomic across partitions, so a crash mid job-commit can
+        # leave SOME touched buckets rewritten and others stale; treating
+        # any-bucket-committed as done would freeze the stale buckets'
+        # pre-state open rows next to their already-written closed
+        # intervals forever. Per-bucket resolution instead: committed
+        # buckets are final, stale buckets get the merge re-run from
+        # their (unchanged) pre-state restricted to their keys — the
+        # inputs are identical to the first attempt's, so the rewrite is
+        # deterministic and the closed partition needs no touch-up.
+        committed = {
+            r["__kb"]
+            for r in raw.filter(F.col("__b") == batch_id)
+            .select("__kb")
+            .distinct()
+            .collect()
+        }
+        if committed:
+            stale = [b for b in touched if b not in committed]
+            if stale:
+                snapshot = raw.filter(F.col("__kb").isin(stale)).drop(
+                    "__kb", "__b"
+                )
+                redo = scd_ops.apply_scd2(
+                    snapshot,
+                    batch_df.filter(kb.isin(stale)),
+                    key_col,
+                    attr_col,
+                    ts_col,
+                    ord_col,
+                ).localCheckpoint(eager=True)
+                write_open(redo)
             fs.mkdirs(marker_p)
             return
         snapshot = raw.drop("__kb", "__b")
     else:
+        # empty history: the snapshot's key/attr types must match the
+        # batch's (string dimension keys are legal), only the interval
+        # bounds are fixed epoch-µs
+        fields = {f.name: f.dataType.simpleString() for f in batch_df.schema}
         snapshot = spark.createDataFrame(
             [],
-            f"{key_col} bigint, {attr_col} bigint, "
+            f"{key_col} {fields[key_col]}, {attr_col} {fields[attr_col]}, "
             "valid_from_us bigint, valid_to_us bigint",
         )
     merged = scd_ops.apply_scd2(
@@ -679,15 +744,7 @@ def scd2_apply_batch(
     merged.filter(F.col("valid_to_us").isNotNull()).write.mode(
         "overwrite"
     ).parquet(f"{hist_path}/closed/__ingest_batch={batch_id}")
-    (
-        merged.filter(F.col("valid_to_us").isNull())
-        .withColumn("__b", F.lit(batch_id).cast("long"))
-        .withColumn("__kb", F.pmod(F.col(key_col), F.lit(n_open_buckets)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__kb")
-        .parquet(f"{hist_path}/open")
-    )
+    write_open(merged)
     fs.mkdirs(marker_p)
 
 

@@ -666,3 +666,112 @@ def test_scd2_apply_batch_replay_after_open_write_crash(spark, tmp_path_factory)
     }
     assert got == want and len(want) == 2
     assert os.path.isdir(os.path.join(hist, "_batches", "1"))  # marker restored
+
+
+def test_scd2_apply_batch_replay_after_partial_open_commit(
+    spark, tmp_path_factory
+):
+    """Dynamic partition overwrite is not atomic across partitions: a
+    crash mid job-commit can leave SOME touched open buckets rewritten
+    (__b == batch_id) and others at their pre-state. The replay guard
+    must resolve per bucket — finalize the committed ones, re-run the
+    merge for the stale ones — never declare the whole batch done off a
+    single committed bucket (which would freeze stale open rows next to
+    their already-written closed intervals forever)."""
+    import datetime as _dtm
+
+    base = _dtm.datetime(2024, 3, 1)
+    tmp = str(tmp_path_factory.mktemp("scd2_partial"))
+    hist = os.path.join(tmp, "hist")
+    schema = "event_id bigint, ts timestamp, user_id bigint, k bigint"
+    mk = lambda rows: spark.createDataFrame(
+        [(e, base + _dtm.timedelta(minutes=m), u, k) for e, m, u, k in rows],
+        schema,
+    )
+    # batch 0 seeds keys 1 and 2 (buckets 1 and 2 under pmod-64 layout)
+    stream_ops.scd2_apply_batch(mk([(1, 0, 1, 5), (2, 0, 2, 6)]), 0, hist_path=hist)
+    pre_b2 = os.path.join(tmp, "pre_kb2")
+    shutil.copytree(os.path.join(hist, "open", "__kb=2"), pre_b2)
+    # batch 1 advances both keys
+    stream_ops.scd2_apply_batch(mk([(3, 10, 1, 7), (4, 10, 2, 8)]), 1, hist_path=hist)
+    want = {
+        tuple(r) for r in stream_ops.scd2_read_history(spark, hist).collect()
+    }
+    assert len(want) == 4  # two closed + two open intervals
+    # crash simulation: bucket 1 committed, bucket 2 rolled back to its
+    # pre-state, marker lost
+    shutil.rmtree(os.path.join(hist, "open", "__kb=2"))
+    shutil.copytree(pre_b2, os.path.join(hist, "open", "__kb=2"))
+    shutil.rmtree(os.path.join(hist, "_batches", "1"))
+    stream_ops.scd2_apply_batch(mk([(3, 10, 1, 7), (4, 10, 2, 8)]), 1, hist_path=hist)
+    got = {
+        tuple(r) for r in stream_ops.scd2_read_history(spark, hist).collect()
+    }
+    assert got == want
+    assert os.path.isdir(os.path.join(hist, "_batches", "1"))
+
+
+def test_scd2_apply_batch_string_keys(spark, tmp_path_factory):
+    """key_col/attr_col are configurable: a string dimension key must work
+    on both the empty-history first batch (snapshot schema derived from
+    the batch, not hardcoded bigint) and the incremental second batch
+    (bucket id routed through hash — pmod can't take a string)."""
+    import datetime as _dtm
+
+    base = _dtm.datetime(2024, 3, 1)
+    tmp = str(tmp_path_factory.mktemp("scd2_str"))
+    hist = os.path.join(tmp, "hist")
+    schema = "event_id bigint, ts timestamp, user_id string, k string"
+    mk = lambda rows: spark.createDataFrame(
+        [(e, base + _dtm.timedelta(minutes=m), u, k) for e, m, u, k in rows],
+        schema,
+    )
+    stream_ops.scd2_apply_batch(mk([(1, 0, "alice", "x")]), 0, hist_path=hist)
+    stream_ops.scd2_apply_batch(mk([(2, 10, "alice", "y")]), 1, hist_path=hist)
+    rows = {
+        (r["user_id"], r["k"], r["valid_to_us"] is None)
+        for r in stream_ops.scd2_read_history(spark, hist).collect()
+    }
+    assert rows == {("alice", "x", False), ("alice", "y", True)}
+
+
+def test_bloom_ingest_stream_fresh_corpus_resets_stale_sketch(
+    spark, tmp_path_factory
+):
+    """A fresh corpus (out_path absent) must drop ALL prior state — the
+    pair table AND the sketch. A stale sketch folded forward would carry
+    the old corpus's bits forever, inflating false-positive probe rates
+    (correctness survives via the exact confirm, but every batch pays
+    extra bucket reads)."""
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    base = str(tmp_path_factory.mktemp("bloom_fresh"))
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "corpus")
+    sketch = os.path.join(base, "sketch")
+    # stale sketch from an "earlier corpus": saturate every word's bits so
+    # a fold-forward would make EVERY probe a bloom hit
+    m, k = dd.bloom_params(1000, 0.01)
+    n_words = (m + 63) // 64
+    spark.createDataFrame(
+        [(w, -1) for w in range(n_words)], "__word int, __bits long"
+    ).write.parquet(sketch)
+    spark.createDataFrame([(1, "aaa"), (2, "bbb")], ["doc_id", "text"]).write.parquet(
+        src
+    )
+    stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+    table = "t_bloom_fresh_pairs"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    q = stream_ops.bloom_ingest_stream(
+        stream, "doc_id", "text", out, sketch,
+        expected_total_rows=1000, pair_table=table,
+    )
+    q.awaitTermination(120)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    } == {1, 2}
+    # the rebuilt sketch reflects ONLY the new corpus: the all-ones rows
+    # are gone (2 docs can't saturate every shard)
+    sk = spark.read.parquet(sketch)
+    assert sk.filter(F.col("__bits") != -1).count() > 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -484,6 +484,7 @@ def main():
             ).parquet(f"{hist}/closed/__ingest_batch=0")
             (
                 hist_df.filter(F.col("valid_to_us").isNull())
+                .withColumn("__b", F.lit(0).cast("long"))
                 .withColumn("__kb", F.pmod(F.col("user_id"), F.lit(64)))
                 .write.mode("overwrite")
                 .partitionBy("__kb")
