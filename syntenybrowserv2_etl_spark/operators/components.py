@@ -128,6 +128,7 @@ def pagerank(
     damping: float = 0.85,
     round_to: int = 8,
     assume_no_dangling: bool = False,
+    broadcast_max_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list — the node-importance
     primitive of corpus curation (CommonCrawl ranks domains by link
@@ -159,52 +160,69 @@ def pagerank(
 
     Output: (node, rank) — one row per node, Σ rank ≈ 1.
     """
-    src_nodes = (
-        edges.select(F.col(src).alias("node"))
-        .distinct()
+    from pyspark.sql import Window
+
+    # The input plan is executed EXACTLY ONCE: out-degree folds into the
+    # edge table via a count-over-src window (one shuffle on src — the
+    # same exchange a groupBy+re-join would pay for its first side, minus
+    # the join and the second scan of the input), and the materialized
+    # result is the single table everything downstream reads. Callers
+    # whose edge list is an expensive derived plan (q85's
+    # join+distinct+union) are not rescanned; a production deployment
+    # pre-partitions/buckets this table by ``__src`` so every round
+    # reuses one layout.
+    wedges = (
+        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+        .withColumn(
+            "__od", F.count(F.lit(1)).over(Window.partitionBy("__src"))
+        )
         .localCheckpoint(eager=True)
     )
+    src_nodes = wedges.select(F.col("__src").alias("node")).distinct()
     # dst-only nodes have no out-edges: their rank teleports uniformly
     # each round instead of silently draining out of the distribution.
     # src_nodes IS the has-out-edges set by construction, so the dangling
-    # set is one dst-distinct anti-join — detected ONCE, and the common
-    # symmetric-feed case (q85) pays neither the per-round mass aggregate
-    # nor a doubled node-distinct (both measured: +70% on the bench when
-    # every round carried the invariantly-zero term).
-    # ``assume_no_dangling=True`` skips the detection scan for callers
+    # set is one dst-distinct anti-join over the MATERIALIZED edge table
+    # — detected ONCE, and the common symmetric-feed case (q85) pays
+    # neither the per-round mass aggregate nor a doubled node-distinct
+    # (both measured: +70% on the bench when every round carried the
+    # invariantly-zero term).
+    # ``assume_no_dangling=True`` skips the detection job for callers
     # whose edge list is all-sources BY CONSTRUCTION (a symmetric feed
-    # like q85's union-with-reverse) — the detection job is correctness
+    # like q85's union-with-reverse) — the detection is correctness
     # insurance, and provably-symmetric callers shouldn't pay it.
     if assume_no_dangling:
         dangling, n_dangling = None, 0
     else:
         dangling = (
-            edges.select(F.col(dst).alias("node"))
+            wedges.select(F.col("__dst").alias("node"))
             .distinct()
             .join(src_nodes, "node", "left_anti")
             .localCheckpoint(eager=True)
         )
         n_dangling = dangling.count()
     has_dangling = n_dangling > 0
+    src_nodes = src_nodes.localCheckpoint(eager=True)
     nodes = src_nodes.unionByName(dangling) if has_dangling else src_nodes
     n_nodes = src_nodes.count() + n_dangling
-    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__od"))
-    # out-degree folds into the edge table ONCE — every round then pays a
-    # single join (ranks ⋈ weighted edges) instead of two; this is also
-    # the table a production deployment pre-partitions/buckets by __src
-    # so the per-round join reuses one layout.
-    wedges = (
-        edges.join(outdeg, src)
-        .select(F.col(src).alias("__src"), F.col(dst).alias("__dst"), "__od")
-        .localCheckpoint(eager=True)
-    )
     base = (F.lit(1.0) - F.lit(damping)) / F.lit(float(n_nodes))
     ranks = nodes.select(
         "node", F.round(F.lit(1.0) / F.lit(float(n_nodes)), round_to).alias("rank")
     ).localCheckpoint(eager=True)
+    # Per-round join strategy: ranks is |nodes|-sized — typically MANY
+    # orders smaller than the edge table (1M-node graph ≈ tens of MB of
+    # (node, rank) rows vs billions of edges). Below the threshold the
+    # round's join BROADCASTS ranks, so the edge table never shuffles:
+    # each round is a map-side hash join over the (once-materialized)
+    # wedges + a partial-aggregated exchange of ≤ |nodes| rows per
+    # partition. Above it (web-scale graphs, 10⁹+ nodes) both sides
+    # shuffle on the node key and the pre-partitioned/bucketed wedges
+    # layout is what keeps the exchange one-sided.
+    bc = n_nodes <= broadcast_max_nodes
     for _ in range(iters):
+        r = F.broadcast(ranks) if bc else ranks
         contribs = (
-            wedges.join(ranks, wedges["__src"] == ranks["node"])
+            wedges.join(r, wedges["__src"] == r["node"])
             .select(
                 F.col("__dst").alias("node"),
                 (F.col("rank") / F.col("__od")).alias("__c"),
@@ -212,7 +230,9 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))
         )
-        updated = nodes.join(contribs, "node", "left")
+        updated = nodes.join(
+            F.broadcast(contribs) if bc else contribs, "node", "left"
+        )
         if has_dangling:
             # one-row dangling-mass aggregate, broadcast into the update
             dmass = F.broadcast(
