@@ -78,6 +78,12 @@ CURATION = [
     "q96_best_of_cluster",
     "q97_audio_frames",
     "q98_session_examples",
+    # round 8 additions
+    "q99_triangle_counts",
+    "q100_gapfill_hourly",
+    "q101_profile_orders",
+    "q102_zorder_key",
+    "q103_zscore_outliers",
 ]
 
 

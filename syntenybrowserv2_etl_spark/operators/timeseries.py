@@ -1,0 +1,136 @@
+"""Time-series shaping: gap-filled downsampling and statistical outlier
+flagging over the event stream.
+
+The reference's event handling stops at per-file aggregation counts
+(src/import_genes.py:138-151 tallies rows per load); a hypertable-style
+analytics engine additionally needs REGULAR time grids — BI layers and
+model-feature pipelines assume every (series, bucket) slot exists, with
+zeros where nothing happened — and basic anomaly gates over those grids.
+
+Both operators keep the corpus on the executor side: the only small
+relation is the per-series [min, max] span (one row per series), and the
+grid itself is generated WHERE THE SERIES LIVES via ``sequence`` +
+``explode`` — never a driver-side date loop, never a cross join against a
+global calendar table (which would fan every series out to the global
+span instead of its own).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def downsample_gapfill(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+    round_to: int = 2,
+) -> DataFrame:
+    """Per-series bucketed rollup with zero-filled gaps: one row for EVERY
+    bucket between each series' first and last event, missing buckets
+    carrying n_events = 0 / sum_value = 0.
+
+    Plan shape: one shuffle aggregates events to (series, bucket) — the
+    partial agg compresses each scan task to its distinct bucket count
+    before the exchange, so the shuffle moves the GRID, not the events.
+    The per-series span is a second aggregate over that (already tiny)
+    grid; ``sequence(min, max, interval 1 bucket)`` explodes the dense
+    spine series-locally, and the spine left-joins the sparse grid back
+    on (series, bucket). Both join sides are grid-sized — at 100 TB of
+    events the grid is |series| × |span buckets| rows (metadata-scale
+    unless the series key is high-cardinality, in which case the join
+    keys are already co-partitioned from the same exchange).
+
+    Buckets emit as epoch-µs (the q21 timestamp-representation contract).
+    sum_value rounds to ``round_to`` for the cross-engine
+    summation-order lattice.
+
+    Output: (series, bucket_us, n_events, sum_value).
+    """
+    sparse = (
+        events.groupBy(
+            F.col(series_col).alias("series"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), round_to).alias("sum_value"),
+        )
+    )
+    spine = (
+        sparse.groupBy("series")
+        .agg(F.min("__b").alias("__b0"), F.max("__b").alias("__b1"))
+        .select(
+            "series",
+            F.explode(
+                F.sequence(
+                    F.col("__b0"), F.col("__b1"), F.expr(f"INTERVAL 1 {bucket}")
+                )
+            ).alias("__b"),
+        )
+    )
+    return spine.join(sparse, ["series", "__b"], "left").select(
+        "series",
+        F.unix_micros("__b").alias("bucket_us"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+def zscore_outliers(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    z_threshold: float = 2.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-(key, day) activity-count outliers against each series'
+    population: z = (cnt − mean) / stddev_pop over all (key, day) cells of
+    the series, flagged when the ROUNDED z clears the threshold.
+
+    The rounded-score gate is the q87/q92 determinism contract: counts
+    are exact integers, but mean/stddev are float aggregates whose
+    summation order differs across engines — comparing on the
+    ``round_to`` lattice means an ulp of drift cannot flip a flag, so the
+    full result value-checks cross-engine (q103).
+
+    Plan shape: one shuffle to the (series, key, day) cell grid (partial
+    agg compresses the events first), one grid-sized aggregate to
+    per-series moments (|series| rows, broadcast back via the join the
+    optimizer collapses to broadcast-hash), one row-local flag. The
+    events themselves cross the wire zero times beyond the first
+    cell-grid exchange.
+
+    Output: (series, key, day_us, cnt, z, is_outlier).
+    """
+    cells = events.groupBy(
+        F.col(series_col).alias("series"),
+        F.col(key_col).alias("key"),
+        F.date_trunc("day", F.col(ts_col)).alias("__d"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    moments = cells.groupBy("series").agg(
+        F.avg("cnt").alias("__mu"),
+        F.stddev_pop("cnt").alias("__sd"),
+    )
+    z = F.round(
+        (F.col("cnt") - F.col("__mu"))
+        / F.when(F.col("__sd") > 0, F.col("__sd")),
+        round_to,
+    )
+    return (
+        cells.join(F.broadcast(moments), "series")
+        .select(
+            "series",
+            "key",
+            F.unix_micros("__d").alias("day_us"),
+            "cnt",
+            z.alias("z"),
+            F.coalesce(z >= F.lit(z_threshold), F.lit(False)).alias(
+                "is_outlier"
+            ),
+        )
+    )

@@ -36,6 +36,9 @@ from .operators import range_join as rj
 from .operators import shape
 from .operators import similarity as sim_ops
 from .operators import text as text_ops
+from .operators import timeseries as ts_ops
+from .operators import profiling as prof_ops
+from .operators import layout as layout_ops
 
 
 @dataclass
@@ -4191,6 +4194,172 @@ def q87(spark, sf_dir):
     return text_ops.quality_classifier(d, "doc_id", "text")
 
 
+@register(
+    "q99_triangle_counts",
+    """
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (SELECT v, COUNT(*) AS d
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) t
+            GROUP BY v),
+    oe AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                       THEN e.a ELSE e.b END AS u,
+                  CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                       THEN e.b ELSE e.a END AS w,
+                  CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                       THEN db.d ELSE da.d END AS wd
+           FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+    tri AS (SELECT e1.u AS u, e1.w AS v, e2.w AS w
+            FROM oe e1 JOIN oe e2 ON e1.u = e2.u
+              AND (e1.wd < e2.wd OR (e1.wd = e2.wd AND e1.w < e2.w))
+            JOIN oe e3 ON e3.u = e1.w AND e3.w = e2.w)
+    SELECT node, COUNT(*) AS n_triangles
+    FROM (SELECT u AS node FROM tri
+          UNION ALL SELECT v FROM tri
+          UNION ALL SELECT w FROM tri) c
+    GROUP BY node
+    """,
+    tags=["triangle counting (degree-ordered orientation, O(m^1.5))"],
+)
+def q99(spark, sf_dir):
+    """Per-part triangle counts over the co-purchase graph (parts sharing
+    an order are linked): the local-clustering / community-density
+    primitive, hub-proofed by the degree-ordered orientation. The oracle
+    mirrors the same orientation so the count is exact cross-engine.
+    operators/components.triangle_counts."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    pairs = a.join(b, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return comp_ops.triangle_counts(pairs)
+
+
+@register(
+    "q100_gapfill_hourly",
+    """
+    WITH sparse AS (
+      SELECT event_type AS series, date_trunc('hour', ts) AS b,
+             COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT series, MIN(b) AS b0, MAX(b) AS b1 FROM sparse GROUP BY 1),
+    spine AS (SELECT series,
+                     unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS b
+              FROM span)
+    SELECT spine.series,
+           CAST(epoch_us(spine.b) AS BIGINT) AS bucket_us,
+           COALESCE(sparse.n_events, 0) AS n_events,
+           COALESCE(sparse.sum_value, 0.0) AS sum_value
+    FROM spine LEFT JOIN sparse
+      ON spine.series = sparse.series AND spine.b = sparse.b
+    """,
+    tags=["gap-filled downsample (dense hypertable rollup grid)"],
+)
+def q100(spark, sf_dir):
+    """Hourly per-type rollup with zero-filled gaps — the dense time grid
+    BI layers and feature pipelines assume. The spine is generated
+    series-locally (sequence+explode), never via a global calendar cross
+    join. operators/timeseries.downsample_gapfill."""
+    return ts_ops.downsample_gapfill(t(spark, sf_dir, "events"))
+
+
+def _profile_oracle() -> str:
+    num = {
+        "o_orderkey": "CAST({c} AS DOUBLE)",
+        "o_custkey": "CAST({c} AS DOUBLE)",
+        "o_totalprice": "CAST({c} AS DOUBLE)",
+        "o_orderdate": "CAST(epoch_us({c}) AS DOUBLE)",
+    }
+    parts = []
+    for c in [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]:
+        if c in num:
+            lo = f"MIN({num[c].format(c=c)})"
+            hi = f"MAX({num[c].format(c=c)})"
+            slo = shi = "CAST(NULL AS VARCHAR)"
+        else:
+            lo = hi = "CAST(NULL AS DOUBLE)"
+            slo, shi = f"MIN({c})", f"MAX({c})"
+        parts.append(
+            f"SELECT '{c}' AS \"column\","
+            f" CAST(COALESCE(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0)"
+            f" AS BIGINT) AS n_nulls,"
+            f" COUNT(DISTINCT {c}) AS n_distinct,"
+            f" {lo} AS min_num, {hi} AS max_num,"
+            f" {slo} AS min_str, {shi} AS max_str FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "q101_profile_orders",
+    _profile_oracle(),
+    tags=["single-pass table profiling (nulls / distincts / ranges)"],
+)
+def q101(spark, sf_dir):
+    """Whole-table drift profile of orders — per-column null count,
+    distinct count, typed min/max — computed in ONE scan (every column's
+    aggregates in a single agg, reshaped row-per-column with stack),
+    not a per-column table-rescan loop. operators/profiling.profile_table."""
+    return prof_ops.profile_table(t(spark, sf_dir, "orders"))
+
+
+@register(
+    "q102_zorder_key",
+    f"""
+    SELECT o_orderkey,
+           {layout_ops.morton_key_sql('o_custkey', 'day', 21)} AS zkey
+    FROM (SELECT o_orderkey, o_custkey,
+                 CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day
+          FROM orders) t
+    """,
+    tags=["Z-order (Morton) clustering key for multi-dim layout"],
+)
+def q102(spark, sf_dir):
+    """The Z-order clustering key behind write_zordered: bit-interleave of
+    (customer, order-day) — a pure 42-bit-op Column expression (codegen'd,
+    no UDF), exactly mirrored by the generated SQL oracle. The layout +
+    pruned box read it powers are pinned by
+    tests/test_plans.py::test_zorder_box_read_prunes_partitions.
+    operators/layout.morton_key."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "__day",
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"),
+    )
+    return o.select(
+        "o_orderkey", layout_ops.morton_key("o_custkey", "__day", 21).alias("zkey")
+    )
+
+
+@register(
+    "q103_zscore_outliers",
+    """
+    WITH cells AS (
+      SELECT event_type AS series, user_id AS "key",
+             date_trunc('day', ts) AS d, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2, 3),
+    m AS (SELECT series, AVG(cnt) AS mu, stddev_pop(cnt) AS sd
+          FROM cells GROUP BY 1)
+    SELECT series, "key", CAST(epoch_us(d) AS BIGINT) AS day_us, cnt,
+           ROUND((cnt - mu) / CASE WHEN sd > 0 THEN sd END, 4) AS z,
+           COALESCE(
+             ROUND((cnt - mu) / CASE WHEN sd > 0 THEN sd END, 4) >= 2.0,
+             FALSE) AS is_outlier
+    FROM cells JOIN m USING (series)
+    """,
+    tags=["z-score activity outliers (rounded-gate determinism)"],
+)
+def q103(spark, sf_dir):
+    """Per-(user, day) activity outliers against each event type's
+    population moments — the rounded-z gate (q87/q92 contract) keeps the
+    float boundary deterministic cross-engine.
+    operators/timeseries.zscore_outliers."""
+    return ts_ops.zscore_outliers(t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -4261,6 +4430,12 @@ _DEMOTED_PAST_WINDOW = [
     "q96_best_of_cluster",
     "q97_audio_frames",
     "q98_session_examples",
+    # round 8: parity-gated from birth (same policy).
+    "q99_triangle_counts",
+    "q100_gapfill_hourly",
+    "q101_profile_orders",
+    "q102_zorder_key",
+    "q103_zscore_outliers",
 ]
 
 

@@ -2075,3 +2075,153 @@ def test_synthetic_wav_media_roundtrips_through_decoder(spark):
             ((i * 37 + j * 11) % 2048) - 1024 for j in range(200 + i % 7)
         ]
         assert (n_ch, rate) == (1, 8000) and samples == want
+
+
+# --- round 8: graph cohesion, time-series shaping, profiling, layout ---
+
+from syntenybrowserv2_etl_spark.operators import components as comp_ops8
+from syntenybrowserv2_etl_spark.operators import layout as layout_ops8
+from syntenybrowserv2_etl_spark.operators import profiling as prof_ops8
+from syntenybrowserv2_etl_spark.operators import timeseries as ts_ops8
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    """K4 (every node in C(3,2)=3 triangles) plus a pendant edge (node 5
+    in none). Direction/duplicates in the input must not matter."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        ["src", "dst"],
+    )
+    got = {
+        (r["node"], r["n_triangles"])
+        for r in comp_ops8.triangle_counts(edges).collect()
+    }
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def test_triangle_counts_hub_star_has_none(spark):
+    """A pure star (hub + leaves, no leaf-leaf edges) has zero triangles —
+    and under degree ordering the hub contributes zero wedges, which is
+    the O(m^1.5) guarantee in miniature."""
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 30)], ["src", "dst"]
+    )
+    assert comp_ops8.triangle_counts(edges).count() == 0
+
+
+def test_downsample_gapfill_fills_interior_zeros(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, "a", 1.0),
+        (2, base + dt.timedelta(hours=3), "a", 2.0),
+        (3, base + dt.timedelta(hours=1), "b", 5.0),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    out = {
+        (r["series"], r["bucket_us"]): (r["n_events"], r["sum_value"])
+        for r in ts_ops8.downsample_gapfill(e).collect()
+    }
+    us = lambda h: int((base + dt.timedelta(hours=h)).timestamp() * 1e6)
+    # series a spans 4 buckets, hours 1 and 2 zero-filled
+    assert out[("a", us(0))] == (1, 1.0)
+    assert out[("a", us(1))] == (0, 0.0)
+    assert out[("a", us(2))] == (0, 0.0)
+    assert out[("a", us(3))] == (1, 2.0)
+    # series b is a single bucket — no spill past its own span
+    assert out[("b", us(1))] == (1, 5.0)
+    assert len(out) == 5
+
+
+def test_zscore_outliers_flags_known_spike(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 9 quiet (user, day) cells with 1 event, one cell with 20
+    for u in range(9):
+        rows.append((eid, base + dt.timedelta(days=u), u, "click"))
+        eid += 1
+    for _ in range(20):
+        rows.append((eid, base + dt.timedelta(days=9, minutes=eid), 9, "click"))
+        eid += 1
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    out = {r["key"]: r for r in ts_ops8.zscore_outliers(e).collect()}
+    assert out[9]["is_outlier"] and out[9]["cnt"] == 20
+    assert not any(out[u]["is_outlier"] for u in range(9))
+    # z of the quiet cells is identical and negative; spike's z ~ +3
+    assert out[9]["z"] > 2.0 and out[0]["z"] < 0
+
+
+def test_zscore_outliers_zero_variance_is_null_not_flagged(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    e = spark.createDataFrame(
+        [(i, base + dt.timedelta(days=i), i, "view") for i in range(4)],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string",
+    )
+    out = ts_ops8.zscore_outliers(e).collect()
+    assert all(r["z"] is None and not r["is_outlier"] for r in out)
+
+
+def test_profile_table_counts_nulls_and_types(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 2.0), (2, None, None), (None, "y", 4.0)],
+        "a bigint, s string, v double",
+    )
+    out = {r["column"]: r for r in prof_ops8.profile_table(df).collect()}
+    assert (out["a"]["n_nulls"], out["a"]["n_distinct"]) == (1, 2)
+    assert (out["a"]["min_num"], out["a"]["max_num"]) == (1.0, 2.0)
+    assert out["a"]["min_str"] is None
+    assert (out["s"]["n_nulls"], out["s"]["min_str"], out["s"]["max_str"]) == (
+        1, "x", "y",
+    )
+    assert out["s"]["min_num"] is None
+    assert (out["v"]["n_nulls"], out["v"]["min_num"], out["v"]["max_num"]) == (
+        1, 2.0, 4.0,
+    )
+
+
+def test_morton_key_matches_reference_bits(spark):
+    """Hand-computed interleaves plus the SQL twin: morton_key and
+    morton_key_sql must agree bit-for-bit (the q102 oracle premise)."""
+    rows = spark.createDataFrame(
+        [(5, 3), (0, 0), (7, 0), (0, 7), (1234, 4321)], ["x", "y"]
+    )
+    both = rows.select(
+        layout_ops8.morton_key("x", "y", 13).alias("k"),
+        F.expr(layout_ops8.morton_key_sql("x", "y", 13)).alias("k_sql"),
+    ).collect()
+    assert all(r["k"] == r["k_sql"] for r in both)
+    one = rows.filter("x = 5").select(
+        layout_ops8.morton_key("x", "y", 3).alias("k")
+    ).first()
+    assert one["k"] == 27  # x=101, y=011 -> 011011
+
+
+def test_zorder_box_buckets_cover_the_box(spark):
+    """Every row inside the box must live in a candidate bucket — the
+    IN-list may over-approximate (curve cells partially outside the box)
+    but NEVER under-approximate (that would drop rows)."""
+    import itertools
+
+    bits, zb = 6, 4
+    pts = spark.createDataFrame(
+        [(x, y) for x, y in itertools.product(range(0, 64, 3), repeat=2)],
+        ["x", "y"],
+    ).withColumn(
+        "__zb",
+        F.shiftright(layout_ops8.morton_key("x", "y", bits), 2 * bits - zb),
+    )
+    cells = layout_ops8.zorder_box_buckets(10, 40, 20, 55, bits, zb)
+    escaped = pts.filter(
+        "x between 10 and 40 and y between 20 and 55"
+    ).filter(~F.col("__zb").isin(cells))
+    assert escaped.count() == 0

@@ -58,6 +58,11 @@ SF_MED_STRENGTHENED = [
     "q96_best_of_cluster",
     "q97_audio_frames",
     "q98_session_examples",
+    "q99_triangle_counts",
+    "q100_gapfill_hourly",
+    "q101_profile_orders",
+    "q102_zorder_key",
+    "q103_zscore_outliers",
 ]
 
 

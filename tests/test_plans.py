@@ -630,3 +630,72 @@ def test_keep_best_representative_group_limits(spark):
     pruning (the bug this pin caught)."""
     p = plan_of(spark, "q96_best_of_cluster")
     assert "WindowGroupLimit" in p
+
+
+def test_zorder_box_read_prunes_partitions(spark, tmp_path_factory):
+    """A write_zordered table must serve box queries as PARTITION-PRUNED
+    reads: the candidate-cell IN-list (zorder_box_buckets) lists/reads
+    only the grid cells the box can touch — the multi-dim locality the
+    curve exists for. Also: the pruned read returns exactly the rows the
+    naive full-scan box filter returns."""
+    from pyspark.sql import functions as F
+
+    from syntenybrowserv2_etl_spark.operators import layout
+
+    o = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .withColumn(
+            "day",
+            F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"),
+        )
+        # spread both axes across the 12-bit curve domain so the coarse
+        # grid is actually populated (custkey 0-149 and day ~9131-11534
+        # otherwise live in one corner cell)
+        .withColumn("x", F.col("o_custkey") * 27)
+        .withColumn("y", F.col("day") - F.lit(9131))
+    )
+    path = str(tmp_path_factory.mktemp("zorder")) + "/orders_z"
+    layout.write_zordered(o, path, "x", "y", bits=12, zbucket_bits=4)
+
+    full = spark.read.parquet(path)
+    total_files = len(full.inputFiles())
+    n_cells = full.select("__zb").distinct().count()
+    assert n_cells > 4  # the grid is populated, not one corner cell
+
+    box = dict(x_lo=0, x_hi=800, y_lo=0, y_hi=500)
+    pruned = layout.read_zordered_box(
+        spark, path, box["x_lo"], box["x_hi"], box["y_lo"], box["y_hi"],
+        "x", "y", bits=12, zbucket_bits=4,
+    )
+    pruned.collect()
+    leaf = pruned._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    n_read = int(leaf.metrics().apply("numFiles").value())
+    assert 0 < n_read < total_files
+    p = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p and "__zb" in p
+
+    naive = o.filter(
+        (F.col("x") >= box["x_lo"]) & (F.col("x") <= box["x_hi"])
+        & (F.col("y") >= box["y_lo"]) & (F.col("y") <= box["y_hi"])
+    )
+    want = {r["o_orderkey"] for r in naive.select("o_orderkey").collect()}
+    got = {r["o_orderkey"] for r in pruned.select("o_orderkey").collect()}
+    assert got == want and len(want) > 0
+
+
+def test_q101_profile_is_single_scan(spark):
+    """profile_table computes every column's aggregates in ONE pass — the
+    plan must contain exactly one parquet scan of orders, not a
+    per-column rescan loop (6 columns = 6 scans would read 100 TB six
+    times). One scan = one file-index Location in the formatted plan
+    (the node name appears twice per scan: tree + details)."""
+    p = plan_of(spark, "q101_profile_orders")
+    assert p.count("Location: InMemoryFileIndex") == 1
+
+
+def test_q100_gapfill_has_no_cartesian(spark):
+    """The dense spine is generated series-locally (sequence+explode from
+    each series' own span) — never a cross join of series against a
+    global calendar (which fans every series to the global span)."""
+    p = plan_of(spark, "q100_gapfill_hourly")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
