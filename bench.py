@@ -84,6 +84,10 @@ CURATION = [
     "q101_profile_orders",
     "q102_zorder_key",
     "q103_zscore_outliers",
+    "q104_snapshot_diff",
+    "q105_expectations",
+    "q106_ohlc_daily",
+    "q107_time_weighted_avg",
 ]
 
 

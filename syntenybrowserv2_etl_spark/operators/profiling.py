@@ -84,3 +84,85 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             "(column, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
         )
     )
+
+
+# --- declarative expectations (the dbt-test / Deequ-style quality gate) ---
+#
+# The reference hard-codes its integrity checks inside each loader
+# (duplicate-as-error, required fields, header contracts — SURVEY §2.6);
+# a warehouse wants them DECLARED per table and evaluated as a suite,
+# with per-expectation violation counts, not a first-failure abort.
+# Each builder returns a ONE-ROW (expectation, n_violations) DataFrame —
+# an aggregate, never a collected list of violating rows (at 100 TB the
+# violation SET can itself be TB-sized; counts are the gate, sampled row
+# retrieval is a separate targeted query). ``run_expectations`` unions
+# the suite and derives the pass flag.
+
+
+def expect_unique(name: str, df: DataFrame, cols: list[str]) -> DataFrame:
+    """Violations = rows beyond the first per key = COUNT(*) − COUNT(DISTINCT key)."""
+    return df.agg(
+        F.lit(name).alias("expectation"),
+        (
+            F.count(F.lit(1)) - F.count_distinct(F.struct(*cols))
+        ).alias("n_violations"),
+    )
+
+
+def expect_not_null(name: str, df: DataFrame, col: str) -> DataFrame:
+    return df.agg(
+        F.lit(name).alias("expectation"),
+        F.sum(F.col(col).isNull().cast("long")).alias("n_violations"),
+    )
+
+
+def expect_fk(
+    name: str, child: DataFrame, col: str, parent: DataFrame, pcol: str
+) -> DataFrame:
+    """Orphaned child rows: non-null FK values with no parent. Anti-join
+    on the key — broadcast when the parent is a dimension, shuffle-hash
+    co-partitioned otherwise (Catalyst's call; the aggregate is one row
+    either way)."""
+    return (
+        child.filter(F.col(col).isNotNull())
+        .join(parent.select(F.col(pcol).alias(col)), col, "left_anti")
+        .agg(
+            F.lit(name).alias("expectation"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+    )
+
+
+def expect_range(
+    name: str, df: DataFrame, col: str, lo, hi
+) -> DataFrame:
+    """Out-of-range or NULL values violate (a bound check that lets NULL
+    through silently is the classic silent-drift hole)."""
+    ok = (F.col(col) >= lo) & (F.col(col) <= hi)
+    return df.agg(
+        F.lit(name).alias("expectation"),
+        F.sum((~F.coalesce(ok, F.lit(False))).cast("long")).alias(
+            "n_violations"
+        ),
+    )
+
+
+def expect_in(
+    name: str, df: DataFrame, col: str, values: list
+) -> DataFrame:
+    ok = F.col(col).isin(values)
+    return df.agg(
+        F.lit(name).alias("expectation"),
+        F.sum((~F.coalesce(ok, F.lit(False))).cast("long")).alias(
+            "n_violations"
+        ),
+    )
+
+
+def run_expectations(checks: list[DataFrame]) -> DataFrame:
+    """Union a suite of expectation aggregates into the quality report:
+    (expectation, n_violations, passed)."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.withColumn("passed", F.col("n_violations") == 0)

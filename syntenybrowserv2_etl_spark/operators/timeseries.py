@@ -134,3 +134,102 @@ def zscore_outliers(
             ),
         )
     )
+
+
+def ohlc(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    ord_col: str = "event_id",
+    bucket: str = "day",
+    round_to: int = 2,
+) -> DataFrame:
+    """Open/high/low/close downsampling per (series, bucket) — the
+    candlestick rollup every metrics store ships. First/last are defined
+    by the TOTAL order (ts, ord) so ties cannot flip open/close across
+    engines or re-runs.
+
+    Plan shape: one exchange on (series, bucket) feeds both the
+    first/last window ranks and the min/max/count aggregation (same
+    partitioning, shared shuffle); at 100 TB this is the
+    one-shuffle-per-rollup contract of the q21 sessionizer. min/max/n
+    are partial-agg'd; open/close ride the same sort the window already
+    needs.
+
+    Output: (series, bucket_us, open, high, low, close, n).
+    """
+    from pyspark.sql import Window
+
+    b = F.date_trunc(bucket, F.col(ts_col))
+    w = Window.partitionBy(series_col, b).orderBy(ts_col, ord_col)
+    wdesc = Window.partitionBy(series_col, b).orderBy(
+        F.col(ts_col).desc(), F.col(ord_col).desc()
+    )
+    ranked = events.select(
+        F.col(series_col).alias("series"),
+        b.alias("__b"),
+        F.col(value_col).alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.row_number().over(wdesc).alias("__rnd"),
+    )
+    return ranked.groupBy("series", "__b").agg(
+        F.round(F.max(F.when(F.col("__rn") == 1, F.col("__v"))), round_to).alias("open"),
+        F.round(F.max("__v"), round_to).alias("high"),
+        F.round(F.min("__v"), round_to).alias("low"),
+        F.round(F.max(F.when(F.col("__rnd") == 1, F.col("__v"))), round_to).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "series", F.unix_micros("__b").alias("bucket_us"),
+        "open", "high", "low", "close", "n",
+    )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    series_col: str = "event_type",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    ord_col: str = "event_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Time-weighted average per (series, key) over irregularly-sampled
+    values — the hypertable ``time_weight`` aggregate: each observation
+    holds until the next one, so its weight is the µs gap to its
+    successor (last observation carries zero weight; a series with one
+    observation has no defined average and is dropped).
+
+    twavg = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_n − t_0), weights as EXACT µs integers
+    (lead over the (ts, ord) total order), the final ratio rounded for
+    the cross-engine summation lattice.
+
+    Plan shape: one exchange on (series, key) shared by the lead window
+    and the aggregation — the same single-shuffle discipline as ohlc.
+
+    Output: (series, key, twavg, span_us, n).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(series_col, key_col).orderBy(ts_col, ord_col)
+    us = F.unix_micros(F.col(ts_col))
+    gaps = events.select(
+        F.col(series_col).alias("series"),
+        F.col(key_col).alias("key"),
+        F.col(value_col).alias("__v"),
+        us.alias("__t"),
+        (F.lead(us).over(w) - us).alias("__w"),
+    )
+    return (
+        gaps.groupBy("series", "key")
+        .agg(
+            F.round(
+                F.sum(F.col("__v") * F.col("__w"))
+                / F.sum("__w"),
+                round_to,
+            ).alias("twavg"),
+            (F.max("__t") - F.min("__t")).alias("span_us"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("twavg").isNotNull())
+    )

@@ -39,6 +39,7 @@ from .operators import text as text_ops
 from .operators import timeseries as ts_ops
 from .operators import profiling as prof_ops
 from .operators import layout as layout_ops
+from .operators import delta as delta_ops
 
 
 @dataclass
@@ -4360,6 +4361,182 @@ def q103(spark, sf_dir):
     return ts_ops.zscore_outliers(t(spark, sf_dir, "events"))
 
 
+@register(
+    "q104_snapshot_diff",
+    """
+    WITH old AS (SELECT doc_id, lang, source FROM documents),
+    new AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 31 = 0 THEN 'edited' ELSE source END AS source
+      FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, lang, source
+      FROM documents WHERE doc_id % 101 = 0),
+    j AS (SELECT o.doc_id AS ok, n.doc_id AS nk,
+                 o.lang AS ol, o.source AS os, n.lang AS nl, n.source AS ns
+          FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id),
+    d AS (SELECT COALESCE(ok, nk) AS doc_id,
+                 CASE WHEN ok IS NULL THEN 'added'
+                      WHEN nk IS NULL THEN 'removed'
+                      WHEN (ol IS DISTINCT FROM nl)
+                        OR (os IS DISTINCT FROM ns) THEN 'changed' END
+                   AS change_type,
+                 CASE WHEN ok IS NOT NULL AND nk IS NOT NULL THEN
+                   concat_ws(',',
+                     CASE WHEN ol IS DISTINCT FROM nl THEN 'lang' END,
+                     CASE WHEN os IS DISTINCT FROM ns THEN 'source' END)
+                 ELSE '' END AS changed_cols
+          FROM j)
+    SELECT doc_id, change_type, changed_cols
+    FROM d WHERE change_type IS NOT NULL
+    """,
+    tags=["snapshot diff (added/removed/changed between table versions)"],
+)
+def q104(spark, sf_dir):
+    """Diff two corpus snapshots — the incremental-rebuild driver ("only
+    re-embed what changed"). The new snapshot is derived deterministically
+    from documents (drop %97, edit %31's source, add %101 copies under
+    shifted ids) so both engines diff identical inputs. One co-partitioned
+    full-outer join; unchanged keys never widen.
+    operators/delta.snapshot_diff."""
+    d = t(spark, sf_dir, "documents")
+    old = d.select("doc_id", "lang", "source")
+    new = (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("doc_id") % 31 == 0, F.lit("edited"))
+            .otherwise(F.col("source"))
+            .alias("source"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 101 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "source"
+            )
+        )
+    )
+    return delta_ops.snapshot_diff(old, new, ["doc_id"], ["lang", "source"])
+
+
+@register(
+    "q105_expectations",
+    """
+    SELECT 'orders_pk_unique' AS expectation,
+           COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations,
+           (COUNT(*) - COUNT(DISTINCT o_orderkey)) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_not_null',
+           COUNT(*) FILTER (WHERE o_custkey IS NULL),
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_fk', COUNT(*), COUNT(*) = 0
+    FROM orders o
+    WHERE o_custkey IS NOT NULL AND NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk', COUNT(*), COUNT(*) = 0
+    FROM lineitem l
+    WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           COUNT(*) FILTER (WHERE NOT COALESCE(
+             l_discount >= 0 AND l_discount <= 0.1, FALSE)),
+           COUNT(*) FILTER (WHERE NOT COALESCE(
+             l_discount >= 0 AND l_discount <= 0.1, FALSE)) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_status_domain',
+           COUNT(*) FILTER (WHERE NOT COALESCE(
+             o_orderstatus IN ('F', 'O', 'P'), FALSE)),
+           COUNT(*) FILTER (WHERE NOT COALESCE(
+             o_orderstatus IN ('F', 'O', 'P'), FALSE)) = 0
+    FROM orders
+    """,
+    tags=["declarative expectations suite (dbt-test/Deequ-style gate)"],
+)
+def q105(spark, sf_dir):
+    """The declarative quality gate over the warehouse's integrity
+    contracts: key uniqueness, FK closure, NULL and domain constraints —
+    per-expectation violation COUNTS (aggregates, never collected
+    violation sets). operators/profiling.expect_* / run_expectations."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    return prof_ops.run_expectations([
+        prof_ops.expect_unique("orders_pk_unique", o, ["o_orderkey"]),
+        prof_ops.expect_not_null("orders_custkey_not_null", o, "o_custkey"),
+        prof_ops.expect_fk("orders_custkey_fk", o, "o_custkey", c, "c_custkey"),
+        prof_ops.expect_fk(
+            "lineitem_orderkey_fk", li, "l_orderkey", o, "o_orderkey"
+        ),
+        prof_ops.expect_range(
+            "lineitem_discount_range", li, "l_discount", 0.0, 0.1
+        ),
+        prof_ops.expect_in(
+            "orders_status_domain", o, "o_orderstatus", ["F", "O", "P"]
+        ),
+    ])
+
+
+@register(
+    "q106_ohlc_daily",
+    """
+    WITH r AS (
+      SELECT event_type AS series, date_trunc('day', ts) AS b, value AS v,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rnd
+      FROM events)
+    SELECT series, CAST(epoch_us(b) AS BIGINT) AS bucket_us,
+           ROUND(MAX(CASE WHEN rn = 1 THEN v END), 2) AS open,
+           ROUND(MAX(v), 2) AS high,
+           ROUND(MIN(v), 2) AS low,
+           ROUND(MAX(CASE WHEN rnd = 1 THEN v END), 2) AS close,
+           COUNT(*) AS n
+    FROM r GROUP BY series, b
+    """,
+    tags=["OHLC candlestick downsample (ties broken by total order)"],
+)
+def q106(spark, sf_dir):
+    """Daily open/high/low/close per event type — first/last defined by
+    the (ts, event_id) total order so ties can't flip open/close across
+    engines. One exchange feeds both window ranks and the aggregation.
+    operators/timeseries.ohlc."""
+    return ts_ops.ohlc(t(spark, sf_dir, "events"))
+
+
+@register(
+    "q107_time_weighted_avg",
+    """
+    WITH g AS (
+      SELECT event_type AS series, user_id AS "key", value AS v,
+             epoch_us(ts) AS t,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY event_type, user_id
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS w
+      FROM events)
+    SELECT series, "key",
+           ROUND(SUM(v * w) / SUM(w), 4) AS twavg,
+           MAX(t) - MIN(t) AS span_us,
+           COUNT(*) AS n
+    FROM g GROUP BY series, "key"
+    HAVING ROUND(SUM(v * w) / SUM(w), 4) IS NOT NULL
+    """,
+    tags=["time-weighted average (hypertable time_weight aggregate)"],
+)
+def q107(spark, sf_dir):
+    """Time-weighted mean per (event type, user) over irregular samples —
+    each value holds until the next observation; weights are exact µs
+    gaps from the (ts, event_id)-ordered lead.
+    operators/timeseries.time_weighted_avg."""
+    return ts_ops.time_weighted_avg(t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -4436,6 +4613,10 @@ _DEMOTED_PAST_WINDOW = [
     "q101_profile_orders",
     "q102_zorder_key",
     "q103_zscore_outliers",
+    "q104_snapshot_diff",
+    "q105_expectations",
+    "q106_ohlc_daily",
+    "q107_time_weighted_avg",
 ]
 
 

@@ -2225,3 +2225,89 @@ def test_zorder_box_buckets_cover_the_box(spark):
         "x between 10 and 40 and y between 20 and 55"
     ).filter(~F.col("__zb").isin(cells))
     assert escaped.count() == 0
+
+
+from syntenybrowserv2_etl_spark.operators import delta as delta_ops8
+
+
+def test_snapshot_diff_classifies_all_change_kinds(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k bigint, s string, v bigint",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 41), (5, "e", 50)],
+        "k bigint, s string, v bigint",
+    )
+    got = {
+        r["k"]: (r["change_type"], r["changed_cols"])
+        for r in delta_ops8.snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert got == {
+        2: ("changed", "s"),          # value change
+        3: ("removed", ""),
+        4: ("changed", "s,v"),        # NULL -> value IS a change; both cols
+        5: ("added", ""),
+    }  # key 1 unchanged: absent
+
+
+def test_expectations_report_known_violations(spark):
+    from syntenybrowserv2_etl_spark.operators import profiling as prof
+
+    child = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 99), (3, None)], "id bigint, fk bigint"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk bigint")
+    out = {
+        r["expectation"]: (r["n_violations"], r["passed"])
+        for r in prof.run_expectations([
+            prof.expect_unique("uq", child, ["id"]),
+            prof.expect_not_null("nn", child, "fk"),
+            prof.expect_fk("fk", child, "fk", parent, "pk"),
+            prof.expect_range("rng", child, "fk", 0, 15),
+            prof.expect_in("dom", child, "id", [1, 2]),
+        ]).collect()
+    }
+    assert out["uq"] == (1, False)   # id 1 twice
+    assert out["nn"] == (1, False)   # one NULL fk
+    assert out["fk"] == (1, False)   # 99 orphaned; NULL fk not counted
+    assert out["rng"] == (3, False)  # 20 and 99 out of range, NULL violates
+    assert out["dom"] == (1, False)  # id 3 outside domain
+
+
+def test_ohlc_ties_resolved_by_total_order(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12)
+    # two events at the SAME timestamp: event_id breaks the tie for both
+    # open (lowest id) and close (highest id)
+    e = spark.createDataFrame(
+        [(2, base, "a", 7.0), (1, base, "a", 3.0), (3, base + dt.timedelta(hours=1), "a", 5.0)],
+        "event_id bigint, ts timestamp, event_type string, value double",
+    )
+    r = ts_ops8.ohlc(e).collect()[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n"]) == (
+        3.0, 7.0, 3.0, 5.0, 3,
+    )
+
+
+def test_time_weighted_avg_known_value(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # value 10 held 1h, value 20 held 3h -> twavg = (10*1 + 20*3)/4 = 17.5
+    e = spark.createDataFrame(
+        [
+            (1, base, 1, "a", 10.0),
+            (2, base + dt.timedelta(hours=1), 1, "a", 20.0),
+            (3, base + dt.timedelta(hours=4), 1, "a", 99.0),
+            (4, base, 2, "a", 5.0),  # single observation: dropped
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    rows = ts_ops8.time_weighted_avg(e).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["key"], r["twavg"], r["span_us"], r["n"]) == (
+        1, 17.5, 4 * 3600 * 1_000_000, 3,
+    )
