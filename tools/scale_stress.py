@@ -101,6 +101,7 @@ KNOWN_OPS = frozenset({
     "perplexity_buckets", "dsir_importance", "pq_encode_adc",
     "setsim_prefix", "streaming_confirm", "ivf_probe_indexed",
     "perplexity_buckets_sampled", "pagerank_skew", "scd2_apply",
+    "triangles_skew",
 })
 
 
@@ -449,6 +450,31 @@ def main():
 
         if only is None or "pagerank_skew" in only:
             _pagerank_skew()
+
+        # round 8: triangle counting under adversarial skew — one hub
+        # joined to every other node PLUS a ring so triangles exist.
+        # Degree ordering must keep the hub's wedge contribution near
+        # zero (the hub is the highest-rank endpoint of all its edges, so
+        # it generates no wedges); without it the hub alone would emit
+        # O(N^2) wedge candidates.
+        def _triangles_skew():
+            from syntenybrowserv2_etl_spark.operators import components as comp
+
+            N = 20_000 * f
+            ring = spark.range(N).select(
+                F.col("id").alias("src"),
+                ((F.col("id") + 1) % N).alias("dst"),
+            )
+            hub = spark.range(1, N).select(
+                F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+            )
+            edges = ring.union(hub)
+            r["triangles_skew"] = timed(
+                lambda: noop(comp.triangle_counts(edges))
+            )
+
+        if only is None or "triangles_skew" in only:
+            _triangles_skew()
 
         # round 7: streaming SCD2 per-batch apply against a GROWING
         # accumulated history — must stay ~flat: the open set is
