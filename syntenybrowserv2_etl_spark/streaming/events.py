@@ -843,3 +843,105 @@ def scd2_read_history(spark: SparkSession, hist_path: str) -> DataFrame:
     for extra in parts[1:]:
         out = out.unionByName(extra)
     return out
+
+
+def ohlc_stream(
+    events: DataFrame,
+    bucket: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming OHLC — the real-time twin of timeseries.ohlc (q106).
+
+    Batch picks open/close with row_number over the (ts, event_id) total
+    order; a streaming agg can't window-rank, so open/close are the
+    ORDER-AGNOSTIC equivalents min_by/max_by over the same total-order
+    key struct(ts, event_id) — incrementally mergeable (each partial
+    keeps one champion row), associative, and tie-exact with the batch
+    definition. Watermark bounds state to active (bucket × series) cells;
+    late rows inside the horizon still update their candle correctly
+    because min_by/max_by never depend on arrival order.
+
+    Output matches q106's schema: (series, bucket_us, open, high, low,
+    close, n) — pinned equal to the batch twin in tests.
+    """
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", bucket).alias("w"),
+            F.col("event_type").alias("series"),
+        )
+        .agg(
+            F.round(F.min_by("value", ordk), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", ordk), 2).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "series",
+            F.unix_micros("w.start").alias("bucket_us"),
+            "open", "high", "low", "close", "n",
+        )
+    )
+
+
+def expectations_gate_stream(
+    stream_df: DataFrame,
+    checks_fn,
+    out_path: str,
+    quarantine_path: str,
+    report_path: str,
+    query_name: str = "quality_gate",
+    checkpoint: str | None = None,
+):
+    """Quality-gated ingestion: each micro-batch is admitted to the corpus
+    ONLY if its declarative expectation suite passes; failing batches land
+    intact in quarantine with their violation report — corrupt upstream
+    pushes never reach consumers, and nothing is silently dropped (the
+    reference's abort-the-load channel V2, rebuilt as a per-batch gate
+    that keeps the stream alive).
+
+    ``checks_fn(batch_df) -> list[DataFrame]`` builds the suite with the
+    profiling.expect_* builders (uniqueness, FK against a static dim,
+    ranges, domains...). The report (expectation, n_violations, passed,
+    batch_id) appends per batch for both outcomes — the audit trail is
+    complete, admitted or not.
+
+    Idempotent replay the bloom_ingest way: every sink partitions by
+    ``__ingest_batch`` and a replayed batch overwrites ITS OWN partition,
+    so at-least-once foreachBatch delivery cannot double-admit.
+    """
+    from ..operators.profiling import run_expectations
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        report = run_expectations(checks_fn(batch_df)).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).localCheckpoint(eager=True)
+        ok = report.filter(~F.col("passed")).limit(1).isEmpty()
+        dest = out_path if ok else quarantine_path
+        (
+            batch_df.withColumn("__ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__ingest_batch")
+            .parquet(dest)
+        )
+        (
+            report.withColumn("__ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__ingest_batch")
+            .parquet(report_path)
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(gate)
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

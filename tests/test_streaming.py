@@ -775,3 +775,66 @@ def test_bloom_ingest_stream_fresh_corpus_resets_stale_sketch(
     sk = spark.read.parquet(sketch)
     assert sk.filter(F.col("__bits") != -1).count() > 0
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ohlc_stream_matches_batch_q106(spark, events_dir):
+    """The streaming candle (min_by/max_by over struct(ts, event_id)) must
+    equal the batch row_number formulation exactly — including ties,
+    because both resolve them by the same total order."""
+    from syntenybrowserv2_etl_spark.operators import timeseries as tsx
+
+    stream = stream_ops.read_events_stream(spark, events_dir)
+    result = stream_ops.run_to_completion(
+        stream_ops.ohlc_stream(stream), "ohlc_stream", output_mode="complete"
+    )
+    batch = spark.read.parquet(events_dir)
+    want = {tuple(r) for r in tsx.ohlc(batch).collect()}
+    got = {tuple(r) for r in result.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_expectations_gate_stream_admits_and_quarantines(
+    spark, tmp_path_factory
+):
+    """Two micro-batches: a clean one (admitted to the corpus) and one
+    with a duplicated key + an out-of-domain value (quarantined intact).
+    The per-batch report records both verdicts."""
+    from syntenybrowserv2_etl_spark.operators import profiling as prof
+
+    base = str(tmp_path_factory.mktemp("qgate"))
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "corpus")
+    quar = os.path.join(base, "quarantine")
+    rep = os.path.join(base, "report")
+    batches = [
+        [(1, "F"), (2, "O")],          # clean
+        [(3, "F"), (3, "X")],          # dup id AND bad status
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, ["id", "status"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        newest = max(
+            glob.glob(os.path.join(src, "*.parquet")), key=os.path.getmtime
+        )
+        os.utime(newest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("id LONG, status STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    checks = lambda b: [
+        prof.expect_unique("pk", b, ["id"]),
+        prof.expect_in("dom", b, "status", ["F", "O", "P"]),
+    ]
+    q = stream_ops.expectations_gate_stream(stream, checks, out, quar, rep)
+    q.awaitTermination(120)
+    admitted = {r["id"] for r in spark.read.parquet(out).collect()}
+    held = {r["id"] for r in spark.read.parquet(quar).collect()}
+    assert admitted == {1, 2} and held == {3}
+    report = {
+        (r["batch_id"], r["expectation"]): (r["n_violations"], r["passed"])
+        for r in spark.read.parquet(rep).collect()
+    }
+    assert report[(0, "pk")] == (0, True) and report[(0, "dom")] == (0, True)
+    assert report[(1, "pk")] == (1, False) and report[(1, "dom")] == (1, False)
