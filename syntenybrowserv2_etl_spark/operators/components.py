@@ -178,6 +178,87 @@ def pagerank(
         )
         .localCheckpoint(eager=True)
     )
+    return _pagerank_rounds(
+        wedges, iters, damping, round_to, assume_no_dangling,
+        broadcast_max_nodes,
+    )
+
+
+def write_pagerank_edges(
+    edges: DataFrame,
+    table_name: str,
+    num_buckets: int = 16,
+    src: str = "src",
+    dst: str = "dst",
+    path: str | None = None,
+) -> None:
+    """Persist the out-degree-weighted edge table BUCKETED by ``__src`` —
+    the production layout pagerank's docstring names: fold the degree in
+    once, pay the layout shuffle once, and every later pagerank run (and
+    every round within it) reads a table whose partitioning already
+    matches the per-round join key, so the edge side of the iteration
+    exchanges NOTHING (pinned by
+    tests/test_plans.py::test_pagerank_bucketed_edges_one_sided_exchange).
+    """
+    from pyspark.sql import Window
+
+    from ..sources.io import write_bucketed
+
+    wedges = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst")
+    ).withColumn("__od", F.count(F.lit(1)).over(Window.partitionBy("__src")))
+    write_bucketed(
+        wedges, table_name, ["__src"], num_buckets=num_buckets,
+        sort_cols=["__src"], path=path,
+    )
+
+
+def pagerank_table(
+    spark,
+    table_name: str,
+    iters: int = 3,
+    damping: float = 0.85,
+    round_to: int = 8,
+    assume_no_dangling: bool = False,
+    broadcast_max_nodes: int = 1_000_000,
+) -> DataFrame:
+    """PageRank over a ``write_pagerank_edges`` table. Identical semantics
+    and output to ``pagerank`` (same round arithmetic — tested equal);
+    the difference is physical: the bucketed layout replaces the
+    in-memory localCheckpoint, so beyond-broadcast-scale graphs run
+    rounds with the exchange on the RANKS side only — the edge table,
+    the side that's petabytes at web scale, never moves."""
+    return _pagerank_rounds(
+        spark.table(table_name), iters, damping, round_to,
+        assume_no_dangling, broadcast_max_nodes,
+    )
+
+
+def _round_contribs(wedges: DataFrame, ranks: DataFrame, bc: bool) -> DataFrame:
+    """One round's inflow aggregation — module-level so the plan-shape
+    test can pin the join strategy of the exact code path the iteration
+    runs (the checkpointed final ranks hide the per-round plan)."""
+    r = F.broadcast(ranks) if bc else ranks
+    return (
+        wedges.join(r, wedges["__src"] == r["node"])
+        .select(
+            F.col("__dst").alias("node"),
+            (F.col("rank") / F.col("__od")).alias("__c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("__c").alias("__s"))
+    )
+
+
+def _pagerank_rounds(
+    wedges: DataFrame,
+    iters: int,
+    damping: float,
+    round_to: int,
+    assume_no_dangling: bool,
+    broadcast_max_nodes: int,
+) -> DataFrame:
+    """Shared iteration over a materialized (__src, __dst, __od) table."""
     src_nodes = wedges.select(F.col("__src").alias("node")).distinct()
     # dst-only nodes have no out-edges: their rank teleports uniformly
     # each round instead of silently draining out of the distribution.
@@ -220,16 +301,7 @@ def pagerank(
     # layout is what keeps the exchange one-sided.
     bc = n_nodes <= broadcast_max_nodes
     for _ in range(iters):
-        r = F.broadcast(ranks) if bc else ranks
-        contribs = (
-            wedges.join(r, wedges["__src"] == r["node"])
-            .select(
-                F.col("__dst").alias("node"),
-                (F.col("rank") / F.col("__od")).alias("__c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("__c").alias("__s"))
-        )
+        contribs = _round_contribs(wedges, ranks, bc)
         updated = nodes.join(
             F.broadcast(contribs) if bc else contribs, "node", "left"
         )

@@ -699,3 +699,54 @@ def test_q100_gapfill_has_no_cartesian(spark):
     global calendar (which fans every series to the global span)."""
     p = plan_of(spark, "q100_gapfill_hourly")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_pagerank_bucketed_edges_one_sided_exchange(spark, tmp_path_factory):
+    """The web-scale pagerank layout claim, demonstrated: with the
+    weighted edge table bucketed by __src (write_pagerank_edges) and
+    broadcast disabled (the beyond-broadcast graph regime), every round's
+    join exchanges ONLY the ranks side — no Exchange ever hash-partitions
+    on __src, because the bucket layout already satisfies the join's
+    distribution requirement. Results are bit-identical to the in-memory
+    pagerank."""
+    from pyspark.sql import functions as F
+
+    from syntenybrowserv2_etl_spark.operators import components as comp
+
+    n = 2000
+    edges = spark.range(n).select(
+        (F.col("id") % 97).alias("src"), (F.col("id") % 89 + 50).alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    spark.sql("DROP TABLE IF EXISTS t_pr_edges_b")
+    comp.write_pagerank_edges(edges, "t_pr_edges_b", num_buckets=8)
+    try:
+        with spark_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+            ranks = comp.pagerank_table(
+                spark, "t_pr_edges_b", iters=3, assume_no_dangling=True,
+                broadcast_max_nodes=0,
+            )
+            got = {(r["node"], r["rank"]) for r in ranks.collect()}
+            # the checkpointed final ranks hide the per-round plan; pin
+            # the round-join shape via the exact builder the loop calls,
+            # fed the same bucketed table and a ranks-shaped input
+            contribs = comp._round_contribs(
+                spark.table("t_pr_edges_b"),
+                ranks.select("node", "rank"),
+                bc=False,
+            )
+            contribs.collect()
+            p = contribs._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(__src" not in p
+        assert "Exchange hashpartitioning(node" in p  # ranks side still moves
+        want = {
+            (r["node"], r["rank"])
+            for r in comp.pagerank(
+                edges, iters=3, assume_no_dangling=True
+            ).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pr_edges_b")
