@@ -88,6 +88,7 @@ CURATION = [
     "q105_expectations",
     "q106_ohlc_daily",
     "q107_time_weighted_avg",
+    "q108_approx_quantile_bounds",
 ]
 
 

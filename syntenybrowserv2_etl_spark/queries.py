@@ -4537,6 +4537,44 @@ def q107(spark, sf_dir):
     return ts_ops.time_weighted_avg(t(spark, sf_dir, "events"))
 
 
+@register(
+    "q108_approx_quantile_bounds",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=["approx_percentile sketch, self-verifying rank-error bound"],
+)
+def q108(spark, sf_dir):
+    """The sketch percentile path q41's docstring defers to, made fully
+    value-checkable (the q38 HLL treatment): both engines emit the exact
+    interpolated median; Spark additionally runs approx_percentile
+    (accuracy 100 ⇒ rank error ≤ 1%) and emits ``within_bound`` — the
+    sketch's result sits between the exact 0.48 and 0.52 quantiles, a 2×
+    margin on the guarantee. The approx VALUE itself is never emitted
+    (its partial-merge order is not cross-engine stable); the bound flag
+    is what the guarantee promises, so the row hash-matches while still
+    failing loudly if the sketch ever degrades."""
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias(
+            "median_price"
+        ),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 100)").alias("__a"),
+        F.percentile("l_extendedprice", F.lit(0.48)).alias("__lo"),
+        F.percentile("l_extendedprice", F.lit(0.52)).alias("__hi"),
+    )
+    return g.select(
+        "l_returnflag",
+        "median_price",
+        (
+            (F.col("__a") >= F.col("__lo")) & (F.col("__a") <= F.col("__hi"))
+        ).alias("within_bound"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -4617,6 +4655,7 @@ _DEMOTED_PAST_WINDOW = [
     "q105_expectations",
     "q106_ohlc_daily",
     "q107_time_weighted_avg",
+    "q108_approx_quantile_bounds",
 ]
 
 

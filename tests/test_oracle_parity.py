@@ -67,6 +67,7 @@ SF_MED_STRENGTHENED = [
     "q105_expectations",
     "q106_ohlc_daily",
     "q107_time_weighted_avg",
+    "q108_approx_quantile_bounds",
 ]
 
 
