@@ -4541,7 +4541,7 @@ def q107(spark, sf_dir):
     "q108_approx_quantile_bounds",
     """
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
            TRUE AS within_bound
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -4559,7 +4559,7 @@ def q108(spark, sf_dir):
     failing loudly if the sketch ever degrades."""
     li = t(spark, sf_dir, "lineitem")
     g = li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
             "median_price"
         ),
         F.expr("approx_percentile(l_extendedprice, 0.5, 100)").alias("__a"),
