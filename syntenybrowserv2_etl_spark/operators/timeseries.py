@@ -50,6 +50,11 @@ def downsample_gapfill(
 
     Output: (series, bucket_us, n_events, sum_value).
     """
+    # the grid is materialized: it feeds BOTH the span aggregate and the
+    # spine join, and the planner does not reliably reuse the aggregation
+    # exchange between those branches (measured: two full event scans in
+    # the executed plan without this). The checkpoint is grid-sized —
+    # |series| × |active buckets| rows — never the events.
     sparse = (
         events.groupBy(
             F.col(series_col).alias("series"),
@@ -59,6 +64,7 @@ def downsample_gapfill(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum(value_col), round_to).alias("sum_value"),
         )
+        .localCheckpoint(eager=True)
     )
     spine = (
         sparse.groupBy("series")
