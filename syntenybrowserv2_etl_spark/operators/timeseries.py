@@ -167,15 +167,26 @@ def ohlc(
     """
     from pyspark.sql import Window
 
-    b = F.date_trunc(bucket, F.col(ts_col))
-    w = Window.partitionBy(series_col, b).orderBy(ts_col, ord_col)
-    wdesc = Window.partitionBy(series_col, b).orderBy(
-        F.col(ts_col).desc(), F.col(ord_col).desc()
-    )
-    ranked = events.select(
+    # project the grouping attributes FIRST and window over the projected
+    # columns: a window partitioned on the raw date_trunc expression does
+    # not canonicalize equal to the aggregation's aliased attribute, and
+    # the plan grows a second exchange (measured; the shared-shuffle
+    # claim below is pinned by test_q106_ohlc_single_exchange)
+    pre = events.select(
         F.col(series_col).alias("series"),
-        b.alias("__b"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
         F.col(value_col).alias("__v"),
+        F.col(ts_col).alias("__ts"),
+        F.col(ord_col).alias("__ord"),
+    )
+    w = Window.partitionBy("series", "__b").orderBy("__ts", "__ord")
+    wdesc = Window.partitionBy("series", "__b").orderBy(
+        F.col("__ts").desc(), F.col("__ord").desc()
+    )
+    ranked = pre.select(
+        "series",
+        "__b",
+        "__v",
         F.row_number().over(w).alias("__rn"),
         F.row_number().over(wdesc).alias("__rnd"),
     )
@@ -217,14 +228,22 @@ def time_weighted_avg(
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(series_col, key_col).orderBy(ts_col, ord_col)
-    us = F.unix_micros(F.col(ts_col))
-    gaps = events.select(
+    # same pre-projection discipline as ohlc: window over the aliased
+    # attributes the aggregation groups on, so both share ONE exchange
+    pre = events.select(
         F.col(series_col).alias("series"),
         F.col(key_col).alias("key"),
         F.col(value_col).alias("__v"),
-        us.alias("__t"),
-        (F.lead(us).over(w) - us).alias("__w"),
+        F.unix_micros(F.col(ts_col)).alias("__t"),
+        F.col(ord_col).alias("__ord"),
+    )
+    w = Window.partitionBy("series", "key").orderBy("__t", "__ord")
+    gaps = pre.select(
+        "series",
+        "key",
+        "__v",
+        "__t",
+        (F.lead("__t").over(w) - F.col("__t")).alias("__w"),
     )
     return (
         gaps.groupBy("series", "key")

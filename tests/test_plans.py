@@ -750,3 +750,14 @@ def test_pagerank_bucketed_edges_one_sided_exchange(spark, tmp_path_factory):
         assert got == want and len(want) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_pr_edges_b")
+
+
+def test_q106_q107_single_exchange(spark):
+    """ohlc and time_weighted_avg window over the SAME projected
+    attributes their aggregation groups on — one shuffle serves both.
+    (Windowing over the raw date_trunc/column expressions instead adds a
+    second exchange: the window's partitioning does not canonicalize
+    equal to the agg's aliased attributes — the bug this pins out.)"""
+    for name in ("q106_ohlc_daily", "q107_time_weighted_avg"):
+        p = plan_of(spark, name)
+        assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1, name
