@@ -626,3 +626,134 @@ def test_setsim_prefix_len_exact_ceiling(spark):
     import math
 
     assert math.ceil(0.07 * 100) == 8  # the trap the fix removes
+
+
+# --- round 8: triangles, morton, snapshot diff, twavg ----------------------
+
+
+def py_triangles(edges: set[tuple[int, int]]) -> dict[int, int]:
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts: dict[int, int] = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    for x in (u, v, w):
+                        counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+undirected_edges = st.sets(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(edges=undirected_edges)
+@settings(**SETTINGS)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    from syntenybrowserv2_etl_spark.operators import components as comp
+
+    df = spark.createDataFrame(list(edges), ["src", "dst"])
+    got = {
+        (r["node"], r["n_triangles"])
+        for r in comp.triangle_counts(df).collect()
+    }
+    want = set(py_triangles(edges).items())
+    assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, (1 << 13) - 1), st.integers(0, (1 << 13) - 1)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_morton_key_bijective_and_monotone_in_quadrants(spark, pts):
+    """The interleave must be invertible (bit-exact round trip) — the
+    property that makes the curve a KEY rather than a hash."""
+    from syntenybrowserv2_etl_spark.operators import layout
+
+    df = spark.createDataFrame(pts, ["x", "y"]).withColumn(
+        "k", layout.morton_key("x", "y", 13)
+    )
+    for r in df.collect():
+        x = sum(((r["k"] >> (2 * i)) & 1) << i for i in range(13))
+        y = sum(((r["k"] >> (2 * i + 1)) & 1) << i for i in range(13))
+        assert (x, y) == (r["x"], r["y"])
+
+
+@given(
+    old=st.dictionaries(st.integers(0, 15), st.integers(0, 3), max_size=12),
+    new=st.dictionaries(st.integers(0, 15), st.integers(0, 3), max_size=12),
+)
+@settings(**SETTINGS)
+def test_snapshot_diff_matches_dict_diff(spark, old, new):
+    from syntenybrowserv2_etl_spark.operators import delta
+
+    mk = lambda d: spark.createDataFrame(
+        [(k, v) for k, v in d.items()] or [(None, None)], "k bigint, v bigint"
+    ).filter("k is not null")
+    got = {
+        r["k"]: (r["change_type"], r["changed_cols"])
+        for r in delta.snapshot_diff(mk(old), mk(new), ["k"], ["v"]).collect()
+    }
+    want = {}
+    for k in set(old) | set(new):
+        if k not in new:
+            want[k] = ("removed", "")
+        elif k not in old:
+            want[k] = ("added", "")
+        elif old[k] != new[k]:
+            want[k] = ("changed", "v")
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 100)),
+        min_size=2,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    )
+)
+@settings(**SETTINGS)
+def test_time_weighted_avg_matches_bruteforce(spark, rows):
+    import datetime as dt
+
+    from syntenybrowserv2_etl_spark.operators import timeseries as tsx
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, base + dt.timedelta(seconds=s), 1, "a", float(v))
+        for i, (s, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    out = tsx.time_weighted_avg(df).collect()
+    srt = sorted(rows)
+    num = sum(
+        v * (srt[i + 1][0] - s) * 1_000_000
+        for i, (s, v) in enumerate(srt[:-1])
+    )
+    den = (srt[-1][0] - srt[0][0]) * 1_000_000
+    if den == 0:
+        # all rows share one timestamp: no weight mass, row dropped
+        assert out == []
+    else:
+        assert len(out) == 1
+        assert out[0]["twavg"] == round(num / den, 4)
+        assert out[0]["span_us"] == den
