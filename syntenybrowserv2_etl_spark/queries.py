@@ -4558,19 +4558,19 @@ def q108(spark, sf_dir):
     is what the guarantee promises, so the row hash-matches while still
     failing loudly if the sketch ever degrades."""
     li = t(spark, sf_dir, "lineitem")
+    # one exact-percentile aggregate evaluating all three fractions over
+    # a single buffer (array form), not three independent sorts
     g = li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
-            "median_price"
-        ),
+        F.expr(
+            "percentile(l_extendedprice, array(0.5, 0.48, 0.52))"
+        ).alias("__p"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 100)").alias("__a"),
-        F.percentile("l_extendedprice", F.lit(0.48)).alias("__lo"),
-        F.percentile("l_extendedprice", F.lit(0.52)).alias("__hi"),
     )
     return g.select(
         "l_returnflag",
-        "median_price",
+        F.round(F.col("__p")[0], 4).alias("median_price"),
         (
-            (F.col("__a") >= F.col("__lo")) & (F.col("__a") <= F.col("__hi"))
+            (F.col("__a") >= F.col("__p")[1]) & (F.col("__a") <= F.col("__p")[2])
         ).alias("within_bound"),
     )
 
