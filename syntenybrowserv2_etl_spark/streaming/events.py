@@ -945,3 +945,179 @@ def expectations_gate_stream(
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def rollup_maintain_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    path: str,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> None:
+    """One micro-batch of incremental rollup maintenance (the foreachBatch
+    body of rollup_maintain_stream, module-level so tests can drive
+    batches directly). Contracts documented there."""
+    spark = batch_df.sparkSession
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    marker_p = hpath(f"{path}/_batches/{batch_id}")
+    fs = marker_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(marker_p):
+        return  # fully-committed batch redelivered: skip
+    part = (
+        batch_df.groupBy(
+            F.col(series_col).alias("series"),
+            F.unix_micros(F.date_trunc(bucket, F.col(ts_col))).alias(
+                "bucket_us"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(value_col, F.lit(0.0))).alias("sum_value"),
+        )
+        .withColumn("__pd", F.expr("bucket_us div 86400000000"))
+        .localCheckpoint(eager=True)
+    )
+    touched = [r["__pd"] for r in part.select("__pd").distinct().collect()]
+    grid_p = hpath(f"{path}/grid")
+
+    def write_grid(df: DataFrame) -> None:
+        (
+            df.withColumn("__b", F.lit(batch_id).cast("long"))
+            .withColumn("__pd", F.expr("bucket_us div 86400000000"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__pd")
+            .parquet(f"{path}/grid")
+        )
+
+    def merge(stored: DataFrame, partials: DataFrame) -> DataFrame:
+        return (
+            stored.unionByName(partials.select(stored.columns))
+            .groupBy("series", "bucket_us")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    if fs.exists(grid_p) and touched:
+        raw = spark.read.parquet(f"{path}/grid").filter(
+            F.col("__pd").isin(touched)
+        )
+        # the scd2_apply_batch replay discipline, aggregate-flavored: an
+        # aggregate merge is NOT idempotent (replaying a batch would
+        # double-count), so grid rows carry the last writer's batch id
+        # and replay resolves PER PARTITION — committed day-partitions
+        # are final, stale ones re-merge from their unchanged pre-state.
+        committed = {
+            r["__pd"]
+            for r in raw.filter(F.col("__b") == batch_id)
+            .select("__pd")
+            .distinct()
+            .collect()
+        }
+        if committed:
+            stale = [p for p in touched if p not in committed]
+            if stale:
+                write_grid(
+                    merge(
+                        raw.filter(F.col("__pd").isin(stale)).drop(
+                            "__pd", "__b"
+                        ),
+                        part.filter(F.col("__pd").isin(stale)),
+                    )
+                )
+            fs.mkdirs(marker_p)
+            return
+        stored = raw.drop("__pd", "__b")
+    else:
+        # empty grid with the batch's own types (series_col may be any
+        # groupable type — the scd2_apply string-key lesson)
+        stored = part.select(
+            "series", "bucket_us", "n_events", "sum_value"
+        ).limit(0)
+    write_grid(merge(stored, part))
+    fs.mkdirs(marker_p)
+
+
+def rollup_maintain_stream(
+    stream_df: DataFrame,
+    path: str,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+    query_name: str = "rollup_maintain",
+    checkpoint: str | None = None,
+):
+    """Incremental materialized-rollup maintenance — the storage-backed
+    answer to windowed_counts (whose state lives in the streaming query):
+    the per-(series, bucket) grid persists as a parquet table that
+    downstream consumers read directly, survives restarts without
+    replaying the stream, and is maintained in per-batch cost
+    proportional to the BATCH, not the grid.
+
+    The upsert_stream_to_parquet docstring names its own limitation —
+    O(table) rewrite per batch. This operator is the fix for the rollup
+    shape, the scd2_apply_stream layout applied to aggregates:
+
+      ``path/grid`` — one row per (series, bucket), parquet-partitioned
+          by ``__pd`` (the bucket's epoch-day). A micro-batch first
+          partial-aggregates ITSELF (events → batch-grid rows — the only
+          scan of the batch), then touches only the day-partitions its
+          buckets fall in: partition-pruned read, merge (sum of sums /
+          sum of counts — the aggregates are mergeable by construction),
+          dynamic-overwrite of those partitions alone. A day of history
+          accumulated ≠ a day of per-batch cost: old partitions are
+          never read or rewritten.
+      ``path/_batches/<id>`` — commit markers. Aggregate merges are not
+          idempotent under replay (double-count), so the scd2_apply
+          per-partition replay guard applies verbatim: rows carry the
+          last writer's ``__b``; a replayed batch finalizes committed
+          partitions and re-merges stale ones from their unchanged
+          pre-state.
+
+    ``sum_value`` is stored UNROUNDED (rounding at every merge would
+    accumulate lattice drift against a from-scratch rebuild); readers
+    round on the way out via ``read_rollup``. The q20/q100 batch twins
+    are the semantic reference — the twin test pins the maintained grid
+    to the from-scratch aggregate of the same events.
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        rollup_maintain_batch(
+            batch_df,
+            batch_id,
+            path=path,
+            series_col=series_col,
+            ts_col=ts_col,
+            value_col=value_col,
+            bucket=bucket,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(body)
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_rollup(spark: SparkSession, path: str, round_to: int = 2) -> DataFrame:
+    """Consumer view of a rollup_maintain_stream grid: provenance columns
+    dropped, sum rounded to the cross-engine lattice."""
+    return spark.read.parquet(f"{path}/grid").select(
+        "series",
+        "bucket_us",
+        "n_events",
+        F.round("sum_value", round_to).alias("sum_value"),
+    )

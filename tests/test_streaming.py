@@ -838,3 +838,86 @@ def test_expectations_gate_stream_admits_and_quarantines(
     }
     assert report[(0, "pk")] == (0, True) and report[(0, "dom")] == (0, True)
     assert report[(1, "pk")] == (1, False) and report[(1, "dom")] == (1, False)
+
+
+def test_rollup_maintain_stream_matches_batch_rebuild(spark, events_dir, tmp_path_factory):
+    """The maintained grid after N micro-batches must equal the
+    from-scratch hourly aggregate of all events (q20's shape). Counts are
+    exact; sums compare on the rounded read_rollup view (incremental
+    merge order vs one-shot aggregation differ only in ulp)."""
+    path = str(tmp_path_factory.mktemp("rollup")) + "/r"
+    stream = stream_ops.read_events_stream(spark, events_dir)
+    q = stream_ops.rollup_maintain_stream(stream, path)
+    q.awaitTermination(120)
+    got = {
+        (r["series"], r["bucket_us"]): (r["n_events"], r["sum_value"])
+        for r in stream_ops.read_rollup(spark, path).collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    want = {
+        (r["series"], r["bucket_us"]): (r["n_events"], r["sum_value"])
+        for r in batch.groupBy(
+            F.col("event_type").alias("series"),
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("bucket_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want) and len(want) > 0
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 0.05, k
+
+
+def test_rollup_maintain_batch_replay_guards(spark, tmp_path_factory):
+    """Aggregate merges double-count under naive replay. Both crash
+    windows: (a) marker lost after full commit -> replay only restores
+    the marker; (b) partial dynamic-overwrite commit -> stale day
+    partitions re-merge from pre-state, committed ones stay final."""
+    import datetime as _dtm
+
+    base = _dtm.datetime(2024, 3, 1, 10)
+    tmp = str(tmp_path_factory.mktemp("rollup_replay"))
+    path = os.path.join(tmp, "r")
+    schema = "event_id bigint, ts timestamp, event_type string, value double"
+    mk = lambda rows: spark.createDataFrame(
+        [(e, base + _dtm.timedelta(days=d, minutes=m), t, v) for e, d, m, t, v in rows],
+        schema,
+    )
+    cfg = dict(path=path)
+    # batch 0: two days; batch 1: adds to both days
+    stream_ops.rollup_maintain_batch(
+        mk([(1, 0, 0, "a", 1.0), (2, 1, 0, "a", 2.0)]), 0, **cfg
+    )
+    pre_d1 = os.path.join(tmp, "pre_d1")
+    d1 = [
+        p for p in glob.glob(os.path.join(path, "grid", "__pd=*"))
+        if not p.endswith("=19783")
+    ][0]
+    shutil.copytree(d1, pre_d1)
+    stream_ops.rollup_maintain_batch(
+        mk([(3, 0, 5, "a", 10.0), (4, 1, 5, "a", 20.0)]), 1, **cfg
+    )
+    want = {
+        tuple(r) for r in stream_ops.read_rollup(spark, path).collect()
+    }
+    # (a) full commit, marker lost
+    shutil.rmtree(os.path.join(path, "_batches", "1"))
+    stream_ops.rollup_maintain_batch(
+        mk([(3, 0, 5, "a", 10.0), (4, 1, 5, "a", 20.0)]), 1, **cfg
+    )
+    got = {tuple(r) for r in stream_ops.read_rollup(spark, path).collect()}
+    assert got == want  # no double count
+    # (b) partial commit: day-1 partition rolled back, marker lost
+    shutil.rmtree(d1)
+    shutil.copytree(pre_d1, d1)
+    shutil.rmtree(os.path.join(path, "_batches", "1"))
+    stream_ops.rollup_maintain_batch(
+        mk([(3, 0, 5, "a", 10.0), (4, 1, 5, "a", 20.0)]), 1, **cfg
+    )
+    got = {tuple(r) for r in stream_ops.read_rollup(spark, path).collect()}
+    assert got == want
+    assert os.path.isdir(os.path.join(path, "_batches", "1"))
