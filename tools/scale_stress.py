@@ -101,7 +101,7 @@ KNOWN_OPS = frozenset({
     "perplexity_buckets", "dsir_importance", "pq_encode_adc",
     "setsim_prefix", "streaming_confirm", "ivf_probe_indexed",
     "perplexity_buckets_sampled", "pagerank_skew", "scd2_apply",
-    "triangles_skew",
+    "triangles_skew", "rollup_apply",
 })
 
 
@@ -475,6 +475,51 @@ def main():
 
         if only is None or "triangles_skew" in only:
             _triangles_skew()
+
+        # round 8: incremental rollup maintenance against a GROWING grid —
+        # per-batch cost must stay flat: a fixed-size batch touches one
+        # day-partition regardless of how many days of grid history have
+        # accumulated (the scd2_apply contract, aggregate-flavored).
+        def _rollup_apply():
+            import datetime as _dt
+
+            from syntenybrowserv2_etl_spark.streaming import events as se
+
+            rpath = f"{SCRATCH}/rollup_x{f}"
+            shutil.rmtree(rpath, ignore_errors=True)
+            base = _dt.datetime(2024, 1, 1)
+            # seed: f*30 days of history, 5 series × 24 hourly buckets/day
+            n_days = 30 * f
+            seed = spark.range(n_days * 5 * 24).select(
+                F.col("id").alias("event_id"),
+                F.timestamp_seconds(
+                    F.lit(int(base.timestamp()))
+                    + (F.col("id") % (n_days * 24)) * 3600
+                ).alias("ts"),
+                F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias(
+                    "event_type"
+                ),
+                (F.col("id") % 97).cast("double").alias("value"),
+            ).localCheckpoint(eager=True)
+            se.rollup_maintain_batch(seed, 0, path=rpath)
+            batch = spark.range(2000).select(
+                (F.col("id") + 10_000_000).alias("event_id"),
+                F.timestamp_seconds(
+                    F.lit(int(base.timestamp()))
+                    + (n_days - 1) * 86400
+                    + F.col("id") % 86400
+                ).alias("ts"),
+                F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias(
+                    "event_type"
+                ),
+                (F.col("id") % 89).cast("double").alias("value"),
+            ).localCheckpoint(eager=True)
+            r["rollup_apply"] = timed(
+                lambda: se.rollup_maintain_batch(batch, 1, path=rpath)
+            )
+
+        if only is None or "rollup_apply" in only:
+            _rollup_apply()
 
         # round 7: streaming SCD2 per-batch apply against a GROWING
         # accumulated history — must stay ~flat: the open set is
