@@ -1121,3 +1121,36 @@ def read_rollup(spark: SparkSession, path: str, round_to: int = 2) -> DataFrame:
         "n_events",
         F.round("sum_value", round_to).alias("sum_value"),
     )
+
+
+def read_rollup_gapfilled(
+    spark: SparkSession, path: str, bucket: str = "hour", round_to: int = 2
+) -> DataFrame:
+    """Dense consumer view of a maintained rollup grid: the
+    timeseries.downsample_gapfill spine (series-local sequence+explode
+    between each series' first and last bucket) applied at READ time over
+    the stored sparse grid — zero-filled buckets are derived, never
+    stored, so the grid stays proportional to ACTIVE buckets while
+    consumers still see the dense frame BI layers assume."""
+    sparse = read_rollup(spark, path, round_to)
+    spine = (
+        sparse.groupBy("series")
+        .agg(F.min("bucket_us").alias("__b0"), F.max("bucket_us").alias("__b1"))
+        .select(
+            "series",
+            F.explode(
+                F.sequence(
+                    F.timestamp_micros(F.col("__b0")),
+                    F.timestamp_micros(F.col("__b1")),
+                    F.expr(f"INTERVAL 1 {bucket}"),
+                )
+            ).alias("__bt"),
+        )
+        .select("series", F.unix_micros("__bt").alias("bucket_us"))
+    )
+    return spine.join(sparse, ["series", "bucket_us"], "left").select(
+        "series",
+        "bucket_us",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )

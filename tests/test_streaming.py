@@ -921,3 +921,60 @@ def test_rollup_maintain_batch_replay_guards(spark, tmp_path_factory):
     got = {tuple(r) for r in stream_ops.read_rollup(spark, path).collect()}
     assert got == want
     assert os.path.isdir(os.path.join(path, "_batches", "1"))
+
+
+def test_read_rollup_gapfilled_matches_batch_gapfill(
+    spark, events_dir, tmp_path_factory
+):
+    """Maintained grid + read-time spine == the batch downsample_gapfill
+    of the same events (counts exact; sums on the rounded lattice)."""
+    from syntenybrowserv2_etl_spark.operators import timeseries as tsx
+
+    path = str(tmp_path_factory.mktemp("rollup_gf")) + "/r"
+    stream = stream_ops.read_events_stream(spark, events_dir)
+    stream_ops.rollup_maintain_stream(stream, path).awaitTermination(120)
+    got = {
+        (r["series"], r["bucket_us"]): (r["n_events"], r["sum_value"])
+        for r in stream_ops.read_rollup_gapfilled(spark, path).collect()
+    }
+    batch = spark.read.parquet(events_dir).withColumn(
+        "value", F.coalesce("value", F.lit(0.0))
+    )
+    want = {
+        (r["series"], r["bucket_us"]): (r["n_events"], r["sum_value"])
+        for r in tsx.downsample_gapfill(batch).collect()
+    }
+    assert set(got) == set(want) and len(want) > 0
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 0.05, k
+
+
+def test_expectations_gate_batch_replay_is_idempotent(
+    spark, tmp_path_factory
+):
+    """foreachBatch is at-least-once: a redelivered admitted batch must
+    overwrite its own corpus partition (and its report rows), never
+    double-admit."""
+    from syntenybrowserv2_etl_spark.operators import profiling as prof
+
+    base = str(tmp_path_factory.mktemp("qgate_replay"))
+    src = os.path.join(base, "src")
+    out, quar, rep = (
+        os.path.join(base, d) for d in ("corpus", "quarantine", "report")
+    )
+    spark.createDataFrame([(1, "F"), (2, "O")], ["id", "status"]).write.parquet(src)
+    checks = lambda b: [prof.expect_unique("pk", b, ["id"])]
+    stream = spark.readStream.schema("id LONG, status STRING").parquet(src)
+    stream_ops.expectations_gate_stream(
+        stream, checks, out, quar, rep
+    ).awaitTermination(120)
+    # redeliver batch 0 (fresh stream over the same file, no checkpoint)
+    stream = spark.readStream.schema("id LONG, status STRING").parquet(src)
+    stream_ops.expectations_gate_stream(
+        stream, checks, out, quar, rep
+    ).awaitTermination(120)
+    assert sorted(
+        r["id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2]
+    assert spark.read.parquet(rep).count() == 1  # one report row, not two
