@@ -4575,6 +4575,59 @@ def q108(spark, sf_dir):
     )
 
 
+@register(
+    "q109_seasonal_naive_backtest",
+    """
+    WITH sparse AS (
+      SELECT event_type AS series, date_trunc('hour', ts) AS b,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT series, MIN(b) AS b0, MAX(b) AS b1 FROM sparse GROUP BY 1),
+    spine AS (SELECT series,
+                     unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS b
+              FROM span),
+    g AS (SELECT spine.series, spine.b,
+                 COALESCE(sparse.n_events, 0) AS n_events
+          FROM spine LEFT JOIN sparse
+            ON spine.series = sparse.series AND spine.b = sparse.b),
+    f AS (SELECT series, n_events,
+                 LAG(n_events, 24) OVER (PARTITION BY series ORDER BY b)
+                   AS pred
+          FROM g)
+    SELECT series, COUNT(*) AS n_scored,
+           ROUND(AVG(ABS(n_events - pred)), 4) AS mae,
+           ROUND(MAX(ABS(n_events - pred)), 4) AS max_err
+    FROM f WHERE pred IS NOT NULL GROUP BY series
+    """,
+    tags=["seasonal-naive forecast backtest over the dense grid"],
+)
+def q109(spark, sf_dir):
+    """Forecast-baseline backtesting on the gap-filled grid: the
+    seasonal-naive predictor (same hour, previous day — the baseline
+    every real forecaster must beat) scored per series by MAE/max-error.
+    Composes downsample_gapfill (the dense grid makes lag(24) mean
+    'yesterday' even across silent hours — on the sparse grid it would
+    silently mean '24 active buckets ago') with one lag window and one
+    aggregate sharing the series exchange. Error terms are exact ints;
+    AVG is an exact-int ratio, deterministic cross-engine."""
+    g = ts_ops.downsample_gapfill(t(spark, sf_dir, "events"))
+    w = Window.partitionBy("series").orderBy("bucket_us")
+    f = g.select(
+        "series",
+        "n_events",
+        F.lag("n_events", 24).over(w).alias("__pred"),
+    ).filter(F.col("__pred").isNotNull())
+    return f.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.round(F.avg(F.abs(F.col("n_events") - F.col("__pred"))), 4).alias(
+            "mae"
+        ),
+        F.round(
+            F.max(F.abs(F.col("n_events") - F.col("__pred"))).cast("double"), 4
+        ).alias("max_err"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -4656,6 +4709,7 @@ _DEMOTED_PAST_WINDOW = [
     "q106_ohlc_daily",
     "q107_time_weighted_avg",
     "q108_approx_quantile_bounds",
+    "q109_seasonal_naive_backtest",
 ]
 
 

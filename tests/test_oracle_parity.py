@@ -68,6 +68,7 @@ SF_MED_STRENGTHENED = [
     "q106_ohlc_daily",
     "q107_time_weighted_avg",
     "q108_approx_quantile_bounds",
+    "q109_seasonal_naive_backtest",
 ]
 
 
