@@ -75,8 +75,16 @@ def write_zordered(
     computes the candidate cells), and the within-file sort gives parquet
     row-group min/max stats on ``zkey`` for sub-file skipping. At 100 TB,
     ``zbucket_bits`` sizes the grid (each cell should hold a few files of
-    a few hundred MB); the per-cell ``repartition`` spread keeps one hot
-    cell from becoming one giant file.
+    a few hundred MB).
+
+    The spread uses ``repartitionByRange(__zb, zkey)`` — NOT a hash
+    repartition on ``__zb``: hash partitioning puts each cell's every row
+    in ONE task no matter how many partitions are requested, so a hot
+    cell would always become one giant file. Range partitioning on the
+    (cell, key) pair keeps cells contiguous (one dir each via
+    partitionBy) while splitting a hot cell across tasks at curve-order
+    boundaries — multiple sorted files whose zkey ranges don't overlap,
+    which is exactly what row-group skipping wants.
     """
     zb_shift = 2 * bits - zbucket_bits
     out = (
@@ -84,7 +92,9 @@ def write_zordered(
         .withColumn("__zb", F.shiftright(F.col("zkey"), zb_shift))
     )
     (
-        out.repartition(files_per_bucket * (1 << zbucket_bits), "__zb")
+        out.repartitionByRange(
+            files_per_bucket * (1 << zbucket_bits), "__zb", "zkey"
+        )
         .sortWithinPartitions("__zb", "zkey")
         .write.mode("overwrite")
         .partitionBy("__zb")

@@ -2311,3 +2311,31 @@ def test_time_weighted_avg_known_value(spark):
     assert (r["key"], r["twavg"], r["span_us"], r["n"]) == (
         1, 17.5, 4 * 3600 * 1_000_000, 3,
     )
+
+
+def test_write_zordered_splits_hot_cell_across_files(spark, tmp_path):
+    """files_per_bucket must actually spread a hot cell: range
+    partitioning on (cell, zkey) splits it at curve-order boundaries
+    into multiple sorted files (a hash repartition on the cell id alone
+    silently writes one giant file per cell — the bug this pins out)."""
+    import glob as _glob
+
+    # all 4000 rows land in ONE coarse cell (tiny coordinates)
+    df = spark.range(4000).selectExpr("id % 60 as x", "cast(id / 60 as long) as y")
+    path = str(tmp_path / "zhot")
+    layout_ops8.write_zordered(
+        df, path, "x", "y", bits=12, zbucket_bits=4, files_per_bucket=4
+    )
+    cells = _glob.glob(path + "/__zb=*")
+    assert len(cells) == 1  # genuinely one hot cell
+    files = _glob.glob(cells[0] + "/*.parquet")
+    assert len(files) > 1  # split, not one giant file
+    # and the split respects curve order: per-file zkey ranges are disjoint
+    ranges = []
+    for f in files:
+        zf = spark.read.parquet(f).agg(
+            F.min("zkey").alias("lo"), F.max("zkey").alias("hi")
+        ).collect()[0]
+        ranges.append((zf["lo"], zf["hi"]))
+    ranges.sort()
+    assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
