@@ -90,6 +90,7 @@ CURATION = [
     "q107_time_weighted_avg",
     "q108_approx_quantile_bounds",
     "q109_seasonal_naive_backtest",
+    "q110_heavy_hitters",
 ]
 
 

@@ -1,0 +1,102 @@
+"""Exact heavy hitters under bounded memory: per-partition Misra–Gries
+candidates, then an exact recount of the (tiny) candidate set.
+
+The reference's frequency surface is per-load row tallies
+(src/import_genes.py:138-151); a corpus engine needs "which tokens /
+domains / n-grams exceed φ·N" over 100 TB — and the naive
+``groupBy(token).count()`` shuffles EVERY token occurrence (the token
+stream is corpus-sized). The classic two-pass fix:
+
+  pass 1 — each partition runs Misra–Gries with k counters (Arrow-batched
+      ``mapInPandas``, the sanctioned Python-kernel pattern): a summary of
+      ≤ k (item, weight) rows per partition. Pigeonhole guarantee: any
+      item with GLOBAL count > N/k has local count > n_p/k in at least
+      one partition (Σ n_p = N), and MG with k counters never evicts an
+      item whose local count exceeds n_p/k — so the union of partition
+      summaries contains every global heavy hitter. No false negatives;
+      false positives are culled by pass 2.
+  pass 2 — exact counts for candidates only: the candidate set
+      (≤ k·partitions rows — metadata-scale) broadcasts into a semi-join,
+      and only matching occurrences reach the aggregation. The output is
+      EXACT (true counts, true threshold test), with the full-corpus
+      shuffle replaced by a broadcast probe + an aggregation over
+      candidate occurrences alone.
+
+The exactness is why this is oracle-checkable (q110): the result equals
+``HAVING COUNT(*) > N/k`` verbatim — the sketch only bounds MEMORY and
+SHUFFLE, never changes the answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_kernel(k: int, item_col: str):
+    def run(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        n_rows = 0
+        for pdf in batches:
+            for item in pdf[item_col]:
+                n_rows += 1
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k:
+                    counters[item] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        # one summary per partition: the surviving counters plus a
+        # NULL-item row carrying the partition's row count, so pass 2
+        # needs no extra scan just to learn N
+        yield pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "rows": [0] * len(counters) + [n_rows],
+            }
+        )
+
+    return run
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """All items with count > N/k, with EXACT counts and frequencies.
+
+    Output: (item, n, freq) — freq rounded to 6 for the cross-engine
+    lattice (n/N is a ratio of exact ints).
+    """
+    items = df.select(F.col(item_col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    summary = items.mapInPandas(
+        _mg_kernel(k, "item"), "item string, rows long"
+    ).localCheckpoint(eager=True)
+    cand = summary.filter(F.col("item").isNotNull()).select("item").distinct()
+    total = summary.agg(F.sum("rows").alias("__n"))
+    counts = (
+        items.join(F.broadcast(cand), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * k > F.col("__n"))
+        .select(
+            "item",
+            "n",
+            F.round(F.col("n") / F.col("__n"), 6).alias("freq"),
+        )
+    )

@@ -69,6 +69,7 @@ SF_MED_STRENGTHENED = [
     "q107_time_weighted_avg",
     "q108_approx_quantile_bounds",
     "q109_seasonal_naive_backtest",
+    "q110_heavy_hitters",
 ]
 
 

@@ -757,3 +757,32 @@ def test_time_weighted_avg_matches_bruteforce(spark, rows):
         assert len(out) == 1
         assert out[0]["twavg"] == round(num / den, 4)
         assert out[0]["span_us"] == den
+
+
+@given(
+    toks=st.lists(
+        st.sampled_from([f"t{i}" for i in range(12)] + ["HOT"] * 4),
+        min_size=1,
+        max_size=120,
+    ),
+    k=st.sampled_from([3, 5, 8]),
+)
+@settings(**SETTINGS)
+def test_heavy_hitters_exact_vs_bruteforce(spark, toks, k):
+    """The Misra-Gries pass only proposes candidates; the recount makes
+    the answer EXACT. Must equal brute force for every stream and k —
+    including decrement-heavy adversarial mixes and items straddling the
+    N/k threshold."""
+    from collections import Counter
+
+    from syntenybrowserv2_etl_spark.operators import frequent
+
+    df = spark.createDataFrame([(t,) for t in toks], ["tok"]).repartition(4)
+    got = {
+        (r["item"], r["n"])
+        for r in frequent.heavy_hitters(df, "tok", k=k).collect()
+    }
+    c = Counter(toks)
+    n = len(toks)
+    want = {(t, m) for t, m in c.items() if m * k > n}
+    assert got == want
