@@ -34,27 +34,31 @@ from pyspark.sql import functions as F
 
 
 def _mg_kernel(k: int, item_col: str):
+    """Arrow-batched MG via the mergeable-summaries rule (Agarwal et al.
+    2012): each batch's exact value_counts (a vectorized pandas
+    aggregation — the Python-side work per batch is O(distinct items),
+    never a per-row loop) merges into the running counters; when more
+    than k survive, subtract the (k+1)-th largest count from all and
+    drop the non-positive. Each such reduction removes ≥ (k+1)·cut
+    occurrences of mass, so any item's total undercount is ≤ n_p/(k+1)
+    — an item with true local count > n_p/k keeps a positive counter,
+    which is all the candidate pass needs."""
+
     def run(batches):
         import pandas as pd
 
         counters: dict = {}
         n_rows = 0
         for pdf in batches:
-            for item in pdf[item_col]:
-                n_rows += 1
-                if item in counters:
-                    counters[item] += 1
-                elif len(counters) < k:
-                    counters[item] = 1
-                else:
-                    # decrement-all step; drop zeroed counters
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            vc = pdf[item_col].value_counts()
+            n_rows += int(vc.sum())
+            for item, c in vc.items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    i: c - cut for i, c in counters.items() if c > cut
+                }
         # one summary per partition: the surviving counters plus a
         # NULL-item row carrying the partition's row count, so pass 2
         # needs no extra scan just to learn N
