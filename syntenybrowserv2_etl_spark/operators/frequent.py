@@ -59,13 +59,14 @@ def _mg_kernel(k: int, item_col: str):
                 counters = {
                     i: c - cut for i, c in counters.items() if c > cut
                 }
-        # one summary per partition: the surviving counters plus a
-        # NULL-item row carrying the partition's row count, so pass 2
-        # needs no extra scan just to learn N
+        # one summary per partition: the surviving counters (with their
+        # MG weights — lower bounds on local counts, what the streaming
+        # fold merges) plus a NULL-item row carrying the partition's row
+        # count, so pass 2 needs no extra scan just to learn N
         yield pd.DataFrame(
             {
                 "item": list(counters.keys()) + [None],
-                "rows": [0] * len(counters) + [n_rows],
+                "rows": list(counters.values()) + [n_rows],
             }
         )
 
@@ -89,7 +90,9 @@ def heavy_hitters(
         _mg_kernel(k, "item"), "item string, rows long"
     ).localCheckpoint(eager=True)
     cand = summary.filter(F.col("item").isNotNull()).select("item").distinct()
-    total = summary.agg(F.sum("rows").alias("__n"))
+    total = summary.filter(F.col("item").isNull()).agg(
+        F.sum("rows").alias("__n")
+    )
     counts = (
         items.join(F.broadcast(cand), "item", "left_semi")
         .groupBy("item")

@@ -1154,3 +1154,95 @@ def read_rollup_gapfilled(
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
     )
+
+
+def heavy_hitters_stream(
+    stream_df: DataFrame,
+    item_col: str,
+    state_path: str,
+    k: int = 64,
+    query_name: str = "heavy_hitters",
+    checkpoint: str | None = None,
+):
+    """Streaming frequent-items maintenance — the real-time twin of
+    operators/frequent.heavy_hitters, and the textbook use of MERGEABLE
+    summaries (Agarwal et al. 2012): per micro-batch, the batch's exact
+    value_counts fold into a persisted k-counter Misra-Gries summary
+    under the same merge rule the batch kernel uses per Arrow batch.
+    State is O(k) rows REGARDLESS of stream length or cardinality — no
+    per-item state store, no watermark needed (the summary is a
+    monotone fold, late data just folds in).
+
+    The summary's counters UNDERCOUNT by at most N/(k+1) (the mergeable
+    bound), which preserves exactly the property consumers need: every
+    item with true frequency > N/k has a positive counter — the summary
+    is a certified CANDIDATE set. Exact counts on demand =
+    ``frequent.heavy_hitters``'s pass 2 over the accumulated corpus with
+    these candidates, or ship the (item, weight_lo = counter) bounds
+    directly where ±N/(k+1) suffices.
+
+    Idempotent replay: the summary write is a staged overwrite keyed by
+    a ``_batches/<id>`` marker (the bloom_ingest discipline) — a
+    redelivered batch that already folded in is skipped, because a
+    summary fold, like any aggregate merge, double-counts under naive
+    at-least-once replay.
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    from ..operators.frequent import _mg_kernel
+
+    spark = stream_df.sparkSession
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        marker_p = hpath(f"{state_path}/_batches/{batch_id}")
+        fs = marker_p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(marker_p):
+            return
+        items = batch_df.select(
+            F.col(item_col).cast("string").alias("item")
+        ).filter(F.col("item").isNotNull())
+        batch_sum = items.mapInPandas(
+            _mg_kernel(k, "item"), "item string, rows long"
+        )
+        state_p = hpath(f"{state_path}/summary")
+        if fs.exists(state_p):
+            prev = spark.read.parquet(f"{state_path}/summary")
+            batch_sum = prev.unionByName(batch_sum)
+        # merge: sum weights per item; if > k survive, subtract the
+        # (k+1)-th largest and drop non-positive — the same mergeable-
+        # summaries rule, expressed relationally over ≤ k·(tasks+1) rows
+        merged = (
+            batch_sum.groupBy("item")
+            .agg(F.sum("rows").alias("rows"))
+            .localCheckpoint(eager=True)
+        )
+        counters = merged.filter(F.col("item").isNotNull())
+        cut_rows = counters.orderBy(F.col("rows").desc()).limit(k + 1).collect()
+        cut = cut_rows[k]["rows"] if len(cut_rows) > k else 0
+        total = merged.filter(F.col("item").isNull())
+        staged = (
+            counters.select("item", (F.col("rows") - F.lit(cut)).alias("rows"))
+            .filter(F.col("rows") > 0)
+            .unionByName(total)
+            .localCheckpoint(eager=True)
+        )
+        staged.write.mode("overwrite").parquet(f"{state_path}/summary")
+        fs.mkdirs(marker_p)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_heavy_hitter_candidates(spark: SparkSession, state_path: str) -> DataFrame:
+    """The maintained candidate summary: (item, weight_lo) counters plus
+    the total item count folded so far (the NULL-item row). Every item
+    with true frequency > N/k is present (mergeable-summaries bound)."""
+    return spark.read.parquet(f"{state_path}/summary")

