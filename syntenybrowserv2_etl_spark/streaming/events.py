@@ -1246,3 +1246,72 @@ def read_heavy_hitter_candidates(spark: SparkSession, state_path: str) -> DataFr
     the total item count folded so far (the NULL-item row). Every item
     with true frequency > N/k is present (mergeable-summaries bound)."""
     return spark.read.parquet(f"{state_path}/summary")
+
+
+def distinct_counts_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    group_col: str,
+    state_path: str,
+    lg_k: int = 12,
+    query_name: str = "distinct_counts",
+    checkpoint: str | None = None,
+):
+    """Streaming distinct-count maintenance per group — the third member
+    of the mergeable-sketch family (bloom: membership, Misra-Gries:
+    frequency, HLL: cardinality). Exact streaming COUNT(DISTINCT) needs
+    per-key state (O(distinct keys) — unbounded on a user stream); the
+    Datasketches HLL sketch is O(2^lg_k) bytes per group with a known
+    relative error, and — the property everything here leans on — UNIONS
+    losslessly: union(sketch(A), sketch(B)) == sketch(A ∪ B) exactly, so
+    per batch the stored per-group sketch folds with the batch's via
+    ``hll_union`` and re-ingestion of an already-seen key is a no-op BY
+    CONSTRUCTION. That makes the fold idempotent at the KEY level;
+    markers are still kept so a replayed batch is skipped cheaply, but
+    unlike the MG/rollup folds a replay could not corrupt the estimate
+    even without them.
+
+    State: one (group, sketch binary) row per group at ``state_path``.
+    Read estimates with ``read_distinct_counts``.
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    spark = stream_df.sparkSession
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        marker_p = hpath(f"{state_path}/_batches/{batch_id}")
+        fs = marker_p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(marker_p):
+            return
+        batch_sk = batch_df.groupBy(
+            F.col(group_col).alias("grp")
+        ).agg(F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sk"))
+        state_p = hpath(f"{state_path}/sketches")
+        if fs.exists(state_p):
+            prev = spark.read.parquet(f"{state_path}/sketches")
+            batch_sk = prev.unionByName(batch_sk)
+        merged = (
+            batch_sk.groupBy("grp")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(f"{state_path}/sketches")
+        fs.mkdirs(marker_p)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_distinct_counts(spark: SparkSession, state_path: str) -> DataFrame:
+    """(grp, n_distinct_est) from the maintained per-group HLL sketches."""
+    return spark.read.parquet(f"{state_path}/sketches").select(
+        "grp", F.hll_sketch_estimate("sk").alias("n_distinct_est")
+    )

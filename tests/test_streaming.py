@@ -1042,3 +1042,46 @@ def test_heavy_hitters_stream_candidates_cover_truth(spark, tmp_path_factory):
     summary2 = stream_ops.read_heavy_hitter_candidates(spark, state).collect()
     total2 = sum(r["rows"] for r in summary2 if r["item"] is None)
     assert total2 >= n  # replay with a NEW batch id folds the full file set
+
+
+def test_distinct_counts_stream_tracks_exact_within_rsd(
+    spark, events_dir, tmp_path_factory
+):
+    """Maintained per-type HLL sketches vs exact distinct users: within
+    the sketch's relative-error envelope, and a re-folded (replayed
+    WITHOUT marker) stream must not move the estimate — sketch union is
+    idempotent at the key level by construction."""
+    state = str(tmp_path_factory.mktemp("hll_state")) + "/s"
+    stream = stream_ops.read_events_stream(spark, events_dir)
+    stream_ops.distinct_counts_stream(
+        stream, "user_id", "event_type", state
+    ).awaitTermination(120)
+    got = {
+        r["grp"]: r["n_distinct_est"]
+        for r in stream_ops.read_distinct_counts(spark, state).collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    want = {
+        r["event_type"]: r["nd"]
+        for r in batch.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        assert abs(got[g] - want[g]) <= max(3, 0.05 * want[g]), g
+    # key-level idempotency: re-ingesting the same events leaves every
+    # estimate unchanged. Markers are cleared first so the folds really
+    # run — this pins the sketch-union property itself, not the marker
+    # short-circuit (a fresh checkpoint-less stream reuses ids 0..N and
+    # would otherwise skip every batch)
+    shutil.rmtree(os.path.join(state, "_batches"))
+    stream2 = stream_ops.read_events_stream(spark, events_dir)
+    stream_ops.distinct_counts_stream(
+        stream2, "user_id", "event_type", state, query_name="dc_refold"
+    ).awaitTermination(120)
+    again = {
+        r["grp"]: r["n_distinct_est"]
+        for r in stream_ops.read_distinct_counts(spark, state).collect()
+    }
+    assert again == got
