@@ -91,6 +91,7 @@ CURATION = [
     "q108_approx_quantile_bounds",
     "q109_seasonal_naive_backtest",
     "q110_heavy_hitters",
+    "q111_sketch_rollup",
 ]
 
 

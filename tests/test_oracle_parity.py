@@ -70,6 +70,7 @@ SF_MED_STRENGTHENED = [
     "q108_approx_quantile_bounds",
     "q109_seasonal_naive_backtest",
     "q110_heavy_hitters",
+    "q111_sketch_rollup",
 ]
 
 
