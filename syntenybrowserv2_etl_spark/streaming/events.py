@@ -1156,6 +1156,33 @@ def read_rollup_gapfilled(
     )
 
 
+def _committed_version(spark, state_path: str, name: str):
+    """Latest state version id whose data dir AND commit marker both
+    exist — the read point of the versioned-fold discipline (see
+    heavy_hitters_stream). Returns (version_or_None, fs, hpath)."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    mdir = hpath(f"{state_path}/_batches")
+    fs = mdir.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(mdir):
+        return None, fs, hpath
+    ids = sorted(
+        (int(st.getPath().getName()) for st in fs.listStatus(mdir)),
+        reverse=True,
+    )
+    for i in ids:
+        if fs.exists(hpath(f"{state_path}/{name}/__v={i}")):
+            return i, fs, hpath
+    return None, fs, hpath
+
+
+def _prune_versions(fs, hpath, state_path: str, name: str, keep: int) -> None:
+    vdir = hpath(f"{state_path}/{name}")
+    for st in fs.listStatus(vdir):
+        nm = st.getPath().getName()
+        if nm.startswith("__v=") and int(nm.split("=")[1]) != keep:
+            fs.delete(st.getPath(), True)
+
+
 def heavy_hitters_stream(
     stream_df: DataFrame,
     item_col: str,
@@ -1181,54 +1208,25 @@ def heavy_hitters_stream(
     these candidates, or ship the (item, weight_lo = counter) bounds
     directly where ±N/(k+1) suffices.
 
-    Idempotent replay: the summary write is a staged overwrite keyed by
-    a ``_batches/<id>`` marker (the bloom_ingest discipline) — a
-    redelivered batch that already folded in is skipped, because a
-    summary fold, like any aggregate merge, double-counts under naive
-    at-least-once replay.
+    Crash-safe replay is VERSIONED, not overwrite-in-place: a summary
+    fold double-counts under naive at-least-once replay, and an
+    overwrite of the single summary file has two unrecoverable windows
+    (replay after the overwrite but before the marker re-folds the
+    batch into the POST-state; a crash mid-overwrite destroys the only
+    copy). Each fold instead reads the latest COMMITTED version
+    (``summary/__v=<id>`` with its ``_batches/<id>`` marker), writes its
+    result as a fresh ``__v=<batch_id>`` directory (a replay overwrites
+    ITS OWN dir — deterministic), and only then drops the marker;
+    earlier versions are pruned after commit. Every crash point replays
+    to the same state.
 
     Returns the started StreamingQuery (availableNow trigger).
     """
-    from ..operators.frequent import _mg_kernel
-
-    spark = stream_df.sparkSession
-    hpath = spark._jvm.org.apache.hadoop.fs.Path
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        marker_p = hpath(f"{state_path}/_batches/{batch_id}")
-        fs = marker_p.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(marker_p):
-            return
-        items = batch_df.select(
-            F.col(item_col).cast("string").alias("item")
-        ).filter(F.col("item").isNotNull())
-        batch_sum = items.mapInPandas(
-            _mg_kernel(k, "item"), "item string, rows long"
+        heavy_hitters_fold_batch(
+            batch_df, batch_id, item_col=item_col, state_path=state_path, k=k
         )
-        state_p = hpath(f"{state_path}/summary")
-        if fs.exists(state_p):
-            prev = spark.read.parquet(f"{state_path}/summary")
-            batch_sum = prev.unionByName(batch_sum)
-        # merge: sum weights per item; if > k survive, subtract the
-        # (k+1)-th largest and drop non-positive — the same mergeable-
-        # summaries rule, expressed relationally over ≤ k·(tasks+1) rows
-        merged = (
-            batch_sum.groupBy("item")
-            .agg(F.sum("rows").alias("rows"))
-            .localCheckpoint(eager=True)
-        )
-        counters = merged.filter(F.col("item").isNotNull())
-        cut_rows = counters.orderBy(F.col("rows").desc()).limit(k + 1).collect()
-        cut = cut_rows[k]["rows"] if len(cut_rows) > k else 0
-        total = merged.filter(F.col("item").isNull())
-        staged = (
-            counters.select("item", (F.col("rows") - F.lit(cut)).alias("rows"))
-            .filter(F.col("rows") > 0)
-            .unionByName(total)
-            .localCheckpoint(eager=True)
-        )
-        staged.write.mode("overwrite").parquet(f"{state_path}/summary")
-        fs.mkdirs(marker_p)
 
     writer = (
         stream_df.writeStream.foreachBatch(fold)
@@ -1241,11 +1239,66 @@ def heavy_hitters_stream(
     return writer.start()
 
 
+def heavy_hitters_fold_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    item_col: str,
+    state_path: str,
+    k: int,
+) -> None:
+    """One micro-batch of the summary fold (module-level so tests can
+    drive batches and crash points directly — the scd2_apply_batch
+    pattern). Versioned-fold discipline documented on
+    heavy_hitters_stream."""
+    from ..operators.frequent import _mg_kernel
+
+    spark = batch_df.sparkSession
+    vstar, fs, hp = _committed_version(spark, state_path, "summary")
+    marker_p = hp(f"{state_path}/_batches/{batch_id}")
+    if fs.exists(marker_p):
+        return
+    items = batch_df.select(
+        F.col(item_col).cast("string").alias("item")
+    ).filter(F.col("item").isNotNull())
+    batch_sum = items.mapInPandas(
+        _mg_kernel(k, "item"), "item string, rows long"
+    )
+    if vstar is not None:
+        prev = spark.read.parquet(f"{state_path}/summary/__v={vstar}")
+        batch_sum = prev.unionByName(batch_sum)
+    # merge: sum weights per item; if > k survive, subtract the
+    # (k+1)-th largest and drop non-positive — the same mergeable-
+    # summaries rule, expressed relationally over ≤ k·(tasks+1) rows
+    merged = (
+        batch_sum.groupBy("item")
+        .agg(F.sum("rows").alias("rows"))
+        .localCheckpoint(eager=True)
+    )
+    counters = merged.filter(F.col("item").isNotNull())
+    cut_rows = counters.orderBy(F.col("rows").desc()).limit(k + 1).collect()
+    cut = cut_rows[k]["rows"] if len(cut_rows) > k else 0
+    total = merged.filter(F.col("item").isNull())
+    staged = (
+        counters.select("item", (F.col("rows") - F.lit(cut)).alias("rows"))
+        .filter(F.col("rows") > 0)
+        .unionByName(total)
+        .localCheckpoint(eager=True)
+    )
+    staged.write.mode("overwrite").parquet(
+        f"{state_path}/summary/__v={batch_id}"
+    )
+    fs.mkdirs(marker_p)
+    _prune_versions(fs, hp, state_path, "summary", keep=batch_id)
+
+
 def read_heavy_hitter_candidates(spark: SparkSession, state_path: str) -> DataFrame:
     """The maintained candidate summary: (item, weight_lo) counters plus
     the total item count folded so far (the NULL-item row). Every item
-    with true frequency > N/k is present (mergeable-summaries bound)."""
-    return spark.read.parquet(f"{state_path}/summary")
+    with true frequency > N/k is present (mergeable-summaries bound).
+    Reads the latest COMMITTED version."""
+    v, _, _ = _committed_version(spark, state_path, "summary")
+    return spark.read.parquet(f"{state_path}/summary/__v={v}")
 
 
 def distinct_counts_stream(
@@ -1266,10 +1319,12 @@ def distinct_counts_stream(
     losslessly: union(sketch(A), sketch(B)) == sketch(A ∪ B) exactly, so
     per batch the stored per-group sketch folds with the batch's via
     ``hll_union`` and re-ingestion of an already-seen key is a no-op BY
-    CONSTRUCTION. That makes the fold idempotent at the KEY level;
-    markers are still kept so a replayed batch is skipped cheaply, but
-    unlike the MG/rollup folds a replay could not corrupt the estimate
-    even without them.
+    CONSTRUCTION. That makes the fold idempotent at the KEY level —
+    unlike the MG/rollup folds a replayed batch cannot corrupt the
+    estimate — but the state write still uses the versioned-fold
+    discipline (heavy_hitters_stream docstring): a crash mid-overwrite
+    of an in-place sketch file would destroy the only copy, versions
+    make every crash point replayable.
 
     State: one (group, sketch binary) row per group at ``state_path``.
     Read estimates with ``read_distinct_counts``.
@@ -1280,24 +1335,26 @@ def distinct_counts_stream(
     hpath = spark._jvm.org.apache.hadoop.fs.Path
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        marker_p = hpath(f"{state_path}/_batches/{batch_id}")
-        fs = marker_p.getFileSystem(spark._jsc.hadoopConfiguration())
+        vstar, fs, hp = _committed_version(spark, state_path, "sketches")
+        marker_p = hp(f"{state_path}/_batches/{batch_id}")
         if fs.exists(marker_p):
             return
         batch_sk = batch_df.groupBy(
             F.col(group_col).alias("grp")
         ).agg(F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sk"))
-        state_p = hpath(f"{state_path}/sketches")
-        if fs.exists(state_p):
-            prev = spark.read.parquet(f"{state_path}/sketches")
+        if vstar is not None:
+            prev = spark.read.parquet(f"{state_path}/sketches/__v={vstar}")
             batch_sk = prev.unionByName(batch_sk)
         merged = (
             batch_sk.groupBy("grp")
             .agg(F.hll_union_agg("sk").alias("sk"))
             .localCheckpoint(eager=True)
         )
-        merged.write.mode("overwrite").parquet(f"{state_path}/sketches")
+        merged.write.mode("overwrite").parquet(
+            f"{state_path}/sketches/__v={batch_id}"
+        )
         fs.mkdirs(marker_p)
+        _prune_versions(fs, hp, state_path, "sketches", keep=batch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(fold)
@@ -1311,7 +1368,9 @@ def distinct_counts_stream(
 
 
 def read_distinct_counts(spark: SparkSession, state_path: str) -> DataFrame:
-    """(grp, n_distinct_est) from the maintained per-group HLL sketches."""
-    return spark.read.parquet(f"{state_path}/sketches").select(
+    """(grp, n_distinct_est) from the latest committed per-group HLL
+    sketch version."""
+    v, _, _ = _committed_version(spark, state_path, "sketches")
+    return spark.read.parquet(f"{state_path}/sketches/__v={v}").select(
         "grp", F.hll_sketch_estimate("sk").alias("n_distinct_est")
     )

@@ -1027,21 +1027,38 @@ def test_heavy_hitters_stream_candidates_cover_truth(spark, tmp_path_factory):
     weights = {r["item"]: r["rows"] for r in summary if r["item"] is not None}
     for t in truth:
         assert c[t] - weights[t] <= n // (k + 1) + 1
-    # replay: drop the last batch marker and refold it -> unchanged
-    last = sorted(os.listdir(os.path.join(state, "_batches")))[-1]
-    _sh.rmtree(os.path.join(state, "_batches", last))
-    b2 = spark.createDataFrame([(t,) for t in batches[2]], ["tok"])
-    # drive the foreachBatch body directly with the same batch id
-    import syntenybrowserv2_etl_spark.streaming.events as se
-
-    q2 = stream_ops.heavy_hitters_stream(
-        spark.readStream.schema("tok STRING").parquet(src), "tok",
-        state, k=k, query_name="hh_replay",
+    # replay after the REAL crash window (version dir written, marker
+    # lost — the previous committed version is still on disk because
+    # pruning only runs after the marker): refolding the same batch must
+    # land the identical state, never a double count. Driven through the
+    # module-level fold (the scd2_apply_batch pattern) so the crash
+    # point is simulated exactly.
+    state2 = os.path.join(os.path.dirname(state), "state2")
+    mk = lambda toks: spark.createDataFrame([(t,) for t in toks], ["tok"])
+    stream_ops.heavy_hitters_fold_batch(
+        mk(batches[0]), 0, item_col="tok", state_path=state2, k=k
     )
-    q2.awaitTermination(120)
-    summary2 = stream_ops.read_heavy_hitter_candidates(spark, state).collect()
-    total2 = sum(r["rows"] for r in summary2 if r["item"] is None)
-    assert total2 >= n  # replay with a NEW batch id folds the full file set
+    pre = os.path.join(os.path.dirname(state), "pre_v0")
+    _sh.copytree(os.path.join(state2, "summary", "__v=0"), pre)
+    stream_ops.heavy_hitters_fold_batch(
+        mk(batches[1]), 1, item_col="tok", state_path=state2, k=k
+    )
+    want2 = {
+        tuple(r) for r in
+        stream_ops.read_heavy_hitter_candidates(spark, state2).collect()
+    }
+    # crash simulation: marker 1 lost; __v=1 orphaned; __v=0 restored
+    # (it was pruned only after the marker in the clean run)
+    _sh.rmtree(os.path.join(state2, "_batches", "1"))
+    _sh.copytree(pre, os.path.join(state2, "summary", "__v=0"))
+    stream_ops.heavy_hitters_fold_batch(
+        mk(batches[1]), 1, item_col="tok", state_path=state2, k=k
+    )
+    got2 = {
+        tuple(r) for r in
+        stream_ops.read_heavy_hitter_candidates(spark, state2).collect()
+    }
+    assert got2 == want2
 
 
 def test_distinct_counts_stream_tracks_exact_within_rsd(
