@@ -1331,30 +1331,11 @@ def distinct_counts_stream(
 
     Returns the started StreamingQuery (availableNow trigger).
     """
-    spark = stream_df.sparkSession
-    hpath = spark._jvm.org.apache.hadoop.fs.Path
-
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        vstar, fs, hp = _committed_version(spark, state_path, "sketches")
-        marker_p = hp(f"{state_path}/_batches/{batch_id}")
-        if fs.exists(marker_p):
-            return
-        batch_sk = batch_df.groupBy(
-            F.col(group_col).alias("grp")
-        ).agg(F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sk"))
-        if vstar is not None:
-            prev = spark.read.parquet(f"{state_path}/sketches/__v={vstar}")
-            batch_sk = prev.unionByName(batch_sk)
-        merged = (
-            batch_sk.groupBy("grp")
-            .agg(F.hll_union_agg("sk").alias("sk"))
-            .localCheckpoint(eager=True)
+        distinct_counts_fold_batch(
+            batch_df, batch_id, key_col=key_col, group_col=group_col,
+            state_path=state_path, lg_k=lg_k,
         )
-        merged.write.mode("overwrite").parquet(
-            f"{state_path}/sketches/__v={batch_id}"
-        )
-        fs.mkdirs(marker_p)
-        _prune_versions(fs, hp, state_path, "sketches", keep=batch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(fold)
@@ -1365,6 +1346,41 @@ def distinct_counts_stream(
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def distinct_counts_fold_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    key_col: str,
+    group_col: str,
+    state_path: str,
+    lg_k: int,
+) -> None:
+    """One micro-batch of the HLL fold (module-level so tests can drive
+    batches and crash points directly). Versioned-fold discipline
+    documented on heavy_hitters_stream."""
+    spark = batch_df.sparkSession
+    vstar, fs, hp = _committed_version(spark, state_path, "sketches")
+    marker_p = hp(f"{state_path}/_batches/{batch_id}")
+    if fs.exists(marker_p):
+        return
+    batch_sk = batch_df.groupBy(
+        F.col(group_col).alias("grp")
+    ).agg(F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sk"))
+    if vstar is not None:
+        prev = spark.read.parquet(f"{state_path}/sketches/__v={vstar}")
+        batch_sk = prev.unionByName(batch_sk)
+    merged = (
+        batch_sk.groupBy("grp")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("overwrite").parquet(
+        f"{state_path}/sketches/__v={batch_id}"
+    )
+    fs.mkdirs(marker_p)
+    _prune_versions(fs, hp, state_path, "sketches", keep=batch_id)
 
 
 def read_distinct_counts(spark: SparkSession, state_path: str) -> DataFrame:

@@ -1102,3 +1102,39 @@ def test_distinct_counts_stream_tracks_exact_within_rsd(
         for r in stream_ops.read_distinct_counts(spark, state).collect()
     }
     assert again == got
+
+
+def test_distinct_counts_fold_crash_window_replays_clean(
+    spark, tmp_path_factory
+):
+    """The versioned-fold crash window for the HLL twin: version dir
+    written, marker lost, previous committed version still present —
+    the refold must land the same estimates (it is also key-idempotent,
+    but this pins the version bookkeeping itself)."""
+    base = str(tmp_path_factory.mktemp("hll_crash"))
+    state = os.path.join(base, "state")
+    mk = lambda rows: spark.createDataFrame(rows, "grp string, k bigint")
+    cfg = dict(key_col="k", group_col="grp", state_path=state, lg_k=12)
+    stream_ops.distinct_counts_fold_batch(
+        mk([("a", i) for i in range(50)]), 0, **cfg
+    )
+    pre = os.path.join(base, "pre_v0")
+    shutil.copytree(os.path.join(state, "sketches", "__v=0"), pre)
+    stream_ops.distinct_counts_fold_batch(
+        mk([("a", i) for i in range(25, 75)] + [("b", 1)]), 1, **cfg
+    )
+    want = {
+        (r["grp"], r["n_distinct_est"])
+        for r in stream_ops.read_distinct_counts(spark, state).collect()
+    }
+    shutil.rmtree(os.path.join(state, "_batches", "1"))
+    shutil.copytree(pre, os.path.join(state, "sketches", "__v=0"))
+    stream_ops.distinct_counts_fold_batch(
+        mk([("a", i) for i in range(25, 75)] + [("b", 1)]), 1, **cfg
+    )
+    got = {
+        (r["grp"], r["n_distinct_est"])
+        for r in stream_ops.read_distinct_counts(spark, state).collect()
+    }
+    assert got == want
+    assert dict(got)["a"] == 75 and dict(got)["b"] == 1  # exact at this size
