@@ -159,3 +159,59 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_mb: int = 256,
+    sort_within_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Rewrite a parquet table into ~``target_mb`` files — the small-file
+    compaction every continuously-ingested table eventually needs (each
+    micro-batch/append leaves its own files; thousands of KB-sized files
+    turn every scan into a listing+open storm and starve the row-group
+    machinery).
+
+    File count = ceil(current bytes / target), so compaction is driven by
+    MEASURED size, not a guessed partition count. With ``sort_within_by``
+    the rewrite range-partitions + sorts on those columns, so compaction
+    doubles as a clustering pass (parquet min/max stats become selective
+    — the write_table sort_within_by intent applied retroactively).
+
+    Swap discipline: the rewrite lands in a staging dir, the live dir is
+    renamed aside, staging renamed live, then the old data deleted —
+    there is no window where the table is missing or half-written
+    (directory rename is the atomic primitive; a crash between the two
+    renames leaves the old table recoverable under ``<path>__old``, and
+    a crash before any rename leaves the live table untouched).
+
+    Returns (files_before, files_after).
+    """
+    import math
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    live = jvm_path(path)
+    fs = live.getFileSystem(spark._jsc.hadoopConfiguration())
+    summary = fs.getContentSummary(live)
+    n_files = max(1, math.ceil(summary.getLength() / (target_mb * 1024 * 1024)))
+    files_before = len(spark.read.parquet(path).inputFiles())
+    df = spark.read.parquet(path)
+    if sort_within_by:
+        df = df.repartitionByRange(n_files, *sort_within_by).sortWithinPartitions(
+            *sort_within_by
+        )
+    else:
+        df = df.repartition(n_files)
+    staging, old = jvm_path(path + "__staging"), jvm_path(path + "__old")
+    fs.delete(staging, True)
+    fs.delete(old, True)
+    df.write.mode("overwrite").parquet(path + "__staging")
+    if not fs.rename(live, old):
+        raise IOError(f"compact_table: could not move {path} aside")
+    if not fs.rename(staging, live):
+        # restore the original table before failing
+        fs.rename(old, live)
+        raise IOError(f"compact_table: could not promote staging for {path}")
+    fs.delete(old, True)
+    return files_before, len(spark.read.parquet(path).inputFiles())

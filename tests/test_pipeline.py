@@ -133,3 +133,34 @@ def test_build_bench_small_deterministic(spark, monkeypatch, capsys):
         "syntenic_block": 6000,
     }
     assert out["input_lines"] == 170248
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    """Small-file compaction: a 40-file table rewrites to the measured
+    target count with identical contents; with sort_within_by the files
+    carry disjoint key ranges (clustering pass)."""
+    from pyspark.sql import functions as F
+
+    from syntenybrowserv2_etl_spark.sources.io import compact_table
+
+    path = str(tmp_path / "frag")
+    spark.range(20_000).selectExpr("id", "id % 97 as k").repartition(
+        40
+    ).write.parquet(path)
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    n_before, n_after = compact_table(spark, path, target_mb=1, sort_within_by=["id"])
+    assert n_before == 40 and 1 <= n_after < 40
+    after = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert after == before
+    # clustering: per-file id ranges are disjoint
+    import glob as _glob
+
+    ranges = []
+    for f in _glob.glob(path + "/*.parquet"):
+        r = spark.read.parquet(f).agg(
+            F.min("id").alias("lo"), F.max("id").alias("hi")
+        ).collect()[0]
+        ranges.append((r["lo"], r["hi"]))
+    ranges.sort()
+    assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+    assert not _glob.glob(path + "__*")  # staging/old cleaned up
