@@ -101,7 +101,7 @@ KNOWN_OPS = frozenset({
     "perplexity_buckets", "dsir_importance", "pq_encode_adc",
     "setsim_prefix", "streaming_confirm", "ivf_probe_indexed",
     "perplexity_buckets_sampled", "pagerank_skew", "scd2_apply",
-    "triangles_skew", "rollup_apply",
+    "triangles_skew", "rollup_apply", "heavy_hitters",
 })
 
 
@@ -520,6 +520,22 @@ def main():
 
         if only is None or "rollup_apply" in only:
             _rollup_apply()
+
+        # round 8: exact heavy hitters over the scaled corpus's token
+        # stream — contract-linear: pass 1 is a map-only MG summary,
+        # pass 2 aggregates only candidate occurrences (partial-agg'd to
+        # <= candidates per task before the exchange).
+        def _heavy_hitters():
+            from syntenybrowserv2_etl_spark.operators import frequent
+            from syntenybrowserv2_etl_spark.operators import shape
+
+            tok = shape.explode_delimited(docs, "text", "item", " ")
+            r["heavy_hitters"] = timed(
+                lambda: noop(frequent.heavy_hitters(tok, "item", k=64))
+            )
+
+        if only is None or "heavy_hitters" in only:
+            _heavy_hitters()
 
         # round 7: streaming SCD2 per-batch apply against a GROWING
         # accumulated history — must stay ~flat: the open set is
