@@ -92,6 +92,7 @@ CURATION = [
     "q109_seasonal_naive_backtest",
     "q110_heavy_hitters",
     "q111_sketch_rollup",
+    "q112_containment_join",
 ]
 
 

@@ -1022,6 +1022,108 @@ def setsim_join_prefix(
     )
 
 
+def containment_join_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    k: int = 3,
+) -> DataFrame:
+    """EXACT set-CONTAINMENT self-join: every ordered pair (a, b) with
+    |Sₐ ∩ S_b| / |Sₐ| ≥ threshold over k-shingle sets — the asymmetric
+    relation Jaccard misses by construction: a paragraph quoted inside a
+    10× longer document has tiny Jaccard but containment ≈ 1, and
+    quote/subset detection is exactly what benchmark-contamination and
+    license-compliance sweeps need (Lee et al. 2022 dedup the
+    symmetric case; contamination scans need this directed one).
+
+    Prefix principle, containment flavor: order shingles by global
+    rarity (the q91/setsim discipline). If A's first
+    |A| − ⌈t·|A|⌉ + 1 rarest shingles were ALL absent from B, then
+    A ∩ B fits inside A's remaining ⌈t·|A|⌉ − 1 shingles —
+    contradicting |A∩B| ≥ t·|A|. So candidates are A-prefix shingles
+    joined against B's FULL shingle list (the asymmetry is physical:
+    only the probing side gets a prefix; the indexed side must be
+    complete or true pairs are lost). That makes the candidate fanout
+    Σ_g df_prefix(g)·df(g) — rarity ordering keeps prefix grams rare,
+    and the residual hot-gram skew is AQE skew-join territory, named
+    here rather than silently truncated (an exact operator cannot
+    max_df-suppress the indexed side).
+
+    Verification is exact integer arithmetic (array_intersect of the
+    full sorted sets / |A|), rounded to 6 for the cross-engine lattice.
+    Self-pairs are excluded; both directions of a mutual containment
+    emit separately (the relation is directed).
+
+    Output: (id_a, id_b, inter, n_a, n_b, containment) with
+    containment(a→b) = |Sₐ∩S_b|/|Sₐ| ≥ threshold, id_a ≠ id_b.
+    """
+    staged = with_shingle_array(fan_out(df), text_col, "__ss_arr", k)
+    tok = staged.select(
+        F.col(id_col),
+        F.explode(F.array_distinct("__ss_arr")).alias("__t"),
+    ).filter(F.length("__t") > 0)
+    dfreq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    docs = _materialize(
+        tok.join(dfreq, "__t")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("__t")))
+            ).alias("__pairs")
+        )
+        .select(
+            F.col(id_col),
+            F.transform("__pairs", lambda p: p["__t"]).alias("__set"),
+            F.size("__pairs").alias("__n"),
+        )
+        .withColumn("__L", setsim_prefix_len(threshold, "__n"))
+    )
+    prefix_a = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.explode(F.slice("__set", 1, F.col("__L"))).alias("__t"),
+    )
+    full_b = docs.select(
+        F.col(id_col).alias("id_b"), F.explode("__set").alias("__t")
+    )
+    cand = (
+        prefix_a.join(full_b, "__t")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    da = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__set").alias("__sa"),
+        F.col("__n").alias("n_a"),
+    )
+    db = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__set").alias("__sb"),
+        F.col("__n").alias("n_b"),
+    )
+    verified = (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("__sa", "__sb")).cast("long")
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("inter").cast("double") / F.col("n_a"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "inter",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "containment",
+    )
+
+
 def keep_best_representative(
     df: DataFrame,
     id_col: str,

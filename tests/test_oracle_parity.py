@@ -71,6 +71,7 @@ SF_MED_STRENGTHENED = [
     "q109_seasonal_naive_backtest",
     "q110_heavy_hitters",
     "q111_sketch_rollup",
+    "q112_containment_join",
 ]
 
 
