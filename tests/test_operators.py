@@ -2339,3 +2339,27 @@ def test_write_zordered_splits_hot_cell_across_files(spark, tmp_path):
         ranges.append((zf["lo"], zf["hi"]))
     ranges.sort()
     assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+
+
+def test_containment_join_detects_quote_not_jaccard(spark):
+    """A short doc quoted verbatim inside a much longer one: containment
+    1.0 (detected) while Jaccard is far below any useful threshold —
+    the directed relation is the operator's reason to exist. No reverse
+    pair (the long doc is not contained in the short one), no
+    self-pairs, unrelated docs silent."""
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "prefix words here the quick brown fox jumps over the lazy "
+            "dog and then much more trailing content follows here"),
+        (3, "completely unrelated text about spark execution engines"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dd.containment_join_prefix(
+            df, "doc_id", "text", threshold=0.8, k=3
+        ).collect()
+    }
+    assert out == {(1, 2): 1.0}

@@ -786,3 +786,46 @@ def test_heavy_hitters_exact_vs_bruteforce(spark, toks, k):
     n = len(toks)
     want = {(t, m) for t, m in c.items() if m * k > n}
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+            min_size=3,
+            max_size=12,
+        ).map(" ".join),
+        min_size=2,
+        max_size=6,
+    ),
+    t=st.sampled_from([0.5, 0.7, 0.9]),
+)
+@settings(**SETTINGS)
+def test_containment_join_matches_bruteforce(spark, texts, t):
+    """Exactness contract: the prefix filter may only prune, never drop —
+    every ordered pair with shingle containment ≥ t must appear, with
+    the exact intersection size."""
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["inter"]
+        for r in dd.containment_join_prefix(
+            df, "doc_id", "text", threshold=t, k=3
+        ).collect()
+    }
+
+    def shingles(s):
+        w = [x for x in s.lower().split() if x]
+        return {" ".join(w[i : i + 3]) for i in range(max(0, len(w) - 2))}
+
+    want = {}
+    sets = {i: shingles(s) for i, s in enumerate(texts)}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b or not sa:
+                continue
+            inter = len(sa & sb)
+            if round(inter / len(sa), 6) >= t:
+                want[(a, b)] = inter
+    assert got == want
