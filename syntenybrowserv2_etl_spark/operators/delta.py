@@ -39,18 +39,24 @@ def snapshot_diff(
     o = old.select(
         *[F.col(k).alias(f"__ko_{k}") for k in key_cols],
         *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
     )
     n = new.select(
         *[F.col(k).alias(f"__kn_{k}") for k in key_cols],
         *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
     )
+    # NULL-safe on BOTH the join and the presence flags: a key containing
+    # NULL must match itself (eqNullSafe), and presence cannot be inferred
+    # from key-column nullness — only the literal marker survives the
+    # outer join as NULL exactly when the side is absent.
     cond = None
     for k in key_cols:
-        eq = F.col(f"__ko_{k}") == F.col(f"__kn_{k}")
+        eq = F.col(f"__ko_{k}").eqNullSafe(F.col(f"__kn_{k}"))
         cond = eq if cond is None else (cond & eq)
     j = o.join(n, cond, "full_outer")
-    in_old = F.col(f"__ko_{key_cols[0]}").isNotNull()
-    in_new = F.col(f"__kn_{key_cols[0]}").isNotNull()
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
     diffs = [
         F.when(
             ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)

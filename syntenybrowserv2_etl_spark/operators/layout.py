@@ -24,6 +24,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def morton_key_nd(cols, bits: int = 21) -> "F.Column":
+    """d-dimensional Morton interleave: result bit d·i+a is column a's
+    bit i (axis 0 lowest — the 2-D ``morton_key`` is exactly
+    ``morton_key_nd([x, y], bits)``). d·bits ≤ 62 keeps the key in a
+    signed 64-bit long. Pure Column bit ops — whole-stage-codegen'd,
+    zero Python at run time."""
+    d = len(cols)
+    if d < 1:
+        raise ValueError("need at least one column")
+    if not 0 < d * bits <= 62:
+        raise ValueError(f"d*bits = {d * bits} must be in 1..62")
+    cs = [
+        (F.col(c) if isinstance(c, str) else c).cast("long") for c in cols
+    ]
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for a, c in enumerate(cs):
+            key = key + F.shiftleft(
+                F.shiftright(c, i).bitwiseAND(F.lit(1)), d * i + a
+            )
+    return key
+
+
+def morton_key_nd_sql(cols: list[str], bits: int = 21) -> str:
+    """The identical d-dimensional formula as ANSI/DuckDB SQL text — the
+    oracle twin of ``morton_key_nd`` (same bit ops, same order)."""
+    d = len(cols)
+    terms = []
+    for i in range(bits):
+        for a, c in enumerate(cols):
+            terms.append(f"((({c} >> {i}) & 1) << {d * i + a})")
+    return "(" + " + ".join(terms) + ")"
+
+
 def morton_key(x, y, bits: int = 21) -> "F.Column":
     """Interleave the low ``bits`` bits of two non-negative integer
     columns: result bit 2i is x's bit i, bit 2i+1 is y's bit i (y-major).
@@ -86,9 +120,53 @@ def write_zordered(
     boundaries — multiple sorted files whose zkey ranges don't overlap,
     which is exactly what row-group skipping wants.
     """
-    zb_shift = 2 * bits - zbucket_bits
+    write_zordered_nd(
+        df, path, [x_col, y_col], bits, zbucket_bits, files_per_bucket
+    )
+
+
+def _domain_guard(key: "F.Column", cols, bits: int) -> "F.Column":
+    """Fail the WRITE (not silently alias onto the curve) when a
+    coordinate falls outside [0, 2^bits): morton_key only interleaves the
+    low ``bits`` bits, so an out-of-domain value would land in the wrong
+    cell and a later pruned read would MISS it — the contract violation
+    ADVICE r8 named. raise_error stays JVM-side; in-domain rows pay two
+    comparisons per axis."""
+    lim = F.lit(1 << bits)
+    ok = F.lit(True)
+    for c in cols:
+        cc = (F.col(c) if isinstance(c, str) else c).cast("long")
+        ok = ok & (cc >= 0) & (cc < lim)
+    return F.when(ok, key).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"z-order coordinate outside [0, 2^{bits}): "),
+                *[F.concat(F.lit(f"{c}="), F.col(c).cast("string"), F.lit(" ")) for c in cols],
+            )
+        ).cast("long")
+    )
+
+
+def write_zordered_nd(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 21,
+    zbucket_bits: int = 4,
+    files_per_bucket: int = 1,
+) -> None:
+    """d-dimensional ``write_zordered`` (see its docstring for the layout
+    and pruning contract): cluster on the Morton curve of ``cols``,
+    directory-partitioned by the key's top ``zbucket_bits`` bits.
+    Out-of-domain coordinates fail the write (``_domain_guard``)."""
+    d = len(cols)
+    if not 0 < zbucket_bits <= d * bits:
+        raise ValueError("zbucket_bits must be in 1..d*bits")
+    zb_shift = d * bits - zbucket_bits
     out = (
-        df.withColumn("zkey", morton_key(x_col, y_col, bits))
+        df.withColumn(
+            "zkey", _domain_guard(morton_key_nd(cols, bits), cols, bits)
+        )
         .withColumn("__zb", F.shiftright(F.col("zkey"), zb_shift))
     )
     (
@@ -102,35 +180,60 @@ def write_zordered(
     )
 
 
+def zorder_box_cells_nd(
+    box: list[tuple[int, int]], bits: int = 21, zbucket_bits: int = 4
+) -> list[int]:
+    """Grid cells (partition values of ``__zb``) a d-dimensional
+    axis-aligned box can touch, for ANY zbucket_bits (the even-split
+    restriction is gone: each candidate cell id is decoded back to its
+    per-axis coordinate interval — the key's top bits fix each axis'
+    top bits, so every axis' cell range is contiguous — and kept iff
+    every interval intersects the box). Driver-side enumeration of
+    2^zbucket_bits integers (metadata, like a partition-pruning
+    IN-list), never a data scan. Box bounds outside [0, 2^bits) raise:
+    out-of-domain bounds would alias onto the curve and silently
+    exclude files the exact predicate matches."""
+    d = len(box)
+    if not 0 < zbucket_bits <= d * bits:
+        raise ValueError("zbucket_bits must be in 1..d*bits")
+    lim = 1 << bits
+    for a, (lo, hi) in enumerate(box):
+        if not (0 <= lo < lim and 0 <= hi < lim):
+            raise ValueError(
+                f"box bounds for axis {a} ({lo}, {hi}) outside [0, 2^{bits})"
+            )
+    top0 = d * bits - zbucket_bits  # first key-bit index inside the cell id
+    cells = []
+    for cell in range(1 << zbucket_bits):
+        ok = True
+        for a, (lo, hi) in enumerate(box):
+            base, n_unknown = 0, 0
+            for i in range(bits):
+                j = d * i + a  # key bit for axis a's bit i
+                if j >= top0:
+                    base |= ((cell >> (j - top0)) & 1) << i
+                else:
+                    n_unknown += 1
+            # unknown bits are axis a's LOW bits → contiguous interval
+            a_lo, a_hi = base, base + (1 << n_unknown) - 1
+            if a_hi < lo or a_lo > hi:
+                ok = False
+                break
+        if ok:
+            cells.append(cell)
+    return cells
+
+
 def zorder_box_buckets(
     x_lo: int, x_hi: int, y_lo: int, y_hi: int, bits: int = 21,
     zbucket_bits: int = 4,
 ) -> list[int]:
-    """Grid cells (partition values of ``__zb``) an axis-aligned box can
-    touch. The top zbucket_bits of the key interleave the top bits of x
-    and y, so the cell set is the cross product of each axis' coarse-bit
-    range — a driver-side enumeration of ≤ 2^zbucket_bits integers
-    (metadata, like a partition-pruning IN-list), never a data scan."""
-    if zbucket_bits % 2:
-        # an odd split would stagger the x/y bit positions inside the
-        # cell id; even splits keep the cell a clean (x-top, y-top)
-        # interleave — and a square coarse grid is what you want anyway
-        raise ValueError("zbucket_bits must be even")
-    x_bits = y_bits = zbucket_bits // 2
-    xs = range(x_lo >> (bits - x_bits), (x_hi >> (bits - x_bits)) + 1)
-    ys = range(y_lo >> (bits - y_bits), (y_hi >> (bits - y_bits)) + 1)
-    cells = set()
-    for xh in xs:
-        for yh in ys:
-            cell = 0
-            # reproduce the key's top-bit layout: interleave xh/yh so the
-            # cell id equals zkey >> (2*bits - zbucket_bits)
-            for i in range(x_bits):
-                cell |= ((xh >> i) & 1) << (2 * i)
-            for i in range(y_bits):
-                cell |= ((yh >> i) & 1) << (2 * i + 1)
-            cells.add(cell)
-    return sorted(cells)
+    """2-D wrapper over ``zorder_box_cells_nd`` (identical cell set for
+    the even-zbucket_bits layouts the wrapper used to hand-enumerate;
+    odd splits now work too)."""
+    return zorder_box_cells_nd(
+        [(x_lo, x_hi), (y_lo, y_hi)], bits, zbucket_bits
+    )
 
 
 def read_zordered_box(
@@ -149,14 +252,29 @@ def read_zordered_box(
     candidate grid cells, then apply the exact box predicate (pushed to
     the parquet scan). The pruned read is what the layout buys — the
     exact filter alone would touch every file."""
-    cells = zorder_box_buckets(x_lo, x_hi, y_lo, y_hi, bits, zbucket_bits)
-    return (
-        spark.read.parquet(path)
-        .filter(F.col("__zb").isin(cells))
-        .filter(
-            (F.col(x_col) >= x_lo)
-            & (F.col(x_col) <= x_hi)
-            & (F.col(y_col) >= y_lo)
-            & (F.col(y_col) <= y_hi)
-        )
+    return read_zordered_box_nd(
+        spark,
+        path,
+        [(x_lo, x_hi), (y_lo, y_hi)],
+        [x_col, y_col],
+        bits,
+        zbucket_bits,
     )
+
+
+def read_zordered_box_nd(
+    spark,
+    path: str,
+    box: list[tuple[int, int]],
+    cols: list[str],
+    bits: int = 21,
+    zbucket_bits: int = 4,
+) -> DataFrame:
+    """d-dimensional pruned box read (see ``read_zordered_box``).
+    Out-of-domain box bounds raise in ``zorder_box_cells_nd`` — the
+    pruned-read == full-scan contract only holds in-domain."""
+    cells = zorder_box_cells_nd(box, bits, zbucket_bits)
+    out = spark.read.parquet(path).filter(F.col("__zb").isin(cells))
+    for c, (lo, hi) in zip(cols, box):
+        out = out.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+    return out

@@ -2251,6 +2251,30 @@ def test_snapshot_diff_classifies_all_change_kinds(spark):
     }  # key 1 unchanged: absent
 
 
+def test_snapshot_diff_null_keys_match_null_safely(spark):
+    """A NULL-keyed row (including a composite key whose FIRST component
+    is NULL) must match itself across snapshots — not emit as
+    added+removed (the == join / isNotNull-presence bug ADVICE r8 named)."""
+    old = spark.createDataFrame(
+        [(None, 1, 10), (None, 2, 20), (7, None, 70)],
+        "k1 bigint, k2 bigint, v bigint",
+    )
+    new = spark.createDataFrame(
+        [(None, 1, 10), (None, 2, 21), (7, None, 70), (None, 3, 30)],
+        "k1 bigint, k2 bigint, v bigint",
+    )
+    got = {
+        (r["k1"], r["k2"]): (r["change_type"], r["changed_cols"])
+        for r in delta_ops8.snapshot_diff(
+            old, new, ["k1", "k2"], ["v"]
+        ).collect()
+    }
+    assert got == {
+        (None, 2): ("changed", "v"),
+        (None, 3): ("added", ""),
+    }  # (None,1) and (7,None) unchanged: absent
+
+
 def test_expectations_report_known_violations(spark):
     from syntenybrowserv2_etl_spark.operators import profiling as prof
 
@@ -2339,6 +2363,114 @@ def test_write_zordered_splits_hot_cell_across_files(spark, tmp_path):
         ranges.append((zf["lo"], zf["hi"]))
     ranges.sort()
     assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+
+
+def test_morton_key_nd_matches_2d_and_sql_twin(spark):
+    """morton_key_nd([x,y]) must equal the 2-D morton_key bit-for-bit
+    (same axis layout → old tables stay readable), and the d=3 SQL twin
+    must agree with the Column formula (the oracle premise at any d)."""
+    df = spark.range(500).selectExpr(
+        "cast(id % 29 as long) as x",
+        "cast(id % 17 as long) as y",
+        "cast(id % 13 as long) as z",
+    )
+    got = df.select(
+        (
+            layout_ops8.morton_key_nd(["x", "y"], 13)
+            == layout_ops8.morton_key("x", "y", 13)
+        ).alias("eq2"),
+        (
+            layout_ops8.morton_key_nd(["x", "y", "z"], 9)
+            == F.expr(layout_ops8.morton_key_nd_sql(["x", "y", "z"], 9))
+        ).alias("eq3"),
+    )
+    assert got.filter("NOT eq2 OR NOT eq3").count() == 0
+
+
+def test_zordered_nd_pruned_box_read_equals_full_scan(spark, tmp_path):
+    """3-column layout, odd zbucket_bits: the pruned read must return
+    exactly the rows the brute-force box filter returns (the
+    pruned-read == full-scan contract, now at d=3 with the even-split
+    restriction lifted), and must genuinely prune partitions."""
+    import glob as _glob
+
+    df = spark.range(3000).selectExpr(
+        "cast(id % 61 as long) as x",
+        "cast((id * 7) % 53 as long) as y",
+        "cast((id * 13) % 47 as long) as z",
+    )
+    path = str(tmp_path / "z3")
+    layout_ops8.write_zordered_nd(
+        df, path, ["x", "y", "z"], bits=6, zbucket_bits=5
+    )
+    box = [(5, 30), (10, 40), (0, 20)]
+    got = layout_ops8.read_zordered_box_nd(
+        spark, path, box, ["x", "y", "z"], bits=6, zbucket_bits=5
+    )
+    want = df.filter(
+        "x between 5 and 30 and y between 10 and 40 and z between 0 and 20"
+    )
+    assert got.count() == want.count()
+    assert got.select("x", "y", "z").exceptAll(
+        want.select("x", "y", "z")
+    ).count() == 0
+    # pruning is real: candidate cells < written cells
+    written = len(_glob.glob(path + "/__zb=*"))
+    cells = layout_ops8.zorder_box_cells_nd(box, 6, 5)
+    assert len(cells) < written
+
+
+def test_zordered_domain_guard_fails_write_and_read(spark, tmp_path):
+    """Out-of-domain coordinates must FAIL the write (not alias onto the
+    curve and silently vanish from pruned reads); out-of-domain box
+    bounds must raise in the read (ADVICE r8)."""
+    import pytest as _pytest
+
+    bad = spark.range(5).selectExpr(
+        "cast(id + 62 as long) as x", "cast(id as long) as y"
+    )  # x reaches 66 > 2^6-1
+    with _pytest.raises(Exception) as ei:
+        layout_ops8.write_zordered(
+            bad, str(tmp_path / "zbad"), "x", "y", bits=6, zbucket_bits=4
+        )
+    assert "z-order coordinate outside" in str(ei.value)
+    with _pytest.raises(ValueError):
+        layout_ops8.read_zordered_box_nd(
+            spark, str(tmp_path / "zbad"), [(0, 64), (0, 3)], ["x", "y"],
+            bits=6, zbucket_bits=4,
+        )
+
+
+def test_compact_table_zkey_retro_clusters(spark, tmp_path):
+    """compact_table(sort_within_by=["zkey"]) is the documented
+    retro-clustering path for already-ingested tables: after compaction
+    the per-file zkey ranges are disjoint (row-group min/max stats become
+    selective) and every row survives."""
+    import glob as _glob
+    from syntenybrowserv2_etl_spark.sources.io import compact_table
+
+    path = str(tmp_path / "ingested")
+    df = spark.range(4000).selectExpr(
+        "cast(id % 57 as long) as x", "cast((id * 11) % 57 as long) as y"
+    ).withColumn("zkey", layout_ops8.morton_key("x", "y", 6))
+    # simulate many small append batches (un-clustered arrival order)
+    df.orderBy(F.rand(7)).repartition(16).write.mode("overwrite").parquet(path)
+    n_before, n_after = compact_table(
+        spark, path, target_mb=1, sort_within_by=["zkey"]
+    )
+    assert spark.read.parquet(path).count() == 4000
+    files = _glob.glob(path + "/*.parquet")
+    ranges = sorted(
+        tuple(
+            spark.read.parquet(f)
+            .agg(F.min("zkey").alias("lo"), F.max("zkey").alias("hi"))
+            .collect()[0]
+        )
+        for f in files
+    )
+    assert all(
+        ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1)
+    )
 
 
 def test_containment_join_detects_quote_not_jaccard(spark):

@@ -695,16 +695,49 @@ def test_morton_key_bijective_and_monotone_in_quadrants(spark, pts):
 
 
 @given(
-    old=st.dictionaries(st.integers(0, 15), st.integers(0, 3), max_size=12),
-    new=st.dictionaries(st.integers(0, 15), st.integers(0, 3), max_size=12),
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, (1 << 9) - 1),
+            st.integers(0, (1 << 9) - 1),
+            st.integers(0, (1 << 9) - 1),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(**SETTINGS)
+def test_morton_key_nd_bijective_at_d3(spark, pts):
+    """d=3 interleave round-trips bit-exactly — the nd generalization
+    stays a KEY, not a hash."""
+    from syntenybrowserv2_etl_spark.operators import layout
+
+    df = spark.createDataFrame(pts, ["x", "y", "z"]).withColumn(
+        "k", layout.morton_key_nd(["x", "y", "z"], 9)
+    )
+    for r in df.collect():
+        dec = [
+            sum(((r["k"] >> (3 * i + a)) & 1) << i for i in range(9))
+            for a in range(3)
+        ]
+        assert tuple(dec) == (r["x"], r["y"], r["z"])
+
+
+@given(
+    # keys include None: NULL keys must diff null-safely (match themselves)
+    old=st.dictionaries(
+        st.one_of(st.none(), st.integers(0, 15)), st.integers(0, 3), max_size=12
+    ),
+    new=st.dictionaries(
+        st.one_of(st.none(), st.integers(0, 15)), st.integers(0, 3), max_size=12
+    ),
 )
 @settings(**SETTINGS)
 def test_snapshot_diff_matches_dict_diff(spark, old, new):
     from syntenybrowserv2_etl_spark.operators import delta
 
     mk = lambda d: spark.createDataFrame(
-        [(k, v) for k, v in d.items()] or [(None, None)], "k bigint, v bigint"
-    ).filter("k is not null")
+        [(k, v) for k, v in d.items()], "k bigint, v bigint"
+    )
     got = {
         r["k"]: (r["change_type"], r["changed_cols"])
         for r in delta.snapshot_diff(mk(old), mk(new), ["k"], ["v"]).collect()
