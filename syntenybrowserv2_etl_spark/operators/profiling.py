@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType, TimestampType, TimestampNTZType
 
 
-def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
     """Profile ``cols`` (default: all) of ``df`` in a single scan.
 
     Output: one row per column —
@@ -36,54 +41,73 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     where min/max_num carry numeric columns as double and timestamp
     columns as epoch-µs double; min/max_str carry string columns; the
     kind that doesn't apply is NULL.
+
+    ``approx=True`` swaps exact ``count_distinct`` for
+    ``approx_count_distinct`` (HyperLogLog++, relative standard
+    deviation ``rsd``) — the 100 TB mode: the exact multi-column
+    distinct forces an Expand (one replica of the scan per column)
+    into a SortAggregate, so its sort input is |cols| × corpus rows;
+    the sketch keeps the whole profile one pure HashAggregate pass
+    (plan-pinned by ``test_profile_table_approx_plan``). Drift
+    monitoring doesn't need exact cardinalities; ingest gates that do
+    keep ``approx=False`` (the q101 oracle twin).
+
+    Intermediate aliases are INDEX-based (``__nn_3``), never
+    interpolated column names — a column named ``a`b'c`` profiles fine
+    (the reshape references positions; the display name travels as a
+    literal only).
     """
     if cols is None:
         cols = df.columns
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
         dt = df.schema[c].dataType
-        aggs.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}")
+        # backtick-quote (doubling embedded backticks) so the resolver
+        # treats the whole name as ONE part — never a nested-field path
+        col = F.col(f"`{c.replace('`', '``')}`")
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"__nn_{i}"))
+        nd = (
+            F.approx_count_distinct(col, rsd)
+            if approx
+            else F.count_distinct(col)
         )
-        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        aggs.append(nd.alias(f"__nd_{i}"))
         if isinstance(dt, (TimestampType, TimestampNTZType)):
             # NTZ→LTZ cast preserves micros exactly under the pinned-UTC
             # session (the t() contract)
-            lo = F.unix_micros(F.min(c).cast("timestamp")).cast("double")
-            hi = F.unix_micros(F.max(c).cast("timestamp")).cast("double")
+            lo = F.unix_micros(F.min(col).cast("timestamp")).cast("double")
+            hi = F.unix_micros(F.max(col).cast("timestamp")).cast("double")
         elif isinstance(dt, NumericType):
-            lo = F.min(c).cast("double")
-            hi = F.max(c).cast("double")
+            lo = F.min(col).cast("double")
+            hi = F.max(col).cast("double")
         else:
-            lo = hi = None
-        aggs.append(
-            (lo if lo is not None else F.lit(None).cast("double")).alias(
-                f"__lo_{c}"
-            )
-        )
-        aggs.append(
-            (hi if hi is not None else F.lit(None).cast("double")).alias(
-                f"__hi_{c}"
-            )
-        )
+            lo = hi = F.lit(None).cast("double")
+        aggs.append(lo.alias(f"__lo_{i}"))
+        aggs.append(hi.alias(f"__hi_{i}"))
         if isinstance(dt, StringType):
-            slo, shi = F.min(c), F.max(c)
+            slo, shi = F.min(col), F.max(col)
         else:
             slo = shi = F.lit(None).cast("string")
-        aggs.append(slo.alias(f"__slo_{c}"))
-        aggs.append(shi.alias(f"__shi_{c}"))
+        aggs.append(slo.alias(f"__slo_{i}"))
+        aggs.append(shi.alias(f"__shi_{i}"))
     wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', `__nn_{c}`, `__nd_{c}`, `__lo_{c}`, `__hi_{c}`, "
-        f"`__slo_{c}`, `__shi_{c}`"
-        for c in cols
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__nn_{i}").alias("n_nulls"),
+                F.col(f"__nd_{i}").alias("n_distinct"),
+                F.col(f"__lo_{i}").alias("min_num"),
+                F.col(f"__hi_{i}").alias("max_num"),
+                F.col(f"__slo_{i}").alias("min_str"),
+                F.col(f"__shi_{i}").alias("max_str"),
+            )
+            for i, c in enumerate(cols)
+        ]
     )
-    return wide.select(
-        F.expr(
-            f"stack({len(cols)}, {stack_args}) as "
-            "(column, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
-        )
-    )
+    # row-local reshape of the 1-row aggregate (the stack() equivalent,
+    # minus the SQL-text interpolation)
+    return wide.select(F.explode(per_col).alias("r")).select("r.*")
 
 
 # --- declarative expectations (the dbt-test / Deequ-style quality gate) ---

@@ -1165,8 +1165,14 @@ def _committed_version(spark, state_path: str, name: str):
     fs = mdir.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(mdir):
         return None, fs, hpath
+    # tolerate stray non-numeric names (_SUCCESS, editor droppings):
+    # only digit-named markers are batch ids
     ids = sorted(
-        (int(st.getPath().getName()) for st in fs.listStatus(mdir)),
+        (
+            int(nm)
+            for st in fs.listStatus(mdir)
+            if (nm := st.getPath().getName()).lstrip("-").isdigit()
+        ),
         reverse=True,
     )
     for i in ids:
@@ -1298,6 +1304,11 @@ def read_heavy_hitter_candidates(spark: SparkSession, state_path: str) -> DataFr
     with true frequency > N/k is present (mergeable-summaries bound).
     Reads the latest COMMITTED version."""
     v, _, _ = _committed_version(spark, state_path, "summary")
+    if v is None:
+        raise FileNotFoundError(
+            f"no committed heavy-hitters state under {state_path} "
+            "(fold at least one batch first)"
+        )
     return spark.read.parquet(f"{state_path}/summary/__v={v}")
 
 
@@ -1387,6 +1398,11 @@ def read_distinct_counts(spark: SparkSession, state_path: str) -> DataFrame:
     """(grp, n_distinct_est) from the latest committed per-group HLL
     sketch version."""
     v, _, _ = _committed_version(spark, state_path, "sketches")
+    if v is None:
+        raise FileNotFoundError(
+            f"no committed distinct-count state under {state_path} "
+            "(fold at least one batch first)"
+        )
     return spark.read.parquet(f"{state_path}/sketches/__v={v}").select(
         "grp", F.hll_sketch_estimate("sk").alias("n_distinct_est")
     )

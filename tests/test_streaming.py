@@ -1061,6 +1061,39 @@ def test_heavy_hitters_stream_candidates_cover_truth(spark, tmp_path_factory):
     assert got2 == want2
 
 
+def test_versioned_state_tolerates_stray_markers_and_empty_state(
+    spark, tmp_path
+):
+    """ADVICE r8: a stray non-numeric file under _batches (_SUCCESS,
+    editor droppings) must not crash the committed-version fold, and
+    reading state that has no committed version must raise a CLEAR
+    error, not a confusing '__v=None' parquet failure."""
+    import os as _os
+    import pytest as _pytest
+
+    state = str(tmp_path / "mg_state")
+    with _pytest.raises(FileNotFoundError, match="no committed"):
+        stream_ops.read_heavy_hitter_candidates(spark, state)
+    with _pytest.raises(FileNotFoundError, match="no committed"):
+        stream_ops.read_distinct_counts(spark, state)
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], ["tok"])
+    stream_ops.heavy_hitters_fold_batch(
+        df, 0, item_col="tok", state_path=state, k=4
+    )
+    # plant stray names the fold must skip
+    _os.makedirs(_os.path.join(state, "_batches"), exist_ok=True)
+    open(_os.path.join(state, "_batches", "_SUCCESS"), "w").close()
+    stream_ops.heavy_hitters_fold_batch(
+        df, 1, item_col="tok", state_path=state, k=4
+    )
+    got = {
+        r["item"]: r["rows"]
+        for r in stream_ops.read_heavy_hitter_candidates(spark, state).collect()
+        if r["item"] is not None
+    }
+    assert got == {"a": 4, "b": 2}
+
+
 def test_distinct_counts_stream_tracks_exact_within_rsd(
     spark, events_dir, tmp_path_factory
 ):
