@@ -137,11 +137,22 @@ def _domain_guard(key: "F.Column", cols, bits: int) -> "F.Column":
     for c in cols:
         cc = (F.col(c) if isinstance(c, str) else c).cast("long")
         ok = ok & (cc >= 0) & (cc < lim)
+    # message parts are NULL-guarded: plain F.concat over a NULL
+    # coordinate nulls the WHOLE message and the write dies with a bare
+    # '[USER_RAISED_EXCEPTION] null' — losing the explanation exactly
+    # when the offending values matter most
     return F.when(ok, key).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"z-order coordinate outside [0, 2^{bits}): "),
-                *[F.concat(F.lit(f"{c}="), F.col(c).cast("string"), F.lit(" ")) for c in cols],
+                *[
+                    F.concat(
+                        F.lit(f"{c}="),
+                        F.coalesce(F.col(c).cast("string"), F.lit("NULL")),
+                        F.lit(" "),
+                    )
+                    for c in cols
+                ],
             )
         ).cast("long")
     )

@@ -45,12 +45,17 @@ def profile_table(
     ``approx=True`` swaps exact ``count_distinct`` for
     ``approx_count_distinct`` (HyperLogLog++, relative standard
     deviation ``rsd``) — the 100 TB mode: the exact multi-column
-    distinct forces an Expand (one replica of the scan per column)
-    into a SortAggregate, so its sort input is |cols| × corpus rows;
-    the sketch keeps the whole profile one pure HashAggregate pass
-    (plan-pinned by ``test_profile_table_approx_plan``). Drift
-    monitoring doesn't need exact cardinalities; ingest gates that do
-    keep ``approx=False`` (the q101 oracle twin).
+    distinct forces an Expand (one replica of the scan per column),
+    so the aggregate's input is |cols| × corpus rows; the sketch
+    eliminates the Expand entirely — the aggregate consumes the scan
+    exactly once, with HLL buffers per column (plan-pinned by
+    ``test_profile_table_approx_plan_no_expand``: ``Expand`` absent,
+    ``approx_count_distinct`` present). Note the pass is still a
+    SortAggregate when string columns are profiled — string min/max
+    buffers aren't hash-aggregable (the SCALE.md q101 note) — the win
+    is the |cols|× row replication feeding it, not the aggregate kind.
+    Drift monitoring doesn't need exact cardinalities; ingest gates
+    that do keep ``approx=False`` (the q101 oracle twin).
 
     Intermediate aliases are INDEX-based (``__nn_3``), never
     interpolated column names — a column named ``a`b'c`` profiles fine

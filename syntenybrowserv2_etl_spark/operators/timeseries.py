@@ -93,10 +93,19 @@ def zscore_outliers(
     key_col: str = "user_id",
     z_threshold: float = 2.0,
     round_to: int = 4,
+    two_sided: bool = False,
 ) -> DataFrame:
     """Per-(key, day) activity-count outliers against each series'
     population: z = (cnt − mean) / stddev_pop over all (key, day) cells of
     the series, flagged when the ROUNDED z clears the threshold.
+
+    DEFAULT IS ONE-SIDED — positive spikes only (``z >= threshold``; the
+    q103 oracle mirrors this): activity COLLAPSES are never flagged. A
+    day with zero events doesn't even produce a cell, so the fully-dead
+    case is invisible to any z-test on observed cells — detect absences
+    with gapfill_hourly's dense spine, not here. ``two_sided=True``
+    flags ``|z| >= threshold`` for partial collapses that do produce a
+    low-count cell.
 
     The rounded-score gate is the q87/q92 determinism contract: counts
     are exact integers, but mean/stddev are float aggregates whose
@@ -127,6 +136,11 @@ def zscore_outliers(
         / F.when(F.col("__sd") > 0, F.col("__sd")),
         round_to,
     )
+    flag = (
+        (F.abs(z) >= F.lit(z_threshold))
+        if two_sided
+        else (z >= F.lit(z_threshold))
+    )
     return (
         cells.join(F.broadcast(moments), "series")
         .select(
@@ -135,9 +149,7 @@ def zscore_outliers(
             F.unix_micros("__d").alias("day_us"),
             "cnt",
             z.alias("z"),
-            F.coalesce(z >= F.lit(z_threshold), F.lit(False)).alias(
-                "is_outlier"
-            ),
+            F.coalesce(flag, F.lit(False)).alias("is_outlier"),
         )
     )
 

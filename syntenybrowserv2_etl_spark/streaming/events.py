@@ -10,6 +10,8 @@ semantics while the streaming tests validate the incremental execution
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1166,12 +1168,14 @@ def _committed_version(spark, state_path: str, name: str):
     if not fs.exists(mdir):
         return None, fs, hpath
     # tolerate stray non-numeric names (_SUCCESS, editor droppings):
-    # only digit-named markers are batch ids
+    # only digit-named markers are batch ids. Strict ASCII regex, not
+    # lstrip/isdigit — '--5', '-', and unicode digits ('٥') all pass
+    # isdigit-style checks and then blow up (or mis-parse) in int()
     ids = sorted(
         (
             int(nm)
             for st in fs.listStatus(mdir)
-            if (nm := st.getPath().getName()).lstrip("-").isdigit()
+            if re.fullmatch(r"-?[0-9]+", (nm := st.getPath().getName()))
         ),
         reverse=True,
     )

@@ -2171,6 +2171,32 @@ def test_zscore_outliers_zero_variance_is_null_not_flagged(spark):
     assert all(r["z"] is None and not r["is_outlier"] for r in out)
 
 
+def test_zscore_outliers_two_sided_flags_collapse(spark):
+    """The documented one-sidedness contract, both ways: a partial
+    activity COLLAPSE (cnt 1 in a population of 10s, z ≈ −3) is
+    invisible to the default spikes-only flag and caught by
+    two_sided=True; the flip changes NOTHING else (same cells, same z)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 9 busy (user, day) cells with 10 events, one collapsed cell with 1
+    for u in range(9):
+        for _ in range(10):
+            rows.append((eid, base + dt.timedelta(days=u, minutes=eid), u, "click"))
+            eid += 1
+    rows.append((eid, base + dt.timedelta(days=9), 9, "click"))
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    one = {r["key"]: r for r in ts_ops8.zscore_outliers(e).collect()}
+    two = {r["key"]: r for r in ts_ops8.zscore_outliers(e, two_sided=True).collect()}
+    assert one[9]["z"] < -2.0 and not one[9]["is_outlier"]  # spikes-only default
+    assert two[9]["is_outlier"]  # |z| catches the collapse
+    assert all(one[u]["z"] == two[u]["z"] for u in range(10))
+    assert not any(two[u]["is_outlier"] for u in range(9))
+
+
 def test_profile_table_counts_nulls_and_types(spark):
     df = spark.createDataFrame(
         [(1, "x", 2.0), (2, None, None), (None, "y", 4.0)],
@@ -2187,6 +2213,28 @@ def test_profile_table_counts_nulls_and_types(spark):
     assert (out["v"]["n_nulls"], out["v"]["min_num"], out["v"]["max_num"]) == (
         1, 2.0, 4.0,
     )
+
+
+def test_profile_table_approx_within_rsd(spark):
+    """The approx=True profile must agree with the exact one on
+    everything but n_distinct — nulls and min/max are computed the same
+    way — and its HLL++ cardinality estimates must sit inside the
+    3·rsd envelope of the exact counts (the q38 bound pattern)."""
+    rsd = 0.05
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    exact = {r["column"]: r for r in prof_ops8.profile_table(df).collect()}
+    approx = {
+        r["column"]: r
+        for r in prof_ops8.profile_table(df, approx=True, rsd=rsd).collect()
+    }
+    assert set(exact) == set(approx)
+    for c in exact:
+        e, a = exact[c], approx[c]
+        for f in ("n_nulls", "min_num", "max_num", "min_str", "max_str"):
+            assert e[f] == a[f], (c, f)
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
+            3 * rsd * e["n_distinct"], 1
+        ), c
 
 
 def test_morton_key_matches_reference_bits(spark):

@@ -693,6 +693,70 @@ def test_q101_profile_is_single_scan(spark):
     assert p.count("Location: InMemoryFileIndex") == 1
 
 
+def test_profile_table_approx_plan_no_expand(spark):
+    """profile_table(approx=True)'s plan win, pinned: the exact
+    multi-column count_distinct needs an Expand node (one replica of the
+    scan per profiled column feeding the aggregate); the HLL++ sketch
+    path must have NO Expand — the aggregate consumes the scan once —
+    and must actually use approx_count_distinct. (The aggregate itself
+    may still be a SortAggregate when string columns are profiled —
+    string min/max buffers aren't hash-aggregable; the win is the
+    |cols|× row replication, not the aggregate kind.)"""
+    from syntenybrowserv2_etl_spark.operators import profiling as prof
+
+    def fmt(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    exact_plan = fmt(prof.profile_table(df))
+    approx_plan = fmt(prof.profile_table(df, approx=True))
+    assert "Expand" in exact_plan  # the cost the sketch removes
+    assert "Expand" not in approx_plan
+    assert "approx_count_distinct" in approx_plan
+
+
+def test_snapshot_diff_bucketed_join_shuffle_free(spark, tmp_path_factory):
+    """The module's 100 TB layout claim, pinned: two snapshots bucketed by
+    the key diff with ZERO Exchanges when the caller asserts PK keys
+    (null_safe_keys=False → plain ==, which a bucketed-by-key layout
+    satisfies directly). The default eqNullSafe path on the SAME tables
+    reshuffles BOTH sides — Catalyst rewrites <=> keys into
+    coalesce/isnull expressions no bucket layout matches — which is
+    exactly why the escape hatch exists (r9 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from syntenybrowserv2_etl_spark.operators import delta as dlt
+
+    def fmt(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    for t in ("t_diff_old", "t_diff_new"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        df.write.bucketBy(8, "k").sortBy("k").saveAsTable(t)
+    try:
+        o, n = spark.table("t_diff_old"), spark.table("t_diff_new")
+        pk_plan = fmt(dlt.snapshot_diff(o, n, ["k"], ["v"], null_safe_keys=False))
+        ns_plan = fmt(dlt.snapshot_diff(o, n, ["k"], ["v"]))
+        assert "Exchange" not in pk_plan  # bucketed layout reused
+        assert "Exchange" in ns_plan  # the eqNullSafe cost, demonstrated
+        # identical (empty) diff either way on identical snapshots
+        assert dlt.snapshot_diff(
+            o, n, ["k"], ["v"], null_safe_keys=False
+        ).count() == 0
+    finally:
+        for t in ("t_diff_old", "t_diff_new"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_q100_gapfill_has_no_cartesian(spark):
     """The dense spine is generated series-locally (sequence+explode from
     each series' own span) — never a cross join of series against a
