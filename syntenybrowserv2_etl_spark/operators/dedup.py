@@ -1028,6 +1028,7 @@ def containment_join_prefix(
     text_col: str,
     threshold: float = 0.8,
     k: int = 3,
+    hot_gram_chunk: int = 1024,
 ) -> DataFrame:
     """EXACT set-CONTAINMENT self-join: every ordered pair (a, b) with
     |Sₐ ∩ S_b| / |Sₐ| ≥ threshold over k-shingle sets — the asymmetric
@@ -1046,9 +1047,23 @@ def containment_join_prefix(
     only the probing side gets a prefix; the indexed side must be
     complete or true pairs are lost). That makes the candidate fanout
     Σ_g df_prefix(g)·df(g) — rarity ordering keeps prefix grams rare,
-    and the residual hot-gram skew is AQE skew-join territory, named
-    here rather than silently truncated (an exact operator cannot
-    max_df-suppress the indexed side).
+    but the indexed side cannot be truncated (exactness), so one gram
+    appearing in 30% of documents puts ~0.3·n rows on ONE join key.
+
+    Hot-gram skew is handled by EXACT posting-list chunking, not AQE
+    hope: a gram with df > ``hot_gram_chunk`` has its B-side posting
+    list split into ⌈df/chunk⌉ sub-keys (chunk = pmod(hash(id_b),
+    n_chunks)) and each A-probe of that gram replicates across the
+    sub-keys (explode over sequence) — every (a, b) pair still meets on
+    exactly one (gram, chunk) key, so the candidate set is PROVABLY
+    identical (property-tested: forced chunking ≡ unchunked), while no
+    join key carries more than ~chunk indexed rows. The hot-gram list
+    is |grams with df > chunk| ≤ total_occurrences/chunk — broadcast
+    scale by construction, so both sides are augmented map-side: the
+    mitigation adds ZERO shuffles, only replicated probe rows for the
+    hot grams (bounded by Σ_hot df_prefix(g)·⌈df(g)/chunk⌉ extra rows).
+    SCALE.md (round-10 containment-skew curve) measures the knee this
+    removes.
 
     Verification is exact integer arithmetic (array_intersect of the
     full sorted sets / |A|), rounded to 6 for the cross-engine lattice.
@@ -1086,8 +1101,37 @@ def containment_join_prefix(
     full_b = docs.select(
         F.col(id_col).alias("id_b"), F.explode("__set").alias("__t")
     )
+    # posting-list chunking for hot grams (docstring): split each hot
+    # gram's indexed rows into ⌈df/chunk⌉ sub-keys, replicate its probes
+    hot = dfreq.filter(F.col("__df") > hot_gram_chunk).select(
+        "__t",
+        F.ceil(F.col("__df") / F.lit(hot_gram_chunk))
+        .cast("int")
+        .alias("__nch"),
+    )
+    b_side = (
+        full_b.join(F.broadcast(hot), "__t", "left")
+        .withColumn(
+            "__c",
+            F.when(
+                F.col("__nch").isNotNull(),
+                F.pmod(F.hash("id_b"), F.col("__nch")),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("__nch")
+    )
+    a_side = (
+        prefix_a.join(F.broadcast(hot), "__t", "left")
+        .select(
+            "id_a",
+            "__t",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("__nch"), F.lit(1)) - 1)
+            ).alias("__c"),
+        )
+    )
     cand = (
-        prefix_a.join(full_b, "__t")
+        a_side.join(b_side, ["__t", "__c"])
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

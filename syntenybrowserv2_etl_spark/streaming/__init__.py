@@ -1,1 +1,2 @@
 from . import events  # noqa: F401
+from . import merge  # noqa: F401

@@ -218,48 +218,32 @@ def upsert_stream_to_parquet(
     pk: list[str],
     arrival_col: str,
     query_name: str = "upsert_sink",
+    n_buckets: int = 64,
 ):
     """Streaming INSERT OR REPLACE (reference S11, src/import_synteny_blocks.py:83-88)
     as a ``foreachBatch`` sink: each micro-batch merges into the parquet
     table with last-write-wins on ``pk`` ordered by ``arrival_col``.
 
-    Local merge = read + union + window-dedup + full rewrite — correct but
-    O(table) per batch; on a real deployment the same foreachBatch body
-    targets a MERGE-capable table format so the rewrite is file-level.
+    Now a thin wrapper over the generic keyed MERGE sink
+    (streaming/merge.py): the table lives parquet-partitioned by key
+    bucket, and a micro-batch reads and rewrites ONLY the buckets its
+    keys hash into — O(touched buckets) per batch, flat in table size,
+    replacing this sink's historical read + union + window-dedup + full
+    rewrite (O(table) per batch — at 100 TB that rewrote the world to
+    apply a megabyte). The stored layout gains ``__kb``/``__b`` columns;
+    read the logical table with ``merge.merge_read``. Crash-replay and
+    tie-break semantics: merge.py module docstring.
     Returns the started StreamingQuery (caller awaits termination).
     """
-    from pyspark.sql import Window
+    from .merge import merge_upsert_stream
 
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        # Probe path existence explicitly: ONLY a missing table means "first
-        # batch". A transient read error (IO, permissions, partial files)
-        # must propagate and fail the batch for retry — swallowing it here
-        # would overwrite the whole table with one micro-batch.
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
-        fs = jvm_path.getFileSystem(
-            spark._jsc.hadoopConfiguration()
-        )
-        existing = spark.read.parquet(path) if fs.exists(jvm_path) else None
-        merged = (
-            existing.unionByName(batch_df) if existing is not None else batch_df
-        )
-        w = Window.partitionBy(*pk).orderBy(F.col(arrival_col).desc())
-        deduped = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        # stage-then-swap: never read and overwrite the same files in-flight
-        staged = deduped.localCheckpoint(eager=True)
-        staged.write.mode("overwrite").parquet(path)
-
-    return (
-        stream_df.writeStream.foreachBatch(merge)
-        .outputMode("update")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
+    return merge_upsert_stream(
+        stream_df,
+        path,
+        pk,
+        arrival_col,
+        n_buckets=n_buckets,
+        query_name=query_name,
     )
 
 

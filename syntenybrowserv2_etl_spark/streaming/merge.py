@@ -1,0 +1,199 @@
+"""Generic keyed MERGE upsert sink: streaming INSERT OR REPLACE whose
+per-batch cost is O(touched buckets), not O(table).
+
+The reference's upsert surface is sqlite ``INSERT OR REPLACE`` per row
+(src/import_synteny_blocks.py:83-88, src/import_homologs.py:114-120);
+its streaming twin here previously re-read, re-deduped, and rewrote the
+WHOLE parquet table every micro-batch — correct, but at 100 TB the sink
+rewrites the world to apply a megabyte. This module generalizes the
+touched-bucket machinery the SCD2 sink already proved
+(events.scd2_apply_batch): the table lives parquet-partitioned by
+``__kb = pmod(hash(*key_cols), n_buckets)``, and a micro-batch
+
+  1. computes the bucket set its keys hash into (batch-bounded list of
+     ints — the same metadata-scale collect the bloom confirm does),
+  2. READS only those bucket partitions (partition-pruned via literal
+     ``isin``),
+  3. merges last-write-wins on ``arrival_col`` (batch row wins arrival
+     ties — INSERT OR REPLACE: the later write replaces), and
+  4. REWRITES only those bucket partitions (dynamic partition
+     overwrite).
+
+Untouched buckets are never read and never written, so per-batch I/O is
+proportional to the batch's key spread, flat in table size (SCALE.md
+merge-upsert curve). Size ``n_buckets`` for the TARGET key cardinality —
+a few hundred MB of current rows per bucket.
+
+Idempotency (the scd2_apply crash-window discipline): every written row
+carries ``__b`` = the batch id that last rewrote its bucket; a
+``_batches/<id>`` marker (written last) records full commit. A
+redelivered committed batch is skipped outright. Dynamic partition
+overwrite is NOT atomic across partitions, so a crash mid job-commit can
+leave SOME touched buckets rewritten (``__b == batch_id``) and others at
+their pre-state; the replay resolves PER BUCKET — committed buckets are
+final, stale buckets re-run the merge from their (unchanged) pre-state
+restricted to their keys, a deterministic function of the same inputs
+the first attempt saw. Every touched bucket necessarily receives rows
+(each batch key leaves a surviving row in its bucket), so ``__b ==
+batch_id`` present ⟺ that bucket's rewrite committed.
+
+Ordering contract: batches apply in delivery order; rows of equal
+``arrival_col`` resolve to the later-applied batch (and within one
+batch, ties across duplicate key rows are broken arbitrarily — give
+rows a total arrival order if that matters).
+
+Read the current table with ``merge_read`` (drops the layout columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LAYOUT_COLS = ("__kb", "__b")
+
+
+def _merge_kb(key_cols: list[str], n_buckets: int):
+    """Bucket id for a (possibly composite, possibly NULL-containing)
+    key: pmod of the 32-bit hash — total (hash never returns NULL) and
+    non-negative (pmod with a positive divisor)."""
+    return F.pmod(F.hash(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
+
+
+def merge_upsert_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    table_path: str,
+    key_cols: list[str],
+    arrival_col: str,
+    n_buckets: int = 64,
+) -> None:
+    """One micro-batch of the keyed MERGE upsert (the foreachBatch body
+    of merge_upsert_stream, module-level so tests and the scale harness
+    can drive batches and crash points directly). Layout, cost, and
+    idempotency contracts are documented at module level."""
+    from pyspark.sql import Window
+
+    spark = batch_df.sparkSession
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    marker_p = hpath(f"{table_path}/_batches/{batch_id}")
+    if fs.exists(marker_p):
+        return  # fully-committed batch redelivered: skip
+    batch_df = batch_df.localCheckpoint(eager=True)
+    kb = _merge_kb(key_cols, n_buckets)
+    touched = [
+        r["__kb"]
+        for r in batch_df.select(kb.alias("__kb")).distinct().collect()
+    ]
+    if not touched:
+        fs.mkdirs(marker_p)  # empty batch: nothing to merge
+        return
+
+    def lww(df: DataFrame) -> DataFrame:
+        # batch rows (__src=1) win arrival ties over stored rows (__src=0)
+        # — INSERT OR REPLACE: the later write replaces the row
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(arrival_col).desc(), F.col("__src").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+
+    def write_buckets(df: DataFrame) -> None:
+        (
+            df.withColumn("__b", F.lit(batch_id).cast("long"))
+            .withColumn("__kb", _merge_kb(key_cols, n_buckets))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__kb")
+            .parquet(table_path)
+        )
+
+    batch_src = batch_df.withColumn("__src", F.lit(1))
+    # ONLY a missing/empty table means "first batch"; a transient read
+    # error must propagate and fail the batch for retry (the
+    # upsert_stream_to_parquet probe contract)
+    has_data = fs.exists(hpath(table_path)) and len(
+        fs.globStatus(hpath(f"{table_path}/__kb=*"))
+    ) > 0
+    if has_data:
+        raw = spark.read.parquet(table_path).filter(
+            F.col("__kb").isin(touched)  # literal list -> partition-pruned
+        )
+        committed = {
+            r["__kb"]
+            for r in raw.filter(F.col("__b") == batch_id)
+            .select("__kb")
+            .distinct()
+            .collect()
+        }
+        if committed:
+            # replay after a crash mid job-commit: finalize committed
+            # buckets, re-run the merge for the stale ones from their
+            # unchanged pre-state (per-bucket resolution — see module
+            # docstring)
+            stale = [b for b in touched if b not in committed]
+            if stale:
+                pre = (
+                    raw.filter(F.col("__kb").isin(stale))
+                    .drop(*_LAYOUT_COLS)
+                    .withColumn("__src", F.lit(0))
+                )
+                redo = lww(
+                    pre.unionByName(batch_src.filter(kb.isin(stale)))
+                ).localCheckpoint(eager=True)
+                write_buckets(redo)
+            fs.mkdirs(marker_p)
+            return
+        pre = raw.drop(*_LAYOUT_COLS).withColumn("__src", F.lit(0))
+        merged = lww(pre.unionByName(batch_src))
+    else:
+        merged = lww(batch_src)
+    # stage-then-swap: never read and overwrite the same files in-flight
+    merged = merged.localCheckpoint(eager=True)
+    write_buckets(merged)
+    fs.mkdirs(marker_p)
+
+
+def merge_upsert_stream(
+    stream_df: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    arrival_col: str,
+    n_buckets: int = 64,
+    query_name: str = "merge_upsert",
+    checkpoint: str | None = None,
+):
+    """Streaming keyed MERGE upsert — foreachBatch over
+    ``merge_upsert_batch``. Returns the started StreamingQuery
+    (availableNow trigger; caller awaits termination)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert_batch(
+            batch_df,
+            batch_id,
+            table_path=table_path,
+            key_cols=key_cols,
+            arrival_col=arrival_col,
+            n_buckets=n_buckets,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(apply)
+        .outputMode("update")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def merge_read(spark: SparkSession, table_path: str) -> DataFrame:
+    """The current upserted table — one row per key, layout columns
+    (``__kb`` bucket id, ``__b`` provenance) dropped."""
+    return spark.read.parquet(table_path).drop(*_LAYOUT_COLS)

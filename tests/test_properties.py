@@ -862,3 +862,34 @@ def test_containment_join_matches_bruteforce(spark, texts, t):
             if round(inter / len(sa), 6) >= t:
                 want[(a, b)] = inter
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("the quick brown fox dog cat ran sat".split()),
+            min_size=3,
+            max_size=12,
+        ).map(" ".join),
+        min_size=2,
+        max_size=6,
+    ),
+    t=st.sampled_from([0.5, 0.8]),
+)
+@settings(**SETTINGS)
+def test_containment_chunked_equals_unchunked(spark, texts, t):
+    """The hot-gram posting-list chunking is result-invariant: forcing
+    EVERY multi-document gram through the chunk path (hot_gram_chunk=1)
+    must produce the identical result set as chunking disabled
+    (hot_gram_chunk > corpus df) — each (a, b) pair meets on exactly one
+    (gram, chunk) sub-key, so splitting keys never loses a candidate."""
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    run = lambda chunk: {
+        tuple(r)
+        for r in dd.containment_join_prefix(
+            df, "doc_id", "text", threshold=t, k=3, hot_gram_chunk=chunk
+        ).collect()
+    }
+    assert run(1) == run(1_000_000)

@@ -1171,3 +1171,171 @@ def test_distinct_counts_fold_crash_window_replays_clean(
     }
     assert got == want
     assert dict(got)["a"] == 75 and dict(got)["b"] == 1  # exact at this size
+
+
+# --- generic keyed MERGE upsert sink (streaming/merge.py) ------------------
+
+from syntenybrowserv2_etl_spark.streaming import merge as merge_ops
+
+
+def test_merge_upsert_stream_matches_batch_rebuild(spark, tmp_path_factory):
+    """Rebuild equivalence (the q05 LWW oracle shape,
+    src/import_synteny_blocks.py:83-88 semantics): applying micro-batches
+    through the touched-bucket MERGE must land exactly the table a
+    from-scratch io.upsert_dedup over the full log produces. Arrivals
+    are unique per key so the comparison is deterministic row equality,
+    not just key-level."""
+    from syntenybrowserv2_etl_spark.sources import io as sio
+
+    rows = [
+        # (k, v, arrival)
+        [(1, "a", 10), (2, "b", 11), (3, "c", 12)],
+        [(1, "a2", 20), (4, "d", 21)],
+        [(2, "b2", 30), (5, "e", 31), (1, "a3", 32)],
+    ]
+    tmp = str(tmp_path_factory.mktemp("merge_rebuild"))
+    src, tbl = os.path.join(tmp, "src"), os.path.join(tmp, "tbl")
+    os.makedirs(src)
+    schema = "k bigint, v string, arrival bigint"
+    for i, sl in enumerate(rows):
+        spark.createDataFrame(sl, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        newest = max(
+            glob.glob(os.path.join(src, "*.parquet")), key=os.path.getmtime
+        )
+        os.utime(newest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = merge_ops.merge_upsert_stream(stream, tbl, ["k"], "arrival")
+    q.awaitTermination(120)
+    got = {
+        tuple(r) for r in merge_ops.merge_read(spark, tbl).collect()
+    }
+    full = spark.createDataFrame([r for sl in rows for r in sl], schema)
+    want = {
+        tuple(r) for r in sio.upsert_dedup(full, ["k"], "arrival").collect()
+    }
+    assert got == want and len(want) == 5
+    # layout: stored table is bucket-partitioned with provenance
+    raw = spark.read.parquet(tbl)
+    assert "__kb" in raw.columns and "__b" in raw.columns
+
+
+def test_merge_upsert_rewrites_only_touched_buckets(spark, tmp_path_factory):
+    """The cost contract, physically: a batch touching one key must
+    rewrite ONLY that key's bucket partition — untouched buckets' files
+    stay byte-identical (this is what makes per-batch cost flat in table
+    size; SCALE.md curve)."""
+    tmp = str(tmp_path_factory.mktemp("merge_buckets"))
+    tbl = os.path.join(tmp, "tbl")
+    schema = "k bigint, v string, arrival bigint"
+    mk = lambda sl: spark.createDataFrame(sl, schema)
+    cfg = dict(table_path=tbl, key_cols=["k"], arrival_col="arrival")
+    merge_ops.merge_upsert_batch(
+        mk([(1, "a", 10), (2, "b", 10), (3, "c", 10)]), 0, **cfg
+    )
+    kb = {
+        r["k"]: r["__kb"]
+        for r in spark.read.parquet(tbl).select("k", "__kb").collect()
+    }
+    assert len(set(kb.values())) == 3  # distinct buckets at pmod-64
+    others = [b for r, b in kb.items() if r != 1]
+    files_before = {
+        b: sorted(glob.glob(os.path.join(tbl, f"__kb={b}", "*")))
+        for b in others
+    }
+    merge_ops.merge_upsert_batch(mk([(1, "a2", 20)]), 1, **cfg)
+    files_after = {
+        b: sorted(glob.glob(os.path.join(tbl, f"__kb={b}", "*")))
+        for b in others
+    }
+    assert files_before == files_after  # untouched buckets not rewritten
+    got = {r["k"]: r["v"] for r in merge_ops.merge_read(spark, tbl).collect()}
+    assert got == {1: "a2", 2: "b", 3: "c"}
+    assert sorted(os.listdir(os.path.join(tbl, "_batches"))) == ["0", "1"]
+
+
+def test_merge_upsert_batch_replay_after_marker_loss(spark, tmp_path_factory):
+    """Marker lost AFTER the bucket rewrite committed: the __b provenance
+    check must detect the completed commit, change NOTHING, and only
+    restore the marker — a naive re-merge against the post-state would
+    still be value-correct for LWW, but the committed path must not
+    rewrite buckets a second time (replay cost, and the scd2 discipline
+    this sink inherits)."""
+    tmp = str(tmp_path_factory.mktemp("merge_crash"))
+    tbl = os.path.join(tmp, "tbl")
+    schema = "k bigint, v string, arrival bigint"
+    mk = lambda sl: spark.createDataFrame(sl, schema)
+    cfg = dict(table_path=tbl, key_cols=["k"], arrival_col="arrival")
+    merge_ops.merge_upsert_batch(mk([(1, "a", 10)]), 0, **cfg)
+    merge_ops.merge_upsert_batch(mk([(1, "a2", 20), (2, "b", 20)]), 1, **cfg)
+    want = {tuple(r) for r in merge_ops.merge_read(spark, tbl).collect()}
+    bucket_files = sorted(glob.glob(os.path.join(tbl, "__kb=*", "*")))
+    shutil.rmtree(os.path.join(tbl, "_batches", "1"))
+    merge_ops.merge_upsert_batch(mk([(1, "a2", 20), (2, "b", 20)]), 1, **cfg)
+    got = {tuple(r) for r in merge_ops.merge_read(spark, tbl).collect()}
+    assert got == want == {(1, "a2", 20), (2, "b", 20)}
+    assert sorted(glob.glob(os.path.join(tbl, "__kb=*", "*"))) == bucket_files
+    assert os.path.isdir(os.path.join(tbl, "_batches", "1"))
+
+
+def test_merge_upsert_batch_replay_after_partial_commit(spark, tmp_path_factory):
+    """Dynamic partition overwrite is not atomic across partitions: a
+    crash mid job-commit can leave SOME touched buckets rewritten
+    (__b == batch_id) and others at their pre-state. Replay must resolve
+    per bucket — finalize the committed ones, re-run the merge for the
+    stale ones from their pre-state — never declare the whole batch done
+    off one committed bucket (which would lose the stale buckets' updates
+    forever: the marker blocks every later replay)."""
+    tmp = str(tmp_path_factory.mktemp("merge_partial"))
+    tbl = os.path.join(tmp, "tbl")
+    schema = "k bigint, v string, arrival bigint"
+    mk = lambda sl: spark.createDataFrame(sl, schema)
+    cfg = dict(table_path=tbl, key_cols=["k"], arrival_col="arrival")
+    merge_ops.merge_upsert_batch(mk([(1, "a", 10), (2, "b", 10)]), 0, **cfg)
+    kb = {
+        r["k"]: r["__kb"]
+        for r in spark.read.parquet(tbl).select("k", "__kb").collect()
+    }
+    assert kb[1] != kb[2]
+    pre = os.path.join(tmp, "pre")
+    shutil.copytree(os.path.join(tbl, f"__kb={kb[2]}"), pre)
+    merge_ops.merge_upsert_batch(mk([(1, "a2", 20), (2, "b2", 20)]), 1, **cfg)
+    want = {tuple(r) for r in merge_ops.merge_read(spark, tbl).collect()}
+    assert want == {(1, "a2", 20), (2, "b2", 20)}
+    # crash simulation: key 1's bucket committed, key 2's rolled back,
+    # marker lost
+    shutil.rmtree(os.path.join(tbl, f"__kb={kb[2]}"))
+    shutil.copytree(pre, os.path.join(tbl, f"__kb={kb[2]}"))
+    shutil.rmtree(os.path.join(tbl, "_batches", "1"))
+    merge_ops.merge_upsert_batch(mk([(1, "a2", 20), (2, "b2", 20)]), 1, **cfg)
+    got = {tuple(r) for r in merge_ops.merge_read(spark, tbl).collect()}
+    assert got == want
+    assert os.path.isdir(os.path.join(tbl, "_batches", "1"))
+
+
+def test_merge_upsert_composite_string_and_null_keys(spark, tmp_path_factory):
+    """Composite (string, bigint) keys incl. a NULL component: bucket
+    routing goes through hash (total on NULLs), a NULL-component key is
+    ONE key that LWW-replaces across batches, and arrival ties within
+    reach of a stored row resolve to the batch row (INSERT OR REPLACE:
+    later write wins)."""
+    tmp = str(tmp_path_factory.mktemp("merge_nullkeys"))
+    tbl = os.path.join(tmp, "tbl")
+    schema = "g string, k bigint, v string, arrival bigint"
+    mk = lambda sl: spark.createDataFrame(sl, schema)
+    cfg = dict(table_path=tbl, key_cols=["g", "k"], arrival_col="arrival")
+    merge_ops.merge_upsert_batch(
+        mk([("x", 1, "a", 10), (None, 2, "n", 10)]), 0, **cfg
+    )
+    # same arrival as stored rows: batch rows must win both keys
+    merge_ops.merge_upsert_batch(
+        mk([("x", 1, "a2", 10), (None, 2, "n2", 10)]), 1, **cfg
+    )
+    got = {
+        (r["g"], r["k"]): r["v"]
+        for r in merge_ops.merge_read(spark, tbl).collect()
+    }
+    assert got == {("x", 1): "a2", (None, 2): "n2"}

@@ -101,7 +101,8 @@ KNOWN_OPS = frozenset({
     "perplexity_buckets", "dsir_importance", "pq_encode_adc",
     "setsim_prefix", "streaming_confirm", "ivf_probe_indexed",
     "perplexity_buckets_sampled", "pagerank_skew", "scd2_apply",
-    "triangles_skew", "rollup_apply", "heavy_hitters",
+    "triangles_skew", "rollup_apply", "heavy_hitters", "merge_apply",
+    "containment_skew",
 })
 
 
@@ -591,6 +592,109 @@ def main():
 
         if only is None or "scd2_apply" in only:
             _scd2_apply()
+
+        # round 10: generic keyed MERGE upsert per-batch apply against a
+        # GROWING table — must stay ~flat UNDER THE SIZING RULE (merge.py
+        # docstring: n_buckets ∝ target key cardinality, constant bytes
+        # per bucket). Per-batch cost is
+        #   touched_buckets × (table_bytes / n_buckets),
+        # so with n_buckets scaled with the table and a batch whose keys
+        # land in a fixed set of buckets, cost is independent of how
+        # large the table has grown. Seeding (batch 0) is untimed
+        # amortized past; the timed batch updates every key hashing into
+        # buckets 0-3 — a constant ~4-bucket footprint (~constant rows)
+        # at every factor. A batch spraying keys across ALL buckets
+        # degrades toward O(table) by construction — that is a batch-key
+        # distribution problem the sizing rule exists to bound, not a
+        # sink regression; the curve pins the contract's own terms.
+        def _merge_apply():
+            from syntenybrowserv2_etl_spark.streaming import merge as sm
+
+            tbl = f"{SCRATCH}/merge_tbl_x{f}"
+            shutil.rmtree(tbl, ignore_errors=True)
+            n_keys = 100_000 * f
+            n_buckets = 256 * f
+            seed = spark.range(n_keys).select(
+                F.col("id").alias("k"),
+                F.sha2(F.col("id").cast("string"), 256).alias("v"),
+                F.lit(0).cast("long").alias("arrival"),
+            ).localCheckpoint(eager=True)
+            sm.merge_upsert_batch(
+                seed, 0, table_path=tbl, key_cols=["k"],
+                arrival_col="arrival", n_buckets=n_buckets,
+            )
+            batch = (
+                seed.filter(
+                    F.pmod(F.hash("k"), F.lit(n_buckets)) < 4
+                )
+                .select(
+                    "k",
+                    F.sha2((F.col("k") + 7).cast("string"), 256).alias("v"),
+                    F.lit(1).cast("long").alias("arrival"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            n_batch = batch.count()
+            r["merge_apply_batch_rows"] = n_batch
+            r["merge_apply"] = timed(
+                lambda: sm.merge_upsert_batch(
+                    batch, 1, table_path=tbl, key_cols=["k"],
+                    arrival_col="arrival", n_buckets=n_buckets,
+                )
+            )
+
+        if only is None or "merge_apply" in only:
+            _merge_apply()
+
+        # round 10: containment join under hot-gram skew — the corpus the
+        # prefix-rarity discipline CANNOT defuse: 30% of documents are
+        # clones of one short text, so its shingles are simultaneously
+        # (a) in every clone's prefix (the clone has no rarer grams) and
+        # (b) hot (df = 0.3·n) — one join key carries 0.3·n indexed rows
+        # × 0.3·n probes. The candidate/output size is genuinely
+        # quadratic in the clone class (exact operator — every ordered
+        # clone pair IS a true containment); what chunking must fix is
+        # the SERIALIZATION: unchunked, one task builds/joins the whole
+        # hot key; chunked (hot_gram_chunk) the key splits into
+        # ⌈df/chunk⌉ sub-keys that verify in parallel. Both variants are
+        # timed on the same corpus — the ratio is the straggler removed.
+        def _containment_skew():
+            n = 4000 * f
+            n_hot = int(n * 0.3)
+            hot_txt = "alpha beta gamma delta"
+            corpus = spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.when(F.col("id") < n_hot, F.lit(hot_txt))
+                .otherwise(
+                    F.concat_ws(
+                        " ",
+                        F.concat(F.lit("u"), F.col("id"), F.lit("a")),
+                        F.concat(F.lit("u"), F.col("id"), F.lit("b")),
+                        F.concat(F.lit("u"), F.col("id"), F.lit("c")),
+                        F.concat(F.lit("u"), F.col("id"), F.lit("d")),
+                    )
+                )
+                .alias("text"),
+            ).localCheckpoint(eager=True)
+            r["containment_skew_unchunked"] = timed(
+                lambda: noop(
+                    dd.containment_join_prefix(
+                        corpus, "doc_id", "text", 0.5, 3,
+                        hot_gram_chunk=1_000_000_000,
+                    )
+                )
+            )
+            r["containment_skew_chunked"] = timed(
+                lambda: noop(
+                    dd.containment_join_prefix(
+                        corpus, "doc_id", "text", 0.5, 3, hot_gram_chunk=256
+                    )
+                )
+            )
+            r["containment_skew_pairs"] = n_hot * (n_hot - 1)
+
+        if only is None or "containment_skew" in only:
+            _containment_skew()
 
         results.append(r)
         print(json.dumps(r), flush=True)
