@@ -4824,9 +4824,7 @@ _DEMOTED_PAST_WINDOW = [
     "q97_audio_frames",
     "q98_session_examples",
     # round 8: parity-gated from birth (same policy).
-    "q99_triangle_counts",
     "q100_gapfill_hourly",
-    "q101_profile_orders",
     "q102_zorder_key",
     "q103_zscore_outliers",
     "q104_snapshot_diff",
@@ -4835,9 +4833,22 @@ _DEMOTED_PAST_WINDOW = [
     "q107_time_weighted_avg",
     "q108_approx_quantile_bounds",
     "q109_seasonal_naive_backtest",
-    "q110_heavy_hitters",
     "q111_sketch_rollup",
-    "q112_containment_join",
+    # round 10: window rotation (VERDICT r9 #3) — the in-window set had been
+    # static since r5, so operators built in rounds 6-9 had zero driver
+    # CORRECTNESS history. Promoted INTO the window: q99 triangles, q101
+    # profiling, q110 heavy hitters, q112 containment join (all many-times
+    # parity-green at sf0.01). Demoted to make room — each a generic shape
+    # whose operator family stays driver-proven in-window: q38 (HLL bound
+    # twin; sketch family now driver-gated via q110/q101's approx mode and
+    # parity-gated via q108/q111), q46 (sampling family stays via q45 hash
+    # split; q89 weighted parity), q47 (row-local quantize; the vector path
+    # stays via q30 IVF + q54 k-means), q53 (token budgeting stays via q33
+    # in-window and q75's sf0.01 parity).
+    "q38_approx_distinct",
+    "q46_stratified_sample",
+    "q47_quantize_int8",
+    "q53_pretoken_budget",
 ]
 
 

@@ -1300,6 +1300,53 @@ def read_heavy_hitter_candidates(spark: SparkSession, state_path: str) -> DataFr
     return spark.read.parquet(f"{state_path}/summary/__v={v}")
 
 
+def heavy_hitters_exact(
+    spark: SparkSession,
+    state_path: str,
+    corpus_df: DataFrame,
+    item_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """EXACT heavy hitters from the streaming state: the batch operator's
+    pass-2 recount (operators/frequent.heavy_hitters), run against the
+    accumulated corpus with the STREAM-maintained candidate set.
+
+    The MG fold's mergeable-summaries bound guarantees every item with
+    true count > N/k over everything folded so far survives in the
+    summary, so recounting ONLY the candidates (broadcast semi-join —
+    the candidate set is ≤ k counters, metadata-scale) and applying the
+    exact ``n·k > N`` test yields EXACTLY what batch
+    ``heavy_hitters(corpus, item_col, k)`` computes — with the MG pass-1
+    already amortized into the stream instead of re-scanned. ``k`` must
+    be the fold's k (a smaller recount-k could need candidates the
+    summary legitimately evicted). N comes from the corpus itself (one
+    count(*) — exact by construction), so ``corpus_df`` must be the same
+    rows the folds consumed (pinned by the equality test).
+
+    Output: (item, n, freq) — the batch operator's exact shape.
+    """
+    summary = read_heavy_hitter_candidates(spark, state_path)
+    cand = summary.filter(F.col("item").isNotNull()).select("item")
+    items = corpus_df.select(
+        F.col(item_col).cast("string").alias("item")
+    ).filter(F.col("item").isNotNull())
+    total = items.agg(F.count(F.lit(1)).alias("__n"))
+    counts = (
+        items.join(F.broadcast(cand), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * k > F.col("__n"))
+        .select(
+            "item",
+            "n",
+            F.round(F.col("n") / F.col("__n"), 6).alias("freq"),
+        )
+    )
+
+
 def distinct_counts_stream(
     stream_df: DataFrame,
     key_col: str,

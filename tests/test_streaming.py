@@ -1339,3 +1339,50 @@ def test_merge_upsert_composite_string_and_null_keys(spark, tmp_path_factory):
         for r in merge_ops.merge_read(spark, tbl).collect()
     }
     assert got == {("x", 1): "a2", (None, 2): "n2"}
+
+
+def test_heavy_hitters_exact_matches_batch_operator(spark, tmp_path_factory):
+    """heavy_hitters_exact run against N folded micro-batches' state must
+    equal batch frequent.heavy_hitters over the accumulated corpus
+    EXACTLY — same items, same exact counts, same frequencies (the MG
+    no-false-negative bound makes the stream candidates a superset of
+    the truth; the recount makes both sides the same HAVING n*k > N
+    test). Also pin the stray-marker regex fix: a '--5'-named file under
+    _batches must be skipped, not ValueError."""
+    from collections import Counter
+
+    from syntenybrowserv2_etl_spark.operators import frequent
+
+    base = str(tmp_path_factory.mktemp("hh_exact"))
+    state = os.path.join(base, "state")
+    k = 8
+    batches = [
+        ["HOT"] * 30 + [f"a{i}" for i in range(20)],
+        ["HOT"] * 10 + ["WARM"] * 25 + [f"b{i}" for i in range(15)],
+        ["WARM"] * 15 + [f"c{i}" for i in range(10)] * 2,
+    ]
+    mk = lambda toks: spark.createDataFrame([(t,) for t in toks], ["tok"])
+    for i, toks in enumerate(batches):
+        stream_ops.heavy_hitters_fold_batch(
+            mk(toks), i, item_col="tok", state_path=state, k=k
+        )
+    # junk marker name that lstrip/isdigit would have passed to int()
+    open(os.path.join(state, "_batches", "--5"), "w").close()
+    corpus = mk([t for b in batches for t in b])
+    got = {
+        tuple(r)
+        for r in stream_ops.heavy_hitters_exact(
+            spark, state, corpus, "tok", k=k
+        ).collect()
+    }
+    want = {
+        tuple(r) for r in frequent.heavy_hitters(corpus, "tok", k=k).collect()
+    }
+    assert got == want and len(want) >= 2  # HOT and WARM
+    # exactness vs ground truth, not just operator-vs-operator
+    c = Counter(t for b in batches for t in b)
+    n = sum(c.values())
+    truth = {
+        (t, m, round(m / n, 6)) for t, m in c.items() if m * k > n
+    }
+    assert got == truth
