@@ -104,9 +104,15 @@ def merge_upsert_batch(
         )
 
     def write_buckets(df: DataFrame) -> None:
+        # repartition on the bucket id so each bucket partition is
+        # written by exactly ONE task — without this every task spills a
+        # file into every bucket dir (tasks × buckets small files: the
+        # thing that killed the first curve measurement; at 100 TB it
+        # kills the listing on every subsequent read)
         (
             df.withColumn("__b", F.lit(batch_id).cast("long"))
             .withColumn("__kb", _merge_kb(key_cols, n_buckets))
+            .repartition("__kb")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__kb")
@@ -116,13 +122,25 @@ def merge_upsert_batch(
     batch_src = batch_df.withColumn("__src", F.lit(1))
     # ONLY a missing/empty table means "first batch"; a transient read
     # error must propagate and fail the batch for retry (the
-    # upsert_stream_to_parquet probe contract)
-    has_data = fs.exists(hpath(table_path)) and len(
-        fs.globStatus(hpath(f"{table_path}/__kb=*"))
-    ) > 0
-    if has_data:
-        raw = spark.read.parquet(table_path).filter(
-            F.col("__kb").isin(touched)  # literal list -> partition-pruned
+    # upsert_stream_to_parquet probe contract). The glob is ONE listing
+    # of the top-level dir (O(n_buckets) names, no per-file statuses) —
+    # and it lets the read below open ONLY the touched buckets' paths
+    # (basePath keeps __kb as a partition column), so per-batch file
+    # listing is O(touched buckets), never a full-table InMemoryFileIndex
+    # walk (at 100 TB listing the untouched 99.99% costs more than
+    # reading the touched rows).
+    existing = (
+        {
+            int(st.getPath().getName().split("=", 1)[1])
+            for st in fs.globStatus(hpath(f"{table_path}/__kb=*"))
+        }
+        if fs.exists(hpath(table_path))
+        else set()
+    )
+    read_buckets = [b for b in touched if b in existing]
+    if read_buckets:
+        raw = spark.read.option("basePath", table_path).parquet(
+            *[f"{table_path}/__kb={b}" for b in read_buckets]
         )
         committed = {
             r["__kb"]
