@@ -697,6 +697,32 @@ def main():
                     )
                 )
             )
+            # same, with AQE's skew-join split OFF: the runtime heuristic
+            # that otherwise papers over the single-key straggler — the
+            # raw hazard chunking removes DETERMINISTICALLY (plan-level,
+            # not dependent on AQE stats thresholds firing)
+            skew_conf = "spark.sql.adaptive.skewJoin.enabled"
+            prev = spark.conf.get(skew_conf)
+            spark.conf.set(skew_conf, "false")
+            try:
+                r["containment_skew_unchunked_noaqe"] = timed(
+                    lambda: noop(
+                        dd.containment_join_prefix(
+                            corpus, "doc_id", "text", 0.5, 3,
+                            hot_gram_chunk=1_000_000_000,
+                        )
+                    )
+                )
+                r["containment_skew_chunked_noaqe"] = timed(
+                    lambda: noop(
+                        dd.containment_join_prefix(
+                            corpus, "doc_id", "text", 0.5, 3,
+                            hot_gram_chunk=256,
+                        )
+                    )
+                )
+            finally:
+                spark.conf.set(skew_conf, prev)
             r["containment_skew_chunked"] = timed(
                 lambda: noop(
                     dd.containment_join_prefix(
