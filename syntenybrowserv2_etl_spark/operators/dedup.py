@@ -1216,3 +1216,72 @@ def keep_best_representative(
         .join(sizes, "cluster_rep")
         .select(id_col, "cluster_rep", "cluster_size", "quality")
     )
+
+
+def editdist1_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+) -> DataFrame:
+    """All pairs of rows whose strings are within Levenshtein distance 1,
+    via SymSpell-style deletion neighborhoods — never the n² cross join.
+
+    The reference's dedup surface is exact-key only (sqlite INSERT OR
+    REPLACE / IGNORE, src/import_synteny_blocks.py:83-88); typo-level
+    near-keys (one wrong character in an ID or name) are the next class a
+    curation pipeline meets. Blocking identity (Garbe's SymSpell): for
+    edit distance ≤ 1, two strings match iff their deletion neighborhoods
+    intersect, where neighborhood(s) = {s} ∪ {s minus one character}.
+      - ed 0: share s itself;
+      - substitution at i: both sides' delete-at-i collide;
+      - insert/delete: the longer string's delete-at-i IS the shorter.
+    The neighborhood is |s|+1 variants — generated JVM-side with
+    sequence → transform → substring concat (no UDF), exploded, and
+    self-joined on the variant string. That join's key cardinality is
+    Σ|s| (linear in corpus size), each key carrying only the strings one
+    deletion away from a shared form — the same posting-list discipline
+    as every other blocked join in this module. The candidate set is a
+    superset (e.g. "ab"/"ba" share deletions "a","b" but are ed 2), so
+    pairs are distinct-ed and verified with one levenshtein call — exact
+    by construction, candidates-only by blocking.
+
+    At 100 TB: neighborhood explode is map-side (row → |s|+1 rows), the
+    variant join shuffles Σ|s| short strings, and hot variants (a common
+    short name) are ordinary AQE skew-join territory. Strings here are
+    IDs/names (tens of chars); for document-scale text use the shingle
+    pipelines above — deletion blocking is for short keys.
+
+    Output: (id_a, id_b, name_a, name_b, dist), id_a < id_b.
+    """
+    pos = F.sequence(F.lit(0), F.length(str_col))
+    variants = F.transform(
+        pos,
+        lambda i: F.when(i == F.length(str_col), F.col(str_col)).otherwise(
+            F.concat(
+                F.substring(F.col(str_col), F.lit(1), i),
+                F.col(str_col).substr(
+                    i + F.lit(2), F.length(str_col) - i - F.lit(1)
+                ),
+            )
+        ),
+    )
+    nbhd = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(str_col).alias("__s"),
+        F.explode(F.array_distinct(variants)).alias("__v"),
+    )
+    cand = (
+        nbhd.alias("a")
+        .join(nbhd.alias("b"), "__v")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__s").alias("name_a"),
+            F.col("b.__s").alias("name_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b").cast("int")
+    ).filter(F.col("dist") <= 1)

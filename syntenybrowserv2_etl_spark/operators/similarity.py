@@ -178,9 +178,27 @@ def knn_ivf(
     query_id_col: str = "query_id",
     k: int = 10,
     nprobe: int = 2,
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """IVF probe: per query, rank centroids, scan only the top ``nprobe``
-    cells, exact-rank within them. Same output shape as knn_bruteforce."""
+    cells, exact-rank within them. Same output shape as knn_bruteforce.
+
+    Works for ONE query or a whole query TABLE (the batched kNN-join shape
+    a retrieval/dedup pipeline needs: top-k corpus neighbors for every row
+    of a query set). ``broadcast_probe`` picks the distribution strategy
+    for the probe→cell join:
+
+    - ``True`` (default): the (query, probed-cell) list is broadcast and
+      the corpus never shuffles — right when queries ≪ executors' memory
+      (interactive lookups, small eval sets).
+    - ``False``: plain shuffle join on ``centroid_id`` — both sides hash
+      to the same cells, so each task scores one cell's corpus rows
+      against exactly the queries probing that cell. Right when the query
+      set is itself table-scale (millions of rows × nprobe replicas would
+      melt a broadcast). Per-cell fanout is |cell| × |queries probing it|;
+      hot cells split by AQE skew-join the same way any shuffle join
+      does, and k-cap happens per query partition right after.
+    """
     q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
     cw = Window.partitionBy(query_id_col).orderBy(
         F.col("__csim").desc(), F.col("centroid_id").asc()
@@ -197,8 +215,10 @@ def knn_ivf(
         .filter(F.col("__cr") <= nprobe)
         .select(query_id_col, "__qvec", "centroid_id")
     )
+    if broadcast_probe:
+        probe = F.broadcast(probe)
     scored = (
-        assigned.join(F.broadcast(probe), "centroid_id")
+        assigned.join(probe, "centroid_id")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,

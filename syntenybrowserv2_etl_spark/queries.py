@@ -1017,7 +1017,9 @@ def q29(spark, sf_dir):
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
-def _ivf_knn_sql(n_centroids: int, nprobe: int, k: int) -> str:
+def _ivf_knn_sql(
+    n_centroids: int, nprobe: int, k: int, query_pred: str = "vec_id = 0"
+) -> str:
     """DuckDB reproduction of pick_centroids → assign_centroids → knn_ivf:
     hash-minimal centroid pick (the q54 ``c0`` form), argmax-cosine cell
     assignment (ties to the smaller centroid id, matching the operator's
@@ -1045,7 +1047,7 @@ def _ivf_knn_sql(n_centroids: int, nprobe: int, k: int) -> str:
                                   ORDER BY {assign_cos} DESC, c.centroid_id) AS rn
         FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
     q AS (SELECT vec_id AS query_id, embedding AS qvec
-          FROM embeddings WHERE vec_id = 0),
+          FROM embeddings WHERE {query_pred}),
     probe AS (
       SELECT query_id, qvec, centroid_id FROM (
         SELECT q.query_id, q.qvec, c.centroid_id,
@@ -4753,6 +4755,196 @@ def q112(spark, sf_dir):
     )
 
 
+@register(
+    "q113_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type)
+    SELECT prev_type, next_type, n_trans,
+           ROUND(CAST(n_trans AS DOUBLE) /
+                 SUM(n_trans) OVER (PARTITION BY prev_type), 4) AS p_next
+    FROM trans
+    """,
+    tags=["behavior: Markov transition matrix (lag bigrams)"],
+)
+def q113(spark, sf_dir):
+    """First-order Markov transition matrix over the event stream: for
+    every (prev → next) event-type bigram within a user's timeline, the
+    transition count and conditional probability. The sequence model a
+    behavior pipeline feeds (next-event prediction priors, anomaly
+    scoring of improbable transitions) — the reference has no sequence
+    surface at all (per-row sqlite inserts); this is the natural Spark
+    expression: one lag window, one grid aggregate.
+
+    Scale shape: the lag shuffles events once to user partitions (same
+    key sessionize/q21 already uses — at 100 TB the two share one
+    exchange in a pipeline), then the bigram groupBy reduces to a
+    |types|² grid with map-side partial agg; the probability window runs
+    on the GRID (|types|² rows), not the events. Determinism: lag order
+    is (ts, event_id) — total within a user; count ratios are exact-int
+    divisions rounded on the 1e-4 lattice both engines share.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.sum("n_trans").over(tot), 4
+        ).alias("p_next"),
+    )
+
+
+@register(
+    "q114_trailing_window",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(18,6)), 2)
+                  AS DECIMAL(18,2)) AS rev_d,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY day)
+    SELECT day,
+           CAST(rev_d AS DOUBLE) AS rev,
+           n_orders,
+           CAST(SUM(rev_d) OVER (
+             ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS rev_7d,
+           CAST(SUM(n_orders) OVER (
+             ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS orders_7d
+    FROM daily
+    """,
+    tags=["RANGE-interval trailing window (time-based frame, q36's ROWS twin)"],
+)
+def q114(spark, sf_dir):
+    """7-day trailing revenue/volume per day — the RANGE-interval frame
+    q36's ROWS frames deliberately don't cover: the frame is defined by
+    TIME distance (any day within 6 days back), not row offsets, so gaps
+    in the calendar shrink the window instead of silently reaching
+    further into the past.
+
+    Spark's DataFrame rangeBetween takes longs, so the order key is
+    days-since-epoch (datediff against 1970-01-01) with a (-6, 0) range —
+    integer day arithmetic, exactly DuckDB's ``RANGE BETWEEN INTERVAL 6
+    DAY`` on the day-truncated timestamp. The window is global-ordered
+    but runs on the PRE-AGGREGATED daily grid (|days| rows — ~2.4k at
+    sf0.1, bounded by the calendar not the data), the same
+    single-partition-on-tiny-input posture as q106's OHLC; the orders
+    table itself is reduced by an ordinary partial-agg groupBy first.
+    Float discipline: daily revenue is rounded onto DECIMAL(18,2) before
+    the trailing sum, so the window adds exact decimals (no
+    accumulate/retract float drift in either engine) and the final
+    double cast is bit-identical.
+    """
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        F.round(F.sum("o_totalprice").cast("decimal(18,6)"), 2)
+        .cast("decimal(18,2)")
+        .alias("rev_d"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "day",
+        F.col("rev_d").cast("double").alias("rev"),
+        "n_orders",
+        F.sum("rev_d").over(w).cast("double").alias("rev_7d"),
+        F.sum("n_orders").over(w).cast("long").alias("orders_7d"),
+    )
+
+
+@register(
+    "q115_editdist1_join",
+    """
+    WITH c AS (SELECT c_custkey, c_name FROM customer
+               WHERE c_mktsegment = 'BUILDING')
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    tags=["typo-level fuzzy join: SymSpell deletion-neighborhood blocking"],
+)
+def q115(spark, sf_dir):
+    """All customer-name pairs within Levenshtein distance 1 (one
+    mktsegment) — typo-level entity resolution, the near-key class
+    between exact dedup (q22) and shingle similarity (q23/q91).
+    operators/dedup.editdist1_join: deletion-neighborhood blocking
+    (candidates share a one-deletion variant — exact for k ≤ 1), explode
+    + linear-key self-join + single levenshtein verify; the ORACLE is the
+    n² cross join the operator exists to avoid — feasible only because
+    the oracle runs at test scale, which is precisely the exact-oracle /
+    scalable-operator split q27/q30 use.
+    """
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return dedup_ops.editdist1_join(c, "c_custkey", "c_name")
+
+
+@register(
+    "q116_knn_batch",
+    _ivf_knn_sql(16, 4, 3, query_pred="vec_id < 64"),
+    tags=["batched kNN join: top-k per query ROW, shuffle-probe IVF"],
+)
+def q116(spark, sf_dir):
+    """Batched kNN JOIN: top-3 corpus neighbors for EVERY row of a
+    64-query set through the same deterministic IVF index q30 probes for
+    one query — the retrieval shape training pipelines actually run
+    (embed a whole eval/query table, fetch neighbors for each row), not
+    the interactive single-lookup q27/q30 demonstrate. Runs
+    knn_ivf(broadcast_probe=False): the (query, probed-cell) set joins
+    the corpus by SHUFFLE on centroid_id instead of broadcast, the
+    strategy that survives query sets too large to replicate into every
+    executor — each task scores one cell's corpus rows against exactly
+    the queries probing that cell, and per-query k-capping runs on the
+    query-partitioned side of that same exchange.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    cents = sim_ops.pick_centroids(emb, 16)
+    assigned = sim_ops.assign_centroids(emb, cents)
+    qs = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim_ops.knn_ivf(
+        assigned, cents, qs, k=3, nprobe=4, broadcast_probe=False
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -4849,6 +5041,13 @@ _DEMOTED_PAST_WINDOW = [
     "q46_stratified_sample",
     "q47_quantize_int8",
     "q53_pretoken_budget",
+    # round 10: parity-gated from birth (rounds-7/8 policy) — new families
+    # added after the r10 window rotation landed, kept out of the window so
+    # the freshly-promoted post-r6 operators accumulate driver history.
+    "q113_event_transitions",
+    "q114_trailing_window",
+    "q115_editdist1_join",
+    "q116_knn_batch",
 ]
 
 

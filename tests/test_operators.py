@@ -2543,3 +2543,59 @@ def test_containment_join_detects_quote_not_jaccard(spark):
         ).collect()
     }
     assert out == {(1, 2): 1.0}
+
+
+def test_knn_batch_shuffle_probe_equals_broadcast(spark):
+    """knn_ivf's two probe-distribution strategies are the SAME algorithm:
+    broadcast_probe=False (the table-scale query-set path) must return
+    exactly the broadcast path's neighbors for a whole query batch."""
+    from syntenybrowserv2_etl_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.pick_centroids(emb, 8)
+    assigned = sim.assign_centroids(emb, cents)
+    qs = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    run = lambda bc: {
+        (r.query_id, r.vec_id, r["rank"])
+        for r in sim.knn_ivf(
+            assigned, cents, qs, k=3, nprobe=3, broadcast_probe=bc
+        ).collect()
+    }
+    got = run(False)
+    assert got == run(True)
+    assert len({q for q, _, _ in got}) == 16  # every query answered
+
+
+def test_trailing_window_shrinks_over_calendar_gaps(spark):
+    """RANGE-interval semantics (the q114 contract): the 7-day frame is
+    TIME-bounded, so a calendar gap longer than the window leaves only
+    the current day in frame — where a ROWS frame would silently reach
+    across the gap and sum unrelated history."""
+    import datetime as dt
+    from syntenybrowserv2_etl_spark import queries as q
+
+    rows = [
+        (i, 0, "O", 10.0, dt.datetime(1995, 1, d), "P")
+        for i, d in enumerate([1, 2, 3, 20, 21])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "orders.parquet"))
+        out = {
+            r.day.day: (r.rev_7d, r.orders_7d)
+            for r in q.REGISTRY["q114_trailing_window"].spark_fn(
+                spark, tmp
+            ).collect()
+        }
+    assert out[3] == (30.0, 3)    # days 1-3 in frame
+    assert out[20] == (10.0, 1)   # the 17-day gap empties the frame
+    assert out[21] == (20.0, 2)   # day 20 + 21

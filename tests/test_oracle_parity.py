@@ -72,6 +72,10 @@ SF_MED_STRENGTHENED = [
     "q110_heavy_hitters",
     "q111_sketch_rollup",
     "q112_containment_join",
+    "q113_event_transitions",
+    "q114_trailing_window",
+    "q115_editdist1_join",
+    "q116_knn_batch",
 ]
 
 

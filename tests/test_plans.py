@@ -825,3 +825,64 @@ def test_q106_q107_single_exchange(spark):
     for name in ("q106_ohlc_daily", "q107_time_weighted_avg"):
         p = plan_of(spark, name)
         assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1, name
+
+
+def test_knn_batch_probe_join_is_shuffle_not_broadcast(spark):
+    """q116's contract is the DISTRIBUTION strategy: with
+    broadcast_probe=False the probe→cell join carries NO broadcast hint,
+    so when neither side fits the broadcast threshold (the 100 TB
+    posture, simulated with autoBroadcastJoinThreshold=-1) it plans as a
+    shuffle join on centroid_id. With broadcast_probe=True the explicit
+    hint must survive the same threshold — that's the whole point of the
+    flag pair. (At test SF with the default threshold Catalyst is free
+    to broadcast the tiny corpus side instead — also correct, which is
+    why the pin disables the size heuristic rather than grepping the
+    default plan.)"""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from syntenybrowserv2_etl_spark.operators import similarity as sim
+
+    def plan(bc: bool) -> str:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        cents = sim.pick_centroids(emb, 8)
+        assigned = sim.assign_centroids(emb, cents)
+        qs = emb.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        df = sim.knn_ivf(
+            assigned, cents, qs, k=3, nprobe=3, broadcast_probe=bc
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    thr = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(thr)
+    spark.conf.set(thr, "-1")
+    try:
+        shuffle_p, bcast_p = plan(False), plan(True)
+    finally:
+        spark.conf.set(thr, prev)
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin)", shuffle_p
+    ), f"probe join did not plan as shuffle join:\n{shuffle_p[:2000]}"
+    assert "BroadcastHashJoin" in bcast_p, (
+        "broadcast_probe=True hint lost under threshold=-1"
+    )
+
+
+def test_q113_probability_window_runs_on_grid_not_events(spark):
+    """q113's conditional-probability window partitions by prev_type over
+    the AGGREGATED |types|x|types| grid — the plan must show the bigram
+    HashAggregate BEFORE the p_next Window, so the second exchange
+    carries grid rows, not events."""
+    p = plan_of(spark, "q113_event_transitions")
+    # lag window (events, partitioned by user) then aggregate then window
+    agg = p.find("HashAggregate")
+    assert agg != -1
+    w2 = p.rfind("Window")
+    assert w2 != -1 and agg < w2, "grid aggregate must precede p_next window"

@@ -893,3 +893,47 @@ def test_containment_chunked_equals_unchunked(spark, texts, t):
         ).collect()
     }
     assert run(1) == run(1_000_000)
+
+
+def py_lev(a: str, b: str) -> int:
+    """Textbook Levenshtein DP — the oracle for the blocked join."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=5),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_editdist1_join_equals_bruteforce(spark, names):
+    """Deletion-neighborhood blocking is EXACT for k ≤ 1: the blocked
+    join must return precisely the pairs a brute-force Levenshtein scan
+    finds — including ed-0 duplicates, empty strings, and the ed-2
+    false candidates ("ab"/"ba") the verify step must reject."""
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(list(enumerate(names)), ["id", "name"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in dd.editdist1_join(df, "id", "name").collect()
+    }
+    want = {
+        (i, j, py_lev(a, b))
+        for i, a in enumerate(names)
+        for j, b in enumerate(names)
+        if i < j and py_lev(a, b) <= 1
+    }
+    assert got == want
