@@ -47,6 +47,8 @@ Read the current table with ``merge_read`` (drops the layout columns).
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,6 +60,51 @@ def _merge_kb(key_cols: list[str], n_buckets: int):
     key: pmod of the 32-bit hash — total (hash never returns NULL) and
     non-negative (pmod with a positive divisor)."""
     return F.pmod(F.hash(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
+
+
+def _write_layout(fs, hpath, table_path: str, layout: dict) -> None:
+    out = fs.create(hpath(f"{table_path}/_layout"), True)
+    try:
+        out.write(bytearray(json.dumps(layout, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
+def _read_layout(spark, fs, hpath, table_path: str) -> dict | None:
+    p = hpath(f"{table_path}/_layout")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        txt = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(txt)
+
+
+def _check_layout(spark, fs, hpath, table_path: str, want: dict) -> None:
+    """The bucket function IS the table's physical contract: a batch
+    applied with a different ``n_buckets`` (or key set) than the rows on
+    disk would file keys into the wrong partitions, and every later read
+    would silently miss them. The ``_layout`` sidecar (written with the
+    first committed batch) pins the contract; any mismatch fails the
+    batch LOUDLY with the rebucket remedy instead of corrupting the
+    table. Tables created before the sidecar existed adopt the caller's
+    parameters trust-on-first-use (a wrong guess there was already
+    undetectable; from then on it is pinned)."""
+    have = _read_layout(spark, fs, hpath, table_path)
+    if have is None:
+        _write_layout(fs, hpath, table_path, want)
+        return
+    if have != want:
+        raise ValueError(
+            f"merge layout mismatch at {table_path}: table was written "
+            f"with {have}, batch supplied {want}. Changing n_buckets "
+            "requires merge_rebucket(); changing keys requires a new "
+            "table."
+        )
 
 
 def merge_upsert_batch(
@@ -81,6 +128,17 @@ def merge_upsert_batch(
     marker_p = hpath(f"{table_path}/_batches/{batch_id}")
     if fs.exists(marker_p):
         return  # fully-committed batch redelivered: skip
+    _check_layout(
+        spark,
+        fs,
+        hpath,
+        table_path,
+        {
+            "n_buckets": n_buckets,
+            "key_cols": list(key_cols),
+            "arrival_col": arrival_col,
+        },
+    )
     batch_df = batch_df.localCheckpoint(eager=True)
     kb = _merge_kb(key_cols, n_buckets)
     touched = [
@@ -215,3 +273,77 @@ def merge_read(spark: SparkSession, table_path: str) -> DataFrame:
     """The current upserted table — one row per key, layout columns
     (``__kb`` bucket id, ``__b`` provenance) dropped."""
     return spark.read.parquet(table_path).drop(*_LAYOUT_COLS)
+
+
+def merge_rebucket(
+    spark: SparkSession, table_path: str, new_n_buckets: int
+) -> tuple[int, int]:
+    """Re-hash the table into ``new_n_buckets`` bucket partitions — the
+    growth path for the sizing rule (n_buckets ∝ live keys, a few
+    hundred MB of current rows per bucket). The per-batch cost curve is
+    flat ONLY while buckets stay that size; as keys accumulate 16× a
+    fixed bucket count means 16× rows read+rewritten per touched bucket,
+    so a long-lived table periodically rebuckets 256 → 1024 → 4096.
+
+    Deliberately O(table) — a MAINTENANCE pass (run it like compaction,
+    between batches, when avg bucket size crosses the budget), never a
+    per-batch cost. One full read, one hash-repartitioned write with
+    exactly one file per new bucket, then compact_table's staged-swap
+    discipline: staging dir → live renamed aside → staging promoted →
+    committed-batch markers carried over → old dropped. A crash before
+    the promote leaves the live table untouched; between rename and
+    promote the table is recoverable at ``<path>__old`` (same recovery
+    contract as sources/io.compact_table, which this mirrors).
+
+    The ``_batches`` marker set (committed batch ids) is MOVED to the
+    new layout, so a redelivered pre-rebucket batch is still skipped —
+    idempotency survives the rescale. ``__b`` provenance restarts at -1
+    (no real batch id; replay resolution only ever compares __b to the
+    CURRENT batch id, so a sentinel can never be mistaken for a
+    mid-commit bucket). The ``_layout`` sidecar is rewritten so the next
+    merge_upsert_batch must supply the new bucket count.
+
+    Returns (old_n_buckets, new_n_buckets).
+    """
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    layout = _read_layout(spark, fs, hpath, table_path)
+    if layout is None:
+        raise ValueError(
+            f"merge_rebucket: no _layout sidecar at {table_path} — not a "
+            "merge-upsert table (or created before any batch committed)"
+        )
+    key_cols = layout["key_cols"]
+    old_n = layout["n_buckets"]
+    staging = table_path + "__staging"
+    old = table_path + "__old"
+    fs.delete(hpath(staging), True)
+    fs.delete(hpath(old), True)
+    (
+        spark.read.parquet(table_path)
+        .drop(*_LAYOUT_COLS)
+        .withColumn("__b", F.lit(-1).cast("long"))
+        .withColumn("__kb", _merge_kb(key_cols, new_n_buckets))
+        .repartition("__kb")
+        .write.mode("overwrite")
+        .partitionBy("__kb")
+        .parquet(staging)
+    )
+    _write_layout(
+        fs,
+        hpath,
+        staging,
+        {**layout, "n_buckets": new_n_buckets},
+    )
+    if not fs.rename(hpath(table_path), hpath(old)):
+        raise IOError(f"merge_rebucket: could not move {table_path} aside")
+    if not fs.rename(hpath(staging), hpath(table_path)):
+        fs.rename(hpath(old), hpath(table_path))
+        raise IOError(
+            f"merge_rebucket: could not promote staging for {table_path}"
+        )
+    # carry the committed-batch markers into the new layout (idempotency
+    # must survive the rescale; staging was written without them)
+    fs.rename(hpath(f"{old}/_batches"), hpath(f"{table_path}/_batches"))
+    fs.delete(hpath(old), True)
+    return old_n, new_n_buckets

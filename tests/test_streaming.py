@@ -1386,3 +1386,92 @@ def test_heavy_hitters_exact_matches_batch_operator(spark, tmp_path_factory):
         (t, m, round(m / n, 6)) for t, m in c.items() if m * k > n
     }
     assert got == truth
+
+
+def test_merge_layout_guard_rejects_wrong_bucket_count(spark, tmp_path_factory):
+    """The _layout sidecar pins the bucket function: a batch supplying a
+    different n_buckets (or key set) than the table was written with
+    must fail LOUDLY naming the remedy — silently applying it would file
+    keys into the wrong partitions, and reads would miss them forever."""
+    import pytest
+
+    tmp = str(tmp_path_factory.mktemp("merge_layout"))
+    tbl = os.path.join(tmp, "tbl")
+    schema = "k bigint, v string, arrival bigint"
+    mk = lambda sl: spark.createDataFrame(sl, schema)
+    merge_ops.merge_upsert_batch(
+        mk([(1, "a", 10)]), 0,
+        table_path=tbl, key_cols=["k"], arrival_col="arrival", n_buckets=8,
+    )
+    with pytest.raises(ValueError, match="merge_rebucket"):
+        merge_ops.merge_upsert_batch(
+            mk([(2, "b", 10)]), 1,
+            table_path=tbl, key_cols=["k"], arrival_col="arrival",
+            n_buckets=16,
+        )
+    with pytest.raises(ValueError, match="layout mismatch"):
+        merge_ops.merge_upsert_batch(
+            mk([(2, "b", 10)]), 1,
+            table_path=tbl, key_cols=["v"], arrival_col="arrival",
+            n_buckets=8,
+        )
+    # the matching contract still applies cleanly
+    merge_ops.merge_upsert_batch(
+        mk([(2, "b", 10)]), 1,
+        table_path=tbl, key_cols=["k"], arrival_col="arrival", n_buckets=8,
+    )
+    got = {r["k"]: r["v"] for r in merge_ops.merge_read(spark, tbl).collect()}
+    assert got == {1: "a", 2: "b"}
+
+
+def test_merge_rebucket_preserves_rows_markers_and_future_batches(
+    spark, tmp_path_factory
+):
+    """Rescaling 8 → 32 buckets: identical merge_read content, one file
+    per non-empty new bucket, committed-batch markers carried over (a
+    redelivered pre-rebucket batch stays skipped), the _layout sidecar
+    rewritten (old bucket count rejected, new accepted), and LWW
+    continues correctly across the rescale."""
+    tmp = str(tmp_path_factory.mktemp("merge_rebucket"))
+    tbl = os.path.join(tmp, "tbl")
+    schema = "k bigint, v string, arrival bigint"
+    mk = lambda sl: spark.createDataFrame(sl, schema)
+    cfg8 = dict(table_path=tbl, key_cols=["k"], arrival_col="arrival",
+                n_buckets=8)
+    merge_ops.merge_upsert_batch(
+        mk([(k, f"v{k}", 10) for k in range(40)]), 0, **cfg8
+    )
+    merge_ops.merge_upsert_batch(mk([(3, "v3b", 20)]), 1, **cfg8)
+    before = {
+        (r["k"], r["v"]) for r in merge_ops.merge_read(spark, tbl).collect()
+    }
+    old_n, new_n = merge_ops.merge_rebucket(spark, tbl, 32)
+    assert (old_n, new_n) == (8, 32)
+    after = {
+        (r["k"], r["v"]) for r in merge_ops.merge_read(spark, tbl).collect()
+    }
+    assert after == before
+    bucket_dirs = glob.glob(os.path.join(tbl, "__kb=*"))
+    assert len(bucket_dirs) > 8  # actually re-hashed into the wider layout
+    for d in bucket_dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1  # one file per bucket survives the rescale
+    assert sorted(os.listdir(os.path.join(tbl, "_batches"))) == ["0", "1"]
+    # redelivered pre-rebucket batch: marker carried over, still skipped
+    merge_ops.merge_upsert_batch(mk([(3, "STALE", 99)]), 1, **cfg8)
+    assert {
+        (r["k"], r["v"]) for r in merge_ops.merge_read(spark, tbl).collect()
+    } == before
+    # old bucket count is now rejected; the new one proceeds with LWW
+    import pytest
+
+    with pytest.raises(ValueError, match="layout mismatch"):
+        merge_ops.merge_upsert_batch(
+            mk([(3, "x", 30)]), 2, **cfg8
+        )
+    merge_ops.merge_upsert_batch(
+        mk([(3, "v3c", 30), (100, "new", 30)]), 2,
+        table_path=tbl, key_cols=["k"], arrival_col="arrival", n_buckets=32,
+    )
+    got = {r["k"]: r["v"] for r in merge_ops.merge_read(spark, tbl).collect()}
+    assert got[3] == "v3c" and got[100] == "new" and len(got) == 41
