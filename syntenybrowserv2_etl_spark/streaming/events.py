@@ -658,10 +658,15 @@ def scd2_apply_batch(
     ]
 
     def write_open(df: DataFrame) -> None:
+        # repartition on the bucket id so each bucket partition is
+        # written by exactly ONE task — without it every task spills a
+        # file into every touched bucket dir (tasks × buckets small
+        # files; the merge-sink SCALE curve caught this same defect)
         (
             df.filter(F.col("valid_to_us").isNull())
             .withColumn("__b", F.lit(batch_id).cast("long"))
             .withColumn("__kb", kb)
+            .repartition("__kb")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__kb")
@@ -669,9 +674,22 @@ def scd2_apply_batch(
         )
 
     open_p = hpath(f"{hist_path}/open")
-    if fs.exists(open_p) and touched:
-        raw = spark.read.parquet(f"{hist_path}/open").filter(
-            F.col("__kb").isin(touched)
+    # one top-level listing (O(n_open_buckets) names), then open ONLY the
+    # touched buckets' paths under basePath — per-batch file listing is
+    # O(touched), never a full InMemoryFileIndex walk of every bucket
+    # (the merge-sink curve's second defect, same fix)
+    existing = (
+        {
+            int(st.getPath().getName().split("=", 1)[1])
+            for st in fs.globStatus(hpath(f"{hist_path}/open/__kb=*"))
+        }
+        if fs.exists(open_p)
+        else set()
+    )
+    read_buckets = [b for b in touched if b in existing]
+    if read_buckets:
+        raw = spark.read.option("basePath", f"{hist_path}/open").parquet(
+            *[f"{hist_path}/open/__kb={b}" for b in read_buckets]
         )
         # Replay-after-crash detection: open rows carry the batch id that
         # last rewrote them (__b). The write order is closed → open →

@@ -1475,3 +1475,28 @@ def test_merge_rebucket_preserves_rows_markers_and_future_batches(
     )
     got = {r["k"]: r["v"] for r in merge_ops.merge_read(spark, tbl).collect()}
     assert got[3] == "v3c" and got[100] == "new" and len(got) == 41
+
+
+def test_scd2_open_layout_one_file_per_bucket(spark, tmp_path_factory):
+    """The open-set write must land exactly ONE file per touched bucket
+    (repartition on __kb before partitionBy) — without it every task
+    spills a file into every bucket dir, and at 100 TB the tasks×buckets
+    file explosion melts the listing on every subsequent batch. Same pin
+    as the merge sink's."""
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 3, 1)
+    tmp = str(tmp_path_factory.mktemp("scd2_files"))
+    hist = os.path.join(tmp, "hist")
+    # 60 keys spread across many buckets, deliberately many input
+    # partitions so the no-repartition layout WOULD multi-file buckets
+    df = spark.createDataFrame(
+        [(u, base, u, u % 7) for u in range(60)],
+        "event_id bigint, ts timestamp, user_id bigint, k bigint",
+    ).repartition(16)
+    stream_ops.scd2_apply_batch(df, 0, hist_path=hist)
+    buckets = glob.glob(os.path.join(hist, "open", "__kb=*"))
+    assert len(buckets) > 10
+    for d in buckets:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d} has {len(files)} files"
