@@ -93,6 +93,11 @@ CURATION = [
     "q110_heavy_hitters",
     "q111_sketch_rollup",
     "q112_containment_join",
+    # round 10 additions
+    "q113_event_transitions",
+    "q114_trailing_window",
+    "q115_editdist1_join",
+    "q116_knn_batch",
 ]
 
 

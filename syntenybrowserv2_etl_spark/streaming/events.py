@@ -988,9 +988,12 @@ def rollup_maintain_batch(
     grid_p = hpath(f"{path}/grid")
 
     def write_grid(df: DataFrame) -> None:
+        # repartition on the day id: one file per touched day-partition
+        # (the merge-sink tasks × partitions small-file lesson)
         (
             df.withColumn("__b", F.lit(batch_id).cast("long"))
             .withColumn("__pd", F.expr("bucket_us div 86400000000"))
+            .repartition("__pd")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__pd")
@@ -1008,9 +1011,21 @@ def rollup_maintain_batch(
             .localCheckpoint(eager=True)
         )
 
-    if fs.exists(grid_p) and touched:
-        raw = spark.read.parquet(f"{path}/grid").filter(
-            F.col("__pd").isin(touched)
+    # one top-level listing, then open only the touched day-partitions'
+    # paths — per-batch listing is O(touched days), not O(grid history)
+    # (the merge-sink listing lesson)
+    existing = (
+        {
+            int(st.getPath().getName().split("=", 1)[1])
+            for st in fs.globStatus(hpath(f"{path}/grid/__pd=*"))
+        }
+        if fs.exists(grid_p)
+        else set()
+    )
+    read_parts = [p for p in touched if p in existing]
+    if read_parts:
+        raw = spark.read.option("basePath", f"{path}/grid").parquet(
+            *[f"{path}/grid/__pd={p}" for p in read_parts]
         )
         # the scd2_apply_batch replay discipline, aggregate-flavored: an
         # aggregate merge is NOT idempotent (replaying a batch would

@@ -1500,3 +1500,27 @@ def test_scd2_open_layout_one_file_per_bucket(spark, tmp_path_factory):
     for d in buckets:
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1, f"{d} has {len(files)} files"
+
+
+def test_rollup_grid_one_file_per_day_partition(spark, tmp_path_factory):
+    """Same layout pin as merge/scd2: the grid write must land exactly
+    one file per touched day-partition even when the batch arrives in
+    many input partitions."""
+    import datetime as _dt
+
+    tmp = str(tmp_path_factory.mktemp("rollup_files"))
+    path = os.path.join(tmp, "roll")
+    base = _dt.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [
+            (i, base + _dt.timedelta(days=i % 5, minutes=i), "a", float(i))
+            for i in range(200)
+        ],
+        "event_id bigint, ts timestamp, event_type string, value double",
+    ).repartition(16)
+    stream_ops.rollup_maintain_batch(df, 0, path=path)
+    days = glob.glob(os.path.join(path, "grid", "__pd=*"))
+    assert len(days) == 5
+    for d in days:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d} has {len(files)} files"

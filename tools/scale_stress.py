@@ -102,7 +102,7 @@ KNOWN_OPS = frozenset({
     "setsim_prefix", "streaming_confirm", "ivf_probe_indexed",
     "perplexity_buckets_sampled", "pagerank_skew", "scd2_apply",
     "triangles_skew", "rollup_apply", "heavy_hitters", "merge_apply",
-    "containment_skew",
+    "containment_skew", "editdist_join", "event_transitions", "knn_batch",
 })
 
 
@@ -128,7 +128,8 @@ def main():
     # skip the (expensive at 16x) scaled docs/embeddings build entirely
     SELF_FIXTURED = {
         "pagerank_skew", "scd2_apply", "rollup_apply", "merge_apply",
-        "triangles_skew", "containment_skew",
+        "triangles_skew", "containment_skew", "editdist_join",
+        "event_transitions",
     }
     results = []
     for f in factors:
@@ -734,6 +735,93 @@ def main():
 
         if only is None or "containment_skew" in only:
             _containment_skew()
+
+        def _editdist_join():
+            # 20k·f digit-dense names (the entity-resolution shape):
+            # sequential ids mean MOST single-digit substitutions exist,
+            # so the true pair count grows ~linearly with n while the
+            # variant-key join stays posting-list bounded
+            n = 20_000 * f
+            names = spark.range(n).select(
+                F.col("id"),
+                F.concat(
+                    F.lit("Customer#"), F.lpad(F.col("id").cast("string"), 9, "0")
+                ).alias("name"),
+            ).localCheckpoint(eager=True)
+            r["editdist_join"] = timed(
+                lambda: noop(dd.editdist1_join(names, "id", "name"))
+            )
+            r["editdist_join_n"] = n
+
+        if only is None or "editdist_join" in only:
+            _editdist_join()
+
+        def _event_transitions():
+            # 200k·f events over 10k·f users, 5 types — the q113 shape:
+            # lag window on user partitions, then the |types|² grid agg
+            n = 200_000 * f
+            ev = spark.range(n).select(
+                F.col("id").alias("event_id"),
+                (F.col("id") % (10_000 * f)).alias("user_id"),
+                F.concat(
+                    F.lit("t"), (F.col("id") * 7919 % 5).cast("string")
+                ).alias("event_type"),
+                F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+            ).localCheckpoint(eager=True)
+            from pyspark.sql import Window as W
+
+            def run():
+                w = W.partitionBy("user_id").orderBy("ts", "event_id")
+                seq = ev.select(
+                    "event_type",
+                    F.lag("event_type").over(w).alias("prev_type"),
+                )
+                tr = (
+                    seq.filter(F.col("prev_type").isNotNull())
+                    .groupBy("prev_type", F.col("event_type").alias("next_type"))
+                    .agg(F.count(F.lit(1)).alias("n_trans"))
+                )
+                tot = W.partitionBy("prev_type")
+                noop(
+                    tr.select(
+                        "prev_type", "next_type", "n_trans",
+                        F.round(
+                            F.col("n_trans").cast("double")
+                            / F.sum("n_trans").over(tot),
+                            4,
+                        ).alias("p_next"),
+                    )
+                )
+
+            r["event_transitions"] = timed(run)
+
+        if only is None or "event_transitions" in only:
+            _event_transitions()
+
+        def _knn_batch():
+            # batched kNN join: query-set size grows WITH the corpus
+            # (64·f queries over n_emb·f vectors) — the shape where the
+            # broadcast-probe strategy eventually dies and shuffle-probe
+            # must stay linear-ish
+            cents = sim.pick_centroids(emb, 16).localCheckpoint(eager=True)
+            assigned = sim.assign_centroids(emb, cents).localCheckpoint(
+                eager=True
+            )
+            qs = emb.filter(F.col("vec_id") % 1000 < 32).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            for flag, label in ((False, "knn_batch"), (True, "knn_batch_bcast")):
+                r[label] = timed(
+                    lambda flag=flag: noop(
+                        sim.knn_ivf(
+                            assigned, cents, qs, k=3, nprobe=4,
+                            broadcast_probe=flag,
+                        )
+                    )
+                )
+
+        if only is None or "knn_batch" in only:
+            _knn_batch()
 
         results.append(r)
         print(json.dumps(r), flush=True)
