@@ -57,16 +57,30 @@ def knn_bruteforce(
     """
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            # query norm staged once per QUERY (rides the broadcast),
+            # not once per (corpus row, query) pair
+            norm_expr(F.col(vec_col)).alias("__qnrm"),
         )
     )
     scored = (
-        corpus.crossJoin(q)
+        # corpus norm staged once per corpus ROW; the Join node between
+        # this Project and the cosine projection blocks CollapseProject
+        # from re-inlining it per pair (the HOF staging discipline)
+        corpus.withColumn("__vnrm", norm_expr(F.col(vec_col)))
+        .crossJoin(q)
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            cosine_expr(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+            # same float ops as cosine_expr: dot / (sqrt(a)·sqrt(b)) —
+            # bit-identical to the inline form, so the _cos_sql oracles
+            # still hash-match
+            (
+                dot_expr(F.col(vec_col), F.col("__qvec"))
+                / (F.col("__vnrm") * F.col("__qnrm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -179,6 +193,7 @@ def knn_ivf(
     k: int = 10,
     nprobe: int = 2,
     broadcast_probe: bool = True,
+    probe_salt: int = 1,
 ) -> DataFrame:
     """IVF probe: per query, rank centroids, scan only the top ``nprobe``
     cells, exact-rank within them. Same output shape as knn_bruteforce.
@@ -191,13 +206,23 @@ def knn_ivf(
     - ``True`` (default): the (query, probed-cell) list is broadcast and
       the corpus never shuffles — right when queries ≪ executors' memory
       (interactive lookups, small eval sets).
-    - ``False``: plain shuffle join on ``centroid_id`` — both sides hash
-      to the same cells, so each task scores one cell's corpus rows
-      against exactly the queries probing that cell. Right when the query
-      set is itself table-scale (millions of rows × nprobe replicas would
-      melt a broadcast). Per-cell fanout is |cell| × |queries probing it|;
-      hot cells split by AQE skew-join the same way any shuffle join
-      does, and k-cap happens per query partition right after.
+    - ``False``: shuffle join on ``centroid_id`` — both sides hash to the
+      same cells, so each task scores one cell's corpus rows against
+      exactly the queries probing that cell. Right when the query set is
+      itself table-scale (millions of rows × nprobe replicas would melt a
+      broadcast).
+
+    ``probe_salt`` (shuffle path only): a bare cell-keyed join has at
+    most |cells| distinct keys, so cluster parallelism COLLAPSES to the
+    centroid count no matter how many executors exist — the SCALE.md
+    knn_batch curve measured an 18× slowdown vs broadcast at 16× data
+    from exactly this. Salting splits each cell into ``probe_salt``
+    sub-keys (corpus rows by id-hash pmod, probes replicated to every
+    salt — the containment-join chunking discipline): identical scored
+    pairs BY CONSTRUCTION (each (corpus row, probe) meets on exactly one
+    (cell, salt) sub-key), join parallelism |cells| × salt, probe-side
+    rows × salt as the price. Size it so |cells| × salt ≳ cluster cores;
+    1 disables.
     """
     q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
     cw = Window.partitionBy(query_id_col).orderBy(
@@ -213,17 +238,51 @@ def knn_ivf(
         )
         .withColumn("__cr", F.row_number().over(cw))
         .filter(F.col("__cr") <= nprobe)
-        .select(query_id_col, "__qvec", "centroid_id")
+        # query norm staged once per (query, probed cell) — materialized
+        # through the broadcast/shuffle, never recomputed per scored pair
+        .select(
+            query_id_col,
+            "__qvec",
+            "centroid_id",
+            norm_expr(F.col("__qvec")).alias("__qnrm"),
+        )
     )
+    # corpus norm staged once per corpus row (the exchange/Join boundary
+    # keeps CollapseProject from re-inlining it into the per-pair cosine)
+    corpus = assigned.withColumn("__vnrm", norm_expr(F.col(vec_col)))
     if broadcast_probe:
         probe = F.broadcast(probe)
+        join_keys = ["centroid_id"]
+    else:
+        if probe_salt > 1:
+            corpus = corpus.withColumn(
+                "__salt", F.pmod(F.hash(F.col(id_col)), F.lit(probe_salt))
+            )
+            probe = probe.withColumn(
+                "__salt",
+                F.explode(F.sequence(F.lit(0), F.lit(probe_salt - 1))),
+            )
+            join_keys = ["centroid_id", "__salt"]
+        else:
+            join_keys = ["centroid_id"]
+        # build the hash map on the probe side and STREAM the corpus:
+        # with |cells| distinct keys a SortMergeJoin degenerates into
+        # giant per-key group scans (measured 110 s vs 19 s at the 16×
+        # SCALE point); the hash build is |queries probing the
+        # partition's cells| — the side that must fit memory anyway
+        probe = probe.hint("shuffle_hash")
     scored = (
-        assigned.join(probe, "centroid_id")
+        corpus.join(probe, join_keys)
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            cosine_expr(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+            # same float ops as cosine_expr (dot / (sqrt·sqrt)) — the
+            # _cos_sql oracles still hash-match
+            (
+                dot_expr(F.col(vec_col), F.col("__qvec"))
+                / (F.col("__vnrm") * F.col("__qnrm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(

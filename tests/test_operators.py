@@ -2558,14 +2558,18 @@ def test_knn_batch_shuffle_probe_equals_broadcast(spark):
     qs = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    run = lambda bc: {
+    run = lambda bc, salt=1: {
         (r.query_id, r.vec_id, r["rank"])
         for r in sim.knn_ivf(
-            assigned, cents, qs, k=3, nprobe=3, broadcast_probe=bc
+            assigned, cents, qs, k=3, nprobe=3,
+            broadcast_probe=bc, probe_salt=salt,
         ).collect()
     }
     got = run(False)
     assert got == run(True)
+    # cell-salting is result-invariant: every (corpus row, probe) pair
+    # meets on exactly one (cell, salt) sub-key
+    assert got == run(False, salt=7)
     assert len({q for q, _, _ in got}) == 16  # every query answered
 
 

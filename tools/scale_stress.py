@@ -810,12 +810,16 @@ def main():
             qs = emb.filter(F.col("vec_id") % 1000 < 32).select(
                 F.col("vec_id").alias("query_id"), "embedding"
             )
-            for flag, label in ((False, "knn_batch"), (True, "knn_batch_bcast")):
+            for flag, salt, label in (
+                (False, 1, "knn_batch"),
+                (False, 32, "knn_batch_salted"),
+                (True, 1, "knn_batch_bcast"),
+            ):
                 r[label] = timed(
-                    lambda flag=flag: noop(
+                    lambda flag=flag, salt=salt: noop(
                         sim.knn_ivf(
                             assigned, cents, qs, k=3, nprobe=4,
-                            broadcast_probe=flag,
+                            broadcast_probe=flag, probe_salt=salt,
                         )
                     )
                 )
