@@ -113,15 +113,22 @@ def merge_upsert_batch(
     *,
     table_path: str,
     key_cols: list[str],
-    arrival_col: str,
+    arrival_col: str | list[str],
     n_buckets: int = 64,
 ) -> None:
     """One micro-batch of the keyed MERGE upsert (the foreachBatch body
     of merge_upsert_stream, module-level so tests and the scale harness
     can drive batches and crash points directly). Layout, cost, and
-    idempotency contracts are documented at module level."""
+    idempotency contracts are documented at module level.
+
+    ``arrival_col`` may be a list — LWW then orders lexicographically
+    over the columns (e.g. ``[ts, event_id]`` when the timestamp alone
+    is not a total order)."""
     from pyspark.sql import Window
 
+    arrivals = (
+        [arrival_col] if isinstance(arrival_col, str) else list(arrival_col)
+    )
     spark = batch_df.sparkSession
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     fs = hpath(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -136,7 +143,7 @@ def merge_upsert_batch(
         {
             "n_buckets": n_buckets,
             "key_cols": list(key_cols),
-            "arrival_col": arrival_col,
+            "arrival_col": arrivals,
         },
     )
     batch_df = batch_df.localCheckpoint(eager=True)
@@ -153,7 +160,7 @@ def merge_upsert_batch(
         # batch rows (__src=1) win arrival ties over stored rows (__src=0)
         # — INSERT OR REPLACE: the later write replaces the row
         w = Window.partitionBy(*key_cols).orderBy(
-            F.col(arrival_col).desc(), F.col("__src").desc()
+            *[F.col(c).desc() for c in arrivals], F.col("__src").desc()
         )
         return (
             df.withColumn("__rn", F.row_number().over(w))
@@ -239,7 +246,7 @@ def merge_upsert_stream(
     stream_df: DataFrame,
     table_path: str,
     key_cols: list[str],
-    arrival_col: str,
+    arrival_col: str | list[str],
     n_buckets: int = 64,
     query_name: str = "merge_upsert",
     checkpoint: str | None = None,
@@ -273,6 +280,42 @@ def merge_read(spark: SparkSession, table_path: str) -> DataFrame:
     """The current upserted table — one row per key, layout columns
     (``__kb`` bucket id, ``__b`` provenance) dropped."""
     return spark.read.parquet(table_path).drop(*_LAYOUT_COLS)
+
+
+def merge_read_touched(
+    spark: SparkSession, table_path: str, keys_df: DataFrame
+) -> DataFrame | None:
+    """Bucket-pruned read for batch-shaped joins: the current rows of
+    every bucket that any key in ``keys_df`` hashes into — the read-side
+    twin of the sink's touched-bucket write discipline. The result is a
+    SUPERSET of the keys' rows (whole buckets); callers join/semi-join it
+    down. Per-call I/O is O(touched buckets), never O(table) — one
+    top-level listing plus the touched paths.
+
+    ``keys_df`` must have exactly the table's key columns (order from
+    the ``_layout`` sidecar). Returns None when the table does not exist
+    yet (no sidecar) or none of the touched buckets has data."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    layout = _read_layout(spark, fs, hpath, table_path)
+    if layout is None:
+        return None
+    kb = _merge_kb(layout["key_cols"], layout["n_buckets"])
+    touched = {
+        r["__kb"] for r in keys_df.select(kb.alias("__kb")).distinct().collect()
+    }
+    existing = {
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.globStatus(hpath(f"{table_path}/__kb=*"))
+    }
+    read_buckets = sorted(touched & existing)
+    if not read_buckets:
+        return None
+    return (
+        spark.read.option("basePath", table_path)
+        .parquet(*[f"{table_path}/__kb={b}" for b in read_buckets])
+        .drop(*_LAYOUT_COLS)
+    )
 
 
 def merge_rebucket(

@@ -1524,3 +1524,162 @@ def test_rollup_grid_one_file_per_day_partition(spark, tmp_path_factory):
     for d in days:
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1, f"{d} has {len(files)} files"
+
+
+# --- streaming transition-matrix maintenance (streaming/transitions.py) ----
+
+from syntenybrowserv2_etl_spark.streaming import transitions as trans_ops
+
+
+def _trans_batch_oracle(spark, df):
+    """The q113 computation inline over an accumulated event log."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = df.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    tr = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot = W.partitionBy("prev_type")
+    return tr.select(
+        "prev_type", "next_type", "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.sum("n_trans").over(tot), 4
+        ).alias("p_next"),
+    )
+
+
+def _mk_events(spark, rows):
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 3, 1)
+    return spark.createDataFrame(
+        [(e, base + _dt.timedelta(minutes=m), u, t) for e, m, u, t in rows],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string",
+    )
+
+
+_TRANS_ROWS = [
+    # (event_id, minute, user, type) — users interleaved so boundary
+    # bigrams cross every batch split
+    (1, 0, 1, "view"), (2, 1, 2, "view"), (3, 2, 1, "click"),
+    (4, 10, 2, "click"), (5, 11, 1, "view"), (6, 12, 3, "signup"),
+    (7, 20, 1, "purchase"), (8, 21, 2, "purchase"), (9, 22, 3, "view"),
+    (10, 30, 3, "click"), (11, 31, 2, "view"), (12, 32, 1, "view"),
+]
+
+
+def test_transitions_stream_matches_batch_q113(spark, tmp_path_factory):
+    """Folding event-time-ordered micro-batches must produce EXACTLY the
+    batch q113 matrix over the accumulated log — including the boundary
+    bigrams (last event of batch N → first event of batch N+1 per user)
+    that neither batch sees alone. Single-event-per-user-per-batch rows
+    (user 3) make the boundary path the ONLY source of those bigrams."""
+    tmp = str(tmp_path_factory.mktemp("trans_stream"))
+    state = os.path.join(tmp, "state")
+    for i, sl in enumerate([_TRANS_ROWS[:4], _TRANS_ROWS[4:9], _TRANS_ROWS[9:]]):
+        trans_ops.transitions_fold_batch(
+            _mk_events(spark, sl), i, state_path=state
+        )
+    got = {
+        tuple(r)
+        for r in trans_ops.read_transition_matrix(spark, state).collect()
+    }
+    want = {
+        tuple(r)
+        for r in _trans_batch_oracle(
+            spark, _mk_events(spark, _TRANS_ROWS)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # committed-batch redelivery is a no-op
+    trans_ops.transitions_fold_batch(
+        _mk_events(spark, _TRANS_ROWS[4:9]), 1, state_path=state
+    )
+    assert {
+        tuple(r)
+        for r in trans_ops.read_transition_matrix(spark, state).collect()
+    } == want
+
+
+def test_transitions_replay_after_crash_between_fold_and_merge(
+    spark, tmp_path_factory, monkeypatch
+):
+    """The crash window between the grid commit and the last-event merge:
+    the replay must skip the fold (no double-count) and complete the
+    merge, landing on the exact uninterrupted state."""
+    tmp = str(tmp_path_factory.mktemp("trans_crash"))
+    state = os.path.join(tmp, "state")
+    trans_ops.transitions_fold_batch(
+        _mk_events(spark, _TRANS_ROWS[:4]), 0, state_path=state
+    )
+
+    real_merge = trans_ops.merge_ops.merge_upsert_batch
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before merge")
+
+    monkeypatch.setattr(trans_ops.merge_ops, "merge_upsert_batch", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="crash before merge"):
+        trans_ops.transitions_fold_batch(
+            _mk_events(spark, _TRANS_ROWS[4:9]), 1, state_path=state
+        )
+    monkeypatch.setattr(trans_ops.merge_ops, "merge_upsert_batch", real_merge)
+    # redeliver, then finish the stream
+    trans_ops.transitions_fold_batch(
+        _mk_events(spark, _TRANS_ROWS[4:9]), 1, state_path=state
+    )
+    trans_ops.transitions_fold_batch(
+        _mk_events(spark, _TRANS_ROWS[9:]), 2, state_path=state
+    )
+    got = {
+        tuple(r)
+        for r in trans_ops.read_transition_matrix(spark, state).collect()
+    }
+    want = {
+        tuple(r)
+        for r in _trans_batch_oracle(
+            spark, _mk_events(spark, _TRANS_ROWS)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_transitions_stream_end_to_end(spark, tmp_path_factory):
+    """The writeStream wrapper: three files → availableNow micro-batches
+    → same matrix as the batch oracle."""
+    tmp = str(tmp_path_factory.mktemp("trans_e2e"))
+    src, state = os.path.join(tmp, "src"), os.path.join(tmp, "state")
+    os.makedirs(src)
+    for i, sl in enumerate([_TRANS_ROWS[:4], _TRANS_ROWS[4:9], _TRANS_ROWS[9:]]):
+        _mk_events(spark, sl).coalesce(1).write.mode("append").parquet(src)
+        newest = max(
+            glob.glob(os.path.join(src, "*.parquet")), key=os.path.getmtime
+        )
+        os.utime(newest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = trans_ops.transitions_stream(stream, state)
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in trans_ops.read_transition_matrix(spark, state).collect()
+    }
+    want = {
+        tuple(r)
+        for r in _trans_batch_oracle(
+            spark, _mk_events(spark, _TRANS_ROWS)
+        ).collect()
+    }
+    assert got == want
