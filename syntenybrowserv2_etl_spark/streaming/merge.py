@@ -42,7 +42,22 @@ Ordering contract: batches apply in delivery order; rows of equal
 batch, ties across duplicate key rows are broken arbitrarily — give
 rows a total arrival order if that matters).
 
-Read the current table with ``merge_read`` (drops the layout columns).
+Deletes (``delete_col``): a CDC stream carries tombstones, not just
+upserts. When ``delete_col`` names a boolean column, a row whose flag is
+true DELETES its key as of its arrival — the LWW winner may be a
+tombstone, and readers hide that key. Tombstones are RETAINED on disk
+(filtered by ``merge_read``/``merge_read_touched`` via the ``_layout``
+sidecar), deliberately: dynamic partition overwrite only rewrites
+partitions PRESENT in the written data, so a bucket whose every key was
+deleted would otherwise produce zero output rows, never be overwritten,
+and resurrect its stale pre-state on the next read. Retention also keeps
+the tombstone's arrival available to out-order late rows (an upsert
+older than the delete stays dead). ``merge_rebucket(purge_tombstones=
+True)`` drops them during a rescale — only safe once upstream can no
+longer deliver arrivals older than the tombstones'.
+
+Read the current table with ``merge_read`` (drops the layout columns and
+hides tombstoned keys).
 """
 
 from __future__ import annotations
@@ -115,6 +130,7 @@ def merge_upsert_batch(
     key_cols: list[str],
     arrival_col: str | list[str],
     n_buckets: int = 64,
+    delete_col: str | None = None,
 ) -> None:
     """One micro-batch of the keyed MERGE upsert (the foreachBatch body
     of merge_upsert_stream, module-level so tests and the scale harness
@@ -123,7 +139,9 @@ def merge_upsert_batch(
 
     ``arrival_col`` may be a list — LWW then orders lexicographically
     over the columns (e.g. ``[ts, event_id]`` when the timestamp alone
-    is not a total order)."""
+    is not a total order). ``delete_col`` (part of the pinned layout)
+    enables CDC tombstones — every batch must then carry that boolean
+    column; semantics at module level."""
     from pyspark.sql import Window
 
     arrivals = (
@@ -144,6 +162,7 @@ def merge_upsert_batch(
             "n_buckets": n_buckets,
             "key_cols": list(key_cols),
             "arrival_col": arrivals,
+            "delete_col": delete_col,
         },
     )
     batch_df = batch_df.localCheckpoint(eager=True)
@@ -250,6 +269,7 @@ def merge_upsert_stream(
     n_buckets: int = 64,
     query_name: str = "merge_upsert",
     checkpoint: str | None = None,
+    delete_col: str | None = None,
 ):
     """Streaming keyed MERGE upsert — foreachBatch over
     ``merge_upsert_batch``. Returns the started StreamingQuery
@@ -263,6 +283,7 @@ def merge_upsert_stream(
             key_cols=key_cols,
             arrival_col=arrival_col,
             n_buckets=n_buckets,
+            delete_col=delete_col,
         )
 
     writer = (
@@ -276,10 +297,27 @@ def merge_upsert_stream(
     return writer.start()
 
 
+def _hide_tombstones(spark, table_path: str, df: DataFrame) -> DataFrame:
+    """Layout-aware read filter: when the table's pinned layout names a
+    delete column, hide tombstoned keys and drop the flag — readers see
+    only live rows (tombstone retention is a WRITE-side durability
+    concern, module docstring)."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    layout = _read_layout(spark, fs, hpath, table_path) or {}
+    dcol = layout.get("delete_col")
+    if dcol is None:
+        return df
+    return df.filter(~F.coalesce(F.col(dcol), F.lit(False))).drop(dcol)
+
+
 def merge_read(spark: SparkSession, table_path: str) -> DataFrame:
-    """The current upserted table — one row per key, layout columns
-    (``__kb`` bucket id, ``__b`` provenance) dropped."""
-    return spark.read.parquet(table_path).drop(*_LAYOUT_COLS)
+    """The current upserted table — one row per LIVE key, layout columns
+    (``__kb`` bucket id, ``__b`` provenance) dropped, tombstoned keys
+    hidden."""
+    return _hide_tombstones(
+        spark, table_path, spark.read.parquet(table_path).drop(*_LAYOUT_COLS)
+    )
 
 
 def merge_read_touched(
@@ -311,15 +349,20 @@ def merge_read_touched(
     read_buckets = sorted(touched & existing)
     if not read_buckets:
         return None
-    return (
+    return _hide_tombstones(
+        spark,
+        table_path,
         spark.read.option("basePath", table_path)
         .parquet(*[f"{table_path}/__kb={b}" for b in read_buckets])
-        .drop(*_LAYOUT_COLS)
+        .drop(*_LAYOUT_COLS),
     )
 
 
 def merge_rebucket(
-    spark: SparkSession, table_path: str, new_n_buckets: int
+    spark: SparkSession,
+    table_path: str,
+    new_n_buckets: int,
+    purge_tombstones: bool = False,
 ) -> tuple[int, int]:
     """Re-hash the table into ``new_n_buckets`` bucket partitions — the
     growth path for the sizing rule (n_buckets ∝ live keys, a few
@@ -337,6 +380,11 @@ def merge_rebucket(
     the promote leaves the live table untouched; between rename and
     promote the table is recoverable at ``<path>__old`` (same recovery
     contract as sources/io.compact_table, which this mirrors).
+
+    ``purge_tombstones=True`` additionally drops retained delete
+    tombstones during the rewrite — safe ONLY once upstream can no
+    longer deliver arrivals older than the tombstones' (a purged delete
+    cannot out-order a late stale upsert any more; module docstring).
 
     The ``_batches`` marker set (committed batch ids) is MOVED to the
     new layout, so a redelivered pre-rebucket batch is still skipped —
@@ -362,9 +410,12 @@ def merge_rebucket(
     old = table_path + "__old"
     fs.delete(hpath(staging), True)
     fs.delete(hpath(old), True)
+    rows = spark.read.parquet(table_path).drop(*_LAYOUT_COLS)
+    dcol = layout.get("delete_col")
+    if purge_tombstones and dcol is not None:
+        rows = rows.filter(~F.coalesce(F.col(dcol), F.lit(False)))
     (
-        spark.read.parquet(table_path)
-        .drop(*_LAYOUT_COLS)
+        rows
         .withColumn("__b", F.lit(-1).cast("long"))
         .withColumn("__kb", _merge_kb(key_cols, new_n_buckets))
         .repartition("__kb")

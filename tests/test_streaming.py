@@ -1683,3 +1683,48 @@ def test_transitions_stream_end_to_end(spark, tmp_path_factory):
         ).collect()
     }
     assert got == want
+
+
+def test_merge_delete_tombstones(spark, tmp_path_factory):
+    """CDC deletes: a tombstone-winning key disappears from reads, a
+    NEWER upsert resurrects it, an OLDER (late) upsert stays dead, and a
+    bucket whose every key was deleted does NOT resurrect stale rows —
+    the retention-not-removal design the dynamic-overwrite semantics
+    force (zero-row buckets are never rewritten)."""
+    tmp = str(tmp_path_factory.mktemp("merge_del"))
+    tbl = os.path.join(tmp, "tbl")
+    schema = "k bigint, v string, arrival bigint, deleted boolean"
+    mk = lambda sl: spark.createDataFrame(sl, schema)
+    cfg = dict(
+        table_path=tbl, key_cols=["k"], arrival_col="arrival",
+        n_buckets=4, delete_col="deleted",
+    )
+    merge_ops.merge_upsert_batch(
+        mk([(k, f"v{k}", 10, False) for k in range(12)]), 0, **cfg
+    )
+    # delete keys 0..5; key 3's bucket may end up all-tombstone — the
+    # point of retention
+    merge_ops.merge_upsert_batch(
+        mk([(k, None, 20, True) for k in range(6)]), 1, **cfg
+    )
+    got = {r["k"]: r["v"] for r in merge_ops.merge_read(spark, tbl).collect()}
+    assert set(got) == set(range(6, 12))
+    assert "deleted" not in merge_ops.merge_read(spark, tbl).columns
+    # resurrect key 0 with a newer arrival; late stale upsert of key 1
+    # (arrival 15 < tombstone's 20) stays dead
+    merge_ops.merge_upsert_batch(
+        mk([(0, "back", 30, False), (1, "stale", 15, False)]), 2, **cfg
+    )
+    got = {r["k"]: r["v"] for r in merge_ops.merge_read(spark, tbl).collect()}
+    assert got[0] == "back" and 1 not in got
+    # bucket-pruned read hides tombstones the same way
+    touched = merge_ops.merge_read_touched(
+        spark, tbl, spark.createDataFrame([(1,)], "k bigint")
+    )
+    assert 1 not in {r["k"] for r in touched.collect()}
+    # rebucket with purge drops the retained tombstones from disk
+    merge_ops.merge_rebucket(spark, tbl, 8, purge_tombstones=True)
+    on_disk = spark.read.parquet(tbl)
+    assert on_disk.filter(F.coalesce("deleted", F.lit(False))).count() == 0
+    got = {r["k"]: r["v"] for r in merge_ops.merge_read(spark, tbl).collect()}
+    assert got[0] == "back" and set(got) == {0} | set(range(6, 12))
