@@ -754,21 +754,92 @@ def write_ivf_index(
     the FAISS serving contract expressed as parquet partition pruning.
     Production sizes n_cells ∝ corpus (√n is the IVF rule of thumb) to
     hold per-cell bytes flat as the corpus grows.
+
+    Layout is two-level: ``centroid_id=<c>/__ib=<batch>`` — the base
+    build writes ``__ib=-1``; ivf_index_append_batch grows the index
+    under per-batch sub-partitions without rebuilding (cell pruning only
+    looks at the first level, so serving is unaffected). The
+    repartition keeps it one file per (cell, batch) — without it every
+    write task spills a file into every cell dir (the merge-sink
+    tasks × partitions lesson).
     """
     (
         codes.join(assigned.select(id_col, "centroid_id"), id_col)
+        .withColumn("__ib", F.lit(-1).cast("long"))
+        .repartition("centroid_id")
         .write.mode("overwrite")
-        .partitionBy("centroid_id")
+        .partitionBy("centroid_id", "__ib")
         .parquet(path)
     )
+
+
+def ivf_index_append_batch(
+    new_vectors: DataFrame,
+    batch_id: int,
+    *,
+    index_path: str,
+    cells: DataFrame,
+    codebooks: DataFrame,
+    m_subspaces: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Grow the persisted IVF-PQ index incrementally — the ingest path
+    that keeps an ANN index serving while the corpus streams in, with no
+    full rebuild: new vectors are assigned to the EXISTING coarse cells
+    and encoded against the EXISTING codebooks (the standard serving
+    trade — recall drifts as the data distribution moves, until a
+    periodic retrain rebuilds cells/codebooks), then land as
+    ``centroid_id=<c>/__ib=<batch_id>`` sub-partitions.
+
+    Idempotent replay (foreachBatch at-least-once): a ``_batches/<id>``
+    marker (written last) skips committed batches outright; an
+    uncommitted replay's dynamic partition overwrite rewrites ITS OWN
+    (cell, batch) sub-partitions — a deterministic function of the same
+    inputs — so a crash at any point never duplicates codes (duplicated
+    (id, s, code) rows would double ADC partial sums, silently corrupting
+    every score they touch).
+
+    Serving cost is unchanged: probes prune on the first partition level;
+    files per cell grow by one per batch (compact periodically, like any
+    streamed table).
+    """
+    spark = new_vectors.sparkSession
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    marker_p = hpath(f"{index_path}/_batches/{batch_id}")
+    if fs.exists(marker_p):
+        return  # fully-committed batch redelivered: skip
+    assigned = assign_centroids(
+        new_vectors, cells, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(
+        new_vectors, codebooks, m_subspaces, id_col=id_col,
+        vec_col=vec_col, dim=dim,
+    )
+    (
+        codes.join(assigned.select(id_col, "centroid_id"), id_col)
+        .withColumn("__ib", F.lit(batch_id).cast("long"))
+        .repartition("centroid_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid_id", "__ib")
+        .parquet(index_path)
+    )
+    fs.mkdirs(marker_p)
 
 
 def probe_ivf_index(spark, path: str, cell_ids: list[int]) -> DataFrame:
     """Partition-pruned read of probe cells: ``centroid_id`` IN (literals)
     resolves at planning time against the partition directories, so only
-    the probed cells' files are ever listed or read."""
-    return spark.read.parquet(path).filter(
-        F.col("centroid_id").isin([int(c) for c in cell_ids])
+    the probed cells' files are ever listed or read — base build and
+    appended batches alike (``__ib`` is dropped; it's a write-side
+    idempotency coordinate, not data)."""
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin([int(c) for c in cell_ids]))
+        .drop("__ib")
     )
 
 

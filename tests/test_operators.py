@@ -2603,3 +2603,65 @@ def test_trailing_window_shrinks_over_calendar_gaps(spark):
     assert out[3] == (30.0, 3)    # days 1-3 in frame
     assert out[20] == (10.0, 1)   # the 17-day gap empties the frame
     assert out[21] == (20.0, 2)   # day 20 + 21
+
+
+def test_ivf_index_append_equals_full_rebuild(spark, tmp_path):
+    """Incremental index growth: seeding with half the corpus and
+    appending the rest in two batches must serve IDENTICAL IVF-PQ
+    results to a one-shot full build (same cells/codebooks → same
+    assignments and codes, layout is the only difference). Redelivered
+    append batches are no-ops (duplicated codes would double ADC partial
+    sums), and each (cell, batch) sub-partition is one file."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from syntenybrowserv2_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).localCheckpoint(eager=True)
+    cells = sim.kmeans_centroids(emb, k=8, iters=2).localCheckpoint(eager=True)
+    cb = sim.pq_codebooks(emb, 4, 4, 2, dim=64).localCheckpoint(eager=True)
+    qv = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+    def topk(path):
+        return {
+            (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+            for r in sim.ivf_pq_topk_indexed(
+                spark, path, cells, cb, qv, 4, nprobe=3, k=5, dim=64
+            ).collect()
+        }
+
+    full = str(tmp_path / "full")
+    sim.write_ivf_index(
+        sim.assign_centroids(emb, cells), sim.pq_encode(emb, cb, 4, dim=64),
+        full,
+    )
+
+    inc = str(tmp_path / "inc")
+    seed = emb.filter(F.col("vec_id") < 250)
+    sim.write_ivf_index(
+        sim.assign_centroids(seed, cells), sim.pq_encode(seed, cb, 4, dim=64),
+        inc,
+    )
+    b1 = emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 400))
+    b2 = emb.filter(F.col("vec_id") >= 400)
+    for i, b in ((1, b1), (2, b2)):
+        sim.ivf_index_append_batch(
+            b, i, index_path=inc, cells=cells, codebooks=cb, dim=64
+        )
+    assert topk(inc) == topk(full)
+    n_codes = spark.read.parquet(inc).count()
+    # committed-batch redelivery: skipped, no code duplication
+    sim.ivf_index_append_batch(
+        b1, 1, index_path=inc, cells=cells, codebooks=cb, dim=64
+    )
+    assert spark.read.parquet(inc).count() == n_codes
+    # one file per (cell, batch) sub-partition
+    for d in _glob.glob(_os.path.join(inc, "centroid_id=*", "__ib=*")):
+        files = [f for f in _os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d} has {len(files)} files"
