@@ -876,3 +876,45 @@ def ivf_pq_topk_indexed(
         queries, codebooks, m_subspaces, sub_len, query_id_col, query_vec_col
     )
     return _adc_rank(scored_codes, lut, k, id_col, query_id_col)
+
+
+def ivf_index_append_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    cells: DataFrame,
+    codebooks: DataFrame,
+    m_subspaces: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    query_name: str = "ivf_index_append",
+    checkpoint: str | None = None,
+):
+    """Streaming index ingest — foreachBatch over ivf_index_append_batch
+    (whose marker + own-partition overwrite make at-least-once delivery
+    safe). Returns the started StreamingQuery (availableNow trigger;
+    caller awaits termination). ``dim`` should be passed explicitly for
+    streams (the batch-side inference scans the batch)."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_index_append_batch(
+            batch_df,
+            batch_id,
+            index_path=index_path,
+            cells=cells,
+            codebooks=codebooks,
+            m_subspaces=m_subspaces,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(body)
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -937,3 +937,65 @@ def test_editdist1_join_equals_bruteforce(spark, names):
         if i < j and py_lev(a, b) <= 1
     }
     assert got == want
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),   # key
+                st.integers(min_value=0, max_value=9),   # arrival
+                st.booleans(),                           # tombstone?
+            ),
+            min_size=0,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_upsert_matches_dict_replay(spark, batches, tmp_path_factory):
+    """The keyed MERGE sink against a brute-force dict replay: arbitrary
+    upsert/tombstone sequences across micro-batches must land exactly the
+    per-key winner a sequential last-write-wins replay produces — newer
+    arrival wins; on equal arrival the later batch wins; within a batch
+    equal (key, arrival) duplicates may resolve either way, so the
+    strategy avoids generating them (distinct arrivals per key per
+    batch); a tombstone winner hides the key."""
+    import os
+
+    from syntenybrowserv2_etl_spark.streaming import merge as merge_ops
+
+    # drop within-batch (key, arrival) duplicates — unordered by contract
+    batches = [
+        list({(k, a): (k, a, d) for k, a, d in b}.values()) for b in batches
+    ]
+    tmp = str(tmp_path_factory.mktemp("merge_prop"))
+    tbl = os.path.join(tmp, "tbl")
+    state: dict[int, tuple[int, int, bool]] = {}  # key -> (arrival, batch, del)
+    for i, b in enumerate(batches):
+        df = spark.createDataFrame(
+            [(k, f"v{k}a{a}", a, d) for k, a, d in b],
+            "k bigint, v string, arrival bigint, deleted boolean",
+        )
+        merge_ops.merge_upsert_batch(
+            df, i, table_path=tbl, key_cols=["k"], arrival_col="arrival",
+            n_buckets=4, delete_col="deleted",
+        )
+        for k, a, d in b:
+            cur = state.get(k)
+            # batch row replaces stored state of equal-or-older arrival
+            if cur is None or (a, i) >= (cur[0], cur[1]):
+                state[k] = (a, i, d)
+    want = {
+        (k, f"v{k}a{a}", a) for k, (a, _, d) in state.items() if not d
+    }
+    if not any(batches):
+        return  # no batch ever had rows: table never created
+    got = {
+        (r["k"], r["v"], r["arrival"])
+        for r in merge_ops.merge_read(spark, tbl).collect()
+    }
+    assert got == want

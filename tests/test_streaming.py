@@ -1728,3 +1728,62 @@ def test_merge_delete_tombstones(spark, tmp_path_factory):
     assert on_disk.filter(F.coalesce("deleted", F.lit(False))).count() == 0
     got = {r["k"]: r["v"] for r in merge_ops.merge_read(spark, tbl).collect()}
     assert got[0] == "back" and set(got) == {0} | set(range(6, 12))
+
+
+def test_ivf_index_append_stream_end_to_end(spark, tmp_path_factory):
+    """writeStream wrapper over ivf_index_append_batch: seed index +
+    streamed vector files must serve the same IVF-PQ top-k as a one-shot
+    full build."""
+    from pyspark.sql import functions as F
+
+    from syntenybrowserv2_etl_spark.operators import similarity as sim
+
+    tmp = str(tmp_path_factory.mktemp("ivf_stream"))
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).localCheckpoint(eager=True)
+    cells = sim.kmeans_centroids(emb, k=8, iters=2).localCheckpoint(eager=True)
+    cb = sim.pq_codebooks(emb, 4, 4, 2, dim=64).localCheckpoint(eager=True)
+
+    full = os.path.join(tmp, "full")
+    sim.write_ivf_index(
+        sim.assign_centroids(emb, cells), sim.pq_encode(emb, cb, 4, dim=64),
+        full,
+    )
+    inc = os.path.join(tmp, "inc")
+    seed = emb.filter(F.col("vec_id") < 250)
+    sim.write_ivf_index(
+        sim.assign_centroids(seed, cells), sim.pq_encode(seed, cb, 4, dim=64),
+        inc,
+    )
+    for i, part in enumerate(
+        [
+            emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 400)),
+            emb.filter(F.col("vec_id") >= 400),
+        ]
+    ):
+        part.coalesce(1).write.mode("append").parquet(src)
+        newest = max(
+            glob.glob(os.path.join(src, "*.parquet")), key=os.path.getmtime
+        )
+        os.utime(newest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sim.ivf_index_append_stream(stream, inc, cells, cb, dim=64)
+    q.awaitTermination(120)
+
+    qv = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    topk = lambda path: {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in sim.ivf_pq_topk_indexed(
+            spark, path, cells, cb, qv, 4, nprobe=3, k=5, dim=64
+        ).collect()
+    }
+    assert topk(inc) == topk(full)
