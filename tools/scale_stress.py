@@ -103,6 +103,7 @@ KNOWN_OPS = frozenset({
     "perplexity_buckets_sampled", "pagerank_skew", "scd2_apply",
     "triangles_skew", "rollup_apply", "heavy_hitters", "merge_apply",
     "containment_skew", "editdist_join", "event_transitions", "knn_batch",
+    "transitions_apply",
 })
 
 
@@ -129,7 +130,7 @@ def main():
     SELF_FIXTURED = {
         "pagerank_skew", "scd2_apply", "rollup_apply", "merge_apply",
         "triangles_skew", "containment_skew", "editdist_join",
-        "event_transitions",
+        "event_transitions", "transitions_apply",
     }
     results = []
     for f in factors:
@@ -659,6 +660,58 @@ def main():
 
         if only is None or "merge_apply" in only:
             _merge_apply()
+
+        def _transitions_apply():
+            # per-batch transition-matrix fold vs ACCUMULATED user-state
+            # size: seed 100k·f users' last events (bucket count scaled
+            # with keys, the sizing rule), then fold one CONSTANT batch
+            # (~1.6k rows, fixed 4-bucket footprint). Flat growth means
+            # the boundary join reads O(touched buckets), not O(users).
+            import datetime as _dt
+
+            from syntenybrowserv2_etl_spark.streaming import (
+                transitions as tr,
+            )
+
+            state = f"{SCRATCH}/trans_state_x{f}"
+            shutil.rmtree(state, ignore_errors=True)
+            n_users = 100_000 * f
+            n_buckets = 256 * f
+            base_us = 1_700_000_000_000_000
+            seed = spark.range(n_users).select(
+                F.col("id").alias("event_id"),
+                F.timestamp_micros(F.lit(base_us) + F.col("id")).alias("ts"),
+                F.col("id").alias("user_id"),
+                F.concat(
+                    F.lit("t"), (F.col("id") % 5).cast("string")
+                ).alias("event_type"),
+            ).localCheckpoint(eager=True)
+            tr.transitions_fold_batch(
+                seed, 0, state_path=state, n_buckets=n_buckets
+            )
+            batch = (
+                seed.filter(F.pmod(F.hash("user_id"), F.lit(n_buckets)) < 4)
+                .select(
+                    (F.col("event_id") + n_users).alias("event_id"),
+                    F.timestamp_micros(
+                        F.lit(base_us + 10_000_000) + F.col("user_id")
+                    ).alias("ts"),
+                    "user_id",
+                    F.concat(
+                        F.lit("t"), ((F.col("user_id") + 1) % 5).cast("string")
+                    ).alias("event_type"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            r["transitions_apply_batch_rows"] = batch.count()
+            r["transitions_apply"] = timed(
+                lambda: tr.transitions_fold_batch(
+                    batch, 1, state_path=state, n_buckets=n_buckets
+                )
+            )
+
+        if only is None or "transitions_apply" in only:
+            _transitions_apply()
 
         # round 10: containment join under hot-gram skew — the corpus the
         # prefix-rarity discipline CANNOT defuse: 30% of documents are
