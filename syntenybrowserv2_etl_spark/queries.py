@@ -4945,6 +4945,66 @@ def q116(spark, sf_dir):
     )
 
 
+@register(
+    "q117_entity_resolution",
+    """
+    WITH RECURSIVE
+    c AS (SELECT c_custkey, c_name FROM customer
+          WHERE c_mktsegment = 'BUILDING'),
+    e AS (SELECT a.c_custkey AS s, b.c_custkey AS t
+          FROM c a JOIN c b
+            ON a.c_custkey <> b.c_custkey
+           AND levenshtein(a.c_name, b.c_name) <= 1),
+    reach(src, node) AS (
+      SELECT c_custkey, c_custkey FROM c
+      UNION
+      SELECT r.src, e.t FROM reach r JOIN e ON e.s = r.node
+    ),
+    rep AS (SELECT src AS c_custkey, MIN(node) AS entity_rep
+            FROM reach GROUP BY src)
+    SELECT c_custkey, entity_rep,
+           CAST(COUNT(*) OVER (PARTITION BY entity_rep) AS BIGINT)
+             AS n_members
+    FROM rep
+    """,
+    tags=["entity resolution: fuzzy-edge connected components (q115 ∘ q43)"],
+)
+def q117(spark, sf_dir):
+    """Entity resolution end-to-end: typo-level duplicate customers
+    collapse to one canonical entity — deletion-neighborhood fuzzy join
+    (q115's operator) produces the match edges, distributed connected
+    components (q43's operator) closes them transitively, singletons keep
+    themselves. The composition is the point: both operators were built
+    scale-shaped (posting-list-bounded blocking; min-label + pointer
+    jumping), so the pipeline inherits it. The ORACLE closes the same
+    graph with a recursive CTE over the brute-force n² edge set —
+    feasible only at test scale, the q115/q27 exact-oracle split.
+
+    Output: (c_custkey, entity_rep, n_members) — rep = min member id.
+    """
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    edges = dedup_ops.editdist1_join(c, "c_custkey", "c_name").select(
+        "id_a", "id_b"
+    )
+    comps = comp_ops.connected_components(edges)
+    labeled = (
+        c.select("c_custkey")
+        .join(comps, c["c_custkey"] == comps["id"], "left")
+        .select(
+            "c_custkey",
+            F.coalesce("comp", "c_custkey").alias("entity_rep"),
+        )
+    )
+    wsz = Window.partitionBy("entity_rep")
+    return labeled.select(
+        "c_custkey",
+        "entity_rep",
+        F.count(F.lit(1)).over(wsz).alias("n_members"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -5048,6 +5108,7 @@ _DEMOTED_PAST_WINDOW = [
     "q114_trailing_window",
     "q115_editdist1_join",
     "q116_knn_batch",
+    "q117_entity_resolution",
 ]
 
 

@@ -76,6 +76,7 @@ SF_MED_STRENGTHENED = [
     "q114_trailing_window",
     "q115_editdist1_join",
     "q116_knn_batch",
+    "q117_entity_resolution",
 ]
 
 
