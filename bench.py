@@ -98,6 +98,7 @@ CURATION = [
     "q114_trailing_window",
     "q115_editdist1_join",
     "q116_knn_batch",
+    "q117_entity_resolution",
 ]
 
 
