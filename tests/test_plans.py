@@ -886,3 +886,24 @@ def test_q113_probability_window_runs_on_grid_not_events(spark):
     assert agg != -1
     w2 = p.rfind("Window")
     assert w2 != -1 and agg < w2, "grid aggregate must precede p_next window"
+
+
+def test_q114_window_runs_on_daily_grid(spark):
+    """q114's RANGE window must consume the PRE-AGGREGATED daily grid
+    (|days| rows), not the orders table: the plan shows the HashAggregate
+    below the Window, so the single-partition window sort is bounded by
+    the calendar, not the data."""
+    p = plan_of(spark, "q114_trailing_window")
+    agg = p.find("HashAggregate")
+    w = p.rfind("Window")
+    assert agg != -1 and w != -1 and agg < w
+
+
+def test_q115_no_cartesian_or_nested_loop(spark):
+    """The deletion-neighborhood blocking must plan as an EQUI-join on
+    the variant string — never a cartesian/nested-loop n² comparison
+    (which is exactly the oracle's job, not the operator's)."""
+    p = plan_of(spark, "q115_editdist1_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p)
