@@ -220,6 +220,30 @@ def _fold_min(acc, base, a_arr, b_arr):
     )
 
 
+def _banded_keys(
+    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, key) rows: each signature folded into ``bands`` band keys
+    (40-bit hash of the band's concatenated slots). Materialized because
+    every caller joins it against itself or a sibling — the shared recall
+    stage of minhash_lsh_candidates / minhash_lsh_candidates_cross."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        slots = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                hashing.md5_long(F.concat_ws("_", *slots)).alias("key"),
+            )
+        )
+    return _materialize(
+        signatures.select(
+            F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+        ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str,
@@ -254,21 +278,7 @@ def minhash_lsh_candidates(
         )
     if link not in ("all", "star"):
         raise ValueError(f"link must be 'all' or 'star', got {link!r}")
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        slots = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                hashing.md5_long(F.concat_ws("_", *slots)).alias("key"),
-            )
-        )
-    banded = _materialize(
-        signatures.select(
-            F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-        ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    )
+    banded = _banded_keys(signatures, id_col, num_hashes, bands)
     if link == "star":
         from pyspark.sql import Window
 
@@ -293,6 +303,94 @@ def minhash_lsh_candidates(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
+    )
+
+
+def minhash_lsh_candidates_cross(
+    sig_left: DataFrame,
+    sig_right: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Two-sided banded LSH join: left docs sharing any band key with a
+    right doc become (id_a, id_b) candidates — the cross-corpus recall
+    stage (train × benchmark decontamination, new-snapshot × retained-index
+    incremental dedup). Identical banding to ``minhash_lsh_candidates``
+    (shared ``_banded_keys``), but across two signature tables, so there is
+    no ``id_a < id_b`` ordering — the sides are semantically different and
+    both orientations of a pair are the SAME candidate (id_a always left).
+
+    Scale: only band keys + ids shuffle; the benchmark side of a
+    decontamination run is small (eval suites, not corpora), so AQE
+    broadcasts its banded keys and the train corpus never moves.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): a "
+            "remainder would silently drop trailing signature slots and "
+            "shift the LSH S-curve away from the requested parameters"
+        )
+    a = _banded_keys(sig_left, id_col, num_hashes, bands).alias("a")
+    b = _banded_keys(sig_right, id_col, num_hashes, bands).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def decontaminate_neardup(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    num: int = 1,
+    den: int = 5,
+) -> DataFrame:
+    """Near-duplicate decontamination: per train doc, how many benchmark
+    docs it LSH-collides with and how many of those survive the exact
+    shingle-Jaccard verify (``inter*den >= num*uni``, i.e. J >= num/den —
+    integer math, no float-boundary ambiguity across engines).
+
+    The near-dup counterpart of curation.contaminated_ids (exact 5-gram
+    containment): LSH recall catches paraphrase-level leaks that exact
+    gram matching misses. Ids must be disjoint across the two frames (they
+    are two slices/snapshots of one id space in the intended use).
+
+    Pipeline: minhash both sides (one groupBy-free projection each) →
+    banded cross join (benchmark side broadcast-small) → exact verify paid
+    only on candidates (``jaccard_verify_pairs``). Returns
+    (id, n_candidates, n_confirmed, max_inter).
+    """
+    sig_l = minhash_signatures_inline(
+        train, id_col, text_col, k=k, num_hashes=num_hashes
+    )
+    sig_r = minhash_signatures_inline(
+        bench, id_col, text_col, k=k, num_hashes=num_hashes
+    )
+    cand = minhash_lsh_candidates_cross(
+        sig_l, sig_r, id_col, num_hashes=num_hashes, bands=bands
+    )
+    corpus = train.select(F.col(id_col), F.col(text_col)).unionByName(
+        bench.select(F.col(id_col), F.col(text_col))
+    )
+    ver = jaccard_verify_pairs(corpus, cand, id_col, text_col, k=k)
+    return ver.groupBy(F.col("id_a").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(
+            (F.col("inter") * den >= num * F.col("uni")).cast("long")
+        ).alias("n_confirmed"),
+        F.max("inter").alias("max_inter"),
     )
 
 

@@ -820,7 +820,10 @@ def q24(spark, sf_dir):
     return dedup_ops.minhash_signatures_inline(d, "doc_id", "text", k=3, num_hashes=8)
 
 
-def _lsh_sql(num_hashes: int = 8, bands: int = 4, seed: int = 42) -> str:
+def _lsh_cte(num_hashes: int = 8, bands: int = 4, seed: int = 42) -> str:
+    """hashed/sig/banded CTE fragments (assumes a preceding ``sh`` CTE) —
+    the banding twin of dedup._banded_keys, shared by the q25 self-join and
+    q119 cross-corpus oracles so both mirror the identical band keys."""
     rows = num_hashes // bands
     base = hashing.md5_long_sql("shingle")
     mh_cols = ",\n           ".join(
@@ -837,12 +840,17 @@ def _lsh_sql(num_hashes: int = 8, bands: int = 4, seed: int = 42) -> str:
         )
     banded = "\n      UNION ALL ".join(band_rows)
     return f"""
-    WITH {_SHINGLES_CTE},
     hashed AS (SELECT doc_id, {base} AS base FROM sh),
     sig AS (SELECT doc_id,
            {mh_cols}
     FROM hashed GROUP BY doc_id),
-    banded AS ({banded})
+    banded AS ({banded})"""
+
+
+def _lsh_sql(num_hashes: int = 8, bands: int = 4, seed: int = 42) -> str:
+    return f"""
+    WITH {_SHINGLES_CTE},
+    {_lsh_cte(num_hashes, bands, seed)}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM banded a JOIN banded b
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -5005,6 +5013,109 @@ def q117(spark, sf_dir):
     )
 
 
+from .operators import index as index_ops  # noqa: E402
+
+# chosen to occur at every test SF (5/5/11 matches at sf0.001/0.01/0.1) so
+# the gate always checks nonzero rows
+_Q118_PHRASE = ("small", "query", "line")
+_Q118_TOK_CTE = f"""
+    sp AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS l FROM documents),
+    tok AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS tok FROM sp)
+"""
+
+
+@register(
+    "q118_phrase_search",
+    f"""
+    WITH {_Q118_TOK_CTE},
+    t0 AS (SELECT doc_id, pos FROM tok WHERE tok = '{_Q118_PHRASE[0]}'),
+    t1 AS (SELECT doc_id, pos FROM tok WHERE tok = '{_Q118_PHRASE[1]}'),
+    t2 AS (SELECT doc_id, pos FROM tok WHERE tok = '{_Q118_PHRASE[2]}')
+    SELECT t0.doc_id,
+           COUNT(*) AS n_matches,
+           CAST(MIN(t0.pos) AS INT) AS first_pos
+    FROM t0
+    JOIN t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+    JOIN t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+    GROUP BY t0.doc_id
+    """,
+    tags=["exact phrase search: positional inverted index, rare-term-first"],
+)
+def q118(spark, sf_dir):
+    """Exact consecutive-phrase search ("merge slow join") through a
+    positional inverted index — the retrieval-shaped question BM25/TF-IDF
+    (q77/q78) can't answer: WHERE a token sequence occurs, verbatim. The
+    targeted-decontamination primitive ("drop every doc containing this
+    leaked benchmark sentence").
+
+    operators/index.positional_index + phrase_search: the index is one
+    posexplode (no shuffle to build; term-bucketed when persisted via
+    write_index so per-term reads prune); matching is rare-term-first
+    posting intersection — per-term document frequencies (|phrase|-row
+    driver lookup) order the joins so the rarest term anchors and every
+    join only shrinks the candidate set. The ORACLE is the positional
+    self-join n-gram idiom (q58's CTE family) — identical tokenization,
+    1-based positions both sides.
+    """
+    idx = index_ops.positional_index(
+        t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return index_ops.phrase_search(idx, " ".join(_Q118_PHRASE))
+
+
+@register(
+    "q119_neardup_decontam",
+    f"""
+    WITH {_SHINGLES_CTE},
+    {_lsh_cte(8, 4)},
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.key = b.key
+             WHERE a.doc_id % 37 <> 0 AND b.doc_id % 37 = 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    ov AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS inter
+           FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle
+           WHERE sa.doc_id % 37 <> 0 AND sb.doc_id % 37 = 0
+           GROUP BY sa.doc_id, sb.doc_id),
+    ver AS (SELECT c.id_a,
+                   COALESCE(o.inter, 0) AS inter,
+                   za.n + zb.n - COALESCE(o.inter, 0) AS uni
+            FROM cand c
+            LEFT JOIN ov o ON o.id_a = c.id_a AND o.id_b = c.id_b
+            JOIN sizes za ON za.doc_id = c.id_a
+            JOIN sizes zb ON zb.doc_id = c.id_b)
+    SELECT id_a AS doc_id,
+           COUNT(*) AS n_candidates,
+           CAST(SUM(CASE WHEN inter * 5 >= uni THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_confirmed,
+           CAST(MAX(inter) AS BIGINT) AS max_inter
+    FROM ver GROUP BY id_a
+    """,
+    tags=["cross-corpus near-dup decontamination: two-sided LSH join"],
+)
+def q119(spark, sf_dir):
+    """Near-duplicate decontamination of the train slice against the
+    benchmark slice (doc_id % 37 — q58's stand-in eval suite): per train
+    doc, LSH band collisions with any bench doc and how many survive the
+    exact shingle-Jaccard verify at J >= 1/5 (integer inter*5 >= uni — no
+    float boundary). q58 catches VERBATIM gram leaks; this catches the
+    paraphrase-level near-dups exact matching misses.
+
+    operators/dedup.decontaminate_neardup: two-sided banded LSH
+    (minhash_lsh_candidates_cross — same _banded_keys as q25, but across
+    tables so the small bench side broadcasts and the train corpus never
+    shuffles) → jaccard_verify_pairs paid only on candidates. The ORACLE
+    mirrors the banding bit-for-bit (_lsh_cte, q25's machinery) then
+    verifies with the exact shingle-overlap join.
+    """
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    train = d.filter(F.col("doc_id") % 37 != 0)
+    return dedup_ops.decontaminate_neardup(
+        train, bench, "doc_id", "text", k=3, num_hashes=8, bands=4, num=1, den=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -5109,6 +5220,8 @@ _DEMOTED_PAST_WINDOW = [
     "q115_editdist1_join",
     "q116_knn_batch",
     "q117_entity_resolution",
+    "q118_phrase_search",
+    "q119_neardup_decontam",
 ]
 
 

@@ -2665,3 +2665,131 @@ def test_ivf_index_append_equals_full_rebuild(spark, tmp_path):
     for d in _glob.glob(_os.path.join(inc, "centroid_id=*", "__ib=*")):
         files = [f for f in _os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1, f"{d} has {len(files)} files"
+
+
+from syntenybrowserv2_etl_spark.operators import index as index_ops10
+
+
+def test_phrase_search_counts_overlaps_and_repeats(spark):
+    """Toy corpus with known phrase geometry: overlapping matches all
+    count (n_matches = start positions, not a greedy cover), repeated
+    phrase terms align by offset, an absent term yields an EMPTY result
+    (not an error), and positions are 1-based (SQL ordinality twin)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "x a b a b a y"),   # "a b a" starts at pos 2 and 4 (overlap)
+            (2, "a b a"),           # one match at pos 1
+            (3, "b a b"),           # no "a b a"
+            (4, "c c c c"),         # "c c" at 1,2,3 — repeated-term phrase
+        ],
+        "doc_id long, text string",
+    )
+    idx = index_ops10.positional_index(docs, "doc_id", "text")
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in index_ops10.phrase_search(idx, "a b a").collect()
+    }
+    assert got == {1: (2, 2), 2: (1, 1)}
+    rep = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in index_ops10.phrase_search(idx, "c c").collect()
+    }
+    assert rep == {4: (3, 1)}
+    assert index_ops10.phrase_search(idx, "a zebra").count() == 0
+    with pytest.raises(ValueError, match="empty phrase"):
+        index_ops10.phrase_search(idx, "   ")
+
+
+def test_write_index_read_postings_pruned(spark, tmp_path):
+    """The persisted index is term-bucketed; a postings read for k terms
+    must (a) return exactly the full-scan-filter rows and (b) touch only
+    the pruned buckets' files — the partition-pruning contract that makes
+    phrase queries corpus-size-independent at 100 TB."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = index_ops10.positional_index(docs, "doc_id", "text")
+    path = str(tmp_path / "pidx")
+    index_ops10.write_index(idx, path, term_buckets=16)
+    terms = ["small", "query"]
+    got = index_ops10.read_postings(spark, path, terms, term_buckets=16)
+    full = spark.read.parquet(path).filter(F.col("term").isin(terms))
+    assert sorted(
+        (r["doc_id"], r["pos"], r["term"])
+        for r in got.select("doc_id", "pos", "term").collect()
+    ) == sorted(
+        (r["doc_id"], r["pos"], r["term"])
+        for r in full.select("doc_id", "pos", "term").collect()
+    )
+    # plan pin: the foldable xxhash64(lit) bucket predicate must constant-
+    # fold into literal equalities that land in PartitionFilters — i.e. the
+    # scan lists only the k matching bucket directories, not the index.
+    # (inputFiles() reports the pre-pruning relation listing, so the plan
+    # is the observable contract.)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf, plan
+    assert "term_bucket", pf.group(1)
+    assert _re.search(r"term_bucket#\d+ = \d+", pf.group(1)), pf.group(1)
+    assert "xxhash64" not in pf.group(1)  # folded to literals, prunable
+
+
+def test_lsh_cross_candidates_match_self_join_restriction(spark):
+    """Two-sided LSH candidates (train x bench) must equal the one-table
+    self-join candidates restricted to pairs that span the slices — same
+    banding (_banded_keys), different join shape, identical recall."""
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(200)
+        .localCheckpoint(eager=True)
+    )
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    sig_all = dd.minhash_signatures_inline(docs, "doc_id", "text", k=3, num_hashes=8)
+    sig_t = dd.minhash_signatures_inline(train, "doc_id", "text", k=3, num_hashes=8)
+    sig_b = dd.minhash_signatures_inline(bench, "doc_id", "text", k=3, num_hashes=8)
+    cross = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_candidates_cross(
+            sig_t, sig_b, "doc_id", num_hashes=8, bands=4
+        ).collect()
+    }
+    self_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_candidates(
+            sig_all, "doc_id", num_hashes=8, bands=4
+        ).collect()
+    }
+    expected = set()
+    for a, b in self_pairs:
+        if a % 7 != 0 and b % 7 == 0:
+            expected.add((a, b))
+        elif a % 7 == 0 and b % 7 != 0:
+            expected.add((b, a))
+    assert cross == expected
+
+
+def test_decontaminate_neardup_confirms_planted_leak(spark):
+    """A train doc that is a near-copy of a bench doc (one token changed,
+    J >> 1/5) must come back confirmed; an unrelated train doc that
+    happens to band-collide may appear as a candidate but never as
+    confirmed. Integer-threshold discipline: inter*den >= num*uni."""
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    bench = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, near), (2, "mu nu xi omicron pi rho sigma tau upsilon phi")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_candidates"], r["n_confirmed"])
+        for r in dd.decontaminate_neardup(
+            train, bench, "doc_id", "text", k=3, num_hashes=8, bands=4
+        ).collect()
+    }
+    assert out.get(1, (0, 0))[1] == 1  # planted near-dup confirmed
+    assert out.get(2, (0, 0))[1] in (0, None) or out[2][1] == 0

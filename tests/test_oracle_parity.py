@@ -77,6 +77,8 @@ SF_MED_STRENGTHENED = [
     "q115_editdist1_join",
     "q116_knn_batch",
     "q117_entity_resolution",
+    "q118_phrase_search",
+    "q119_neardup_decontam",
 ]
 
 
