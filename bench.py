@@ -99,6 +99,8 @@ CURATION = [
     "q115_editdist1_join",
     "q116_knn_batch",
     "q117_entity_resolution",
+    "q118_phrase_search",
+    "q119_neardup_decontam",
 ]
 
 

@@ -63,15 +63,101 @@ def write_index(index: DataFrame, path: str, term_buckets: int = 256) -> None:
     a fixed bucket count keeps the directory fan-out constant while still
     letting a phrase query read only |phrase| buckets. Same bucket-space
     reasoning as the streaming merge sink's ``__kb`` routing.
+
+    The base build lands as ``term_bucket=<b>/__ib=0`` so incremental
+    appends (``index_append_batch``, batch ids ≥ 1) share one uniform
+    partition tree — mixed directory depths would break partition
+    discovery. One file per bucket (repartition on the bucket key).
     """
     (
         index.withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets))
         )
+        .withColumn("__ib", F.lit(0).cast("long"))
         .repartition("term_bucket")
         .write.mode("overwrite")
-        .partitionBy("term_bucket")
+        .partitionBy("term_bucket", "__ib")
         .parquet(path)
+    )
+
+
+def index_append_batch(
+    new_docs: DataFrame,
+    batch_id: int,
+    *,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    term_buckets: int = 256,
+) -> None:
+    """Grow the persisted positional index incrementally — the ingest path
+    that keeps phrase search serving while the corpus streams in, no full
+    rebuild: the new docs' postings land as ``term_bucket=<b>/__ib=<batch>``
+    sub-partitions (batch ids start at 1; 0 is the base build).
+
+    Idempotent replay (foreachBatch at-least-once), the engine-wide marker
+    discipline (similarity.ivf_index_append_batch:796-802): a
+    ``_batches/<id>`` marker written LAST skips committed batches; an
+    uncommitted replay's dynamic partition overwrite rewrites ITS OWN
+    (bucket, batch) sub-partitions — a deterministic function of the same
+    inputs — so a crash at any point never duplicates postings (duplicated
+    (doc, pos, term) rows would inflate n_matches).
+
+    Read cost is unchanged: postings reads prune on term_bucket; files per
+    bucket grow by one per batch (compact periodically, like any streamed
+    table).
+    """
+    if batch_id < 1:
+        raise ValueError("index_append_batch: batch_id must be >= 1 (0 is the base build)")
+    spark = new_docs.sparkSession
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    marker_p = hpath(f"{index_path}/_batches/{batch_id}")
+    if fs.exists(marker_p):
+        return  # fully-committed batch redelivered: skip
+    (
+        positional_index(new_docs, id_col, text_col)
+        .withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets))
+        )
+        .withColumn("__ib", F.lit(batch_id).cast("long"))
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("term_bucket", "__ib")
+        .parquet(index_path)
+    )
+    fs.mkdirs(marker_p)
+
+
+def index_maintain_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    *,
+    id_col: str,
+    text_col: str,
+    term_buckets: int = 256,
+):
+    """foreachBatch twin of ``index_append_batch``: each micro-batch of new
+    documents appends its postings; exactly-once effect via the batch
+    marker (at-least-once delivery × idempotent append)."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        index_append_batch(
+            batch_df,
+            int(batch_id) + 1,  # reserve 0 for the base build
+            index_path=index_path,
+            id_col=id_col,
+            text_col=text_col,
+            term_buckets=term_buckets,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )
 
 
@@ -96,7 +182,11 @@ def read_postings(
             for t in terms
         ],
     )
-    return idx.filter(bucket_pred).filter(F.col("term").isin(terms))
+    return (
+        idx.filter(bucket_pred)
+        .filter(F.col("term").isin(terms))
+        .drop("__ib")  # write-side idempotency coordinate, not data
+    )
 
 
 def phrase_search(

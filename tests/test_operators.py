@@ -2793,3 +2793,83 @@ def test_decontaminate_neardup_confirms_planted_leak(spark):
     }
     assert out.get(1, (0, 0))[1] == 1  # planted near-dup confirmed
     assert out.get(2, (0, 0))[1] in (0, None) or out[2][1] == 0
+
+
+def test_index_append_equals_full_rebuild(spark, tmp_path):
+    """Incremental postings growth: seed with half the corpus, append the
+    rest in two batches — identical postings (and identical phrase-search
+    answers) to a one-shot full build; committed-batch redelivery is a
+    no-op; a crash BETWEEN data write and marker (marker deleted, batch
+    replayed) never duplicates postings; one file per (bucket, batch)."""
+    import glob as _glob
+    import os as _os
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).localCheckpoint(eager=True)
+
+    def postings(path):
+        return sorted(
+            (r["doc_id"], r["pos"], r["term"])
+            for r in spark.read.parquet(path)
+            .select("doc_id", "pos", "term")
+            .collect()
+        )
+
+    full = str(tmp_path / "full")
+    index_ops10.write_index(
+        index_ops10.positional_index(docs, "doc_id", "text"), full,
+        term_buckets=8,
+    )
+
+    inc = str(tmp_path / "inc")
+    index_ops10.write_index(
+        index_ops10.positional_index(
+            docs.filter(F.col("doc_id") < 250), "doc_id", "text"
+        ),
+        inc,
+        term_buckets=8,
+    )
+    b1 = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 400))
+    b2 = docs.filter(F.col("doc_id") >= 400)
+    for i, b in ((1, b1), (2, b2)):
+        index_ops10.index_append_batch(
+            b, i, index_path=inc, id_col="doc_id", text_col="text",
+            term_buckets=8,
+        )
+    assert postings(inc) == postings(full)
+
+    # phrase answers identical through the pruned read path
+    def answer(path):
+        idx = index_ops10.read_postings(
+            spark, path, ["small", "query", "line"], term_buckets=8
+        )
+        return sorted(
+            tuple(r) for r in index_ops10.phrase_search(idx, "small query line").collect()
+        )
+
+    assert answer(inc) == answer(full) and len(answer(inc)) > 0
+
+    n_rows = spark.read.parquet(inc).count()
+    # committed redelivery: marker present => skip
+    index_ops10.index_append_batch(
+        b1, 1, index_path=inc, id_col="doc_id", text_col="text", term_buckets=8
+    )
+    assert spark.read.parquet(inc).count() == n_rows
+    # crash window: data written, marker lost => replay overwrites its own
+    # sub-partitions, no duplication
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(inc).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath(f"{inc}/_batches/2"), True)
+    index_ops10.index_append_batch(
+        b2, 2, index_path=inc, id_col="doc_id", text_col="text", term_buckets=8
+    )
+    assert postings(inc) == postings(full)
+    # one file per (bucket, batch) sub-partition
+    for d in _glob.glob(_os.path.join(inc, "term_bucket=*", "__ib=*")):
+        files = [f for f in _os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d} has {len(files)} files"
+    with pytest.raises(ValueError, match="batch_id must be >= 1"):
+        index_ops10.index_append_batch(
+            b1, 0, index_path=inc, id_col="doc_id", text_col="text"
+        )

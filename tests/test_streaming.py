@@ -1787,3 +1787,56 @@ def test_ivf_index_append_stream_end_to_end(spark, tmp_path_factory):
         ).collect()
     }
     assert topk(inc) == topk(full)
+
+
+def test_index_maintain_stream_matches_batch_build(spark, tmp_path_factory):
+    """Streamed postings ingest (foreachBatch + batch markers) must end at
+    exactly the batch-built index: multiple micro-batches, pruned phrase
+    reads identical to a one-shot build over the same docs."""
+    import os as _os
+
+    from syntenybrowserv2_etl_spark.operators import index as ix
+
+    base = str(tmp_path_factory.mktemp("pidx_stream"))
+    src = _os.path.join(base, "src")
+    inc = _os.path.join(base, "inc")
+    full = _os.path.join(base, "full")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).localCheckpoint(eager=True)
+    # seed the base build with the first half; stream the rest in >=2
+    # micro-batches (one file each)
+    ix.write_index(
+        ix.positional_index(
+            docs.filter(F.col("doc_id") < 250), "doc_id", "text"
+        ),
+        inc,
+        term_buckets=8,
+    )
+    docs.filter(
+        (F.col("doc_id") >= 250) & (F.col("doc_id") < 400)
+    ).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") >= 400).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ix.index_maintain_stream(
+        stream,
+        inc,
+        _os.path.join(base, "ckpt"),
+        id_col="doc_id",
+        text_col="text",
+        term_buckets=8,
+    )
+    q.awaitTermination(120)
+    ix.write_index(ix.positional_index(docs, "doc_id", "text"), full, term_buckets=8)
+
+    def postings(path):
+        return sorted(
+            (r["doc_id"], r["pos"], r["term"])
+            for r in spark.read.parquet(path).select("doc_id", "pos", "term").collect()
+        )
+
+    assert postings(inc) == postings(full)
