@@ -79,6 +79,43 @@ def write_index(index: DataFrame, path: str, term_buckets: int = 256) -> None:
         .partitionBy("term_bucket", "__ib")
         .parquet(path)
     )
+    _write_stats(index, path, 0, overwrite_all=True)
+
+
+def _write_stats(index: DataFrame, path: str, batch_id: int, *, overwrite_all: bool = False) -> None:
+    """Per-batch (term, df) dictionary sidecar under ``{path}/_stats`` —
+    additive across ``__ib`` partitions, so replaying a batch's dynamic
+    overwrite stays idempotent (same discipline as the postings data).
+    The ``_stats`` dir name is underscore-hidden from the main postings
+    listing; its own ``__ib=`` children contain '=' so they list normally
+    when the sidecar is read directly."""
+    stats = index.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = stats.withColumn("__ib", F.lit(batch_id).cast("long")).coalesce(1).write
+    if overwrite_all:
+        w.mode("overwrite").partitionBy("__ib").parquet(f"{path}/_stats")
+    else:
+        (
+            w.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__ib")
+            .parquet(f"{path}/_stats")
+        )
+
+
+def read_term_stats(
+    spark: SparkSession, path: str, terms: list[str] | None = None
+) -> dict[str, int]:
+    """Document-frequency dictionary for ``terms`` (or the whole vocab),
+    summed across the base build and every appended batch. |terms|-row
+    collect — metadata-scale, the free input to rare-term-first
+    ``phrase_search(term_stats=...)``."""
+    st = spark.read.parquet(f"{path}/_stats")
+    if terms is not None:
+        st = st.filter(F.col("term").isin(list(set(terms))))
+    return {
+        r["term"]: r["df"]
+        for r in st.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
 
 
 def index_append_batch(
@@ -115,9 +152,9 @@ def index_append_batch(
     marker_p = hpath(f"{index_path}/_batches/{batch_id}")
     if fs.exists(marker_p):
         return  # fully-committed batch redelivered: skip
+    postings = positional_index(new_docs, id_col, text_col)
     (
-        positional_index(new_docs, id_col, text_col)
-        .withColumn(
+        postings.withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets))
         )
         .withColumn("__ib", F.lit(batch_id).cast("long"))
@@ -127,6 +164,10 @@ def index_append_batch(
         .partitionBy("term_bucket", "__ib")
         .parquet(index_path)
     )
+    # dictionary sidecar: this batch's per-term df increments (additive
+    # across __ib partitions; replay overwrites its own partition) — must
+    # land BEFORE the marker so a crash between the two replays both.
+    _write_stats(postings, index_path, batch_id)
     fs.mkdirs(marker_p)
 
 
@@ -195,38 +236,46 @@ def phrase_search(
     id_col: str = "doc_id",
     term_col: str = "term",
     pos_col: str = "pos",
+    term_stats: dict[str, int] | None = None,
 ) -> DataFrame:
     """Exact consecutive-phrase match: (id, n_matches, first_pos).
 
-    Rare-term-first: per-term document frequencies (a |phrase|-row collect —
-    metadata-scale) order the joins so the rarest term anchors the candidate
-    set and every subsequent join only shrinks it. Each posting list is
-    normalized to (id, start = pos - offset) so all joins are plain
-    equi-joins on (id, start) — broadcastable when the anchor is rare,
-    AQE-planned otherwise. Overlapping matches all count (n_matches is the
-    number of start positions, not a greedy cover).
+    Each posting list is normalized to (id, start = pos - offset) so all
+    joins are plain equi-joins on (id, start); the candidate set starts at
+    the anchor term's postings and every further join only SHRINKS it.
+    Overlapping matches all count (n_matches is the number of start
+    positions, not a greedy cover).
+
+    Join-order policy, measured (SCALE.md "phrase search anchor choice"):
+
+    - ``term_stats=None`` (default): left-to-right, NO stats pre-pass. AQE
+      broadcasts the smaller side of each adjacency join at runtime, so a
+      rare term anywhere in the phrase collapses the candidate set the
+      moment it joins — computing df first just to pick the anchor costs a
+      full postings pass + a blocking job, measured 2.5-3× slower than
+      letting AQE handle the asymmetry (50k-800k doc skew fixture).
+    - ``term_stats={term: df}``: rare-term-first. When df stats are FREE —
+      maintained beside the persisted index (``read_term_stats``, the
+      search-engine dictionary pattern) — anchoring on the rarest term
+      guarantees the first candidate set is the smallest posting list
+      regardless of runtime stats quality, the right call when several
+      posting lists are each too large to broadcast.
     """
     # same canonicalization as the index side (normalize_text): lowercase,
     # whitespace-collapse — applied driver-side to the literal phrase.
     terms = phrase.lower().split()
     if not terms:
         raise ValueError("phrase_search: empty phrase")
-    freqs = {
-        r[term_col]: r["df"]
-        for r in (
-            index.filter(F.col(term_col).isin(list(set(terms))))
-            .groupBy(term_col)
-            .agg(F.count(F.lit(1)).alias("df"))
-            .collect()
-        )
-    }
-    spark = index.sparkSession
-    empty = spark.createDataFrame(
-        [], f"{id_col} long, n_matches long, first_pos int"
-    )
-    if any(t not in freqs for t in terms):
-        return empty  # a phrase term absent from the corpus ⇒ no match
-    order = sorted(range(len(terms)), key=lambda i: (freqs[terms[i]], i))
+    if term_stats is None:
+        order = list(range(len(terms)))
+    else:
+        spark = index.sparkSession
+        if any(t not in term_stats for t in terms):
+            # a phrase term absent from the corpus ⇒ no match anywhere
+            return spark.createDataFrame(
+                [], f"{id_col} long, n_matches long, first_pos int"
+            )
+        order = sorted(range(len(terms)), key=lambda i: (term_stats[terms[i]], i))
     anchor = order[0]
     cand = index.filter(F.col(term_col) == terms[anchor]).select(
         id_col, (F.col(pos_col) - anchor).alias("__start")

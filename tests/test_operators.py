@@ -2873,3 +2873,63 @@ def test_index_append_equals_full_rebuild(spark, tmp_path):
         index_ops10.index_append_batch(
             b1, 0, index_path=inc, id_col="doc_id", text_col="text"
         )
+
+
+def test_term_stats_sidecar_and_rare_first_equivalence(spark, tmp_path):
+    """The _stats dictionary sidecar must equal a recount of the full
+    postings after base + appends (including a crash-window replay), and
+    phrase_search with rare-first stats ordering must return exactly the
+    default left-to-right answer — join order is a physical choice, never
+    a semantic one."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "pidx")
+    index_ops10.write_index(
+        index_ops10.positional_index(
+            docs.filter(F.col("doc_id") < 300), "doc_id", "text"
+        ),
+        path,
+        term_buckets=8,
+    )
+    b1 = docs.filter(F.col("doc_id") >= 300)
+    index_ops10.index_append_batch(
+        b1, 1, index_path=path, id_col="doc_id", text_col="text", term_buckets=8
+    )
+    # crash window on the stats too: marker lost, batch replayed
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath(f"{path}/_batches/1"), True)
+    index_ops10.index_append_batch(
+        b1, 1, index_path=path, id_col="doc_id", text_col="text", term_buckets=8
+    )
+    stats = index_ops10.read_term_stats(spark, path)
+    recount = {
+        r["term"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert stats == recount
+    idx = spark.read.parquet(path)
+    default = sorted(
+        tuple(r) for r in index_ops10.phrase_search(idx, "small query line").collect()
+    )
+    rare_first = sorted(
+        tuple(r)
+        for r in index_ops10.phrase_search(
+            idx,
+            "small query line",
+            term_stats=index_ops10.read_term_stats(
+                spark, path, ["small", "query", "line"]
+            ),
+        ).collect()
+    )
+    assert default == rare_first and len(default) > 0
+    # absent term + stats: early-exit empty with the contract schema
+    gone = index_ops10.phrase_search(idx, "small zebra", term_stats=stats)
+    assert gone.count() == 0
+    assert [f.name for f in gone.schema.fields] == [
+        "doc_id", "n_matches", "first_pos",
+    ]
