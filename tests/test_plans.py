@@ -907,3 +907,26 @@ def test_q115_no_cartesian_or_nested_loop(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p)
+
+
+def test_q118_phrase_joins_stay_equi(spark):
+    """q118: every adjacency join is an equi-join on (doc, aligned start) —
+    never a nested-loop/cartesian — and the documents scan prunes to the
+    two columns the index needs."""
+    p = plan_of(spark, "q118_phrase_search")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    m = re.search(r"ReadSchema: struct<([^>]*)", p)
+    assert m and "lang" not in m.group(1) and "source" not in m.group(1)
+
+
+def test_q119_decontam_no_cartesian(spark):
+    """q119: the LSH recall join and the verify joins are all equi-joins
+    (band/key and id equality) — the whole point is never materializing
+    train x bench. (No ReadSchema pin: the staged-materialization
+    boundaries (_materialize) cut lineage, so the visible plan starts at
+    checkpointed scans; pruning upstream of them is q23/q25's pinned
+    territory.)"""
+    p = plan_of(spark, "q119_neardup_decontam")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # band-bucket recall join + both verify id-joins are hash/merge equi-joins
+    assert len(re.findall(r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", p)) >= 3
