@@ -202,6 +202,80 @@ def index_maintain_stream(
     )
 
 
+def index_compact(spark: SparkSession, path: str) -> tuple[int, int]:
+    """Fold the appended ``__ib`` sub-partitions back into the base build —
+    the small-file compaction a continuously-appended index eventually
+    needs (files per bucket grow by one per batch; thousands of batches
+    turn every posting read into a listing/open storm).
+
+    Only COMMITTED batches fold (``__ib`` ∈ {0} ∪ marked ids): a batch that
+    wrote data but crashed before its ``_batches`` marker is DROPPED here,
+    not folded — its redelivery replays the whole batch deterministically,
+    and folding it first would make that replay a duplication. Markers are
+    preserved across compaction so committed-batch redeliveries stay
+    no-ops. The stats sidecar is recomputed from the folded postings (one
+    aggregation over rows being rewritten anyway — exactly consistent by
+    construction).
+
+    Swap discipline = sources/io.compact_table's staged-rename: stage →
+    live-aside → promote → delete; a crash leaves either the old index
+    intact or recoverable under ``<path>__old``. One file per bucket
+    after. Returns (files_before, files_after).
+    """
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    live = hpath(path)
+    fs = live.getFileSystem(spark._jsc.hadoopConfiguration())
+    committed = {0}
+    batches_dir = hpath(f"{path}/_batches")
+    if fs.exists(batches_dir):
+        for st in fs.listStatus(batches_dir):
+            nm = st.getPath().getName()
+            import re as _re
+
+            if _re.fullmatch(r"\d+", nm):
+                committed.add(int(nm))
+    cur = spark.read.parquet(path)
+    files_before = len(cur.inputFiles())
+    folded = cur.filter(
+        F.col("__ib").isin([int(b) for b in committed])
+    ).drop("__ib")
+    staging, old = hpath(path + "__staging"), hpath(path + "__old")
+    fs.delete(staging, True)
+    fs.delete(old, True)
+    (
+        folded.withColumn("__ib", F.lit(0).cast("long"))
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket", "__ib")
+        .parquet(path + "__staging")
+    )
+    _write_stats(
+        spark.read.parquet(path + "__staging"),
+        path + "__staging",
+        0,
+        overwrite_all=True,
+    )
+    # carry the markers (COPY, not move — if the promote fails the live
+    # index is restored with its markers intact): committed-batch
+    # redelivery must stay a no-op after compaction
+    if fs.exists(batches_dir):
+        spark._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs,
+            batches_dir,
+            fs,
+            hpath(path + "__staging/_batches"),
+            False,
+            spark._jsc.hadoopConfiguration(),
+        )
+    if not fs.rename(live, old):
+        raise IOError(f"index_compact: could not move {path} aside")
+    if not fs.rename(staging, live):
+        fs.rename(old, live)
+        raise IOError(f"index_compact: could not promote staging for {path}")
+    fs.delete(old, True)
+    return files_before, len(spark.read.parquet(path).inputFiles())
+
+
 def read_postings(
     spark: SparkSession, path: str, terms: list[str], term_buckets: int = 256
 ) -> DataFrame:

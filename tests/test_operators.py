@@ -2933,3 +2933,83 @@ def test_term_stats_sidecar_and_rare_first_equivalence(spark, tmp_path):
     assert [f.name for f in gone.schema.fields] == [
         "doc_id", "n_matches", "first_pos",
     ]
+
+
+def test_index_compact_folds_committed_drops_uncommitted(spark, tmp_path):
+    """Compaction folds base + COMMITTED batches into one file per bucket,
+    DROPS an uncommitted crash batch (its replay rewrites it — folding it
+    would make the replay a duplication), preserves markers (committed
+    redelivery stays a no-op), rebuilds the stats sidecar consistently,
+    and leaves phrase answers unchanged."""
+    import glob as _glob
+    import os as _os
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "pidx")
+    index_ops10.write_index(
+        index_ops10.positional_index(
+            docs.filter(F.col("doc_id") < 200), "doc_id", "text"
+        ),
+        path,
+        term_buckets=8,
+    )
+    b1 = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350))
+    b2 = docs.filter(F.col("doc_id") >= 350)
+    index_ops10.index_append_batch(
+        b1, 1, index_path=path, id_col="doc_id", text_col="text", term_buckets=8
+    )
+    # batch 2 "crashes" between data write and marker
+    index_ops10.index_append_batch(
+        b2, 2, index_path=path, id_col="doc_id", text_col="text", term_buckets=8
+    )
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath(f"{path}/_batches/2"), True)
+
+    before, after = index_ops10.index_compact(spark, path)
+    assert after < before
+    # folded = base + b1 only; the uncommitted b2 rows are gone
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(path).select("doc_id").distinct().collect()
+    }
+    assert max(ids) < 350
+    # one file per bucket, everything in __ib=0
+    for d in _glob.glob(_os.path.join(path, "term_bucket=*")):
+        subs = _os.listdir(d)
+        assert subs == ["__ib=0"], subs
+        files = [
+            f for f in _os.listdir(_os.path.join(d, "__ib=0"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
+    # committed marker preserved: redelivering b1 is still a no-op
+    n = spark.read.parquet(path).count()
+    index_ops10.index_append_batch(
+        b1, 1, index_path=path, id_col="doc_id", text_col="text", term_buckets=8
+    )
+    assert spark.read.parquet(path).count() == n
+    # the crashed batch replays cleanly post-compaction → full corpus
+    index_ops10.index_append_batch(
+        b2, 2, index_path=path, id_col="doc_id", text_col="text", term_buckets=8
+    )
+    full = str(tmp_path / "full")
+    index_ops10.write_index(
+        index_ops10.positional_index(docs, "doc_id", "text"), full, term_buckets=8
+    )
+    def postings(p):
+        return sorted(
+            (r["doc_id"], r["pos"], r["term"])
+            for r in spark.read.parquet(p).select("doc_id", "pos", "term").collect()
+        )
+    assert postings(path) == postings(full)
+    # stats sidecar consistent after compact + replay
+    stats = index_ops10.read_term_stats(spark, path)
+    recount = {
+        r["term"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert stats == recount
