@@ -217,63 +217,21 @@ def index_compact(spark: SparkSession, path: str) -> tuple[int, int]:
     aggregation over rows being rewritten anyway — exactly consistent by
     construction).
 
-    Swap discipline = sources/io.compact_table's staged-rename: stage →
+    Swap discipline = sources/io.fold_ib_partitions' staged-rename: stage →
     live-aside → promote → delete; a crash leaves either the old index
     intact or recoverable under ``<path>__old``. One file per bucket
     after. Returns (files_before, files_after).
     """
-    hpath = spark._jvm.org.apache.hadoop.fs.Path
-    live = hpath(path)
-    fs = live.getFileSystem(spark._jsc.hadoopConfiguration())
-    committed = {0}
-    batches_dir = hpath(f"{path}/_batches")
-    if fs.exists(batches_dir):
-        for st in fs.listStatus(batches_dir):
-            nm = st.getPath().getName()
-            import re as _re
+    from ..sources.io import fold_ib_partitions
 
-            if _re.fullmatch(r"\d+", nm):
-                committed.add(int(nm))
-    cur = spark.read.parquet(path)
-    files_before = len(cur.inputFiles())
-    folded = cur.filter(
-        F.col("__ib").isin([int(b) for b in committed])
-    ).drop("__ib")
-    staging, old = hpath(path + "__staging"), hpath(path + "__old")
-    fs.delete(staging, True)
-    fs.delete(old, True)
-    (
-        folded.withColumn("__ib", F.lit(0).cast("long"))
-        .repartition("term_bucket")
-        .write.mode("overwrite")
-        .partitionBy("term_bucket", "__ib")
-        .parquet(path + "__staging")
+    return fold_ib_partitions(
+        spark,
+        path,
+        "term_bucket",
+        finalize_staging=lambda staged: _write_stats(
+            spark.read.parquet(staged), staged, 0, overwrite_all=True
+        ),
     )
-    _write_stats(
-        spark.read.parquet(path + "__staging"),
-        path + "__staging",
-        0,
-        overwrite_all=True,
-    )
-    # carry the markers (COPY, not move — if the promote fails the live
-    # index is restored with its markers intact): committed-batch
-    # redelivery must stay a no-op after compaction
-    if fs.exists(batches_dir):
-        spark._jvm.org.apache.hadoop.fs.FileUtil.copy(
-            fs,
-            batches_dir,
-            fs,
-            hpath(path + "__staging/_batches"),
-            False,
-            spark._jsc.hadoopConfiguration(),
-        )
-    if not fs.rename(live, old):
-        raise IOError(f"index_compact: could not move {path} aside")
-    if not fs.rename(staging, live):
-        fs.rename(old, live)
-        raise IOError(f"index_compact: could not promote staging for {path}")
-    fs.delete(old, True)
-    return files_before, len(spark.read.parquet(path).inputFiles())
 
 
 def read_postings(

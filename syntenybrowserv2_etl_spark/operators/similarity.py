@@ -918,3 +918,16 @@ def ivf_index_append_stream(
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def ivf_index_compact(spark, index_path: str) -> tuple[int, int]:
+    """Fold the IVF index's committed ``__ib`` append batches into the
+    ``__ib=-1`` base — one file per cell — the periodic compaction
+    ivf_index_append_batch's docstring defers to. Semantics (committed-only
+    fold, uncommitted crash batches dropped for deterministic replay,
+    markers preserved, staged-rename swap) are the shared
+    ``sources/io.fold_ib_partitions`` contract; serving is unaffected
+    because probes prune on ``centroid_id`` only."""
+    from ..sources.io import fold_ib_partitions
+
+    return fold_ib_partitions(spark, index_path, "centroid_id", base_ib=-1)

@@ -215,3 +215,85 @@ def compact_table(
         raise IOError(f"compact_table: could not promote staging for {path}")
     fs.delete(old, True)
     return files_before, len(spark.read.parquet(path).inputFiles())
+
+
+def fold_ib_partitions(
+    spark,
+    path: str,
+    partition_col: str,
+    finalize_staging=None,
+    base_ib: int = 0,
+) -> tuple[int, int]:
+    """Compact a marker-append index (``<partition_col>=*/__ib=<batch>``
+    layout with ``_batches/<id>`` commit markers) by folding all COMMITTED
+    batches into the ``__ib=<base_ib>`` base (0 for the phrase index, -1
+    for the IVF index — each keeps its original base-build id) — one file per first-level partition.
+
+    Shared by the positional phrase index (``operators/index.index_compact``)
+    and the IVF-PQ vector index (``operators/similarity.ivf_index_compact``);
+    both grow one file per (partition, batch), so at streaming cadence the
+    listing/open cost eventually dominates reads.
+
+    Semantics pinned by both indexes' lifecycle tests:
+    - Only batches whose ``_batches`` marker exists fold. A batch that
+      crashed between data and marker is DROPPED — its at-least-once
+      redelivery deterministically rewrites it; folding first would turn
+      that replay into a duplication.
+    - Markers are COPIED into staging (not moved): a failed promote
+      restores the live index complete with markers; after a successful
+      swap, committed-batch redeliveries remain no-ops.
+    - ``finalize_staging(staged_path)`` hook rebuilds any sidecar (e.g.
+      the phrase index's ``_stats`` dictionary) from the folded data
+      before the swap, so sidecar and data can never disagree.
+    - Staged-rename swap (same discipline as ``compact_table``): a crash
+      leaves the old index live or recoverable under ``<path>__old``.
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    live = hpath(path)
+    fs = live.getFileSystem(spark._jsc.hadoopConfiguration())
+    committed = {base_ib}
+    batches_dir = hpath(f"{path}/_batches")
+    if fs.exists(batches_dir):
+        for st in fs.listStatus(batches_dir):
+            nm = st.getPath().getName()
+            if _re.fullmatch(r"\d+", nm):
+                committed.add(int(nm))
+    cur = spark.read.parquet(path)
+    files_before = len(cur.inputFiles())
+    folded = cur.filter(
+        F.col("__ib").isin([int(b) for b in committed])
+    ).drop("__ib")
+    staging, old = hpath(path + "__staging"), hpath(path + "__old")
+    fs.delete(staging, True)
+    fs.delete(old, True)
+    (
+        folded.withColumn("__ib", F.lit(base_ib).cast("long"))
+        .repartition(partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col, "__ib")
+        .parquet(path + "__staging")
+    )
+    if finalize_staging is not None:
+        finalize_staging(path + "__staging")
+    if fs.exists(batches_dir):
+        spark._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs,
+            batches_dir,
+            fs,
+            hpath(path + "__staging/_batches"),
+            False,
+            spark._jsc.hadoopConfiguration(),
+        )
+    if not fs.rename(live, old):
+        raise IOError(f"fold_ib_partitions: could not move {path} aside")
+    if not fs.rename(staging, live):
+        fs.rename(old, live)
+        raise IOError(
+            f"fold_ib_partitions: could not promote staging for {path}"
+        )
+    fs.delete(old, True)
+    return files_before, len(spark.read.parquet(path).inputFiles())

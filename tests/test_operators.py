@@ -3013,3 +3013,80 @@ def test_index_compact_folds_committed_drops_uncommitted(spark, tmp_path):
         .groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert stats == recount
+
+
+def test_ivf_index_compact_preserves_serving(spark, tmp_path):
+    """Compacting the IVF index (base + 2 committed appends + 1 crash
+    batch) must: serve IDENTICAL top-k to the uncompacted full build for
+    the committed corpus, drop the uncommitted batch's codes, leave one
+    file per cell, and keep committed redeliveries no-ops."""
+    import glob as _glob
+    import os as _os
+
+    from syntenybrowserv2_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).localCheckpoint(eager=True)
+    cells = sim.kmeans_centroids(emb, k=8, iters=2).localCheckpoint(eager=True)
+    cb = sim.pq_codebooks(emb, 4, 4, 2, dim=64).localCheckpoint(eager=True)
+    qv = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+    def topk(path):
+        return {
+            (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+            for r in sim.ivf_pq_topk_indexed(
+                spark, path, cells, cb, qv, 4, nprobe=3, k=5, dim=64
+            ).collect()
+        }
+
+    inc = str(tmp_path / "inc")
+    seed = emb.filter(F.col("vec_id") < 250)
+    sim.write_ivf_index(
+        sim.assign_centroids(seed, cells), sim.pq_encode(seed, cb, 4, dim=64),
+        inc,
+    )
+    b1 = emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 400))
+    b2 = emb.filter(F.col("vec_id") >= 400)
+    for i, b in ((1, b1), (2, b2)):
+        sim.ivf_index_append_batch(
+            b, i, index_path=inc, cells=cells, codebooks=cb, dim=64
+        )
+    # batch 3 crashes between data and marker
+    sim.ivf_index_append_batch(
+        b1.withColumn("vec_id", F.col("vec_id") + 10_000), 3,
+        index_path=inc, cells=cells, codebooks=cb, dim=64,
+    )
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(inc).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath(f"{inc}/_batches/3"), True)
+
+    full = str(tmp_path / "full")
+    sim.write_ivf_index(
+        sim.assign_centroids(emb, cells), sim.pq_encode(emb, cb, 4, dim=64),
+        full,
+    )
+    before, after = sim.ivf_index_compact(spark, inc)
+    assert after < before
+    assert topk(inc) == topk(full)
+    # uncommitted batch's codes dropped
+    assert (
+        spark.read.parquet(inc).filter(F.col("vec_id") >= 10_000).count() == 0
+    )
+    # one file per cell, all in __ib=-1
+    for d in _glob.glob(_os.path.join(inc, "centroid_id=*")):
+        subs = _os.listdir(d)
+        assert subs == ["__ib=-1"], subs
+        files = [
+            f for f in _os.listdir(_os.path.join(d, "__ib=-1"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
+    # committed redelivery still a no-op
+    n = spark.read.parquet(inc).count()
+    sim.ivf_index_append_batch(
+        b2, 2, index_path=inc, cells=cells, codebooks=cb, dim=64
+    )
+    assert spark.read.parquet(inc).count() == n
