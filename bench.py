@@ -101,6 +101,7 @@ CURATION = [
     "q117_entity_resolution",
     "q118_phrase_search",
     "q119_neardup_decontam",
+    "q120_multi_phrase",
 ]
 
 

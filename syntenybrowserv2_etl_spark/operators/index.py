@@ -26,7 +26,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text
@@ -199,6 +199,59 @@ def index_maintain_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def multi_phrase_search(
+    index: DataFrame,
+    phrases: DataFrame,
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+    id_col: str = "doc_id",
+    term_col: str = "term",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Match EVERY phrase of a phrase TABLE against the corpus in one
+    set-oriented plan — the batched twin of ``phrase_search`` (the q116:q30
+    relationship): a real decontamination run carries thousands of leaked
+    benchmark sequences, and a per-phrase driver loop would serialize
+    thousands of jobs.
+
+    Plan shape: phrases explode to (phrase_id, offset, term) rows (tiny —
+    broadcast); ONE equi-join on term tags each matching posting with
+    (phrase_id, offset); grouping by (phrase_id, doc, pos - offset) counts
+    matched offsets, and a group hitting the phrase's full length is a
+    match at that start. Repeated terms inside a phrase are safe: each
+    (phrase_id, offset) contributes at most one row per (doc, start)
+    because (doc, pos) is unique in the index. Cost: one pass over the
+    postings of any phrase term + one shuffle of the tagged hits —
+    independent of |phrases| jobs, linear in hit volume.
+
+    Output: (phrase_id, id, n_matches, first_pos), same contract as
+    ``phrase_search`` per phrase.
+    """
+    toks = phrases.select(
+        F.col(phrase_id_col),
+        F.posexplode(
+            F.split(normalize_text(F.col(phrase_col)), " ")
+        ).alias("__off", term_col),
+    ).withColumn(
+        "__plen", F.count(F.lit(1)).over(Window.partitionBy(phrase_id_col))
+    )
+    hits = index.join(F.broadcast(toks), term_col).select(
+        phrase_id_col,
+        id_col,
+        (F.col(pos_col) - F.col("__off")).alias("__start"),
+        "__plen",
+    )
+    starts = (
+        hits.groupBy(phrase_id_col, id_col, "__start")
+        .agg(F.count(F.lit(1)).alias("__n"), F.max("__plen").alias("__plen"))
+        .filter(F.col("__n") == F.col("__plen"))
+    )
+    return starts.groupBy(phrase_id_col, id_col).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("__start").cast("int").alias("first_pos"),
     )
 
 

@@ -5116,6 +5116,55 @@ def q119(spark, sf_dir):
     )
 
 
+# phrase set for q120 — mixed lengths, every phrase present at every test SF
+_Q120_PHRASES = [
+    (1, "small query line"),
+    (2, "table hash"),
+    (3, "join part filter"),
+]
+_Q120_VALUES = ", ".join(
+    f"({pid}, {off}, '{tok}', {len(p.split())})"
+    for pid, p in _Q120_PHRASES
+    for off, tok in enumerate(p.split())
+)
+
+
+@register(
+    "q120_multi_phrase",
+    f"""
+    WITH {_Q118_TOK_CTE},
+    ph(phrase_id, off, tok, plen) AS (VALUES {_Q120_VALUES}),
+    hit AS (SELECT p.phrase_id, t.doc_id, t.pos - p.off AS start
+            FROM tok t JOIN ph p ON p.tok = t.tok
+            GROUP BY p.phrase_id, t.doc_id, t.pos - p.off, p.plen
+            HAVING COUNT(*) = p.plen)
+    SELECT phrase_id, doc_id,
+           COUNT(*) AS n_matches,
+           CAST(MIN(start) AS INT) AS first_pos
+    FROM hit GROUP BY phrase_id, doc_id
+    """,
+    tags=["batched multi-phrase search: one join for the whole phrase table"],
+)
+def q120(spark, sf_dir):
+    """Batched phrase search: EVERY phrase of a phrase table matched in one
+    set-oriented plan — q118's batched twin (the q116:q30 relationship). A
+    real decontamination run carries thousands of leaked benchmark
+    sequences; a per-phrase loop would serialize thousands of jobs, so
+    operators/index.multi_phrase_search instead explodes phrases to
+    (phrase_id, offset, term) rows (broadcast-tiny), tags matching postings
+    with ONE term equi-join, and counts matched offsets per (phrase, doc,
+    aligned start) — a group reaching the phrase's length is a match. Cost
+    is one postings pass + one shuffle of tagged hits, independent of the
+    number of phrases as jobs. The ORACLE runs the identical
+    tag-group-count shape over the q118 token CTE.
+    """
+    idx = index_ops.positional_index(
+        t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    ph = spark.createDataFrame(_Q120_PHRASES, "phrase_id int, phrase string")
+    return index_ops.multi_phrase_search(idx, ph)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -5222,6 +5271,7 @@ _DEMOTED_PAST_WINDOW = [
     "q117_entity_resolution",
     "q118_phrase_search",
     "q119_neardup_decontam",
+    "q120_multi_phrase",
 ]
 
 

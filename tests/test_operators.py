@@ -3090,3 +3090,63 @@ def test_ivf_index_compact_preserves_serving(spark, tmp_path):
         b2, 2, index_path=inc, cells=cells, codebooks=cb, dim=64
     )
     assert spark.read.parquet(inc).count() == n
+
+
+def test_multi_phrase_search_equals_per_phrase_single(spark):
+    """The batched matcher must return, per phrase, exactly what the
+    single-phrase operator returns — including repeated-term phrases and a
+    phrase with zero matches (absent from the output, never a zero row)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "x a b a b a y"),
+            (2, "a b a"),
+            (3, "b a b"),
+            (4, "c c c c"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = index_ops10.positional_index(docs, "doc_id", "text")
+    ph = spark.createDataFrame(
+        [(10, "a b a"), (20, "c c"), (30, "a zebra")],
+        "phrase_id int, phrase string",
+    )
+    out = index_ops10.multi_phrase_search(idx, ph).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["phrase_id"], {})[r["doc_id"]] = (
+            r["n_matches"], r["first_pos"],
+        )
+    for pid, phrase in ((10, "a b a"), (20, "c c")):
+        single = {
+            r["doc_id"]: (r["n_matches"], r["first_pos"])
+            for r in index_ops10.phrase_search(idx, phrase).collect()
+        }
+        assert got.get(pid) == single, (pid, got.get(pid), single)
+    assert 30 not in got  # zero-match phrase: no rows
+
+
+def test_multi_phrase_plan_single_broadcast_join(spark):
+    """Scale contract of the batched matcher: ONE term equi-join with the
+    phrase side broadcast (never |phrases| sequential joins, never a
+    cartesian) — the plan is independent of the number of phrases."""
+    import io as _io
+    import contextlib as _ctx
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = index_ops10.positional_index(docs, "doc_id", "text")
+    ph = spark.createDataFrame(
+        [(i, "small query line") for i in range(50)],
+        "phrase_id int, phrase string",
+    )
+    df = index_ops10.multi_phrase_search(idx, ph)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain("formatted")
+    import re as _re
+
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # formatted plans print each node twice (tree + detail) — count node ids
+    bhj = set(_re.findall(r"\((\d+)\) BroadcastHashJoin", p))
+    assert len(bhj) == 1, bhj
+    assert "SortMergeJoin" not in p

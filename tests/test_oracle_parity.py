@@ -79,6 +79,7 @@ SF_MED_STRENGTHENED = [
     "q117_entity_resolution",
     "q118_phrase_search",
     "q119_neardup_decontam",
+    "q120_multi_phrase",
 ]
 
 
