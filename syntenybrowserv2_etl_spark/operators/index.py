@@ -12,14 +12,15 @@ Scale design (100 TB):
   shuffle to build. Persisted term-bucketed (``write_index``) so a phrase
   query's per-term posting reads are partition-pruned scans: a query for
   3 terms touches 3 buckets' files, never the corpus.
-- Phrase matching is rare-term-first intersection, the classic
-  posting-list discipline: the anchor (lowest document frequency) term's
-  postings set the candidate volume, every further term only SHRINKS it
-  via an equi-join on (doc, aligned start). Join order is decided from the
-  per-term document frequencies — a |phrase|-row driver-side lookup
-  (metadata-scale, the q30/nprobe precedent), after which the whole match
-  is ordinary equi-joins that AQE broadcasts when the anchor postings are
-  small (the point of picking the rarest anchor).
+- Phrase matching is posting-list intersection: each term's postings
+  normalize to (doc, aligned start) and the candidate set only SHRINKS
+  through plain equi-joins. Join ORDER is a measured policy, not dogma
+  (SCALE.md "phrase search anchor choice"): by default left-to-right with
+  NO stats pre-pass — AQE broadcasts the smaller side of every adjacency
+  join, so a rare term collapses candidates the moment it joins; the
+  classic rare-term-first ordering is opt-in via ``term_stats`` (free from
+  the ``_stats`` dictionary sidecar) for the regime where posting lists
+  exceed the broadcast budget and shuffle volume follows df(anchor).
 - Positions are 1-based to match SQL ``generate_subscripts`` so the DuckDB
   oracles compare bit-for-bit.
 """

@@ -5050,12 +5050,12 @@ def q118(spark, sf_dir):
 
     operators/index.positional_index + phrase_search: the index is one
     posexplode (no shuffle to build; term-bucketed when persisted via
-    write_index so per-term reads prune); matching is rare-term-first
-    posting intersection — per-term document frequencies (|phrase|-row
-    driver lookup) order the joins so the rarest term anchors and every
-    join only shrinks the candidate set. The ORACLE is the positional
-    self-join n-gram idiom (q58's CTE family) — identical tokenization,
-    1-based positions both sides.
+    write_index so per-term reads prune); matching is posting-list
+    intersection via equi-joins on (doc, aligned start) — left-to-right
+    with AQE runtime broadcast (the measured default; rare-term-first is
+    opt-in via the _stats sidecar, SCALE.md "anchor choice"). The ORACLE
+    is the positional self-join n-gram idiom (q58's CTE family) —
+    identical tokenization, 1-based positions both sides.
     """
     idx = index_ops.positional_index(
         t(spark, sf_dir, "documents"), "doc_id", "text"
