@@ -999,3 +999,55 @@ def test_merge_upsert_matches_dict_replay(spark, batches, tmp_path_factory):
         for r in merge_ops.merge_read(spark, tbl).collect()
     }
     assert got == want
+
+
+# --- phrase search vs brute-force scan -------------------------------------
+
+_pw = st.sampled_from(["a", "b", "c", "d"])
+_doc = st.lists(_pw, min_size=0, max_size=12).map(" ".join)
+
+
+def py_phrase_matches(text: str, phrase: list[str]) -> list[int]:
+    """Brute-force: every 1-based start where the phrase's tokens appear
+    consecutively (overlaps included)."""
+    toks = text.split()
+    m = len(phrase)
+    return [
+        i + 1
+        for i in range(len(toks) - m + 1)
+        if toks[i : i + m] == phrase
+    ]
+
+
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=6),
+    phrase=st.lists(_pw, min_size=1, max_size=3),
+)
+@settings(**SETTINGS)
+def test_phrase_search_matches_bruteforce(spark, docs, phrase):
+    """Distributed posting intersection ≡ per-doc token scan on arbitrary
+    corpora — repeats, overlaps, empty docs, phrase longer than doc, all
+    shapes included. Both join-order policies must agree with it."""
+    from syntenybrowserv2_etl_spark.operators import index as ix
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    idx = ix.positional_index(df, "doc_id", "text")
+    want = {}
+    for i, d in enumerate(docs):
+        starts = py_phrase_matches(d, phrase)
+        if starts:
+            want[i] = (len(starts), starts[0])
+    stats: dict[str, int] = {}
+    for d in docs:
+        for t in d.split():
+            stats[t] = stats.get(t, 0) + 1
+    for kw in ({}, {"term_stats": stats}):
+        if kw and any(t not in stats for t in phrase):
+            continue  # absent-term early exit is fixture-pinned elsewhere
+        got = {
+            r["doc_id"]: (r["n_matches"], r["first_pos"])
+            for r in ix.phrase_search(idx, " ".join(phrase), **kw).collect()
+        }
+        assert got == want, (kw, got, want)
