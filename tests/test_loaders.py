@@ -351,3 +351,78 @@ def test_write_table_orc_roundtrip(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         sio.write_table(df, path + "2", fmt="avro")
+
+
+# --- JSONL corpus source / sharded sink (sources/jsonl.py) -----------------
+
+
+def test_read_jsonl_corpus_quarantines_corrupt_lines(spark, tmp_path):
+    """Malformed JSONL lines must not kill the load OR vanish: clean rows
+    come back typed, corrupt raw lines land intact in the quarantine
+    (V3 discipline applied to the LLM-dump source)."""
+    from syntenybrowserv2_etl_spark.sources import jsonl
+
+    src = tmp_path / "dump.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "alpha beta"}\n'
+        '{"doc_id": 2, "text": "gamma"}\n'
+        'not json at all\n'
+        '{"doc_id": broken\n'
+        '{"doc_id": 3, "text": "delta"}\n'
+    )
+    qdir = str(tmp_path / "quarantine")
+    clean = jsonl.read_jsonl_corpus(
+        spark, str(src), "doc_id long, text string", quarantine_path=qdir
+    )
+    rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert rows == {1: "alpha beta", 2: "gamma", 3: "delta"}
+    quarantined = {
+        r["raw_line"]
+        for r in spark.read.schema("raw_line string").json(qdir).collect()
+    }
+    assert quarantined == {"not json at all", '{"doc_id": broken'}
+
+
+def test_write_jsonl_sharded_layout_and_determinism(spark, tmp_path):
+    """Sharded export: content-addressed shard membership (re-export of the
+    same rows -> same shards), one file per shard, values roundtrip."""
+    import glob as _glob
+    import os as _os
+
+    from syntenybrowserv2_etl_spark.sources import jsonl
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    out1, out2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    jsonl.write_jsonl_sharded(docs, out1, n_shards=4, shard_by="doc_id")
+    jsonl.write_jsonl_sharded(docs, out2, n_shards=4, shard_by="doc_id")
+
+    def shards(p):
+        return {
+            d: sorted(
+                r["doc_id"]
+                for r in spark.read.schema("doc_id long, text string")
+                .json(_os.path.join(p, d))
+                .collect()
+            )
+            for d in _os.listdir(p)
+            if d.startswith("shard=")
+        }
+
+    s1, s2 = shards(out1), shards(out2)
+    assert s1 == s2 and len(s1) == 4
+    # one file per shard
+    for d in s1:
+        files = [
+            f
+            for f in _os.listdir(_os.path.join(out1, d))
+            if f.startswith("part-")
+        ]
+        assert len(files) == 1, (d, files)
+    # roundtrip completeness
+    back = spark.read.schema("doc_id long, text string").json(out1 + "/shard=*")
+    assert back.count() == docs.count()
+    assert (
+        back.join(docs, ["doc_id", "text"], "left_anti").count() == 0
+    )
