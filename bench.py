@@ -102,6 +102,7 @@ CURATION = [
     "q118_phrase_search",
     "q119_neardup_decontam",
     "q120_multi_phrase",
+    "q121_phrase_decontam",
 ]
 
 

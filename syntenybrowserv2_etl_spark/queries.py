@@ -5165,6 +5165,49 @@ def q120(spark, sf_dir):
     return index_ops.multi_phrase_search(idx, ph)
 
 
+@register(
+    "q121_phrase_decontam",
+    f"""
+    WITH {_Q118_TOK_CTE},
+    ph(phrase_id, off, tok, plen) AS (VALUES {_Q120_VALUES}),
+    hit AS (SELECT p.phrase_id, t.doc_id, t.pos - p.off AS start
+            FROM tok t JOIN ph p ON p.tok = t.tok
+            GROUP BY p.phrase_id, t.doc_id, t.pos - p.off, p.plen
+            HAVING COUNT(*) = p.plen)
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM hit)
+    GROUP BY lang
+    """,
+    tags=["targeted decontamination: multi-phrase matcher feeding anti-join"],
+)
+def q121(spark, sf_dir):
+    """Targeted verbatim decontamination end-to-end: drop every document
+    containing ANY leaked sequence from the phrase table, report the kept
+    corpus per language (id_sum pins exact membership, the q58 idiom).
+    The retrieval stage feeding the curation stage: q120's batched matcher
+    produces the hit set in one join, a left-anti join removes it — the
+    full shape of "scrub these 10k leaked benchmark strings from 100 TB"
+    with no per-phrase pass over the corpus.
+    """
+    d = t(spark, sf_dir, "documents")
+    idx = index_ops.positional_index(d, "doc_id", "text")
+    ph = spark.createDataFrame(_Q120_PHRASES, "phrase_id int, phrase string")
+    hits = (
+        index_ops.multi_phrase_search(idx, ph).select("doc_id").distinct()
+    )
+    return (
+        d.join(hits, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -5272,6 +5315,7 @@ _DEMOTED_PAST_WINDOW = [
     "q118_phrase_search",
     "q119_neardup_decontam",
     "q120_multi_phrase",
+    "q121_phrase_decontam",
 ]
 
 

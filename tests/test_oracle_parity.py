@@ -80,6 +80,7 @@ SF_MED_STRENGTHENED = [
     "q118_phrase_search",
     "q119_neardup_decontam",
     "q120_multi_phrase",
+    "q121_phrase_decontam",
 ]
 
 
