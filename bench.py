@@ -103,6 +103,7 @@ CURATION = [
     "q119_neardup_decontam",
     "q120_multi_phrase",
     "q121_phrase_decontam",
+    "q122_embedding_decontam",
 ]
 
 

@@ -488,33 +488,14 @@ def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, bits: int = 6
     return votes.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
-def embedding_near_dupes(
-    emb: DataFrame,
-    id_col: str,
-    vec_col: str,
-    threshold: float = 0.95,
-    bucket_planes: int = 8,
-    seed: int = 7,
-    link: str = "all",
+def _hyperplane_bucketed(
+    emb: DataFrame, vec_col: str, bucket_planes: int, seed: int
 ) -> DataFrame:
-    """Cosine near-duplicate pairs over embeddings, LSH-bucketed.
-
-    Random-hyperplane signs (deterministic per-dimension ±1 pattern derived
-    from the portable hash) bucket vectors; exact cosine verifies within a
-    bucket. Near-identical vectors agree on all sign bits, so recall at
-    thresholds ≳0.9 is high while the join touches only same-bucket pairs.
-
-    ``link``:
-      - ``"all"``: every qualifying pair. Output (and work) is QUADRATIC in
-        duplicate-class size — measured 13× wall-time for 4× data once
-        clone classes grew past ~10 members. Right for analytics on
-        modest-duplication corpora; wrong at 100 TB.
-      - ``"star"``: each bucket member pairs only with its bucket's min-id
-        vector — O(class) links instead of O(class²), enough to recover
-        full duplicate clusters downstream via connected components
-        (id_a is the bucket representative). The scale path.
-    """
-    from .similarity import dot_expr, norm_expr  # local import to avoid cycle
+    """Stage (…, __bucket, __nrm): random-hyperplane sign bucket plus the
+    per-vector norm, materialized once — the shared recall stage of
+    embedding_near_dupes (self-join) and embedding_neardup_cross
+    (two-sided), so both bucket bit-identically."""
+    from .similarity import norm_expr  # local import to avoid cycle
 
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
 
@@ -543,11 +524,78 @@ def embedding_near_dupes(
     # stage the per-vector norm once (same float bits as cosine_expr, which
     # would recompute both norms per PAIR inside the verify — the q76
     # staged-norm lesson); the checkpoint materializes it physically
-    bucketed = _materialize(
+    return _materialize(
         emb.withColumn("__bucket", bucket).withColumn(
             "__nrm", norm_expr(F.col(vec_col))
         )
     )
+
+
+def embedding_neardup_cross(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bucket_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Cross-corpus cosine near-duplicates: left (train) × right (bench)
+    pairs sharing a hyperplane bucket, exact-cosine verified — q119's
+    embedding-modality twin (token shingles can't see a paraphrase that an
+    embedding places next to a benchmark item). Same ``_hyperplane_bucketed``
+    recall stage as the self-join variant, no id ordering (sides are
+    semantically different; id_a is always left). The bench side is
+    eval-suite-sized, so its bucketed frame broadcasts and the train
+    corpus never shuffles.
+    """
+    from .similarity import dot_expr  # local import to avoid cycle
+
+    a = _hyperplane_bucketed(left, vec_col, bucket_planes, seed).alias("a")
+    b = _hyperplane_bucketed(right, vec_col, bucket_planes, seed).alias("b")
+    return (
+        a.join(b, F.col("a.__bucket") == F.col("b.__bucket"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a.__nrm") * F.col("b.__nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dupes(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bucket_planes: int = 8,
+    seed: int = 7,
+    link: str = "all",
+) -> DataFrame:
+    """Cosine near-duplicate pairs over embeddings, LSH-bucketed.
+
+    Random-hyperplane signs (deterministic per-dimension ±1 pattern derived
+    from the portable hash) bucket vectors; exact cosine verifies within a
+    bucket. Near-identical vectors agree on all sign bits, so recall at
+    thresholds ≳0.9 is high while the join touches only same-bucket pairs.
+
+    ``link``:
+      - ``"all"``: every qualifying pair. Output (and work) is QUADRATIC in
+        duplicate-class size — measured 13× wall-time for 4× data once
+        clone classes grew past ~10 members. Right for analytics on
+        modest-duplication corpora; wrong at 100 TB.
+      - ``"star"``: each bucket member pairs only with its bucket's min-id
+        vector — O(class) links instead of O(class²), enough to recover
+        full duplicate clusters downstream via connected components
+        (id_a is the bucket representative). The scale path.
+    """
+    from .similarity import dot_expr  # local import to avoid cycle
+
+    bucketed = _hyperplane_bucketed(emb, vec_col, bucket_planes, seed)
     if link == "star":
         from pyspark.sql import Window
 

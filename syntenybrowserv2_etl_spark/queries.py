@@ -5208,6 +5208,46 @@ def q121(spark, sf_dir):
     )
 
 
+_Q122_COS = _cos_sql("a.embedding", "b.embedding")
+
+
+@register(
+    "q122_embedding_decontam",
+    f"""
+    WITH bk AS (
+      SELECT vec_id, embedding, concat({_hyperplane_bits_sql(7, 6)}) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_Q122_COS}, 4) AS cosine
+    FROM bk a JOIN bk b
+      ON a.bucket = b.bucket
+     AND a.vec_id % 37 <> 0 AND b.vec_id % 37 = 0
+    WHERE {_Q122_COS} >= 0.25
+    """,
+    tags=["embedding cross-corpus decontamination: two-sided hyperplane LSH"],
+)
+def q122(spark, sf_dir):
+    """Embedding-space decontamination of the train slice against the
+    benchmark slice (vec_id % 37) — q119's embedding-modality twin: token
+    shingles cannot see a paraphrase that an embedding places next to a
+    benchmark item. operators/dedup.embedding_neardup_cross: both sides
+    bucket through the SHARED _hyperplane_bucketed stage (bit-identical to
+    q29's self-join buckets), the eval-suite-sized bench side broadcasts,
+    exact cosine verifies only same-bucket cross pairs (threshold 0.25 —
+    chosen so even sf0.001 has nonzero matches; q29's 0.3 would gate on an
+    empty result there). The ORACLE reuses
+    q29's md5-parity hyperplane SQL and the engine-wide _cos_sql float
+    discipline, so buckets and the 0.3 boundary agree to the last ulp.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 37 == 0)
+    train = emb.filter(F.col("vec_id") % 37 != 0)
+    return dedup_ops.embedding_neardup_cross(
+        train, bench, "vec_id", "embedding", threshold=0.25, bucket_planes=6
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -5316,6 +5356,7 @@ _DEMOTED_PAST_WINDOW = [
     "q119_neardup_decontam",
     "q120_multi_phrase",
     "q121_phrase_decontam",
+    "q122_embedding_decontam",
 ]
 
 

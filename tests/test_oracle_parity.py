@@ -81,6 +81,7 @@ SF_MED_STRENGTHENED = [
     "q119_neardup_decontam",
     "q120_multi_phrase",
     "q121_phrase_decontam",
+    "q122_embedding_decontam",
 ]
 
 
