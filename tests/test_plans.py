@@ -930,3 +930,50 @@ def test_q119_decontam_no_cartesian(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     # band-bucket recall join + both verify id-joins are hash/merge equi-joins
     assert len(re.findall(r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", p)) >= 3
+
+
+# Queries whose BroadcastNestedLoopJoin is INTENTIONAL: a deliberately
+# tiny broadcast side with no usable equi-key — either a 1-row scalar
+# frame joined back (corpus totals: q67/q75/q77/q78/q80/q81/q82/q110,
+# media stats q93), or the all-pairs scoring of a handful of centroids /
+# query vectors that IS the algorithm (q27/q28 exact twins, q30/q116 IVF
+# probe ranking, q54 k-means argmax, q90 ADC). A BNLJ anywhere else is a
+# plan regression: add here ONLY with a justification like the above.
+_BNLJ_INTENTIONAL = {
+    "q27_knn_bruteforce",
+    "q28_embedding_neardup",
+    "q30_knn_ivf",
+    "q54_kmeans_clusters",
+    "q67_unigram_logprob",
+    "q75_bpe_token_budget",
+    "q77_tfidf_terms",
+    "q78_bm25_rank",
+    "q80_temperature_mix",
+    "q81_perplexity_buckets",
+    "q82_dsir_importance",
+    "q90_ivf_pq",
+    "q93_media_text_match",
+    "q110_heavy_hitters",
+    "q116_knn_batch",
+}
+
+
+def test_registry_wide_plan_audit(spark):
+    """Every registry query's physical plan, audited in one sweep (plans
+    only — nothing executes): no CartesianProduct anywhere, no
+    row-at-a-time Python UDF (BatchEvalPython — Arrow nodes like
+    MapInPandas/FlatMapGroupsInPandas are the sanctioned Python path), and
+    no BroadcastNestedLoopJoin outside the justified whitelist above. The
+    per-query pins elsewhere in this file assert what good plans DO;
+    this is the tripwire for what no plan may do, and it covers every
+    NEW query automatically."""
+    offenders = []
+    for name in q.REGISTRY:
+        p = plan_of(spark, name)
+        if "CartesianProduct" in p:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in p:
+            offenders.append((name, "BatchEvalPython"))
+        if "BroadcastNestedLoopJoin" in p and name not in _BNLJ_INTENTIONAL:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
