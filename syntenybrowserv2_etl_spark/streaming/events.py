@@ -951,6 +951,91 @@ def expectations_gate_stream(
     return writer.start()
 
 
+def decontam_gate_stream(
+    docs_stream: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_path: str,
+    quarantine_path: str,
+    checkpoint: str | None = None,
+    *,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    num: int = 1,
+    den: int = 5,
+    query_name: str = "decontam_gate",
+):
+    """Ingest-time near-dup decontamination: per micro-batch, documents
+    whose banded-LSH + exact-Jaccard verify against the STATIC benchmark
+    set confirms at J >= num/den are quarantined intact; the rest are
+    admitted — q119's recall/verify pipeline
+    (dedup.minhash_lsh_candidates_cross + jaccard_verify_pairs) run at the
+    door instead of as a batch sweep, so a leaked eval item never enters
+    the corpus in the first place.
+
+    DOC-level split (vs expectations_gate_stream's batch-level verdict): a
+    contaminated upstream push loses only the leaking documents, and
+    nothing is silently dropped — quarantined docs land whole. Benchmark
+    signatures and text are staged ONCE outside the batch loop (the
+    eval-suite side is small and static; per-batch work is one signature
+    pass over the batch plus candidate-bounded verification). Ids must be
+    disjoint from the benchmark's (the decontaminate_neardup contract).
+
+    Idempotent replay the expectations-gate way: both sinks partition by
+    ``__ingest_batch`` and a replayed batch dynamic-overwrites ITS OWN
+    partition — at-least-once foreachBatch delivery cannot double-admit.
+    """
+    from ..operators import dedup as dd
+
+    sig_b = dd.minhash_signatures_inline(
+        bench, id_col, text_col, k=k, num_hashes=num_hashes
+    ).localCheckpoint(eager=True)
+    bench_txt = bench.select(F.col(id_col), F.col(text_col)).localCheckpoint(
+        eager=True
+    )
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        sig_a = dd.minhash_signatures_inline(
+            batch_df, id_col, text_col, k=k, num_hashes=num_hashes
+        )
+        cand = dd.minhash_lsh_candidates_cross(
+            sig_a, sig_b, id_col, num_hashes=num_hashes, bands=bands
+        )
+        corpus = batch_df.select(F.col(id_col), F.col(text_col)).unionByName(
+            bench_txt
+        )
+        ver = dd.jaccard_verify_pairs(corpus, cand, id_col, text_col, k=k)
+        dirty = (
+            ver.filter(F.col("inter") * den >= num * F.col("uni"))
+            .select(F.col("id_a").alias(id_col))
+            .distinct()
+        )
+        for df, dest in (
+            (batch_df.join(dirty, id_col, "left_anti"), out_path),
+            (batch_df.join(dirty, id_col, "left_semi"), quarantine_path),
+        ):
+            (
+                df.withColumn("__ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__ingest_batch")
+                .parquet(dest)
+            )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(gate)
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def rollup_maintain_batch(
     batch_df: DataFrame,
     batch_id: int,

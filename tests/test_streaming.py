@@ -1840,3 +1840,53 @@ def test_index_maintain_stream_matches_batch_build(spark, tmp_path_factory):
         )
 
     assert postings(inc) == postings(full)
+
+
+def test_decontam_gate_stream_quarantines_planted_leak(spark, tmp_path_factory):
+    """Two micro-batches through the ingest-time decontamination gate: the
+    planted near-copy of a benchmark doc is quarantined intact, everything
+    else is admitted, and the union of both sinks is exactly the input
+    (doc-level split, nothing silently dropped). Results must equal the
+    batch q119 pipeline's verdict on the same docs."""
+    import os as _os
+
+    base = str(tmp_path_factory.mktemp("decontam_gate"))
+    src = _os.path.join(base, "src")
+    out = _os.path.join(base, "corpus")
+    quar = _os.path.join(base, "quarantine")
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    bench = spark.createDataFrame(
+        [(1000, bench_text)], "doc_id long, text string"
+    )
+    # batch 1: one planted leak + one clean doc; batch 2: clean docs
+    spark.createDataFrame(
+        [(1, near), (2, "mu nu xi omicron pi rho sigma tau upsilon phi")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = stream_ops.decontam_gate_stream(
+        stream, bench, "doc_id", "text", out, quar,
+        checkpoint=_os.path.join(base, "ckpt"),
+    )
+    q2.awaitTermination(120)
+
+    admitted = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    quarantined = {r["doc_id"] for r in spark.read.parquet(quar).collect()}
+    assert quarantined == {1}
+    assert admitted == {2, 3}
+    # quarantined doc lands WHOLE (text intact)
+    assert (
+        spark.read.parquet(quar).filter(F.col("doc_id") == 1).collect()[0]["text"]
+        == near
+    )
