@@ -1559,3 +1559,113 @@ def read_distinct_counts(spark: SparkSession, state_path: str) -> DataFrame:
     return spark.read.parquet(f"{state_path}/sketches/__v={v}").select(
         "grp", F.hll_sketch_estimate("sk").alias("n_distinct_est")
     )
+
+
+def histogram_fold_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    value_col: str,
+    group_col: str,
+    state_path: str,
+    bin_width: float,
+) -> None:
+    """One micro-batch of the per-group histogram fold — the streaming
+    quantile state machine (q108's incremental twin): per batch, counts
+    per (grp, bin = floor(value / bin_width)) ADD onto the stored grid.
+    Additivity is the whole design — a histogram of a union is the sum of
+    histograms, so quantile bounds stay maintainable forever without any
+    raw-value state, and the state size is |groups| × occupied bins (data-
+    independent given the domain), never |rows|.
+
+    Versioned-fold discipline as heavy_hitters/distinct_counts: read the
+    last committed ``__v``, union + sum, write ``__v=batch_id``, marker
+    LAST; a replayed committed batch is skipped, a crash-window replay
+    recomputes the same deterministic fold.
+    """
+    spark = batch_df.sparkSession
+    vstar, fs, hp = _committed_version(spark, state_path, "hist")
+    marker_p = hp(f"{state_path}/_batches/{batch_id}")
+    if fs.exists(marker_p):
+        return
+    batch_h = batch_df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.floor(F.col(value_col) / F.lit(bin_width)).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    if vstar is not None:
+        prev = spark.read.parquet(f"{state_path}/hist/__v={vstar}")
+        batch_h = prev.unionByName(batch_h)
+    merged = (
+        batch_h.groupBy("grp", "bin")
+        .agg(F.sum("n").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("overwrite").parquet(f"{state_path}/hist/__v={batch_id}")
+    fs.mkdirs(marker_p)
+    _prune_versions(fs, hp, state_path, "hist", keep=batch_id)
+
+
+def histogram_stream(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    *,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    bin_width: float = 10.0,
+):
+    """foreachBatch twin of ``histogram_fold_batch``."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        histogram_fold_batch(
+            batch_df,
+            int(batch_id),
+            value_col=value_col,
+            group_col=group_col,
+            state_path=state_path,
+            bin_width=bin_width,
+        )
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_quantile_bounds(
+    spark: SparkSession, state_path: str, q: float, bin_width: float
+) -> DataFrame:
+    """(grp, lo, hi, n): the q-quantile of everything folded so far lies in
+    [lo, hi) — the bin where the cumulative count first reaches ceil(q·n).
+    The bound width IS bin_width: the histogram's deterministic,
+    self-verifying error contract (the q108 bound idiom, maintained
+    incrementally)."""
+    v, _, _ = _committed_version(spark, state_path, "hist")
+    if v is None:
+        raise FileNotFoundError(
+            f"no committed histogram state under {state_path} "
+            "(fold at least one batch first)"
+        )
+    h = spark.read.parquet(f"{state_path}/hist/__v={v}")
+    from pyspark.sql import Window as W
+
+    cum = h.withColumn(
+        "cum", F.sum("n").over(W.partitionBy("grp").orderBy("bin"))
+    ).withColumn("tot", F.sum("n").over(W.partitionBy("grp")))
+    target = F.ceil(F.lit(q) * F.col("tot"))
+    return (
+        cum.filter(F.col("cum") >= target)
+        .groupBy("grp")
+        .agg(
+            F.min("bin").alias("__b"),
+            F.max("tot").alias("n"),
+        )
+        .select(
+            "grp",
+            (F.col("__b") * bin_width).alias("lo"),
+            ((F.col("__b") + 1) * bin_width).alias("hi"),
+            "n",
+        )
+    )

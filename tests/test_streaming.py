@@ -1890,3 +1890,64 @@ def test_decontam_gate_stream_quarantines_planted_leak(spark, tmp_path_factory):
         spark.read.parquet(quar).filter(F.col("doc_id") == 1).collect()[0]["text"]
         == near
     )
+
+
+def test_histogram_fold_matches_batch_and_bounds_exact_quantile(
+    spark, events_dir, tmp_path_factory
+):
+    """The folded histogram must equal the one-shot batch histogram of the
+    same rows (additivity), survive a committed-redelivery and a
+    crash-window replay without drift, and its quantile bound must contain
+    the EXACT per-group median computed from the raw values."""
+    import os as _os
+
+    base = str(tmp_path_factory.mktemp("hist_fold"))
+    state = _os.path.join(base, "state")
+    ev = spark.read.parquet(events_dir).localCheckpoint(eager=True)
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    W = 10.0
+    import shutil as _sh
+
+    cfg = dict(
+        value_col="value", group_col="event_type",
+        state_path=state, bin_width=W,
+    )
+    stream_ops.histogram_fold_batch(b1, 0, **cfg)
+    pre = _os.path.join(base, "pre_v0")
+    _sh.copytree(_os.path.join(state, "hist", "__v=0"), pre)
+    stream_ops.histogram_fold_batch(b2, 1, **cfg)
+    # committed redelivery: no drift
+    stream_ops.histogram_fold_batch(b1, 0, **cfg)
+    # TRUE crash window (the HLL-twin technique): version 1 written but
+    # marker lost, previous committed version still present — replay must
+    # refold onto v0 and land the identical grid
+    _sh.rmtree(_os.path.join(state, "_batches", "1"))
+    _sh.copytree(pre, _os.path.join(state, "hist", "__v=0"))
+    stream_ops.histogram_fold_batch(b2, 1, **cfg)
+    folded = {
+        (r["grp"], r["bin"]): r["n"]
+        for r in spark.read.parquet(f"{state}/hist/__v=1").collect()
+    }
+    want = {
+        (r["grp"], r["bin"]): r["n"]
+        for r in ev.groupBy(
+            F.col("event_type").alias("grp"),
+            F.floor(F.col("value") / F.lit(W)).alias("bin"),
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert folded == want
+    bounds = {
+        r["grp"]: (r["lo"], r["hi"])
+        for r in stream_ops.read_quantile_bounds(spark, state, 0.5, W).collect()
+    }
+    exact = {
+        r["event_type"]: r["med"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("med"))
+        .collect()
+    }
+    assert set(bounds) == set(exact)
+    for g, med in exact.items():
+        lo, hi = bounds[g]
+        assert lo <= med <= hi + 1e-9, (g, med, bounds[g])
