@@ -426,3 +426,25 @@ def test_write_jsonl_sharded_layout_and_determinism(spark, tmp_path):
     assert (
         back.join(docs, ["doc_id", "text"], "left_anti").count() == 0
     )
+
+
+def test_read_jsonl_corpus_all_corrupt_and_empty(spark, tmp_path):
+    """Degenerate dumps: an all-corrupt file yields an EMPTY typed frame
+    (with every line quarantined), and quarantine_path=None just drops
+    corrupt lines without writing anywhere."""
+    from syntenybrowserv2_etl_spark.sources import jsonl
+
+    src = tmp_path / "junk.jsonl"
+    src.write_text("garbage\nmore garbage\n")
+    qdir = str(tmp_path / "q")
+    clean = jsonl.read_jsonl_corpus(
+        spark, str(src), "doc_id long, text string", quarantine_path=qdir
+    )
+    assert clean.count() == 0
+    assert [f.name for f in clean.schema.fields] == ["doc_id", "text"]
+    assert (
+        spark.read.schema("raw_line string").json(qdir).count() == 2
+    )
+    # no quarantine path: corrupt lines dropped, nothing written
+    clean2 = jsonl.read_jsonl_corpus(spark, str(src), "doc_id long, text string")
+    assert clean2.count() == 0

@@ -1051,3 +1051,38 @@ def test_phrase_search_matches_bruteforce(spark, docs, phrase):
             for r in ix.phrase_search(idx, " ".join(phrase), **kw).collect()
         }
         assert got == want, (kw, got, want)
+
+
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=5),
+    phrases=st.lists(
+        st.lists(_pw, min_size=1, max_size=3), min_size=1, max_size=3
+    ),
+)
+@settings(**SETTINGS)
+def test_multi_phrase_matches_bruteforce(spark, docs, phrases):
+    """The batched matcher ≡ the brute-force scan for EVERY phrase of an
+    arbitrary phrase table at once — including duplicate phrases under
+    distinct ids and phrases sharing terms (the tag-group-count path must
+    not cross-contaminate counts between phrase ids)."""
+    from syntenybrowserv2_etl_spark.operators import index as ix
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    idx = ix.positional_index(df, "doc_id", "text")
+    ph = spark.createDataFrame(
+        [(pid, " ".join(p)) for pid, p in enumerate(phrases)],
+        "phrase_id int, phrase string",
+    )
+    want = {}
+    for pid, p in enumerate(phrases):
+        for i, d in enumerate(docs):
+            starts = py_phrase_matches(d, p)
+            if starts:
+                want[(pid, i)] = (len(starts), starts[0])
+    got = {
+        (r["phrase_id"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+        for r in ix.multi_phrase_search(idx, ph).collect()
+    }
+    assert got == want
