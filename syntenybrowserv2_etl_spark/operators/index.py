@@ -211,6 +211,7 @@ def multi_phrase_search(
     id_col: str = "doc_id",
     term_col: str = "term",
     pos_col: str = "pos",
+    broadcast_phrases: bool = True,
 ) -> DataFrame:
     """Match EVERY phrase of a phrase TABLE against the corpus in one
     set-oriented plan — the batched twin of ``phrase_search`` (the q116:q30
@@ -228,6 +229,12 @@ def multi_phrase_search(
     postings of any phrase term + one shuffle of the tagged hits —
     independent of |phrases| jobs, linear in hit volume.
 
+    ``broadcast_phrases=True`` (default) force-broadcasts the exploded
+    phrase rows — right for eval-suite-scale tables (thousands of leaked
+    sequences = a few MB). Pass False for genuinely huge phrase tables
+    (tens of millions of rows) so AQE plans the term join from runtime
+    sizes instead of an executor-memory-risking forced broadcast.
+
     Output: (phrase_id, id, n_matches, first_pos), same contract as
     ``phrase_search`` per phrase.
     """
@@ -239,7 +246,9 @@ def multi_phrase_search(
     ).withColumn(
         "__plen", F.count(F.lit(1)).over(Window.partitionBy(phrase_id_col))
     )
-    hits = index.join(F.broadcast(toks), term_col).select(
+    if broadcast_phrases:
+        toks = F.broadcast(toks)
+    hits = index.join(toks, term_col).select(
         phrase_id_col,
         id_col,
         (F.col(pos_col) - F.col("__off")).alias("__start"),
