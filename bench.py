@@ -104,6 +104,7 @@ CURATION = [
     "q120_multi_phrase",
     "q121_phrase_decontam",
     "q122_embedding_decontam",
+    "q123_copurchase",
 ]
 
 

@@ -107,3 +107,59 @@ def heavy_hitters(
             F.round(F.col("n") / F.col("__n"), 6).alias("freq"),
         )
     )
+
+
+def copurchase_pairs(
+    df: DataFrame,
+    order_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Pairwise co-occurrence mining (the association-rule support stage):
+    item pairs appearing together in at least ``min_support`` baskets,
+    with each item's own basket count and the basket total alongside so
+    confidence/lift are one arithmetic step away — all columns exact
+    integers (no float boundary in the oracle comparison).
+
+    Scale shape: baskets dedupe row-locally, the pair generation is ONE
+    self-equi-join on the basket key (co-partitioned — a single shuffle of
+    (basket, item) rows), and per-basket fanout is C(basket_size, 2) —
+    bounded by real basket sizes, the quadratic-in-group hazard named on
+    minhash_lsh_candidates; a corpus with pathological mega-baskets needs
+    a basket-size cap upstream (same posture as LSH's link='star').
+    The basket total joins back as a 1-row broadcast (intentional
+    BroadcastNestedLoopJoin — the scalar-join pattern, plan-whitelisted).
+    """
+    items = df.select(order_col, item_col).distinct()
+    sup = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("s"))
+    n_orders = items.select(order_col).distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.{order_col}") == F.col(f"b.{order_col}"))
+            & (F.col(f"a.{item_col}") < F.col(f"b.{item_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{item_col}").alias("part_a"),
+            F.col(f"b.{item_col}").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    sa = sup.select(
+        F.col(item_col).alias("part_a"), F.col("s").alias("support_a")
+    )
+    sb = sup.select(
+        F.col(item_col).alias("part_b"), F.col("s").alias("support_b")
+    )
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "support", "support_a", "support_b", "n_orders"
+        )
+    )

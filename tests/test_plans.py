@@ -955,6 +955,7 @@ _BNLJ_INTENTIONAL = {
     "q93_media_text_match",
     "q110_heavy_hitters",
     "q116_knn_batch",
+    "q123_copurchase",  # 1-row n_orders scalar joined back
 }
 
 
