@@ -105,6 +105,7 @@ CURATION = [
     "q121_phrase_decontam",
     "q122_embedding_decontam",
     "q123_copurchase",
+    "q124_cusum_drift",
 ]
 
 

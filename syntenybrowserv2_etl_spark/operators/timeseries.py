@@ -270,3 +270,49 @@ def time_weighted_avg(
         )
         .filter(F.col("twavg").isNotNull())
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str | None = None,
+    k: float = 0.0,
+    h: float = 5.0,
+) -> DataFrame:
+    """One-sided CUSUM change-point statistic over an ordered series:
+    S_t = max(0, S_{t-1} + (x_t - k)), alarm where S_t > h — the classic
+    sequential drift detector (upward shifts; mirror the values for the
+    downward side).
+
+    The recurrence looks scan-shaped (each S_t needs S_{t-1}), which would
+    force a single-pass stateful kernel — but it has a closed form over
+    prefix sums: with P_t = Σ_{i≤t}(x_i - k),
+    S_t = P_t - min(0, min_{i≤t} P_i) — the running minimum (including the
+    EMPTY prefix, value 0) is the last reset point. That turns CUSUM into
+    TWO ordinary window functions — cumulative sum and cumulative min —
+    so Catalyst plans it like any other analytic (one sort per group,
+    whole-stage codegen), no UDF, no iteration, and the same two-window
+    plan distributes per group. Ordering ties break on the timestamp
+    total order the caller guarantees (pre-aggregate to a grid first, the
+    q114 discipline).
+
+    Output: input keys + (p, s, alarm). Float discipline: feed DECIMAL or
+    pre-rounded values if cross-engine bit-equality matters (q124 rounds
+    onto DECIMAL(18,2) before the windows, so both engines accumulate
+    exact decimals).
+    """
+    from pyspark.sql import Window as W
+
+    keys = [group_col] if group_col else []
+    w = (
+        W.partitionBy(*keys).orderBy(ts_col)
+        if keys
+        else W.orderBy(ts_col)
+    )
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    p = F.sum(F.col(value_col) - F.lit(k)).over(cum)
+    out = df.withColumn("p", p).withColumn(
+        "s", F.col("p") - F.least(F.lit(0.0), F.min("p").over(cum))
+    )
+    return out.withColumn("alarm", F.col("s") > F.lit(h))

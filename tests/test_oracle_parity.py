@@ -83,6 +83,7 @@ SF_MED_STRENGTHENED = [
     "q121_phrase_decontam",
     "q122_embedding_decontam",
     "q123_copurchase",
+    "q124_cusum_drift",
 ]
 
 

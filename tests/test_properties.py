@@ -1086,3 +1086,37 @@ def test_multi_phrase_matches_bruteforce(spark, docs, phrases):
         for r in ix.multi_phrase_search(idx, ph).collect()
     }
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-5, max_value=5, allow_nan=False, width=16),
+        min_size=1,
+        max_size=25,
+    ),
+    k=st.sampled_from([0.0, 0.5]),
+)
+@settings(**SETTINGS)
+def test_cusum_prefix_form_matches_recurrence(spark, vals, k):
+    """The two-window closed form S_t = P_t − min(0, running-min P) must
+    equal the sequential recurrence S_t = max(0, S_{t−1} + x_t − k) on
+    arbitrary series — including all-negative (S pinned at 0), all-positive
+    (never resets), and sign-flipping paths."""
+    from syntenybrowserv2_etl_spark.operators import timeseries as tsx
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "t int, x double"
+    )
+    got = [
+        r["s"]
+        for r in tsx.cusum_drift(df, "t", "x", k=k, h=1.0)
+        .orderBy("t")
+        .collect()
+    ]
+    S, want = 0.0, []
+    for v in vals:
+        S = max(0.0, S + (float(v) - k))
+        want.append(S)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert abs(g - w) < 1e-9, (g, w)
