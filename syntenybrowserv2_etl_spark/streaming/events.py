@@ -1669,3 +1669,120 @@ def read_quantile_bounds(
             "n",
         )
     )
+
+
+def cusum_fold_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    ts_col: str,
+    value_col: str,
+    group_col: str,
+    state_path: str,
+    k: float = 0.0,
+    h: float = 5.0,
+) -> None:
+    """One micro-batch of the streaming CUSUM fold — q124's incremental
+    twin. The prefix-sum closed form is exactly what makes CUSUM
+    streamable: the per-group state is TWO scalars, (cumulative P, running
+    min of P including the empty prefix), and folding a time-ordered batch
+    is the same two windows shifted by the carried state —
+    P_t = state.p + batch-prefix-sum, m_t = min(state.m, running-min P),
+    S_t = P_t − m_t. No raw history, state size = |groups| × 2 doubles.
+
+    Ordered-ingest contract (the rollup/transitions precedent): batches
+    arrive in event-time order per group; rows within a batch sort on
+    ``ts_col``. Detections append per batch under ``__ib=<batch>``
+    partitions (dynamic overwrite ⇒ idempotent replay); state follows the
+    versioned-fold discipline (version write, marker LAST, prune).
+    """
+    from pyspark.sql import Window as W
+
+    spark = batch_df.sparkSession
+    vstar, fs, hp = _committed_version(spark, state_path, "cusum")
+    marker_p = hp(f"{state_path}/_batches/{batch_id}")
+    if fs.exists(marker_p):
+        return
+    if vstar is not None:
+        state = spark.read.parquet(f"{state_path}/cusum/__v={vstar}")
+    else:
+        state = spark.createDataFrame(
+            [], f"{group_col} string, __p double, __m double"
+        )
+    w = W.partitionBy(group_col).orderBy(ts_col)
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    local = (
+        batch_df.select(group_col, ts_col, value_col)
+        .withColumn("__lp", F.sum(F.col(value_col) - F.lit(k)).over(cum))
+        .join(F.broadcast(state), group_col, "left")
+        .withColumn("__p0", F.coalesce("__p", F.lit(0.0)))
+        .withColumn("__m0", F.coalesce("__m", F.lit(0.0)))
+        .withColumn("__gp", F.col("__p0") + F.col("__lp"))
+        .withColumn(
+            "__gm", F.least("__m0", F.min("__gp").over(cum))
+        )
+        .withColumn("s", F.col("__gp") - F.col("__gm"))
+        .withColumn("alarm", F.col("s") > F.lit(h))
+        .localCheckpoint(eager=True)
+    )
+    (
+        local.select(
+            group_col, ts_col, F.col("__gp").alias("p"), "s", "alarm"
+        )
+        .withColumn("__ib", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__ib")
+        .parquet(f"{state_path}/detections")
+    )
+    last = W.partitionBy(group_col).orderBy(F.desc(ts_col))
+    new_state = (
+        local.withColumn("__rn", F.row_number().over(last))
+        .filter(F.col("__rn") == 1)
+        .select(
+            group_col,
+            F.col("__gp").alias("__p"),
+            F.col("__gm").alias("__m"),
+        )
+        # groups silent this batch carry their state forward
+        .unionByName(state.join(local.select(group_col).distinct(), group_col, "left_anti"))
+        .localCheckpoint(eager=True)
+    )
+    new_state.write.mode("overwrite").parquet(
+        f"{state_path}/cusum/__v={batch_id}"
+    )
+    fs.mkdirs(marker_p)
+    _prune_versions(fs, hp, state_path, "cusum", keep=batch_id)
+
+
+def cusum_stream(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_col: str = "event_type",
+    k: float = 0.0,
+    h: float = 5.0,
+):
+    """foreachBatch twin of ``cusum_fold_batch``."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cusum_fold_batch(
+            batch_df,
+            int(batch_id),
+            ts_col=ts_col,
+            value_col=value_col,
+            group_col=group_col,
+            state_path=state_path,
+            k=k,
+            h=h,
+        )
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

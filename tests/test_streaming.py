@@ -1951,3 +1951,57 @@ def test_histogram_fold_matches_batch_and_bounds_exact_quantile(
     for g, med in exact.items():
         lo, hi = bounds[g]
         assert lo <= med <= hi + 1e-9, (g, med, bounds[g])
+
+
+def test_cusum_fold_matches_batch_closed_form(spark, tmp_path_factory):
+    """Folding a per-group series through time-ordered micro-batches must
+    emit exactly the batch cusum_drift statistics for every row — state is
+    two scalars per group, yet the concatenated detections equal the
+    one-shot computation. Crash-window replay (version written, marker
+    lost, prior version restored) re-lands the same rows; a silent group
+    carries its state across a batch it doesn't appear in."""
+    import os as _os
+    import shutil as _sh
+
+    from syntenybrowserv2_etl_spark.operators import timeseries as tsx
+
+    base = str(tmp_path_factory.mktemp("cusum_fold"))
+    state = _os.path.join(base, "state")
+    rows = []
+    import math as _m
+
+    for g, amp in (("a", 3.0), ("b", 1.0)):
+        for i in range(30):
+            rows.append((g, i, amp * _m.sin(i / 3.0) + (0.2 if g == "a" else -0.1)))
+    full = spark.createDataFrame(rows, "grp string, t int, x double")
+    cfg = dict(
+        ts_col="t", value_col="x", group_col="grp", state_path=state,
+        k=0.0, h=2.0,
+    )
+    # batch 0: t<10 both groups; batch 1: t in [10,20) ONLY group a
+    # (b is silent — state must carry); batch 2: the rest
+    b0 = full.filter(F.col("t") < 10)
+    b1 = full.filter((F.col("t") >= 10) & (F.col("t") < 20) & (F.col("grp") == "a"))
+    b2 = full.filter(
+        ((F.col("t") >= 10) & (F.col("grp") == "b")) | (F.col("t") >= 20)
+    )
+    stream_ops.cusum_fold_batch(b0, 0, **cfg)
+    pre = _os.path.join(base, "pre_v0")
+    _sh.copytree(_os.path.join(state, "cusum", "__v=0"), pre)
+    stream_ops.cusum_fold_batch(b1, 1, **cfg)
+    # crash window on batch 1, then replay
+    _sh.rmtree(_os.path.join(state, "_batches", "1"))
+    _sh.copytree(pre, _os.path.join(state, "cusum", "__v=0"))
+    stream_ops.cusum_fold_batch(b1, 1, **cfg)
+    stream_ops.cusum_fold_batch(b2, 2, **cfg)
+
+    got = {
+        (r["grp"], r["t"]): (round(r["s"], 9), r["alarm"])
+        for r in spark.read.parquet(f"{state}/detections").collect()
+    }
+    want = {
+        (r["grp"], r["t"]): (round(r["s"], 9), r["alarm"])
+        for r in tsx.cusum_drift(full, "t", "x", group_col="grp", k=0.0, h=2.0).collect()
+    }
+    assert got == want and len(got) == 60
+    assert any(a for _, a in got.values())  # the drifted group alarms
