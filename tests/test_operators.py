@@ -3150,3 +3150,58 @@ def test_multi_phrase_plan_single_broadcast_join(spark):
     bhj = set(_re.findall(r"\((\d+)\) BroadcastHashJoin", p))
     assert len(bhj) == 1, bhj
     assert "SortMergeJoin" not in p
+
+
+def test_session_window_builtin_agrees_with_lag_cumsum(spark):
+    """Spark's native session_window must produce the same session
+    partition as q21's lag+cumsum formulation — INCLUDING the exact gap
+    boundary: an event exactly gap after its predecessor merges under
+    both (session_window extends through its end; q21's strict '>' test
+    is false at equality). Pinned on real data and on a crafted boundary
+    pair so neither formulation drifts from the other silently."""
+    from syntenybrowserv2_etl_spark import queries as qq
+
+    e = qq.t(spark, "/root/testdata/sf0.001", "events")
+    from pyspark.sql import Window as W
+
+    native = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select("user_id", "n_events", "sum_value")
+    )
+    custom = qq.REGISTRY["q21_sessionize"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).select("user_id", "n_events", "sum_value")
+    a = sorted(tuple(r) for r in native.collect())
+    b = sorted(tuple(r) for r in custom.collect())
+    assert a == b and len(a) > 0
+    # the boundary pin: one user, two events exactly 30 minutes apart
+    toy = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    n_native = (
+        toy.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .count()
+    )
+    assert n_native == 1  # boundary event merges (window extends to its end)
+    # q21 semantics agree: ts > prev + gap is FALSE at equality -> one session
+    w2 = W.partitionBy("user_id").orderBy("ts")
+    n_custom = (
+        toy.withColumn("prev", F.lag("ts").over(w2))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("ts") > F.col("prev") + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
+        )
+        .agg(F.sum("new_s"))
+        .collect()[0][0]
+    )
+    assert n_custom == 1
