@@ -183,7 +183,7 @@ def ohlc(
     # columns: a window partitioned on the raw date_trunc expression does
     # not canonicalize equal to the aggregation's aliased attribute, and
     # the plan grows a second exchange (measured; the shared-shuffle
-    # claim below is pinned by test_q106_ohlc_single_exchange)
+    # claim below is pinned by test_q106_q107_single_exchange)
     pre = events.select(
         F.col(series_col).alias("series"),
         F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
