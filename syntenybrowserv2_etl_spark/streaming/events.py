@@ -1692,9 +1692,15 @@ def cusum_fold_batch(
 
     Ordered-ingest contract (the rollup/transitions precedent): batches
     arrive in event-time order per group; rows within a batch sort on
-    ``ts_col``. Detections append per batch under ``__ib=<batch>``
-    partitions (dynamic overwrite ⇒ idempotent replay); state follows the
-    versioned-fold discipline (version write, marker LAST, prune).
+    ``ts_col``. The contract is ENFORCED, not assumed: the state carries
+    each group's last folded timestamp, and a batch containing an older
+    row fails LOUDLY (a silently-misfolded CUSUM is a wrong alarm stream —
+    the engine's V2 abort channel applied to state maintenance). Replays
+    of the crash window are exempt by construction: the restored state
+    predates the replayed rows. Detections append per batch under
+    ``__ib=<batch>`` partitions (dynamic overwrite ⇒ idempotent replay);
+    state follows the versioned-fold discipline (version write, marker
+    LAST, prune).
     """
     from pyspark.sql import Window as W
 
@@ -1707,14 +1713,34 @@ def cusum_fold_batch(
         state = spark.read.parquet(f"{state_path}/cusum/__v={vstar}")
     else:
         state = spark.createDataFrame(
-            [], f"{group_col} string, __p double, __m double"
-        )
+            [],
+            batch_df.select(
+                F.col(group_col),
+                F.col(ts_col).alias("__last_ts"),
+            ).schema.add("__p", "double").add("__m", "double"),
+        ).select(group_col, "__p", "__m", "__last_ts")
     w = W.partitionBy(group_col).orderBy(ts_col)
     cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    joined = batch_df.select(group_col, ts_col, value_col).join(
+        F.broadcast(state), group_col, "left"
+    )
+    stale = joined.filter(
+        F.col("__last_ts").isNotNull() & (F.col(ts_col) <= F.col("__last_ts"))
+    )
+    offender = stale.select(group_col, ts_col, "__last_ts").limit(1).collect()
+    if offender:
+        r = offender[0]
+        raise ValueError(
+            "cusum_fold_batch: ordered-ingest contract violated — batch "
+            f"{batch_id} carries {group_col}={r[group_col]!r} at "
+            f"{ts_col}={r[ts_col]!r}, not after the state's last folded "
+            f"timestamp {r['__last_ts']!r}; out-of-order folds would "
+            "silently corrupt every subsequent S_t. Replay the source in "
+            "event-time order (or rebuild state from the ordered log)"
+        )
     local = (
-        batch_df.select(group_col, ts_col, value_col)
+        joined
         .withColumn("__lp", F.sum(F.col(value_col) - F.lit(k)).over(cum))
-        .join(F.broadcast(state), group_col, "left")
         .withColumn("__p0", F.coalesce("__p", F.lit(0.0)))
         .withColumn("__m0", F.coalesce("__m", F.lit(0.0)))
         .withColumn("__gp", F.col("__p0") + F.col("__lp"))
@@ -1743,6 +1769,7 @@ def cusum_fold_batch(
             group_col,
             F.col("__gp").alias("__p"),
             F.col("__gm").alias("__m"),
+            F.col(ts_col).alias("__last_ts"),
         )
         # groups silent this batch carry their state forward
         .unionByName(state.join(local.select(group_col).distinct(), group_col, "left_anti"))

@@ -2005,3 +2005,31 @@ def test_cusum_fold_matches_batch_closed_form(spark, tmp_path_factory):
     }
     assert got == want and len(got) == 60
     assert any(a for _, a in got.values())  # the drifted group alarms
+
+
+def test_cusum_fold_rejects_out_of_order_batch(spark, tmp_path_factory):
+    """The ordered-ingest contract is enforced, not assumed: a batch
+    carrying a row at or before a group's last folded timestamp fails
+    loudly (silent out-of-order folds would corrupt every later S_t),
+    and the failed batch leaves no committed state behind."""
+    import os as _os
+
+    base = str(tmp_path_factory.mktemp("cusum_order"))
+    state = _os.path.join(base, "state")
+    cfg = dict(
+        ts_col="t", value_col="x", group_col="grp",
+        state_path=state, k=0.0, h=2.0,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "grp string, t int, x double")
+    stream_ops.cusum_fold_batch(mk([("a", 1, 1.0), ("a", 2, 1.0)]), 0, **cfg)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="ordered-ingest contract violated"):
+        stream_ops.cusum_fold_batch(mk([("a", 2, 5.0)]), 1, **cfg)
+    # state unchanged: the good continuation still folds from batch 0
+    stream_ops.cusum_fold_batch(mk([("a", 3, 1.0)]), 2, **cfg)
+    got = {
+        r["t"]: r["s"]
+        for r in spark.read.parquet(f"{state}/detections").collect()
+    }
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}
