@@ -106,6 +106,7 @@ CURATION = [
     "q122_embedding_decontam",
     "q123_copurchase",
     "q124_cusum_drift",
+    "q125_mad_outliers",
 ]
 
 

@@ -316,3 +316,48 @@ def cusum_drift(
         "s", F.col("p") - F.least(F.lit(0.0), F.min("p").over(cum))
     )
     return out.withColumn("alarm", F.col("s") > F.lit(h))
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier flags per group: |x − median| > k·MAD, the
+    median-absolute-deviation counterpart of ``zscore_outliers`` — a
+    single wild value inflates mean AND stddev (masking itself from a
+    z-test); median and MAD are 50%-breakdown estimators, so the flag
+    survives contaminated groups.
+
+    Determinism discipline: both statistics are DISCRETE order-statistic
+    picks (the row at position ceil(n/2) of the sorted values — the lower
+    median), never interpolated. An interpolated median computes
+    a + (b−a)·f whose floating shape differs across engines at the ulp;
+    a picked value is a DATA value, identical everywhere, so the
+    k·MAD comparison boundary is bit-exact cross-engine. Two windows +
+    one broadcast join per statistic; distributes per group.
+
+    Output: input columns + (med, mad, dev, is_outlier).
+    """
+    from pyspark.sql import Window as W
+
+    def _pick(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w = W.partitionBy(group_col).orderBy(col)
+        wn = W.partitionBy(group_col)
+        return (
+            frame.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("__rn") == F.ceil(F.col("__n") / 2.0))
+            .select(F.col(group_col), F.col(col).alias(out))
+        )
+
+    med = _pick(df.select(group_col, value_col), value_col, "med")
+    with_med = df.join(F.broadcast(med), group_col).withColumn(
+        "dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = _pick(with_med.select(group_col, "dev"), "dev", "mad")
+    return (
+        with_med.join(F.broadcast(mad), group_col)
+        .withColumn("is_outlier", F.col("dev") > F.lit(k) * F.col("mad"))
+    )

@@ -5358,6 +5358,54 @@ def q124(spark, sf_dir):
     )
 
 
+@register(
+    "q125_mad_outliers",
+    """
+    WITH v AS (SELECT event_type AS grp, value AS x, event_id FROM events),
+    r1 AS (SELECT grp, x,
+                  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x) AS rn,
+                  COUNT(*) OVER (PARTITION BY grp) AS n
+           FROM v),
+    med AS (SELECT grp, x AS med FROM r1
+            WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)),
+    d AS (SELECT v.grp, v.x, m.med, ABS(v.x - m.med) AS dev
+          FROM v JOIN med m ON m.grp = v.grp),
+    r2 AS (SELECT grp, dev,
+                  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY dev) AS rn,
+                  COUNT(*) OVER (PARTITION BY grp) AS n
+           FROM d),
+    mad AS (SELECT grp, dev AS mad FROM r2
+            WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT))
+    SELECT d.grp, MAX(d.med) AS med, MAX(m2.mad) AS mad,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN d.dev > 3.0 * m2.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN mad m2 ON m2.grp = d.grp
+    GROUP BY d.grp
+    """,
+    tags=["robust MAD outliers (50%-breakdown twin of q103 zscore)"],
+)
+def q125(spark, sf_dir):
+    """Robust outlier census per event type: |x − median| > 3·MAD —
+    zscore's (q103) 50%-breakdown twin, immune to the contamination that
+    inflates mean/stddev and masks the very outliers a z-test hunts.
+    operators/timeseries.mad_outliers: both statistics are DISCRETE
+    order-statistic picks (lower median), never interpolated, so the
+    comparison boundary is bit-exact cross-engine — the reason this query
+    can emit raw-double med/mad and still hash-match.
+    """
+    e = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"), F.col("value").alias("x")
+    )
+    out = ts_ops.mad_outliers(e, "x", "grp", k=3.0)
+    return out.groupBy("grp").agg(
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -5469,6 +5517,7 @@ _DEMOTED_PAST_WINDOW = [
     "q122_embedding_decontam",
     "q123_copurchase",
     "q124_cusum_drift",
+    "q125_mad_outliers",
 ]
 
 

@@ -84,6 +84,7 @@ SF_MED_STRENGTHENED = [
     "q122_embedding_decontam",
     "q123_copurchase",
     "q124_cusum_drift",
+    "q125_mad_outliers",
 ]
 
 
