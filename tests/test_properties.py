@@ -1120,3 +1120,52 @@ def test_cusum_prefix_form_matches_recurrence(spark, vals, k):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         assert abs(g - w) < 1e-9, (g, w)
+
+
+@given(
+    baskets=st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.lists(st.integers(0, 6), min_size=0, max_size=4),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    min_support=st.sampled_from([1, 2]),
+)
+@settings(**SETTINGS)
+def test_copurchase_matches_bruteforce(spark, baskets, min_support):
+    """Distributed pair mining ≡ per-basket brute force on arbitrary
+    baskets — duplicate items inside one basket (must dedupe, not double-
+    count), repeated baskets, empty baskets, support thresholding, and
+    the per-item/basket-total side columns."""
+    from itertools import combinations
+
+    from syntenybrowserv2_etl_spark.operators import frequent as fq
+
+    rows = [(o, i) for o, items in baskets for i in items]
+    if not rows:
+        rows = [(0, 0)]
+    df = spark.createDataFrame(rows, "o long, i long")
+    got = {
+        (r["part_a"], r["part_b"]): (
+            r["support"], r["support_a"], r["support_b"], r["n_orders"],
+        )
+        for r in fq.copurchase_pairs(df, "o", "i", min_support=min_support).collect()
+    }
+    sets = {}
+    for o, i in rows:
+        sets.setdefault(o, set()).add(i)
+    sup_pair, sup_item = {}, {}
+    for items in sets.values():
+        for i in items:
+            sup_item[i] = sup_item.get(i, 0) + 1
+        for a, b in combinations(sorted(items), 2):
+            sup_pair[(a, b)] = sup_pair.get((a, b), 0) + 1
+    n_orders = len(sets)
+    want = {
+        p: (c, sup_item[p[0]], sup_item[p[1]], n_orders)
+        for p, c in sup_pair.items()
+        if c >= min_support
+    }
+    assert got == want
