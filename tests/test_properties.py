@@ -1169,3 +1169,38 @@ def test_copurchase_matches_bruteforce(spark, baskets, min_support):
         if c >= min_support
     }
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=16),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@settings(**SETTINGS)
+def test_mad_outliers_matches_bruteforce(spark, vals):
+    """Distributed MAD flags ≡ a sorted-list brute force: lower-median
+    picks (never interpolation), dev = |x − med|, flag dev > 3·MAD —
+    including all-equal groups (MAD 0: only exact-median rows unflagged
+    ... actually every row equals the median, so nothing flags) and
+    single-row groups."""
+    import math as _m
+
+    from syntenybrowserv2_etl_spark.operators import timeseries as tsx
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "grp string, x double"
+    )
+    got = sorted(
+        (r["x"], r["med"], r["mad"], r["is_outlier"])
+        for r in tsx.mad_outliers(df, "x", "grp", k=3.0).collect()
+    )
+    sv = sorted(float(v) for v in vals)
+    med = sv[_m.ceil(len(sv) / 2.0) - 1]
+    devs = sorted(abs(v - med) for v in sv)
+    mad = devs[_m.ceil(len(devs) / 2.0) - 1]
+    assert [g[0] for g in got] == sorted(float(v) for v in vals)
+    for x, m_, d_, flag in got:
+        assert m_ == med and d_ == mad
+        assert flag == (abs(x - med) > 3.0 * mad)
