@@ -312,6 +312,7 @@ def minhash_lsh_candidates_cross(
     id_col: str,
     num_hashes: int = 32,
     bands: int = 8,
+    right_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Two-sided banded LSH join: left docs sharing any band key with a
     right doc become (id_a, id_b) candidates — the cross-corpus recall
@@ -332,7 +333,13 @@ def minhash_lsh_candidates_cross(
             "shift the LSH S-curve away from the requested parameters"
         )
     a = _banded_keys(sig_left, id_col, num_hashes, bands).alias("a")
-    b = _banded_keys(sig_right, id_col, num_hashes, bands).alias("b")
+    # right_banded: a STATIC right side (an eval suite probed every micro-
+    # batch) can pass its banded keys precomputed once — recomputing them
+    # here would re-run the banding job per call (see band_keys_cross)
+    b = (
+        right_banded if right_banded is not None
+        else _banded_keys(sig_right, id_col, num_hashes, bands)
+    ).alias("b")
     return (
         a.join(
             b,
@@ -344,6 +351,16 @@ def minhash_lsh_candidates_cross(
         )
         .distinct()
     )
+
+
+def band_keys_cross(
+    signatures: DataFrame, id_col: str, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Materialized (id, band, key) rows for a STATIC join side — stage
+    once, pass to ``minhash_lsh_candidates_cross(right_banded=...)`` so a
+    per-batch caller (streaming decontamination gate) doesn't re-run the
+    banding job every micro-batch."""
+    return _banded_keys(signatures, id_col, num_hashes, bands)
 
 
 def decontaminate_neardup(
@@ -649,6 +666,7 @@ def jaccard_verify_pairs(
     text_col: str,
     k: int = 3,
     broadcast_candidates: bool | None = None,
+    extra_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for an explicit candidate-pair list.
 
@@ -677,6 +695,10 @@ def jaccard_verify_pairs(
             F.array_distinct("__jv_raw").alias("__jv_arr"),
         )
     )
+    if extra_arrays is not None:
+        # pre-shingled rows for a STATIC side (see shingle_arrays): ids
+        # must be disjoint from df's — stage once, reuse every call
+        base = base.unionByName(extra_arrays)
     needed = (
         pairs.select(F.col("id_a").alias("__jv_id"))
         .unionByName(pairs.select(F.col("id_b").alias("__jv_id")))
@@ -708,6 +730,21 @@ def jaccard_verify_pairs(
             F.when(F.col("uni") > 0, F.col("inter") / F.col("uni"))
             .otherwise(F.lit(0.0))
             .alias("jaccard"),
+        )
+    )
+
+
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Materialized (__jv_id, __jv_arr) distinct-shingle rows in
+    ``jaccard_verify_pairs``' internal shape — stage a STATIC side once
+    and pass as ``extra_arrays`` so per-batch verification doesn't
+    re-shingle it every call."""
+    return _materialize(
+        with_shingle_array(df, text_col, "__jv_raw", k).select(
+            F.col(id_col).alias("__jv_id"),
+            F.array_distinct("__jv_raw").alias("__jv_arr"),
         )
     )
 

@@ -33,6 +33,18 @@ from pyspark.sql import functions as F
 from .dedup import normalize_text
 
 
+def _phrase_tokens(phrase: str) -> list[str]:
+    """Driver-side twin of the index's tokenization. ``normalize_text``
+    splits on Java ``\\s+`` — ASCII whitespace only — while Python's
+    ``str.split()`` treats unicode whitespace (NBSP, thin space …) as
+    separators too, so a phrase containing a unicode-space-joined token
+    would be mis-split and a verbatim-present leak MISSED. Split on
+    exactly Java's ``\\s`` class instead."""
+    import re as _re
+
+    return [t for t in _re.split(r"[ \t\n\x0b\f\r]+", phrase.lower()) if t]
+
+
 def positional_index(
     df: DataFrame,
     id_col: str,
@@ -84,13 +96,16 @@ def write_index(index: DataFrame, path: str, term_buckets: int = 256) -> None:
 
 
 def _write_stats(index: DataFrame, path: str, batch_id: int, *, overwrite_all: bool = False) -> None:
-    """Per-batch (term, df) dictionary sidecar under ``{path}/_stats`` —
+    """Per-batch (term, n_postings) dictionary sidecar under
+    ``{path}/_stats`` —
     additive across ``__ib`` partitions, so replaying a batch's dynamic
     overwrite stays idempotent (same discipline as the postings data).
     The ``_stats`` dir name is underscore-hidden from the main postings
     listing; its own ``__ib=`` children contain '=' so they list normally
     when the sidecar is read directly."""
-    stats = index.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = index.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_postings")
+    )
     w = stats.withColumn("__ib", F.lit(batch_id).cast("long")).coalesce(1).write
     if overwrite_all:
         w.mode("overwrite").partitionBy("__ib").parquet(f"{path}/_stats")
@@ -106,16 +121,22 @@ def _write_stats(index: DataFrame, path: str, batch_id: int, *, overwrite_all: b
 def read_term_stats(
     spark: SparkSession, path: str, terms: list[str] | None = None
 ) -> dict[str, int]:
-    """Document-frequency dictionary for ``terms`` (or the whole vocab),
-    summed across the base build and every appended batch. |terms|-row
-    collect — metadata-scale, the free input to rare-term-first
+    """Posting-count dictionary for ``terms`` (or the whole vocab),
+    summed across the base build and every appended batch — POSTING-LIST
+    LENGTHS (collection frequency), deliberately NOT document frequency:
+    the rare-first join order sizes each join by posting ROWS, and that
+    is what a doc contributing a term three times costs. Don't feed these
+    to IDF/BM25 (text.tfidf/bm25 compute real docfreq themselves).
+    |terms|-row collect — metadata-scale, the free input to
     ``phrase_search(term_stats=...)``."""
     st = spark.read.parquet(f"{path}/_stats")
     if terms is not None:
         st = st.filter(F.col("term").isin(list(set(terms))))
     return {
-        r["term"]: r["df"]
-        for r in st.groupBy("term").agg(F.sum("df").alias("df")).collect()
+        r["term"]: r["n"]
+        for r in st.groupBy("term")
+        .agg(F.sum("n_postings").alias("n"))
+        .collect()
     }
 
 
@@ -238,13 +259,21 @@ def multi_phrase_search(
     Output: (phrase_id, id, n_matches, first_pos), same contract as
     ``phrase_search`` per phrase.
     """
-    toks = phrases.select(
-        F.col(phrase_id_col),
-        F.posexplode(
-            F.split(normalize_text(F.col(phrase_col)), " ")
-        ).alias("__off", term_col),
-    ).withColumn(
-        "__plen", F.count(F.lit(1)).over(Window.partitionBy(phrase_id_col))
+    toks = (
+        phrases.select(
+            F.col(phrase_id_col),
+            F.posexplode(
+                F.split(normalize_text(F.col(phrase_col)), " ")
+            ).alias("__off", term_col),
+        )
+        # an empty/whitespace phrase normalizes to a single "" token; drop
+        # it so such phrases MATCH NOTHING (phrase_search raises instead —
+        # here one bad row must not poison a 10k-row phrase table) rather
+        # than pairing with the "" postings empty documents produce
+        .filter(F.length(term_col) > 0)
+        .withColumn(
+            "__plen", F.count(F.lit(1)).over(Window.partitionBy(phrase_id_col))
+        )
     )
     if broadcast_phrases:
         toks = F.broadcast(toks)
@@ -351,14 +380,12 @@ def phrase_search(
       letting AQE handle the asymmetry (50k-800k doc skew fixture).
     - ``term_stats={term: df}``: rare-term-first. When df stats are FREE —
       maintained beside the persisted index (``read_term_stats``, the
-      search-engine dictionary pattern) — anchoring on the rarest term
+      search-engine dictionary pattern; posting-list lengths) — anchoring on the rarest term
       guarantees the first candidate set is the smallest posting list
       regardless of runtime stats quality, the right call when several
       posting lists are each too large to broadcast.
     """
-    # same canonicalization as the index side (normalize_text): lowercase,
-    # whitespace-collapse — applied driver-side to the literal phrase.
-    terms = phrase.lower().split()
+    terms = _phrase_tokens(phrase)
     if not terms:
         raise ValueError("phrase_search: empty phrase")
     if term_stats is None:
@@ -366,10 +393,21 @@ def phrase_search(
     else:
         spark = index.sparkSession
         if any(t not in term_stats for t in terms):
-            # a phrase term absent from the corpus ⇒ no match anywhere
-            return spark.createDataFrame(
-                [], f"{id_col} long, n_matches long, first_pos int"
+            # a phrase term absent from the corpus ⇒ no match anywhere.
+            # Empty frame carries the INDEX's id type (not a hardcoded
+            # long): a caller unioning per-phrase results or joining back
+            # to the corpus must see the same schema as the normal path.
+            id_field = index.schema[id_col]
+            from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField(id_col, id_field.dataType, id_field.nullable),
+                    StructField("n_matches", LongType(), False),
+                    StructField("first_pos", IntegerType(), True),
+                ]
             )
+            return spark.createDataFrame([], schema)
         order = sorted(range(len(terms)), key=lambda i: (term_stats[terms[i]], i))
     anchor = order[0]
     cand = index.filter(F.col(term_col) == terms[anchor]).select(

@@ -297,10 +297,12 @@ def cusum_drift(
     total order the caller guarantees (pre-aggregate to a grid first, the
     q114 discipline).
 
-    Output: input keys + (p, s, alarm). Float discipline: feed DECIMAL or
-    pre-rounded values if cross-engine bit-equality matters (q124 rounds
-    onto DECIMAL(18,2) before the windows, so both engines accumulate
-    exact decimals).
+    Output: input keys + (p, s, alarm). Float discipline: the statistic
+    itself computes in DOUBLE (the reset clamp is least(0.0, …), which
+    promotes any decimal input), so cross-engine bit-equality comes from
+    DETERMINISM, not exactness — feed values derived from an exact grid
+    with the identical expression shape in both engines and the window
+    sums fold in the same order (q124 builds its deviations that way).
     """
     from pyspark.sql import Window as W
 

@@ -5238,7 +5238,7 @@ def q122(spark, sf_dir):
     chosen so even sf0.001 has nonzero matches; q29's 0.3 would gate on an
     empty result there). The ORACLE reuses
     q29's md5-parity hyperplane SQL and the engine-wide _cos_sql float
-    discipline, so buckets and the 0.3 boundary agree to the last ulp.
+    discipline, so buckets and the 0.25 boundary agree to the last ulp.
     """
     emb = t(spark, sf_dir, "embeddings")
     bench = emb.filter(F.col("vec_id") % 37 == 0)

@@ -260,7 +260,10 @@ def fold_ib_partitions(
     if fs.exists(batches_dir):
         for st in fs.listStatus(batches_dir):
             nm = st.getPath().getName()
-            if _re.fullmatch(r"\d+", nm):
+            # strict ASCII class, not \d: unicode digits pass \d and then
+            # int() mis-parses them into a REAL batch id, silently marking
+            # an uncommitted batch committed (the _committed_version lesson)
+            if _re.fullmatch(r"[0-9]+", nm):
                 committed.add(int(nm))
     cur = spark.read.parquet(path)
     files_before = len(cur.inputFiles())

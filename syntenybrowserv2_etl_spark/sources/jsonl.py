@@ -52,7 +52,16 @@ def read_jsonl_corpus(
     )
     if quarantine_path is not None:
         corrupt.write.mode("append").json(quarantine_path)
-    return raw.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    # detach the returned frame from the cache (eager localCheckpoint),
+    # then release it: without this every ingest in a long session pins
+    # a full parsed copy of its dump in executor storage forever
+    clean = (
+        raw.filter(F.col(_CORRUPT).isNull())
+        .drop(_CORRUPT)
+        .localCheckpoint(eager=True)
+    )
+    raw.unpersist()
+    return clean
 
 
 def write_jsonl_sharded(

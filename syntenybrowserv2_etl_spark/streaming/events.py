@@ -986,15 +986,21 @@ def decontam_gate_stream(
     Idempotent replay the expectations-gate way: both sinks partition by
     ``__ingest_batch`` and a replayed batch dynamic-overwrites ITS OWN
     partition — at-least-once foreachBatch delivery cannot double-admit.
+
+    The ENTIRE static side is staged once outside the batch loop —
+    signatures, banded keys (``band_keys_cross``), AND shingle arrays
+    (``shingle_arrays``): without the latter two, every micro-batch would
+    re-run the bench banding and re-shingle the bench texts (each an
+    eager materialization job), a per-batch cost proportional to the
+    benchmark instead of the batch.
     """
     from ..operators import dedup as dd
 
     sig_b = dd.minhash_signatures_inline(
         bench, id_col, text_col, k=k, num_hashes=num_hashes
     ).localCheckpoint(eager=True)
-    bench_txt = bench.select(F.col(id_col), F.col(text_col)).localCheckpoint(
-        eager=True
-    )
+    banded_b = dd.band_keys_cross(sig_b, id_col, num_hashes=num_hashes, bands=bands)
+    bench_arrays = dd.shingle_arrays(bench, id_col, text_col, k=k)
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
@@ -1002,12 +1008,13 @@ def decontam_gate_stream(
             batch_df, id_col, text_col, k=k, num_hashes=num_hashes
         )
         cand = dd.minhash_lsh_candidates_cross(
-            sig_a, sig_b, id_col, num_hashes=num_hashes, bands=bands
+            sig_a, sig_b, id_col, num_hashes=num_hashes, bands=bands,
+            right_banded=banded_b,
         )
-        corpus = batch_df.select(F.col(id_col), F.col(text_col)).unionByName(
-            bench_txt
+        ver = dd.jaccard_verify_pairs(
+            batch_df.select(F.col(id_col), F.col(text_col)),
+            cand, id_col, text_col, k=k, extra_arrays=bench_arrays,
         )
-        ver = dd.jaccard_verify_pairs(corpus, cand, id_col, text_col, k=k)
         dirty = (
             ver.filter(F.col("inter") * den >= num * F.col("uni"))
             .select(F.col("id_a").alias(id_col))

@@ -2729,7 +2729,6 @@ def test_write_index_read_postings_pruned(spark, tmp_path):
 
     pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf, plan
-    assert "term_bucket", pf.group(1)
     assert _re.search(r"term_bucket#\d+ = \d+", pf.group(1)), pf.group(1)
     assert "xxhash64" not in pf.group(1)  # folded to literals, prunable
 
@@ -3205,3 +3204,41 @@ def test_session_window_builtin_agrees_with_lag_cumsum(spark):
         .collect()[0][0]
     )
     assert n_custom == 1
+
+
+def test_phrase_tokenization_and_empty_phrase_edges(spark):
+    """Code-review regressions pinned: (a) a phrase containing unicode
+    whitespace tokenizes like the INDEX side (Java ASCII-\\s), so a
+    verbatim-present NBSP token still matches; (b) an empty/whitespace
+    phrase row in a multi-phrase table matches NOTHING (never pairs with
+    empty documents' \"\" postings); (c) the stats-path absent-term early
+    exit returns the index's id TYPE, not a hardcoded long."""
+    docs = spark.createDataFrame(
+        [(1, "x a b c"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    idx = index_ops10.positional_index(docs, "doc_id", "text")
+    # (a) 'a b' is ONE token in the index; the phrase must match it
+    got = index_ops10.phrase_search(idx, "a b c").collect()
+    assert [(r["doc_id"], r["n_matches"], r["first_pos"]) for r in got] == [
+        (1, 1, 2)
+    ]
+    # (b) empty phrase rows in a table are inert
+    ph = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "c")], "phrase_id int, phrase string"
+    )
+    out = {
+        (r["phrase_id"], r["doc_id"])
+        for r in index_ops10.multi_phrase_search(idx, ph).collect()
+    }
+    assert out == {(3, 1)}
+    # (c) string-id index: absent-term exit carries the string id type
+    sdocs = spark.createDataFrame(
+        [("d1", "a b")], "doc_id string, text string"
+    )
+    sidx = index_ops10.positional_index(sdocs, "doc_id", "text")
+    empty = index_ops10.phrase_search(
+        sidx, "a zebra", term_stats={"a": 1, "b": 1}
+    )
+    assert empty.schema["doc_id"].dataType.simpleString() == "string"
+    assert empty.count() == 0
