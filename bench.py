@@ -107,6 +107,7 @@ CURATION = [
     "q123_copurchase",
     "q124_cusum_drift",
     "q125_mad_outliers",
+    "q126_hard_negatives",
 ]
 
 

@@ -931,3 +931,57 @@ def ivf_index_compact(spark, index_path: str) -> tuple[int, int]:
     from ..sources.io import fold_ib_partitions
 
     return fold_ib_partitions(spark, index_path, "centroid_id", base_ib=-1)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-similar corpus vectors with a DIFFERENT label — the pairs
+    that teach a metric model the most (near-duplicates that must be
+    pushed apart), and the standard companion of the dedup/kNN family in
+    an embedding-training pipeline.
+
+    Same staged-norm broadcast shape as ``knn_bruteforce`` (anchor norms
+    ride the broadcast, corpus norms staged once per row, identical float
+    ops to cosine_expr so the _cos_sql oracles hash-match); the
+    different-label constraint is a filter on the broadcast join, and the
+    top-k is a WindowGroupLimit-planned window. This is the exact-oracle
+    twin (the q27:q30 split): at corpus scale, feed the anchor set through
+    ``knn_ivf``/``knn_batch`` and post-filter labels per probe instead.
+
+    Output: (anchor_id, neg_id, cosine, rank), ties broken by corpus id.
+    """
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias(anchor_id_col),
+            F.col(vec_col).alias("__avec"),
+            F.col(label_col).alias("__albl"),
+            norm_expr(F.col(vec_col)).alias("__anrm"),
+        )
+    )
+    scored = (
+        corpus.withColumn("__vnrm", norm_expr(F.col(vec_col)))
+        .crossJoin(a)
+        .filter(F.col(label_col) != F.col("__albl"))
+        .select(
+            anchor_id_col,
+            F.col(id_col).alias("neg_id"),
+            (
+                dot_expr(F.col(vec_col), F.col("__avec"))
+                / (F.col("__vnrm") * F.col("__anrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(anchor_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neg_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -85,6 +85,7 @@ SF_MED_STRENGTHENED = [
     "q123_copurchase",
     "q124_cusum_drift",
     "q125_mad_outliers",
+    "q126_hard_negatives",
 ]
 
 

@@ -956,6 +956,7 @@ _BNLJ_INTENTIONAL = {
     "q110_heavy_hitters",
     "q116_knn_batch",
     "q123_copurchase",  # 1-row n_orders scalar joined back
+    "q126_hard_negatives",  # broadcast anchors x corpus, label-inequality predicate
 }
 
 
