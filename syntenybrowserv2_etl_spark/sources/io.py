@@ -300,3 +300,101 @@ def fold_ib_partitions(
         )
     fs.delete(old, True)
     return files_before, len(spark.read.parquet(path).inputFiles())
+
+
+def write_with_manifest(df, path: str, mode: str = "overwrite") -> dict:
+    """Write parquet plus a ``_manifest.json`` integrity record: row count,
+    sorted column list, and an ORDER-INSENSITIVE content hash (sum, with
+    64-bit wraparound, of xxhash64 over every row's canonical string) —
+    the artifact that lets a downstream consumer prove "this is the exact
+    table the pipeline produced", across re-partitions, shuffles, and
+    copies (hashing is row-local + commutative, so layout never matters).
+
+    One extra aggregation pass at write time; underscore-named, so the
+    manifest is invisible to normal parquet reads. Returns the manifest.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    cols = sorted(df.columns)
+    row_h = F.xxhash64(
+        F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols])
+    )
+    df.write.mode(mode).parquet(path)
+    back = df.sparkSession.read.parquet(path)
+    row_h_back = F.xxhash64(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+        )
+    )
+    # sum in DECIMAL(38,0): a raw long sum overflows (and ANSI mode makes
+    # that a hard ArithmeticException, not a wrap) at ~2^63/2^63-avg rows
+    agg = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(row_h_back.cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    manifest = {
+        "rows": int(agg["n"]),
+        "columns": cols,
+        "content_hash": int((int(agg["h"] or 0)) % (1 << 64)),
+    }
+    spark = df.sparkSession
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath(f"{path}/_manifest.json"), True)
+    out.write(bytearray(_json.dumps(manifest).encode("utf-8")))
+    out.close()
+    return manifest
+
+
+def verify_manifest(spark, path: str) -> dict:
+    """Recompute the manifest from the live table and compare; raises
+    ValueError naming the drifted field on any mismatch (rows silently
+    lost to a partial copy, a column dropped, values altered). Returns
+    the verified manifest on success."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    mp = hpath(f"{path}/_manifest.json")
+    if not fs.exists(mp):
+        raise FileNotFoundError(f"no _manifest.json under {path}")
+    stream = fs.open(mp)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    manifest = _json.loads(raw.decode("utf-8"))
+    df = spark.read.parquet(path)
+    cols = sorted(df.columns)
+    if cols != manifest["columns"]:
+        raise ValueError(
+            f"manifest mismatch at {path}: columns {cols} != recorded "
+            f"{manifest['columns']}"
+        )
+    row_h = F.xxhash64(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+        )
+    )
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(row_h.cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    if int(agg["n"]) != manifest["rows"]:
+        raise ValueError(
+            f"manifest mismatch at {path}: rows {int(agg['n'])} != recorded "
+            f"{manifest['rows']}"
+        )
+    got = int(int(agg["h"] or 0) % (1 << 64))
+    if got != manifest["content_hash"]:
+        raise ValueError(
+            f"manifest mismatch at {path}: content hash {got} != recorded "
+            f"{manifest['content_hash']} (values altered with count intact)"
+        )
+    return manifest
