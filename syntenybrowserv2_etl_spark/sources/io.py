@@ -213,6 +213,19 @@ def compact_table(
         # restore the original table before failing
         fs.rename(old, live)
         raise IOError(f"compact_table: could not promote staging for {path}")
+    # carry the integrity manifest across the swap: its content hash is
+    # order-insensitive, so a compaction (same rows, new layout) leaves it
+    # VALID — dropping it would force a needless re-stamp
+    old_manifest = jvm_path(path + "__old/_manifest.json")
+    if fs.exists(old_manifest):
+        spark._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs,
+            old_manifest,
+            fs,
+            jvm_path(f"{path}/_manifest.json"),
+            False,
+            spark._jsc.hadoopConfiguration(),
+        )
     fs.delete(old, True)
     return files_before, len(spark.read.parquet(path).inputFiles())
 

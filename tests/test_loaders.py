@@ -493,3 +493,22 @@ def test_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
     open(f"{bad}/_manifest.json", "w").write(manifest_raw)
     with _pt.raises(ValueError, match="content hash"):
         io_ops.verify_manifest(spark, bad)
+
+
+def test_manifest_survives_compaction(spark, tmp_path):
+    """compact_table rewrites files and partitioning but not content —
+    and because the manifest hash is order-insensitive, the integrity
+    record stays VALID across compaction with no re-stamp needed (the
+    property that makes manifests compatible with ongoing maintenance)."""
+    from syntenybrowserv2_etl_spark.sources import io as io_ops
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).repartition(16)
+    path = str(tmp_path / "t")
+    m = io_ops.write_with_manifest(docs, path)
+    before, after = io_ops.compact_table(spark, path, target_mb=256)
+    assert after < before
+    # compact_table carries the manifest across its staged swap, and the
+    # ORIGINAL record still verifies against the rewritten layout
+    assert io_ops.verify_manifest(spark, path) == m
