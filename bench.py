@@ -137,7 +137,13 @@ def main() -> None:
             trials.append(time.perf_counter() - t0)
         times[name] = round(min(trials), 3)
 
-    out = {
+    # Round 11: the full per-query map outgrew the driver's 2000-char stdout
+    # tail (BENCH_r10.json came back parsed:null), so the LAST line printed
+    # is a compact summary — suite total, the 15-query headline set's
+    # per-query map for cross-round continuity, and a pointer to the full
+    # map, which is written to BENCH_DETAIL.json at the repo root (committed
+    # each round, so per-query history lives in git).
+    detail = {
         "metric": "headline_queries_wall_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
@@ -145,7 +151,21 @@ def main() -> None:
         "sf": sf,
         "headline15_sec": round(sum(times[n] for n in HEADLINE), 3),
     }
-    print(json.dumps(out))
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+        f.write("\n")
+    compact = {
+        "metric": "headline_queries_wall_sec",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": {n: times[n] for n in HEADLINE},
+        "sf": sf,
+        "headline15_sec": detail["headline15_sec"],
+        "n_queries": len(times),
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -834,11 +834,19 @@ def probe_ivf_index(spark, path: str, cell_ids: list[int]) -> DataFrame:
     """Partition-pruned read of probe cells: ``centroid_id`` IN (literals)
     resolves at planning time against the partition directories, so only
     the probed cells' files are ever listed or read — base build and
-    appended batches alike (``__ib`` is dropped; it's a write-side
-    idempotency coordinate, not data)."""
+    COMMITTED appended batches (``__ib`` ∈ {-1} ∪ marked ids, ADVICE r10:
+    codes from a batch that crashed before its ``_batches`` marker must
+    stay invisible until redelivery, or their duplicate rows would double
+    ADC partial sums). ``__ib`` is dropped after the filter; it's a
+    write-side idempotency coordinate, not data."""
+    from ..sources.io import committed_batch_ids
+
     return (
         spark.read.parquet(path)
         .filter(F.col("centroid_id").isin([int(c) for c in cell_ids]))
+        .filter(
+            F.col("__ib").isin(sorted(committed_batch_ids(spark, path, base_ib=-1)))
+        )
         .drop("__ib")
     )
 

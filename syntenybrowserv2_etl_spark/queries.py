@@ -5307,7 +5307,7 @@ def q123(spark, sf_dir):
              p - LEAST(0.0, MIN(p) OVER (PARTITION BY grp ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
       FROM pp)
-    SELECT grp, day,
+    SELECT grp, strftime(day, '%Y-%m-%d') AS day,
            ROUND(p, 6) + 0.0 AS p,   -- +0.0 folds IEEE -0.0 into +0.0
            ROUND(s, 6) + 0.0 AS s,
            s > 3.0 AS alarm
@@ -5349,9 +5349,12 @@ def q124(spark, sf_dir):
         ).alias("d"),
     )
     out = ts_ops.cusum_drift(dev, "day", "d", group_col="grp", k=0.0, h=3.0)
+    # day emitted as a yyyy-MM-dd string: raw timestamps are hash-risky in
+    # the driver's representation-sensitive value hash (µs vs ns), and q124
+    # is in the driver window as of round 11.
     return out.select(
         "grp",
-        "day",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         (F.round("p", 6) + F.lit(0.0)).alias("p"),
         (F.round("s", 6) + F.lit(0.0)).alias("s"),
         "alarm",
@@ -5549,18 +5552,31 @@ _DEMOTED_PAST_WINDOW = [
     # the freshly-promoted post-r6 operators accumulate driver history.
     "q113_event_transitions",
     "q114_trailing_window",
-    "q115_editdist1_join",
     "q116_knn_batch",
-    "q117_entity_resolution",
-    "q118_phrase_search",
-    "q119_neardup_decontam",
     "q120_multi_phrase",
     "q121_phrase_decontam",
-    "q122_embedding_decontam",
     "q123_copurchase",
-    "q124_cusum_drift",
     "q125_mad_outliers",
     "q126_hard_negatives",
+    # round 11: window rotation (VERDICT r10 #1) — the six round-10 family
+    # heads (q115 editdist join, q117 entity resolution, q118 phrase search,
+    # q119 near-dup decontam, q122 embedding decontam, q124 CUSUM drift) are
+    # promoted INTO the window for driver history; their siblings (q116 rides
+    # the same IVF machinery as in-window q30, q120/q121 the same index as
+    # q118, q125 the same robust-stats shape as q124) stay parity-gated.
+    # Demoted to make room — each a generic or composite shape whose operator
+    # family stays driver-proven in-window: q52 (winnowing family stays via
+    # q51 + q70), q56 (diff shape; hash-diff stays parity via q104), q63
+    # (skew-salting demo; the skew discipline is an engine posture, and the
+    # join surface stays via q03/q57), q68/q69 (compositions of in-window
+    # q22/q23/q25 and q31/q33), q71 (sharded emission stays via q61's
+    # window packing).
+    "q52_substring_overlap_pairs",
+    "q56_snapshot_diff",
+    "q63_salted_join",
+    "q68_dedup_pipeline",
+    "q69_corpus_report",
+    "q71_shuffle_shards",
 ]
 
 

@@ -230,6 +230,33 @@ def compact_table(
     return files_before, len(spark.read.parquet(path).inputFiles())
 
 
+def committed_batch_ids(spark, path: str, base_ib: int = 0) -> set[int]:
+    """{base_ib} ∪ the batch ids with a ``_batches/<id>`` commit marker.
+
+    The read-side half of the marker-append contract (index_append_batch /
+    ivf_index_append_batch write data first, marker LAST): a batch that
+    crashed between its data write and its marker has rows on disk but no
+    marker, and every reader must treat those rows as invisible until the
+    batch is redelivered — otherwise a crashed-then-abandoned stream leaves
+    phantom postings/codes inflating every query that touches the bucket
+    (ADVICE r10). One tiny directory listing; digit-check is strict ASCII
+    (unicode digits pass ``\\d`` and then int() mis-parses them into a real
+    batch id — the _committed_version lesson).
+    """
+    import re as _re
+
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    committed = {int(base_ib)}
+    batches_dir = hpath(f"{path}/_batches")
+    if fs.exists(batches_dir):
+        for st in fs.listStatus(batches_dir):
+            nm = st.getPath().getName()
+            if _re.fullmatch(r"[0-9]+", nm):
+                committed.add(int(nm))
+    return committed
+
+
 def fold_ib_partitions(
     spark,
     path: str,
@@ -261,23 +288,13 @@ def fold_ib_partitions(
     - Staged-rename swap (same discipline as ``compact_table``): a crash
       leaves the old index live or recoverable under ``<path>__old``.
     """
-    import re as _re
-
     from pyspark.sql import functions as F
 
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     live = hpath(path)
     fs = live.getFileSystem(spark._jsc.hadoopConfiguration())
-    committed = {base_ib}
+    committed = committed_batch_ids(spark, path, base_ib)
     batches_dir = hpath(f"{path}/_batches")
-    if fs.exists(batches_dir):
-        for st in fs.listStatus(batches_dir):
-            nm = st.getPath().getName()
-            # strict ASCII class, not \d: unicode digits pass \d and then
-            # int() mis-parses them into a REAL batch id, silently marking
-            # an uncommitted batch committed (the _committed_version lesson)
-            if _re.fullmatch(r"[0-9]+", nm):
-                committed.add(int(nm))
     cur = spark.read.parquet(path)
     files_before = len(cur.inputFiles())
     folded = cur.filter(

@@ -3242,3 +3242,128 @@ def test_phrase_tokenization_and_empty_phrase_edges(spark):
     )
     assert empty.schema["doc_id"].dataType.simpleString() == "string"
     assert empty.count() == 0
+
+
+def test_uncommitted_batch_invisible_to_readers(spark, tmp_path):
+    """ADVICE r10: a batch that crashed AFTER its data/_stats write but
+    BEFORE its _batches marker must be invisible to every read path —
+    read_postings, read_term_stats, phrase answers, and the IVF probe —
+    not just to compaction. Redelivering the batch then makes it visible
+    exactly once."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "pidx")
+    index_ops10.write_index(
+        index_ops10.positional_index(docs, "doc_id", "text"), path,
+        term_buckets=8,
+    )
+    crash = spark.createDataFrame(
+        [(3, "alpha beta gamma")], "doc_id long, text string"
+    )
+    index_ops10.index_append_batch(
+        crash, 1, index_path=path, id_col="doc_id", text_col="text",
+        term_buckets=8,
+    )
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath(f"{path}/_batches/1"), True)
+
+    # postings read: doc 3's rows exist on disk but must not be served
+    idx = index_ops10.read_postings(
+        spark, path, ["alpha", "beta", "gamma"], term_buckets=8
+    )
+    assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == {1, 2}
+    # stats read: the crashed batch's increments must not inflate counts
+    assert index_ops10.read_term_stats(spark, path, ["alpha"]) == {"alpha": 2}
+    # phrase answer through the committed view
+    hits = index_ops10.phrase_search(idx, "alpha beta gamma").collect()
+    assert [(r["doc_id"], r["n_matches"]) for r in hits] == [(1, 1)]
+    # redelivery commits the batch; all readers now see it
+    index_ops10.index_append_batch(
+        crash, 1, index_path=path, id_col="doc_id", text_col="text",
+        term_buckets=8,
+    )
+    idx2 = index_ops10.read_postings(
+        spark, path, ["alpha", "beta", "gamma"], term_buckets=8
+    )
+    assert {r["doc_id"] for r in idx2.select("doc_id").distinct().collect()} == {1, 2, 3}
+    assert index_ops10.read_term_stats(spark, path, ["alpha"]) == {"alpha": 3}
+
+
+def test_ivf_probe_skips_uncommitted_batch(spark, tmp_path):
+    """IVF twin of the committed-read contract: probe_ivf_index must not
+    serve codes from a crash-window batch (duplicated rows would double
+    ADC partial sums on redelivery)."""
+    from syntenybrowserv2_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(300).localCheckpoint(eager=True)
+    cells = sim.kmeans_centroids(emb, k=4, iters=2).localCheckpoint(eager=True)
+    cb = sim.pq_codebooks(emb, 4, 4, 2, dim=64).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivf")
+    seed = emb.filter(F.col("vec_id") < 200)
+    sim.write_ivf_index(
+        sim.assign_centroids(seed, cells), sim.pq_encode(seed, cb, 4, dim=64),
+        path,
+    )
+    b1 = emb.filter(F.col("vec_id") >= 200)
+    sim.ivf_index_append_batch(
+        b1, 1, index_path=path, cells=cells, codebooks=cb, dim=64
+    )
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath(f"{path}/_batches/1"), True)
+    all_cells = list(range(4))
+    served = {
+        r["vec_id"]
+        for r in sim.probe_ivf_index(spark, path, all_cells)
+        .select("vec_id").distinct().collect()
+    }
+    assert served and max(served) < 200  # crash batch invisible
+    sim.ivf_index_append_batch(
+        b1, 1, index_path=path, cells=cells, codebooks=cb, dim=64
+    )
+    served2 = {
+        r["vec_id"]
+        for r in sim.probe_ivf_index(spark, path, all_cells)
+        .select("vec_id").distinct().collect()
+    }
+    assert max(served2) >= 200  # visible exactly after commit
+
+
+def test_stats_base_build_parallel_write(spark, tmp_path):
+    """VERDICT r10 weak #1: the whole-vocabulary _stats write (base build /
+    compaction) must fan out across multiple files — never a coalesce(1)
+    single task — while per-batch appends stay one small file. Readers
+    aggregate across files, so counts are unchanged."""
+    import glob as _glob
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "pidx")
+    index_ops10.write_index(
+        index_ops10.positional_index(docs, "doc_id", "text"), path,
+        term_buckets=8,
+    )
+    base_files = _glob.glob(f"{path}/_stats/__ib=0/*.parquet")
+    assert len(base_files) > 1, "base-build stats funneled through one task"
+    b = spark.createDataFrame(
+        [(99_999, "alpha beta")], "doc_id long, text string"
+    )
+    index_ops10.index_append_batch(
+        b, 1, index_path=path, id_col="doc_id", text_col="text", term_buckets=8
+    )
+    batch_files = _glob.glob(f"{path}/_stats/__ib=1/*.parquet")
+    assert len(batch_files) == 1, "per-batch stats should stay one file"
+    # read side unchanged: sidecar equals a recount of committed postings
+    stats = index_ops10.read_term_stats(spark, path)
+    recount = {
+        r["term"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert stats == recount
