@@ -158,10 +158,10 @@ def read_term_stats(
     come if the stream is abandoned); filtering ``__ib`` to marked ids
     makes uncommitted sidecar rows invisible, exactly as ``index_compact``
     drops them."""
-    from ..sources.io import committed_batch_ids
+    from ..sources.io import committed_ib_predicate
 
     st = spark.read.parquet(f"{path}/_stats").filter(
-        F.col("__ib").isin(sorted(committed_batch_ids(spark, path)))
+        committed_ib_predicate(spark, path)
     )
     if terms is not None:
         st = st.filter(F.col("term").isin(list(set(terms))))
@@ -204,9 +204,11 @@ def index_append_batch(
     spark = new_docs.sparkSession
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     fs = hpath(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    from ..sources.io import batch_is_committed
+
     marker_p = hpath(f"{index_path}/_batches/{batch_id}")
-    if fs.exists(marker_p):
-        return  # fully-committed batch redelivered: skip
+    if batch_is_committed(spark, index_path, batch_id):
+        return  # fully-committed batch redelivered (marker or watermark)
     postings = positional_index(new_docs, id_col, text_col)
     (
         postings.withColumn(
@@ -369,10 +371,10 @@ def read_postings(
     so n_matches can never count a half-written batch's rows."""
     import functools
 
-    from ..sources.io import committed_batch_ids
+    from ..sources.io import committed_ib_predicate
 
     idx = spark.read.parquet(path).filter(
-        F.col("__ib").isin(sorted(committed_batch_ids(spark, path)))
+        committed_ib_predicate(spark, path)
     )
     # bucket pruning: xxhash64 isn't computable driver-side, so the bucket
     # ids are expressed as foldable Spark expressions (xxhash64 over a

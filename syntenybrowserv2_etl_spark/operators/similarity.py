@@ -808,9 +808,11 @@ def ivf_index_append_batch(
     spark = new_vectors.sparkSession
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     fs = hpath(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    from ..sources.io import batch_is_committed
+
     marker_p = hpath(f"{index_path}/_batches/{batch_id}")
-    if fs.exists(marker_p):
-        return  # fully-committed batch redelivered: skip
+    if batch_is_committed(spark, index_path, batch_id):
+        return  # fully-committed batch redelivered (marker or watermark)
     assigned = assign_centroids(
         new_vectors, cells, id_col=id_col, vec_col=vec_col
     )
@@ -839,14 +841,12 @@ def probe_ivf_index(spark, path: str, cell_ids: list[int]) -> DataFrame:
     stay invisible until redelivery, or their duplicate rows would double
     ADC partial sums). ``__ib`` is dropped after the filter; it's a
     write-side idempotency coordinate, not data."""
-    from ..sources.io import committed_batch_ids
+    from ..sources.io import committed_ib_predicate
 
     return (
         spark.read.parquet(path)
         .filter(F.col("centroid_id").isin([int(c) for c in cell_ids]))
-        .filter(
-            F.col("__ib").isin(sorted(committed_batch_ids(spark, path, base_ib=-1)))
-        )
+        .filter(committed_ib_predicate(spark, path, base_ib=-1))
         .drop("__ib")
     )
 

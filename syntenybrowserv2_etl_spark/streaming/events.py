@@ -366,8 +366,8 @@ def bloom_ingest_batch(
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     marker_p = hpath(f"{out_path}/_batches/{batch_id}")
     fs = marker_p.getFileSystem(conf)
-    if fs.exists(marker_p):
-        return  # fully-committed batch redelivered: skip
+    if sio.batch_is_committed(spark, out_path, batch_id):
+        return  # fully-committed batch redelivered (marker or watermark)
 
     key, key2 = dd.bloom_hash_pair(text_col)
     b = batch_df.withColumn("__h1", key).withColumn("__h2", key2)
@@ -646,10 +646,15 @@ def scd2_apply_batch(
     spark = batch_df.sparkSession
     conf = spark._jsc.hadoopConfiguration()
     hpath = spark._jvm.org.apache.hadoop.fs.Path
+    from ..sources.io import batch_is_committed
+
     marker_p = hpath(f"{hist_path}/_batches/{batch_id}")
     fs = marker_p.getFileSystem(conf)
-    if fs.exists(marker_p):
-        return  # fully-committed batch redelivered: skip
+    if batch_is_committed(spark, hist_path, batch_id):
+        # fully-committed batch redelivered (marker or watermark): skip —
+        # and reap a snapshot leaked between marker and snapshot delete
+        fs.delete(hpath(f"{hist_path}/_pre/{batch_id}"), True)
+        return
     batch_df = batch_df.localCheckpoint(eager=True)
     kb = _kb_expr(batch_df, key_col, n_open_buckets)
     touched = [
@@ -686,70 +691,112 @@ def scd2_apply_batch(
         if fs.exists(open_p)
         else set()
     )
-    read_buckets = [b for b in touched if b in existing]
-    if read_buckets:
-        raw = spark.read.option("basePath", f"{hist_path}/open").parquet(
-            *[f"{hist_path}/open/__kb={b}" for b in read_buckets]
-        )
-        # Replay-after-crash detection: open rows carry the batch id that
-        # last rewrote them (__b). The write order is closed → open →
-        # marker, and every touched bucket necessarily receives batch
-        # open rows (each batch key's last change leaves an open row), so
-        # __b == batch_id in a bucket means that bucket's open rewrite
-        # committed — and the closed write (which completes before the
-        # open job starts) committed fully. Dynamic partition overwrite
-        # is NOT atomic across partitions, so a crash mid job-commit can
-        # leave SOME touched buckets rewritten and others stale; treating
-        # any-bucket-committed as done would freeze the stale buckets'
-        # pre-state open rows next to their already-written closed
-        # intervals forever. Per-bucket resolution instead: committed
-        # buckets are final, stale buckets get the merge re-run from
-        # their (unchanged) pre-state restricted to their keys — the
-        # inputs are identical to the first attempt's, so the rewrite is
-        # deterministic and the closed partition needs no touch-up.
-        committed = {
-            r["__kb"]
-            for r in raw.filter(F.col("__b") == batch_id)
-            .select("__kb")
-            .distinct()
-            .collect()
-        }
-        if committed:
-            stale = [b for b in touched if b not in committed]
-            if stale:
-                snapshot = raw.filter(F.col("__kb").isin(stale)).drop(
-                    "__kb", "__b"
-                )
-                redo = scd_ops.apply_scd2(
-                    snapshot,
-                    batch_df.filter(kb.isin(stale)),
-                    key_col,
-                    attr_col,
-                    ts_col,
-                    ord_col,
-                ).localCheckpoint(eager=True)
-                write_open(redo)
-            fs.mkdirs(marker_p)
-            return
-        snapshot = raw.drop("__kb", "__b")
-    else:
-        # empty history: the snapshot's key/attr types must match the
-        # batch's (string dimension keys are legal), only the interval
-        # bounds are fixed epoch-µs
+    # --- pre-state snapshot (ADVICE r10, the merge-sink discipline) ---
+    # Dynamic partition overwrite commits each bucket by delete-then-
+    # rename; a crash inside one bucket's commit can erase (or tear) that
+    # bucket's pre-state while the new file is still in staging, so the
+    # live open/ tree is NOT a trustworthy pre-state for replay. Touched
+    # buckets are copied to _pre/<batch_id> BEFORE any overwrite
+    # (__snapdone written last certifies completeness — the overwrite only
+    # starts after it exists); replay re-merges stale buckets from the
+    # snapshot's immutable pre-state. O(touched) copy, same order as the
+    # open-bucket read the merge performs anyway.
+    pre_dir = f"{hist_path}/_pre/{batch_id}"
+    snap_done = hpath(f"{pre_dir}/__snapdone")
+    futil = spark._jvm.org.apache.hadoop.fs.FileUtil
+    if not fs.exists(snap_done):
+        fs.delete(hpath(pre_dir), True)
+        fs.mkdirs(hpath(pre_dir))
+        for b in sorted(set(touched) & existing):
+            futil.copy(
+                fs,
+                hpath(f"{hist_path}/open/__kb={b}"),
+                fs,
+                hpath(f"{pre_dir}/__kb={b}"),
+                False,
+                conf,
+            )
+        fs.mkdirs(snap_done)
+    snap_buckets = {
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.globStatus(hpath(f"{pre_dir}/__kb=*"))
+    }
+
+    def empty_snapshot() -> DataFrame:
+        # the snapshot's key/attr types must match the batch's (string
+        # dimension keys are legal), only the interval bounds are fixed
+        # epoch-µs
         fields = {f.name: f.dataType.simpleString() for f in batch_df.schema}
-        snapshot = spark.createDataFrame(
+        return spark.createDataFrame(
             [],
             f"{key_col} {fields[key_col]}, {attr_col} {fields[attr_col]}, "
             "valid_from_us bigint, valid_to_us bigint",
         )
+
+    def snap_pre(buckets: list[int]) -> DataFrame:
+        paths = [f"{pre_dir}/__kb={b}" for b in buckets if b in snap_buckets]
+        if not paths:
+            return empty_snapshot()
+        return (
+            spark.read.option("basePath", pre_dir)
+            .parquet(*paths)
+            .drop("__kb", "__b")
+        )
+
+    # Replay-after-crash detection (an OPTIMIZATION — correctness never
+    # depends on the live tree): open rows carry the batch id that last
+    # rewrote them (__b). The write order is closed → open → marker, and
+    # every touched bucket necessarily receives batch open rows (each
+    # batch key's last change leaves an open row), so __b == batch_id in
+    # a bucket means that bucket's open rewrite committed — and the
+    # closed write (which completes before the open job starts) committed
+    # fully. A torn bucket can make the detection read fail; every bucket
+    # is then treated as stale — the always-correct fallback, since the
+    # snapshot re-merge is deterministic.
+    committed: set[int] = set()
+    read_buckets = [b for b in touched if b in existing]
+    if read_buckets:
+        try:
+            committed = {
+                r["__kb"]
+                for r in spark.read.option("basePath", f"{hist_path}/open")
+                .parquet(*[f"{hist_path}/open/__kb={b}" for b in read_buckets])
+                .filter(F.col("__b") == batch_id)
+                .select("__kb")
+                .distinct()
+                .collect()
+            }
+        except Exception:
+            committed = set()
+    if committed:
+        # the closed partition committed with the first attempt; only the
+        # stale buckets' open rows need the merge re-run, from the
+        # snapshot's pre-state restricted to their keys — inputs
+        # identical to the first attempt's, so the rewrite is
+        # deterministic and the closed partition needs no touch-up
+        stale = [b for b in touched if b not in committed]
+        if stale:
+            redo = scd_ops.apply_scd2(
+                snap_pre(stale),
+                batch_df.filter(kb.isin(stale)),
+                key_col,
+                attr_col,
+                ts_col,
+                ord_col,
+            ).localCheckpoint(eager=True)
+            write_open(redo)
+        fs.mkdirs(marker_p)
+        fs.delete(hpath(pre_dir), True)
+        return
     merged = scd_ops.apply_scd2(
-        snapshot, batch_df, key_col, attr_col, ts_col, ord_col
+        snap_pre(sorted(touched)), batch_df, key_col, attr_col, ts_col, ord_col
     ).localCheckpoint(eager=True)
     merged.filter(F.col("valid_to_us").isNotNull()).write.mode(
         "overwrite"
     ).parquet(f"{hist_path}/closed/__ingest_batch={batch_id}")
     write_open(merged)
     fs.mkdirs(marker_p)
+    fs.delete(hpath(pre_dir), True)
 
 
 def scd2_apply_stream(
@@ -1058,10 +1105,15 @@ def rollup_maintain_batch(
     batches directly). Contracts documented there."""
     spark = batch_df.sparkSession
     hpath = spark._jvm.org.apache.hadoop.fs.Path
+    from ..sources.io import batch_is_committed
+
     marker_p = hpath(f"{path}/_batches/{batch_id}")
     fs = marker_p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(marker_p):
-        return  # fully-committed batch redelivered: skip
+    if batch_is_committed(spark, path, batch_id):
+        # fully-committed batch redelivered (marker or watermark): skip —
+        # and reap a snapshot leaked between marker and snapshot delete
+        fs.delete(hpath(f"{path}/_pre/{batch_id}"), True)
+        return
     part = (
         batch_df.groupBy(
             F.col(series_col).alias("series"),
@@ -1114,45 +1166,82 @@ def rollup_maintain_batch(
         if fs.exists(grid_p)
         else set()
     )
+    # --- pre-state snapshot (ADVICE r10, the merge-sink discipline) ---
+    # Doubly critical here: the aggregate merge is NOT idempotent, and a
+    # day-partition whose directory vanished mid delete-then-rename would
+    # re-merge from the batch partials alone — every prior batch's counts
+    # in that day silently gone. Touched day-partitions are copied to
+    # _pre/<batch_id> before any overwrite (__snapdone certifies
+    # completeness); replay re-merges stale partitions from the snapshot.
+    pre_dir = f"{path}/_pre/{batch_id}"
+    snap_done = hpath(f"{pre_dir}/__snapdone")
+    futil = spark._jvm.org.apache.hadoop.fs.FileUtil
+    conf = spark._jsc.hadoopConfiguration()
+    if not fs.exists(snap_done):
+        fs.delete(hpath(pre_dir), True)
+        fs.mkdirs(hpath(pre_dir))
+        for p in sorted(set(touched) & existing):
+            futil.copy(
+                fs,
+                hpath(f"{path}/grid/__pd={p}"),
+                fs,
+                hpath(f"{pre_dir}/__pd={p}"),
+                False,
+                conf,
+            )
+        fs.mkdirs(snap_done)
+    snap_parts = {
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.globStatus(hpath(f"{pre_dir}/__pd=*"))
+    }
+
+    def snap_pre(parts: list[int]) -> DataFrame:
+        paths = [f"{pre_dir}/__pd={p}" for p in parts if p in snap_parts]
+        if not paths:
+            # empty grid with the batch's own types (series_col may be
+            # any groupable type — the scd2_apply string-key lesson)
+            return part.select(
+                "series", "bucket_us", "n_events", "sum_value"
+            ).limit(0)
+        return (
+            spark.read.option("basePath", pre_dir)
+            .parquet(*paths)
+            .drop("__pd", "__b")
+        )
+
+    # the scd2_apply_batch replay discipline, aggregate-flavored: grid
+    # rows carry the last writer's batch id and replay resolves PER
+    # PARTITION — committed day-partitions are final, stale ones re-merge
+    # from the SNAPSHOT's pre-state (never the possibly-torn live dirs).
+    # Detection is an optimization; a failed read treats every partition
+    # as stale, which the snapshot makes always-correct.
+    committed: set[int] = set()
     read_parts = [p for p in touched if p in existing]
     if read_parts:
-        raw = spark.read.option("basePath", f"{path}/grid").parquet(
-            *[f"{path}/grid/__pd={p}" for p in read_parts]
-        )
-        # the scd2_apply_batch replay discipline, aggregate-flavored: an
-        # aggregate merge is NOT idempotent (replaying a batch would
-        # double-count), so grid rows carry the last writer's batch id
-        # and replay resolves PER PARTITION — committed day-partitions
-        # are final, stale ones re-merge from their unchanged pre-state.
-        committed = {
-            r["__pd"]
-            for r in raw.filter(F.col("__b") == batch_id)
-            .select("__pd")
-            .distinct()
-            .collect()
-        }
-        if committed:
-            stale = [p for p in touched if p not in committed]
-            if stale:
-                write_grid(
-                    merge(
-                        raw.filter(F.col("__pd").isin(stale)).drop(
-                            "__pd", "__b"
-                        ),
-                        part.filter(F.col("__pd").isin(stale)),
-                    )
-                )
-            fs.mkdirs(marker_p)
-            return
-        stored = raw.drop("__pd", "__b")
-    else:
-        # empty grid with the batch's own types (series_col may be any
-        # groupable type — the scd2_apply string-key lesson)
-        stored = part.select(
-            "series", "bucket_us", "n_events", "sum_value"
-        ).limit(0)
-    write_grid(merge(stored, part))
+        try:
+            committed = {
+                r["__pd"]
+                for r in spark.read.option("basePath", f"{path}/grid")
+                .parquet(*[f"{path}/grid/__pd={p}" for p in read_parts])
+                .filter(F.col("__b") == batch_id)
+                .select("__pd")
+                .distinct()
+                .collect()
+            }
+        except Exception:
+            committed = set()
+    if committed:
+        stale = [p for p in touched if p not in committed]
+        if stale:
+            write_grid(
+                merge(snap_pre(stale), part.filter(F.col("__pd").isin(stale)))
+            )
+        fs.mkdirs(marker_p)
+        fs.delete(hpath(pre_dir), True)
+        return
+    write_grid(merge(snap_pre(sorted(touched)), part))
     fs.mkdirs(marker_p)
+    fs.delete(hpath(pre_dir), True)
 
 
 def rollup_maintain_stream(
@@ -1375,8 +1464,10 @@ def heavy_hitters_fold_batch(
     spark = batch_df.sparkSession
     vstar, fs, hp = _committed_version(spark, state_path, "summary")
     marker_p = hp(f"{state_path}/_batches/{batch_id}")
-    if fs.exists(marker_p):
-        return
+    from ..sources.io import batch_is_committed as _bic
+
+    if _bic(spark, state_path, batch_id):
+        return  # committed (explicit marker or pruned watermark)
     items = batch_df.select(
         F.col(item_col).cast("string").alias("item")
     ).filter(F.col("item").isNotNull())
@@ -1534,8 +1625,10 @@ def distinct_counts_fold_batch(
     spark = batch_df.sparkSession
     vstar, fs, hp = _committed_version(spark, state_path, "sketches")
     marker_p = hp(f"{state_path}/_batches/{batch_id}")
-    if fs.exists(marker_p):
-        return
+    from ..sources.io import batch_is_committed as _bic
+
+    if _bic(spark, state_path, batch_id):
+        return  # committed (explicit marker or pruned watermark)
     batch_sk = batch_df.groupBy(
         F.col(group_col).alias("grp")
     ).agg(F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sk"))
@@ -1593,8 +1686,10 @@ def histogram_fold_batch(
     spark = batch_df.sparkSession
     vstar, fs, hp = _committed_version(spark, state_path, "hist")
     marker_p = hp(f"{state_path}/_batches/{batch_id}")
-    if fs.exists(marker_p):
-        return
+    from ..sources.io import batch_is_committed as _bic
+
+    if _bic(spark, state_path, batch_id):
+        return  # committed (explicit marker or pruned watermark)
     batch_h = batch_df.groupBy(
         F.col(group_col).alias("grp"),
         F.floor(F.col(value_col) / F.lit(bin_width)).alias("bin"),
@@ -1714,8 +1809,10 @@ def cusum_fold_batch(
     spark = batch_df.sparkSession
     vstar, fs, hp = _committed_version(spark, state_path, "cusum")
     marker_p = hp(f"{state_path}/_batches/{batch_id}")
-    if fs.exists(marker_p):
-        return
+    from ..sources.io import batch_is_committed as _bic
+
+    if _bic(spark, state_path, batch_id):
+        return  # committed (explicit marker or pruned watermark)
     if vstar is not None:
         state = spark.read.parquet(f"{state_path}/cusum/__v={vstar}")
     else:

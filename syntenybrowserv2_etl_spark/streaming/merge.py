@@ -24,18 +24,28 @@ proportional to the batch's key spread, flat in table size (SCALE.md
 merge-upsert curve). Size ``n_buckets`` for the TARGET key cardinality —
 a few hundred MB of current rows per bucket.
 
-Idempotency (the scd2_apply crash-window discipline): every written row
-carries ``__b`` = the batch id that last rewrote its bucket; a
-``_batches/<id>`` marker (written last) records full commit. A
+Idempotency (the scd2_apply crash-window discipline, hardened round 11):
+every written row carries ``__b`` = the batch id that last rewrote its
+bucket; a ``_batches/<id>`` marker (written last) records full commit. A
 redelivered committed batch is skipped outright. Dynamic partition
-overwrite is NOT atomic across partitions, so a crash mid job-commit can
-leave SOME touched buckets rewritten (``__b == batch_id``) and others at
-their pre-state; the replay resolves PER BUCKET — committed buckets are
-final, stale buckets re-run the merge from their (unchanged) pre-state
-restricted to their keys, a deterministic function of the same inputs
-the first attempt saw. Every touched bucket necessarily receives rows
-(each batch key leaves a surviving row in its bucket), so ``__b ==
-batch_id`` present ⟺ that bucket's rewrite committed.
+overwrite is NOT atomic across partitions — worse (ADVICE r10), each
+partition commits by delete-then-rename, so a crash INSIDE one bucket's
+commit can erase that bucket's pre-state entirely (directory gone, new
+file still in staging) or leave it torn (partial delete). The live table
+is therefore NOT a trustworthy pre-state for replay. Before any
+overwrite, the batch SNAPSHOTS every touched bucket's pre-state to
+``_pre/<batch_id>/__kb=<b>`` (plus a ``__snapdone`` completion marker
+written last — a partial snapshot without it is discarded and retaken,
+which is safe because the overwrite only ever starts after ``__snapdone``
+exists). Replay then resolves PER BUCKET — buckets carrying
+``__b == batch_id`` committed and are final; every other touched bucket
+re-runs the merge from the SNAPSHOT's immutable pre-state (never the
+possibly-torn live directory), a deterministic function of the same
+inputs the first attempt saw. Every touched bucket necessarily receives
+rows (each batch key leaves a surviving row in its bucket), so ``__b ==
+batch_id`` present ⟺ that bucket's rewrite committed. The snapshot is
+deleted after the commit marker lands; per-batch overhead is one copy of
+the touched buckets — O(touched), same order as the merge read itself.
 
 Ordering contract: batches apply in delivery order; rows of equal
 ``arrival_col`` resolve to the later-applied batch (and within one
@@ -150,9 +160,15 @@ def merge_upsert_batch(
     spark = batch_df.sparkSession
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     fs = hpath(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    from ..sources.io import batch_is_committed
+
     marker_p = hpath(f"{table_path}/_batches/{batch_id}")
-    if fs.exists(marker_p):
-        return  # fully-committed batch redelivered: skip
+    if batch_is_committed(spark, table_path, batch_id):
+        # fully-committed batch redelivered (explicit marker OR pruned
+        # below the watermark): skip — and reap a pre-state snapshot
+        # leaked by a crash between marker and snapshot delete
+        fs.delete(hpath(f"{table_path}/_pre/{batch_id}"), True)
+        return
     _check_layout(
         spark,
         fs,
@@ -208,7 +224,7 @@ def merge_upsert_batch(
     # error must propagate and fail the batch for retry (the
     # upsert_stream_to_parquet probe contract). The glob is ONE listing
     # of the top-level dir (O(n_buckets) names, no per-file statuses) —
-    # and it lets the read below open ONLY the touched buckets' paths
+    # and it lets the reads below open ONLY the touched buckets' paths
     # (basePath keeps __kb as a partition column), so per-batch file
     # listing is O(touched buckets), never a full-table InMemoryFileIndex
     # walk (at 100 TB listing the untouched 99.99% costs more than
@@ -221,44 +237,80 @@ def merge_upsert_batch(
         if fs.exists(hpath(table_path))
         else set()
     )
-    read_buckets = [b for b in touched if b in existing]
-    if read_buckets:
-        raw = spark.read.option("basePath", table_path).parquet(
-            *[f"{table_path}/__kb={b}" for b in read_buckets]
-        )
-        committed = {
-            r["__kb"]
-            for r in raw.filter(F.col("__b") == batch_id)
-            .select("__kb")
-            .distinct()
-            .collect()
-        }
-        if committed:
-            # replay after a crash mid job-commit: finalize committed
-            # buckets, re-run the merge for the stale ones from their
-            # unchanged pre-state (per-bucket resolution — see module
-            # docstring)
-            stale = [b for b in touched if b not in committed]
-            if stale:
-                pre = (
-                    raw.filter(F.col("__kb").isin(stale))
-                    .drop(*_LAYOUT_COLS)
-                    .withColumn("__src", F.lit(0))
-                )
-                redo = lww(
-                    pre.unionByName(batch_src.filter(kb.isin(stale)))
-                ).localCheckpoint(eager=True)
-                write_buckets(redo)
-            fs.mkdirs(marker_p)
-            return
-        pre = raw.drop(*_LAYOUT_COLS).withColumn("__src", F.lit(0))
-        merged = lww(pre.unionByName(batch_src))
-    else:
-        merged = lww(batch_src)
-    # stage-then-swap: never read and overwrite the same files in-flight
-    merged = merged.localCheckpoint(eager=True)
-    write_buckets(merged)
+    # --- pre-state snapshot (module docstring, ADVICE r10) ---
+    # The live table stops being a trustworthy pre-state the moment the
+    # dynamic overwrite's per-bucket delete-then-rename starts, so the
+    # touched buckets are copied aside FIRST; __snapdone (written last)
+    # certifies the snapshot complete. A replay that finds no __snapdone
+    # knows the overwrite never started — live pre-state is intact — and
+    # retakes the snapshot from it; a replay that finds __snapdone trusts
+    # ONLY the snapshot for stale buckets.
+    pre_dir = f"{table_path}/_pre/{batch_id}"
+    snap_done = hpath(f"{pre_dir}/__snapdone")
+    futil = spark._jvm.org.apache.hadoop.fs.FileUtil
+    conf = spark._jsc.hadoopConfiguration()
+    if not fs.exists(snap_done):
+        fs.delete(hpath(pre_dir), True)
+        fs.mkdirs(hpath(pre_dir))
+        for b in sorted(set(touched) & existing):
+            futil.copy(
+                fs,
+                hpath(f"{table_path}/__kb={b}"),
+                fs,
+                hpath(f"{pre_dir}/__kb={b}"),
+                False,
+                conf,
+            )
+        fs.mkdirs(snap_done)
+    snap_buckets = {
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.globStatus(hpath(f"{pre_dir}/__kb=*"))
+    }
+    # Committed-bucket detection (__b provenance) is an OPTIMIZATION so a
+    # fully-committed batch that merely lost its marker restores the
+    # marker without rewriting anything. It reads the live touched
+    # buckets; a torn bucket can make that read fail, in which case every
+    # bucket is treated as stale — the always-correct fallback, since the
+    # snapshot re-merge is deterministic.
+    committed: set[int] = set()
+    read_live = sorted(set(touched) & existing)
+    if read_live:
+        try:
+            committed = {
+                r["__kb"]
+                for r in spark.read.option("basePath", table_path)
+                .parquet(*[f"{table_path}/__kb={b}" for b in read_live])
+                .filter(F.col("__b") == batch_id)
+                .select("__kb")
+                .distinct()
+                .collect()
+            }
+        except Exception:
+            committed = set()
+    stale = [b for b in touched if b not in committed]
+    if stale:
+        pre_paths = [
+            f"{pre_dir}/__kb={b}" for b in stale if b in snap_buckets
+        ]
+        if pre_paths:
+            pre = (
+                spark.read.option("basePath", pre_dir)
+                .parquet(*pre_paths)
+                .drop(*_LAYOUT_COLS)
+                .withColumn("__src", F.lit(0))
+            )
+            merged = lww(
+                pre.unionByName(batch_src.filter(kb.isin(stale)))
+            )
+        else:
+            merged = lww(batch_src.filter(kb.isin(stale)))
+        # stage-then-swap: never read and overwrite the same files
+        # in-flight (the snapshot read makes this safe by construction,
+        # but the committed-detection read above still holds live paths)
+        merged = merged.localCheckpoint(eager=True)
+        write_buckets(merged)
     fs.mkdirs(marker_p)
+    fs.delete(hpath(pre_dir), True)
 
 
 def merge_upsert_stream(
@@ -406,6 +458,16 @@ def merge_rebucket(
         )
     key_cols = layout["key_cols"]
     old_n = layout["n_buckets"]
+    # the marker set must be carriable BEFORE anything is moved (ADVICE
+    # r10): discovering it missing after the promote would leave a live
+    # table without idempotency protection
+    if not fs.exists(hpath(f"{table_path}/_batches")):
+        raise IOError(
+            f"merge_rebucket: {table_path}/_batches is missing — cannot "
+            "carry the committed-batch marker set into the new layout "
+            "(a redelivered pre-rebucket batch would re-apply); restore "
+            "the marker dir before rebucketing"
+        )
     staging = table_path + "__staging"
     old = table_path + "__old"
     fs.delete(hpath(staging), True)
@@ -437,7 +499,23 @@ def merge_rebucket(
             f"merge_rebucket: could not promote staging for {table_path}"
         )
     # carry the committed-batch markers into the new layout (idempotency
-    # must survive the rescale; staging was written without them)
-    fs.rename(hpath(f"{old}/_batches"), hpath(f"{table_path}/_batches"))
+    # must survive the rescale; staging was written without them). The
+    # rename is CHECKED (ADVICE r10): silently losing the marker set
+    # would let a redelivered pre-rebucket batch re-apply instead of
+    # being skipped. On failure the swap is ROLLED BACK — the new layout
+    # without markers must never go live.
+    if not fs.rename(
+        hpath(f"{old}/_batches"), hpath(f"{table_path}/_batches")
+    ):
+        fs.delete(hpath(table_path), True)
+        if not fs.rename(hpath(old), hpath(table_path)):
+            raise IOError(
+                f"merge_rebucket: marker carry AND rollback failed; the "
+                f"pre-rebucket table is at {old}"
+            )
+        raise IOError(
+            f"merge_rebucket: could not move {old}/_batches into the new "
+            "layout; the swap was rolled back (pre-rebucket table live)"
+        )
     fs.delete(hpath(old), True)
     return old_n, new_n_buckets

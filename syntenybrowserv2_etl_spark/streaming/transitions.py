@@ -72,8 +72,10 @@ def transitions_fold_batch(
     last_path = f"{state_path}/last"
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     fs = hpath(state_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(hpath(f"{last_path}/_batches/{batch_id}")):
-        return  # overall commit marker (merge runs last): fully done
+    from ..sources.io import batch_is_committed as _bic
+
+    if _bic(spark, last_path, batch_id):
+        return  # overall commit (explicit marker or pruned watermark)
     batch_df = batch_df.localCheckpoint(eager=True)
 
     vstar, _, _ = _committed_version(spark, state_path, "grid")

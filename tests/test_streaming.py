@@ -2033,3 +2033,242 @@ def test_cusum_fold_rejects_out_of_order_batch(spark, tmp_path_factory):
         for r in spark.read.parquet(f"{state}/detections").collect()
     }
     assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_merge_upsert_replay_after_bucket_vanishes_mid_commit(
+    spark, tmp_path_factory
+):
+    """ADVICE r10 (the closed window): dynamic partition overwrite commits
+    each bucket by delete-then-rename, so a crash inside one bucket's
+    commit can erase the bucket's PRE-STATE entirely while the new file is
+    still in staging. The old replay treated a vanished bucket as new and
+    merged from batch rows only — silently and permanently losing every
+    non-batch key in that bucket. With the _pre/<batch_id> snapshot, the
+    replay restores the vanished bucket's pre-state from the snapshot, so
+    the untouched keys survive."""
+    tmp = str(tmp_path_factory.mktemp("merge_vanish"))
+    tbl = os.path.join(tmp, "tbl")
+    schema = "k bigint, v string, arrival bigint"
+    mk = lambda sl: spark.createDataFrame(sl, schema)
+    cfg = dict(table_path=tbl, key_cols=["k"], arrival_col="arrival")
+    # seed enough keys that at least one bucket holds >= 2 keys
+    merge_ops.merge_upsert_batch(
+        mk([(k, f"v{k}", 10) for k in range(40)]), 0, **cfg
+    )
+    kb = {
+        r["k"]: r["__kb"]
+        for r in spark.read.parquet(tbl).select("k", "__kb").collect()
+    }
+    by_bucket: dict[int, list[int]] = {}
+    for k, b in kb.items():
+        by_bucket.setdefault(b, []).append(k)
+    shared = next(ks for ks in by_bucket.values() if len(ks) >= 2)
+    upd, bystander = shared[0], shared[1]  # same bucket; batch touches upd only
+    # preserve the pre-batch state of the doomed bucket for the snapshot
+    b_dir = os.path.join(tbl, f"__kb={kb[upd]}")
+    pre_copy = os.path.join(tmp, "pre_copy")
+    shutil.copytree(b_dir, pre_copy)
+
+    merge_ops.merge_upsert_batch(mk([(upd, "UPDATED", 20)]), 1, **cfg)
+    want = {tuple(r) for r in merge_ops.merge_read(spark, tbl).collect()}
+    assert (upd, "UPDATED", 20) in want and (bystander, f"v{bystander}", 10) in want
+
+    # reconstruct the crash state: marker lost, snapshot present-and-done
+    # (the overwrite only starts after __snapdone), touched bucket VANISHED
+    shutil.rmtree(os.path.join(tbl, "_batches", "1"))
+    shutil.rmtree(b_dir)
+    pre_dir = os.path.join(tbl, "_pre", "1")
+    os.makedirs(pre_dir, exist_ok=True)
+    shutil.copytree(pre_copy, os.path.join(pre_dir, f"__kb={kb[upd]}"))
+    os.makedirs(os.path.join(pre_dir, "__snapdone"), exist_ok=True)
+
+    merge_ops.merge_upsert_batch(mk([(upd, "UPDATED", 20)]), 1, **cfg)
+    got = {tuple(r) for r in merge_ops.merge_read(spark, tbl).collect()}
+    assert got == want  # bystander key restored, not lost
+    assert os.path.isdir(os.path.join(tbl, "_batches", "1"))
+    assert not os.path.exists(pre_dir)  # snapshot reaped after commit
+
+
+def test_merge_rebucket_checked_marker_carry(spark, tmp_path_factory):
+    """ADVICE r10: merge_rebucket must verify the _batches marker set
+    reaches the new layout — a silent rename failure would let a
+    redelivered pre-rebucket batch re-apply. Simulate by removing the
+    marker dir mid-flight via a table whose _batches was deleted."""
+    tmp = str(tmp_path_factory.mktemp("merge_rbchk"))
+    tbl = os.path.join(tmp, "tbl")
+    mk = lambda sl: spark.createDataFrame(sl, "k bigint, v string, arrival bigint")
+    cfg = dict(table_path=tbl, key_cols=["k"], arrival_col="arrival", n_buckets=8)
+    merge_ops.merge_upsert_batch(mk([(1, "a", 10), (2, "b", 10)]), 0, **cfg)
+    want = {tuple(r) for r in merge_ops.merge_read(spark, tbl).collect()}
+    shutil.rmtree(os.path.join(tbl, "_batches"))
+    with pytest.raises(IOError, match="_batches is missing"):
+        merge_ops.merge_rebucket(spark, tbl, 16)
+    # the up-front check fires before anything moves: table untouched
+    got = {tuple(r) for r in merge_ops.merge_read(spark, tbl).collect()}
+    assert got == want
+
+
+def test_scd2_replay_after_bucket_vanishes_mid_commit(spark, tmp_path_factory):
+    """ADVICE r10 closed for the SCD2 sink: a crash inside one open
+    bucket's delete-then-rename can erase the bucket's pre-state while the
+    new file is still in staging. Replay must restore the vanished
+    bucket's open rows from the _pre/<batch_id> snapshot — a bystander key
+    sharing the bucket (integral keys: pmod layout, 1 and 65 share bucket
+    1 under 64) must keep its open row."""
+    import datetime as _dtm
+
+    base = _dtm.datetime(2024, 3, 1)
+    tmp = str(tmp_path_factory.mktemp("scd2_vanish"))
+    hist = os.path.join(tmp, "hist")
+    schema = "event_id bigint, ts timestamp, user_id bigint, k bigint"
+    mk = lambda rows: spark.createDataFrame(
+        [(e, base + _dtm.timedelta(minutes=m), u, k) for e, m, u, k in rows],
+        schema,
+    )
+    # users 1 and 65 → same bucket (pmod 64); batch 1 touches user 1 only
+    stream_ops.scd2_apply_batch(mk([(1, 0, 1, 5), (2, 0, 65, 6)]), 0, hist_path=hist)
+    b_dir = os.path.join(hist, "open", "__kb=1")
+    pre_copy = os.path.join(tmp, "pre_copy")
+    shutil.copytree(b_dir, pre_copy)
+    stream_ops.scd2_apply_batch(mk([(3, 10, 1, 7)]), 1, hist_path=hist)
+    want = {
+        tuple(r) for r in stream_ops.scd2_read_history(spark, hist).collect()
+    }
+    # crash state: marker lost, snapshot done, touched bucket VANISHED
+    shutil.rmtree(os.path.join(hist, "_batches", "1"))
+    shutil.rmtree(b_dir)
+    pre_dir = os.path.join(hist, "_pre", "1")
+    os.makedirs(pre_dir, exist_ok=True)
+    shutil.copytree(pre_copy, os.path.join(pre_dir, "__kb=1"))
+    os.makedirs(os.path.join(pre_dir, "__snapdone"), exist_ok=True)
+    stream_ops.scd2_apply_batch(mk([(3, 10, 1, 7)]), 1, hist_path=hist)
+    got = {
+        tuple(r) for r in stream_ops.scd2_read_history(spark, hist).collect()
+    }
+    assert got == want  # user 65's open row restored, user 1's history right
+    assert not os.path.exists(pre_dir)
+
+
+def test_rollup_replay_after_partition_vanishes_mid_commit(
+    spark, tmp_path_factory
+):
+    """ADVICE r10 closed for the rollup sink — the worst case, because the
+    aggregate merge is not idempotent: a day-partition vanished mid-commit
+    would re-merge from the batch partials alone, silently dropping every
+    prior batch's counts for that day. The snapshot restores them."""
+    import datetime as _dtm
+
+    d = _dtm.datetime(2024, 3, 1)
+    tmp = str(tmp_path_factory.mktemp("rollup_vanish"))
+    path = os.path.join(tmp, "roll")
+    schema = "event_type string, ts timestamp, value double"
+    mk = lambda rows: spark.createDataFrame(
+        [(s, d + _dtm.timedelta(minutes=m), v) for s, m, v in rows], schema
+    )
+    stream_ops.rollup_maintain_batch(
+        mk([("a", 0, 1.0), ("b", 0, 2.0)]), 0, path=path
+    )
+    pd_dirs = glob.glob(os.path.join(path, "grid", "__pd=*"))
+    assert len(pd_dirs) == 1
+    pre_copy = os.path.join(tmp, "pre_copy")
+    shutil.copytree(pd_dirs[0], pre_copy)
+    stream_ops.rollup_maintain_batch(mk([("a", 5, 10.0)]), 1, path=path)
+    want = {
+        (r["series"], r["bucket_us"], r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(os.path.join(path, "grid")).collect()
+    }
+    # crash state: marker lost, snapshot done, the day-partition VANISHED
+    shutil.rmtree(os.path.join(path, "_batches", "1"))
+    shutil.rmtree(pd_dirs[0])
+    pre_dir = os.path.join(path, "_pre", "1")
+    os.makedirs(pre_dir, exist_ok=True)
+    shutil.copytree(pre_copy, os.path.join(pre_dir, os.path.basename(pd_dirs[0])))
+    os.makedirs(os.path.join(pre_dir, "__snapdone"), exist_ok=True)
+    stream_ops.rollup_maintain_batch(mk([("a", 5, 10.0)]), 1, path=path)
+    got = {
+        (r["series"], r["bucket_us"], r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(os.path.join(path, "grid")).collect()
+    }
+    assert got == want  # series b's counts restored; a = batch0+batch1, not batch1 alone
+    assert not os.path.exists(pre_dir)
+
+
+def test_merge_marker_pruning_keeps_replay_semantics(spark, tmp_path_factory):
+    """VERDICT r10 missing #2: the merge sink's _batches markers must be
+    prunable to a watermark without losing idempotency — a redelivered
+    batch below the watermark is still skipped (pruned ⇒ committed by
+    construction), and only the contiguous committed prefix is covered."""
+    from syntenybrowserv2_etl_spark.sources import io as sio
+
+    tmp = str(tmp_path_factory.mktemp("merge_prune"))
+    tbl = os.path.join(tmp, "tbl")
+    mk = lambda sl: spark.createDataFrame(sl, "k bigint, v string, arrival bigint")
+    cfg = dict(table_path=tbl, key_cols=["k"], arrival_col="arrival")
+    for i in range(4):
+        merge_ops.merge_upsert_batch(mk([(1, f"v{i}", 10 + i)]), i, **cfg)
+    want = {tuple(r) for r in merge_ops.merge_read(spark, tbl).collect()}
+    assert want == {(1, "v3", 13)}
+
+    w = sio.prune_batch_markers(spark, tbl)
+    assert w == 3
+    names = sorted(os.listdir(os.path.join(tbl, "_batches")))
+    # watermark file + the highest marker survive; 0/1/2 pruned
+    assert names == ["3", "w3"]
+    # replay of a PRUNED batch: must be skipped (no marker, but <= w)
+    merge_ops.merge_upsert_batch(mk([(1, "v1", 11)]), 1, **cfg)
+    got = {tuple(r) for r in merge_ops.merge_read(spark, tbl).collect()}
+    assert got == want  # the stale redelivery changed nothing
+
+    # a crash-gap batch blocks the watermark: deliver 5 (skipping 4) —
+    # no, ids are sequential in practice; simulate the gap by writing
+    # marker 5 directly (4 crashed before its marker)
+    os.makedirs(os.path.join(tbl, "_batches", "5"))
+    w2 = sio.prune_batch_markers(spark, tbl)
+    assert w2 == 3  # cannot advance over missing 4
+    assert "5" in os.listdir(os.path.join(tbl, "_batches"))
+    # idempotent re-prune
+    assert sio.prune_batch_markers(spark, tbl) == 3
+
+
+def test_index_marker_pruning_and_committed_reads(spark, tmp_path_factory):
+    """Index-sink twin of the watermark contract: after pruning, (a) a
+    redelivered pruned batch is skipped, (b) committed reads still serve
+    every pruned batch's postings (watermark range replaces the explicit
+    marker list in the __ib predicate), (c) compaction still folds them."""
+    from syntenybrowserv2_etl_spark.operators import index as idx_ops
+    from syntenybrowserv2_etl_spark.sources import io as sio
+
+    tmp = str(tmp_path_factory.mktemp("idx_prune"))
+    path = os.path.join(tmp, "pidx")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    idx_ops.write_index(
+        idx_ops.positional_index(mk([(1, "alpha beta")]), "doc_id", "text"),
+        path,
+        term_buckets=8,
+    )
+    for i, txt in ((1, "alpha gamma"), (2, "alpha delta"), (3, "alpha beta")):
+        idx_ops.index_append_batch(
+            mk([(100 + i, txt)]), i, index_path=path, id_col="doc_id",
+            text_col="text", term_buckets=8,
+        )
+    w = sio.prune_batch_markers(spark, path, first_batch_id=1)
+    assert w == 3
+    assert sorted(os.listdir(os.path.join(path, "_batches"))) == ["3", "w3"]
+    # (a) pruned redelivery is a no-op
+    n = spark.read.parquet(path).count()
+    idx_ops.index_append_batch(
+        mk([(101, "alpha gamma")]), 1, index_path=path, id_col="doc_id",
+        text_col="text", term_buckets=8,
+    )
+    assert spark.read.parquet(path).count() == n
+    # (b) reads serve all four batches' postings
+    assert idx_ops.read_term_stats(spark, path, ["alpha"]) == {"alpha": 4}
+    served = {
+        r["doc_id"]
+        for r in idx_ops.read_postings(spark, path, ["alpha"], term_buckets=8)
+        .select("doc_id").distinct().collect()
+    }
+    assert served == {1, 101, 102, 103}
+    # (c) compaction folds the watermark-committed batches
+    idx_ops.index_compact(spark, path)
+    assert idx_ops.read_term_stats(spark, path, ["alpha"]) == {"alpha": 4}
