@@ -2272,3 +2272,135 @@ def test_index_marker_pruning_and_committed_reads(spark, tmp_path_factory):
     # (c) compaction folds the watermark-committed batches
     idx_ops.index_compact(spark, path)
     assert idx_ops.read_term_stats(spark, path, ["alpha"]) == {"alpha": 4}
+
+
+def test_streaming_tier_end_to_end_composition(spark, tmp_path_factory):
+    """The streaming tier WIRED TOGETHER (VERDICT r10 #8): jsonl one-pass
+    ingest → decontamination gate (stream) → positional-index maintenance
+    (stream) + keyed merge sink (stream), each stage reading the previous
+    stage's files, with a crash-window redelivery in the index stage. The
+    final corpus/index/table triple must equal the batch-built twins over
+    the same documents; the pieces' marker dirs live side-by-side without
+    interference."""
+    import os as _os
+
+    from syntenybrowserv2_etl_spark.operators import index as ix
+    from syntenybrowserv2_etl_spark.sources import jsonl
+
+    base = str(tmp_path_factory.mktemp("e2e_tier"))
+    dump = _os.path.join(base, "dump.jsonl")
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    with open(dump, "w") as f:
+        f.write('{"doc_id": 1, "text": "%s"}\n' % near)  # planted leak
+        f.write('{"doc_id": 2, "text": "mu nu xi omicron pi rho sigma tau"}\n')
+        f.write("corrupt line, not json\n")
+        f.write('{"doc_id": 3, "text": "one two three four five six seven"}\n')
+
+    # stage 1 — one-pass ingest: clean rows + quarantined raw lines
+    ingested = _os.path.join(base, "ingested")
+    clean = jsonl.ingest_jsonl_corpus(
+        spark, dump, "doc_id long, text string", ingested
+    )
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2, 3}
+    assert jsonl.read_quarantine(spark, ingested).count() == 1
+
+    # stage 2 — decontamination gate over the ingested corpus (stream)
+    bench = spark.createDataFrame([(1000, bench_text)], "doc_id long, text string")
+    corpus, dq = _os.path.join(base, "corpus"), _os.path.join(base, "dq")
+    s1 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{ingested}/__route=clean")
+        .select("doc_id", "text")
+    )
+    stream_ops.decontam_gate_stream(
+        s1, bench, "doc_id", "text", corpus, dq,
+        checkpoint=_os.path.join(base, "ck_gate"),
+    ).awaitTermination(120)
+    admitted = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert admitted == {2, 3}
+    assert {r["doc_id"] for r in spark.read.parquet(dq).collect()} == {1}
+
+    # stage 3a — index maintenance over the admitted corpus (stream)
+    idx_path = _os.path.join(base, "pidx")
+    seed = spark.createDataFrame([(999, "seed doc text")], "doc_id long, text string")
+    ix.write_index(ix.positional_index(seed, "doc_id", "text"), idx_path, term_buckets=8)
+    s2 = (
+        spark.readStream.schema("doc_id long, text string, __ingest_batch int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(corpus)
+        .select("doc_id", "text")
+    )
+    ix.index_maintain_stream(
+        s2, idx_path, _os.path.join(base, "ck_idx"),
+        id_col="doc_id", text_col="text", term_buckets=8,
+    ).awaitTermination(120)
+
+    # stage 3b — keyed merge sink over the admitted corpus (stream)
+    tbl = _os.path.join(base, "tbl")
+    s3 = (
+        spark.readStream.schema("doc_id long, text string, __ingest_batch int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(corpus)
+        .select("doc_id", "text", F.col("doc_id").alias("arrival"))
+    )
+    merge_ops.merge_upsert_stream(
+        s3, tbl, ["doc_id"], "arrival", n_buckets=8,
+        checkpoint=_os.path.join(base, "ck_merge"),
+    ).awaitTermination(120)
+
+    # crash window in the index stage: one batch's marker lost, then the
+    # whole file set redelivered through a FRESH checkpoint (at-least-once
+    # delivery); committed batches skip, the crashed one replays — no
+    # duplication, same final postings
+    markers = sorted(
+        int(n) for n in _os.listdir(_os.path.join(idx_path, "_batches"))
+        if n.isdigit()
+    )
+    shutil.rmtree(_os.path.join(idx_path, "_batches", str(markers[-1])))
+    s2b = (
+        spark.readStream.schema("doc_id long, text string, __ingest_batch int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(corpus)
+        .select("doc_id", "text")
+    )
+    ix.index_maintain_stream(
+        s2b, idx_path, _os.path.join(base, "ck_idx2"),
+        id_col="doc_id", text_col="text", term_buckets=8,
+    ).awaitTermination(120)
+
+    # batch-built twins over the same admitted docs
+    admitted_df = spark.read.parquet(corpus).select("doc_id", "text")
+    full_idx = _os.path.join(base, "pidx_full")
+    ix.write_index(
+        ix.positional_index(
+            seed.unionByName(admitted_df), "doc_id", "text"
+        ),
+        full_idx,
+        term_buckets=8,
+    )
+
+    def postings(p):
+        return sorted(
+            (r["doc_id"], r["pos"], r["term"])
+            for r in spark.read.parquet(p).select("doc_id", "pos", "term").collect()
+        )
+
+    assert postings(idx_path) == postings(full_idx)
+    # stats sidecar consistent with the final postings
+    stats = ix.read_term_stats(spark, idx_path)
+    recount = {
+        r["term"]: r["n"]
+        for r in spark.read.parquet(idx_path)
+        .groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert stats == recount
+    # merge table == admitted docs exactly (one live row per key)
+    got = {
+        (r["doc_id"], r["text"])
+        for r in merge_ops.merge_read(spark, tbl).select("doc_id", "text").collect()
+    }
+    assert got == {tuple(r) for r in admitted_df.collect()}
+    # nothing lost across the tier: ingest clean == gate out ∪ gate dq
+    assert admitted | {1} == {1, 2, 3}
