@@ -181,7 +181,28 @@ def merge_upsert_batch(
             "delete_col": delete_col,
         },
     )
-    batch_df = batch_df.localCheckpoint(eager=True)
+    # Within-batch LWW pre-reduction (SCALE.md "merge hot-key batch"):
+    # duplicate key rows inside one batch collapse to the arrival-max row
+    # via max_by BEFORE anything else. This is an AGGREGATION — partial
+    # map-side combine distributes a hot key across every input task —
+    # whereas the LWW window alone funnels all of a key's rows into ONE
+    # task (measured knee: a 12.8M-row single-key batch went superlinear).
+    # After this, every key contributes ≤ 1 batch row, so the window's
+    # per-key input is ≤ 2 rows (pre-state invariant: ≤ 1 stored row per
+    # key). Tie-break among equal arrivals is arbitrary — the documented
+    # within-batch contract (module docstring "Ordering contract").
+    val_cols = [c for c in batch_df.columns if c not in key_cols]
+    batch_df = (
+        batch_df.groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.struct(*val_cols),
+                F.struct(*[F.col(a) for a in arrivals]),
+            ).alias("__w")
+        )
+        .select(*key_cols, "__w.*")
+        .localCheckpoint(eager=True)
+    )
     kb = _merge_kb(key_cols, n_buckets)
     touched = [
         r["__kb"]

@@ -103,7 +103,7 @@ KNOWN_OPS = frozenset({
     "perplexity_buckets_sampled", "pagerank_skew", "scd2_apply",
     "triangles_skew", "rollup_apply", "heavy_hitters", "merge_apply",
     "containment_skew", "editdist_join", "event_transitions", "knn_batch",
-    "transitions_apply",
+    "transitions_apply", "merge_apply_skew",
 })
 
 
@@ -130,7 +130,7 @@ def main():
     SELF_FIXTURED = {
         "pagerank_skew", "scd2_apply", "rollup_apply", "merge_apply",
         "triangles_skew", "containment_skew", "editdist_join",
-        "event_transitions", "transitions_apply",
+        "event_transitions", "transitions_apply", "merge_apply_skew",
     }
     results = []
     for f in factors:
@@ -660,6 +660,58 @@ def main():
 
         if only is None or "merge_apply" in only:
             _merge_apply()
+
+        # round 11: the ADVERSARIAL merge batch (VERDICT r10 #6) — every
+        # row in ONE bucket and one hot key carrying 50k·f duplicate rows
+        # (a CDC stream replaying a single entity's history). Without the
+        # within-batch max_by pre-reduction the LWW window funnels the
+        # hot key into one task (measured superlinear: 11.8 s at 12.8M
+        # rows); with it the curve is flat (SCALE.md "merge hot-key
+        # batch"). The winner check pins semantics alongside the timing.
+        def _merge_apply_skew():
+            from syntenybrowserv2_etl_spark.streaming import merge as sm
+
+            tbl = f"{SCRATCH}/merge_skew_x{f}"
+            shutil.rmtree(tbl, ignore_errors=True)
+            n_keys, n_buckets = 100_000, 256
+            seed = spark.range(n_keys).select(
+                F.col("id").alias("k"),
+                F.sha2(F.col("id").cast("string"), 256).alias("v"),
+                F.lit(0).cast("long").alias("arrival"),
+            ).localCheckpoint(eager=True)
+            sm.merge_upsert_batch(
+                seed, 0, table_path=tbl, key_cols=["k"],
+                arrival_col="arrival", n_buckets=n_buckets,
+            )
+            hot_rows = 50_000 * f
+            hot = spark.range(hot_rows).select(
+                F.lit(0).cast("long").alias("k"),
+                F.sha2(F.col("id").cast("string"), 256).alias("v"),
+                (F.col("id") + 1).alias("arrival"),
+            )
+            b0 = F.pmod(F.hash(F.lit(0)), F.lit(n_buckets))
+            same_bucket = seed.filter(
+                F.pmod(F.hash("k"), F.lit(n_buckets)) == b0
+            ).select(
+                "k",
+                F.sha2((F.col("k") + 9).cast("string"), 256).alias("v"),
+                F.lit(1).cast("long").alias("arrival"),
+            )
+            batch = hot.unionByName(same_bucket).localCheckpoint(eager=True)
+            r["merge_apply_skew_batch_rows"] = batch.count()
+            r["merge_apply_skew"] = timed(
+                lambda: sm.merge_upsert_batch(
+                    batch, 1, table_path=tbl, key_cols=["k"],
+                    arrival_col="arrival", n_buckets=n_buckets,
+                )
+            )
+            win = (
+                sm.merge_read(spark, tbl).filter(F.col("k") == 0).collect()
+            )
+            assert len(win) == 1 and win[0]["arrival"] == hot_rows, win
+
+        if only is None or "merge_apply_skew" in only:
+            _merge_apply_skew()
 
         def _transitions_apply():
             # per-batch transition-matrix fold vs ACCUMULATED user-state
