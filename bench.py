@@ -108,6 +108,9 @@ CURATION = [
     "q124_cusum_drift",
     "q125_mad_outliers",
     "q126_hard_negatives",
+    # round 11 additions
+    "q127_interval_coverage",
+    "q128_asof_forward",
 ]
 
 

@@ -38,19 +38,29 @@ def asof_join(
     tolerance: Column | None = None,
     right_prefix: str = "",
     dedup_right: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of left join.
+    """Direction-aware inclusive as-of left join.
 
-    For each left row, attach the right row with the greatest
-    ``right_ts <= left_ts`` within the same ``on`` key group (NULLs when no
-    prior right row exists — left-join semantics, all left rows survive).
+    ``direction="backward"`` (default): for each left row, attach the
+    right row with the greatest ``right_ts <= left_ts`` within the same
+    ``on`` key group. ``direction="forward"``: the SMALLEST ``right_ts >=
+    left_ts`` — next-event attribution ("each click's next purchase"),
+    the other half of the pandas ``merge_asof`` surface. Both are the
+    same union-and-carry plan; forward just scans the per-key sort in
+    descending ts order, so the carried right row is always the nearest
+    at-or-after one. NULLs when no match exists — left-join semantics,
+    all left rows survive.
 
-    ``tolerance``: optional Column; matches older than ``left_ts -
-    tolerance`` are nulled out (e.g. ``F.expr("INTERVAL 1 HOUR")`` for
-    timestamps, a numeric literal for numeric ts).
+    ``tolerance``: optional Column; backward nulls matches older than
+    ``left_ts - tolerance``, forward nulls matches later than ``left_ts +
+    tolerance`` (e.g. ``F.expr("INTERVAL 1 HOUR")`` for timestamps, a
+    numeric literal for numeric ts).
     ``right_prefix``: prepended to right payload column names to avoid
     collisions with left columns.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     rt = right_ts or left_ts
     payload_cols = [c for c in right.columns if c not in on and c != rt]
 
@@ -80,10 +90,17 @@ def asof_join(
     )
 
     unioned = tagged_r.unionByName(tagged_l)
-    # side=0 (right) sorts before side=1 (left) at equal ts → inclusive match
+    # side=0 (right) sorts before side=1 (left) at equal ts → inclusive
+    # match in BOTH directions: backward scans ts ascending, forward
+    # scans ts descending, and either way the right row precedes the
+    # left row it may serve at equal ts
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__side").asc()]
+    else:
+        order = [F.col("__ts").desc(), F.col("__side").asc()]
     w = (
         Window.partitionBy(*on)
-        .orderBy("__ts", "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = F.last("__r", ignorenulls=True).over(w)
@@ -93,12 +110,12 @@ def asof_join(
         .drop("__ts", "__side", "__r")
     )
     if tolerance is not None:
-        out = out.withColumn(
-            "__m",
-            F.when(
-                F.col("__m.__rts") >= F.col(left_ts) - tolerance, F.col("__m")
-            ),
+        in_tol = (
+            F.col("__m.__rts") >= F.col(left_ts) - tolerance
+            if direction == "backward"
+            else F.col("__m.__rts") <= F.col(left_ts) + tolerance
         )
+        out = out.withColumn("__m", F.when(in_tol, F.col("__m")))
     return out.select(
         *on,
         *[c for c in left.columns if c not in on],

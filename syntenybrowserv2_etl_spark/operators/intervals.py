@@ -1,0 +1,95 @@
+"""Interval coalescing (gaps-and-islands) — merge overlapping/touching
+spans per group into their disjoint union.
+
+Beyond-reference surface with a reference-shaped motivation: the
+reference's genomic tables are interval-heavy (genes/exons/synteny blocks
+with (start, end) spans — src/import_genes_exons.py), and "how much of the
+axis is covered" questions (exon-covered bases per gene, block-covered
+fraction per chromosome) are interval-UNION questions. The same primitive
+is what a training-data pipeline needs for span bookkeeping (merging
+redacted/duplicated character ranges before accounting), and what an
+events pipeline needs for "time with ≥1 active X" rollups.
+
+Scale shape — the naive formulations and why this isn't them:
+- self-join on overlap (a.start <= b.end AND ...) explodes quadratically
+  in every dense group and needs transitive post-merging anyway;
+- iterative merging is a driver loop.
+The gaps-and-islands plan is ONE window sort per group: an interval opens
+a new island iff its start exceeds the running max end of every earlier
+interval (closed-interval semantics: touching spans merge); the island id
+is a running sum of those flags; islands groupBy-reduce to (min start,
+max end). One shuffle + sort on the group key — the same exchange any
+per-group window pays, AQE-skew-handled, no explosion. Works for any
+orderable span type (dates, numerics, timestamps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    group_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Disjoint union of closed intervals per group.
+
+    Output: group_cols + (``start_col``, ``end_col``) — one row per merged
+    island, where overlapping OR touching (next.start <= running max end)
+    input intervals fuse. Rows with NULL start or end are dropped (an
+    unbounded span has no well-defined union; filter/repair upstream).
+    Tie order inside the window cannot change the result: island
+    boundaries depend only on the running max end, which is
+    order-insensitive among equal (start, end) prefixes.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = (
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end)
+    ).cast("int")
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
+        .withColumn("__island", island)
+        .groupBy(*group_cols, "__island")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+        )
+        .drop("__island")
+    )
+
+
+def covered_length(
+    df: DataFrame,
+    group_cols: list[str],
+    start_col: str,
+    end_col: str,
+    unit: str = "numeric",
+) -> DataFrame:
+    """Per-group union coverage: interval count + total covered length of
+    the coalesced spans.
+
+    ``unit="numeric"``: length = end - start per island (half-open-style
+    measure over numeric spans). ``unit="days"``: spans are dates and
+    length = datediff(end, start) + 1 (closed-interval day count — the
+    exon-bases / shipment-in-transit-days convention).
+    """
+    merged = coalesce_intervals(df, group_cols, start_col, end_col)
+    if unit == "days":
+        span = F.datediff(F.col(end_col), F.col(start_col)) + F.lit(1)
+    elif unit == "numeric":
+        span = F.col(end_col) - F.col(start_col)
+    else:
+        raise ValueError(f"covered_length: unknown unit {unit!r}")
+    return merged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(span).alias("covered"),
+    )

@@ -41,6 +41,7 @@ from .operators import profiling as prof_ops
 from .operators import layout as layout_ops
 from .operators import delta as delta_ops
 from .operators import frequent as freq_ops
+from .operators import intervals as ivl_ops
 
 
 @dataclass
@@ -5451,6 +5452,108 @@ def q126(spark, sf_dir):
     )
 
 
+@register(
+    "q127_interval_coverage",
+    """
+    WITH iv AS (
+      SELECT l.l_suppkey AS suppkey,
+             CAST(o.o_orderdate AS DATE) AS a,
+             CAST(l.l_shipdate AS DATE) AS b
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE CAST(o.o_orderdate AS DATE) <= CAST(l.l_shipdate AS DATE)),
+    m AS (
+      SELECT suppkey, a, b,
+             MAX(b) OVER (PARTITION BY suppkey ORDER BY a, b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM iv),
+    isl AS (
+      SELECT suppkey, a, b,
+             SUM(CASE WHEN pmax IS NULL OR a > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY suppkey ORDER BY a, b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM m),
+    merged AS (
+      SELECT suppkey, g, MIN(a) AS s, MAX(b) AS e FROM isl GROUP BY suppkey, g)
+    SELECT suppkey, COUNT(*) AS n_intervals,
+           CAST(SUM(datediff('day', s, e) + 1) AS BIGINT) AS covered_days
+    FROM merged GROUP BY suppkey
+    """,
+    tags=["interval coalescing (gaps-and-islands) — union coverage"],
+)
+def q127(spark, sf_dir):
+    """Per-supplier open-order-line coverage: each lineitem is a closed
+    [orderdate, shipdate] day interval (the line is "open" from order to
+    shipment); overlapping/touching intervals union, and the output is
+    (n disjoint busy periods, total days with ≥1 open line).
+    operators/intervals.coalesce_intervals — ONE window sort per
+    supplier, no self-join, no explosion (the reference-domain twin is
+    exon-covered bases per gene over its (start, end) spans,
+    src/import_genes_exons.py's tables)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_suppkey").alias("suppkey"),
+        F.to_date("l_shipdate").alias("b"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("a")
+    )
+    li = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("a") <= F.col("b"))
+        .select("suppkey", "a", "b")
+    )
+    out = ivl_ops.covered_length(li, ["suppkey"], "a", "b", unit="days")
+    return out.select(
+        "suppkey",
+        F.col("n_intervals").cast("long").alias("n_intervals"),
+        F.col("covered").cast("long").alias("covered_days"),
+    )
+
+
+@register(
+    "q128_asof_forward",
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    purch AS (
+      SELECT user_id, ts, MAX(event_id) AS pevent, MAX(value) AS pvalue
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.user_id, c.event_id, c.ts,
+           p.pevent AS next_purchase_event,
+           ROUND(p.pvalue, 2) AS next_purchase_value
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+    tags=["forward as-of join (next-event attribution)"],
+)
+def q128(spark, sf_dir):
+    """Forward as-of: each click paired with the user's EARLIEST
+    at-or-after purchase — next-event attribution, the direction q34's
+    backward join doesn't cover. Same union-and-carry plan scanned
+    descending (operators/asof.py direction='forward'); one shuffle, no
+    range explosion. DuckDB's ASOF with ``c.ts <= p.ts`` picks the
+    smallest later ts — the exact twin."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("pevent"), F.max("value").alias("pvalue"))
+    )
+    out = asof_ops.asof_join(
+        clicks, purch, on=["user_id"], left_ts="ts", direction="forward"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("pevent").alias("next_purchase_event"),
+        F.round("pvalue", 2).alias("next_purchase_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -5577,6 +5680,9 @@ _DEMOTED_PAST_WINDOW = [
     "q68_dedup_pipeline",
     "q69_corpus_report",
     "q71_shuffle_shards",
+    # round 11: parity-gated from birth (standing policy for new families)
+    "q127_interval_coverage",
+    "q128_asof_forward",
 ]
 
 

@@ -3367,3 +3367,97 @@ def test_stats_base_build_parallel_write(spark, tmp_path):
         .groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert stats == recount
+
+
+# --- interval coalescing + forward as-of (round 11) -------------------------
+
+
+def test_coalesce_intervals_semantics(spark):
+    """Gaps-and-islands contract: overlap merges, TOUCHING (closed
+    intervals) merges, nested collapses, disjoint stays apart, NULL spans
+    drop, groups never mix, numeric covered_length measures end-start."""
+    from syntenybrowserv2_etl_spark.operators import intervals as ivl
+
+    df = spark.createDataFrame(
+        [
+            ("g1", 1, 5), ("g1", 4, 8),      # overlap -> [1,8]
+            ("g1", 8, 10),                    # touching -> [1,10]
+            ("g1", 2, 3),                     # nested, absorbed
+            ("g1", 20, 25),                   # disjoint island
+            ("g2", 1, 2),                     # other group untouched
+            ("g2", None, 9), ("g2", 9, None), # NULL spans dropped
+        ],
+        "g string, a int, b int",
+    )
+    got = {
+        (r["g"], r["a"], r["b"])
+        for r in ivl.coalesce_intervals(df, ["g"], "a", "b").collect()
+    }
+    assert got == {("g1", 1, 10), ("g1", 20, 25), ("g2", 1, 2)}
+    cov = {
+        r["g"]: (r["n_intervals"], r["covered"])
+        for r in ivl.covered_length(df, ["g"], "a", "b").collect()
+    }
+    assert cov == {"g1": (2, (10 - 1) + (25 - 20)), "g2": (1, 1)}
+
+
+def test_coalesce_intervals_plan_single_exchange(spark):
+    """Scale pin: the coalesce plan carries exactly ONE Exchange (the
+    group-key shuffle the window and the groupBy share) — no self-join,
+    no nested-loop, no second shuffle."""
+    import re
+
+    from syntenybrowserv2_etl_spark.operators import intervals as ivl
+
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("g"),
+        (F.col("id") % 97).alias("a"),
+        (F.col("id") % 97 + 5).alias("b"),
+    )
+    plan = (
+        ivl.coalesce_intervals(df, ["g"], "a", "b")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_forward_and_tolerance(spark):
+    """Forward as-of: earliest right at-or-after each left ts, inclusive
+    at equal ts, NULL when nothing follows; forward tolerance nulls
+    matches beyond left_ts + tol. Backward behavior unchanged."""
+    from syntenybrowserv2_etl_spark.operators import asof as asof_ops
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 40), (2, 5)], "k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 30, "r30"), (2, 1, "r1")], "k int, ts int, v string"
+    )
+    fwd = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_ops.asof_join(
+            left, right, on=["k"], left_ts="ts", direction="forward"
+        ).collect()
+    }
+    assert fwd == {(1, 10): "r10", (1, 25): "r30", (1, 40): None, (2, 5): None}
+    tol = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_ops.asof_join(
+            left, right, on=["k"], left_ts="ts", direction="forward",
+            tolerance=F.lit(4),
+        ).collect()
+    }
+    # (1,25): nearest-after is ts=30, outside 25+4 -> nulled
+    assert tol == {(1, 10): "r10", (1, 25): None, (1, 40): None, (2, 5): None}
+    back = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_ops.asof_join(
+            left, right, on=["k"], left_ts="ts", direction="backward"
+        ).collect()
+    }
+    assert back == {(1, 10): "r10", (1, 25): "r10", (1, 40): "r30", (2, 5): "r1"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown direction"):
+        asof_ops.asof_join(left, right, on=["k"], left_ts="ts", direction="nearest")

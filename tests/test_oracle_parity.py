@@ -86,6 +86,9 @@ SF_MED_STRENGTHENED = [
     "q124_cusum_drift",
     "q125_mad_outliers",
     "q126_hard_negatives",
+    # round 11
+    "q127_interval_coverage",
+    "q128_asof_forward",
 ]
 
 
