@@ -68,6 +68,13 @@ longer deliver arrivals older than the tombstones'.
 
 Read the current table with ``merge_read`` (drops the layout columns and
 hides tombstoned keys).
+
+Maintenance: ``sources/io.prune_batch_markers(table_path)`` bounds the
+``_batches`` marker set by advancing a committed watermark (``w<N>`` file)
+over the contiguous committed prefix and deleting the markers it subsumes
+— a redelivered pruned batch is still skipped (id ≤ watermark ⟹ committed
+by construction), and leftover ``_pre`` snapshots below the watermark are
+reaped with them. Run it like compaction, between batches.
 """
 
 from __future__ import annotations

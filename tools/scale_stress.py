@@ -103,7 +103,7 @@ KNOWN_OPS = frozenset({
     "perplexity_buckets_sampled", "pagerank_skew", "scd2_apply",
     "triangles_skew", "rollup_apply", "heavy_hitters", "merge_apply",
     "containment_skew", "editdist_join", "event_transitions", "knn_batch",
-    "transitions_apply", "merge_apply_skew",
+    "transitions_apply", "merge_apply_skew", "interval_union",
 })
 
 
@@ -131,6 +131,7 @@ def main():
         "pagerank_skew", "scd2_apply", "rollup_apply", "merge_apply",
         "triangles_skew", "containment_skew", "editdist_join",
         "event_transitions", "transitions_apply", "merge_apply_skew",
+        "interval_union",
     }
     results = []
     for f in factors:
@@ -712,6 +713,31 @@ def main():
 
         if only is None or "merge_apply_skew" in only:
             _merge_apply_skew()
+
+        # round 11: interval coalescing (q127's operator) on the DENSE
+        # fixture the self-join formulation dies on — 50k·f heavily-
+        # overlapping intervals across only 20 groups (2.5k·f per group,
+        # every one overlapping dozens of neighbors → a quadratic overlap
+        # join would build ~100k·f pairs per group). The gaps-and-islands
+        # plan is one window sort per group; cost must track rows (sort),
+        # never pairs.
+        def _interval_union():
+            from syntenybrowserv2_etl_spark.operators import intervals as ivl
+
+            n = 50_000 * f
+            iv = spark.range(n).select(
+                (F.col("id") % 20).alias("g"),
+                (F.pmod(F.xxhash64("id"), F.lit(200_000))).alias("a"),
+            ).withColumn(
+                "b", F.col("a") + 50 + F.pmod(F.xxhash64("a", "g"), F.lit(5_000))
+            ).localCheckpoint(eager=True)
+            r["interval_union_rows"] = n
+            r["interval_union"] = timed(
+                lambda: noop(ivl.covered_length(iv, ["g"], "a", "b"))
+            )
+
+        if only is None or "interval_union" in only:
+            _interval_union()
 
         def _transitions_apply():
             # per-batch transition-matrix fold vs ACCUMULATED user-state
