@@ -2404,3 +2404,110 @@ def test_streaming_tier_end_to_end_composition(spark, tmp_path_factory):
     assert got == {tuple(r) for r in admitted_df.collect()}
     # nothing lost across the tier: ingest clean == gate out ∪ gate dq
     assert admitted | {1} == {1, 2, 3}
+
+
+def test_interval_fold_matches_batch_and_survives_crashes(
+    spark, tmp_path_factory
+):
+    """Streaming interval-coverage fold (spans.py): three micro-batches of
+    overlapping intervals must end at exactly coalesce_intervals over the
+    accumulated input; committed redelivery is a no-op; a crash-window
+    replay (marker lost) and a vanished-bucket replay (pre-state erased
+    mid-commit, snapshot present) both converge to the same state."""
+    from syntenybrowserv2_etl_spark.operators import intervals as ivl
+    from syntenybrowserv2_etl_spark.streaming import spans
+
+    base = str(tmp_path_factory.mktemp("ivl_fold"))
+    state = os.path.join(base, "state")
+    schema = "g string, a int, b int"
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+    batches = [
+        [("g1", 1, 5), ("g1", 40, 45), ("g2", 0, 2)],
+        [("g1", 4, 9), ("g2", 10, 12)],          # extends g1's first island
+        [("g1", 9, 40), ("g3", 7, 8)],           # bridges g1's two islands
+    ]
+    for i, rows in enumerate(batches):
+        spans.interval_fold_batch(
+            mk(rows), i, state_path=state, group_col="g",
+            start_col="a", end_col="b", n_buckets=8,
+        )
+    want = {
+        tuple(r)
+        for r in ivl.coalesce_intervals(
+            mk([r for rows in batches for r in rows]), ["g"], "a", "b"
+        ).collect()
+    }
+    got = {tuple(r) for r in spans.read_intervals(spark, state).collect()}
+    assert got == want
+    assert ("g1", 1, 45) in got  # the bridge actually fused the islands
+
+    # committed redelivery: no-op
+    spans.interval_fold_batch(
+        mk(batches[1]), 1, state_path=state, group_col="g",
+        start_col="a", end_col="b", n_buckets=8,
+    )
+    assert {tuple(r) for r in spans.read_intervals(spark, state).collect()} == want
+
+    # crash window: marker lost after the write → replay converges
+    shutil.rmtree(os.path.join(state, "_batches", "2"))
+    spans.interval_fold_batch(
+        mk(batches[2]), 2, state_path=state, group_col="g",
+        start_col="a", end_col="b", n_buckets=8,
+    )
+    assert {tuple(r) for r in spans.read_intervals(spark, state).collect()} == want
+
+    # vanished bucket: g3's bucket dir erased mid-commit, snapshot present
+    kb = {
+        r["g"]: r["__kb"]
+        for r in spark.read.parquet(state).select("g", "__kb").collect()
+    }
+    b_dir = os.path.join(state, f"__kb={kb['g3']}")
+    pre_copy = os.path.join(base, "pre_copy")
+    shutil.copytree(b_dir, pre_copy)
+    spans.interval_fold_batch(
+        mk([("g3", 100, 110)]), 3, state_path=state, group_col="g",
+        start_col="a", end_col="b", n_buckets=8,
+    )
+    want3 = {tuple(r) for r in spans.read_intervals(spark, state).collect()}
+    shutil.rmtree(os.path.join(state, "_batches", "3"))
+    shutil.rmtree(os.path.join(state, f"__kb={kb['g3']}"))
+    pre_dir = os.path.join(state, "_pre", "3")
+    os.makedirs(pre_dir, exist_ok=True)
+    shutil.copytree(pre_copy, os.path.join(pre_dir, f"__kb={kb['g3']}"))
+    os.makedirs(os.path.join(pre_dir, "__snapdone"), exist_ok=True)
+    spans.interval_fold_batch(
+        mk([("g3", 100, 110)]), 3, state_path=state, group_col="g",
+        start_col="a", end_col="b", n_buckets=8,
+    )
+    assert {tuple(r) for r in spans.read_intervals(spark, state).collect()} == want3
+    assert not os.path.exists(pre_dir)
+
+
+def test_interval_fold_stream_twin(spark, tmp_path_factory):
+    """interval_fold_stream over availableNow micro-batches equals the
+    one-shot batch coalesce of the same files."""
+    from syntenybrowserv2_etl_spark.operators import intervals as ivl
+    from syntenybrowserv2_etl_spark.streaming import spans
+
+    base = str(tmp_path_factory.mktemp("ivl_stream"))
+    src = os.path.join(base, "src")
+    state = os.path.join(base, "state")
+    schema = "g string, a int, b int"
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+    mk([("x", 1, 3), ("y", 5, 9)]).coalesce(1).write.mode("append").parquet(src)
+    mk([("x", 3, 7), ("y", 20, 21)]).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    spans.interval_fold_stream(
+        stream, state, "g", "a", "b", n_buckets=8,
+        checkpoint=os.path.join(base, "ckpt"),
+    ).awaitTermination(120)
+    want = {
+        tuple(r)
+        for r in ivl.coalesce_intervals(
+            spark.read.parquet(src), ["g"], "a", "b"
+        ).collect()
+    }
+    got = {tuple(r) for r in spans.read_intervals(spark, state).collect()}
+    assert got == want == {("x", 1, 7), ("y", 5, 9), ("y", 20, 21)}
