@@ -111,6 +111,7 @@ CURATION = [
     # round 11 additions
     "q127_interval_coverage",
     "q128_asof_forward",
+    "q129_interval_gaps",
 ]
 
 

@@ -67,6 +67,34 @@ def coalesce_intervals(
     )
 
 
+def interval_gaps(
+    df: DataFrame,
+    group_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """The complement report: per group, the STRICT gaps between
+    consecutive coalesced islands — (island end, next island start)
+    pairs with end < start, i.e. the downtime/idle spans between busy
+    periods. Output: group_cols + (``gap_after``, ``gap_before``) =
+    (previous island's end, next island's start). Rides
+    ``coalesce_intervals``'s single window; the LEAD is a second window
+    function over the SAME partitioning, so Catalyst plans one sort —
+    still one exchange end-to-end.
+    """
+    merged = coalesce_intervals(df, group_cols, start_col, end_col)
+    w = Window.partitionBy(*group_cols).orderBy(start_col)
+    return (
+        merged.withColumn("__next_start", F.lead(start_col).over(w))
+        .filter(F.col("__next_start").isNotNull())
+        .select(
+            *group_cols,
+            F.col(end_col).alias("gap_after"),
+            F.col("__next_start").alias("gap_before"),
+        )
+    )
+
+
 def covered_length(
     df: DataFrame,
     group_cols: list[str],

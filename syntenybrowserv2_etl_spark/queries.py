@@ -5511,6 +5511,69 @@ def q127(spark, sf_dir):
 
 
 @register(
+    "q129_interval_gaps",
+    """
+    WITH iv AS (
+      SELECT l.l_suppkey AS suppkey,
+             CAST(o.o_orderdate AS DATE) AS a,
+             CAST(l.l_shipdate AS DATE) AS b
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE CAST(o.o_orderdate AS DATE) <= CAST(l.l_shipdate AS DATE)),
+    m AS (
+      SELECT suppkey, a, b,
+             MAX(b) OVER (PARTITION BY suppkey ORDER BY a, b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM iv),
+    isl AS (
+      SELECT suppkey, a, b,
+             SUM(CASE WHEN pmax IS NULL OR a > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY suppkey ORDER BY a, b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM m),
+    merged AS (
+      SELECT suppkey, g, MIN(a) AS s, MAX(b) AS e FROM isl GROUP BY suppkey, g),
+    gaps AS (
+      SELECT suppkey, e AS gap_after,
+             LEAD(s) OVER (PARTITION BY suppkey ORDER BY s) AS gap_before
+      FROM merged)
+    SELECT suppkey,
+           strftime(gap_after, '%Y-%m-%d') AS gap_after,
+           strftime(gap_before, '%Y-%m-%d') AS gap_before,
+           CAST(datediff('day', gap_after, gap_before) - 1 AS BIGINT)
+             AS idle_days
+    FROM gaps WHERE gap_before IS NOT NULL
+    """,
+    tags=["interval gaps (downtime between busy periods)"],
+)
+def q129(spark, sf_dir):
+    """q127's complement: the idle spans BETWEEN each supplier's busy
+    periods — (last busy day, next busy start, strict days between).
+    operators/intervals.interval_gaps — the LEAD shares the coalesce
+    window's partitioning, so the whole report is still one exchange.
+    Dates emitted as yyyy-MM-dd strings (cross-engine hash lattice)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_suppkey").alias("suppkey"),
+        F.to_date("l_shipdate").alias("b"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("a")
+    )
+    iv = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("a") <= F.col("b"))
+        .select("suppkey", "a", "b")
+    )
+    gaps = ivl_ops.interval_gaps(iv, ["suppkey"], "a", "b")
+    return gaps.select(
+        "suppkey",
+        F.date_format("gap_after", "yyyy-MM-dd").alias("gap_after"),
+        F.date_format("gap_before", "yyyy-MM-dd").alias("gap_before"),
+        (F.datediff("gap_before", "gap_after") - 1).cast("long").alias("idle_days"),
+    )
+
+
+@register(
     "q128_asof_forward",
     """
     WITH clicks AS (
@@ -5683,6 +5746,7 @@ _DEMOTED_PAST_WINDOW = [
     # round 11: parity-gated from birth (standing policy for new families)
     "q127_interval_coverage",
     "q128_asof_forward",
+    "q129_interval_gaps",
 ]
 
 

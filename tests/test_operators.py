@@ -3461,3 +3461,26 @@ def test_asof_forward_and_tolerance(spark):
 
     with _pytest.raises(ValueError, match="unknown direction"):
         asof_ops.asof_join(left, right, on=["k"], left_ts="ts", direction="nearest")
+
+
+def test_interval_gaps_semantics(spark):
+    """Gap report: strict idle spans between coalesced islands only —
+    touching/overlapping inputs yield no gap, a single-island group yields
+    nothing, groups never mix."""
+    from syntenybrowserv2_etl_spark.operators import intervals as ivl
+
+    df = spark.createDataFrame(
+        [
+            ("g1", 1, 5), ("g1", 4, 8),   # one island [1,8]
+            ("g1", 12, 14),                # gap (8, 12)
+            ("g1", 14, 20),                # touching -> same island, no gap
+            ("g1", 30, 31),                # gap (20, 30)
+            ("g2", 0, 100),                # single island -> no rows
+        ],
+        "g string, a int, b int",
+    )
+    got = {
+        (r["g"], r["gap_after"], r["gap_before"])
+        for r in ivl.interval_gaps(df, ["g"], "a", "b").collect()
+    }
+    assert got == {("g1", 8, 12), ("g1", 20, 30)}

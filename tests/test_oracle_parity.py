@@ -89,6 +89,7 @@ SF_MED_STRENGTHENED = [
     # round 11
     "q127_interval_coverage",
     "q128_asof_forward",
+    "q129_interval_gaps",
 ]
 
 
