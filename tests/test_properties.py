@@ -1204,3 +1204,75 @@ def test_mad_outliers_matches_bruteforce(spark, vals):
     for x, m_, d_, flag in got:
         assert m_ == med and d_ == mad
         assert flag == (abs(x - med) > 3.0 * mad)
+
+
+@given(
+    spans=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_coalesce_intervals_matches_bruteforce(spark, spans):
+    """Distributed gaps-and-islands ≡ a sorted sweep-line brute force on
+    arbitrary closed intervals (zero-width, duplicated, nested, touching
+    — everything the generator produces), and interval_gaps is exactly
+    the complement pairs between consecutive merged islands."""
+    from syntenybrowserv2_etl_spark.operators import intervals as ivl
+
+    iv = [(a, a + w) for a, w in spans]
+    df = spark.createDataFrame(
+        [("g", a, b) for a, b in iv], "g string, a int, b int"
+    )
+
+    merged = []
+    for a, b in sorted(iv):
+        if merged and a <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], b)
+        else:
+            merged.append([a, b])
+    want = {("g", a, b) for a, b in merged}
+    got = {
+        tuple(r) for r in ivl.coalesce_intervals(df, ["g"], "a", "b").collect()
+    }
+    assert got == want
+    want_gaps = {
+        ("g", merged[i][1], merged[i + 1][0]) for i in range(len(merged) - 1)
+    }
+    got_gaps = {
+        tuple(r) for r in ivl.interval_gaps(df, ["g"], "a", "b").collect()
+    }
+    assert got_gaps == want_gaps
+
+
+@given(
+    lts=st.lists(st.integers(0, 30), min_size=1, max_size=10),
+    rts=st.lists(st.integers(0, 30), min_size=0, max_size=10, unique=True),
+    tol=st.sampled_from([None, 0, 3]),
+)
+@settings(**SETTINGS)
+def test_asof_forward_matches_bruteforce(spark, lts, rts, tol):
+    """Forward as-of ≡ per-row min(right_ts >= left_ts) brute force,
+    inclusive at equality, with tolerance nulling matches beyond
+    left_ts + tol; every left row survives."""
+    from syntenybrowserv2_etl_spark.operators import asof as asof_ops
+
+    left = spark.createDataFrame(
+        [(1, t_, i) for i, t_ in enumerate(lts)], "k int, ts int, lid int"
+    )
+    right = spark.createDataFrame(
+        [(1, t_, f"v{t_}") for t_ in rts], "k int, ts int, v string"
+    )
+    out = asof_ops.asof_join(
+        left, right, on=["k"], left_ts="ts", direction="forward",
+        tolerance=None if tol is None else F.lit(tol),
+    )
+    got = {r["lid"]: r["v"] for r in out.collect()}
+    assert len(got) == len(lts)  # left-join: all left rows survive
+    for i, t_ in enumerate(lts):
+        cand = [r for r in rts if r >= t_]
+        want = f"v{min(cand)}" if cand else None
+        if want is not None and tol is not None and min(cand) > t_ + tol:
+            want = None
+        assert got[i] == want, (i, t_, got[i], want)
