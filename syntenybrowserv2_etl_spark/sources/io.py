@@ -187,12 +187,35 @@ def compact_table(
     a crash before any rename leaves the live table untouched).
 
     Returns (files_before, files_after).
+
+    REFUSES marker-disciplined stores (a ``_layout`` sidecar or
+    ``_batches`` marker dir): a flat rewrite would silently destroy the
+    partition layout their per-batch contracts depend on and drop the
+    idempotency sidecars — the next batch would then see no existing
+    buckets and merge from batch rows alone, permanently losing every
+    untouched key. The merge sink never needs file compaction anyway
+    (one file per bucket by construction); the phrase/IVF indexes have
+    their own committed-batch compactors (``index_compact`` /
+    ``ivf_index_compact``), and merge bucket rescale is
+    ``merge_rebucket``.
     """
     import math
 
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     live = jvm_path(path)
     fs = live.getFileSystem(spark._jsc.hadoopConfiguration())
+    for sidecar, remedy in (
+        ("_layout", "merge_rebucket (bucket rescale) — merge tables keep "
+                    "one file per bucket by construction"),
+        ("_batches", "the store's own compactor (index_compact / "
+                     "ivf_index_compact) which folds committed batches"),
+    ):
+        if fs.exists(jvm_path(f"{path}/{sidecar}")):
+            raise ValueError(
+                f"compact_table: {path} is a marker-disciplined store "
+                f"(has {sidecar}); a flat rewrite would destroy its "
+                f"partition layout and idempotency sidecars. Use {remedy}."
+            )
     summary = fs.getContentSummary(live)
     n_files = max(1, math.ceil(summary.getLength() / (target_mb * 1024 * 1024)))
     files_before = len(spark.read.parquet(path).inputFiles())

@@ -546,3 +546,32 @@ def test_ingest_jsonl_corpus_one_pass_routing(spark, tmp_path):
     # so pin the plan, not the executor storage list)
     plan = clean._jdf.queryExecution().optimizedPlan().toString()
     assert "InMemoryRelation" not in plan and "Checkpoint" not in plan
+
+
+def test_compact_table_refuses_marker_disciplined_stores(spark, tmp_path):
+    """Round-11 operational guard (found by driving tools/maintain.py):
+    compact_table's flat rewrite on a merge table / marker-append index
+    would destroy the __kb layout and drop _layout/_batches — the next
+    batch would see no existing buckets and permanently lose untouched
+    keys. It must refuse loudly and name the right tool."""
+    import pytest as _pytest
+
+    from syntenybrowserv2_etl_spark.sources.io import compact_table
+    from syntenybrowserv2_etl_spark.streaming import merge as sm
+
+    tbl = str(tmp_path / "mtbl")
+    sm.merge_upsert_batch(
+        spark.createDataFrame([(1, "a", 10)], "k bigint, v string, arrival bigint"),
+        0,
+        table_path=tbl,
+        key_cols=["k"],
+        arrival_col="arrival",
+        n_buckets=8,
+    )
+    with _pytest.raises(ValueError, match="marker-disciplined"):
+        compact_table(spark, tbl)
+    # plain tables still compact
+    plain = str(tmp_path / "plain")
+    spark.range(100).repartition(8).write.parquet(plain)
+    before, after = compact_table(spark, plain)
+    assert after <= before and spark.read.parquet(plain).count() == 100
