@@ -104,6 +104,7 @@ KNOWN_OPS = frozenset({
     "triangles_skew", "rollup_apply", "heavy_hitters", "merge_apply",
     "containment_skew", "editdist_join", "event_transitions", "knn_batch",
     "transitions_apply", "merge_apply_skew", "interval_union",
+    "jsonl_ingest",
 })
 
 
@@ -131,7 +132,7 @@ def main():
         "pagerank_skew", "scd2_apply", "rollup_apply", "merge_apply",
         "triangles_skew", "containment_skew", "editdist_join",
         "event_transitions", "transitions_apply", "merge_apply_skew",
-        "interval_union",
+        "interval_union", "jsonl_ingest",
     }
     results = []
     for f in factors:
@@ -738,6 +739,56 @@ def main():
 
         if only is None or "interval_union" in only:
             _interval_union()
+
+        # round 11: the single-pass JSONL ingest (r10 weak #2 fix) —
+        # dump scaled f×, one validity-partitioned write job splitting
+        # clean/quarantine (2% corrupt lines planted). Cost must track
+        # the dump linearly with ZERO executor storage pinned (the old
+        # cache+localCheckpoint path held ~2× corpus in memory).
+        def _jsonl_ingest():
+            from syntenybrowserv2_etl_spark.sources import jsonl as jz
+
+            dump = f"{SCRATCH}/jsonl_dump_x{f}"
+            out = f"{SCRATCH}/jsonl_out_x{f}"
+            shutil.rmtree(dump, ignore_errors=True)
+            shutil.rmtree(out, ignore_errors=True)
+            d0 = spark.read.parquet(f"{base}/documents.parquet").select(
+                "doc_id", "text"
+            )
+            reps = [
+                d0.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                    "text",
+                )
+                for i in range(f)
+            ]
+            docs = reps[0]
+            for r2 in reps[1:]:
+                docs = docs.unionByName(r2)
+            # plant ~2% corrupt lines: emit them as raw text rows
+            good = docs.select(F.to_json(F.struct("doc_id", "text")).alias("value"))
+            bad = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0).select(
+                F.concat(F.lit("corrupt "), F.col("doc_id").cast("string")).alias("value")
+            )
+            good.unionByName(bad).write.mode("overwrite").text(dump)
+            n_lines = spark.read.text(dump).count()
+            r["jsonl_ingest_lines"] = n_lines
+            def run():
+                clean = jz.ingest_jsonl_corpus(
+                    spark, dump, "doc_id long, text string", out
+                )
+                assert clean.limit(1).count() == 1
+            r["jsonl_ingest"] = timed(run)
+            nq = jz.read_quarantine(spark, out).count()
+            assert nq > 0, "planted corrupt lines must quarantine"
+            r["jsonl_ingest_quarantined"] = nq
+            # nothing pinned on executor storage by the ingest path
+            assert not [
+                x for x in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            ], "ingest pinned executor storage"
+
+        if only is None or "jsonl_ingest" in only:
+            _jsonl_ingest()
 
         def _transitions_apply():
             # per-batch transition-matrix fold vs ACCUMULATED user-state
