@@ -112,6 +112,7 @@ CURATION = [
     "q127_interval_coverage",
     "q128_asof_forward",
     "q129_interval_gaps",
+    "q130_pareto_frontier",
 ]
 
 

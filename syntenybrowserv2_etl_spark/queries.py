@@ -42,6 +42,7 @@ from .operators import layout as layout_ops
 from .operators import delta as delta_ops
 from .operators import frequent as freq_ops
 from .operators import intervals as ivl_ops
+from .operators import skyline as sky_ops
 
 
 @dataclass
@@ -5574,6 +5575,51 @@ def q129(spark, sf_dir):
 
 
 @register(
+    "q130_pareto_frontier",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice AS x, CAST(o_orderdate AS DATE) AS y
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995)
+    SELECT o_orderkey,
+           ROUND(x, 2) + 0.0 AS price,
+           strftime(y, '%Y-%m-%d') AS orderdate
+    FROM t a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM t b
+      WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))
+    """,
+    tags=["Pareto frontier / skyline (two-phase distributed sweep)"],
+)
+def q130(spark, sf_dir):
+    """Skyline of 1995's urgent orders minimizing (totalprice,
+    orderdate): the cheapest-earliest trade-off frontier. The Spark side
+    is operators/skyline.pareto_frontier — per-partition Arrow sweep then
+    a one-partition global sweep, zero full-input shuffles; the oracle is
+    the textbook quadratic NOT EXISTS dominance anti-join, a deliberately
+    INDEPENDENT formulation (the input is filtered to keep that oracle
+    tractable at sf0.1 — the operator itself has no such limit)."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.year("o_orderdate") == 1995)
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("x"),
+            F.to_date("o_orderdate").alias("y"),
+        )
+    )
+    out = sky_ops.pareto_frontier(o, "x", "y")
+    return out.select(
+        "o_orderkey",
+        (F.round("x", 2) + F.lit(0.0)).alias("price"),
+        F.date_format("y", "yyyy-MM-dd").alias("orderdate"),
+    )
+
+
+@register(
     "q128_asof_forward",
     """
     WITH clicks AS (
@@ -5747,6 +5793,7 @@ _DEMOTED_PAST_WINDOW = [
     "q127_interval_coverage",
     "q128_asof_forward",
     "q129_interval_gaps",
+    "q130_pareto_frontier",
 ]
 
 

@@ -90,6 +90,7 @@ SF_MED_STRENGTHENED = [
     "q127_interval_coverage",
     "q128_asof_forward",
     "q129_interval_gaps",
+    "q130_pareto_frontier",
 ]
 
 

@@ -1276,3 +1276,36 @@ def test_asof_forward_matches_bruteforce(spark, lts, rts, tol):
         if want is not None and tol is not None and min(cand) > t_ + tol:
             want = None
         assert got[i] == want, (i, t_, got[i], want)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    ),
+    nparts=st.sampled_from([1, 3, 7]),
+)
+@settings(**SETTINGS)
+def test_pareto_frontier_matches_bruteforce(spark, pts, nparts):
+    """Two-phase distributed skyline ≡ the O(n²) dominance brute force on
+    arbitrary point sets (duplicates kept, heavy ties, collinear runs)
+    under ANY partitioning of phase 1."""
+    from syntenybrowserv2_etl_spark.operators.skyline import pareto_frontier
+
+    df = spark.createDataFrame(
+        [(i, float(x), y) for i, (x, y) in enumerate(pts)],
+        "id int, x double, y int",
+    ).repartition(nparts)
+    got = sorted(r["id"] for r in pareto_frontier(df, "x", "y").collect())
+
+    def dominated(i):
+        xi, yi = pts[i]
+        return any(
+            (xj <= xi and yj <= yi and (xj < xi or yj < yi))
+            for j, (xj, yj) in enumerate(pts)
+            if j != i
+        )
+
+    want = sorted(i for i in range(len(pts)) if not dominated(i))
+    assert got == want
