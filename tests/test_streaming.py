@@ -2511,3 +2511,58 @@ def test_interval_fold_stream_twin(spark, tmp_path_factory):
     }
     got = {tuple(r) for r in spans.read_intervals(spark, state).collect()}
     assert got == want == {("x", 1, 7), ("y", 5, 9), ("y", 20, 21)}
+
+
+def test_skyline_fold_matches_batch_and_replays(spark, tmp_path_factory):
+    """Streaming frontier fold ≡ one-shot pareto_frontier over the
+    accumulated stream (monotone-state exactness), incl. a batch that
+    DETHRONES earlier frontier points; committed redelivery is a no-op;
+    a crash-window replay (marker lost) converges; stream twin equal."""
+    from syntenybrowserv2_etl_spark.operators.skyline import pareto_frontier
+    from syntenybrowserv2_etl_spark.streaming import frontier as fy
+
+    base = str(tmp_path_factory.mktemp("sky_fold"))
+    state = os.path.join(base, "state")
+    schema = "id int, x double, y int"
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+    batches = [
+        [(1, 5.0, 10), (2, 8.0, 4), (3, 9.0, 9)],   # 3 dominated by 2
+        [(4, 5.0, 10), (5, 2.0, 30)],               # 4 dups frontier pt 1
+        [(6, 1.0, 3)],                               # dethrones 1,2,4,5
+    ]
+    pre_b2 = os.path.join(base, "pre_b2")
+    for i, rows in enumerate(batches):
+        if i == 2:
+            shutil.copytree(state, pre_b2)  # state as of batch-1 commit
+        fy.skyline_fold_batch(mk(rows), i, state_path=state, x_col="x", y_col="y")
+    allpts = mk([r for b in batches for r in b])
+    want = {tuple(r) for r in pareto_frontier(allpts, "x", "y").collect()}
+    got = {tuple(r) for r in fy.read_frontier(spark, state).collect()}
+    assert got == want == {(6, 1.0, 3)}
+
+    # committed redelivery no-op
+    fy.skyline_fold_batch(mk(batches[0]), 0, state_path=state, x_col="x", y_col="y")
+    assert {tuple(r) for r in fy.read_frontier(spark, state).collect()} == want
+    # TRUE crash window: __v=2 written, crash BEFORE marker 2 (so the
+    # prune that deletes __v=1 never ran). Reconstruct that state from a
+    # snapshot taken after batch 1, plus the orphan __v=2 dir.
+    crash = os.path.join(base, "crash_state")
+    shutil.copytree(pre_b2, crash)
+    shutil.copytree(
+        os.path.join(state, "frontier", "__v=2"),
+        os.path.join(crash, "frontier", "__v=2"),
+    )
+    fy.skyline_fold_batch(mk(batches[2]), 2, state_path=crash, x_col="x", y_col="y")
+    assert {tuple(r) for r in fy.read_frontier(spark, crash).collect()} == want
+    assert os.path.isdir(os.path.join(crash, "_batches", "2"))
+
+    # stream twin over files
+    src = os.path.join(base, "src")
+    for rows in batches:
+        mk(rows).coalesce(1).write.mode("append").parquet(src)
+    state2 = os.path.join(base, "state2")
+    fy.skyline_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        state2, "x", "y", checkpoint=os.path.join(base, "ckpt"),
+    ).awaitTermination(120)
+    assert {tuple(r) for r in fy.read_frontier(spark, state2).collect()} == want
