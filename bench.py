@@ -113,6 +113,7 @@ CURATION = [
     "q128_asof_forward",
     "q129_interval_gaps",
     "q130_pareto_frontier",
+    "q131_max_concurrency",
 ]
 
 

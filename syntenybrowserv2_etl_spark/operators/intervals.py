@@ -67,6 +67,76 @@ def coalesce_intervals(
     )
 
 
+def interval_depth_profile(
+    df: DataFrame,
+    group_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Sweep-line coverage depth over HALF-OPEN ``[start, end)`` spans:
+    per group, the piecewise-constant profile of how many intervals cover
+    each point — segments (``seg_start``, ``seg_end``, ``depth``) between
+    consecutive event boundaries, zero-depth segments included wherever
+    they fall between busy ones (the profile is gap-complete within the
+    group's hull; nothing outside it).
+
+    The classic ±1 sweep, fully relational: each interval contributes a
+    (+1 at start, −1 at end) event, events aggregate per boundary (tie
+    order is irrelevant — they SUM), the running sum over boundaries is
+    the depth in force from that boundary to the next. One shuffle on the
+    group key (the same exchange the coalesce shares); max concurrency,
+    utilization histograms, and over-subscription checks are one
+    aggregate away. NULL spans and empty spans (start >= end) are
+    dropped — a half-open empty interval covers nothing.
+    """
+    base = df.filter(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(start_col) < F.col(end_col))
+    )
+    ev = base.select(
+        *group_cols, F.col(start_col).alias("__p"), F.lit(1).alias("__d")
+    ).unionByName(
+        base.select(
+            *group_cols, F.col(end_col).alias("__p"), F.lit(-1).alias("__d")
+        )
+    )
+    agg = ev.groupBy(*group_cols, "__p").agg(F.sum("__d").alias("__d"))
+    w = Window.partitionBy(*group_cols).orderBy("__p")
+    return (
+        agg.withColumn("__next", F.lead("__p").over(w))
+        .withColumn(
+            "depth",
+            F.sum("__d")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .filter(F.col("__next").isNotNull())
+        .select(
+            *group_cols,
+            F.col("__p").alias("seg_start"),
+            F.col("__next").alias("seg_end"),
+            "depth",
+        )
+    )
+
+
+def max_concurrency(
+    df: DataFrame,
+    group_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-group peak coverage depth (max concurrent ``[start, end)``
+    spans) + the hull bounds it occurred within."""
+    prof = interval_depth_profile(df, group_cols, start_col, end_col)
+    return prof.groupBy(*group_cols).agg(
+        F.max("depth").alias("max_depth"),
+        F.min("seg_start").alias("hull_start"),
+        F.max("seg_end").alias("hull_end"),
+    )
+
+
 def interval_gaps(
     df: DataFrame,
     group_cols: list[str],

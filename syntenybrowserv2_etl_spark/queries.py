@@ -5575,6 +5575,62 @@ def q129(spark, sf_dir):
 
 
 @register(
+    "q131_max_concurrency",
+    """
+    WITH iv AS (
+      SELECT l.l_suppkey AS suppkey,
+             CAST(o.o_orderdate AS DATE) AS a,
+             CAST(l.l_shipdate AS DATE) AS b
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE CAST(o.o_orderdate AS DATE) < CAST(l.l_shipdate AS DATE)),
+    ev AS (
+      SELECT suppkey, a AS p, 1 AS d FROM iv
+      UNION ALL
+      SELECT suppkey, b, -1 FROM iv),
+    agg AS (SELECT suppkey, p, SUM(d) AS d FROM ev GROUP BY suppkey, p),
+    prof AS (
+      SELECT suppkey, p,
+             LEAD(p) OVER (PARTITION BY suppkey ORDER BY p) AS np,
+             SUM(d) OVER (PARTITION BY suppkey ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+      FROM agg)
+    SELECT suppkey,
+           CAST(MAX(depth) AS BIGINT) AS max_depth,
+           strftime(MIN(p), '%Y-%m-%d') AS hull_start,
+           strftime(MAX(np), '%Y-%m-%d') AS hull_end
+    FROM prof WHERE np IS NOT NULL GROUP BY suppkey
+    """,
+    tags=["sweep-line depth profile — peak concurrent intervals"],
+)
+def q131(spark, sf_dir):
+    """Peak concurrency per supplier: the maximum number of
+    simultaneously-open order lines (half-open [orderdate, shipdate)
+    spans) — the ±1 sweep-line as pure relational ops
+    (operators/intervals.interval_depth_profile): events aggregate per
+    boundary, a running sum is the depth, one shuffle on the group key.
+    Dates emitted as yyyy-MM-dd strings (hash lattice)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_suppkey").alias("suppkey"),
+        F.to_date("l_shipdate").alias("b"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("a")
+    )
+    iv = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("suppkey", "a", "b")
+    )
+    out = ivl_ops.max_concurrency(iv, ["suppkey"], "a", "b")
+    return out.select(
+        "suppkey",
+        F.col("max_depth").cast("long").alias("max_depth"),
+        F.date_format("hull_start", "yyyy-MM-dd").alias("hull_start"),
+        F.date_format("hull_end", "yyyy-MM-dd").alias("hull_end"),
+    )
+
+
+@register(
     "q130_pareto_frontier",
     """
     WITH t AS (
@@ -5794,6 +5850,7 @@ _DEMOTED_PAST_WINDOW = [
     "q128_asof_forward",
     "q129_interval_gaps",
     "q130_pareto_frontier",
+    "q131_max_concurrency",
 ]
 
 

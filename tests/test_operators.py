@@ -3484,3 +3484,30 @@ def test_interval_gaps_semantics(spark):
         for r in ivl.interval_gaps(df, ["g"], "a", "b").collect()
     }
     assert got == {("g1", 8, 12), ("g1", 20, 30)}
+
+
+def test_interval_depth_profile_semantics(spark):
+    """±1 sweep: depth segments between boundaries, half-open [a, b) —
+    an interval ending where another starts does NOT overlap it; interior
+    zero-depth segments appear; empty/NULL spans dropped."""
+    from syntenybrowserv2_etl_spark.operators import intervals as ivl
+
+    df = spark.createDataFrame(
+        [
+            ("g", 0, 10), ("g", 5, 15),   # overlap: depth 2 on [5,10)
+            ("g", 15, 20),                 # touches at 15: no overlap
+            ("g", 30, 35),                 # interior gap [20,30) depth 0
+            ("g", 7, 7), ("g", 9, None),   # empty + NULL dropped
+        ],
+        "g string, a int, b int",
+    )
+    got = {
+        (r["seg_start"], r["seg_end"], r["depth"])
+        for r in ivl.interval_depth_profile(df, ["g"], "a", "b").collect()
+    }
+    assert got == {
+        (0, 5, 1), (5, 10, 2), (10, 15, 1), (15, 20, 1),
+        (20, 30, 0), (30, 35, 1),
+    }
+    mc = ivl.max_concurrency(df, ["g"], "a", "b").collect()[0]
+    assert (mc["max_depth"], mc["hull_start"], mc["hull_end"]) == (2, 0, 35)

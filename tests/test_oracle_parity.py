@@ -91,6 +91,7 @@ SF_MED_STRENGTHENED = [
     "q128_asof_forward",
     "q129_interval_gaps",
     "q130_pareto_frontier",
+    "q131_max_concurrency",
 ]
 
 

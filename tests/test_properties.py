@@ -1309,3 +1309,35 @@ def test_pareto_frontier_matches_bruteforce(spark, pts, nparts):
 
     want = sorted(i for i in range(len(pts)) if not dominated(i))
     assert got == want
+
+
+@given(
+    spans=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 10)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_interval_depth_matches_pointwise_bruteforce(spark, spans):
+    """The sweep profile ≡ per-point membership counting: for every unit
+    point in the hull, the segment containing it must report exactly
+    #intervals with a <= p < b; segments tile the hull with no overlap."""
+    from syntenybrowserv2_etl_spark.operators import intervals as ivl
+
+    iv = [(a, a + w) for a, w in spans]
+    df = spark.createDataFrame(
+        [("g", a, b) for a, b in iv], "g string, a int, b int"
+    )
+    segs = sorted(
+        (r["seg_start"], r["seg_end"], r["depth"])
+        for r in ivl.interval_depth_profile(df, ["g"], "a", "b").collect()
+    )
+    lo, hi = min(a for a, _ in iv), max(b for _, b in iv)
+    assert segs[0][0] == lo and segs[-1][1] == hi
+    for (s1, e1, _), (s2, e2, _) in zip(segs, segs[1:]):
+        assert e1 == s2  # tiling, no gaps/overlaps
+    for p in range(lo, hi):
+        depth = sum(1 for a, b in iv if a <= p < b)
+        seg = next((d for s, e, d in segs if s <= p < e), None)
+        assert seg == depth, (p, seg, depth)
