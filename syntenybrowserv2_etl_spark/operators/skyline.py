@@ -48,34 +48,57 @@ def pareto_frontier(
     undefined against NULL). Output schema = input schema; duplicates of
     a frontier point all survive.
     """
-    import pandas as pd  # noqa: F401 — documents the Arrow path
+    import pandas as pd
 
     cols = df.columns
     schema = df.schema
 
+    def sweep(pdf):
+        pdf = pdf.dropna(subset=[x_col, y_col])
+        if pdf.empty:
+            return pdf
+        s = pdf.sort_values([x_col, y_col], kind="mergesort")
+        # strictly-better-y seen at strictly-smaller x:
+        # groupwise min y per x, cummin over increasing x, shifted
+        # so each x-group compares against SMALLER x only
+        gmin = s.groupby(x_col, sort=True)[y_col].min().cummin().shift(1)
+        prev_best = s[x_col].map(gmin)
+        # same-x strict dominance: a row loses to a smaller y at its
+        # own x
+        own_min = s.groupby(x_col)[y_col].transform("min")
+        keep = ~(
+            (prev_best.notna() & (prev_best <= s[y_col]))
+            | (s[y_col] > own_min)
+        )
+        return s[keep]
+
     def local_skyline(batches):
+        # PER-BATCH sweep: each Arrow batch is a subset, and any subset's
+        # skyline is a superset of its global-frontier members, so
+        # over-retention across batch boundaries is safe here (phase 2
+        # culls it) and memory stays one batch at a time
         for pdf in batches:
-            pdf = pdf.dropna(subset=[x_col, y_col])
-            if pdf.empty:
-                continue
-            s = pdf.sort_values([x_col, y_col], kind="mergesort")
-            # strictly-better-y seen at strictly-smaller x:
-            # groupwise min y per x, cummin over increasing x, shifted
-            # so each x-group compares against SMALLER x only
-            gmin = s.groupby(x_col, sort=True)[y_col].min().cummin().shift(1)
-            prev_best = s[x_col].map(gmin)
-            # same-x strict dominance: a row loses to a smaller y at its
-            # own x
-            own_min = s.groupby(x_col)[y_col].transform("min")
-            keep = ~(
-                (prev_best.notna() & (prev_best <= s[y_col]))
-                | (s[y_col] > own_min)
-            )
-            out = s[keep]
+            out = sweep(pdf)
+            if not out.empty:
+                yield out
+
+    def global_skyline(batches):
+        # the global pass MUST see every candidate in ONE sweep: Arrow
+        # hands the coalesced partition over in maxRecordsPerBatch
+        # (default 10k) chunks, and a per-batch sweep would never compare
+        # a batch-2 row against the batch-1 row that dominates it —
+        # dominated rows would leak into the "exact" frontier exactly on
+        # the >10k-candidate inputs the operator exists for (round-11
+        # review catch, pinned by test_pareto_frontier_many_candidates).
+        # Memory bound = the phase-1 candidate union, the standard
+        # two-phase-skyline assumption (document the data, not the dream).
+        pdfs = [pdf for pdf in batches]
+        if pdfs:
+            out = sweep(pd.concat(pdfs, ignore_index=True))
             if not out.empty:
                 yield out
 
     local = df.mapInPandas(local_skyline, schema)
-    # global pass over the (small) candidate union — one partition, same
-    # kernel; exact frontier regardless of how phase 1 was partitioned
-    return local.coalesce(1).mapInPandas(local_skyline, schema).select(*cols)
+    # global pass over the candidate union — one partition, one sweep;
+    # exact frontier regardless of how phase 1 was partitioned
+    return local.coalesce(1).mapInPandas(global_skyline, schema).select(*cols)

@@ -122,20 +122,45 @@ def ingest_jsonl_corpus(
     # direct-path read of the clean partition: the quarantine directory
     # is never even LISTED (stricter than a partition filter, whose base
     # FileIndex still walks every partition)
-    return (
-        spark.read.option("basePath", out_path)
-        .parquet(f"{out_path}/__route=clean")
-        .drop("__route", "raw_line")
-    )
+    return _read_route(spark, out_path, "clean", schema).drop("raw_line")
 
 
 def read_quarantine(spark: SparkSession, out_path: str) -> DataFrame:
     """The quarantined raw lines of an ``ingest_jsonl_corpus`` run."""
-    return (
-        spark.read.option("basePath", out_path)
-        .parquet(f"{out_path}/__route=quarantine")
-        .select("raw_line")
-    )
+    return _read_route(spark, out_path, "quarantine", None).select("raw_line")
+
+
+def _read_route(spark: SparkSession, out_path: str, route: str, schema: str | None) -> DataFrame:
+    """Read one ``__route`` partition, tolerating its ABSENCE:
+    ``partitionBy`` only creates a partition directory when rows with
+    that value exist, so a fully-healthy dump has no quarantine dir and
+    an all-corrupt dump has no clean dir (round-11 review catch — a
+    direct-path read would raise PATH_NOT_FOUND on exactly the common
+    cases). A missing partition is an EMPTY frame with the write
+    schema."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(out_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    part = f"{out_path}/__route={route}"
+    if fs.exists(hpath(part)):
+        return (
+            spark.read.option("basePath", out_path)
+            .parquet(part)
+            .drop("__route")
+        )
+    # reconstruct the written schema without reading this partition: the
+    # sibling partition has it; failing both, build it from the declared
+    # row schema + raw_line
+    other = f"{out_path}/__route={'quarantine' if route == 'clean' else 'clean'}"
+    if fs.exists(hpath(other)):
+        return (
+            spark.read.option("basePath", out_path)
+            .parquet(other)
+            .drop("__route")
+            .limit(0)
+        )
+    if schema is None:
+        return spark.createDataFrame([], "raw_line string")
+    return spark.createDataFrame([], f"{schema}, raw_line string")
 
 
 def write_jsonl_sharded(

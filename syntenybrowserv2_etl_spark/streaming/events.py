@@ -701,6 +701,12 @@ def scd2_apply_batch(
     # starts after it exists); replay re-merges stale buckets from the
     # snapshot's immutable pre-state. O(touched) copy, same order as the
     # open-bucket read the merge performs anyway.
+    # NOTE: streaming/spans.touched_bucket_fold is the canonical
+    # implementation of this protocol (the merge sink delegates to it);
+    # scd2 keeps a local copy because its fold has a second, ordered
+    # side-effect the primitive's merge_fn can't express — the closed-
+    # interval partition write that must land before the open overwrite
+    # and only on the first attempt. Protocol fixes must be mirrored.
     pre_dir = f"{hist_path}/_pre/{batch_id}"
     snap_done = hpath(f"{pre_dir}/__snapdone")
     futil = spark._jvm.org.apache.hadoop.fs.FileUtil
@@ -1173,6 +1179,11 @@ def rollup_maintain_batch(
     # in that day silently gone. Touched day-partitions are copied to
     # _pre/<batch_id> before any overwrite (__snapdone certifies
     # completeness); replay re-merges stale partitions from the snapshot.
+    # NOTE: streaming/spans.touched_bucket_fold is the canonical
+    # implementation (the merge sink delegates to it); the rollup keeps a
+    # local copy because its partition key is the DERIVED day id (__pd of
+    # the pre-aggregated grid), not a hash of key columns. Protocol fixes
+    # must be mirrored.
     pre_dir = f"{path}/_pre/{batch_id}"
     snap_done = hpath(f"{pre_dir}/__snapdone")
     futil = spark._jvm.org.apache.hadoop.fs.FileUtil

@@ -88,8 +88,10 @@ def skyline_stream(
 
 
 def read_frontier(spark: SparkSession, state_path: str) -> DataFrame:
-    """The current frontier (last committed version; empty-schema error if
-    none committed yet — fold at least one batch first)."""
+    """The current frontier (last committed version). Raises
+    ``FileNotFoundError`` when no version has committed yet — fold at
+    least one batch first (the schema lives with the data, so there is
+    no frame to return before then)."""
     from .events import _committed_version
 
     vstar, _, _ = _committed_version(spark, state_path, "frontier")

@@ -199,7 +199,7 @@ def merge_upsert_batch(
     # key). Tie-break among equal arrivals is arbitrary — the documented
     # within-batch contract (module docstring "Ordering contract").
     val_cols = [c for c in batch_df.columns if c not in key_cols]
-    batch_df = (
+    reduced = (
         batch_df.groupBy(*key_cols)
         .agg(
             F.max_by(
@@ -208,137 +208,42 @@ def merge_upsert_batch(
             ).alias("__w")
         )
         .select(*key_cols, "__w.*")
-        .localCheckpoint(eager=True)
     )
-    kb = _merge_kb(key_cols, n_buckets)
-    touched = [
-        r["__kb"]
-        for r in batch_df.select(kb.alias("__kb")).distinct().collect()
-    ]
-    if not touched:
-        fs.mkdirs(marker_p)  # empty batch: nothing to merge
-        return
 
-    def lww(df: DataFrame) -> DataFrame:
+    def lww_merge(pre: DataFrame | None, part: DataFrame) -> DataFrame:
         # batch rows (__src=1) win arrival ties over stored rows (__src=0)
         # — INSERT OR REPLACE: the later write replaces the row
+        part = part.withColumn("__src", F.lit(1))
+        both = (
+            part
+            if pre is None
+            else pre.withColumn("__src", F.lit(0)).unionByName(part)
+        )
         w = Window.partitionBy(*key_cols).orderBy(
             *[F.col(c).desc() for c in arrivals], F.col("__src").desc()
         )
         return (
-            df.withColumn("__rn", F.row_number().over(w))
+            both.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__src")
         )
 
-    def write_buckets(df: DataFrame) -> None:
-        # repartition on the bucket id so each bucket partition is
-        # written by exactly ONE task — without this every task spills a
-        # file into every bucket dir (tasks × buckets small files: the
-        # thing that killed the first curve measurement; at 100 TB it
-        # kills the listing on every subsequent read)
-        (
-            df.withColumn("__b", F.lit(batch_id).cast("long"))
-            .withColumn("__kb", _merge_kb(key_cols, n_buckets))
-            .repartition("__kb")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__kb")
-            .parquet(table_path)
-        )
+    # everything below — touched-bucket routing, O(touched) listing, the
+    # _pre crash-window snapshot, committed-bucket detection with the
+    # all-stale fallback, one-file-per-bucket dynamic overwrite, marker
+    # LAST, snapshot reap — is the engine's ONE hardened implementation
+    # (round-11 dedup of four near-identical copies; the bucket-id
+    # expression there is identical to _merge_kb)
+    from .spans import touched_bucket_fold
 
-    batch_src = batch_df.withColumn("__src", F.lit(1))
-    # ONLY a missing/empty table means "first batch"; a transient read
-    # error must propagate and fail the batch for retry (the
-    # upsert_stream_to_parquet probe contract). The glob is ONE listing
-    # of the top-level dir (O(n_buckets) names, no per-file statuses) —
-    # and it lets the reads below open ONLY the touched buckets' paths
-    # (basePath keeps __kb as a partition column), so per-batch file
-    # listing is O(touched buckets), never a full-table InMemoryFileIndex
-    # walk (at 100 TB listing the untouched 99.99% costs more than
-    # reading the touched rows).
-    existing = (
-        {
-            int(st.getPath().getName().split("=", 1)[1])
-            for st in fs.globStatus(hpath(f"{table_path}/__kb=*"))
-        }
-        if fs.exists(hpath(table_path))
-        else set()
+    touched_bucket_fold(
+        reduced,
+        batch_id,
+        path=table_path,
+        key_cols=list(key_cols),
+        merge_fn=lww_merge,
+        n_buckets=n_buckets,
     )
-    # --- pre-state snapshot (module docstring, ADVICE r10) ---
-    # The live table stops being a trustworthy pre-state the moment the
-    # dynamic overwrite's per-bucket delete-then-rename starts, so the
-    # touched buckets are copied aside FIRST; __snapdone (written last)
-    # certifies the snapshot complete. A replay that finds no __snapdone
-    # knows the overwrite never started — live pre-state is intact — and
-    # retakes the snapshot from it; a replay that finds __snapdone trusts
-    # ONLY the snapshot for stale buckets.
-    pre_dir = f"{table_path}/_pre/{batch_id}"
-    snap_done = hpath(f"{pre_dir}/__snapdone")
-    futil = spark._jvm.org.apache.hadoop.fs.FileUtil
-    conf = spark._jsc.hadoopConfiguration()
-    if not fs.exists(snap_done):
-        fs.delete(hpath(pre_dir), True)
-        fs.mkdirs(hpath(pre_dir))
-        for b in sorted(set(touched) & existing):
-            futil.copy(
-                fs,
-                hpath(f"{table_path}/__kb={b}"),
-                fs,
-                hpath(f"{pre_dir}/__kb={b}"),
-                False,
-                conf,
-            )
-        fs.mkdirs(snap_done)
-    snap_buckets = {
-        int(st.getPath().getName().split("=", 1)[1])
-        for st in fs.globStatus(hpath(f"{pre_dir}/__kb=*"))
-    }
-    # Committed-bucket detection (__b provenance) is an OPTIMIZATION so a
-    # fully-committed batch that merely lost its marker restores the
-    # marker without rewriting anything. It reads the live touched
-    # buckets; a torn bucket can make that read fail, in which case every
-    # bucket is treated as stale — the always-correct fallback, since the
-    # snapshot re-merge is deterministic.
-    committed: set[int] = set()
-    read_live = sorted(set(touched) & existing)
-    if read_live:
-        try:
-            committed = {
-                r["__kb"]
-                for r in spark.read.option("basePath", table_path)
-                .parquet(*[f"{table_path}/__kb={b}" for b in read_live])
-                .filter(F.col("__b") == batch_id)
-                .select("__kb")
-                .distinct()
-                .collect()
-            }
-        except Exception:
-            committed = set()
-    stale = [b for b in touched if b not in committed]
-    if stale:
-        pre_paths = [
-            f"{pre_dir}/__kb={b}" for b in stale if b in snap_buckets
-        ]
-        if pre_paths:
-            pre = (
-                spark.read.option("basePath", pre_dir)
-                .parquet(*pre_paths)
-                .drop(*_LAYOUT_COLS)
-                .withColumn("__src", F.lit(0))
-            )
-            merged = lww(
-                pre.unionByName(batch_src.filter(kb.isin(stale)))
-            )
-        else:
-            merged = lww(batch_src.filter(kb.isin(stale)))
-        # stage-then-swap: never read and overwrite the same files
-        # in-flight (the snapshot read makes this safe by construction,
-        # but the committed-detection read above still holds live paths)
-        merged = merged.localCheckpoint(eager=True)
-        write_buckets(merged)
-    fs.mkdirs(marker_p)
-    fs.delete(hpath(pre_dir), True)
 
 
 def merge_upsert_stream(

@@ -96,7 +96,8 @@ def touched_bucket_fold(
     snap_done = hpath(f"{pre_dir}/__snapdone")
     futil = spark._jvm.org.apache.hadoop.fs.FileUtil
     conf = spark._jsc.hadoopConfiguration()
-    if not fs.exists(snap_done):
+    fresh_snapshot = not fs.exists(snap_done)
+    if fresh_snapshot:
         fs.delete(hpath(pre_dir), True)
         fs.mkdirs(hpath(pre_dir))
         for b in sorted(set(touched) & existing):
@@ -121,6 +122,16 @@ def touched_bucket_fold(
             .drop(*_LAYOUT_COLS)
         )
 
+    # Committed-bucket detection runs even when the snapshot was freshly
+    # taken: tempting as it is to skip it then ("the overwrite can't have
+    # started before __snapdone"), a COMMITTED batch whose marker was
+    # lost AFTER the snapshot reap presents exactly this way — fresh
+    # snapshot, yet live buckets carry __b == batch_id — and detection is
+    # what lets that replay restore the marker without rewriting (and
+    # what keeps a NON-idempotent merge_fn from re-merging against its
+    # own post-state). The read is (__kb, __b)-column-pruned over the
+    # touched buckets only — metadata-cheap next to the merge itself.
+    del fresh_snapshot  # documents the rejected optimization above
     committed: set[int] = set()
     read_live = sorted(set(touched) & existing)
     if read_live:

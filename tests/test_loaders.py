@@ -575,3 +575,35 @@ def test_compact_table_refuses_marker_disciplined_stores(spark, tmp_path):
     spark.range(100).repartition(8).write.parquet(plain)
     before, after = compact_table(spark, plain)
     assert after <= before and spark.read.parquet(plain).count() == 100
+
+
+def test_ingest_jsonl_corpus_degenerate_dumps(spark, tmp_path):
+    """Round-11 review catch: partitionBy only creates a __route dir when
+    rows exist, so a HEALTHY dump (no corrupt lines — the common case)
+    has no quarantine dir and an all-corrupt dump has no clean dir. Both
+    reads must return empty typed frames, never PATH_NOT_FOUND."""
+    from syntenybrowserv2_etl_spark.sources import jsonl
+
+    healthy = tmp_path / "healthy.jsonl"
+    healthy.write_text('{"doc_id": 1, "text": "a"}\n{"doc_id": 2, "text": "b"}\n')
+    out1 = str(tmp_path / "o1")
+    clean = jsonl.ingest_jsonl_corpus(spark, str(healthy), "doc_id long, text string", out1)
+    assert clean.count() == 2
+    q = jsonl.read_quarantine(spark, out1)
+    assert q.count() == 0 and q.columns == ["raw_line"]
+
+    junk = tmp_path / "junk.jsonl"
+    junk.write_text("garbage\nmore garbage\n")
+    out2 = str(tmp_path / "o2")
+    clean2 = jsonl.ingest_jsonl_corpus(spark, str(junk), "doc_id long, text string", out2)
+    assert clean2.count() == 0
+    assert [f.name for f in clean2.schema.fields] == ["doc_id", "text"]
+    assert jsonl.read_quarantine(spark, out2).count() == 2
+
+    empty = tmp_path / "empty.jsonl"
+    empty.write_text("\n\n")
+    out3 = str(tmp_path / "o3")
+    clean3 = jsonl.ingest_jsonl_corpus(spark, str(empty), "doc_id long, text string", out3)
+    assert clean3.count() == 0
+    assert [f.name for f in clean3.schema.fields] == ["doc_id", "text"]
+    assert jsonl.read_quarantine(spark, out3).count() == 0

@@ -3511,3 +3511,19 @@ def test_interval_depth_profile_semantics(spark):
     }
     mc = ivl.max_concurrency(df, ["g"], "a", "b").collect()[0]
     assert (mc["max_depth"], mc["hull_start"], mc["hull_end"]) == (2, 0, 35)
+
+
+def test_pareto_frontier_many_candidates(spark):
+    """Round-11 review catch: the GLOBAL sweep must see every candidate
+    in one pass. 15k anti-correlated points (each locally non-dominated,
+    so ALL survive phase 1 — well past Arrow's 10k default batch size)
+    plus one point dominating everything: a per-batch global sweep leaks
+    dominated rows across the batch boundary; the exact answer is the
+    single dominating point."""
+    from syntenybrowserv2_etl_spark.operators.skyline import pareto_frontier
+
+    n = 15_000
+    rows = [(i, float(i), n - i) for i in range(1, n)] + [(0, 0.0, 0)]
+    df = spark.createDataFrame(rows, "id int, x double, y int").repartition(7)
+    got = pareto_frontier(df, "x", "y").collect()
+    assert [(r["id"], r["x"], r["y"]) for r in got] == [(0, 0.0, 0)]
