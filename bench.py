@@ -114,6 +114,7 @@ CURATION = [
     "q129_interval_gaps",
     "q130_pareto_frontier",
     "q131_max_concurrency",
+    "q132_golden_records",
 ]
 
 

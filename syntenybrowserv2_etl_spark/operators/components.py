@@ -413,3 +413,76 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def golden_records(
+    members: DataFrame,
+    entity_col: str,
+    mode_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    carry: tuple[list[str], list[str]] | None = None,
+) -> DataFrame:
+    """Survivorship / golden-record construction — the step AFTER entity
+    resolution (q117's clusters): collapse each entity's member rows into
+    one canonical record under explicit, deterministic field rules.
+
+    - ``mode_cols``: most FREQUENT value per entity wins; frequency ties
+      break lexicographically-smallest (deterministic across engines —
+      never an engine's unspecified ``mode()`` tie).
+    - ``max_cols``: plain per-entity MAX (monotone fields: last-seen
+      timestamps, balances-as-high-water).
+    - ``carry`` = (order_cols, value_cols): the value_cols are carried
+      together from the single member row maximizing the order_cols
+      tuple (lexicographic) — "freshest address wins, as a unit" —
+      keeping multi-field consistency a per-field rule would break.
+      The order tuple should be a total order within each entity
+      (append a unique key column as the last element).
+
+    Scale shape: each rule family is one aggregation co-partitioned on
+    the entity key (mode adds a (entity, value) pre-count — the same
+    two-step any heavy-hitter count uses), joined back entity-to-entity —
+    no windows over raw members except the mode's per-entity value
+    ranking, which runs on the COUNTED rows (distinct values), not the
+    members.
+    """
+    from pyspark.sql import Window
+
+    mode_cols = mode_cols or []
+    max_cols = max_cols or []
+    out = members.select(entity_col).distinct()
+    for c in mode_cols:
+        counts = (
+            members.filter(F.col(c).isNotNull())
+            .groupBy(entity_col, c)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        w = Window.partitionBy(entity_col).orderBy(
+            F.col("__n").desc(), F.col(c).asc()
+        )
+        top = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(entity_col, F.col(c).alias(f"golden_{c}"))
+        )
+        out = out.join(top, entity_col, "left")
+    if max_cols:
+        aggs = [F.max(c).alias(f"max_{c}") for c in max_cols]
+        out = out.join(members.groupBy(entity_col).agg(*aggs), entity_col, "left")
+    if carry is not None:
+        order_cols, value_cols = carry
+        carried = members.groupBy(entity_col).agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in value_cols]),
+                F.struct(*[F.col(c) for c in order_cols]),
+            ).alias("__c")
+        )
+        out = out.join(
+            carried.select(
+                entity_col,
+                *[F.col(f"__c.{c}").alias(f"carried_{c}") for c in value_cols],
+            ),
+            entity_col,
+            "left",
+        )
+    n = members.groupBy(entity_col).agg(F.count(F.lit(1)).alias("n_members"))
+    return out.join(n, entity_col, "left")

@@ -5575,6 +5575,90 @@ def q129(spark, sf_dir):
 
 
 @register(
+    "q132_golden_records",
+    """
+    WITH RECURSIVE
+    c AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+          WHERE c_mktsegment = 'BUILDING'),
+    e AS (SELECT a.c_custkey AS s, b.c_custkey AS t
+          FROM c a JOIN c b
+            ON a.c_custkey <> b.c_custkey
+           AND levenshtein(a.c_name, b.c_name) <= 1),
+    reach(src, node) AS (
+      SELECT c_custkey, c_custkey FROM c
+      UNION
+      SELECT r.src, e.t FROM reach r JOIN e ON e.s = r.node
+    ),
+    rep AS (SELECT src AS c_custkey, MIN(node) AS entity_rep
+            FROM reach GROUP BY src),
+    mem AS (SELECT c.*, rep.entity_rep FROM c JOIN rep USING (c_custkey)),
+    name_counts AS (
+      SELECT entity_rep, c_name, COUNT(*) AS n FROM mem
+      GROUP BY entity_rep, c_name),
+    gname AS (
+      SELECT entity_rep, c_name AS golden_name FROM (
+        SELECT entity_rep, c_name,
+               ROW_NUMBER() OVER (PARTITION BY entity_rep
+                 ORDER BY n DESC, c_name ASC) AS rn
+        FROM name_counts) WHERE rn = 1),
+    carried AS (
+      SELECT entity_rep, c_nationkey AS carried_nation FROM (
+        SELECT entity_rep, c_nationkey,
+               ROW_NUMBER() OVER (PARTITION BY entity_rep
+                 ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+        FROM mem) WHERE rn = 1)
+    SELECT m.entity_rep,
+           g.golden_name,
+           ROUND(MAX(m.c_acctbal), 2) + 0.0 AS max_acctbal,
+           CAST(MAX(cr.carried_nation) AS BIGINT) AS carried_nation,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM mem m JOIN gname g USING (entity_rep)
+               JOIN carried cr USING (entity_rep)
+    GROUP BY m.entity_rep, g.golden_name
+    """,
+    tags=["golden-record survivorship after entity resolution (q117 ∘ rules)"],
+)
+def q132(spark, sf_dir):
+    """Survivorship on q117's entities: each resolved customer cluster
+    collapses to one canonical record — most-frequent name (ties
+    lexicographic), high-water account balance, and the address CARRIED
+    AS A UNIT from the member with the top (acctbal, custkey) — via
+    operators/components.golden_records (entity-co-partitioned
+    aggregations; the mode ranks COUNTED values, never raw members)."""
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    edges = dedup_ops.editdist1_join(c, "c_custkey", "c_name").select(
+        "id_a", "id_b"
+    )
+    comps = comp_ops.connected_components(edges)
+    mem = (
+        c.join(comps, c["c_custkey"] == comps["id"], "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            F.coalesce("comp", "c_custkey").alias("entity_rep"),
+        )
+    )
+    out = comp_ops.golden_records(
+        mem,
+        "entity_rep",
+        mode_cols=["c_name"],
+        max_cols=["c_acctbal"],
+        carry=(["c_acctbal", "c_custkey"], ["c_nationkey"]),
+    )
+    return out.select(
+        "entity_rep",
+        F.col("golden_c_name").alias("golden_name"),
+        (F.round("max_c_acctbal", 2) + F.lit(0.0)).alias("max_acctbal"),
+        F.col("carried_c_nationkey").cast("long").alias("carried_nation"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+@register(
     "q131_max_concurrency",
     """
     WITH iv AS (
@@ -5851,6 +5935,7 @@ _DEMOTED_PAST_WINDOW = [
     "q129_interval_gaps",
     "q130_pareto_frontier",
     "q131_max_concurrency",
+    "q132_golden_records",
 ]
 
 

@@ -3527,3 +3527,44 @@ def test_pareto_frontier_many_candidates(spark):
     df = spark.createDataFrame(rows, "id int, x double, y int").repartition(7)
     got = pareto_frontier(df, "x", "y").collect()
     assert [(r["id"], r["x"], r["y"]) for r in got] == [(0, 0.0, 0)]
+
+
+def test_golden_records_survivorship_rules(spark):
+    """Survivorship: mode with lexicographic tie-break, per-entity max,
+    and multi-field carry AS A UNIT from the top-ordered member; NULLs
+    don't win modes; singleton entities pass through."""
+    from syntenybrowserv2_etl_spark.operators.components import golden_records
+
+    mem = spark.createDataFrame(
+        [
+            # entity 1: name mode tie (Ann x1, Bob x1) -> 'Ann' (lex);
+            # carry from member with max (score, key) = (9, 13)
+            (1, 11, "Ann", 5.0, "us"),
+            (1, 12, "Bob", 9.0, "de"),
+            (1, 13, None, 9.0, "fr"),
+            # entity 2: clear mode
+            (2, 21, "Cat", 1.0, "jp"),
+            (2, 22, "Cat", 2.0, "jp"),
+            (2, 23, "Dog", 3.0, "cn"),
+            # entity 3: singleton
+            (3, 31, "Eve", 7.0, "br"),
+        ],
+        "ent int, key int, name string, score double, country string",
+    )
+    got = {
+        r["ent"]: (
+            r["golden_name"], r["max_score"], r["carried_country"],
+            r["carried_key"], r["n_members"],
+        )
+        for r in golden_records(
+            mem, "ent",
+            mode_cols=["name"],
+            max_cols=["score"],
+            carry=(["score", "key"], ["country", "key"]),
+        ).collect()
+    }
+    assert got == {
+        1: ("Ann", 9.0, "fr", 13, 3),  # NULL name never wins the mode
+        2: ("Cat", 3.0, "cn", 23, 3),
+        3: ("Eve", 7.0, "br", 31, 1),
+    }

@@ -92,6 +92,7 @@ SF_MED_STRENGTHENED = [
     "q129_interval_gaps",
     "q130_pareto_frontier",
     "q131_max_concurrency",
+    "q132_golden_records",
 ]
 
 

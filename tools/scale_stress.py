@@ -104,7 +104,7 @@ KNOWN_OPS = frozenset({
     "triangles_skew", "rollup_apply", "heavy_hitters", "merge_apply",
     "containment_skew", "editdist_join", "event_transitions", "knn_batch",
     "transitions_apply", "merge_apply_skew", "interval_union",
-    "jsonl_ingest",
+    "jsonl_ingest", "pareto_skyline",
 })
 
 
@@ -132,7 +132,7 @@ def main():
         "pagerank_skew", "scd2_apply", "rollup_apply", "merge_apply",
         "triangles_skew", "containment_skew", "editdist_join",
         "event_transitions", "transitions_apply", "merge_apply_skew",
-        "interval_union", "jsonl_ingest",
+        "interval_union", "jsonl_ingest", "pareto_skyline",
     }
     results = []
     for f in factors:
@@ -789,6 +789,53 @@ def main():
 
         if only is None or "jsonl_ingest" in only:
             _jsonl_ingest()
+
+        # round 11: two-phase Pareto frontier on the WORST-case mix —
+        # 500k·f points of which 10k are a perfectly anti-correlated
+        # frontier (every one globally non-dominated, so the global
+        # phase's candidate union is large and REAL — the concat-sweep
+        # correctness fix is exercised, not idled) and the rest random
+        # (mostly dominated, pruned in the local phase). Cost must track
+        # the ONE narrow pass over the data; the global gather is bounded
+        # by the candidate union.
+        def _pareto_skyline():
+            from syntenybrowserv2_etl_spark.operators.skyline import (
+                pareto_frontier,
+            )
+
+            n = 500_000 * f
+            front = spark.range(10_000).select(
+                (F.col("id") + 1_000_000_000).alias("vid"),
+                F.col("id").cast("double").alias("x"),
+                (F.lit(10_000) - F.col("id")).alias("y"),
+            )
+            noise = spark.range(n).select(
+                F.col("id").alias("vid"),
+                # x offset past the whole planted frontier: noise can
+                # never dominate a planted point (its x is always worse),
+                # while planted (9999, 1) dominates every noise point —
+                # so the exact frontier is the planted 10k by construction
+                (
+                    F.pmod(F.xxhash64("id"), F.lit(10_000)).cast("double")
+                    + F.lit(20_000.0)
+                ).alias("x"),
+                (
+                    F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000))
+                    + F.lit(10)
+                ).alias("y"),
+            )
+            pts = noise.unionByName(front).localCheckpoint(eager=True)
+            r["pareto_skyline_rows"] = n + 10_000
+            def run():
+                got = pareto_frontier(pts, "x", "y").count()
+                # the planted anti-correlated frontier survives intact;
+                # noise is offset by +10 in both axes so it never
+                # dethrones a planted point
+                assert got == 10_000, got
+            r["pareto_skyline"] = timed(run)
+
+        if only is None or "pareto_skyline" in only:
+            _pareto_skyline()
 
         def _transitions_apply():
             # per-batch transition-matrix fold vs ACCUMULATED user-state
