@@ -101,7 +101,17 @@ def interval_depth_profile(
             *group_cols, F.col(end_col).alias("__p"), F.lit(-1).alias("__d")
         )
     )
-    agg = ev.groupBy(*group_cols, "__p").agg(F.sum("__d").alias("__d"))
+    # ONE exchange serves both stages: hash-partitioning on the group key
+    # alone satisfies the boundary aggregation's clustering requirement
+    # ((group, __p) is a superset) AND the window's — without this the
+    # plan pays a (group, __p) shuffle for the agg and a second
+    # group-only shuffle for the running sum (plan-pinned by
+    # test_interval_depth_single_exchange)
+    agg = (
+        ev.repartition(*[F.col(c) for c in group_cols])
+        .groupBy(*group_cols, "__p")
+        .agg(F.sum("__d").alias("__d"))
+    )
     w = Window.partitionBy(*group_cols).orderBy("__p")
     return (
         agg.withColumn("__next", F.lead("__p").over(w))

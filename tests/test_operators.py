@@ -3568,3 +3568,23 @@ def test_golden_records_survivorship_rules(spark):
         2: ("Cat", 3.0, "cn", 23, 3),
         3: ("Eve", 7.0, "br", 31, 1),
     }
+
+
+def test_interval_depth_single_exchange(spark):
+    """Plan pin: the depth profile pays exactly ONE group-key exchange —
+    hash-partitioning on the group alone serves both the boundary
+    aggregation (superset clustering) and the running-sum window."""
+    import re
+
+    from syntenybrowserv2_etl_spark.operators import intervals as ivl
+
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("g"),
+        (F.col("id") % 97).alias("a"),
+        (F.col("id") % 97 + 5).alias("b"),
+    )
+    plan = (
+        ivl.interval_depth_profile(df, ["g"], "a", "b")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
