@@ -3588,3 +3588,55 @@ def test_interval_depth_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_ivf_marker_pruning_committed_reads(spark, tmp_path):
+    """Watermark pruning on the IVF index (base __ib = -1): after pruning,
+    a redelivered pruned batch is skipped and the probe serves base +
+    every pruned batch's codes (the watermark range replaces the marker
+    list; the -1 base rides the explicit base_ib equality)."""
+    import os as _os
+
+    from syntenybrowserv2_etl_spark.operators import similarity as sim
+    from syntenybrowserv2_etl_spark.sources import io as sio
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(400).localCheckpoint(eager=True)
+    cells = sim.kmeans_centroids(emb, k=4, iters=2).localCheckpoint(eager=True)
+    cb = sim.pq_codebooks(emb, 4, 4, 2, dim=64).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivf")
+    seed = emb.filter(F.col("vec_id") < 200)
+    sim.write_ivf_index(
+        sim.assign_centroids(seed, cells), sim.pq_encode(seed, cb, 4, dim=64),
+        path,
+    )
+    b1 = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300))
+    b2 = emb.filter(F.col("vec_id") >= 300)
+    for i, b in ((1, b1), (2, b2)):
+        sim.ivf_index_append_batch(
+            b, i, index_path=path, cells=cells, codebooks=cb, dim=64
+        )
+    w = sio.prune_batch_markers(spark, path, first_batch_id=1)
+    assert w == 2
+    assert sorted(_os.listdir(_os.path.join(path, "_batches"))) == ["2", "w2"]
+    all_cells = [r["centroid_id"] for r in cells.select("centroid_id").collect()]
+    served = {
+        r["vec_id"]
+        for r in sim.probe_ivf_index(spark, path, all_cells)
+        .select("vec_id").distinct().collect()
+    }
+    assert len(served) == 400  # base + both pruned batches all served
+    n = spark.read.parquet(path).count()
+    sim.ivf_index_append_batch(  # pruned redelivery: skipped
+        b1, 1, index_path=path, cells=cells, codebooks=cb, dim=64
+    )
+    assert spark.read.parquet(path).count() == n
+    # compaction still folds watermark-committed batches into the base
+    sim.ivf_index_compact(spark, path)
+    served2 = {
+        r["vec_id"]
+        for r in sim.probe_ivf_index(spark, path, all_cells)
+        .select("vec_id").distinct().collect()
+    }
+    assert served2 == served
