@@ -5902,14 +5902,10 @@ _DEMOTED_PAST_WINDOW = [
     # round 10: parity-gated from birth (rounds-7/8 policy) — new families
     # added after the r10 window rotation landed, kept out of the window so
     # the freshly-promoted post-r6 operators accumulate driver history.
+    # (round 12 promoted q116/q120/q123/q125/q126 out of this block.)
     "q113_event_transitions",
     "q114_trailing_window",
-    "q116_knn_batch",
-    "q120_multi_phrase",
     "q121_phrase_decontam",
-    "q123_copurchase",
-    "q125_mad_outliers",
-    "q126_hard_negatives",
     # round 11: window rotation (VERDICT r10 #1) — the six round-10 family
     # heads (q115 editdist join, q117 entity resolution, q118 phrase search,
     # q119 near-dup decontam, q122 embedding decontam, q124 CUSUM drift) are
@@ -5929,13 +5925,34 @@ _DEMOTED_PAST_WINDOW = [
     "q68_dedup_pipeline",
     "q69_corpus_report",
     "q71_shuffle_shards",
-    # round 11: parity-gated from birth (standing policy for new families)
-    "q127_interval_coverage",
-    "q128_asof_forward",
-    "q129_interval_gaps",
-    "q130_pareto_frontier",
-    "q131_max_concurrency",
-    "q132_golden_records",
+    # round 12: window rotation (VERDICT r11 #2, rotation order per the
+    # README policy: oldest-never-driver-verified first). Promoted INTO the
+    # window: the six round-11 family heads (q127 interval coverage, q128
+    # forward as-of, q129 interval gaps, q130 Pareto frontier, q131 peak
+    # concurrency, q132 golden records) plus the five round-10 stragglers
+    # the r11 verdict's independent sf0.01 drive already value-confirmed
+    # (q116 batched kNN, q120 multi-phrase, q123 co-purchase, q125 MAD
+    # outliers, q126 hard negatives). Demoted to make room — each 11-rounds
+    # driver-green, its family still driver-proven in-window: q21 (event
+    # windowing stays via q124 CUSUM + q34 as-of), q26 (fingerprint dedup
+    # stays via q22/q23/q25), q28 (its LSH twin q29 and exact kNN q27
+    # stay), q31 (text quality stays via q33 + q64), q45 (hash-split
+    # determinism stays via q22's normalized hash; sampling parity via
+    # q89/q95), q59/q65 (gopher-family curation stays via q64 + q70),
+    # q60 (mix aggregation stays via q33), q62 (row-local regex transform;
+    # generic), q66 (explode/chunk stays via q08 + q61), q67 (vocab
+    # logprob stays parity via q75/q81, token stats via q33).
+    "q21_sessionize",
+    "q26_simhash",
+    "q28_embedding_neardup",
+    "q31_text_profile",
+    "q45_hash_split",
+    "q59_boilerplate",
+    "q60_corpus_mix",
+    "q62_pii_scrub",
+    "q65_repetition_profile",
+    "q66_chunk_documents",
+    "q67_unigram_logprob",
 ]
 
 

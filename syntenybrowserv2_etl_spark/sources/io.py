@@ -324,7 +324,9 @@ def committed_ib_predicate(spark, path: str, base_ib: int = 0, col: str = "__ib"
     return pred
 
 
-def prune_batch_markers(spark, path: str, first_batch_id: int = 0) -> int | None:
+def prune_batch_markers(
+    spark, path: str, first_batch_id: int = 0, trust_first_batch_id: bool = False
+) -> int | None:
     """Advance the committed watermark and delete the per-batch markers it
     subsumes — the ``_prune_versions`` discipline applied to the marker-
     append sinks (merge / phrase index / IVF index / scd2 / rollup /
@@ -338,22 +340,54 @@ def prune_batch_markers(spark, path: str, first_batch_id: int = 0) -> int | None
     arise from genuine crash windows; the watermark stops right before the
     first one. Durability order: the new ``w<N>`` file lands BEFORE any
     marker is deleted (a crash between leaves both — a superset of the
-    truth); leftover ``_pre/<id ≤ N>`` snapshot dirs are reaped with the
-    markers. Run it like compaction — between batches, from one
-    maintenance process. Returns the effective watermark (None if nothing
-    is committed yet).
+    truth); EVERY stale ``w<M>`` below the new watermark is then removed,
+    not just the immediately-previous one, so an orphan left by an earlier
+    crash between write-new and delete-old cannot accumulate forever
+    (ADVICE r11). Leftover ``_pre``/``_staging`` dirs for ids ≤ N are
+    reaped with the markers. Run it like compaction — between batches,
+    from one maintenance process. Returns the effective watermark (None if
+    nothing is committed yet).
+
+    ``first_batch_id`` asserts where the stream's id sequence genuinely
+    starts (checkpointed streams need not start at 0). It is a DANGEROUS
+    assertion: a value above the true first id walks the watermark over a
+    crashed, never-committed batch, silently dropping its redelivery — so
+    when no prior watermark exists and the claim is not corroborated by an
+    on-disk marker for ``first_batch_id - 1``, the prune REFUSES unless
+    ``trust_first_batch_id=True`` explicitly acknowledges the assumption
+    (ADVICE r11: one mistyped flag must not cause permanent data loss).
     """
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
     markers, watermark = batch_marker_state(spark, path)
+    if (
+        watermark is None
+        and int(first_batch_id) > 0
+        and int(first_batch_id) - 1 not in markers
+        and not trust_first_batch_id
+    ):
+        raise ValueError(
+            f"prune_batch_markers: first_batch_id={first_batch_id} claims "
+            f"batches before it never existed, but {path} has no prior "
+            "watermark and no marker for the preceding id — if the claim "
+            "is wrong, a crashed batch's redelivery would be silently "
+            "skipped (permanent data loss). Pass trust_first_batch_id=True "
+            "only if the stream's id sequence genuinely starts there."
+        )
     w0 = watermark if watermark is not None else int(first_batch_id) - 1
     w = w0
     while w + 1 in markers:
         w += 1
     if w > w0:
         fs.mkdirs(hpath(f"{path}/_batches/w{w}"))  # durable FIRST
-        if watermark is not None:
-            fs.delete(hpath(f"{path}/_batches/w{watermark}"), True)
+        import re as _re
+
+        # reap EVERY stale watermark file below the new one (ADVICE r11:
+        # deleting only the previously-effective w left crash orphans)
+        for st in fs.listStatus(hpath(f"{path}/_batches")):
+            nm = st.getPath().getName()
+            if _re.fullmatch(r"w[0-9]+", nm) and int(nm[1:]) < w:
+                fs.delete(st.getPath(), True)
         watermark = w
     # the HIGHEST marker always survives: the versioned-state folds
     # (_committed_version) locate their live __v from the latest marker,
@@ -362,16 +396,17 @@ def prune_batch_markers(spark, path: str, first_batch_id: int = 0) -> int | None
     for m in sorted(markers):
         if m <= w and m != keep_max:
             fs.delete(hpath(f"{path}/_batches/{m}"), True)
-    # reap pre-state snapshots leaked below the watermark (all their
-    # batches are fully committed, so the snapshots are dead weight)
+    # reap pre-state snapshots and staged batch dirs leaked below the
+    # watermark (all their batches are fully committed — dead weight)
     import re as _re
 
-    pre_dir = hpath(f"{path}/_pre")
-    if watermark is not None and fs.exists(pre_dir):
-        for st in fs.listStatus(pre_dir):
-            nm = st.getPath().getName()
-            if _re.fullmatch(r"[0-9]+", nm) and int(nm) <= watermark:
-                fs.delete(st.getPath(), True)
+    for side in ("_pre", "_staging"):
+        side_dir = hpath(f"{path}/{side}")
+        if watermark is not None and fs.exists(side_dir):
+            for st in fs.listStatus(side_dir):
+                nm = st.getPath().getName()
+                if _re.fullmatch(r"[0-9]+", nm) and int(nm) <= watermark:
+                    fs.delete(st.getPath(), True)
     return watermark
 
 

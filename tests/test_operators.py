@@ -3617,7 +3617,9 @@ def test_ivf_marker_pruning_committed_reads(spark, tmp_path):
         sim.ivf_index_append_batch(
             b, i, index_path=path, cells=cells, codebooks=cb, dim=64
         )
-    w = sio.prune_batch_markers(spark, path, first_batch_id=1)
+    w = sio.prune_batch_markers(
+        spark, path, first_batch_id=1, trust_first_batch_id=True
+    )
     assert w == 2
     assert sorted(_os.listdir(_os.path.join(path, "_batches"))) == ["2", "w2"]
     all_cells = [r["centroid_id"] for r in cells.select("centroid_id").collect()]

@@ -2230,6 +2230,55 @@ def test_merge_marker_pruning_keeps_replay_semantics(spark, tmp_path_factory):
     assert sio.prune_batch_markers(spark, tbl) == 3
 
 
+def test_prune_first_batch_id_guard(spark, tmp_path_factory):
+    """ADVICE r11: a too-high first_batch_id would walk the watermark over
+    a crashed, never-committed batch — the prune must refuse an
+    uncorroborated non-zero claim unless explicitly acknowledged."""
+    import pytest
+
+    from syntenybrowserv2_etl_spark.sources import io as sio
+
+    tmp = str(tmp_path_factory.mktemp("prune_guard"))
+    path = os.path.join(tmp, "tbl")
+    # batch 0 crashed (no marker); 1..3 committed — the dangerous shape
+    for i in (1, 2, 3):
+        os.makedirs(os.path.join(path, "_batches", str(i)))
+    with pytest.raises(ValueError, match="first_batch_id"):
+        sio.prune_batch_markers(spark, path, first_batch_id=1)
+    assert sorted(os.listdir(os.path.join(path, "_batches"))) == ["1", "2", "3"]
+    # explicit acknowledgment goes through
+    assert (
+        sio.prune_batch_markers(
+            spark, path, first_batch_id=1, trust_first_batch_id=True
+        )
+        == 3
+    )
+    # corroborated claim (marker for first-1 on disk) needs no trust flag
+    path2 = os.path.join(tmp, "tbl2")
+    for i in (4, 5, 6):
+        os.makedirs(os.path.join(path2, "_batches", str(i)))
+    assert sio.prune_batch_markers(spark, path2, first_batch_id=5) == 6
+    # a prior watermark also ignores first_batch_id entirely
+    os.makedirs(os.path.join(path2, "_batches", "7"))
+    assert sio.prune_batch_markers(spark, path2, first_batch_id=99) == 7
+
+
+def test_prune_reaps_all_stale_watermarks(spark, tmp_path_factory):
+    """ADVICE r11: a crash between write-new-w and delete-old-w leaves an
+    orphan w<M> that the old single-predecessor delete never removed —
+    every stale watermark below the new one must be reaped."""
+    from syntenybrowserv2_etl_spark.sources import io as sio
+
+    tmp = str(tmp_path_factory.mktemp("prune_stale_w"))
+    path = os.path.join(tmp, "tbl")
+    # crash debris: two orphaned watermarks + markers continuing past them
+    for nm in ("w0", "w1", "3"):
+        os.makedirs(os.path.join(path, "_batches", nm))
+    os.makedirs(os.path.join(path, "_batches", "2"))
+    assert sio.prune_batch_markers(spark, path) == 3
+    assert sorted(os.listdir(os.path.join(path, "_batches"))) == ["3", "w3"]
+
+
 def test_index_marker_pruning_and_committed_reads(spark, tmp_path_factory):
     """Index-sink twin of the watermark contract: after pruning, (a) a
     redelivered pruned batch is skipped, (b) committed reads still serve
@@ -2251,7 +2300,9 @@ def test_index_marker_pruning_and_committed_reads(spark, tmp_path_factory):
             mk([(100 + i, txt)]), i, index_path=path, id_col="doc_id",
             text_col="text", term_buckets=8,
         )
-    w = sio.prune_batch_markers(spark, path, first_batch_id=1)
+    w = sio.prune_batch_markers(
+        spark, path, first_batch_id=1, trust_first_batch_id=True
+    )
     assert w == 3
     assert sorted(os.listdir(os.path.join(path, "_batches"))) == ["3", "w3"]
     # (a) pruned redelivery is a no-op

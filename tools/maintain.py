@@ -42,6 +42,14 @@ def main() -> int:
     p = sub.add_parser("prune", help="advance the committed-batch watermark")
     p.add_argument("path")
     p.add_argument("--first-batch-id", type=int, default=0)
+    p.add_argument(
+        "--trust-first-batch-id",
+        action="store_true",
+        help="acknowledge that --first-batch-id is the stream's genuine "
+        "first id; without this (and without on-disk corroboration) a "
+        "non-zero value is refused — a too-high value silently skips a "
+        "crashed batch's redelivery",
+    )
 
     p = sub.add_parser("compact-table", help="rewrite a parquet table to ~target-mb files")
     p.add_argument("path")
@@ -66,7 +74,12 @@ def main() -> int:
     if args.cmd == "prune":
         from syntenybrowserv2_etl_spark.sources.io import prune_batch_markers
 
-        w = prune_batch_markers(spark, args.path, first_batch_id=args.first_batch_id)
+        w = prune_batch_markers(
+            spark,
+            args.path,
+            first_batch_id=args.first_batch_id,
+            trust_first_batch_id=args.trust_first_batch_id,
+        )
         print(f"watermark={w}")
     elif args.cmd == "compact-table":
         from syntenybrowserv2_etl_spark.sources.io import compact_table
