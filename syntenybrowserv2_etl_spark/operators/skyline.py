@@ -83,20 +83,33 @@ def pareto_frontier(
                 yield out
 
     def global_skyline(batches):
-        # the global pass MUST see every candidate in ONE sweep: Arrow
-        # hands the coalesced partition over in maxRecordsPerBatch
-        # (default 10k) chunks, and a per-batch sweep would never compare
-        # a batch-2 row against the batch-1 row that dominates it —
-        # dominated rows would leak into the "exact" frontier exactly on
-        # the >10k-candidate inputs the operator exists for (round-11
-        # review catch, pinned by test_pareto_frontier_many_candidates).
-        # Memory bound = the phase-1 candidate union, the standard
-        # two-phase-skyline assumption (document the data, not the dream).
-        pdfs = [pdf for pdf in batches]
-        if pdfs:
-            out = sweep(pd.concat(pdfs, ignore_index=True))
-            if not out.empty:
-                yield out
+        # the global pass must compare EVERY candidate against every
+        # earlier survivor: Arrow hands the coalesced partition over in
+        # maxRecordsPerBatch (default 10k) chunks, and an independent
+        # per-batch sweep would never compare a batch-2 row against the
+        # batch-1 row that dominates it (round-11 review catch, pinned by
+        # test_pareto_frontier_many_candidates). Rather than concat the
+        # whole candidate union (ADVICE r11: unbounded on adversarial
+        # anti-correlated data), each batch FOLDS into a running frontier:
+        # sweep(frontier ∪ batch) — exact because strict-Pareto dominance
+        # is transitive, so discarding a dominated row never discards a
+        # dominator some later row needed (the skyline fold is confluent;
+        # same argument as streaming/frontier's monotone fold). Memory is
+        # bounded by the TRUE frontier size + one Arrow batch — the
+        # all-non-dominated worst case is the output itself, pinned by
+        # test_pareto_frontier_anticorrelated_bounded_batches.
+        running = None
+        for pdf in batches:
+            part = sweep(pdf)
+            if part.empty:
+                continue
+            running = (
+                part
+                if running is None
+                else sweep(pd.concat([running, part], ignore_index=True))
+            )
+        if running is not None and not running.empty:
+            yield running
 
     local = df.mapInPandas(local_skyline, schema)
     # global pass over the candidate union — one partition, one sweep;
