@@ -133,8 +133,15 @@ def main() -> None:
     # three steady-state passes is the number that reflects engine
     # throughput (n raised 2→3 in round 3 after two queries moved ±17-19%
     # between rounds with no code change).
+    # Round 12 (VERDICT r11 #4): EVERY registry entry is timed, not just
+    # the headline+curation suite — the committed per-query history in
+    # BENCH_DETAIL.json now covers the full registry, so round-over-round
+    # regression detection is never blind to a demoted query. Continuity
+    # keys: headline15_sec (the round-1 set) and suite83_sec (the
+    # rounds-3-11 suite) keep the old totals comparable.
+    suite83 = HEADLINE + CURATION
     times: dict[str, float] = {}
-    for name in HEADLINE + CURATION:
+    for name in q.REGISTRY:
         fn = q.REGISTRY[name].spark_fn
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         trials = []
@@ -157,6 +164,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "headline15_sec": round(sum(times[n] for n in HEADLINE), 3),
+        "suite83_sec": round(sum(times[n] for n in suite83), 3),
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
@@ -169,6 +177,7 @@ def main() -> None:
         "queries": {n: times[n] for n in HEADLINE},
         "sf": sf,
         "headline15_sec": detail["headline15_sec"],
+        "suite83_sec": detail["suite83_sec"],
         "n_queries": len(times),
         "detail": "BENCH_DETAIL.json",
     }

@@ -1,0 +1,93 @@
+"""Model-evaluation primitives over scored corpora: exact ROC-AUC via the
+rank-sum identity, and calibration (reliability) bins.
+
+A training-data pipeline that gates documents on a learned quality score
+(the q87 fastText-style classifier shape) needs to EVALUATE that scorer
+against labels at corpus scale. The naive AUC — compare every
+positive/negative pair — is a quadratic join; the Mann-Whitney rank-sum
+identity computes it exactly from per-score counts:
+
+    U   = Σ_s [ neg_below(s) · pos_at(s) + ½ · pos_at(s) · neg_at(s) ]
+    AUC = U / (P · N)
+
+where ``neg_below(s)`` is the running count of negatives with strictly
+smaller score, and the ½-term is the standard mid-rank tie treatment.
+
+Scale shape: one groupBy(score) — map-side combinable, the only pass over
+the rows — then one ordered cumulative window over the DISTINCT scores.
+The window is a single partition by necessity (a global rank is a global
+order), but its input is score CARDINALITY, not row count: a billion-row
+corpus with float scores still reduces to ≤ a few million distinct
+values, and a quantized/score-bucketed scorer to far fewer. Never a
+pairs join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def roc_auc(
+    df: DataFrame, score_col: Column | str, label_col: Column | str
+) -> DataFrame:
+    """Exact ROC-AUC of ``score_col`` (higher ⇒ predicted positive)
+    against boolean ``label_col``. Returns one row:
+    ``(auc double ROUND 6, n_pos long, n_neg long)``. Rows with a NULL
+    score or label are dropped (undefined in the ranking).
+    """
+    s, y = _as_col(score_col), _as_col(label_col)
+    by_score = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("__s"))
+        .agg(
+            F.sum(F.when(y, 1).otherwise(0)).alias("pos"),
+            F.sum(F.when(y, 0).otherwise(1)).alias("neg"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    u_terms = by_score.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    )
+    agg = u_terms.agg(
+        F.sum(
+            F.col("neg_below") * F.col("pos")
+            + F.lit(0.5) * F.col("pos") * F.col("neg")
+        ).alias("u"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+    )
+    return agg.select(
+        F.round(F.col("u") / (F.col("n_pos") * F.col("n_neg")), 6).alias("auc"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: Column | str,
+    label_col: Column | str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a score in [0, 1]: equal-width bins,
+    per bin the count, mean score, and empirical positive rate — a
+    well-calibrated scorer has mean_score ≈ pos_rate per bin. One
+    aggregation, no window. Returns
+    ``(bin int, n long, mean_score double R6, pos_rate double R6)``.
+    """
+    s, y = _as_col(score_col), _as_col(label_col)
+    b = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(s), 6).alias("mean_score"),
+            F.round(F.avg(F.when(y, 1.0).otherwise(0.0)), 6).alias("pos_rate"),
+        )
+    )

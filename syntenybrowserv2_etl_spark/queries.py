@@ -43,6 +43,9 @@ from .operators import delta as delta_ops
 from .operators import frequent as freq_ops
 from .operators import intervals as ivl_ops
 from .operators import skyline as sky_ops
+from .operators import evaluation as eval_ops
+from .operators import ranking as rank_ops
+from .operators import drift as drift_ops
 
 
 @dataclass
@@ -5803,6 +5806,199 @@ def q128(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# §M Round 12 — model evaluation, rank fusion, corpus drift
+# ===========================================================================
+
+
+@register(
+    "q133_rrf_fusion",
+    """
+    WITH s AS (
+      SELECT lang, doc_id, n_chars,
+             (doc_id * 1103515245 + 12345) % 1000 AS h
+      FROM documents),
+    r AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id ASC) AS rank_n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY h DESC, doc_id ASC) AS rank_h
+      FROM s),
+    f AS (
+      SELECT lang, doc_id, rank_n_chars, rank_h,
+             ROUND(CAST(1 AS DOUBLE) / (60 + rank_n_chars)
+                   + CAST(1 AS DOUBLE) / (60 + rank_h), 8) AS rrf
+      FROM r)
+    SELECT lang, doc_id, rank_n_chars, rank_h, rrf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY rrf DESC, doc_id ASC) AS rn
+          FROM f)
+    WHERE rn <= 5
+    """,
+    tags=["reciprocal rank fusion (hybrid retrieval)"],
+)
+def q133(spark, sf_dir):
+    """Reciprocal Rank Fusion (operators/ranking.rrf_fuse): fuse two
+    incomparable per-language rankings of documents — a length signal
+    (n_chars) and a deterministic pseudo-score standing in for a second
+    retrieval signal — into top-5 per language by Σ 1/(60+rank). Windows
+    partition by lang (the per-query fusion shape at scale: each
+    partition's candidate list ranks independently); ties break on
+    doc_id so both engines produce identical ranks."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        ((F.col("doc_id") * 1103515245 + 12345) % 1000).alias("h"),
+    )
+    out = rank_ops.rrf_fuse(
+        d,
+        id_cols=["doc_id"],
+        score_cols=["n_chars", "h"],
+        k=60,
+        partition_cols=["lang"],
+        top_n=5,
+    )
+    return out.select("lang", "doc_id", "rank_n_chars", "rank_h", "rrf")
+
+
+@register(
+    "q134_roc_auc",
+    """
+    WITH d AS (
+      SELECT embedding[2] AS s, (label < 5) AS y
+      FROM embeddings
+      WHERE embedding[2] IS NOT NULL AND label IS NOT NULL),
+    by_s AS (
+      SELECT s,
+             SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+             SUM(CASE WHEN y THEN 0 ELSE 1 END) AS neg
+      FROM d GROUP BY s),
+    u AS (
+      SELECT pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM by_s)
+    SELECT ROUND(SUM(CAST(neg_below * pos AS DOUBLE)
+                     + 0.5 * CAST(pos * neg AS DOUBLE))
+                 / (CAST(SUM(pos) AS DOUBLE) * CAST(SUM(neg) AS DOUBLE)),
+                 6) AS auc,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg
+    FROM u
+    """,
+    tags=["exact ROC-AUC (rank-sum identity, no pairs join)"],
+)
+def q134(spark, sf_dir):
+    """Exact ROC-AUC of a scorer against labels via the Mann-Whitney
+    rank-sum identity (operators/evaluation.roc_auc): score = the
+    embedding's second component, positive = label < 5. One
+    groupBy(score) + one cumulative window over DISTINCT scores — never
+    the quadratic pairs join the naive AUC is. Every U term is a
+    half-integer, so the double summation is exact regardless of order;
+    both engines compute bit-identical AUC before the ROUND."""
+    e = t(spark, sf_dir, "embeddings")
+    d = e.select(
+        F.col("embedding")[1].alias("s"), (F.col("label") < 5).alias("y")
+    )
+    return eval_ops.roc_auc(d, "s", "y")
+
+
+@register(
+    "q135_token_kl_drift",
+    f"""
+    WITH tokp AS (
+      SELECT unnest(string_split({_NORM_TEXT}, ' ')) AS token
+      FROM documents WHERE lang = 'en'),
+    tokq AS (
+      SELECT unnest(string_split({_NORM_TEXT}, ' ')) AS token
+      FROM documents WHERE lang <> 'en'),
+    cp AS (SELECT token, COUNT(*) AS c FROM tokp
+           WHERE length(token) > 0 GROUP BY token),
+    cq AS (SELECT token, COUNT(*) AS c FROM tokq
+           WHERE length(token) > 0 GROUP BY token),
+    vocab AS (
+      SELECT COALESCE(cp.token, cq.token) AS token,
+             COALESCE(cp.c, 0) AS cp, COALESCE(cq.c, 0) AS cq
+      FROM cp FULL OUTER JOIN cq ON cp.token = cq.token),
+    tot AS (SELECT CAST(SUM(cp) AS DOUBLE) AS tp,
+                   CAST(SUM(cq) AS DOUBLE) AS tq,
+                   CAST(COUNT(*) AS DOUBLE) AS v
+            FROM vocab),
+    scored AS (
+      SELECT token,
+             (cp + 1) / (tp + v) AS p,
+             (cq + 1) / (tq + v) AS q
+      FROM vocab CROSS JOIN tot),
+    c2 AS (SELECT token, p, q, p * ln(p / q) AS contrib FROM scored),
+    kl AS (SELECT ROUND(SUM(contrib), 6) AS kl_total FROM c2)
+    SELECT token, ROUND(p, 8) AS p, ROUND(q, 8) AS q,
+           ROUND(contrib, 8) AS contrib, kl_total
+    FROM c2 CROSS JOIN kl
+    ORDER BY c2.contrib DESC, token ASC
+    LIMIT 20
+    """,
+    tags=["unigram KL corpus drift + attribution"],
+)
+def q135(spark, sf_dir):
+    """Smoothed unigram KL(P‖Q) between the English slice and the rest of
+    the corpus, with the 20 highest-contribution tokens as drift
+    attribution (operators/drift.unigram_kl). Token scans reduce to
+    vocab-sized frames before any join; kl_total is the full-vocabulary
+    divergence repeated on each attribution row."""
+    d = t(spark, sf_dir, "documents")
+    return drift_ops.unigram_kl(
+        d.filter(F.col("lang") == "en"),
+        d.filter(F.col("lang") != "en"),
+        "text",
+        top_k=20,
+    )
+
+
+@register(
+    "q136_stopword_calibration",
+    f"""
+    WITH w AS (
+      SELECT lang,
+             string_split({_NORM_TEXT}, ' ') AS toks,
+             CASE WHEN length({_NORM_TEXT}) = 0 THEN 0
+                  ELSE len(string_split({_NORM_TEXT}, ' ')) END AS n
+      FROM documents),
+    s AS (
+      SELECT (lang = 'en') AS y,
+             CAST(len(list_filter(toks, tk -> tk IN
+               ('the','and','of','to','a','in','is','that','it','for')))
+               AS DOUBLE) / GREATEST(n, 1) AS sc
+      FROM w)
+    SELECT CAST(LEAST(FLOOR(sc * 10), 9) AS INT) AS bin,
+           COUNT(*) AS n,
+           ROUND(AVG(sc), 6) AS mean_score,
+           ROUND(SUM(CASE WHEN y THEN 1 ELSE 0 END)
+                 * CAST(1 AS DOUBLE) / COUNT(*), 6) AS pos_rate
+    FROM s GROUP BY 1
+    """,
+    tags=["calibration / reliability bins (scorer vs label)"],
+)
+def q136(spark, sf_dir):
+    """Calibration bins (operators/evaluation.calibration_bins) of the
+    English-stopword-ratio score against the true lang == 'en' label: per
+    equal-width score decile, the count, mean score, and empirical
+    positive rate — the reliability diagram of the engine's cheapest
+    language signal. Score = stopword hits / tokens is an exact
+    int/int double on both engines, so binning is bit-identical."""
+    d = t(spark, sf_dir, "documents")
+    sc = (
+        text_ops.stopword_hits(F.col("text"), "en")
+        / F.greatest(text_ops.token_count(F.col("text")), F.lit(1))
+    )
+    scored = d.select(
+        sc.alias("sc"), (F.col("lang") == "en").alias("y")
+    )
+    return eval_ops.calibration_bins(scored, "sc", "y", n_bins=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -5953,6 +6149,11 @@ _DEMOTED_PAST_WINDOW = [
     "q65_repetition_profile",
     "q66_chunk_documents",
     "q67_unigram_logprob",
+    # round 12: parity-gated from birth (standing policy for new families)
+    "q133_rrf_fusion",
+    "q134_roc_auc",
+    "q135_token_kl_drift",
+    "q136_stopword_calibration",
 ]
 
 

@@ -3676,3 +3676,68 @@ def test_ivf_marker_pruning_committed_reads(spark, tmp_path):
         .select("vec_id").distinct().collect()
     }
     assert served2 == served
+
+
+def test_rrf_fuse_ranks_and_topn(spark):
+    """RRF: per-partition row_number ranks with id tie-break, Σ 1/(k+rank)
+    fusion, deterministic top-n. An item ranked 1st under both signals
+    must lead its partition; score ties resolve by ascending id."""
+    from syntenybrowserv2_etl_spark.operators.ranking import rrf_fuse
+
+    df = spark.createDataFrame(
+        [
+            # partition A: item 1 dominates both signals; 2 and 3 tie on s1
+            ("A", 1, 9.0, 9.0),
+            ("A", 2, 5.0, 7.0),
+            ("A", 3, 5.0, 1.0),
+            # partition B: split leaders
+            ("B", 4, 8.0, 1.0),
+            ("B", 5, 1.0, 8.0),
+        ],
+        "g string, id int, s1 double, s2 double",
+    )
+    out = {
+        r["id"]: (r["rank_s1"], r["rank_s2"], r["rrf"])
+        for r in rrf_fuse(
+            df, ["id"], ["s1", "s2"], k=60, partition_cols=["g"]
+        ).collect()
+    }
+    assert out[1] == (1, 1, round(2 / 61, 8))
+    assert out[2][0] == 2 and out[3][0] == 3  # s1 tie broken by id asc
+    assert out[2][1] == 2 and out[3][1] == 3
+    # split leaders fuse symmetrically
+    assert out[4] == (1, 2, round(1 / 61 + 1 / 62, 8))
+    assert out[5] == (2, 1, round(1 / 62 + 1 / 61, 8))
+    top1 = rrf_fuse(
+        df, ["id"], ["s1", "s2"], k=60, partition_cols=["g"], top_n=1
+    ).collect()
+    assert {(r["g"], r["id"]) for r in top1} == {("A", 1), ("B", 4)}
+    # B's leaders tie on rrf — top_n breaks on id asc (4 < 5)
+
+
+def test_calibration_bins_exact(spark):
+    """Equal-width [0,1] bins: clamped top bin, exact int/int pos_rate,
+    mean score per bin."""
+    from syntenybrowserv2_etl_spark.operators.evaluation import (
+        calibration_bins,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0.05, False),
+            (0.08, False),
+            (0.55, True),
+            (0.58, False),
+            (1.00, True),  # score exactly 1.0 clamps into bin 9
+        ],
+        "sc double, y boolean",
+    )
+    got = {
+        r["bin"]: (r["n"], r["mean_score"], r["pos_rate"])
+        for r in calibration_bins(df, "sc", "y", n_bins=10).collect()
+    }
+    assert got == {
+        0: (2, round((0.05 + 0.08) / 2, 6), 0.0),
+        5: (2, round((0.55 + 0.58) / 2, 6), 0.5),
+        9: (1, 1.0, 1.0),
+    }

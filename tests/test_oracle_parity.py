@@ -93,6 +93,11 @@ SF_MED_STRENGTHENED = [
     "q130_pareto_frontier",
     "q131_max_concurrency",
     "q132_golden_records",
+    # round 12
+    "q133_rrf_fusion",
+    "q134_roc_auc",
+    "q135_token_kl_drift",
+    "q136_stopword_calibration",
 ]
 
 

@@ -1341,3 +1341,85 @@ def test_interval_depth_matches_pointwise_bruteforce(spark, spans):
         depth = sum(1 for a, b in iv if a <= p < b)
         seg = next((d for s, e, d in segs if s <= p < e), None)
         assert seg == depth, (p, seg, depth)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 8),      # score bucket (forces ties)
+            st.booleans(),          # label
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_roc_auc_matches_pairwise_bruteforce(spark, rows):
+    """Rank-sum AUC ≡ the O(n²) definition: over all (positive, negative)
+    pairs, the fraction where the positive scores higher, ties counting
+    half. Integer score buckets force heavy ties, exercising the mid-rank
+    ½-term; degenerate one-class inputs are skipped (AUC undefined)."""
+    from syntenybrowserv2_etl_spark.operators.evaluation import roc_auc
+
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    if not pos or not neg:
+        return
+    u = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    want = round(u / (len(pos) * len(neg)), 6)
+    df = spark.createDataFrame(
+        [(float(s), bool(y)) for s, y in rows], "s double, y boolean"
+    )
+    got = roc_auc(df, "s", "y").collect()[0]
+    assert got["auc"] == want
+    assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.booleans(),  # side: True -> P, False -> Q
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=6
+            ),
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_unigram_kl_matches_bruteforce(spark, docs):
+    """Smoothed KL ≡ the direct formula over python counters; KL(P‖P) = 0
+    when both sides carry identical text."""
+    import math
+    from collections import Counter
+
+    from syntenybrowserv2_etl_spark.operators.drift import unigram_kl
+
+    p_docs = [" ".join(ts) for side, ts in docs if side]
+    q_docs = [" ".join(ts) for side, ts in docs if not side]
+    if not p_docs or not q_docs:
+        return
+    cp = Counter(t for d in p_docs for t in d.split())
+    cq = Counter(t for d in q_docs for t in d.split())
+    vocab = sorted(set(cp) | set(cq))
+    tp, tq, v = sum(cp.values()), sum(cq.values()), len(vocab)
+    want = round(
+        sum(
+            ((cp[t] + 1) / (tp + v))
+            * math.log(((cp[t] + 1) / (tp + v)) / ((cq[t] + 1) / (tq + v)))
+            for t in vocab
+        ),
+        6,
+    )
+    mk = lambda ds: spark.createDataFrame([(d,) for d in ds], "text string")
+    out = unigram_kl(mk(p_docs), mk(q_docs), "text", top_k=len(vocab)).collect()
+    assert out[0]["kl_total"] == want
+    # attribution rows are the full vocab here, ordered by contribution
+    assert sorted(r["token"] for r in out) == vocab
+    # identical slices: zero divergence, every contribution zero
+    same = unigram_kl(mk(p_docs), mk(p_docs), "text", top_k=3).collect()
+    assert same[0]["kl_total"] == 0.0
+    assert all(r["contrib"] == 0.0 for r in same)
