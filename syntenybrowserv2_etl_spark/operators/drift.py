@@ -74,6 +74,11 @@ def unigram_kl(
     scored = scored.withColumn(
         "contrib", F.col("p") * F.log(F.col("p") / F.col("q"))
     )
+    # both outputs (total KL + top-k attribution) branch off `scored`;
+    # without a lineage cut Spark would recompute the whole token scan
+    # per branch — a second full corpus pass at scale. The checkpoint
+    # materializes the VOCAB-sized frame once (lazy: on first action).
+    scored = scored.localCheckpoint(eager=False)
     kl = scored.agg(F.round(F.sum("contrib"), 6).alias("kl_total"))
     return (
         scored.orderBy(F.col("contrib").desc(), F.col("token").asc())
