@@ -104,7 +104,8 @@ KNOWN_OPS = frozenset({
     "triangles_skew", "rollup_apply", "heavy_hitters", "merge_apply",
     "containment_skew", "editdist_join", "event_transitions", "knn_batch",
     "transitions_apply", "merge_apply_skew", "interval_union",
-    "jsonl_ingest", "pareto_skyline",
+    "jsonl_ingest", "pareto_skyline", "roc_auc", "rrf_fuse",
+    "unigram_kl",
 })
 
 
@@ -133,6 +134,7 @@ def main():
         "triangles_skew", "containment_skew", "editdist_join",
         "event_transitions", "transitions_apply", "merge_apply_skew",
         "interval_union", "jsonl_ingest", "pareto_skyline",
+        "roc_auc", "rrf_fuse",
     }
     results = []
     for f in factors:
@@ -836,6 +838,82 @@ def main():
 
         if only is None or "pareto_skyline" in only:
             _pareto_skyline()
+
+        # round 12: exact AUC — the scale claim is cardinality reduction:
+        # the single-partition cumulative window sees DISTINCT scores
+        # (1000 here), never rows, so the curve must track the one
+        # groupBy(score) scan. Labels are score-biased so the asserted
+        # AUC is far from coin-flip (a wiring bug shows as ~0.5).
+        def _roc_auc():
+            from syntenybrowserv2_etl_spark.operators.evaluation import roc_auc
+
+            n = 1_000_000 * f
+            d = spark.range(n).select(
+                F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double").alias("s"),
+                (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000))
+                 < F.pmod(F.xxhash64("id"), F.lit(1000))).alias("y"),
+            ).localCheckpoint(eager=True)
+            r["roc_auc_rows"] = n
+
+            def run():
+                row = roc_auc(d, "s", "y").collect()[0]
+                # analytic value: positives' score density ∝ s, negatives'
+                # ∝ (1−s) ⇒ AUC = 5/6; a wiring bug shows as ~0.5
+                assert 0.82 < row["auc"] < 0.85, row
+
+            r["roc_auc"] = timed(run)
+
+        if only is None or "roc_auc" in only:
+            _roc_auc()
+
+        # round 12: RRF — per-partition windows (the per-query fusion
+        # shape): 1M·f candidate rows over 1000·f query partitions, two
+        # signals, top-10 per query. Must scale with rows, never with a
+        # global sort.
+        def _rrf_fuse():
+            from syntenybrowserv2_etl_spark.operators.ranking import rrf_fuse
+
+            n = 1_000_000 * f
+            d = spark.range(n).select(
+                F.pmod(F.col("id"), F.lit(1000 * f)).alias("qid"),
+                F.col("id").alias("item"),
+                F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("s1"),
+                F.pmod(F.xxhash64("id", F.lit(7)), F.lit(100_000)).alias("s2"),
+            ).localCheckpoint(eager=True)
+            r["rrf_fuse_rows"] = n
+
+            def run():
+                got = rrf_fuse(
+                    d, ["item"], ["s1", "s2"], partition_cols=["qid"],
+                    top_n=10,
+                ).count()
+                assert got == 10 * 1000 * f, got
+
+            r["rrf_fuse"] = timed(run)
+
+        if only is None or "rrf_fuse" in only:
+            _rrf_fuse()
+
+        # round 12: unigram KL — token scans reduce to vocab-sized frames
+        # before any join; the curve must track the two token scans of
+        # the scaled corpus (the lazy checkpoint keeps it ONE scan per
+        # side despite the two output branches).
+        def _unigram_kl():
+            from syntenybrowserv2_etl_spark.operators.drift import unigram_kl
+
+            def run():
+                rows = unigram_kl(
+                    docs.filter(F.col("doc_id") % 2 == 0),
+                    docs.filter(F.col("doc_id") % 2 == 1),
+                    "text",
+                    top_k=20,
+                ).collect()
+                assert rows and rows[0]["kl_total"] >= 0.0  # Gibbs
+
+            r["unigram_kl"] = timed(run)
+
+        if only is None or "unigram_kl" in only:
+            _unigram_kl()
 
         def _transitions_apply():
             # per-batch transition-matrix fold vs ACCUMULATED user-state
