@@ -149,10 +149,16 @@ def touched_bucket_fold(
         fs.mkdirs(hpath(data_path))
         for v in sorted(part_vals(pre_dir)):
             if not fs.exists(hpath(f"{data_path}/{partition_col}={v}")):
-                fs.rename(
+                if not fs.rename(
                     hpath(f"{pre_dir}/{partition_col}={v}"),
                     hpath(f"{data_path}/{partition_col}={v}"),
-                )
+                ):
+                    # never delete an archive we failed to restore — it
+                    # may be the only copy of that partition
+                    raise IOError(
+                        f"touched_bucket_fold: could not restore displaced "
+                        f"{pre_dir}/{partition_col}={v} to {data_path}"
+                    )
         fs.delete(hpath(pre_dir), True)
         live_now = part_vals(data_path)
         read_live = sorted(set(touched) & live_now)
