@@ -32,7 +32,12 @@ the whole contract from one implementation instead of re-deriving it:
     from staging was already promoted). The delete-then-rename tear
     window of dynamic partition overwrite is gone by construction —
     live partitions are only ever renamed whole, never deleted-then-
-    recreated in place.
+    recreated in place. (Filesystem note: rename is metadata-only on
+    HDFS-like stores; on raw S3-style object stores Hadoop emulates it
+    as server-side copy+delete — still never through the driver, and no
+    worse than what dynamic partition overwrite's commit already did
+    there. State tables at this cadence belong on a rename-capable
+    store.)
 
 ``interval_fold_batch`` applies it to q127's operator: the state is each
 group's COALESCED disjoint islands; a micro-batch's intervals coalesce
