@@ -957,6 +957,7 @@ _BNLJ_INTENTIONAL = {
     "q116_knn_batch",
     "q123_copurchase",  # 1-row n_orders scalar joined back
     "q126_hard_negatives",  # broadcast anchors x corpus, label-inequality predicate
+    "q135_token_kl_drift",  # 1-row totals + 1-row kl scalar joined back
 }
 
 
