@@ -1,5 +1,5 @@
-"""Corpus distribution drift: smoothed unigram KL divergence with per-token
-attribution.
+"""Corpus distribution statistics: smoothed unigram KL drift with
+per-token attribution, and PMI collocation mining.
 
 Continuous ingestion needs a tripwire for "this week's crawl no longer
 looks like the reference corpus" BEFORE a model trains on it. The
@@ -91,4 +91,88 @@ def unigram_kl(
             F.round("contrib", 8).alias("contrib"),
             "kl_total",
         )
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information over ADJACENT
+    token bigrams:
+
+        PMI(x, y) = ln( p(xy) / (p(x) · p(y)) ),
+        p(xy) = c_xy / M (bigram count / total bigrams),
+        p(x)  = c_x  / N (unigram count / total tokens).
+
+    Adjacent bigrams — the standard collocation definition — keep the
+    pair stream LINEAR in corpus size (a within-window co-occurrence
+    blowup is the cost the co-purchase/containment operators pay when
+    the semantics demand it; collocation doesn't). ``min_count`` guards
+    the low-frequency PMI pathology (hapax pairs score arbitrarily
+    high). Everything is JVM-side array ops: bigrams come from one
+    ``transform(sequence(...))`` per document, unigram/bigram counts are
+    map-side-combinable groupBys, and the two count joins touch
+    vocab-sized frames only. Returns
+    ``(w1, w2, c_xy long, pmi double R8)`` ordered (pmi DESC, w1, w2) —
+    deterministic under ties — limited to ``top_k``.
+    """
+    toks = _tokens(F.col(text_col))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        df.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    totals = (
+        big.agg(F.count(F.lit(1)).alias("m"))
+        .crossJoin(F.broadcast(uni.agg(F.sum("c").alias("n"))))
+    )
+    pairs = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    scored = (
+        pairs.join(
+            uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1"
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2"
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.col("m"))
+                    / ((F.col("c1") / F.col("n")) * (F.col("c2") / F.col("n")))
+                ),
+                8,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(top_k)
+        .select("w1", "w2", F.col("c_xy").cast("long").alias("c_xy"), "pmi")
     )

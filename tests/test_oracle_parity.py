@@ -98,6 +98,7 @@ SF_MED_STRENGTHENED = [
     "q134_roc_auc",
     "q135_token_kl_drift",
     "q136_stopword_calibration",
+    "q137_pmi_collocations",
 ]
 
 

@@ -1423,3 +1423,49 @@ def test_unigram_kl_matches_bruteforce(spark, docs):
     same = unigram_kl(mk(p_docs), mk(p_docs), "text", top_k=3).collect()
     assert same[0]["kl_total"] == 0.0
     assert all(r["contrib"] == 0.0 for r in same)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=5),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_pmi_collocations_matches_bruteforce(spark, docs):
+    """PMI over adjacent bigrams ≡ the direct counter formula (min_count=1
+    so every observed pair participates); ordering (pmi DESC, w1, w2)."""
+    import math
+    from collections import Counter
+
+    from syntenybrowserv2_etl_spark.operators.drift import pmi_collocations
+
+    uni = Counter(t for d in docs for t in d)
+    big = Counter((a, b) for d in docs for a, b in zip(d, d[1:]))
+    m, n = sum(big.values()), sum(uni.values())
+    if not m:
+        return
+    want = sorted(
+        (
+            (
+                round(
+                    math.log(
+                        (c / m) / ((uni[w1] / n) * (uni[w2] / n))
+                    ),
+                    8,
+                ),
+                w1,
+                w2,
+                c,
+            )
+            for (w1, w2), c in big.items()
+        ),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )
+    df = spark.createDataFrame([(" ".join(d),) for d in docs], "text string")
+    got = [
+        (r["pmi"], r["w1"], r["w2"], r["c_xy"])
+        for r in pmi_collocations(df, "text", min_count=1, top_k=100).collect()
+    ]
+    assert got == [(p, w1, w2, c) for p, w1, w2, c in want]
