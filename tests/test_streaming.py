@@ -2340,12 +2340,20 @@ def test_prune_reaps_all_stale_watermarks(spark, tmp_path_factory):
 
     tmp = str(tmp_path_factory.mktemp("prune_stale_w"))
     path = os.path.join(tmp, "tbl")
-    # crash debris: two orphaned watermarks + markers continuing past them
+    # crash debris: two orphaned watermarks + markers continuing past them,
+    # plus leaked pre-state archives and staged dirs for committed batches
     for nm in ("w0", "w1", "3"):
         os.makedirs(os.path.join(path, "_batches", nm))
     os.makedirs(os.path.join(path, "_batches", "2"))
+    os.makedirs(os.path.join(path, "_pre", "2", "__kb=1"))
+    os.makedirs(os.path.join(path, "_staging", "3", "__kb=4"))
+    os.makedirs(os.path.join(path, "_staging", "9"))  # above watermark: kept
     assert sio.prune_batch_markers(spark, path) == 3
     assert sorted(os.listdir(os.path.join(path, "_batches"))) == ["3", "w3"]
+    # committed batches' leaked side dirs reaped; future ids untouched
+    assert not os.path.exists(os.path.join(path, "_pre", "2"))
+    assert not os.path.exists(os.path.join(path, "_staging", "3"))
+    assert os.path.isdir(os.path.join(path, "_staging", "9"))
 
 
 def test_index_marker_pruning_and_committed_reads(spark, tmp_path_factory):
