@@ -2786,3 +2786,68 @@ def test_skyline_fold_matches_batch_and_replays(spark, tmp_path_factory):
         state2, "x", "y", checkpoint=os.path.join(base, "ckpt"),
     ).awaitTermination(120)
     assert {tuple(r) for r in fy.read_frontier(spark, state2).collect()} == want
+
+
+def test_touched_bucket_fold_knobs_direct(spark, tmp_path_factory):
+    """The primitive's generalization knobs, pinned directly (the sinks
+    cover behavior; this pins the CONTRACT): a derived partition_expr
+    routes rows by a data-derived key under a custom partition_col and
+    data_path; stage_hook runs on the merged frame BEFORE the sentinel,
+    its side effect lands once, and its RETURN VALUE is what gets staged;
+    a resume-after-sentinel replay never re-runs merge_fn or the hook."""
+    from syntenybrowserv2_etl_spark.streaming.spans import touched_bucket_fold
+
+    base = str(tmp_path_factory.mktemp("tbf_direct"))
+    root = os.path.join(base, "state")
+    data = os.path.join(root, "grid")
+    calls = {"merge": 0, "hook": 0}
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, v bigint")
+
+    def merge(pre, batch):
+        calls["merge"] += 1
+        both = batch if pre is None else pre.unionByName(batch)
+        return both.groupBy("k").agg(F.sum("v").alias("v"))
+
+    def hook(merged):
+        calls["hook"] += 1
+        merged.write.mode("overwrite").parquet(os.path.join(base, "side"))
+        return merged.filter(F.col("v") % 2 == 0)  # stage EVEN sums only
+
+    cfg = dict(
+        path=root,
+        merge_fn=merge,
+        partition_expr=F.expr("k div 10"),  # derived, not a hash
+        partition_col="__pd",
+        data_path=data,
+        stage_hook=hook,
+    )
+    touched_bucket_fold(mk([(1, 2), (1, 2), (11, 3)]), 1, **cfg)
+    # k=1 -> v=4 staged (even); k=11 -> v=3 written to side but NOT staged
+    assert {
+        (r["k"], r["v"]) for r in spark.read.parquet(data).collect()
+    } == {(1, 4)}
+    assert {
+        (r["k"], r["v"])
+        for r in spark.read.parquet(os.path.join(base, "side")).collect()
+    } == {(1, 4), (11, 3)}
+    # derived routing: k=1 landed in __pd=0
+    assert os.path.isdir(os.path.join(data, "__pd=0"))
+    assert (calls["merge"], calls["hook"]) == (1, 1)
+
+    # reconstruct a resume-after-sentinel state for batch 2: staged output
+    # complete, marker lost — replay must promote WITHOUT re-running
+    # merge_fn or the hook
+    touched_bucket_fold(mk([(1, 2)]), 2, **cfg)  # k=1 -> v=6 staged
+    assert calls == {"merge": 2, "hook": 2}
+    live = os.path.join(data, "__pd=0")
+    staging = os.path.join(root, "_staging", "2")
+    os.makedirs(staging, exist_ok=True)
+    shutil.move(live, os.path.join(staging, "__pd=0"))
+    os.makedirs(os.path.join(staging, "__stagedone"), exist_ok=True)
+    shutil.rmtree(os.path.join(root, "_batches", "2"))
+    touched_bucket_fold(mk([(1, 2)]), 2, **cfg)
+    assert {
+        (r["k"], r["v"]) for r in spark.read.parquet(data).collect()
+    } == {(1, 6)}
+    assert calls == {"merge": 2, "hook": 2}  # neither re-ran
+    assert os.path.isdir(os.path.join(root, "_batches", "2"))
