@@ -50,8 +50,17 @@ def unigram_kl(
     the token rows are the top slice of it (ordered contrib DESC, token
     ASC — deterministic under ties).
     """
-    cp = _token_counts(df_p, text_col)
-    cq = _token_counts(df_q, text_col)
+    return kl_from_counts(
+        _token_counts(df_p, text_col), _token_counts(df_q, text_col), top_k
+    )
+
+
+def kl_from_counts(
+    cp: DataFrame, cq: DataFrame, top_k: int = 20
+) -> DataFrame:
+    """The counts-level core of ``unigram_kl``: both sides already reduced
+    to ``(token, c)`` frames (the streaming drift monitor feeds its
+    maintained reference counts here directly — no text re-scan)."""
     vocab = (
         cp.withColumnRenamed("c", "cp")
         .join(cq.withColumnRenamed("c", "cq"), "token", "full_outer")

@@ -2851,3 +2851,71 @@ def test_touched_bucket_fold_knobs_direct(spark, tmp_path_factory):
     } == {(1, 6)}
     assert calls == {"merge": 2, "hook": 2}  # neither re-ran
     assert os.path.isdir(os.path.join(root, "_batches", "2"))
+
+
+def test_token_counts_fold_and_drift_report(spark, tmp_path_factory):
+    """Streaming drift monitor: (a) the maintained token counts equal the
+    one-shot counts of everything folded (batch twin), (b) a committed
+    redelivery does NOT double the sums (the non-idempotent-merge case
+    the fold's discipline exists for), (c) the per-batch drift report
+    equals the static unigram_kl of the same two slices, (d) the stream
+    twin converges to the same state."""
+    from syntenybrowserv2_etl_spark.operators.drift import (
+        _token_counts,
+        unigram_kl,
+    )
+    from syntenybrowserv2_etl_spark.streaming import drift as sdrift
+
+    base = str(tmp_path_factory.mktemp("tok_drift"))
+    state = os.path.join(base, "state")
+    mk = lambda texts: spark.createDataFrame([(t,) for t in texts], "text string")
+    batches = [
+        ["the cat sat", "the dog sat"],
+        ["the cat ran", ""],
+        ["dog dog dog"],
+    ]
+    for i, texts in enumerate(batches):
+        sdrift.token_counts_fold_batch(mk(texts), i, state_path=state, n_buckets=8)
+    all_texts = mk([t for b in batches for t in b])
+    want = {
+        (r["token"], r["c"]) for r in _token_counts(all_texts, "text").collect()
+    }
+    got = {
+        (r["token"], r["c"])
+        for r in sdrift.read_token_counts(spark, state).collect()
+    }
+    assert got == want
+    # committed redelivery: sums unchanged (no double count)
+    sdrift.token_counts_fold_batch(mk(batches[1]), 1, state_path=state, n_buckets=8)
+    assert {
+        (r["token"], r["c"])
+        for r in sdrift.read_token_counts(spark, state).collect()
+    } == want
+    # drift report == static unigram_kl of (new slice, accumulated corpus)
+    probe = mk(["the zebra ran", "zebra zebra"])
+    want_kl = {
+        tuple(r)
+        for r in unigram_kl(probe, all_texts, "text", top_k=50).collect()
+    }
+    got_kl = {
+        tuple(r)
+        for r in sdrift.batch_drift_report(probe, state, top_k=50).collect()
+    }
+    assert got_kl == want_kl
+    # stream twin over the same files converges to the same state
+    src = os.path.join(base, "src")
+    for b in batches:
+        mk(b).coalesce(1).write.mode("append").parquet(src)
+    state2 = os.path.join(base, "state2")
+    stream = (
+        spark.readStream.schema("text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sdrift.token_counts_stream(
+        stream, state2, n_buckets=8, checkpoint=os.path.join(base, "ck")
+    ).awaitTermination(120)
+    assert {
+        (r["token"], r["c"])
+        for r in sdrift.read_token_counts(spark, state2).collect()
+    } == want
