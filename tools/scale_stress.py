@@ -105,7 +105,7 @@ KNOWN_OPS = frozenset({
     "containment_skew", "editdist_join", "event_transitions", "knn_batch",
     "transitions_apply", "merge_apply_skew", "interval_union",
     "jsonl_ingest", "pareto_skyline", "roc_auc", "rrf_fuse",
-    "unigram_kl",
+    "unigram_kl", "token_fold",
 })
 
 
@@ -134,7 +134,7 @@ def main():
         "triangles_skew", "containment_skew", "editdist_join",
         "event_transitions", "transitions_apply", "merge_apply_skew",
         "interval_union", "jsonl_ingest", "pareto_skyline",
-        "roc_auc", "rrf_fuse",
+        "roc_auc", "rrf_fuse", "token_fold",
     }
     results = []
     for f in factors:
@@ -914,6 +914,36 @@ def main():
 
         if only is None or "unigram_kl" in only:
             _unigram_kl()
+
+        # round 12: streaming token-count fold — per-batch cost must be
+        # O(batch vocabulary), flat in ACCUMULATED corpus size: seed the
+        # state with 200k·f distinct tokens (one seeding batch), then
+        # time one fixed 2k-token batch against the grown state.
+        def _token_fold():
+            from syntenybrowserv2_etl_spark.streaming import drift as sdrift
+
+            state = f"{SCRATCH}/tokfold_x{f}"
+            shutil.rmtree(state, ignore_errors=True)
+            n_tokens = 200_000 * f
+            seed = spark.range(n_tokens).select(
+                F.concat(F.lit("tok"), F.col("id")).alias("text")
+            ).localCheckpoint(eager=True)
+            sdrift.token_counts_fold_batch(
+                seed, 0, state_path=state, n_buckets=64
+            )
+            batch = spark.range(2_000).select(
+                F.concat(F.lit("tok"), F.pmod(F.xxhash64("id"), F.lit(n_tokens)))
+                .alias("text")
+            ).localCheckpoint(eager=True)
+            r["token_fold_state_tokens"] = n_tokens
+            r["token_fold"] = timed(
+                lambda: sdrift.token_counts_fold_batch(
+                    batch, 1, state_path=state, n_buckets=64
+                )
+            )
+
+        if only is None or "token_fold" in only:
+            _token_fold()
 
         def _transitions_apply():
             # per-batch transition-matrix fold vs ACCUMULATED user-state
