@@ -958,6 +958,7 @@ _BNLJ_INTENTIONAL = {
     "q123_copurchase",  # 1-row n_orders scalar joined back
     "q126_hard_negatives",  # broadcast anchors x corpus, label-inequality predicate
     "q135_token_kl_drift",  # 1-row totals + 1-row kl scalar joined back
+    "q137_pmi_collocations",  # 1-row (m, n) totals scalar joined back
 }
 
 
