@@ -2617,6 +2617,42 @@ def test_streaming_tier_end_to_end_composition(spark, tmp_path_factory):
         .select("doc_id", "toks").collect()
     } == want_frontier
 
+    # stage 3e — drift monitor off the same admitted corpus: maintained
+    # token counts == one-shot counts; the batch KL report against the
+    # maintained state == the static unigram_kl of the same slices
+    from syntenybrowserv2_etl_spark.operators.drift import (
+        _token_counts,
+        unigram_kl,
+    )
+    from syntenybrowserv2_etl_spark.streaming import drift as sdrift
+
+    tok_state = _os.path.join(base, "tok_state")
+    s6 = (
+        spark.readStream.schema("doc_id long, text string, __ingest_batch int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(corpus)
+        .select("text")
+    )
+    sdrift.token_counts_stream(
+        s6, tok_state, n_buckets=8,
+        checkpoint=_os.path.join(base, "ck_tok"),
+    ).awaitTermination(120)
+    assert {
+        (r["token"], r["c"])
+        for r in sdrift.read_token_counts(spark, tok_state).collect()
+    } == {
+        (r["token"], r["c"])
+        for r in _token_counts(admitted_df, "text").collect()
+    }
+    probe = spark.createDataFrame([("one two zebra",)], "text string")
+    assert {
+        tuple(r)
+        for r in sdrift.batch_drift_report(probe, tok_state, top_k=50).collect()
+    } == {
+        tuple(r)
+        for r in unigram_kl(probe, admitted_df, "text", top_k=50).collect()
+    }
+
     # nothing lost across the tier: ingest clean == gate out ∪ gate dq
     assert admitted | {1} == {1, 2, 3}
 
