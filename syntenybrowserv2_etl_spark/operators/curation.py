@@ -562,3 +562,59 @@ def session_examples(
             F.col(label_col).alias("label"),
         )
     )
+
+
+def shard_stitch_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+    max_key_df: int | None = None,
+) -> DataFrame:
+    """Shard-boundary stitching: ordered pairs (left, right) where the
+    LAST ``k`` tokens of one document equal the FIRST ``k`` tokens of
+    another — the signature of a document split across dump shards (or a
+    crawl page split at a pagination boundary) that should be rejoined
+    before training. The adjacency relation containment/Jaccard dedup
+    cannot express: neither side contains the other.
+
+    Scale shape: each document contributes ONE suffix key and ONE prefix
+    key (two k-token strings); detection is a single equi-join on the
+    key — linear in corpus size, output-bound like any exact pair join.
+    Boundary keys are rare by construction, but a degenerate corpus
+    (every page footer ending with the same k tokens) makes a hot key;
+    ``max_key_df`` drops keys whose PREFIX-side document frequency
+    exceeds it (the ngram_jaccard ``max_df`` discipline) — a stitch
+    candidate with a thousand continuations is boilerplate, not a split.
+
+    Returns ``(left_id, right_id, boundary)``. Documents need ≥ k+1
+    tokens (a doc that IS its own boundary both ways is noise).
+    """
+    from .text import _tokens
+
+    ok = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= k + 1)
+    suffix = ok.select(
+        F.col(id_col).alias("left_id"),
+        F.expr(
+            f"array_join(slice(toks, size(toks) - {k} + 1, {k}), ' ')"
+        ).alias("boundary"),
+    )
+    prefix = ok.select(
+        F.col(id_col).alias("right_id"),
+        F.expr(f"array_join(slice(toks, 1, {k}), ' ')").alias("boundary"),
+    )
+    if max_key_df is not None:
+        keep = (
+            prefix.groupBy("boundary")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_key_df)
+            .select("boundary")
+        )
+        prefix = prefix.join(keep, "boundary")
+    return (
+        suffix.join(prefix, "boundary")
+        .filter(F.col("left_id") != F.col("right_id"))
+        .select("left_id", "right_id", "boundary")
+    )

@@ -3741,3 +3741,47 @@ def test_calibration_bins_exact(spark):
         5: (2, round((0.55 + 0.58) / 2, 6), 0.5),
         9: (1, 1.0, 1.0),
     }
+
+
+def test_shard_stitch_pairs_semantics(spark):
+    """Suffix-prefix adjacency: (A ends '...x y', B starts 'x y ...') pairs
+    found; self-pairs excluded; docs of exactly k tokens excluded; the
+    max_key_df guard drops boilerplate boundaries."""
+    from syntenybrowserv2_etl_spark.operators.curation import (
+        shard_stitch_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),     # ends "gamma delta"
+            (2, "gamma delta epsilon zeta"),   # starts "gamma delta" -> 1->2
+            (3, "gamma delta"),                # exactly k tokens: excluded
+            (4, "zzz gamma delta"),            # also ends "gamma delta" -> 4->2
+            # boilerplate boundary "the end" ending 1 doc, starting 3 docs
+            (5, "body text the end"),
+            (6, "the end a1 b1"),
+            (7, "the end a2 b2"),
+            (8, "the end a3 b3"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["left_id"], r["right_id"], r["boundary"])
+        for r in shard_stitch_pairs(df, "doc_id", "text", k=2).collect()
+    }
+    assert got == {
+        (1, 2, "gamma delta"),
+        (4, 2, "gamma delta"),
+        (5, 6, "the end"),
+        (5, 7, "the end"),
+        (5, 8, "the end"),
+    }
+    capped = {
+        (r["left_id"], r["right_id"])
+        for r in shard_stitch_pairs(
+            df, "doc_id", "text", k=2, max_key_df=2
+        ).collect()
+    }
+    # "the end" starts 3 docs (> 2): dropped as boilerplate; "gamma delta"
+    # starts 1 doc: kept
+    assert capped == {(1, 2), (4, 2)}

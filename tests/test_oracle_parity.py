@@ -99,6 +99,7 @@ SF_MED_STRENGTHENED = [
     "q135_token_kl_drift",
     "q136_stopword_calibration",
     "q137_pmi_collocations",
+    "q138_shard_stitch",
 ]
 
 
