@@ -1468,3 +1468,35 @@ def editdist1_join(
     return cand.withColumn(
         "dist", F.levenshtein("name_a", "name_b").cast("int")
     ).filter(F.col("dist") <= 1)
+
+
+def dup_size_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplication-structure report: histogram of exact-duplicate cluster
+    sizes over the normalized text (the ``exact_dedup`` equivalence
+    relation). Answers "how much of the corpus is duplicated, and in what
+    shapes" — the before/after diagnostic every dedup pass should print.
+    Two map-side-combinable aggregations (text → cluster size → size
+    histogram); nothing is ever pairwise. Returns per cluster size:
+    ``(cluster_size long, n_clusters long, n_docs long,
+    doc_share double R6)`` where doc_share = the fraction of all
+    documents living in clusters of that size.
+    """
+    sizes = (
+        df.select(normalize_text(text_col).alias("__norm"))
+        .groupBy("__norm")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+    total = hist.agg(F.sum("n_docs").alias("__total"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs") / F.col("__total"), 6).alias("doc_share"),
+        )
+    )

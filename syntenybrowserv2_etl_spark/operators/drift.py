@@ -185,3 +185,39 @@ def pmi_collocations(
         .limit(top_k)
         .select("w1", "w2", F.col("c_xy").cast("long").alias("c_xy"), "pmi")
     )
+
+
+def corpus_diversity(
+    df: DataFrame, group_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-group lexical diversity report: token count, type count
+    (distinct tokens), type-token ratio, and Shannon entropy of the
+    group's unigram distribution (nats, via the aggregation-friendly
+    identity H = ln(N) − Σ c·ln(c) / N) — the corpus-composition
+    diagnostic ("is source X boilerplate?"). One token scan → per-(group,
+    token) counts (map-side combinable) → one per-group aggregate.
+    Returns ``(group, n_tokens long, n_types long, ttr R6, entropy R6)``.
+    """
+    counts = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(_tokens(F.col(text_col))).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+        .groupBy("g", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("g")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("ttr"),
+            F.round(
+                F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+                6,
+            ).alias("entropy"),
+        )
+        .withColumnRenamed("g", group_col)
+    )

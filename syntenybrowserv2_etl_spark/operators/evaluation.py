@@ -91,3 +91,60 @@ def calibration_bins(
             F.round(F.avg(F.when(y, 1.0).otherwise(0.0)), 6).alias("pos_rate"),
         )
     )
+
+
+def cohens_kappa(
+    df: DataFrame, truth_col: Column | str, pred_col: Column | str
+) -> DataFrame:
+    """Cohen's kappa — agreement between two categorical labelings
+    corrected for chance:
+
+        κ = (p_o − p_e) / (1 − p_e),
+        p_o = Σ diag / n,     p_e = Σ_k (row_k · col_k) / n²
+
+    The label-quality primitive (classifier vs truth, or two annotators).
+    Scale shape: one groupBy per marginal plus one pass for the diagonal
+    — category-cardinality frames joined full-outer, never a pairs
+    structure. Every sum is an integer (exact in doubles to 2^53), so
+    both engines compute identical κ before the ROUND. Returns one row
+    ``(kappa R6, accuracy R6, n long)``.
+    """
+    t, p = _as_col(truth_col), _as_col(pred_col)
+    lab = df.filter(t.isNotNull() & p.isNotNull()).select(
+        t.alias("__t"), p.alias("__p")
+    )
+    base = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("__t") == F.col("__p"), 1).otherwise(0)).alias(
+            "diag"
+        ),
+    )
+    rows = lab.groupBy(F.col("__p").alias("cat")).agg(
+        F.count(F.lit(1)).alias("rp")
+    )
+    cols = lab.groupBy(F.col("__t").alias("cat")).agg(
+        F.count(F.lit(1)).alias("cp")
+    )
+    cross = (
+        rows.join(cols, "cat", "full_outer")
+        .agg(
+            F.sum(
+                F.coalesce("rp", F.lit(0)) * F.coalesce("cp", F.lit(0))
+            ).alias("rc")
+        )
+    )
+    return (
+        base.crossJoin(F.broadcast(cross))
+        .select(
+            F.round(
+                (
+                    F.col("diag") / F.col("n")
+                    - F.col("rc") / (F.col("n") * F.col("n"))
+                )
+                / (F.lit(1.0) - F.col("rc") / (F.col("n") * F.col("n"))),
+                6,
+            ).alias("kappa"),
+            F.round(F.col("diag") / F.col("n"), 6).alias("accuracy"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

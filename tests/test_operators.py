@@ -3785,3 +3785,44 @@ def test_shard_stitch_pairs_semantics(spark):
     # "the end" starts 3 docs (> 2): dropped as boilerplate; "gamma delta"
     # starts 1 doc: kept
     assert capped == {(1, 2), (4, 2)}
+
+
+def test_dup_size_histogram_exact(spark):
+    """Exact-cluster histogram over normalized text: case/whitespace
+    variants collapse into one cluster; shares sum to 1."""
+    from syntenybrowserv2_etl_spark.operators.dedup import dup_size_histogram
+
+    df = spark.createDataFrame(
+        [
+            ("Hello  World",),
+            ("hello world",),   # same cluster as above (normalized)
+            ("hello world ",),  # and again -> cluster of 3
+            ("unique one",),
+            ("unique two",),
+        ],
+        "text string",
+    )
+    got = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"], r["doc_share"])
+        for r in dup_size_histogram(df, "text").collect()
+    }
+    assert got == {3: (1, 3, 0.6), 1: (2, 2, 0.4)}
+
+
+def test_corpus_diversity_exact(spark):
+    """TTR + Shannon entropy per group against hand-computed values."""
+    import math
+
+    from syntenybrowserv2_etl_spark.operators.drift import corpus_diversity
+
+    df = spark.createDataFrame(
+        [("a", "x x y"), ("a", "z"), ("b", "w w w w"), ("b", "")],
+        "src string, text string",
+    )
+    got = {
+        r["src"]: (r["n_tokens"], r["n_types"], r["ttr"], r["entropy"])
+        for r in corpus_diversity(df, "src", "text").collect()
+    }
+    h_a = round(-(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25)), 6)
+    assert got["a"] == (4, 3, 0.75, h_a)
+    assert got["b"] == (4, 1, 0.25, 0.0)  # empty doc contributes nothing

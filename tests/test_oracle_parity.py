@@ -100,6 +100,9 @@ SF_MED_STRENGTHENED = [
     "q136_stopword_calibration",
     "q137_pmi_collocations",
     "q138_shard_stitch",
+    "q139_lang_kappa",
+    "q140_source_diversity",
+    "q141_dup_histogram",
 ]
 
 

@@ -1469,3 +1469,37 @@ def test_pmi_collocations_matches_bruteforce(spark, docs):
         for r in pmi_collocations(df, "text", min_count=1, top_k=100).collect()
     ]
     assert got == [(p, w1, w2, c) for p, w1, w2, c in want]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from("abc")),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_cohens_kappa_matches_bruteforce(spark, rows):
+    """κ ≡ the direct contingency-table formula; perfect agreement gives
+    κ = 1; pe = 1 degenerate inputs (both raters constant) are skipped
+    (κ undefined — division by zero)."""
+    from collections import Counter
+
+    from syntenybrowserv2_etl_spark.operators.evaluation import cohens_kappa
+
+    n = len(rows)
+    po = sum(1 for t, p in rows if t == p) / n
+    ct, cp = Counter(t for t, _ in rows), Counter(p for _, p in rows)
+    pe = sum(ct[c] * cp.get(c, 0) for c in ct) / (n * n)
+    if pe == 1.0:
+        return
+    want = round((po - pe) / (1.0 - pe), 6)
+    df = spark.createDataFrame(rows, "truth string, pred string")
+    got = cohens_kappa(df, "truth", "pred").collect()[0]
+    assert got["kappa"] == want and got["n"] == n
+    # perfect agreement pins the ceiling
+    same = spark.createDataFrame(
+        [(a, a) for a, _ in rows] + [("zz", "zz"), ("yy", "yy")],
+        "truth string, pred string",
+    )
+    assert cohens_kappa(same, "truth", "pred").collect()[0]["kappa"] == 1.0
