@@ -959,6 +959,8 @@ _BNLJ_INTENTIONAL = {
     "q126_hard_negatives",  # broadcast anchors x corpus, label-inequality predicate
     "q135_token_kl_drift",  # 1-row totals + 1-row kl scalar joined back
     "q137_pmi_collocations",  # 1-row (m, n) totals scalar joined back
+    "q139_lang_kappa",  # 1-row marginal-product scalar joined back
+    "q141_dup_histogram",  # 1-row corpus-total scalar joined back
 }
 
 
