@@ -105,7 +105,7 @@ KNOWN_OPS = frozenset({
     "containment_skew", "editdist_join", "event_transitions", "knn_batch",
     "transitions_apply", "merge_apply_skew", "interval_union",
     "jsonl_ingest", "pareto_skyline", "roc_auc", "rrf_fuse",
-    "unigram_kl", "token_fold",
+    "unigram_kl", "token_fold", "lang_kappa", "corpus_diversity",
 })
 
 
@@ -944,6 +944,47 @@ def main():
 
         if only is None or "token_fold" in only:
             _token_fold()
+
+        # round 12: label agreement + diversity reports — both must track
+        # the single token/label scan (marginal/vocab frames are
+        # category- or vocabulary-sized, never row-sized).
+        def _lang_kappa():
+            from syntenybrowserv2_etl_spark.operators import text as txt_ops
+            from syntenybrowserv2_etl_spark.operators.evaluation import (
+                cohens_kappa,
+            )
+
+            # scaled docs lack lang; replicate the base table WITH labels
+            d = spark.read.parquet(f"{base}/documents.parquet")
+            reps = spark.range(f).select(F.col("id").alias("rep"))
+            dd_ = d.crossJoin(reps).select("lang", "text")
+            scored = dd_.select(
+                F.col("lang").alias("truth"),
+                txt_ops.lang_id(F.col("text")).alias("pred"),
+            )
+            r["lang_kappa"] = timed(
+                lambda: cohens_kappa(scored, "truth", "pred").collect()
+            )
+
+        if only is None or "lang_kappa" in only:
+            _lang_kappa()
+
+        measure(
+            "corpus_diversity",
+            lambda: noop(
+                __import__(
+                    "syntenybrowserv2_etl_spark.operators.drift",
+                    fromlist=["corpus_diversity"],
+                ).corpus_diversity(
+                    docs.withColumn(
+                        "source",
+                        F.pmod(F.col("doc_id"), F.lit(20)).cast("string"),
+                    ),
+                    "source",
+                    "text",
+                )
+            ),
+        )
 
         def _transitions_apply():
             # per-batch transition-matrix fold vs ACCUMULATED user-state
