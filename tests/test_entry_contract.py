@@ -49,3 +49,21 @@ def test_query_runs(spark, name):
     df = entrymod.queries()[name](spark, SF)
     assert df.columns  # plan builds; cheap action:
     assert df.limit(1).count() >= 0
+
+
+def test_rotation_status_tool_runs():
+    """tools/rotation_status.py derives the promotion queue from the
+    committed CORRECTNESS history — pin that it runs and that its
+    numbers are internally consistent with the registry."""
+    import io
+    import contextlib
+
+    import tools.rotation_status as rs
+    from syntenybrowserv2_etl_spark import queries as Q
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert rs.main() == 0
+    out = buf.getvalue()
+    assert f"registry: {len(Q.REGISTRY)}" in out
+    assert "promotion queue" in out
