@@ -2955,3 +2955,31 @@ def test_token_counts_fold_and_drift_report(spark, tmp_path_factory):
         (r["token"], r["c"])
         for r in sdrift.read_token_counts(spark, state2).collect()
     } == want
+
+
+def test_token_counts_fold_lost_marker_detection(spark, tmp_path_factory):
+    """The drift monitor's merge is a SUM — the worst non-idempotent case:
+    a fully-committed batch whose marker was lost must be detected via
+    __b and skipped without re-merging (files untouched, counts not
+    doubled)."""
+    from syntenybrowserv2_etl_spark.streaming import drift as sdrift
+
+    base = str(tmp_path_factory.mktemp("tok_lostmark"))
+    state = os.path.join(base, "state")
+    mk = lambda texts: spark.createDataFrame([(t,) for t in texts], "text string")
+    sdrift.token_counts_fold_batch(mk(["a b", "a"]), 0, state_path=state, n_buckets=4)
+    sdrift.token_counts_fold_batch(mk(["a c"]), 1, state_path=state, n_buckets=4)
+    want = {
+        (r["token"], r["c"])
+        for r in sdrift.read_token_counts(spark, state).collect()
+    }
+    assert want == {("a", 3), ("b", 1), ("c", 1)}
+    files = sorted(glob.glob(os.path.join(state, "__kb=*", "*.parquet")))
+    shutil.rmtree(os.path.join(state, "_batches", "1"))
+    sdrift.token_counts_fold_batch(mk(["a c"]), 1, state_path=state, n_buckets=4)
+    assert sorted(glob.glob(os.path.join(state, "__kb=*", "*.parquet"))) == files
+    assert {
+        (r["token"], r["c"])
+        for r in sdrift.read_token_counts(spark, state).collect()
+    } == want
+    assert os.path.isdir(os.path.join(state, "_batches", "1"))
