@@ -340,10 +340,11 @@ def prune_batch_markers(
     arise from genuine crash windows; the watermark stops right before the
     first one. Durability order: the new ``w<N>`` file lands BEFORE any
     marker is deleted (a crash between leaves both — a superset of the
-    truth); EVERY stale ``w<M>`` below the new watermark is then removed,
-    not just the immediately-previous one, so an orphan left by an earlier
-    crash between write-new and delete-old cannot accumulate forever
-    (ADVICE r11). Leftover ``_pre``/``_staging`` dirs for ids ≤ N are
+    truth); EVERY stale ``w<M>`` below the effective watermark is then
+    removed — on every prune call, not only when the watermark advanced
+    (ADVICE r11/r12) — so an orphan left by an earlier crash between
+    write-new and delete-old cannot accumulate forever.
+    Leftover ``_pre``/``_staging`` dirs for ids ≤ N are
     reaped with the markers. Run it like compaction — between batches,
     from one maintenance process. Returns the effective watermark (None if
     nothing is committed yet).
@@ -352,10 +353,13 @@ def prune_batch_markers(
     starts (checkpointed streams need not start at 0). It is a DANGEROUS
     assertion: a value above the true first id walks the watermark over a
     crashed, never-committed batch, silently dropping its redelivery — so
-    when no prior watermark exists and the claim is not corroborated by an
-    on-disk marker for ``first_batch_id - 1``, the prune REFUSES unless
-    ``trust_first_batch_id=True`` explicitly acknowledges the assumption
-    (ADVICE r11: one mistyped flag must not cause permanent data loss).
+    when no prior watermark exists and the claim is not corroborated by a
+    CONTIGUOUS surviving-marker run ending at ``first_batch_id - 1``
+    (contiguity certified only down to the lowest surviving marker — a
+    gap in that range means a batch below the claim crashed or lost its
+    marker), the prune REFUSES unless ``trust_first_batch_id=True``
+    explicitly acknowledges the assumption (ADVICE r11/r12: one mistyped
+    flag must not cause permanent data loss).
     """
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -363,32 +367,53 @@ def prune_batch_markers(
     if (
         watermark is None
         and int(first_batch_id) > 0
-        and int(first_batch_id) - 1 not in markers
         and not trust_first_batch_id
     ):
-        raise ValueError(
-            f"prune_batch_markers: first_batch_id={first_batch_id} claims "
-            f"batches before it never existed, but {path} has no prior "
-            "watermark and no marker for the preceding id — if the claim "
-            "is wrong, a crashed batch's redelivery would be silently "
-            "skipped (permanent data loss). Pass trust_first_batch_id=True "
-            "only if the stream's id sequence genuinely starts there."
+        # Marker corroboration (ADVICE r11/r12): a surviving marker run
+        # that is CONTIGUOUS from the lowest on-disk marker up through
+        # first_batch_id - 1 is evidence the claim covers only committed
+        # batches. A gap in that range is evidence a batch below the claim
+        # existed and never committed (or its marker was externally
+        # deleted) — advancing the watermark over it would silently skip
+        # its redelivery. Note the limit of this check: it certifies
+        # contiguity only down to the LOWEST surviving marker; batches
+        # below that left no trace either way, exactly as before any
+        # markers were pruned.
+        below = sorted(m for m in markers if m < int(first_batch_id))
+        contiguous = (
+            bool(below)
+            and below[-1] == int(first_batch_id) - 1
+            and below == list(range(below[0], int(first_batch_id)))
         )
+        if not contiguous:
+            raise ValueError(
+                f"prune_batch_markers: first_batch_id={first_batch_id} "
+                f"claims batches before it never existed, but {path} has "
+                "no prior watermark and the surviving markers below the "
+                f"claim ({below}) do not form a contiguous run ending at "
+                f"{int(first_batch_id) - 1} — if the claim is wrong, a "
+                "crashed batch's redelivery would be silently skipped "
+                "(permanent data loss). Pass trust_first_batch_id=True "
+                "only if the stream's id sequence genuinely starts there."
+            )
     w0 = watermark if watermark is not None else int(first_batch_id) - 1
     w = w0
     while w + 1 in markers:
         w += 1
     if w > w0:
         fs.mkdirs(hpath(f"{path}/_batches/w{w}"))  # durable FIRST
+        watermark = w
+    # reap EVERY stale watermark file below the effective one — run even
+    # when nothing advanced this call (ADVICE r12: gating the reap on
+    # advancement left crash-orphaned w<M> files in _batches indefinitely
+    # whenever a prune found no new contiguous markers)
+    if watermark is not None:
         import re as _re
 
-        # reap EVERY stale watermark file below the new one (ADVICE r11:
-        # deleting only the previously-effective w left crash orphans)
         for st in fs.listStatus(hpath(f"{path}/_batches")):
             nm = st.getPath().getName()
-            if _re.fullmatch(r"w[0-9]+", nm) and int(nm[1:]) < w:
+            if _re.fullmatch(r"w[0-9]+", nm) and int(nm[1:]) < watermark:
                 fs.delete(st.getPath(), True)
-        watermark = w
     # the HIGHEST marker always survives: the versioned-state folds
     # (_committed_version) locate their live __v from the latest marker,
     # and one extra dirname costs nothing for the other sinks

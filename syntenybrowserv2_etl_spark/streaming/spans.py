@@ -82,7 +82,10 @@ def touched_bucket_fold(
     whole reduced batch; it must be deterministic in its inputs (a replay
     that recomputes re-runs it against the unchanged live pre-state) and
     leave ≥ 1 row for every partition it was given rows for (the swap
-    promotes exactly the partitions staging contains). ``batch_df``
+    promotes exactly the partitions staging contains — ENFORCED after the
+    staged write: a touched partition missing from staging raises before
+    the sentinel lands, so a merge that legitimately empties a partition
+    must emit an explicit tombstone row). ``batch_df``
     should already be reduced to per-key bounded size by the caller (each
     sink's own pre-reduction — LWW max_by, within-batch coalesce, partial
     aggregation).
@@ -217,6 +220,23 @@ def touched_bucket_fold(
             .partitionBy(partition_col)
             .parquet(staging)
         )
+        # Enforce the ≥1-row contract instead of trusting the docstring
+        # (ADVICE r12): the swap promotes exactly the partitions staging
+        # contains, so a merge_fn that returned zero rows for a touched
+        # partition would silently leave it at its pre-state — and the
+        # lost-marker probe (which requires every touched partition to
+        # carry __b == batch_id) would then re-merge on EVERY redelivery,
+        # corrupting non-idempotent folds. Fail loudly before the sentinel
+        # lands; the discarded staging makes the attempt side-effect-free.
+        missing = sorted(set(touched) - part_vals(staging))
+        if missing:
+            fs.delete(hpath(staging), True)
+            raise ValueError(
+                f"touched_bucket_fold: merge_fn staged no rows for touched "
+                f"partition(s) {missing} at {path} — a merge that "
+                "legitimately empties a partition must emit an explicit "
+                "tombstone row instead (see docstring contract)"
+            )
         fs.mkdirs(staged_done)
     # Promote: per staged partition, rename the live directory aside into
     # _pre (the displaced directory IS the pre-state archive — retained

@@ -2857,15 +2857,18 @@ def test_touched_bucket_fold_knobs_direct(spark, tmp_path_factory):
         data_path=data,
         stage_hook=hook,
     )
-    touched_bucket_fold(mk([(1, 2), (1, 2), (11, 3)]), 1, **cfg)
-    # k=1 -> v=4 staged (even); k=11 -> v=3 written to side but NOT staged
+    touched_bucket_fold(mk([(1, 2), (1, 2), (11, 3), (12, 4)]), 1, **cfg)
+    # k=1 -> v=4, k=12 -> v=4 staged (even); k=11 -> v=3 written to side
+    # but NOT staged (its partition __pd=1 stays covered by k=12 — a hook
+    # may drop ROWS, but emptying a whole touched partition raises, pinned
+    # by test_touched_bucket_fold_rejects_empty_touched_partition)
     assert {
         (r["k"], r["v"]) for r in spark.read.parquet(data).collect()
-    } == {(1, 4)}
+    } == {(1, 4), (12, 4)}
     assert {
         (r["k"], r["v"])
         for r in spark.read.parquet(os.path.join(base, "side")).collect()
-    } == {(1, 4), (11, 3)}
+    } == {(1, 4), (11, 3), (12, 4)}
     # derived routing: k=1 landed in __pd=0
     assert os.path.isdir(os.path.join(data, "__pd=0"))
     assert (calls["merge"], calls["hook"]) == (1, 1)
@@ -2884,9 +2887,107 @@ def test_touched_bucket_fold_knobs_direct(spark, tmp_path_factory):
     touched_bucket_fold(mk([(1, 2)]), 2, **cfg)
     assert {
         (r["k"], r["v"]) for r in spark.read.parquet(data).collect()
-    } == {(1, 6)}
+    } == {(1, 6), (12, 4)}
     assert calls == {"merge": 2, "hook": 2}  # neither re-ran
     assert os.path.isdir(os.path.join(root, "_batches", "2"))
+
+
+def test_touched_bucket_fold_rejects_empty_touched_partition(
+    spark, tmp_path_factory
+):
+    """ADVICE r12: a merge_fn (or stage_hook) that returns ZERO rows for a
+    touched partition must raise before the sentinel lands — otherwise the
+    swap silently leaves that partition at its pre-state and the
+    lost-marker probe re-merges on every redelivery (corrupting
+    non-idempotent folds). The failed attempt must be side-effect-free:
+    live state untouched, no sentinel, no commit marker."""
+    import pytest
+
+    from syntenybrowserv2_etl_spark.streaming.spans import touched_bucket_fold
+
+    root = str(tmp_path_factory.mktemp("tbf_empty")) + "/state"
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, v bigint")
+    cfg = dict(
+        path=root,
+        merge_fn=lambda pre, b: (
+            b if pre is None else pre.unionByName(b)
+        ).groupBy("k").agg(F.sum("v").alias("v")),
+        partition_expr=F.expr("k div 10"),
+        partition_col="__pd",
+    )
+    touched_bucket_fold(mk([(1, 1), (11, 1)]), 1, **cfg)
+
+    # batch 2 touches __pd=0 and __pd=1 but the merge empties __pd=1
+    bad = dict(cfg, merge_fn=lambda pre, b: cfg["merge_fn"](pre, b).filter(
+        F.col("k") < 10
+    ))
+    with pytest.raises(ValueError, match="__pd.*1|1.*__pd|staged no rows"):
+        touched_bucket_fold(mk([(1, 1), (11, 1)]), 2, **bad)
+    # side-effect-free failure: live state is batch 1's, nothing committed
+    assert {
+        (r["k"], r["v"]) for r in spark.read.parquet(root).collect()
+    } == {(1, 1), (11, 1)}
+    assert not os.path.exists(os.path.join(root, "_batches", "2"))
+    assert not os.path.exists(
+        os.path.join(root, "_staging", "2", "__stagedone")
+    )
+    # an explicit tombstone row satisfies the contract and commits
+    tomb = dict(cfg, merge_fn=lambda pre, b: cfg["merge_fn"](pre, b).filter(
+        F.col("k") < 10
+    ).unionByName(mk([(11, 0)])))
+    touched_bucket_fold(mk([(1, 1), (11, 1)]), 2, **tomb)
+    assert {
+        (r["k"], r["v"]) for r in spark.read.parquet(root).collect()
+    } == {(1, 2), (11, 0)}
+    assert os.path.isdir(os.path.join(root, "_batches", "2"))
+
+
+def test_prune_refuses_gap_below_first_batch_id(spark, tmp_path_factory):
+    """ADVICE r12: the fbid-1 marker alone only certifies the immediately
+    preceding batch — a GAP further below (crashed batch or externally
+    deleted marker) is evidence the claim covers an uncommitted batch, so
+    the prune must refuse without the explicit trust flag even when
+    fbid-1's marker exists."""
+    import pytest
+
+    from syntenybrowserv2_etl_spark.sources import io as sio
+
+    tmp = str(tmp_path_factory.mktemp("prune_gap"))
+    path = os.path.join(tmp, "tbl")
+    # markers 2 and 4..6 survive; batch 3 never committed — fbid=5 is
+    # corroborated at the fbid-1 boundary (marker 4) but NOT contiguous
+    for i in (2, 4, 5, 6):
+        os.makedirs(os.path.join(path, "_batches", str(i)))
+    with pytest.raises(ValueError, match="contiguous"):
+        sio.prune_batch_markers(spark, path, first_batch_id=5)
+    assert sorted(os.listdir(os.path.join(path, "_batches"))) == [
+        "2", "4", "5", "6",
+    ]
+    # the explicit acknowledgment still goes through
+    assert (
+        sio.prune_batch_markers(
+            spark, path, first_batch_id=5, trust_first_batch_id=True
+        )
+        == 6
+    )
+
+
+def test_prune_reaps_stale_watermarks_without_advance(
+    spark, tmp_path_factory
+):
+    """ADVICE r12: stale w<M> reaping must run even when the prune finds
+    no new contiguous markers — a crash orphan must not survive no-op
+    prunes indefinitely."""
+    from syntenybrowserv2_etl_spark.sources import io as sio
+
+    tmp = str(tmp_path_factory.mktemp("prune_noop_reap"))
+    path = os.path.join(tmp, "tbl")
+    # crash debris: orphan w1 beside the effective w3; batch 5 committed
+    # but 4 did not — the watermark cannot advance
+    for nm in ("w1", "w3", "5"):
+        os.makedirs(os.path.join(path, "_batches", nm))
+    assert sio.prune_batch_markers(spark, path) == 3
+    assert sorted(os.listdir(os.path.join(path, "_batches"))) == ["5", "w3"]
 
 
 def test_token_counts_fold_and_drift_report(spark, tmp_path_factory):
