@@ -1470,6 +1470,99 @@ def editdist1_join(
     ).filter(F.col("dist") <= 1)
 
 
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    exact: bool = True,
+) -> DataFrame:
+    """Exact repeated-substring span finder — the suffix-array-style pass
+    production LLM pipelines run before training (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    token covered by SOME substring of ≥ k tokens that occurs ≥ 2 times
+    anywhere in the corpus (other documents or the same one) is marked,
+    and per document the marked positions are coalesced into maximal
+    disjoint spans — exactly the regions that pass would excise.
+
+    Identity making this distributable WITHOUT building a suffix array: a
+    position is covered by a repeated substring of length ≥ k iff it is
+    covered by a repeated k-token shingle (any repeated substring of
+    length ≥ k contains a repeated k-shingle through each of its
+    positions, and a repeated k-shingle IS such a substring). So the
+    corpus-global problem reduces to counting fixed-width shingles —
+    shuffle-friendly — plus per-document interval coalescing.
+
+    Stages (all native Columns, no UDFs):
+      1. tokenize (normalized whitespace split) and emit each document's
+         k-shingles by position via ``transform(sequence(...), slice)`` —
+         one row per (doc, pos), computed JVM-side from the token array;
+      2. count occurrences per 64-bit shingle hash (8-byte shuffle keys,
+         map-side partial aggregation) → the repeated-hash set;
+      3. join positions back on the hash (equi-join; the non-repeated
+         majority never shuffles a string) and, when ``exact=True``,
+         confirm candidates by the shingle STRING (a window count over
+         candidates only) so hash collisions cannot mark a false span;
+      4. gaps-and-islands per document: consecutive marked positions
+         whose k-windows touch (gap ≤ k) merge; one aggregation emits
+         ``(id, span_start, span_end, span_tokens)``.
+
+    ``exact=False`` skips stage 3's string confirmation — the standard
+    production trade (a 64-bit collision among the corpus's distinct
+    shingles is ~birthday-bounded: ~4e9 distinct shingles for a 50%
+    chance of ONE false mark) — and is the 100 TB path: the shuffle then
+    carries only (id, pos, hash). Span positions are 0-based token
+    offsets, ``span_end`` inclusive.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")
+    ).filter(F.size("__toks") >= k)
+    sh = toks.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__toks) - {int(k)}),"
+                f" i -> concat_ws(' ', slice(__toks, i + 1, {int(k)})))"
+            )
+        ).alias("pos", "__sh"),
+    ).withColumn("__h", F.xxhash64("__sh"))
+    rep_h = (
+        sh.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__h")
+    )
+    cand = sh.join(rep_h, "__h")
+    if exact:
+        wc = Window.partitionBy("__sh")
+        cand = cand.withColumn("__cs", F.count(F.lit(1)).over(wc)).filter(
+            F.col("__cs") >= 2
+        )
+    marked = cand.select(id_col, "pos")
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    isl = (
+        marked.withColumn("__lag", F.lag("pos").over(wd))
+        .withColumn(
+            "__new",
+            F.when(F.col("pos") - F.col("__lag") > k, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn("__isl", F.sum("__new").over(wd))
+    )
+    # grouping keys (id, __isl) are co-located by the window's hash(id)
+    # partitioning — Catalyst reuses it, no extra shuffle (plan-pinned)
+    return isl.groupBy(id_col, "__isl").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        (F.max("pos") - F.min("pos") + F.lit(k)).cast("long").alias(
+            "span_tokens"
+        ),
+    ).drop("__isl")
+
+
 def dup_size_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Duplication-structure report: histogram of exact-duplicate cluster
     sizes over the normalized text (the ``exact_dedup`` equivalence

@@ -6196,6 +6196,51 @@ def q141(spark, sf_dir):
     return dedup_ops.dup_size_histogram(d, "text")
 
 
+@register(
+    "q142_repeated_spans",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             generate_subscripts(string_split({_NORM_TEXT}, ' '), 1) - 1 AS pos,
+             unnest(string_split({_NORM_TEXT}, ' ')) AS token
+      FROM documents),
+    sh0 AS (
+      SELECT doc_id, pos,
+             string_agg(token, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sh,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_tok
+      FROM tok),
+    full_sh AS (SELECT doc_id, pos, sh FROM sh0 WHERE pos <= n_tok - 8),
+    rep AS (SELECT sh FROM full_sh GROUP BY sh HAVING COUNT(*) >= 2),
+    rpos AS (SELECT f.doc_id, f.pos FROM full_sh f JOIN rep USING (sh)),
+    lagd AS (SELECT doc_id, pos,
+                    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lagpos
+             FROM rpos),
+    isl AS (SELECT doc_id, pos,
+                   SUM(CASE WHEN pos - lagpos > 8 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM lagd)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+    tags=["exact repeated-substring span dedup (suffix-array-style)"],
+)
+def q142(spark, sf_dir):
+    """Exact repeated-substring spans (operators/dedup.repeated_spans):
+    every maximal per-document token range covered by some ≥8-token
+    substring occurring ≥2 times anywhere in the corpus — the Lee et
+    al.-style exact-substring pass production pipelines run before
+    training, reduced to fixed-width shingle counting + per-doc interval
+    coalescing (no suffix array, no pairwise work). The DuckDB oracle is
+    an independent formulation via windowed string_agg shingles and a
+    gaps-and-islands rollup."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_ops.repeated_spans(d, "text", "doc_id", k=8)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -6373,6 +6418,8 @@ _DEMOTED_PAST_WINDOW = [
     "q139_lang_kappa",
     "q140_source_diversity",
     "q141_dup_histogram",
+    # round 13: parity-gated from birth (standing policy for new families)
+    "q142_repeated_spans",
 ]
 
 

@@ -1503,3 +1503,67 @@ def test_cohens_kappa_matches_bruteforce(spark, rows):
         "truth string, pred string",
     )
     assert cohens_kappa(same, "truth", "pred").collect()[0]["kappa"] == 1.0
+
+
+def py_repeated_spans(
+    texts: list[str], k: int
+) -> set[tuple[int, int, int, int]]:
+    """Brute-force repeated-span enumeration: mark every position whose
+    k-shingle (by STRING) occurs ≥ 2 times corpus-wide (other docs or the
+    same doc), coalesce marked positions whose k-windows touch (gap ≤ k)
+    into maximal spans (doc_id, start, end_inclusive, covered_tokens)."""
+    from collections import Counter
+
+    toks = {
+        i: [t for t in " ".join(tx.split()).lower().split(" ") if t]
+        for i, tx in enumerate(texts)
+    }
+    counts = Counter(
+        " ".join(ts[p : p + k])
+        for ts in toks.values()
+        for p in range(len(ts) - k + 1)
+    )
+    out = set()
+    for i, ts in toks.items():
+        marked = [
+            p
+            for p in range(len(ts) - k + 1)
+            if counts[" ".join(ts[p : p + k])] >= 2
+        ]
+        run: list[int] = []
+        for p in marked + [None]:
+            if run and (p is None or p - run[-1] > k):
+                out.add((i, run[0], run[-1] + k - 1, run[-1] - run[0] + k))
+                run = []
+            if p is not None:
+                run.append(p)
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("a b c d".split()), min_size=0, max_size=24
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.sampled_from([2, 3]),
+    exact=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_repeated_spans_matches_bruteforce(spark, texts, k, exact):
+    """operators/dedup.repeated_spans ≡ brute-force repeated-span
+    enumeration (the Lee et al. exact-substring semantics), in both the
+    string-confirmed and hash-only modes — on a 4-word vocabulary the
+    64-bit hash path cannot collide, so both must be exact here."""
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dd.repeated_spans(
+            df, "text", "doc_id", k=k, exact=exact
+        ).collect()
+    }
+    assert got == py_repeated_spans(texts, k)

@@ -106,6 +106,7 @@ KNOWN_OPS = frozenset({
     "transitions_apply", "merge_apply_skew", "interval_union",
     "jsonl_ingest", "pareto_skyline", "roc_auc", "rrf_fuse",
     "unigram_kl", "token_fold", "lang_kappa", "corpus_diversity",
+    "repeated_spans", "repeated_spans_hash",
 })
 
 
@@ -271,8 +272,16 @@ def main():
         # round 5: span dedup, deterministic shuffle, bloom incremental
         from syntenybrowserv2_etl_spark.operators import sampling as smp
 
-        measure("dedup_spans", 
+        measure("dedup_spans",
             lambda: noop(cur.dedup_spans(docs, "doc_id", "text", span_tokens=16))
+        )
+        measure("repeated_spans",
+            lambda: noop(dd.repeated_spans(docs, "text", "doc_id", k=8))
+        )
+        measure("repeated_spans_hash",
+            lambda: noop(
+                dd.repeated_spans(docs, "text", "doc_id", k=8, exact=False)
+            )
         )
         measure("deterministic_shuffle", 
             lambda: noop(smp.deterministic_shuffle(docs, "doc_id", n_shards=32))
