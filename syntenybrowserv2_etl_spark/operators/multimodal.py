@@ -352,6 +352,175 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        # integer SUMS, not /255 means: bit-exact cross-engine, so the
+        # decode leg itself (inflate + un-filter) is value-checkable
+        T.StructField("sum_c0", T.LongType(), True),
+        T.StructField("sum_c1", T.LongType(), True),
+        T.StructField("sum_c2", T.LongType(), True),
+        T.StructField("lum_q0", T.LongType(), True),
+        T.StructField("lum_q1", T.LongType(), True),
+        T.StructField("lum_q2", T.LongType(), True),
+        T.StructField("lum_q3", T.LongType(), True),
+    ]
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Per-image integer pixel statistics through the REAL stdlib PNG
+    decode (_png_decode: container parse, zlib inflate, scanline
+    un-filtering) inside Arrow-batched ``mapInPandas`` — the image twin of
+    ``audio_frame_features``: channel byte-sums plus quadrant luminance
+    sums (sum over the color channels of every pixel in each quadrant;
+    quadrant split at ``(h+1)//2`` / ``(w+1)//2``, matching
+    ``decode_real``). All outputs are exact integers so a SQL oracle can
+    recompute them from a closed-form fixture with zero float drift —
+    this value-checks the decode itself, not just downstream math (q143;
+    q97 established the discipline for WAV).
+
+    Non-image rows, NULL payloads, and undecodable bytes contribute zero
+    rows (quarantine belongs upstream). Map-only: no shuffle, inherits
+    input partitioning; one decoded image is held at a time per worker.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in IMAGE_STATS_SCHEMA.fields
+            }
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image" or payload is None:
+                    continue
+                try:
+                    w, h, ch, pix = _png_decode(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                csum = [0, 0, 0]
+                for c in range(min(ch, 3)):
+                    csum[c] = sum(pix[i] for i in range(c, len(pix), ch))
+                lum_ch = 1 if ch == 2 else min(ch, 3)
+                quads = [0, 0, 0, 0]
+                for y in range(h):
+                    row = y * w * ch
+                    for x in range(w):
+                        q = (2 if y >= (h + 1) // 2 else 0) + (
+                            1 if x >= (w + 1) // 2 else 0
+                        )
+                        px = row + x * ch
+                        quads[q] += sum(pix[px : px + lum_ch])
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                for c in range(3):
+                    out[f"sum_c{c}"].append(csum[c])
+                for q in range(4):
+                    out[f"lum_q{q}"].append(quads[q])
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        gen, IMAGE_STATS_SCHEMA
+    )
+
+
+def _png_encode(w: int, h: int, ch: int, pix: bytes) -> bytes:
+    """Minimal stdlib PNG writer for the fixture: 8-bit RGB/gray, one IDAT,
+    per-row filter type ``y % 5`` so the fixture exercises EVERY
+    un-filter path (None/Sub/Up/Average/Paeth) in ``_png_decode`` —
+    filters are invertible re-encodings, so the decoded pixels stay the
+    closed form regardless of filter choice."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 3: 2}[ch]
+    stride = w * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = pix[y * stride : (y + 1) * stride]
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += line
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (line[i] - (line[i - ch] if i >= ch else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (
+                    line[i]
+                    - (((line[i - ch] if i >= ch else 0) + prev[i]) >> 1)
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            enc = bytearray()
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((line[i] - pr) & 0xFF)
+            raw += enc
+        prev = line
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthetic_png_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic REAL-PNG fixture: every payload is a valid PNG (CRCs
+    and all) whose RGB pixels follow the closed form
+
+        v(id, x, y, c) = (id·37 + x·11 + y·23 + c·71) mod 256,
+        w(id) = 6 + id mod 5,  h(id) = 4 + id mod 4
+
+    encoded with per-row filter type ``y % 5`` (all five PNG filters
+    exercised, then inverted by the decoder). A SQL oracle recomputes
+    per-image channel/quadrant sums from pure integer arithmetic while
+    Spark goes through the FULL byte path (parquet binary → Arrow →
+    _png_decode). The image-leg mirror of ``synthetic_wav_media`` (q97)."""
+    rows = []
+    for i in range(n):
+        w, h = 6 + i % 5, 4 + i % 4
+        pix = bytes(
+            (i * 37 + x * 11 + y * 23 + c * 71) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        rows.append(
+            (i, "image", _png_encode(w, h, 3, pix), w, h, None, "png")
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
 AUDIO_FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -6241,6 +6241,62 @@ def q142(spark, sf_dir):
     return dedup_ops.repeated_spans(d, "text", "doc_id", k=8)
 
 
+@register(
+    "q143_image_stats",
+    """
+    WITH ids AS (SELECT unnest(range(0, 48)) AS media_id),
+    dims AS (SELECT media_id, 6 + media_id % 5 AS w, 4 + media_id % 4 AS h
+             FROM ids),
+    px AS (
+      SELECT d.media_id, d.w, d.h, c.c,
+             (d.media_id * 37 + x.x * 11 + y.y * 23 + c.c * 71) % 256 AS v,
+             CASE WHEN y.y >= (d.h + 1) // 2 THEN 2 ELSE 0 END
+             + CASE WHEN x.x >= (d.w + 1) // 2 THEN 1 ELSE 0 END AS q
+      FROM dims d,
+      LATERAL (SELECT unnest(range(0, d.w)) AS x) AS x,
+      LATERAL (SELECT unnest(range(0, d.h)) AS y) AS y,
+      LATERAL (SELECT unnest(range(0, 3)) AS c) AS c)
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_c0,
+           CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_c1,
+           CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_c2,
+           CAST(SUM(CASE WHEN q = 0 THEN v ELSE 0 END) AS BIGINT) AS lum_q0,
+           CAST(SUM(CASE WHEN q = 1 THEN v ELSE 0 END) AS BIGINT) AS lum_q1,
+           CAST(SUM(CASE WHEN q = 2 THEN v ELSE 0 END) AS BIGINT) AS lum_q2,
+           CAST(SUM(CASE WHEN q = 3 THEN v ELSE 0 END) AS BIGINT) AS lum_q3
+    FROM px GROUP BY media_id
+    """,
+    tags=["image stats through the REAL PNG decode (mapInPandas)"],
+)
+def q143(spark, sf_dir):
+    """Per-image channel/quadrant pixel sums computed through the FULL
+    binary path — valid PNG payloads (all five scanline filters used) in
+    a parquet binary column, Arrow-batched mapInPandas, the stdlib PNG
+    decoder (container parse → zlib inflate → un-filter) — while the
+    oracle recomputes every sum from the fixture's closed-form pixel
+    formula in pure integer SQL. This value-checks the image decode leg
+    itself; q97 established the discipline for WAV, q40/q93 pin the
+    stub-kernel plumbing. operators/multimodal.image_stats."""
+    media = mm_ops.synthetic_png_media(spark, 48)
+    s = mm_ops.image_stats(media)
+    return s.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "sum_c0",
+        "sum_c1",
+        "sum_c2",
+        "lum_q0",
+        "lum_q1",
+        "lum_q2",
+        "lum_q3",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -6420,6 +6476,7 @@ _DEMOTED_PAST_WINDOW = [
     "q141_dup_histogram",
     # round 13: parity-gated from birth (standing policy for new families)
     "q142_repeated_spans",
+    "q143_image_stats",
 ]
 
 

@@ -3826,3 +3826,55 @@ def test_corpus_diversity_exact(spark):
     h_a = round(-(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25)), 6)
     assert got["a"] == (4, 3, 0.75, h_a)
     assert got["b"] == (4, 1, 0.25, 0.0)  # empty doc contributes nothing
+
+
+def test_png_encode_decode_roundtrip_all_filters():
+    """The fixture writer (_png_encode, per-row filter y % 5) round-trips
+    bit-exactly through _png_decode for RGB and grayscale, across heights
+    that exercise every filter type — so the q143 closed-form oracle is
+    checking the REAL inflate + un-filter path, not a fixture tautology."""
+    for ch in (1, 3):
+        for w, h in [(1, 1), (3, 7), (10, 6), (7, 11)]:
+            pix = bytes(
+                (x * 11 + y * 23 + c * 71 + w) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(ch)
+            )
+            got = multimodal._png_decode(multimodal._png_encode(w, h, ch, pix))
+            assert got == (w, h, ch, pix)
+
+
+def test_image_stats_real_decode_and_codec_boundary(spark):
+    """image_stats through the real PNG path: closed-form sums for one
+    image pinned by hand; undecodable/non-image payloads contribute zero
+    rows (the codec boundary still raises inside decode_real itself)."""
+    import pytest
+
+    media = multimodal.synthetic_png_media(spark, 6)
+    got = {r["media_id"]: r for r in multimodal.image_stats(media).collect()}
+    assert set(got) == set(range(6))
+    i = 2  # w=8, h=6
+    w, h = 8, 6
+    exp_c = [
+        sum((i * 37 + x * 11 + y * 23 + c * 71) % 256
+            for x in range(w) for y in range(h))
+        for c in range(3)
+    ]
+    r = got[i]
+    assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+    assert [r["sum_c0"], r["sum_c1"], r["sum_c2"]] == exp_c
+    # quadrant sums cover every pixel exactly once
+    assert (
+        r["lum_q0"] + r["lum_q1"] + r["lum_q2"] + r["lum_q3"] == sum(exp_c)
+    )
+    # garbage / non-image rows: zero output rows, no crash
+    junk = spark.createDataFrame(
+        [(99, "image", b"not a png", None, None, None, "png"),
+         (100, "audio", b"RIFF", None, None, None, "pcm")],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    assert multimodal.image_stats(junk).count() == 0
+    # the documented codec boundary still raises for compressed formats
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"\xff\xd8\xff\xe0JFIF-ish", "image")
