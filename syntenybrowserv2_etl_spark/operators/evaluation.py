@@ -33,21 +33,55 @@ def _as_col(c: Column | str) -> Column:
 
 
 def roc_auc(
-    df: DataFrame, score_col: Column | str, label_col: Column | str
+    df: DataFrame,
+    score_col: Column | str,
+    label_col: Column | str,
+    score_bins: int | None = None,
 ) -> DataFrame:
     """Exact ROC-AUC of ``score_col`` (higher ⇒ predicted positive)
     against boolean ``label_col``. Returns one row:
     ``(auc double ROUND 6, n_pos long, n_neg long)``. Rows with a NULL
     score or label are dropped (undefined in the ranking).
+
+    The cumulative window's input is the DISTINCT-score frame — score
+    CARDINALITY, never rows. For a raw high-precision double scorer the
+    distinct count can approach the row count; ``score_bins=N`` closes
+    that adversarial case by quantizing scores into N equal-width bins
+    over the observed [min, max] BEFORE the rank-sum (one extra
+    single-row min/max aggregate, broadcast), bounding the window input
+    at N regardless of scorer precision.
+
+    Binning error is exactly characterizable: quantization only changes
+    the contribution of (pos, neg) pairs that land in the SAME bin —
+    each moves from {0, ½, 1} to ½ — so
+
+        |auc_binned − auc_exact| ≤ Σ_b pos_b·neg_b / (P·N) / 2
+
+    and the binned variant RETURNS that bound as ``auc_err_bound``
+    (double ROUND 6), computed from the same per-bin counts for free.
+    Monotone scorers with spread-out scores make it ~1/score_bins;
+    degenerate scorers (everything in one bin) honestly report ~0.5.
     """
     s, y = _as_col(score_col), _as_col(label_col)
-    by_score = (
-        df.filter(s.isNotNull() & y.isNotNull())
-        .groupBy(s.alias("__s"))
-        .agg(
-            F.sum(F.when(y, 1).otherwise(0)).alias("pos"),
-            F.sum(F.when(y, 0).otherwise(1)).alias("neg"),
+    clean = df.filter(s.isNotNull() & y.isNotNull())
+    if score_bins is not None:
+        rng = clean.agg(
+            F.min(s).alias("__lo"), F.max(s).alias("__hi")
         )
+        clean = clean.crossJoin(F.broadcast(rng))
+        s = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.floor(
+                    (s - F.col("__lo"))
+                    / (F.col("__hi") - F.col("__lo"))
+                    * score_bins
+                ),
+                F.lit(score_bins - 1),
+            )
+        ).cast("long")
+    by_score = clean.groupBy(s.alias("__s")).agg(
+        F.sum(F.when(y, 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(y, 0).otherwise(1)).alias("neg"),
     )
     w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
     u_terms = by_score.withColumn(
@@ -58,14 +92,26 @@ def roc_auc(
             F.col("neg_below") * F.col("pos")
             + F.lit(0.5) * F.col("pos") * F.col("neg")
         ).alias("u"),
+        F.sum(F.col("pos") * F.col("neg")).alias("__same_bin_pairs"),
         F.sum("pos").alias("n_pos"),
         F.sum("neg").alias("n_neg"),
     )
-    return agg.select(
+    out = [
         F.round(F.col("u") / (F.col("n_pos") * F.col("n_neg")), 6).alias("auc"),
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),
-    )
+    ]
+    if score_bins is not None:
+        out.insert(
+            1,
+            F.round(
+                F.col("__same_bin_pairs")
+                / (F.col("n_pos") * F.col("n_neg"))
+                / 2,
+                6,
+            ).alias("auc_err_bound"),
+        )
+    return agg.select(*out)
 
 
 def calibration_bins(

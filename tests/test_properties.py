@@ -1567,3 +1567,63 @@ def test_repeated_spans_matches_bruteforce(spark, texts, k, exact):
         ).collect()
     }
     assert got == py_repeated_spans(texts, k)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.floats(0, 1, allow_nan=False, width=32), st.booleans()),
+        min_size=2,
+        max_size=60,
+    ),
+    bins=st.sampled_from([4, 16, 64]),
+)
+@settings(**SETTINGS)
+def test_roc_auc_binned_within_reported_error_bound(spark, rows, bins):
+    """score_bins quantization: the binned AUC must sit within the
+    RETURNED auc_err_bound of the exact pairwise AUC, for arbitrary
+    high-cardinality float scores — the bound is sound by construction
+    (only same-bin cross-label pairs can move, by at most ½ each)."""
+    from syntenybrowserv2_etl_spark.operators.evaluation import roc_auc
+
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    if not pos or not neg:
+        return
+    u = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    exact = u / (len(pos) * len(neg))
+    df = spark.createDataFrame(
+        [(float(s), bool(y)) for s, y in rows], "s double, y boolean"
+    )
+    got = roc_auc(df, "s", "y", score_bins=bins).collect()[0]
+    assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
+    # rounding slack: both auc and the bound are ROUND(6)
+    assert abs(got["auc"] - exact) <= got["auc_err_bound"] + 2e-6
+    assert 0.0 <= got["auc_err_bound"] <= 0.5
+
+
+def test_roc_auc_binned_known_distribution(spark):
+    """Deterministic pin on a known monotone scorer: 2000 distinct double
+    scores, label = (score-hash bias) — exact vs score_bins=64 must agree
+    within the reported bound, and the bound must be small (~1/64 scale,
+    not 0.5); degenerate single-value scores report bound 0.5 honestly."""
+    from pyspark.sql import functions as F
+
+    from syntenybrowserv2_etl_spark.operators.evaluation import roc_auc
+
+    d = spark.range(2000).select(
+        (F.col("id") / 2000.0 + F.pmod(F.xxhash64("id"), F.lit(997)) * 1e-9)
+        .alias("s"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(2000)) < F.col("id"))
+        .alias("y"),
+    )
+    exact = roc_auc(d, "s", "y").collect()[0]
+    binned = roc_auc(d, "s", "y", score_bins=64).collect()[0]
+    assert abs(binned["auc"] - exact["auc"]) <= binned["auc_err_bound"] + 2e-6
+    assert binned["auc_err_bound"] < 0.02
+    flat = spark.range(100).select(
+        F.lit(1.0).alias("s"), (F.col("id") % 2 == 0).alias("y")
+    )
+    row = roc_auc(flat, "s", "y", score_bins=64).collect()[0]
+    assert row["auc"] == 0.5 and row["auc_err_bound"] == 0.5

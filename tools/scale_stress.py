@@ -106,7 +106,7 @@ KNOWN_OPS = frozenset({
     "transitions_apply", "merge_apply_skew", "interval_union",
     "jsonl_ingest", "pareto_skyline", "roc_auc", "rrf_fuse",
     "unigram_kl", "token_fold", "lang_kappa", "corpus_diversity",
-    "repeated_spans", "repeated_spans_hash",
+    "repeated_spans", "repeated_spans_hash", "roc_auc_binned",
 })
 
 
@@ -874,6 +874,45 @@ def main():
 
         if only is None or "roc_auc" in only:
             _roc_auc()
+
+        # round 13: the adversarial case the score_bins knob exists for —
+        # effectively-unique double scores (distinct count ≈ row count),
+        # where the unbinned single-partition window would see every row.
+        # score_bins=4096 caps the window input at 4096 regardless of f;
+        # the analytic AUC (5/6) and the returned error bound are both
+        # asserted, so the knob's correctness is checked, not just timed.
+        def _roc_auc_binned():
+            from syntenybrowserv2_etl_spark.operators.evaluation import roc_auc
+
+            n = 1_000_000 * f
+            d = spark.range(n).select(
+                (
+                    F.pmod(F.xxhash64("id"), F.lit(1_000_000_000)).cast(
+                        "double"
+                    )
+                    / 1e9
+                ).alias("s"),
+                (
+                    F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000_000))
+                    .cast("double")
+                    / 1e9
+                    < F.pmod(F.xxhash64("id"), F.lit(1_000_000_000)).cast(
+                        "double"
+                    )
+                    / 1e9
+                ).alias("y"),
+            ).localCheckpoint(eager=True)
+            r["roc_auc_binned_rows"] = n
+
+            def run():
+                row = roc_auc(d, "s", "y", score_bins=4096).collect()[0]
+                assert 0.82 < row["auc"] < 0.85, row
+                assert row["auc_err_bound"] < 0.001, row
+
+            r["roc_auc_binned"] = timed(run)
+
+        if only is None or "roc_auc_binned" in only:
+            _roc_auc_binned()
 
         # round 12: RRF — per-partition windows (the per-query fusion
         # shape): 1M·f candidate rows over 1000·f query partitions, two
