@@ -24,6 +24,13 @@ learning four modules:
   python tools/maintain.py rebucket <path> <new_n_buckets>
 
 Run it like compaction: between batches, from one maintenance process.
+
+Coverage note: every ``touched_bucket_fold`` state store (merge, scd2
+open set, rollup grid, intervals, skyline, token-count drift monitor)
+is maintained by ``prune`` alone — the fold's rename-swap leaves one
+file per partition by construction, so there is nothing to compact, and
+``compact-table`` REFUSES such stores (pinned by
+tests/test_streaming.py::test_maintain_cli_covers_drift_state).
 """
 
 from __future__ import annotations
