@@ -1540,7 +1540,17 @@ def repeated_spans(
         cand = cand.withColumn("__cs", F.count(F.lit(1)).over(wc)).filter(
             F.col("__cs") >= 2
         )
-    marked = cand.select(id_col, "pos")
+    return _coalesce_marked(cand.select(id_col, "pos"), id_col, k)
+
+
+def _coalesce_marked(marked: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands over marked k-window start positions: consecutive
+    positions whose windows touch (gap ≤ k) merge into one maximal span
+    ``(id, span_start, span_end inclusive, span_tokens)``. The final
+    grouping keys (id, island) are co-located by the window's hash(id)
+    partitioning — Catalyst reuses it, no extra shuffle (plan-pinned)."""
+    from pyspark.sql import Window
+
     wd = Window.partitionBy(id_col).orderBy("pos")
     isl = (
         marked.withColumn("__lag", F.lag("pos").over(wd))
@@ -1552,8 +1562,6 @@ def repeated_spans(
         )
         .withColumn("__isl", F.sum("__new").over(wd))
     )
-    # grouping keys (id, __isl) are co-located by the window's hash(id)
-    # partitioning — Catalyst reuses it, no extra shuffle (plan-pinned)
     return isl.groupBy(id_col, "__isl").agg(
         F.min("pos").cast("long").alias("span_start"),
         (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
@@ -1561,6 +1569,93 @@ def repeated_spans(
             "span_tokens"
         ),
     ).drop("__isl")
+
+
+def excise_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    exact: bool = True,
+) -> DataFrame:
+    """The actionable half of ``repeated_spans``: rewrite the corpus with
+    repeated substrings EXCISED, keeping the FIRST occurrence (Lee et
+    al.'s ExactSubstr dedup applied with keep-one survivorship). Per
+    repeated k-shingle, the occurrence with the smallest ``(id, pos)`` is
+    canonical; every token covered only by canonical occurrences
+    survives, tokens covered by any NON-canonical occurrence are removed,
+    and each document reassembles from its surviving tokens. Returns
+    ``(id, n_tokens long, n_removed long, clean_text string)`` for EVERY
+    input document (zero-removal docs pass through verbatim modulo
+    whitespace normalization).
+
+    Same distributed shape as ``repeated_spans`` (shingle hash counts →
+    string-confirmed candidates → islands) plus: a ``row_number`` over
+    each shingle cluster picks the canonical occurrence (same
+    candidate-only window that computes the count — one shuffle serves
+    both), and one final equi-join routes span arrays back to documents,
+    where a JVM-side higher-order ``filter``/``transform`` drops covered
+    positions — no UDFs, span arrays are per-doc tiny (bounded by
+    islands, not occurrences). ``exact=False`` keys clusters by the
+    64-bit hash instead of the string (collision odds documented on
+    ``repeated_spans``)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")
+    )
+    sh = (
+        toks.filter(F.size("__toks") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(__toks) - {int(k)}),"
+                    f" i -> concat_ws(' ', slice(__toks, i + 1, {int(k)})))"
+                )
+            ).alias("pos", "__sh"),
+        )
+        .withColumn("__h", F.xxhash64("__sh"))
+    )
+    rep_h = (
+        sh.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__h")
+    )
+    cand = sh.join(rep_h, "__h")
+    cluster = "__sh" if exact else "__h"
+    wc = Window.partitionBy(cluster)
+    wr = Window.partitionBy(cluster).orderBy(id_col, "pos")
+    noncanon = (
+        cand.withColumn("__cs", F.count(F.lit(1)).over(wc))
+        .withColumn("__rn", F.row_number().over(wr))
+        .filter((F.col("__cs") >= 2) & (F.col("__rn") > 1))
+        .select(id_col, "pos")
+    )
+    spans = _coalesce_marked(noncanon, id_col, k).groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("__spans")
+    )
+    out = toks.join(spans, id_col, "left").withColumn(
+        "__kept",
+        F.expr(
+            "filter(transform(__toks, (t, i) -> named_struct('t', t, 'i', i)),"
+            " x -> __spans IS NULL OR"
+            " NOT exists(__spans, sp -> x.i >= sp.s AND x.i <= sp.e))"
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size("__kept")).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ", F.expr("transform(__kept, x -> x.t)")
+        ).alias("clean_text"),
+    )
 
 
 def dup_size_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -6297,6 +6297,64 @@ def q143(spark, sf_dir):
     )
 
 
+@register(
+    "q144_excise_repeated",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             generate_subscripts(string_split({_NORM_TEXT}, ' '), 1) - 1 AS pos,
+             unnest(string_split({_NORM_TEXT}, ' ')) AS token
+      FROM documents),
+    sh0 AS (
+      SELECT doc_id, pos,
+             string_agg(token, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sh,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_tok
+      FROM tok),
+    full_sh AS (SELECT doc_id, pos, sh FROM sh0 WHERE pos <= n_tok - 8),
+    occ AS (SELECT doc_id, pos,
+                   COUNT(*) OVER (PARTITION BY sh) AS c,
+                   ROW_NUMBER() OVER (PARTITION BY sh
+                                      ORDER BY doc_id, pos) AS rn
+            FROM full_sh),
+    noncanon AS (SELECT doc_id, pos FROM occ WHERE c >= 2 AND rn > 1),
+    lagd AS (SELECT doc_id, pos,
+                    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lagpos
+             FROM noncanon),
+    isl AS (SELECT doc_id, pos,
+                   SUM(CASE WHEN pos - lagpos > 8 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM lagd),
+    spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+              FROM isl GROUP BY doc_id, island),
+    keep AS (
+      SELECT t.doc_id, t.pos, t.token
+      FROM tok t
+      WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                        WHERE sp.doc_id = t.doc_id
+                          AND t.pos BETWEEN sp.s AND sp.e)),
+    n AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id)
+    SELECT n.doc_id,
+           CAST(n.n_tok AS BIGINT) AS n_tokens,
+           CAST(n.n_tok - COALESCE(COUNT(k.pos), 0) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(k.token, ' ' ORDER BY k.pos), '') AS clean_text
+    FROM n LEFT JOIN keep k USING (doc_id)
+    GROUP BY n.doc_id, n.n_tok
+    """,
+    tags=["repeated-substring excision with keep-first survivorship"],
+)
+def q144(spark, sf_dir):
+    """Corpus rewrite with repeated ≥8-token substrings excised, first
+    occurrence kept (operators/dedup.excise_repeated_spans) — the
+    actionable half of q142: per repeated shingle the smallest (doc, pos)
+    occurrence is canonical and survives; tokens covered by any
+    non-canonical occurrence are removed and each document reassembles
+    from its survivors. Oracle: independent DuckDB formulation via
+    windowed row_number canonicality + islands + anti-semi reassembly."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_ops.excise_repeated_spans(d, "text", "doc_id", k=8)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -6477,6 +6535,7 @@ _DEMOTED_PAST_WINDOW = [
     # round 13: parity-gated from birth (standing policy for new families)
     "q142_repeated_spans",
     "q143_image_stats",
+    "q144_excise_repeated",
 ]
 
 

@@ -1627,3 +1627,62 @@ def test_roc_auc_binned_known_distribution(spark):
     )
     row = roc_auc(flat, "s", "y", score_bins=64).collect()[0]
     assert row["auc"] == 0.5 and row["auc_err_bound"] == 0.5
+
+
+def py_excise_repeated(
+    texts: list[str], k: int
+) -> dict[int, tuple[int, int, str]]:
+    """Brute-force keep-first excision: per repeated k-shingle (string),
+    the occurrence with the smallest (doc, pos) is canonical; positions
+    covered by any NON-canonical occurrence are removed; docs reassemble
+    from survivors. Returns doc -> (n_tokens, n_removed, clean_text)."""
+    from collections import defaultdict
+
+    toks = {
+        i: " ".join(tx.split()).lower().split(" ")
+        for i, tx in enumerate(texts)
+    }
+    occs = defaultdict(list)
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            occs[" ".join(ts[p : p + k])].append((i, p))
+    out = {}
+    removed = defaultdict(set)
+    for sh, lst in occs.items():
+        if len(lst) < 2:
+            continue
+        for i, p in sorted(lst)[1:]:
+            removed[i].update(range(p, p + k))
+    for i, ts in toks.items():
+        kept = [t for j, t in enumerate(ts) if j not in removed[i]]
+        out[i] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("a b c".split()), min_size=0, max_size=20
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.sampled_from([2, 3]),
+    exact=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_excise_repeated_matches_bruteforce(spark, texts, k, exact):
+    """dedup.excise_repeated_spans ≡ brute-force keep-first excision, in
+    both cluster-key modes (3-word vocabulary: the 64-bit hash cannot
+    collide, so both must be exact). Every input doc must appear in the
+    output, zero-removal docs verbatim modulo normalization."""
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in dd.excise_repeated_spans(
+            df, "text", "doc_id", k=k, exact=exact
+        ).collect()
+    }
+    assert got == py_excise_repeated(texts, k)

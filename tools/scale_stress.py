@@ -107,6 +107,7 @@ KNOWN_OPS = frozenset({
     "jsonl_ingest", "pareto_skyline", "roc_auc", "rrf_fuse",
     "unigram_kl", "token_fold", "lang_kappa", "corpus_diversity",
     "repeated_spans", "repeated_spans_hash", "roc_auc_binned",
+    "excise_repeated",
 })
 
 
@@ -282,6 +283,9 @@ def main():
             lambda: noop(
                 dd.repeated_spans(docs, "text", "doc_id", k=8, exact=False)
             )
+        )
+        measure("excise_repeated",
+            lambda: noop(dd.excise_repeated_spans(docs, "text", "doc_id", k=8))
         )
         measure("deterministic_shuffle", 
             lambda: noop(smp.deterministic_shuffle(docs, "doc_id", n_shards=32))
