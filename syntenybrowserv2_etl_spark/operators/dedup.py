@@ -1516,18 +1516,7 @@ def repeated_spans(
     """
     from pyspark.sql import Window
 
-    toks = df.select(
-        F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")
-    ).filter(F.size("__toks") >= k)
-    sh = toks.select(
-        id_col,
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(__toks) - {int(k)}),"
-                f" i -> concat_ws(' ', slice(__toks, i + 1, {int(k)})))"
-            )
-        ).alias("pos", "__sh"),
-    ).withColumn("__h", F.xxhash64("__sh"))
+    sh = shingle_positions(df, text_col, id_col, k)
     rep_h = (
         sh.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -1541,6 +1530,30 @@ def repeated_spans(
             F.col("__cs") >= 2
         )
     return _coalesce_marked(cand.select(id_col, "pos"), id_col, k)
+
+
+def shingle_positions(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Every k-token shingle of every document as
+    ``(id, pos, __sh string, __h xxhash64)`` — one row per window start,
+    computed JVM-side from the token array (``transform`` over
+    ``sequence`` + ``slice``, then ``posexplode``). The shared front end
+    of ``repeated_spans`` / ``excise_repeated_spans`` and the streaming
+    shingle-count fold; downstream column pruning drops ``__sh`` for
+    hash-only consumers."""
+    toks = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")
+    ).filter(F.size("__toks") >= k)
+    return toks.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__toks) - {int(k)}),"
+                f" i -> concat_ws(' ', slice(__toks, i + 1, {int(k)})))"
+            )
+        ).alias("pos", "__sh"),
+    ).withColumn("__h", F.xxhash64("__sh"))
 
 
 def _coalesce_marked(marked: DataFrame, id_col: str, k: int) -> DataFrame:
@@ -1604,19 +1617,7 @@ def excise_repeated_spans(
     toks = df.select(
         F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")
     )
-    sh = (
-        toks.filter(F.size("__toks") >= k)
-        .select(
-            id_col,
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, size(__toks) - {int(k)}),"
-                    f" i -> concat_ws(' ', slice(__toks, i + 1, {int(k)})))"
-                )
-            ).alias("pos", "__sh"),
-        )
-        .withColumn("__h", F.xxhash64("__sh"))
-    )
+    sh = shingle_positions(df, text_col, id_col, k)
     rep_h = (
         sh.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__c"))

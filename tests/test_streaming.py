@@ -3144,3 +3144,78 @@ def test_maintain_cli_covers_drift_state(spark, tmp_path_factory, monkeypatch, c
     monkeypatch.setattr(_sys, "argv", ["maintain.py", "compact-table", state])
     with pytest.raises(ValueError, match="marker-disciplined"):
         maintain.main()
+
+
+def test_shingle_counts_fold_and_repeated_report(spark, tmp_path_factory):
+    """Incremental exact-substring dedup: (a) maintained shingle counts
+    equal the one-shot counts of everything folded; (b) a committed
+    redelivery does NOT double the non-idempotent sums; (c) the per-batch
+    repeated-span report of a not-yet-folded batch equals the BATCH
+    operator repeated_spans(exact=False) over prior ∪ batch restricted to
+    the batch's docs; (d) the stream twin converges to the same state."""
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+    from syntenybrowserv2_etl_spark.streaming import substr as ss
+
+    base = str(tmp_path_factory.mktemp("shingle_fold"))
+    state = os.path.join(base, "state")
+    K = 3
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    b0 = mk([(0, "a b c d e"), (1, "x y z w v u")])
+    b1 = mk([(2, "a b c d q"), (3, "m n o p")])
+    b2 = mk([(4, "x y z w k a b c d e"), (5, "s t")])  # doc 5: < k tokens
+    for i, b in enumerate([b0, b1]):
+        ss.shingle_counts_fold_batch(
+            b, i, state_path=state, k=K, n_buckets=8
+        )
+    # (c) report for b2 BEFORE folding it ≡ batch operator on the union
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in ss.batch_repeated_report(
+            b2, state, k=K
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dd.repeated_spans(
+            b0.unionByName(b1).unionByName(b2), "text", "doc_id",
+            k=K, exact=False,
+        ).collect()
+        if r["doc_id"] >= 4
+    }
+    assert got == want and got  # non-trivial: doc 4 repeats both prefixes
+    ss.shingle_counts_fold_batch(b2, 2, state_path=state, k=K, n_buckets=8)
+    # (a) fold ≡ batch counts
+    all_docs = b0.unionByName(b1).unionByName(b2)
+    want_counts = {
+        r["__h"]: r["c"]
+        for r in dd.shingle_positions(all_docs, "text", "doc_id", K)
+        .groupBy("__h").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    got_counts = {
+        r["__h"]: r["c"]
+        for r in ss.read_shingle_counts(spark, state).collect()
+    }
+    assert got_counts == want_counts
+    # (b) committed redelivery is a no-op for the summed counts
+    ss.shingle_counts_fold_batch(b1, 1, state_path=state, k=K, n_buckets=8)
+    assert {
+        r["__h"]: r["c"]
+        for r in ss.read_shingle_counts(spark, state).collect()
+    } == want_counts
+    # (d) stream twin from scratch converges to the same state
+    src = os.path.join(base, "src")
+    for i, b in enumerate([b0, b1, b2]):
+        b.write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    state2 = os.path.join(base, "state2")
+    q = ss.shingle_counts_stream(
+        stream, state2, k=K, n_buckets=8,
+        checkpoint=os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert {
+        r["__h"]: r["c"]
+        for r in ss.read_shingle_counts(spark, state2).collect()
+    } == want_counts

@@ -107,7 +107,7 @@ KNOWN_OPS = frozenset({
     "jsonl_ingest", "pareto_skyline", "roc_auc", "rrf_fuse",
     "unigram_kl", "token_fold", "lang_kappa", "corpus_diversity",
     "repeated_spans", "repeated_spans_hash", "roc_auc_binned",
-    "excise_repeated",
+    "excise_repeated", "shingle_fold",
 })
 
 
@@ -996,6 +996,60 @@ def main():
 
         if only is None or "token_fold" in only:
             _token_fold()
+
+        # round 13: incremental exact-substring dedup — per-batch fold AND
+        # report cost must be flat in ACCUMULATED shingle-state size (the
+        # batch's shingles hash across all buckets: honest worst case).
+        def _shingle_fold():
+            from syntenybrowserv2_etl_spark.streaming import substr as ss
+
+            state = f"{SCRATCH}/shfold_x{f}"
+            shutil.rmtree(state, ignore_errors=True)
+            n_docs_seed = 20_000 * f
+            seed = spark.range(n_docs_seed).select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(
+                            F.lit("w"),
+                            F.pmod(F.xxhash64("id", F.lit(j)), F.lit(500_000 * f)),
+                        )
+                        for j in range(12)
+                    ],
+                ).alias("text"),
+            ).localCheckpoint(eager=True)
+            ss.shingle_counts_fold_batch(
+                seed, 0, state_path=state, k=8, n_buckets=64
+            )
+            batch = spark.range(1_000).select(
+                (F.col("id") + 10_000_000).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(
+                            F.lit("w"),
+                            F.pmod(
+                                F.xxhash64("id", F.lit(j + 100)),
+                                F.lit(500_000 * f),
+                            ),
+                        )
+                        for j in range(12)
+                    ],
+                ).alias("text"),
+            ).localCheckpoint(eager=True)
+            r["shingle_fold_state_docs"] = n_docs_seed
+            r["shingle_report"] = timed(
+                lambda: noop(ss.batch_repeated_report(batch, state, k=8))
+            )
+            r["shingle_fold"] = timed(
+                lambda: ss.shingle_counts_fold_batch(
+                    batch, 1, state_path=state, k=8, n_buckets=64
+                )
+            )
+
+        if only is None or "shingle_fold" in only:
+            _shingle_fold()
 
         # round 12: label agreement + diversity reports — both must track
         # the single token/label scan (marginal/vocab frames are
