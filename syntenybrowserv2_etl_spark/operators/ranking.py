@@ -61,3 +61,88 @@ def rrf_fuse(
             .drop("__rn")
         )
     return out
+
+
+def retrieval_metrics(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: Column | str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval evaluation at cutoff ``k``: precision@k,
+    recall@k, and nDCG@k of the ranking induced by ``score_col`` (higher
+    = better; ties break deterministically on ``id_col`` ASC) against the
+    relevance grades in ``rel_col`` (binary or graded, ≥ 0) — the
+    counterpart of ``rrf_fuse`` on the other side of the loop: fuse with
+    RRF, then MEASURE the fused ranking against labels.
+
+    DCG uses the linear-gain form Σ rel_i / log2(i + 1) over the top-k
+    ranks; IDCG ranks the SAME query's grades descending (so nDCG@k = 1
+    means "the best achievable ordering of what this query actually
+    has"). Zero-relevance queries report 0.0 for all three (not NULL —
+    a scorer can't be rewarded or faulted there, and means stay simple).
+
+    Returns one row per query:
+    ``(query, n_rel long, p_at_k double R6, recall_at_k double R6,
+    ndcg_at_k double R6)``.
+
+    Scale shape: two row_number windows partitioned by query (score
+    ranking + ideal-grade ranking — Spark plans the top-k filters as
+    WindowGroupLimit, so map tasks pre-prune to k per query) and one
+    query-keyed aggregation that reuses the window's partitioning. No
+    global sort, no UDFs; cost is one shuffle on the query key.
+    """
+    rel = (F.col(rel_col) if isinstance(rel_col, str) else rel_col).cast(
+        "double"
+    )
+    base = df.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        F.col(score_col).alias("__s"),
+        rel.alias("__rel"),
+    )
+    w_score = Window.partitionBy("__q").orderBy(
+        F.col("__s").desc(), F.col("__id").asc()
+    )
+    w_ideal = Window.partitionBy("__q").orderBy(
+        F.col("__rel").desc(), F.col("__id").asc()
+    )
+    ranked = base.withColumn("__r", F.row_number().over(w_score)).withColumn(
+        "__ri", F.row_number().over(w_ideal)
+    )
+    log2 = F.log2
+    agg = ranked.groupBy(F.col("__q").alias(query_col)).agg(
+        F.sum(F.when(F.col("__rel") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel"),
+        F.sum(
+            F.when((F.col("__r") <= k) & (F.col("__rel") > 0), 1).otherwise(0)
+        ).alias("__hits"),
+        F.sum(
+            F.when(
+                F.col("__r") <= k, F.col("__rel") / log2(F.col("__r") + 1)
+            ).otherwise(0.0)
+        ).alias("__dcg"),
+        F.sum(
+            F.when(
+                F.col("__ri") <= k, F.col("__rel") / log2(F.col("__ri") + 1)
+            ).otherwise(0.0)
+        ).alias("__idcg"),
+    )
+    return agg.select(
+        query_col,
+        "n_rel",
+        F.round(F.col("__hits") / k, 6).alias("p_at_k"),
+        F.round(
+            F.when(F.col("n_rel") > 0, F.col("__hits") / F.col("n_rel"))
+            .otherwise(0.0),
+            6,
+        ).alias("recall_at_k"),
+        F.round(
+            F.when(F.col("__idcg") > 0, F.col("__dcg") / F.col("__idcg"))
+            .otherwise(0.0),
+            6,
+        ).alias("ndcg_at_k"),
+    )

@@ -1686,3 +1686,62 @@ def test_excise_repeated_matches_bruteforce(spark, texts, k, exact):
         ).collect()
     }
     assert got == py_excise_repeated(texts, k)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),   # query id
+            st.integers(0, 30),  # score
+            st.integers(0, 3),   # graded relevance
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.sampled_from([1, 3, 5]),
+)
+@settings(**SETTINGS)
+def test_retrieval_metrics_matches_bruteforce(spark, rows, k):
+    """ranking.retrieval_metrics ≡ the textbook definitions computed in
+    Python: precision@k, recall@k, linear-gain nDCG@k with deterministic
+    (score DESC, id ASC) / (rel DESC, id ASC) tie-breaks; zero-relevance
+    queries report zeros."""
+    import math
+    from collections import defaultdict
+
+    from syntenybrowserv2_etl_spark.operators.ranking import retrieval_metrics
+
+    data = [(q, i, float(s), float(r)) for i, (q, s, r) in enumerate(rows)]
+    by_q = defaultdict(list)
+    for q_, i, s, r in data:
+        by_q[q_].append((i, s, r))
+    want = {}
+    for q_, items in by_q.items():
+        ranked = sorted(items, key=lambda x: (-x[1], x[0]))
+        ideal = sorted(items, key=lambda x: (-x[2], x[0]))
+        n_rel = sum(1 for _, _, r in items if r > 0)
+        hits = sum(1 for _, _, r in ranked[:k] if r > 0)
+        dcg = sum(
+            r / math.log2(i + 2) for i, (_, _, r) in enumerate(ranked[:k])
+        )
+        idcg = sum(
+            r / math.log2(i + 2) for i, (_, _, r) in enumerate(ideal[:k])
+        )
+        want[q_] = (
+            n_rel,
+            round(hits / k, 6),
+            round(hits / n_rel, 6) if n_rel else 0.0,
+            round(dcg / idcg, 6) if idcg > 0 else 0.0,
+        )
+    df = spark.createDataFrame(
+        data, "q int, doc_id int, score double, rel double"
+    )
+    got = {
+        r["q"]: (
+            r["n_rel"], r["p_at_k"], r["recall_at_k"], r["ndcg_at_k"]
+        )
+        for r in retrieval_metrics(
+            df, "q", "doc_id", "score", "rel", k=k
+        ).collect()
+    }
+    assert got == want
