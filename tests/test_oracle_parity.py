@@ -103,6 +103,12 @@ SF_MED_STRENGTHENED = [
     "q139_lang_kappa",
     "q140_source_diversity",
     "q141_dup_histogram",
+    # round 13
+    "q142_repeated_spans",
+    "q143_image_stats",
+    "q144_excise_repeated",
+    "q145_retrieval_metrics",
+    "q146_substr_decontam",
 ]
 
 
