@@ -139,12 +139,18 @@ def batch_repeated_report(
     spark = batch_df.sparkSession
     sh = shingle_positions(batch_df, text_col, id_col, k)
     batch_counts = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__cb"))
-    try:
+    # explicit existence probe, NOT try/except around the read: a corrupt
+    # or permission-broken state must surface as an error, never silently
+    # degrade into an empty-state report that misses every prior duplicate
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(state_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    state = None
+    if fs.exists(hpath(state_path)) and fs.globStatus(
+        hpath(f"{state_path}/__kb=*")
+    ):
         state = read_shingle_counts(spark, state_path).select(
             "__h", F.col("c").alias("__cs")
         )
-    except Exception:  # first batch: no state written yet
-        state = None
     if state is not None:
         tot = batch_counts.join(state, "__h", "left").select(
             "__h",
