@@ -1556,6 +1556,44 @@ def shingle_positions(
     ).withColumn("__h", F.xxhash64("__sh"))
 
 
+def repeated_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-document duplication profile over ``repeated_spans``: for EVERY
+    input document, ``(id, n_tokens long, covered_tokens long,
+    n_spans long, coverage_ratio double R6)`` — the doc-level
+    memorization-risk signal a curation pass thresholds on ("drop docs
+    more than X% covered by corpus-repeated substrings"). Zero-coverage
+    docs report zeros; one aggregation over the spans plus one equi-join
+    back to per-doc token counts."""
+    spans = repeated_spans(df, text_col, id_col, k, exact)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").alias("__cov"),
+        F.count(F.lit(1)).alias("__ns"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(normalize_text(text_col), " "))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("__cov"), F.lit(0)).cast("long").alias(
+            "covered_tokens"
+        ),
+        F.coalesce(F.col("__ns"), F.lit(0)).cast("long").alias("n_spans"),
+        F.round(
+            F.coalesce(F.col("__cov"), F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("coverage_ratio"),
+    )
+
+
 def cross_repeated_spans(
     corpus: DataFrame,
     bench: DataFrame,

@@ -86,7 +86,9 @@ def retrieval_metrics(
 
     Returns one row per query:
     ``(query, n_rel long, p_at_k double R6, recall_at_k double R6,
-    ndcg_at_k double R6)``.
+    ndcg_at_k double R6, rr_at_k double R6)`` — ``rr_at_k`` is the
+    reciprocal rank of the FIRST relevant result within the top k (0.0
+    when none lands there); its mean over queries is MRR@k.
 
     Scale shape: two row_number windows partitioned by query (score
     ranking + ideal-grade ranking — Spark plans the top-k filters as
@@ -130,6 +132,9 @@ def retrieval_metrics(
                 F.col("__ri") <= k, F.col("__rel") / log2(F.col("__ri") + 1)
             ).otherwise(0.0)
         ).alias("__idcg"),
+        F.min(
+            F.when((F.col("__r") <= k) & (F.col("__rel") > 0), F.col("__r"))
+        ).alias("__first_rel"),
     )
     return agg.select(
         query_col,
@@ -145,4 +150,7 @@ def retrieval_metrics(
             .otherwise(0.0),
             6,
         ).alias("ndcg_at_k"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("__first_rel"), F.lit(0.0)), 6
+        ).alias("rr_at_k"),
     )

@@ -6384,7 +6384,9 @@ def q144(spark, sf_dir):
                                THEN rel / log2(r + 1) ELSE 0 END)
                            / SUM(CASE WHEN ri <= 10
                                  THEN rel / log2(ri + 1) ELSE 0 END)
-                      ELSE 0.0 END, 6) AS ndcg_at_k
+                      ELSE 0.0 END, 6) AS ndcg_at_k,
+           ROUND(COALESCE(1.0 / MIN(CASE WHEN r <= 10 AND rel > 0
+                                         THEN r END), 0.0), 6) AS rr_at_k
     FROM ranked GROUP BY q
     """,
     tags=["retrieval evaluation: precision/recall/nDCG at k"],
@@ -6459,6 +6461,56 @@ def q146(spark, sf_dir):
         "doc_id",
         k=8,
     )
+
+
+@register(
+    "q147_repeated_coverage",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             generate_subscripts(string_split({_NORM_TEXT}, ' '), 1) - 1 AS pos,
+             unnest(string_split({_NORM_TEXT}, ' ')) AS token
+      FROM documents),
+    sh0 AS (
+      SELECT doc_id, pos,
+             string_agg(token, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sh,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_tok
+      FROM tok),
+    full_sh AS (SELECT doc_id, pos, sh FROM sh0 WHERE pos <= n_tok - 8),
+    rep AS (SELECT sh FROM full_sh GROUP BY sh HAVING COUNT(*) >= 2),
+    rpos AS (SELECT f.doc_id, f.pos FROM full_sh f JOIN rep USING (sh)),
+    lagd AS (SELECT doc_id, pos,
+                    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lagpos
+             FROM rpos),
+    isl AS (SELECT doc_id, pos,
+                   SUM(CASE WHEN pos - lagpos > 8 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM lagd),
+    spans AS (SELECT doc_id,
+                     MAX(pos) - MIN(pos) + 8 AS span_tokens
+              FROM isl GROUP BY doc_id, island),
+    per_doc AS (SELECT doc_id, SUM(span_tokens) AS cov, COUNT(*) AS ns
+                FROM spans GROUP BY doc_id),
+    n AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id)
+    SELECT n.doc_id,
+           CAST(n.n_tok AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.cov, 0) AS BIGINT) AS covered_tokens,
+           CAST(COALESCE(p.ns, 0) AS BIGINT) AS n_spans,
+           ROUND(COALESCE(p.cov, 0) / CAST(n.n_tok AS DOUBLE), 6)
+               AS coverage_ratio
+    FROM n LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=["per-document duplication profile (repeated-span coverage)"],
+)
+def q147(spark, sf_dir):
+    """Per-document duplication profile (dedup.repeated_coverage): for
+    every document, how many tokens sit inside corpus-repeated ≥8-token
+    substrings and in how many maximal spans — the memorization-risk
+    score a curation pass thresholds on before training. Every doc
+    appears, zero-coverage docs report zeros."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_ops.repeated_coverage(d, "text", "doc_id", k=8)
 
 
 # ---------------------------------------------------------------------------
@@ -6644,6 +6696,7 @@ _DEMOTED_PAST_WINDOW = [
     "q144_excise_repeated",
     "q145_retrieval_metrics",
     "q146_substr_decontam",
+    "q147_repeated_coverage",
 ]
 
 

@@ -109,6 +109,7 @@ SF_MED_STRENGTHENED = [
     "q144_excise_repeated",
     "q145_retrieval_metrics",
     "q146_substr_decontam",
+    "q147_repeated_coverage",
 ]
 
 

@@ -1727,18 +1727,23 @@ def test_retrieval_metrics_matches_bruteforce(spark, rows, k):
         idcg = sum(
             r / math.log2(i + 2) for i, (_, _, r) in enumerate(ideal[:k])
         )
+        first = next(
+            (i + 1 for i, (_, _, r) in enumerate(ranked[:k]) if r > 0), None
+        )
         want[q_] = (
             n_rel,
             round(hits / k, 6),
             round(hits / n_rel, 6) if n_rel else 0.0,
             round(dcg / idcg, 6) if idcg > 0 else 0.0,
+            round(1.0 / first, 6) if first else 0.0,
         )
     df = spark.createDataFrame(
         data, "q int, doc_id int, score double, rel double"
     )
     got = {
         r["q"]: (
-            r["n_rel"], r["p_at_k"], r["recall_at_k"], r["ndcg_at_k"]
+            r["n_rel"], r["p_at_k"], r["recall_at_k"], r["ndcg_at_k"],
+            r["rr_at_k"],
         )
         for r in retrieval_metrics(
             df, "q", "doc_id", "score", "rel", k=k
