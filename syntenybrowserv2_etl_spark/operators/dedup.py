@@ -1769,3 +1769,87 @@ def dup_size_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.col("n_docs") / F.col("__total"), 6).alias("doc_share"),
         )
     )
+
+
+def kmv_source_overlap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    sketch_k: int = 256,
+) -> DataFrame:
+    """Pairwise shingle-set overlap between corpus slices via K-minimum-
+    values sketches — "how much does source A's content overlap source
+    B's?" without ever joining the two slices' full shingle sets.
+
+    KMV estimator: per slice, keep the ``sketch_k`` SMALLEST distinct
+    shingle hashes. For a pair (A, B), take the ``sketch_k`` smallest of
+    the union of the two sketches; the fraction of those present in BOTH
+    is an unbiased estimate of Jaccard(A, B). Fully deterministic (the
+    engine-portable md5 hash), so the DuckDB oracle reproduces the
+    estimate bit-for-bit — and a property test compares it against the
+    exact Jaccard it stands in for.
+
+    Scale shape: one shingle scan reduces each slice to a ``sketch_k``-row
+    sketch (per-group window over distinct (group, hash) — map-side
+    combinable distinct, bounded output). Everything pairwise happens on
+    sketch-sized frames: (n_groups² × sketch_k) rows at most, driver-free.
+    The exact alternative — a distinct-shingle equi-join per pair — is the
+    O(corpus) cost this operator exists to avoid at 100 TB.
+
+    Returns one row per unordered pair:
+    ``(src_a, src_b, sketch_a, sketch_b, kmv_k, matches, jaccard_est R6)``.
+    """
+    from pyspark.sql import Window
+
+    staged = with_shingle_array(fan_out(df), text_col, "__kmv_arr", k)
+    gh = (
+        staged.select(
+            F.col(group_col).alias("g"),
+            F.explode(F.array_distinct("__kmv_arr")).alias("s"),
+        )
+        .select("g", hashing.md5_long(F.col("s")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    sk = _materialize(
+        gh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= sketch_k)
+        .drop("__rn")
+    )
+    srcs = sk.select("g").distinct()
+    pairs = (
+        srcs.select(F.col("g").alias("src_a"))
+        .crossJoin(F.broadcast(srcs.select(F.col("g").alias("src_b"))))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    ra = sk.join(pairs, sk["g"] == pairs["src_a"]).select("src_a", "src_b", "h")
+    rb = sk.join(pairs, sk["g"] == pairs["src_b"]).select("src_a", "src_b", "h")
+    per = ra.unionByName(rb).groupBy("src_a", "src_b", "h").agg(
+        F.count(F.lit(1)).alias("sides")
+    )
+    w2 = Window.partitionBy("src_a", "src_b").orderBy("h")
+    est = (
+        per.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= sketch_k)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.max("rn").alias("kmv_k"),
+            F.sum(F.when(F.col("sides") == 2, 1).otherwise(0)).alias("matches"),
+        )
+    )
+    szs = sk.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        est.join(F.broadcast(szs.select(F.col("g").alias("src_a"), F.col("sz").alias("sketch_a"))), "src_a")
+        .join(F.broadcast(szs.select(F.col("g").alias("src_b"), F.col("sz").alias("sketch_b"))), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("sketch_a").cast("long").alias("sketch_a"),
+            F.col("sketch_b").cast("long").alias("sketch_b"),
+            F.col("kmv_k").cast("long").alias("kmv_k"),
+            F.col("matches").cast("long").alias("matches"),
+            F.round(F.col("matches") / F.col("kmv_k"), 6).alias("jaccard_est"),
+        )
+    )

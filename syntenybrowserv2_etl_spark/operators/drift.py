@@ -22,7 +22,7 @@ pairs structure; everything after the counts is vocabulary-sized.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import _tokens
@@ -184,6 +184,148 @@ def pmi_collocations(
         )
         .limit(top_k)
         .select("w1", "w2", F.col("c_xy").cast("long").alias("c_xy"), "pmi")
+    )
+
+
+def ks_drift(
+    df: DataFrame, group_col: str, value_col, value_name: str = "v"
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic of each group's
+    distribution of an integer-valued column against the REST of the
+    corpus:
+
+        KS_g = sup_v | F_g(v) − F_rest(v) |
+
+    evaluated at every pooled jump point (which is where the sup of a
+    pair of step functions is attained). The distribution-shape
+    companion to the token-level KL tripwire above — "did source X's
+    document-length profile drift away from everyone else's?"
+
+    Scale shape: one row scan reduces to per-(group, value) counts;
+    the evaluation grid is (groups × distinct values) — groups is a
+    tiny broadcast dimension and the distinct-value frame is bounded by
+    the value domain, never by row count (same posture as roc_auc's
+    distinct-score window; use a bounded/discretized value column).
+    Cumulatives are per-group windows over that grid.
+
+    Returns ``(group, n_in, n_rest, ks R6, ks_at)`` — ``ks_at`` is the
+    smallest value attaining the sup (deterministic across engines:
+    both compute the identical IEEE doubles from exact integer counts,
+    so the argmax set is identical).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(F.col(group_col).alias("g"), v.cast("long").alias(value_name))
+    pergv = base.groupBy("g", value_name).agg(F.count(F.lit(1)).alias("c"))
+    perv = pergv.groupBy(value_name).agg(F.sum("c").alias("ct"))
+    perg = pergv.groupBy("g").agg(F.sum("c").alias("n_in"))
+    total = perg.agg(F.sum("n_in").alias("n_all"))
+    # grid: every group × every pooled value (groups is the tiny side).
+    grid = perv.crossJoin(F.broadcast(perg))
+    joined = grid.join(pergv, ["g", value_name], "left").select(
+        "g",
+        value_name,
+        "ct",
+        "n_in",
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy(value_name)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = joined.select(
+        "g",
+        value_name,
+        "n_in",
+        F.sum("c").over(w).alias("cum_in"),
+        F.sum("ct").over(w).alias("cum_all"),
+    ).crossJoin(F.broadcast(total))
+    d = cum.select(
+        "g",
+        value_name,
+        "n_in",
+        (F.col("n_all") - F.col("n_in")).alias("n_rest"),
+        F.abs(
+            F.col("cum_in") / F.col("n_in")
+            - (F.col("cum_all") - F.col("cum_in"))
+            / (F.col("n_all") - F.col("n_in"))
+        ).alias("d"),
+    )
+    ks = d.groupBy("g", "n_in", "n_rest").agg(F.max("d").alias("ks_raw"))
+    return (
+        d.join(ks, ["g", "n_in", "n_rest"])
+        .filter(F.col("d") == F.col("ks_raw"))
+        .groupBy("g", "n_in", "n_rest", "ks_raw")
+        .agg(F.min(value_name).alias("ks_at"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_in").cast("long").alias("n_in"),
+            F.col("n_rest").cast("long").alias("n_rest"),
+            F.round("ks_raw", 6).alias("ks"),
+            F.col("ks_at").cast("long").alias("ks_at"),
+        )
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    max_rank: int = 1000,
+) -> DataFrame:
+    """Per-group Zipf fit: OLS regression of ln(frequency) on ln(rank)
+    over the top ``max_rank`` token types. Natural corpora follow
+    slope ≈ −1; a much flatter slope flags synthetic/templated text, a
+    much steeper one flags boilerplate domination — a one-number
+    fingerprint of lexical naturalness per source.
+
+    One token scan → per-(group, token) counts; ranking is a per-group
+    window over the vocab-sized count frame, truncated to ``max_rank``
+    (the standard head-fit region — and a hard bound on the regression
+    frame). Closed-form OLS from six aggregates; nothing iterative.
+    Returns ``(group, n_ranks, slope R6, intercept R6, r2 R6)``.
+    """
+    counts = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(_tokens(F.col(text_col))).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+        .groupBy("g", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("g").orderBy(F.col("c").desc(), F.col("token").asc())
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max_rank)
+        .select(
+            "g",
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+        F.round(
+            F.when(vary > 0, cov * cov / (varx * vary)).otherwise(F.lit(None)),
+            6,
+        ).alias("r2"),
     )
 
 

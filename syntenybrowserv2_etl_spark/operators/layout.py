@@ -289,3 +289,101 @@ def read_zordered_box_nd(
     for c, (lo, hi) in zip(cols, box):
         out = out.filter((F.col(c) >= lo) & (F.col(c) <= hi))
     return out
+
+
+def distributed_rank(df: DataFrame, *order_cols) -> DataFrame:
+    """Exact 1-based global rank under a TOTAL order — without the
+    single-partition window ``row_number() OVER (ORDER BY ...)`` plans
+    to (the classic driver-shaped bottleneck at scale).
+
+    Two-pass distributed rank: range-repartition on the sort key (so
+    partition i holds keys strictly below partition i+1's), count rows
+    per partition (a metadata-sized aggregate — one long per partition),
+    broadcast the cumulative offsets back, and add the WITHIN-partition
+    row_number (a per-partition window — parallel) to the partition's
+    offset. The caller must pass a tie-broken total order (include a
+    unique id); ranks are then exact regardless of where the range
+    sampler drew the partition boundaries.
+
+    The per-partition counts pass through the driver, but that is
+    O(#partitions) longs — the same metadata scale as a file listing —
+    never data rows.
+    """
+    from pyspark.sql import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    parts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = df.repartitionByRange(parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=True)  # pin partitioning for both passes
+    sizes = sorted(
+        (r["__pid"], r["n"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in sizes:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        ranged.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn("rank", (F.col("__off") + F.col("__rn")).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
+def balanced_shards(
+    df: DataFrame,
+    size_col,
+    id_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Deterministic size-balanced shard assignment by SNAKE (boustro-
+    phedon) placement: rank documents by (size DESC, id ASC), then deal
+    ranks across shards alternating direction each pass — pass p of
+    ``n_shards`` ranks goes left-to-right when p is even, right-to-left
+    when odd. Greedy-quality balance (each shard gets one item per pass,
+    and the zig-zag pairs a pass's largest with the next pass's
+    smallest) while staying a closed-form function of rank — so it is
+    exactly reproducible in SQL, unlike true greedy first-fit whose
+    assignment depends on a sequential heap.
+
+    Ranking uses ``distributed_rank`` (range partition + offsets), not a
+    single-partition global window. Returns the per-shard report
+    ``(shard, n_docs, total_size, size_share R6)`` ordered by shard.
+    """
+    s = F.col(size_col) if isinstance(size_col, str) else size_col
+    ranked = distributed_rank(
+        df.select(s.cast("long").alias("__sz"), F.col(id_col)),
+        F.col("__sz").desc(),
+        F.col(id_col).asc(),
+    )
+    assigned = ranked.select(
+        "__sz",
+        ((F.col("rank") - 1) % n_shards).alias("__pos"),
+        (F.expr(f"(rank - 1) div {n_shards}") % 2).alias("__odd"),
+    ).select(
+        "__sz",
+        F.when(F.col("__odd") == 0, F.col("__pos"))
+        .otherwise(n_shards - 1 - F.col("__pos"))
+        .alias("shard"),
+    )
+    tot = assigned.agg(F.sum("__sz").alias("__tot"))
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__sz").alias("total_size"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_size").cast("long").alias("total_size"),
+            F.round(F.col("total_size") / F.col("__tot"), 6).alias("size_share"),
+        )
+        .orderBy("shard")
+    )

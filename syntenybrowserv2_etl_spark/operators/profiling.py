@@ -195,3 +195,71 @@ def run_expectations(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row skew diagnostic for a shuffle/join key: how unevenly do
+    rows distribute over the key's values? The pre-flight check before
+    choosing a join strategy at scale — a high Gini / top-1 share says
+    "salt this key or let AQE split it" BEFORE the straggler task does.
+
+        gini     Gini coefficient of rows-per-key (0 = uniform)
+        hhi      Herfindahl index Σ (c/T)² (1/n_keys = uniform, 1 = one key)
+        entropy  Shannon entropy of the key distribution (nats)
+        top1_share  heaviest key's row share
+
+    Scale shape: one row scan → per-key counts (map-side combinable) →
+    COUNT-OF-COUNTS (how many keys occur c times) — a frame bounded by
+    the number of DISTINCT MULTIPLICITIES, typically tiny even when keys
+    number billions. The Gini's sorted-cumulative formula runs over that
+    frame via the block identity (keys sharing a count c occupy a
+    contiguous rank block, whose rank-sum is closed-form), so the one
+    partition-less window here orders multiplicities, never keys — the
+    same bounded-domain posture as roc_auc's distinct-score window.
+    HHI/entropy/top-1 need no order at all.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(key_col).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    coc = counts.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    # keys with multiplicity c occupy ranks (start, start + m]; their
+    # rank-sum is m*start + m(m+1)/2, each weighted by c in Σ i·c_(i).
+    blocks = coc.withColumn(
+        "start", F.coalesce(F.sum("m").over(w), F.lit(0))
+    ).select(
+        "c",
+        "m",
+        (
+            F.col("c").cast("double")
+            * (
+                F.col("m").cast("double") * F.col("start")
+                + F.col("m").cast("double") * (F.col("m") + 1) / 2
+            )
+        ).alias("rank_sum"),
+    )
+    agg = blocks.agg(
+        F.sum(F.col("m") * F.col("c")).alias("t"),
+        F.sum("m").alias("n_keys"),
+        F.max("c").alias("max_c"),
+        F.sum("rank_sum").alias("s_ranks"),
+        F.sum(F.col("m") * F.col("c").cast("double") * F.col("c")).alias("s_c2"),
+        F.sum(F.col("m") * F.col("c") * F.log("c")).alias("s_clnc"),
+    )
+    t = F.col("t").cast("double")
+    nk = F.col("n_keys").cast("double")
+    return agg.select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("t").cast("long").alias("n_rows"),
+        F.col("max_c").cast("long").alias("max_count"),
+        F.round(F.col("max_c") / t, 6).alias("top1_share"),
+        F.round(
+            F.lit(2.0) * F.col("s_ranks") / (nk * t) - (nk + 1) / nk, 6
+        ).alias("gini"),
+        F.round(F.col("s_c2") / (t * t), 8).alias("hhi"),
+        F.round(F.log(t) - F.col("s_clnc") / t, 6).alias("entropy"),
+    )

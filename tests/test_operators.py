@@ -3878,3 +3878,227 @@ def test_image_stats_real_decode_and_codec_boundary(spark):
     # the documented codec boundary still raises for compressed formats
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(b"\xff\xd8\xff\xe0JFIF-ish", "image")
+
+
+def test_categorical_association_hand_computed(spark):
+    """MI / chi-square / Cramér's V against hand-computed values on a
+    2×2 table: cells (a,p)=2, (a,q)=1, (b,q)=3."""
+    import math
+
+    from syntenybrowserv2_etl_spark.operators.association import (
+        categorical_association,
+    )
+
+    rows = [("a", "p")] * 2 + [("a", "q")] + [("b", "q")] * 3
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = categorical_association(df, "x", "y").collect()[0]
+    # MI = sum p_xy ln(p_xy/(p_x p_y))
+    mi = (
+        (2 / 6) * math.log((2 / 6) / (0.5 * (2 / 6)))
+        + (1 / 6) * math.log((1 / 6) / (0.5 * (4 / 6)))
+        + (3 / 6) * math.log((3 / 6) / (0.5 * (4 / 6)))
+    )
+    hx = -2 * 0.5 * math.log(0.5)
+    hy = -(2 / 6) * math.log(2 / 6) - (4 / 6) * math.log(4 / 6)
+    assert (r["n"], r["r_cats"], r["c_cats"]) == (6, 2, 2)
+    assert r["mi"] == round(mi, 6)
+    assert r["nmi"] == round(mi / math.sqrt(hx * hy), 6)
+    # chi2: expected (1,2,1,2) -> (2-1)^2/1 + (1-2)^2/2 + (0-1)^2/1 + (3-2)^2/2
+    assert r["chi2"] == 3.0
+    assert r["cramers_v"] == round(math.sqrt(3.0 / 6.0), 6)
+
+
+def test_categorical_association_independent_and_degenerate(spark):
+    """A perfectly independent table scores 0 everywhere; a constant
+    column yields NULL nmi/cramers_v (undefined denominators)."""
+    from syntenybrowserv2_etl_spark.operators.association import (
+        categorical_association,
+    )
+
+    indep = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "pq" for _ in range(3)],
+        "x string, y string",
+    )
+    r = categorical_association(indep, "x", "y").collect()[0]
+    assert (r["mi"], r["nmi"], r["chi2"], r["cramers_v"]) == (0.0, 0.0, 0.0, 0.0)
+
+    const = spark.createDataFrame(
+        [("a", "p"), ("b", "p"), ("a", "p")], "x string, y string"
+    )
+    r = categorical_association(const, "x", "y").collect()[0]
+    assert r["c_cats"] == 1
+    assert r["nmi"] is None and r["cramers_v"] is None
+    assert r["mi"] == 0.0 and r["chi2"] == 0.0
+
+
+def test_ks_drift_matches_bruteforce(spark):
+    """Exact KS per group vs a brute-force Python ECDF sweep."""
+    from syntenybrowserv2_etl_spark.operators.drift import ks_drift
+
+    data = [
+        ("a", v) for v in [1, 1, 2, 5, 9, 9, 9]
+    ] + [("b", v) for v in [2, 3, 3, 4]] + [("c", v) for v in [1, 9]]
+    df = spark.createDataFrame(data, "g string, v long")
+    got = {r["g"]: (r["n_in"], r["n_rest"], r["ks"], r["ks_at"])
+           for r in ks_drift(df, "g", "v").collect()}
+
+    vals = sorted({v for _, v in data})
+    for g in "abc":
+        ins = sorted(v for gg, v in data if gg == g)
+        outs = sorted(v for gg, v in data if gg != g)
+        best, best_at = -1.0, None
+        for x in vals:
+            fi = sum(1 for v in ins if v <= x) / len(ins)
+            fo = sum(1 for v in outs if v <= x) / len(outs)
+            d = abs(fi - fo)
+            if d > best + 1e-15:
+                best, best_at = d, x
+        assert got[g][0] == len(ins) and got[g][1] == len(outs)
+        assert got[g][2] == round(best, 6)
+        assert got[g][3] == best_at
+
+
+def test_kmv_overlap_exact_when_sketch_covers(spark):
+    """With sketch_k >= every slice's distinct-shingle count, the KMV
+    estimate IS the exact Jaccard of the shingle sets."""
+    from syntenybrowserv2_etl_spark.operators.dedup import kmv_source_overlap
+
+    # source a and b share exactly one 3-shingle ('x y z' via overlap docs)
+    df = spark.createDataFrame(
+        [
+            (1, "x y z p q", "a"),
+            (2, "x y z r s", "b"),
+            (3, "m n o", "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["src_a"], r["src_b"]): r for r in
+           kmv_source_overlap(df, "source", "doc_id", "text", k=3,
+                              sketch_k=1000).collect()}
+    # a: {x y z, y z p, z p q}; b: {x y z, y z r, z r s}; J = 1/5
+    r = out[("a", "b")]
+    assert (r["sketch_a"], r["sketch_b"]) == (3, 3)
+    assert r["matches"] == 1 and r["kmv_k"] == 5
+    assert r["jaccard_est"] == 0.2
+    assert out[("a", "c")]["matches"] == 0
+    assert out[("b", "c")]["matches"] == 0
+
+
+def test_kmv_overlap_estimates_within_tolerance(spark):
+    """Truncated sketches estimate exact Jaccard within a loose bound
+    (deterministic hashing — the tolerance is a fixed fact, not a flake)."""
+    from syntenybrowserv2_etl_spark.operators.dedup import kmv_source_overlap
+
+    # two sources of 120 docs sharing 60: J over 3-shingle sets ~ 1/3
+    mk = lambda i: f"tok{i} tok{i+1} tok{i+2} tok{i+3}"
+    rows = (
+        [(i, mk(i), "a") for i in range(120)]
+        + [(1000 + i, mk(i + 60), "b") for i in range(120)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = kmv_source_overlap(
+        df, "source", "doc_id", "text", k=3, sketch_k=64
+    ).collect()[0]
+    # exact: |A|=|B|=242 shingles... both slices have 2 shingles/doc over a
+    # sliding range; exact J computed brute below.
+    def sh(lo, n):
+        toks = [f"tok{i}" for i in range(lo, lo + n + 3)]
+        return {
+            " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+        }
+    a = set()
+    for i in range(120):
+        a |= {s for s in sh(i, 1)}
+    b = set()
+    for i in range(120):
+        b |= {s for s in sh(i + 60, 1)}
+    exact = len(a & b) / len(a | b)
+    assert abs(r["jaccard_est"] - exact) < 0.15
+
+
+def test_zipf_fit_matches_bruteforce_ols(spark):
+    """Slope/intercept/r2 equal a brute-force Python OLS on the same
+    (ln rank, ln count) points."""
+    import math
+
+    from syntenybrowserv2_etl_spark.operators.drift import zipf_fit
+
+    text = " ".join(
+        ["a"] * 16 + ["b"] * 8 + ["c"] * 4 + ["d"] * 2 + ["e"]
+    )
+    df = spark.createDataFrame([("s", text)], "source string, text string")
+    r = zipf_fit(df, "source", "text", max_rank=1000).collect()[0]
+    counts = [16, 8, 4, 2, 1]
+    pts = [(math.log(i + 1), math.log(c)) for i, c in enumerate(counts)]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts); sxy = sum(x * y for x, y in pts)
+    syy = sum(y * y for _, y in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert r["n_ranks"] == 5
+    assert r["slope"] == round(slope, 6)
+    assert r["intercept"] == round((sy - slope * sx) / n, 6)
+    assert r["r2"] == round(r2, 6)
+
+
+def test_distributed_rank_exact_total_order(spark):
+    """Two-pass distributed rank equals the global sort's 1..n, ties
+    broken by the id column — regardless of range-sampler boundaries."""
+    from syntenybrowserv2_etl_spark.operators.layout import distributed_rank
+
+    rows = [(i, (i * 37) % 11) for i in range(500)]  # heavy ties
+    df = spark.createDataFrame(rows, "id long, sz long").repartition(13)
+    out = distributed_rank(df, F.col("sz").desc(), F.col("id").asc()).collect()
+    expect = {
+        (sz, i): r + 1
+        for r, (i, sz) in enumerate(
+            sorted(((i, sz) for i, sz in rows), key=lambda t: (-t[1], t[0]))
+        )
+    }
+    assert len(out) == 500
+    for row in out:
+        assert row["rank"] == expect[(row["sz"], row["id"])]
+
+
+def test_balanced_shards_matches_snake_bruteforce(spark):
+    """Shard report equals the Python snake deal, and the balance is
+    tight: max/min shard byte spread ≤ the largest item."""
+    from syntenybrowserv2_etl_spark.operators.layout import balanced_shards
+
+    rows = [(i, 10 + ((i * 97) % 400)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {r["shard"]: (r["n_docs"], r["total_size"])
+           for r in balanced_shards(df, "n_chars", "doc_id", 8).collect()}
+
+    order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    tot = [0] * 8
+    cnt = [0] * 8
+    for rank0, (_, sz) in enumerate(order):
+        pos = rank0 % 8
+        shard = pos if (rank0 // 8) % 2 == 0 else 7 - pos
+        tot[shard] += sz
+        cnt[shard] += 1
+    assert got == {s: (cnt[s], tot[s]) for s in range(8)}
+    assert max(tot) - min(tot) <= max(sz for _, sz in rows)
+
+
+def test_key_skew_report_hand_computed(spark):
+    """Gini/HHI/entropy/top-1 against a brute-force Python computation."""
+    import math
+
+    from syntenybrowserv2_etl_spark.operators.profiling import key_skew_report
+
+    keys = ["a"] * 6 + ["b"] * 3 + ["c"] * 3 + ["d"] * 1 + ["e"] * 1
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    r = key_skew_report(df, "k").collect()[0]
+    counts = sorted([6, 3, 3, 1, 1])
+    n, tt = len(counts), sum(counts)
+    gini = 2 * sum((i + 1) * c for i, c in enumerate(counts)) / (n * tt) - (n + 1) / n
+    hhi = sum((c / tt) ** 2 for c in counts)
+    ent = -sum((c / tt) * math.log(c / tt) for c in counts)
+    assert (r["n_keys"], r["n_rows"], r["max_count"]) == (5, 14, 6)
+    assert r["top1_share"] == round(6 / 14, 6)
+    assert r["gini"] == round(gini, 6)
+    assert r["hhi"] == round(hhi, 8)
+    assert r["entropy"] == round(ent, 6)

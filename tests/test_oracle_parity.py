@@ -110,6 +110,12 @@ SF_MED_STRENGTHENED = [
     "q145_retrieval_metrics",
     "q146_substr_decontam",
     "q147_repeated_coverage",
+    "q148_source_lang_mi",
+    "q149_length_ks",
+    "q150_source_overlap",
+    "q151_zipf_slope",
+    "q152_balanced_shards",
+    "q153_key_skew",
 ]
 
 

@@ -961,6 +961,10 @@ _BNLJ_INTENTIONAL = {
     "q137_pmi_collocations",  # 1-row (m, n) totals scalar joined back
     "q139_lang_kappa",  # 1-row marginal-product scalar joined back
     "q141_dup_histogram",  # 1-row corpus-total scalar joined back
+    "q148_source_lang_mi",  # three 1-row stat scalars combined by cross join
+    "q149_length_ks",  # tiny source-dim × distinct-value grid + 1-row total
+    "q150_source_overlap",  # tiny srcs × srcs pair frame (both sides sketch dims)
+    "q152_balanced_shards",  # 1-row size-total scalar joined back
 }
 
 

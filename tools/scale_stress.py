@@ -108,6 +108,8 @@ KNOWN_OPS = frozenset({
     "unigram_kl", "token_fold", "lang_kappa", "corpus_diversity",
     "repeated_spans", "repeated_spans_hash", "roc_auc_binned",
     "excise_repeated", "shingle_fold",
+    "assoc_mi", "ks_drift", "kmv_overlap", "zipf_fit",
+    "balanced_shards", "key_skew",
 })
 
 
@@ -1088,6 +1090,76 @@ def main():
                     ),
                     "source",
                     "text",
+                )
+            ),
+        )
+
+        # round 13: corpus-audit family — every one must track the single
+        # row scan (stat frames are category-/vocab-/multiplicity-sized).
+        def _audit_docs():
+            return docs.withColumn(
+                "source", F.pmod(F.col("doc_id"), F.lit(20)).cast("string")
+            ).withColumn(
+                "lang", F.pmod(F.col("doc_id"), F.lit(5)).cast("string")
+            )
+
+        measure(
+            "assoc_mi",
+            lambda: noop(
+                __import__(
+                    "syntenybrowserv2_etl_spark.operators.association",
+                    fromlist=["categorical_association"],
+                ).categorical_association(_audit_docs(), "source", "lang")
+            ),
+        )
+        measure(
+            "ks_drift",
+            lambda: noop(
+                __import__(
+                    "syntenybrowserv2_etl_spark.operators.drift",
+                    fromlist=["ks_drift"],
+                ).ks_drift(_audit_docs(), "source", F.length("text"))
+            ),
+        )
+        measure(
+            "zipf_fit",
+            lambda: noop(
+                __import__(
+                    "syntenybrowserv2_etl_spark.operators.drift",
+                    fromlist=["zipf_fit"],
+                ).zipf_fit(_audit_docs(), "source", "text")
+            ),
+        )
+        measure(
+            "kmv_overlap",
+            lambda: noop(
+                dd.kmv_source_overlap(
+                    _audit_docs(), "source", "doc_id", "text", k=3, sketch_k=256
+                )
+            ),
+        )
+        measure(
+            "balanced_shards",
+            lambda: noop(
+                __import__(
+                    "syntenybrowserv2_etl_spark.operators.layout",
+                    fromlist=["balanced_shards"],
+                ).balanced_shards(
+                    docs.withColumn("sz", F.length("text")), "sz", "doc_id", 64
+                )
+            ),
+        )
+        measure(
+            "key_skew",
+            lambda: noop(
+                __import__(
+                    "syntenybrowserv2_etl_spark.operators.profiling",
+                    fromlist=["key_skew_report"],
+                ).key_skew_report(
+                    docs.withColumn(
+                        "k", F.expr("cast(sqrt(doc_id) as long)")
+                    ),
+                    "k",
                 )
             ),
         )
