@@ -1853,3 +1853,51 @@ def kmv_source_overlap(
             F.round(F.col("matches") / F.col("kmv_k"), 6).alias("jaccard_est"),
         )
     )
+
+
+def lsh_recall_curve(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.1,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Empirical recall curve of the banded MinHash-LSH scheme against
+    exact n-gram Jaccard — the engine auditing its OWN approximation.
+
+    Ground truth: ``ngram_jaccard_pairs`` (exact Jaccard ≥ threshold over
+    pairs sharing a rare gram). Candidates: ``minhash_lsh_candidates``
+    with the same shingle definition. Truth pairs bucket by Jaccard
+    decile; per bucket the output reports how many LSH caught — the
+    measured S-curve that tells an operator whether (num_hashes, bands)
+    matches the dedup threshold BEFORE a 100 TB pass runs with a
+    mis-tuned scheme.
+
+    Scale shape: both inputs are the already-scalable operators (banded
+    buckets / rare-gram inverted index — never all-pairs); the audit
+    itself is one equi-join of two pair frames + a decile aggregate.
+    Returns ``(bucket_lo R1, n_pairs, n_caught, recall R6)``.
+    """
+    truth = ngram_jaccard_pairs(df, id_col, text_col, k, threshold, max_df)
+    sig = minhash_signatures_inline(df, id_col, text_col, k=k, num_hashes=num_hashes)
+    cand = minhash_lsh_candidates(sig, id_col, num_hashes=num_hashes, bands=bands)
+    joined = truth.join(
+        cand.withColumn("__caught", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    bucket = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)) / 10.0
+    return (
+        joined.groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.coalesce("__caught", F.lit(0))).alias("n_caught"),
+        )
+        .select(
+            F.round("bucket_lo", 1).alias("bucket_lo"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_caught").cast("long").alias("n_caught"),
+            F.round(F.col("n_caught") / F.col("n_pairs"), 6).alias("recall"),
+        )
+    )

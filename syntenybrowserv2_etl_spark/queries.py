@@ -6776,6 +6776,58 @@ def q153(spark, sf_dir):
     return prof_ops.key_skew_report(d, "user_id")
 
 
+@register(
+    "q154_lsh_recall",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+    shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    truth AS (
+      SELECT id_a, id_b,
+             CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter)
+                 AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.1),
+    {_lsh_cte()},
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    lab AS (SELECT t.jaccard,
+                   CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS caught
+            FROM truth t
+            LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+    SELECT ROUND(LEAST(floor(jaccard * 10), 9) / 10.0, 1) AS bucket_lo,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(caught) AS BIGINT) AS n_caught,
+           ROUND(CAST(SUM(caught) AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM lab
+    GROUP BY 1
+    """,
+    tags=["LSH recall self-audit (banding S-curve vs exact Jaccard)"],
+)
+def q154(spark, sf_dir):
+    """The engine audits its own approximation (operators/dedup.
+    lsh_recall_curve): exact n-gram-Jaccard truth pairs bucket by decile;
+    per bucket, the fraction the banded MinHash-LSH scheme (8 hashes × 4
+    bands) catches — the measured S-curve that validates a banding
+    configuration against the intended dedup threshold before a full
+    pass runs with it. Both inputs are the scalable operators themselves
+    (q23's rare-gram index, q25's band buckets); the audit adds one
+    pair-frame equi-join and a decile aggregate."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_ops.lsh_recall_curve(
+        d, "doc_id", "text", k=3, num_hashes=8, bands=4,
+        threshold=0.1, max_df=100,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -6966,6 +7018,7 @@ _DEMOTED_PAST_WINDOW = [
     "q151_zipf_slope",
     "q152_balanced_shards",
     "q153_key_skew",
+    "q154_lsh_recall",
 ]
 
 

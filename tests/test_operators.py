@@ -4102,3 +4102,24 @@ def test_key_skew_report_hand_computed(spark):
     assert r["gini"] == round(gini, 6)
     assert r["hhi"] == round(hhi, 8)
     assert r["entropy"] == round(ent, 6)
+
+
+def test_lsh_recall_curve_identical_docs_always_caught(spark):
+    """Identical documents (Jaccard 1.0 -> bucket 0.9) share every
+    minhash, so every band agrees: recall must be exactly 1.0 there;
+    and n_caught never exceeds n_pairs in any bucket."""
+    from syntenybrowserv2_etl_spark.operators.dedup import lsh_recall_curve
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base), (2, base),                      # exact pair, J = 1.0
+        (3, base + " iota kappa"), (4, base),      # high-J pair with 2
+        (5, "one two three four five six"),
+        (6, "seven eight nine ten eleven twelve"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bucket_lo"]: r for r in
+           lsh_recall_curve(df, "doc_id", "text").collect()}
+    assert out[0.9]["recall"] == 1.0 and out[0.9]["n_pairs"] >= 1
+    for r in out.values():
+        assert 0 <= r["n_caught"] <= r["n_pairs"]

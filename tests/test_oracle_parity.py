@@ -116,6 +116,7 @@ SF_MED_STRENGTHENED = [
     "q151_zipf_slope",
     "q152_balanced_shards",
     "q153_key_skew",
+    "q154_lsh_recall",
 ]
 
 
