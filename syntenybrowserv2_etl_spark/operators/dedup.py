@@ -1901,3 +1901,45 @@ def lsh_recall_curve(
             F.round(F.col("n_caught") / F.col("n_pairs"), 6).alias("recall"),
         )
     )
+
+
+def dup_flow_matrix(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Duplication-flow matrix: near-duplicate PAIR counts between corpus
+    slices — "which sources copy which?" The provenance report a dedup
+    pass emits so mirror-heavy source pairs get a crawl-level fix instead
+    of per-document ones. KMV overlap (kmv_source_overlap) measures
+    shared CONTENT VOLUME; this counts verified near-dup DOCUMENT PAIRS
+    (Jaccard ≥ threshold via the rare-gram inverted index — never
+    all-pairs), bucketed by unordered slice pair, with the within-slice
+    diagonal included. Returns ``(src_a, src_b, n_pairs)``.
+    """
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, k, threshold, max_df)
+    src = df.select(F.col(id_col), F.col(group_col))
+    return (
+        pairs.join(
+            src.select(
+                F.col(id_col).alias("id_a"), F.col(group_col).alias("__sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col(id_col).alias("id_b"), F.col(group_col).alias("__sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("__sa", "__sb").alias("src_a"),
+            F.greatest("__sa", "__sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -267,6 +267,148 @@ def ks_drift(
     )
 
 
+def dist_psi(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-group Population Stability Index and Jensen–Shannon divergence
+    of an integer-valued column's distribution against the REST of the
+    corpus — the industry-standard "did this slice's profile shift?"
+    monitors, computed over ``n_bins`` equal-width bins of the global
+    [min, max] range (integer bin math — exact cross-engine; quantile
+    bins would need a cross-engine percentile contract).
+
+        PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)      [>0.25 ⇒ major shift]
+        JSD = ½ KL(P‖M) + ½ KL(Q‖M),  M = (P+Q)/2  [0..ln 2, symmetric]
+
+    Add-one smoothing over the bin frame keeps both defined when a bin
+    is empty on one side. Scale shape: one row scan → per-(group, bin)
+    counts; the stats frame is groups × n_bins. Returns
+    ``(group, n_in, n_rest, psi R6, jsd R6)``.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(F.col(group_col).alias("g"), v.cast("long").alias("v"))
+    mnmx = base.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    binned = base.crossJoin(F.broadcast(mnmx)).select(
+        "g",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.expr(f"((v - mn) * {n_bins}) div (mx - mn + 1)")
+        )
+        .alias("bin"),
+    )
+    cells = binned.groupBy("g", "bin").agg(F.count(F.lit(1)).alias("c"))
+    gbin = cells.groupBy("bin").agg(F.sum("c").alias("ct"))
+    perg = cells.groupBy("g").agg(F.sum("c").alias("n_in"))
+    total = perg.agg(F.sum("n_in").alias("n_all"))
+    grid = (
+        perg.select("g", "n_in")
+        .crossJoin(
+            F.broadcast(
+                df.sparkSession.range(n_bins).select(
+                    F.col("id").cast("long").alias("bin")
+                )
+            )
+        )
+        .join(gbin, "bin", "left")
+        .join(cells, ["g", "bin"], "left")
+        .select(
+            "g",
+            "bin",
+            "n_in",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    p = (F.col("c") + 1) / (F.col("n_in") + n_bins)
+    qq = (F.col("ct") - F.col("c") + 1) / (
+        F.col("n_all") - F.col("n_in") + n_bins
+    )
+    m = (p + qq) / 2
+    scored = grid.select(
+        "g",
+        "n_in",
+        (F.col("n_all") - F.col("n_in")).alias("n_rest"),
+        ((p - qq) * F.log(p / qq)).alias("psi_term"),
+        (
+            F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * qq * F.log(qq / m)
+        ).alias("jsd_term"),
+    )
+    return (
+        scored.groupBy("g", "n_in", "n_rest")
+        .agg(
+            F.round(F.sum("psi_term"), 6).alias("psi"),
+            F.round(F.sum("jsd_term"), 6).alias("jsd"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_in").cast("long").alias("n_in"),
+            F.col("n_rest").cast("long").alias("n_rest"),
+            "psi",
+            "jsd",
+        )
+    )
+
+
+def ks_from_counts(
+    cp: DataFrame, cq: DataFrame, value_name: str = "v"
+) -> DataFrame:
+    """Counts-level exact two-sample KS: both sides already reduced to
+    ``(value, c)`` frames (the streaming drift monitor feeds maintained
+    reference counts here — no re-scan). Returns one row
+    ``(n_p, n_q, ks R6, ks_at)``; ``ks_at`` is the smallest value
+    attaining the sup. The cumulative window is partition-less over the
+    DISTINCT-value frame — the bounded-domain posture (use a
+    discretized/bounded value column), same caveat as roc_auc."""
+    vocab = (
+        cp.withColumnRenamed("c", "cp")
+        .join(cq.withColumnRenamed("c", "cq"), value_name, "full_outer")
+        .select(
+            value_name,
+            F.coalesce("cp", F.lit(0)).alias("cp"),
+            F.coalesce("cq", F.lit(0)).alias("cq"),
+        )
+    )
+    totals = vocab.agg(
+        F.sum("cp").alias("n_p"), F.sum("cq").alias("n_q")
+    )
+    w = Window.orderBy(value_name).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = (
+        vocab.select(
+            value_name,
+            F.sum("cp").over(w).alias("cum_p"),
+            F.sum("cq").over(w).alias("cum_q"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            value_name,
+            "n_p",
+            "n_q",
+            F.abs(
+                F.col("cum_p") / F.col("n_p") - F.col("cum_q") / F.col("n_q")
+            ).alias("d"),
+        )
+    )
+    ks = d.groupBy("n_p", "n_q").agg(F.max("d").alias("ks_raw"))
+    return (
+        d.join(ks, ["n_p", "n_q"])
+        .filter(F.col("d") == F.col("ks_raw"))
+        .groupBy("n_p", "n_q", "ks_raw")
+        .agg(F.min(value_name).alias("ks_at"))
+        .select(
+            F.col("n_p").cast("long").alias("n_p"),
+            F.col("n_q").cast("long").alias("n_q"),
+            F.round("ks_raw", 6).alias("ks"),
+            F.col("ks_at").cast("long").alias("ks_at"),
+        )
+    )
+
+
 def zipf_fit(
     df: DataFrame,
     group_col: str,

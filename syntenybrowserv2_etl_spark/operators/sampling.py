@@ -372,3 +372,57 @@ def leakage_free_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def ipf_reweight(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Iterative proportional fitting (raking) of the (x, y) contingency
+    table toward target marginals: UNIFORM over x, OBSERVED over y — the
+    "rebalance sources without disturbing the language mix" reweighting a
+    corpus-mixing pass applies before sampling. Each sweep scales cell
+    weights to match the x target, then the y target; the classic IPF
+    iteration, unrolled ``n_iters`` times (deterministic — no convergence
+    test, so the oracle can replay it exactly).
+
+    Scale shape: ONE row scan (cell counts); every sweep is two
+    category-sized joins (cells ⋈ per-x sums, cells ⋈ per-y sums) plus a
+    broadcast scalar — cost is O(cells · n_iters), independent of rows.
+    Returns per cell: ``(x, y, n, weight R6, ratio R6)`` where ``ratio``
+    is weight/n — the per-cell sampling multiplier to hand a weighted
+    sampler.
+    """
+    cells = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.agg(
+        F.sum("n").alias("n_all"),
+        F.countDistinct("x").alias("rx"),
+    )
+    ty = cells.groupBy("y").agg(F.sum("n").alias("t_y"))
+    w = cells.crossJoin(F.broadcast(tot)).select(
+        "x", "y", "n", "n_all", "rx", F.col("n").cast("double").alias("w")
+    )
+    for _ in range(n_iters):
+        sx = w.groupBy("x").agg(F.sum("w").alias("s_x"))
+        w = w.join(sx, "x").select(
+            "x", "y", "n", "n_all", "rx",
+            (F.col("w") * (F.col("n_all") / F.col("rx")) / F.col("s_x")).alias("w"),
+        )
+        sy = w.groupBy("y").agg(F.sum("w").alias("s_y"))
+        w = w.join(sy, "y").join(F.broadcast(ty), "y").select(
+            "x", "y", "n", "n_all", "rx",
+            (F.col("w") * F.col("t_y") / F.col("s_y")).alias("w"),
+        )
+    return w.select(
+        F.col("x").alias(x_col),
+        F.col("y").alias(y_col),
+        F.col("n").cast("long").alias("n"),
+        F.round("w", 6).alias("weight"),
+        F.round(F.col("w") / F.col("n"), 6).alias("ratio"),
+    )

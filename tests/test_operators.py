@@ -4123,3 +4123,75 @@ def test_lsh_recall_curve_identical_docs_always_caught(spark):
     assert out[0.9]["recall"] == 1.0 and out[0.9]["n_pairs"] >= 1
     for r in out.values():
         assert 0 <= r["n_caught"] <= r["n_pairs"]
+
+
+def test_ipf_reweight_hits_target_marginals(spark):
+    """After 2 sweeps the y (ending) marginal is EXACT (the last sweep
+    scales y), and the x marginal is near-uniform; weights conserve the
+    total mass."""
+    from syntenybrowserv2_etl_spark.operators.sampling import ipf_reweight
+
+    rows = (
+        [("s1", "en")] * 8 + [("s1", "de")] * 2
+        + [("s2", "en")] * 1 + [("s2", "de")] * 5
+        + [("s3", "en")] * 3 + [("s3", "de")] * 1
+    )
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = ipf_reweight(df, "source", "lang", n_iters=2).collect()
+    n_all = len(rows)
+    by_lang: dict[str, float] = {}
+    by_src: dict[str, float] = {}
+    for r in out:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0.0) + r["weight"]
+        by_src[r["source"]] = by_src.get(r["source"], 0.0) + r["weight"]
+    # observed lang marginal: en=12, de=8 — exact after the final y-sweep
+    assert abs(by_lang["en"] - 12) < 1e-4 and abs(by_lang["de"] - 8) < 1e-4
+    assert abs(sum(by_lang.values()) - n_all) < 1e-4
+    # x marginal approaches uniform (n_all/3) monotonically with sweeps
+    tgt = n_all / 3
+    err2 = max(abs(v - tgt) for v in by_src.values())
+    out1 = ipf_reweight(df, "source", "lang", n_iters=1).collect()
+    by_src1: dict[str, float] = {}
+    for r in out1:
+        by_src1[r["source"]] = by_src1.get(r["source"], 0.0) + r["weight"]
+    err1 = max(abs(v - tgt) for v in by_src1.values())
+    assert err2 <= err1 + 1e-9
+
+
+def test_dist_psi_matches_bruteforce(spark):
+    """PSI + JSD per group vs a brute-force Python computation over the
+    same equal-width bins and add-one smoothing; identical distributions
+    score ~0."""
+    import math
+
+    from syntenybrowserv2_etl_spark.operators.drift import dist_psi
+
+    data = [("a", v) for v in [10, 12, 14, 90, 95]] + [
+        ("b", v) for v in [10, 11, 50, 55, 60, 91]
+    ]
+    df = spark.createDataFrame(data, "g string, v long")
+    got = {r["g"]: r for r in dist_psi(df, "g", "v", n_bins=10).collect()}
+    mn = min(v for _, v in data)
+    mx = max(v for _, v in data)
+    for g in "ab":
+        ins = [v for gg, v in data if gg == g]
+        outs = [v for gg, v in data if gg != g]
+        psi = jsd = 0.0
+        for b in range(10):
+            c = sum(1 for v in ins if (v - mn) * 10 // (mx - mn + 1) == b)
+            r_ = sum(1 for v in outs if (v - mn) * 10 // (mx - mn + 1) == b)
+            p = (c + 1) / (len(ins) + 10)
+            q = (r_ + 1) / (len(outs) + 10)
+            m = (p + q) / 2
+            psi += (p - q) * math.log(p / q)
+            jsd += 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+        assert got[g]["psi"] == round(psi, 6)
+        assert got[g]["jsd"] == round(jsd, 6)
+        assert (got[g]["n_in"], got[g]["n_rest"]) == (len(ins), len(outs))
+
+    same = spark.createDataFrame(
+        [("a", v) for v in range(50)] + [("b", v) for v in range(50)],
+        "g string, v long",
+    )
+    for r in dist_psi(same, "g", "v", n_bins=10).collect():
+        assert abs(r["psi"]) < 1e-9 and abs(r["jsd"]) < 1e-9

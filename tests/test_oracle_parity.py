@@ -117,6 +117,9 @@ SF_MED_STRENGTHENED = [
     "q152_balanced_shards",
     "q153_key_skew",
     "q154_lsh_recall",
+    "q155_ipf_reweight",
+    "q156_length_psi",
+    "q157_dup_flow",
 ]
 
 

@@ -965,6 +965,8 @@ _BNLJ_INTENTIONAL = {
     "q149_length_ks",  # tiny source-dim × distinct-value grid + 1-row total
     "q150_source_overlap",  # tiny srcs × srcs pair frame (both sides sketch dims)
     "q152_balanced_shards",  # 1-row size-total scalar joined back
+    "q155_ipf_reweight",  # 1-row (n_all, rx) totals scalar joined back
+    "q156_length_psi",  # 1-row min/max + totals scalars, tiny bin-range frame
 }
 
 

@@ -3219,3 +3219,73 @@ def test_shingle_counts_fold_and_repeated_report(spark, tmp_path_factory):
         r["__h"]: r["c"]
         for r in ss.read_shingle_counts(spark, state2).collect()
     } == want_counts
+
+
+def test_value_counts_fold_and_ks_report(spark, tmp_path_factory):
+    """Length-distribution drift monitor: (a) maintained value counts
+    equal the one-shot histogram of everything folded, (b) committed
+    redelivery doesn't double the sums, (c) the per-batch KS report
+    equals a brute-force ECDF sweep of (batch, accumulated reference),
+    (d) the stream twin converges to the same state."""
+    import os
+
+    from syntenybrowserv2_etl_spark.streaming import drift as sdrift
+
+    base = str(tmp_path_factory.mktemp("val_drift"))
+    state = os.path.join(base, "state")
+    mk = lambda vals: spark.createDataFrame([(v,) for v in vals], "n long")
+    batches = [[3, 3, 5, 9], [5, 5, 7], [9, 9, 9, 1]]
+    for i, vals in enumerate(batches):
+        sdrift.value_counts_fold_batch(
+            mk(vals), i, state_path=state, value_col="n", n_buckets=4
+        )
+    flat = [v for b in batches for v in b]
+    want = {}
+    for v in flat:
+        want[v] = want.get(v, 0) + 1
+    got = {
+        (r["v"], r["c"])
+        for r in spark.read.parquet(state).drop("__kb", "__b").collect()
+    }
+    assert got == {(v, c) for v, c in want.items()}
+    # committed redelivery: no double count
+    sdrift.value_counts_fold_batch(
+        mk(batches[1]), 1, state_path=state, value_col="n", n_buckets=4
+    )
+    got2 = {
+        (r["v"], r["c"])
+        for r in spark.read.parquet(state).drop("__kb", "__b").collect()
+    }
+    assert got2 == got
+    # KS report vs brute force
+    probe = [1, 1, 2, 9]
+    r = sdrift.batch_ks_report(mk(probe), state, "n").collect()[0]
+    support = sorted(set(probe) | set(flat))
+    best, best_at = -1.0, None
+    for x in support:
+        fp = sum(1 for v in probe if v <= x) / len(probe)
+        fq = sum(1 for v in flat if v <= x) / len(flat)
+        d = abs(fp - fq)
+        if d > best + 1e-15:
+            best, best_at = d, x
+    assert (r["n_p"], r["n_q"]) == (len(probe), len(flat))
+    assert r["ks"] == round(best, 6) and r["ks_at"] == best_at
+    # stream twin
+    src = os.path.join(base, "src")
+    for b in batches:
+        mk(b).coalesce(1).write.mode("append").parquet(src)
+    state2 = os.path.join(base, "state2")
+    stream = (
+        spark.readStream.schema("n long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sdrift.value_counts_stream(
+        stream, state2, "n", n_buckets=4,
+        checkpoint=os.path.join(base, "ck"),
+    ).awaitTermination(120)
+    got3 = {
+        (r["v"], r["c"])
+        for r in spark.read.parquet(state2).drop("__kb", "__b").collect()
+    }
+    assert got3 == got

@@ -109,7 +109,7 @@ KNOWN_OPS = frozenset({
     "repeated_spans", "repeated_spans_hash", "roc_auc_binned",
     "excise_repeated", "shingle_fold",
     "assoc_mi", "ks_drift", "kmv_overlap", "zipf_fit",
-    "balanced_shards", "key_skew",
+    "balanced_shards", "key_skew", "dist_psi", "ipf_reweight",
 })
 
 
@@ -1147,6 +1147,24 @@ def main():
                 ).balanced_shards(
                     docs.withColumn("sz", F.length("text")), "sz", "doc_id", 64
                 )
+            ),
+        )
+        measure(
+            "dist_psi",
+            lambda: noop(
+                __import__(
+                    "syntenybrowserv2_etl_spark.operators.drift",
+                    fromlist=["dist_psi"],
+                ).dist_psi(_audit_docs(), "source", F.length("text"))
+            ),
+        )
+        measure(
+            "ipf_reweight",
+            lambda: noop(
+                __import__(
+                    "syntenybrowserv2_etl_spark.operators.sampling",
+                    fromlist=["ipf_reweight"],
+                ).ipf_reweight(_audit_docs(), "source", "lang", n_iters=2)
             ),
         )
         measure(
