@@ -1943,3 +1943,73 @@ def dup_flow_matrix(
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Soft deduplication: instead of dropping duplicates, weight every
+    document by 1/|its exact-duplicate cluster| (normalized text), so a
+    passage repeated 40× contributes once in expectation — the
+    production alternative when hard dedup is too aggressive (keeps
+    coverage, kills over-representation). One hash-groupBy for cluster
+    sizes + one equi-join back; nothing pairwise. Returns
+    ``(id, cluster_size, weight R6)``.
+    """
+    keyed = fan_out(df).select(
+        F.col(id_col), normalize_text(text_col).alias("__norm")
+    )
+    sizes = keyed.groupBy("__norm").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        keyed.join(sizes, "__norm")
+        .select(
+            F.col(id_col),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+        )
+    )
+
+
+def effective_sample_size(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group effective sample size under soft-dedup weights:
+
+        ESS = (Σ w)² / Σ w²,   w = 1/|exact-dup cluster|  (global clusters)
+
+    — "after discounting duplication, how many INDEPENDENT documents
+    does each source really contribute?" The number a mixing pass should
+    budget on instead of raw row counts. ``dup_discount`` = Σw/n (1.0 =
+    no duplication). Cluster sizes are global (a passage shared across
+    sources discounts in every source it appears in). Returns
+    ``(group, n_docs, sum_w R6, ess R6, dup_discount R6)``.
+    """
+    keyed = fan_out(df).select(
+        F.col(group_col).alias("__g"), normalize_text(text_col).alias("__norm")
+    )
+    sizes = keyed.groupBy("__norm").agg(
+        F.count(F.lit(1)).alias("__cs")
+    )
+    w = keyed.join(sizes, "__norm").select(
+        "__g", (F.lit(1.0) / F.col("__cs")).alias("__w")
+    )
+    return (
+        w.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__w").alias("__sw"),
+            F.sum(F.col("__w") * F.col("__w")).alias("__sw2"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round("__sw", 6).alias("sum_w"),
+            F.round(F.col("__sw") * F.col("__sw") / F.col("__sw2"), 6).alias("ess"),
+            F.round(F.col("__sw") / F.col("n_docs"), 6).alias("dup_discount"),
+        )
+    )

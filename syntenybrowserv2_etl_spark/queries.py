@@ -6962,6 +6962,32 @@ def q157(spark, sf_dir):
     )
 
 
+@register(
+    "q158_effective_size",
+    f"""
+    WITH keyed AS (SELECT source AS g, {_NORM_TEXT} AS norm FROM documents),
+    sizes AS (SELECT norm, COUNT(*) AS cs FROM keyed GROUP BY norm),
+    w AS (SELECT g, 1.0 / cs AS w FROM keyed JOIN sizes USING (norm))
+    SELECT g AS source,
+           COUNT(*) AS n_docs,
+           ROUND(SUM(w), 6) AS sum_w,
+           ROUND(SUM(w) * SUM(w) / SUM(w * w), 6) AS ess,
+           ROUND(SUM(w) / COUNT(*), 6) AS dup_discount
+    FROM w GROUP BY g
+    """,
+    tags=["soft-dedup effective sample size per source"],
+)
+def q158(spark, sf_dir):
+    """Per-source effective sample size under soft-dedup weights
+    (operators/dedup.effective_sample_size): every doc weighted
+    1/|global exact-dup cluster|, ESS = (Σw)²/Σw² — how many INDEPENDENT
+    documents each source really contributes after duplication discount;
+    the number a mixing pass should budget on instead of raw counts.
+    One hash-groupBy + one equi-join; nothing pairwise."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_ops.effective_sample_size(d, "source", "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -7156,6 +7182,7 @@ _DEMOTED_PAST_WINDOW = [
     "q155_ipf_reweight",
     "q156_length_psi",
     "q157_dup_flow",
+    "q158_effective_size",
 ]
 
 

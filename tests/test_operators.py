@@ -4195,3 +4195,36 @@ def test_dist_psi_matches_bruteforce(spark):
     )
     for r in dist_psi(same, "g", "v", n_bins=10).collect():
         assert abs(r["psi"]) < 1e-9 and abs(r["jsd"]) < 1e-9
+
+
+def test_soft_dedup_weights_and_ess(spark):
+    """Soft-dedup weights are 1/global-cluster-size; per-group ESS
+    matches the hand-computed (Σw)²/Σw² with cross-source clusters
+    discounting in both sources."""
+    from syntenybrowserv2_etl_spark.operators.dedup import (
+        effective_sample_size,
+        soft_dedup_weights,
+    )
+
+    rows = [
+        (1, "dup text", "a"),
+        (2, "dup text", "a"),
+        (3, "dup text", "b"),   # cluster of 3 spans sources
+        (4, "unique a", "a"),
+        (5, "unique b", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    w = {r["doc_id"]: (r["cluster_size"], r["weight"])
+         for r in soft_dedup_weights(df, "doc_id", "text").collect()}
+    third = round(1 / 3, 6)
+    assert w == {1: (3, third), 2: (3, third), 3: (3, third),
+                 4: (1, 1.0), 5: (1, 1.0)}
+    got = {r["source"]: r for r in
+           effective_sample_size(df, "source", "doc_id", "text").collect()}
+    # a: weights (1/3, 1/3, 1) -> sum 5/3, sum2 2/9+1 = 11/9, ess = 25/11
+    assert got["a"]["n_docs"] == 3
+    assert got["a"]["sum_w"] == round(5 / 3, 6)
+    assert got["a"]["ess"] == round((5 / 3) ** 2 / (11 / 9), 6)
+    # b: weights (1/3, 1) -> sum 4/3, sum2 10/9, ess = 16/10
+    assert got["b"]["ess"] == round((4 / 3) ** 2 / (10 / 9), 6)
+    assert got["b"]["dup_discount"] == round((4 / 3) / 2, 6)

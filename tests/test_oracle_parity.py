@@ -120,6 +120,7 @@ SF_MED_STRENGTHENED = [
     "q155_ipf_reweight",
     "q156_length_psi",
     "q157_dup_flow",
+    "q158_effective_size",
 ]
 
 

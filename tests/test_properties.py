@@ -1814,3 +1814,141 @@ def test_cross_repeated_spans_matches_bruteforce(
         ).collect()
     }
     assert got == want
+
+
+# --- round-13 corpus-audit statistics ---------------------------------------
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 8)),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda d: len({g for g, _ in d}) >= 2)
+)
+@settings(**SETTINGS)
+def test_ks_drift_property_matches_ecdf_sweep(spark, data):
+    """ks_drift == brute-force ECDF sweep at every pooled value, for
+    arbitrary group/value multisets (ties, singleton groups, constant
+    values)."""
+    from syntenybrowserv2_etl_spark.operators.drift import ks_drift
+
+    df = spark.createDataFrame(data, "g string, v long")
+    got = {
+        r["g"]: (r["n_in"], r["n_rest"], r["ks"], r["ks_at"])
+        for r in ks_drift(df, "g", "v").collect()
+    }
+    vals = sorted({v for _, v in data})
+    for g in {gg for gg, _ in data}:
+        ins = [v for gg, v in data if gg == g]
+        outs = [v for gg, v in data if gg != g]
+        best, best_at = -1.0, None
+        for x in vals:
+            d = abs(
+                sum(1 for v in ins if v <= x) / len(ins)
+                - sum(1 for v in outs if v <= x) / len(outs)
+            )
+            if d > best:
+                best, best_at = d, x
+        assert got[g] == (len(ins), len(outs), round(best, 6), best_at)
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from("xy"), st.sampled_from("pqr")),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_categorical_association_property(spark, data):
+    """MI and chi-square equal the brute-force contingency-table formulas
+    for arbitrary two-column categorical data (incl. constant columns)."""
+    import math
+    from collections import Counter
+
+    from syntenybrowserv2_etl_spark.operators.association import (
+        categorical_association,
+    )
+
+    df = spark.createDataFrame(data, "x string, y string")
+    r = categorical_association(df, "x", "y").collect()[0]
+    n = len(data)
+    cells = Counter(data)
+    rx = Counter(x for x, _ in data)
+    cy = Counter(y for _, y in data)
+    mi = sum(
+        (o / n) * math.log((o / n) / ((rx[x] / n) * (cy[y] / n)))
+        for (x, y), o in cells.items()
+    )
+    chi2 = sum(
+        (o - rx[x] * cy[y] / n) ** 2 / (rx[x] * cy[y] / n)
+        for (x, y), o in cells.items()
+    ) + sum(
+        rx[x] * cy[y] / n
+        for x in rx
+        for y in cy
+        if (x, y) not in cells
+    )
+    assert r["n"] == n and r["r_cats"] == len(rx) and r["c_cats"] == len(cy)
+    assert abs(r["mi"] - mi) < 2e-6
+    assert abs(r["chi2"] - chi2) < 2e-4
+
+
+@given(
+    keys=st.lists(st.integers(0, 6), min_size=1, max_size=50)
+)
+@settings(**SETTINGS)
+def test_key_skew_gini_property(spark, keys):
+    """Gini from the count-of-counts block identity == the textbook
+    sorted-rank formula over per-key counts, for arbitrary key multisets."""
+    import math
+    from collections import Counter
+
+    from syntenybrowserv2_etl_spark.operators.profiling import key_skew_report
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    r = key_skew_report(df, "k").collect()[0]
+    counts = sorted(Counter(keys).values())
+    n, tt = len(counts), sum(counts)
+    gini = (
+        2 * sum((i + 1) * c for i, c in enumerate(counts)) / (n * tt)
+        - (n + 1) / n
+    )
+    ent = -sum((c / tt) * math.log(c / tt) for c in counts)
+    assert (r["n_keys"], r["n_rows"], r["max_count"]) == (
+        n, tt, max(counts)
+    )
+    assert abs(r["gini"] - gini) < 1e-6
+    assert abs(r["entropy"] - ent) < 1e-6
+
+
+@given(
+    sizes=st.lists(st.integers(1, 100), min_size=1, max_size=40),
+    n_shards=st.sampled_from([2, 3, 8]),
+)
+@settings(**SETTINGS)
+def test_balanced_shards_property(spark, sizes, n_shards):
+    """Snake-deal shard report == brute force for arbitrary size lists
+    and shard counts; every shard's total within max-item of the min."""
+    from syntenybrowserv2_etl_spark.operators.layout import balanced_shards
+
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {
+        r["shard"]: (r["n_docs"], r["total_size"])
+        for r in balanced_shards(df, "n_chars", "doc_id", n_shards).collect()
+    }
+    order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    tot = [0] * n_shards
+    cnt = [0] * n_shards
+    for rank0, (_, sz) in enumerate(order):
+        pos = rank0 % n_shards
+        shard = (
+            pos if (rank0 // n_shards) % 2 == 0 else n_shards - 1 - pos
+        )
+        tot[shard] += sz
+        cnt[shard] += 1
+    assert got == {
+        s: (cnt[s], tot[s]) for s in range(n_shards) if cnt[s] > 0
+    }
