@@ -993,3 +993,88 @@ def hard_negatives(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def embedding_covariance(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Distributed covariance/correlation matrix of an embedding column —
+    the distributed HALF of scalable PCA/whitening: executors reduce the
+    corpus to D×D partial Gram sums (Arrow batches → one BLAS ``XᵀX``
+    per batch — the sanctioned Python path, never per-row), the shuffle
+    carries only D(D+1)/2-sized frames, and the eigensolve that follows
+    is a driver/client-local O(D³) on the returned matrix.
+
+    cov(i,j) = E[x_i x_j] − E[x_i]E[x_j] (population), upper triangle
+    (i ≤ j); ``corr`` NULL when a dimension has zero variance. Products
+    are computed in float64 on float32-exact inputs on both engines, so
+    the DuckDB oracle matches to summation-order rounding. Returns
+    ``(i, j, n, cov R8, corr R6)``.
+    """
+    def partial(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
+            p = x.T @ x
+            s = x.sum(axis=0)
+            ii, jj = _np.triu_indices(x.shape[1])
+            yield _pd.DataFrame(
+                {
+                    "i": ii.astype("int32"),
+                    "j": jj.astype("int32"),
+                    "sp": p[ii, jj],
+                    "si": s[ii],
+                    "sj": s[jj],
+                    "n": _np.full(len(ii), len(pdf), dtype="int64"),
+                }
+            )
+
+    cells = (
+        emb.select(vec_col)
+        .mapInPandas(
+            partial, "i int, j int, sp double, si double, sj double, n long"
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("sp").alias("sp"),
+            F.sum("si").alias("si"),
+            F.sum("sj").alias("sj"),
+            F.sum("n").alias("n"),
+        )
+        .withColumn(
+            "cov",
+            F.col("sp") / F.col("n")
+            - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n")),
+        )
+    )
+    cells = cells.localCheckpoint(eager=False)
+    diag = cells.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("cov").alias("var")
+    )
+    return (
+        cells.join(
+            F.broadcast(diag.select(F.col("d").alias("i"), F.col("var").alias("vi"))),
+            "i",
+        )
+        .join(
+            F.broadcast(diag.select(F.col("d").alias("j"), F.col("var").alias("vj"))),
+            "j",
+        )
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.col("n").cast("long").alias("n"),
+            F.round("cov", 8).alias("cov"),
+            F.round(
+                F.when(
+                    (F.col("vi") > 0) & (F.col("vj") > 0),
+                    F.col("cov") / F.sqrt(F.col("vi") * F.col("vj")),
+                ),
+                6,
+            ).alias("corr"),
+        )
+    )

@@ -4228,3 +4228,28 @@ def test_soft_dedup_weights_and_ess(spark):
     # b: weights (1/3, 1) -> sum 4/3, sum2 10/9, ess = 16/10
     assert got["b"]["ess"] == round((4 / 3) ** 2 / (10 / 9), 6)
     assert got["b"]["dup_discount"] == round((4 / 3) / 2, 6)
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """Distributed partial-Gram covariance == numpy's np.cov/corrcoef
+    (population) on the gathered matrix; constant dims get NULL corr."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(40, 5)).astype(np.float32)
+    x[:, 3] = 2.5  # zero-variance dimension
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["i"], r["j"]): r for r in
+           sim_ops.embedding_covariance(df, "embedding").collect()}
+    xd = x.astype(np.float64)
+    cov = np.cov(xd, rowvar=False, bias=True)
+    sd = np.sqrt(np.diag(cov))
+    assert len(got) == 15  # upper triangle of 5x5
+    for (i, j), r in got.items():
+        assert r["n"] == 40
+        assert abs(r["cov"] - cov[i, j]) < 1e-6
+        if sd[i] > 0 and sd[j] > 0:
+            assert abs(r["corr"] - cov[i, j] / (sd[i] * sd[j])) < 1e-5
+        else:
+            assert r["corr"] is None

@@ -121,6 +121,7 @@ SF_MED_STRENGTHENED = [
     "q156_length_psi",
     "q157_dup_flow",
     "q158_effective_size",
+    "q159_embedding_covariance",
 ]
 
 
