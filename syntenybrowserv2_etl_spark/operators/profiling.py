@@ -263,3 +263,52 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
         F.round(F.col("s_c2") / (t * t), 8).alias("hhi"),
         F.round(F.log(t) - F.col("s_clnc") / t, 6).alias("entropy"),
     )
+
+
+def exact_quantiles_bounded(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    qs: tuple = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group EXACT type-1 quantiles (smallest value whose cumulative
+    count reaches ⌈q·n⌉ — no interpolation arithmetic) computed from the
+    per-(group, value) COUNT frame — the scalable exact-quantile path
+    when the value domain is bounded (lengths, scores, bucketed
+    measures): the row scan reduces to a bounded-domain frame before any
+    window runs, where q41's sorted-percentile plan carries full rows to
+    the aggregation. The sibling trade to roc_auc's distinct-score
+    window. Returns ``(group, q R4, v)`` — one row per (group, quantile).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    counts = (
+        df.select(F.col(group_col).alias("g"), v.cast("long").alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        "g",
+        "v",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("g")).alias("n"),
+    )
+    qf = F.array(*[F.lit(float(q)) for q in qs])
+    grid = cum.select(
+        "g", "v", "cum", "n", F.explode(qf).alias("q")
+    ).filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+    return (
+        grid.groupBy("g", "q")
+        .agg(F.min("v").alias("v"))
+        .select(
+            F.col("g").alias(group_col),
+            F.round("q", 4).alias("q"),
+            F.col("v").cast("long").alias("v"),
+        )
+    )

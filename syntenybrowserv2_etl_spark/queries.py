@@ -7030,6 +7030,37 @@ def q159(spark, sf_dir):
     return sim_ops.embedding_covariance(e, "embedding")
 
 
+@register(
+    "q160_exact_quantile_grid",
+    """
+    WITH counts AS (SELECT source AS g, n_chars AS v, COUNT(*) AS c
+                    FROM documents GROUP BY 1, 2),
+    cum AS (SELECT g, v,
+                   SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+                   SUM(c) OVER (PARTITION BY g) AS n
+            FROM counts),
+    qs AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+    grid AS (SELECT g, v, q FROM cum CROSS JOIN qs
+             WHERE cum >= ceil(q * n))
+    SELECT g AS source, ROUND(q, 4) AS q, CAST(MIN(v) AS BIGINT) AS v
+    FROM grid GROUP BY g, q
+    """,
+    tags=["exact bounded-domain quantile grid (type-1, count frames)"],
+)
+def q160(spark, sf_dir):
+    """Per-source EXACT type-1 quantile grid of document length
+    (operators/profiling.exact_quantiles_bounded): quantiles computed
+    from the per-(group, value) count frame — the scalable exact path
+    for bounded-domain values, where q41's interpolation plan carries
+    full rows into the percentile aggregate. No interpolation
+    arithmetic, so every value is an actual data point and the
+    cross-engine compare is integer-exact."""
+    d = t(spark, sf_dir, "documents")
+    return prof_ops.exact_quantiles_bounded(
+        d, "source", "n_chars", qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -7226,6 +7257,7 @@ _DEMOTED_PAST_WINDOW = [
     "q157_dup_flow",
     "q158_effective_size",
     "q159_embedding_covariance",
+    "q160_exact_quantile_grid",
 ]
 
 

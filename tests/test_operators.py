@@ -4253,3 +4253,26 @@ def test_embedding_covariance_matches_numpy(spark):
             assert abs(r["corr"] - cov[i, j] / (sd[i] * sd[j])) < 1e-5
         else:
             assert r["corr"] is None
+
+
+def test_exact_quantiles_bounded_matches_bruteforce(spark):
+    """Type-1 quantiles from count frames == the textbook smallest-value-
+    at-ceil(q*n) on the sorted list, across odd/even sizes and ties."""
+    import math
+
+    from syntenybrowserv2_etl_spark.operators.profiling import (
+        exact_quantiles_bounded,
+    )
+
+    data = [("a", v) for v in [5, 1, 3, 3, 9, 7, 3]] + [
+        ("b", v) for v in [2, 4, 4, 8]
+    ]
+    df = spark.createDataFrame(data, "g string, v long")
+    qs = (0.1, 0.5, 0.9, 0.99)
+    got = {(r["g"], r["q"]): r["v"]
+           for r in exact_quantiles_bounded(df, "g", "v", qs).collect()}
+    for g in "ab":
+        vals = sorted(v for gg, v in data if gg == g)
+        for q in qs:
+            want = vals[math.ceil(q * len(vals)) - 1]
+            assert got[(g, round(q, 4))] == want

@@ -122,6 +122,7 @@ SF_MED_STRENGTHENED = [
     "q157_dup_flow",
     "q158_effective_size",
     "q159_embedding_covariance",
+    "q160_exact_quantile_grid",
 ]
 
 
