@@ -110,6 +110,7 @@ KNOWN_OPS = frozenset({
     "excise_repeated", "shingle_fold",
     "assoc_mi", "ks_drift", "kmv_overlap", "zipf_fit",
     "balanced_shards", "key_skew", "dist_psi", "ipf_reweight",
+    "emb_covariance",
 })
 
 
@@ -1165,6 +1166,12 @@ def main():
                     "syntenybrowserv2_etl_spark.operators.sampling",
                     fromlist=["ipf_reweight"],
                 ).ipf_reweight(_audit_docs(), "source", "lang", n_iters=2)
+            ),
+        )
+        measure(
+            "emb_covariance",
+            lambda: noop(
+                sim.embedding_covariance(emb, "embedding")
             ),
         )
         measure(
