@@ -240,7 +240,9 @@ def ks_drift(
         F.sum("c").over(w).alias("cum_in"),
         F.sum("ct").over(w).alias("cum_all"),
     ).crossJoin(F.broadcast(total))
-    d = cum.select(
+    # a group that IS the whole corpus has no "rest" to compare against —
+    # drop it rather than emit a 0/0 row (single-group inputs yield empty)
+    d = cum.filter(F.col("n_in") < F.col("n_all")).select(
         "g",
         value_name,
         "n_in",
@@ -328,7 +330,9 @@ def dist_psi(
         F.col("n_all") - F.col("n_in") + n_bins
     )
     m = (p + qq) / 2
-    scored = grid.select(
+    # single-group corpus: no rest-distribution (smoothing would silently
+    # compare against uniform noise) — same guard as ks_drift
+    scored = grid.filter(F.col("n_in") < F.col("n_all")).select(
         "g",
         "n_in",
         (F.col("n_all") - F.col("n_in")).alias("n_rest"),

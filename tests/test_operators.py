@@ -4276,3 +4276,12 @@ def test_exact_quantiles_bounded_matches_bruteforce(spark):
         for q in qs:
             want = vals[math.ceil(q * len(vals)) - 1]
             assert got[(g, round(q, 4))] == want
+
+
+def test_ks_drift_single_group_yields_empty(spark):
+    """A group that is the whole corpus has no rest-ECDF — the operator
+    returns empty rather than a 0/0 row."""
+    from syntenybrowserv2_etl_spark.operators.drift import ks_drift
+
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
+    assert ks_drift(df, "g", "v").count() == 0
