@@ -1,4 +1,5 @@
 from . import drift  # noqa: F401
+from . import dupprofile  # noqa: F401
 from . import events  # noqa: F401
 from . import frontier  # noqa: F401
 from . import merge  # noqa: F401

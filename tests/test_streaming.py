@@ -3289,3 +3289,70 @@ def test_value_counts_fold_and_ks_report(spark, tmp_path_factory):
         for r in spark.read.parquet(state2).drop("__kb", "__b").collect()
     }
     assert got3 == got
+
+
+def test_dup_profile_fold_and_reports(spark, tmp_path_factory):
+    """Streaming duplication profile: (a) histogram report from state ==
+    the batch dup_size_histogram of everything folded, (b) effective-size
+    report == the batch effective_sample_size (cluster sizes chosen with
+    exact binary reciprocals so both summation orders are bit-equal),
+    (c) committed redelivery doesn't double counts, (d) stream twin
+    converges to the same state."""
+    import os
+
+    from syntenybrowserv2_etl_spark.operators.dedup import (
+        dup_size_histogram,
+        effective_sample_size,
+    )
+    from syntenybrowserv2_etl_spark.streaming import dupprofile as dp
+
+    base = str(tmp_path_factory.mktemp("dup_profile"))
+    state = os.path.join(base, "state")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    # cluster sizes 4 ("dup a"), 2 ("dup b"), 1 each for uniques
+    batches = [
+        [(1, "dup a", "s1"), (2, "dup a", "s1"), (3, "solo one", "s2")],
+        [(4, "dup a", "s2"), (5, "dup b", "s2")],
+        [(6, "dup a", "s1"), (7, "dup b", "s1"), (8, "solo two", "s2")],
+    ]
+    for i, rows in enumerate(batches):
+        dp.dup_counts_fold_batch(mk(rows), i, state_path=state, n_buckets=4)
+    every = mk([r for b in batches for r in b])
+
+    want_hist = {tuple(r) for r in dup_size_histogram(every, "text").collect()}
+    got_hist = {tuple(r) for r in dp.dup_histogram_report(spark, state).collect()}
+    assert got_hist == want_hist
+
+    want_ess = {
+        tuple(r)
+        for r in effective_sample_size(every, "source", "doc_id", "text").collect()
+    }
+    got_ess = {
+        tuple(r) for r in dp.effective_size_report(spark, state, "source").collect()
+    }
+    assert got_ess == want_ess
+
+    # committed redelivery is a no-op
+    dp.dup_counts_fold_batch(mk(batches[1]), 1, state_path=state, n_buckets=4)
+    assert {
+        tuple(r) for r in dp.dup_histogram_report(spark, state).collect()
+    } == want_hist
+
+    # stream twin
+    src = os.path.join(base, "src")
+    for b in batches:
+        mk(b).coalesce(1).write.mode("append").parquet(src)
+    state2 = os.path.join(base, "state2")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dp.dup_counts_stream(
+        stream, state2, n_buckets=4, checkpoint=os.path.join(base, "ck")
+    ).awaitTermination(120)
+    assert {
+        tuple(r) for r in dp.dup_histogram_report(spark, state2).collect()
+    } == want_hist
