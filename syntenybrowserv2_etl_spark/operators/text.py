@@ -787,3 +787,56 @@ def quality_classifier(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         score.alias("score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    vocab_k: int = 1000,
+) -> DataFrame:
+    """Per-group out-of-vocabulary rate against the corpus's own top-K
+    token vocabulary — the tokenizer-coverage audit: a source whose OOV
+    rate spikes is one the fixed vocabulary (or a trained tokenizer of
+    that budget) will shatter into byte fallbacks. Vocabulary = the K
+    globally most frequent tokens (count DESC, token ASC — deterministic
+    ties). One token scan → vocab-sized global counts → top-K (bounded
+    window) broadcast back over the per-(group, token) counts. Returns
+    ``(group, n_tokens, oov_tokens, oov_rate R6, oov_types)``.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(_tokens(F.col(text_col))).alias("token"),
+    ).filter(F.length("token") > 0)
+    per_gt = toks.groupBy("g", "token").agg(F.count(F.lit(1)).alias("c"))
+    glob = per_gt.groupBy("token").agg(F.sum("c").alias("ct"))
+    w = Window.orderBy(F.col("ct").desc(), F.col("token").asc())
+    vocab = (
+        glob.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= vocab_k)
+        .select("token")
+    )
+    marked = per_gt.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "token", "left"
+    )
+    return (
+        marked.groupBy("g")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), F.col("c")).otherwise(0)).alias(
+                "oov_tokens"
+            ),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias(
+                "oov_types"
+            ),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("oov_tokens").cast("long").alias("oov_tokens"),
+            F.round(F.col("oov_tokens") / F.col("n_tokens"), 6).alias("oov_rate"),
+            F.col("oov_types").cast("long").alias("oov_types"),
+        )
+    )

@@ -7061,6 +7061,43 @@ def q160(spark, sf_dir):
     )
 
 
+@register(
+    "q161_oov_rate",
+    f"""
+    WITH tok AS (
+      SELECT source AS g, unnest(string_split({_NORM_TEXT}, ' ')) AS token
+      FROM documents),
+    per_gt AS (SELECT g, token, COUNT(*) AS c
+               FROM tok WHERE length(token) > 0 GROUP BY 1, 2),
+    gcounts AS (SELECT token, SUM(c) AS ct FROM per_gt GROUP BY token),
+    vocab AS (SELECT token FROM (
+                SELECT token,
+                       row_number() OVER (ORDER BY ct DESC, token ASC) AS r
+                FROM gcounts) WHERE r <= 1000),
+    marked AS (SELECT p.g, p.c,
+                      CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+               FROM per_gt p LEFT JOIN vocab v USING (token))
+    SELECT g AS source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN oov = 1 THEN c ELSE 0 END) AS BIGINT)
+               AS oov_tokens,
+           ROUND(CAST(SUM(CASE WHEN oov = 1 THEN c ELSE 0 END) AS DOUBLE)
+                 / SUM(c), 6) AS oov_rate,
+           CAST(SUM(oov) AS BIGINT) AS oov_types
+    FROM marked GROUP BY g
+    """,
+    tags=["per-source OOV rate vs top-K corpus vocabulary"],
+)
+def q161(spark, sf_dir):
+    """Per-source out-of-vocabulary rate against the corpus's top-1000
+    token vocabulary (operators/text.oov_rate) — the tokenizer-coverage
+    audit: a spiking OOV source is one a fixed-budget tokenizer will
+    shatter into byte fallbacks. One token scan; the top-K selection is
+    a vocab-sized bounded window; the vocabulary broadcasts back."""
+    d = t(spark, sf_dir, "documents")
+    return text_ops.oov_rate(d, "source", "text", vocab_k=1000)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -7258,6 +7295,7 @@ _DEMOTED_PAST_WINDOW = [
     "q158_effective_size",
     "q159_embedding_covariance",
     "q160_exact_quantile_grid",
+    "q161_oov_rate",
 ]
 
 

@@ -4285,3 +4285,24 @@ def test_ks_drift_single_group_yields_empty(spark):
 
     df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
     assert ks_drift(df, "g", "v").count() == 0
+
+
+def test_oov_rate_hand_computed(spark):
+    """OOV against a tiny top-K vocab: with vocab_k=2 the two globally
+    most frequent tokens are in-vocab; everything else counts as OOV."""
+    from syntenybrowserv2_etl_spark.operators.text import oov_rate
+
+    df = spark.createDataFrame(
+        [
+            ("a", "the the the cat"),
+            ("a", "the dog"),
+            ("b", "cat cat zebra quokka"),
+        ],
+        "source string, text string",
+    )
+    # global counts: the=4, cat=3, dog=1, zebra=1, quokka=1 -> vocab {the, cat}
+    got = {r["source"]: r for r in oov_rate(df, "source", "text", vocab_k=2).collect()}
+    assert got["a"]["n_tokens"] == 6 and got["a"]["oov_tokens"] == 1  # dog
+    assert got["a"]["oov_rate"] == round(1 / 6, 6) and got["a"]["oov_types"] == 1
+    assert got["b"]["n_tokens"] == 4 and got["b"]["oov_tokens"] == 2  # zebra, quokka
+    assert got["b"]["oov_types"] == 2

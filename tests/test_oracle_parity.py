@@ -123,6 +123,7 @@ SF_MED_STRENGTHENED = [
     "q158_effective_size",
     "q159_embedding_covariance",
     "q160_exact_quantile_grid",
+    "q161_oov_rate",
 ]
 
 
