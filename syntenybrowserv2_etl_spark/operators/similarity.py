@@ -1078,3 +1078,110 @@ def embedding_covariance(
             ).alias("corr"),
         )
     )
+
+
+def embedding_collapse_report(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-space health check: the distribution of cosine between
+    CONSECUTIVE-id vector pairs — a deterministic linear 1-per-row pair
+    sample (ids are unordered w.r.t. content, so adjacent ids are an
+    arbitrary-but-reproducible pairing; all-pairs is the n² this op
+    exists to avoid). A drifting mean toward 1.0 is the classic
+    representation-collapse alarm; mean vector norm rides along. One
+    equi-join on id+1; cosines use the engine's bit-identical float
+    discipline (cosine_expr ≡ _cos_sql). Returns one row:
+    ``(n_pairs, mean_cos R6, std_cos R6, frac_high R6, n_vecs,
+    mean_norm R6)`` with frac_high = share of pairs with cos > 0.9.
+    """
+    a = emb.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__va")
+    )
+    b = emb.select(
+        (F.col(id_col) - 1).alias("__id"), F.col(vec_col).alias("__vb")
+    )
+    cos = a.join(b, "__id").select(
+        cosine_expr(F.col("__va"), F.col("__vb")).alias("c")
+    )
+    pair_stats = cos.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("c").alias("__s"),
+        F.sum(F.col("c") * F.col("c")).alias("__s2"),
+        F.sum((F.col("c") > 0.9).cast("long")).alias("__hi"),
+    )
+    norm_stats = emb.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(norm_expr(F.col(vec_col))).alias("__sn"),
+    )
+    n = F.col("n_pairs").cast("double")
+    return pair_stats.crossJoin(F.broadcast(norm_stats)).select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(F.col("__s") / n, 6).alias("mean_cos"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.col("__s2") / n - (F.col("__s") / n) * (F.col("__s") / n),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("std_cos"),
+        F.round(F.col("__hi") / n, 6).alias("frac_high"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.round(F.col("__sn") / F.col("n_vecs"), 6).alias("mean_norm"),
+    )
+
+
+def label_noise_audit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Label-noise detection by neighborhood vote: a vector whose k
+    nearest neighbors majority-vote a DIFFERENT label is a suspect
+    annotation — the standard pre-training label audit. Exact brute-force
+    neighbors here (the oracle-checkable demo scale); at corpus scale the
+    same vote runs on ``knn_ivf``'s probed neighbors — the q27:q30 split.
+    Majority = most common neighbor label, ties broken by smaller label
+    (deterministic). Returns per true label:
+    ``(label, n, n_suspect, suspect_rate R6)``.
+    """
+    from pyspark.sql import Window
+
+    q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    nn = knn_bruteforce(emb, q, id_col, vec_col, "query_id", k)
+    lab = emb.select(F.col(id_col), F.col(label_col).alias("__nb"))
+    votes = (
+        nn.join(lab, id_col)
+        .groupBy("query_id", "__nb")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("v").desc(), F.col("__nb").asc()
+    )
+    maj = (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("query_id", F.col("__nb").alias("__maj"))
+    )
+    own = emb.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("__own")
+    )
+    return (
+        maj.join(own, "query_id")
+        .groupBy(F.col("__own").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("__maj") != F.col("__own")).cast("long")).alias(
+                "n_suspect"
+            ),
+        )
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_suspect").cast("long").alias("n_suspect"),
+            F.round(F.col("n_suspect") / F.col("n"), 6).alias("suspect_rate"),
+        )
+    )

@@ -4306,3 +4306,47 @@ def test_oov_rate_hand_computed(spark):
     assert got["a"]["oov_rate"] == round(1 / 6, 6) and got["a"]["oov_types"] == 1
     assert got["b"]["n_tokens"] == 4 and got["b"]["oov_tokens"] == 2  # zebra, quokka
     assert got["b"]["oov_types"] == 2
+
+
+def test_embedding_collapse_report_known_geometry(spark):
+    """Orthogonal consecutive pairs -> mean_cos 0; identical vectors ->
+    mean_cos 1 and frac_high 1; norms exact."""
+    from syntenybrowserv2_etl_spark.operators.similarity import (
+        embedding_collapse_report,
+    )
+
+    axes = spark.createDataFrame(
+        [(i, [1.0 if j == i % 4 else 0.0 for j in range(4)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    r = embedding_collapse_report(axes).collect()[0]
+    assert r["n_pairs"] == 7 and r["mean_cos"] == 0.0 and r["frac_high"] == 0.0
+    assert r["n_vecs"] == 8 and r["mean_norm"] == 1.0
+
+    same = spark.createDataFrame(
+        [(i, [3.0, 4.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    r = same.transform(lambda df: embedding_collapse_report(df)).collect()[0]
+    assert r["mean_cos"] == 1.0 and r["std_cos"] == 0.0 and r["frac_high"] == 1.0
+    assert r["mean_norm"] == 5.0
+
+
+def test_label_noise_audit_planted_mislabels(spark):
+    """Two tight clusters, one vector carrying the wrong label — the kNN
+    vote flags exactly that vector's label row."""
+    from syntenybrowserv2_etl_spark.operators.similarity import (
+        label_noise_audit,
+    )
+
+    rows = []
+    # cluster 0 near [1, 0], labels 0 — except vec 5 which is labeled 9
+    for i in range(6):
+        rows.append((i, [1.0, 0.01 * i], 9 if i == 5 else 0))
+    # cluster 1 near [0, 1], labels 1
+    for i in range(6, 12):
+        rows.append((i, [0.01 * (i - 6), 1.0], 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r for r in label_noise_audit(df, k=5).collect()}
+    assert got[9]["n"] == 1 and got[9]["n_suspect"] == 1  # the plant
+    assert got[0]["n_suspect"] == 0 and got[1]["n_suspect"] == 0

@@ -124,6 +124,8 @@ SF_MED_STRENGTHENED = [
     "q159_embedding_covariance",
     "q160_exact_quantile_grid",
     "q161_oov_rate",
+    "q162_embedding_collapse",
+    "q163_label_noise",
 ]
 
 

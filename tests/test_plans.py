@@ -967,6 +967,8 @@ _BNLJ_INTENTIONAL = {
     "q152_balanced_shards",  # 1-row size-total scalar joined back
     "q155_ipf_reweight",  # 1-row (n_all, rx) totals scalar joined back
     "q156_length_psi",  # 1-row min/max + totals scalars, tiny bin-range frame
+    "q162_embedding_collapse",  # 1-row norm-stats scalar joined back
+    "q163_label_noise",  # broadcast query vectors x corpus (q27's exact shape)
 }
 
 
