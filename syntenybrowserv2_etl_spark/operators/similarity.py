@@ -1185,3 +1185,52 @@ def label_noise_audit(
             F.round(F.col("n_suspect") / F.col("n"), 6).alias("suspect_rate"),
         )
     )
+
+
+def label_centroid_separation(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Class-separation report: cosine between per-label embedding
+    CENTROIDS for every unordered label pair — "which classes are
+    semantically entangled?" The audit a classifier-data pass runs
+    before trusting its labels (entangled pairs are where q163's
+    label-noise suspects concentrate). One posexplode scan reduces to a
+    (labels × dims) centroid frame; everything pairwise happens on that
+    tiny frame (labels² × dims at most). Returns
+    ``(label_a, label_b, n_a, n_b, centroid_cos R6)``.
+    """
+    flat = emb.select(
+        F.col(label_col).alias("lb"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    cent = flat.groupBy("lb", "pos").agg(
+        (F.sum(F.col("v").cast("double")) / F.count(F.lit(1))).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    nrm = cent.groupBy("lb").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nr"),
+        F.max("n").alias("n"),
+    )
+    a = cent.select(F.col("lb").alias("la"), "pos", F.col("c").alias("ca"))
+    b = cent.select(F.col("lb").alias("lb2"), "pos", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("la") < F.col("lb2"))
+        .groupBy("la", "lb2")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = nrm.select(F.col("lb").alias("la"), F.col("nr").alias("nra"), F.col("n").alias("n_a"))
+    nb = nrm.select(F.col("lb").alias("lb2"), F.col("nr").alias("nrb"), F.col("n").alias("n_b"))
+    return (
+        dots.join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb2")
+        .select(
+            F.col("la").alias("label_a"),
+            F.col("lb2").alias("label_b"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("dot") / (F.col("nra") * F.col("nrb")), 6).alias(
+                "centroid_cos"
+            ),
+        )
+    )

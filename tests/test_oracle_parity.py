@@ -126,6 +126,7 @@ SF_MED_STRENGTHENED = [
     "q161_oov_rate",
     "q162_embedding_collapse",
     "q163_label_noise",
+    "q164_label_separation",
 ]
 
 
