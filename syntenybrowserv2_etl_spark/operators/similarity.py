@@ -1234,3 +1234,50 @@ def label_centroid_separation(
             ),
         )
     )
+
+
+def label_cohesion(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Within-class cohesion: per label, the mean (and worst) cosine of
+    member vectors to their OWN label centroid — the within-class
+    complement of ``label_centroid_separation`` (between-class): tight
+    cohesion + low separation = entangled classes; loose cohesion flags
+    a label that is really several concepts. One posexplode scan; the
+    per-vector reduction joins the exploded corpus against the broadcast
+    (labels × dims) centroid frame on (label, pos) — no row ever meets
+    another row. Returns ``(label, n, mean_cos R6, min_cos R6)``.
+    """
+    flat = emb.select(
+        F.col(label_col).alias("lb"),
+        F.col(id_col).alias("__rid"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    ).select("lb", "__rid", "pos", F.col("v").cast("double").alias("v"))
+    cent = flat.groupBy("lb", "pos").agg(
+        (F.sum("v") / F.count(F.lit(1))).alias("c")
+    )
+    ncl = cent.groupBy("lb").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"))
+    per_vec = (
+        flat.join(F.broadcast(cent), ["lb", "pos"])
+        .groupBy("lb", "__rid")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"),
+        )
+    )
+    cosd = per_vec.join(F.broadcast(ncl), "lb").select(
+        "lb", (F.col("dot") / (F.col("nv") * F.col("nc"))).alias("cos")
+    )
+    return cosd.groupBy("lb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("cos") / F.count(F.lit(1)), 6).alias("mean_cos"),
+        F.round(F.min("cos"), 6).alias("min_cos"),
+    ).select(
+        F.col("lb").alias(label_col),
+        F.col("n").cast("long").alias("n"),
+        "mean_cos",
+        "min_cos",
+    )

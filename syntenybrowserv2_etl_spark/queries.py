@@ -7214,6 +7214,41 @@ def q164(spark, sf_dir):
     return sim_ops.label_centroid_separation(e, "label", "embedding")
 
 
+@register(
+    "q165_label_cohesion",
+    """
+    WITH flat AS (SELECT vec_id, label AS lb,
+                         generate_subscripts(embedding, 1) AS pos,
+                         CAST(unnest(embedding) AS DOUBLE) AS v
+                  FROM embeddings),
+    cent AS (SELECT lb, pos, SUM(v) / COUNT(*) AS c FROM flat GROUP BY 1, 2),
+    ncl AS (SELECT lb, sqrt(SUM(c * c)) AS nc FROM cent GROUP BY lb),
+    per_vec AS (SELECT f.lb, f.vec_id,
+                       SUM(f.v * c.c) AS dot,
+                       sqrt(SUM(f.v * f.v)) AS nv
+                FROM flat f JOIN cent c ON c.lb = f.lb AND c.pos = f.pos
+                GROUP BY 1, 2),
+    cosd AS (SELECT p.lb, p.dot / (p.nv * n.nc) AS cos
+             FROM per_vec p JOIN ncl n ON n.lb = p.lb)
+    SELECT lb AS label,
+           COUNT(*) AS n,
+           ROUND(SUM(cos) / COUNT(*), 6) AS mean_cos,
+           ROUND(MIN(cos), 6) AS min_cos
+    FROM cosd GROUP BY lb
+    """,
+    tags=["within-class cohesion (member-to-centroid cosine profile)"],
+)
+def q165(spark, sf_dir):
+    """Within-class cohesion (operators/similarity.label_cohesion): per
+    label, the mean and worst member-to-centroid cosine — the
+    within-class complement of q164's between-class separation (loose
+    cohesion = a label that is really several concepts; together they
+    are the Fisher-style class-quality audit). Exploded corpus joins the
+    broadcast centroid frame on (label, pos); rows never meet rows."""
+    e = t(spark, sf_dir, "embeddings")
+    return sim_ops.label_cohesion(e, "label", "embedding", "vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -7415,6 +7450,7 @@ _DEMOTED_PAST_WINDOW = [
     "q162_embedding_collapse",
     "q163_label_noise",
     "q164_label_separation",
+    "q165_label_cohesion",
 ]
 
 

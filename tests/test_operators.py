@@ -4371,3 +4371,21 @@ def test_label_centroid_separation_known_geometry(spark):
     assert got[(0, 2)]["centroid_cos"] == 1.0
     assert got[(1, 2)]["centroid_cos"] == 0.0
     assert (got[(0, 1)]["n_a"], got[(0, 1)]["n_b"]) == (3, 4)
+
+
+def test_label_cohesion_known_geometry(spark):
+    """A perfectly tight class scores mean=min=1.0; a class of two
+    orthogonal vectors has centroid at 45 degrees -> cos = 1/sqrt(2)."""
+    import math
+
+    from syntenybrowserv2_etl_spark.operators.similarity import label_cohesion
+
+    rows = (
+        [(i, [0.0, 2.0], 7) for i in range(3)]           # tight class
+        + [(10, [1.0, 0.0], 8), (11, [0.0, 1.0], 8)]      # orthogonal pair
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r for r in label_cohesion(df).collect()}
+    assert got[7]["n"] == 3 and got[7]["mean_cos"] == 1.0 and got[7]["min_cos"] == 1.0
+    expect = round(1 / math.sqrt(2), 6)
+    assert got[8]["mean_cos"] == expect and got[8]["min_cos"] == expect

@@ -127,6 +127,7 @@ SF_MED_STRENGTHENED = [
     "q162_embedding_collapse",
     "q163_label_noise",
     "q164_label_separation",
+    "q165_label_cohesion",
 ]
 
 
