@@ -1138,6 +1138,7 @@ def label_noise_audit(
     vec_col: str = "embedding",
     label_col: str = "label",
     k: int = 5,
+    audit: DataFrame | None = None,
 ) -> DataFrame:
     """Label-noise detection by neighborhood vote: a vector whose k
     nearest neighbors majority-vote a DIFFERENT label is a suspect
@@ -1145,12 +1146,16 @@ def label_noise_audit(
     neighbors here (the oracle-checkable demo scale); at corpus scale the
     same vote runs on ``knn_ivf``'s probed neighbors — the q27:q30 split.
     Majority = most common neighbor label, ties broken by smaller label
-    (deterministic). Returns per true label:
+    (deterministic). ``audit`` restricts WHICH vectors are audited (the
+    neighbor pool stays the full ``emb``) — at corpus scale the audit
+    runs on a deterministic hash-sample: sample-the-audit,
+    keep-the-pool. Returns per true label:
     ``(label, n, n_suspect, suspect_rate R6)``.
     """
     from pyspark.sql import Window
 
-    q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    audited = emb if audit is None else audit
+    q = audited.select(F.col(id_col).alias("query_id"), F.col(vec_col))
     nn = knn_bruteforce(emb, q, id_col, vec_col, "query_id", k)
     lab = emb.select(F.col(id_col), F.col(label_col).alias("__nb"))
     votes = (
@@ -1166,7 +1171,7 @@ def label_noise_audit(
         .filter(F.col("__r") == 1)
         .select("query_id", F.col("__nb").alias("__maj"))
     )
-    own = emb.select(
+    own = audited.select(
         F.col(id_col).alias("query_id"), F.col(label_col).alias("__own")
     )
     return (

@@ -7148,7 +7148,8 @@ def q162(spark, sf_dir):
                PARTITION BY a.vec_id
                ORDER BY {_cos_sql('a.embedding', 'b.embedding')} DESC,
                         b.vec_id ASC) AS rnk
-      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 10) AS BIGINT) % 4 = 0),
     votes AS (SELECT query_id, nb_label, COUNT(*) AS v
               FROM nn WHERE rnk <= 5 GROUP BY 1, 2),
     maj AS (SELECT query_id, nb_label FROM (
@@ -7175,9 +7176,15 @@ def q163(spark, sf_dir):
     at corpus scale the identical vote runs on knn_ivf's probed
     neighbors (the q27:q30 split). Majority ties break to the smaller
     label; neighbor ranks tie-break by id — deterministic cross-engine
-    on the bit-identical cosine."""
+    on the bit-identical cosine. The audited set is a deterministic
+    1-in-4 hash sample (sample-the-audit, keep-the-pool — the neighbor
+    pool stays the full corpus), the standard trade that keeps the
+    audit linear in sample size at corpus scale."""
     e = t(spark, sf_dir, "embeddings")
-    return sim_ops.label_noise_audit(e, "vec_id", "embedding", "label", k=5)
+    audit = e.filter(hashing.md5_long(F.col("vec_id")) % 4 == 0)
+    return sim_ops.label_noise_audit(
+        e, "vec_id", "embedding", "label", k=5, audit=audit
+    )
 
 
 @register(
