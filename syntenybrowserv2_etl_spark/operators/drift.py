@@ -509,3 +509,64 @@ def corpus_diversity(
         )
         .withColumnRenamed("g", group_col)
     )
+
+
+def entropy_rate(
+    df: DataFrame, group_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-group token entropy rate: conditional next-token entropy
+    H(Y|X) = H(bigrams) − H(unigrams) over adjacent pairs — the
+    information-theoretic repetitiveness measure (a low rate flags
+    templated/boilerplate text even when the unigram entropy looks
+    healthy, because the SEQUENCE is predictable). Both entropies via
+    the aggregation-friendly identity H = ln N − Σ c·ln c / N; bigrams
+    from one row-local transform per document (linear); all frames
+    vocab-sized. Returns
+    ``(group, n_tokens, n_bigrams, h_unigram R6, h_bigram R6,
+    h_rate R6)``.
+    """
+    toks = _tokens(F.col(text_col))
+    uni = (
+        df.select(F.col(group_col).alias("g"), F.explode(toks).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        df.select(F.col(group_col).alias("g"), toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "g",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .filter((F.length("bg.w1") > 0) & (F.length("bg.w2") > 0))
+        .groupBy("g", "bg.w1", "bg.w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def h(counts: DataFrame, n_name: str, h_name: str) -> DataFrame:
+        return counts.groupBy("g").agg(
+            F.sum("c").alias(n_name),
+            (
+                F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+            ).alias(h_name),
+        )
+
+    hu = h(uni, "n_tokens", "hu")
+    hb = h(big, "n_bigrams", "hb")
+    return (
+        hu.join(hb, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round("hu", 6).alias("h_unigram"),
+            F.round("hb", 6).alias("h_bigram"),
+            F.round(F.col("hb") - F.col("hu"), 6).alias("h_rate"),
+        )
+    )

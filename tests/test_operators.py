@@ -4389,3 +4389,30 @@ def test_label_cohesion_known_geometry(spark):
     assert got[7]["n"] == 3 and got[7]["mean_cos"] == 1.0 and got[7]["min_cos"] == 1.0
     expect = round(1 / math.sqrt(2), 6)
     assert got[8]["mean_cos"] == expect and got[8]["min_cos"] == expect
+
+
+def test_entropy_rate_hand_computed(spark):
+    """Entropy rate against hand-computed H over known uni/bigram
+    distributions; a perfectly repetitive sequence has h_rate 0 even
+    with nonzero unigram entropy... checked via 'a b a b': every
+    next-token is determined, H(bigram) == H(unigram) == ln 2 -> but
+    bigram set {ab, ba} is uniform too; use exact formulas."""
+    import math
+
+    from syntenybrowserv2_etl_spark.operators.drift import entropy_rate
+
+    df = spark.createDataFrame(
+        [("s", "a b a b a b"), ("t", "x y z")],
+        "source string, text string",
+    )
+    got = {r["source"]: r for r in entropy_rate(df, "source", "text").collect()}
+    # s: unigrams a=3,b=3 (H=ln2); bigrams ab=3, ba=2 (n=5)
+    h_uni = math.log(2)
+    h_big = math.log(5) - (3 * math.log(3) + 2 * math.log(2)) / 5
+    assert got["s"]["n_tokens"] == 6 and got["s"]["n_bigrams"] == 5
+    assert got["s"]["h_unigram"] == round(h_uni, 6)
+    assert got["s"]["h_bigram"] == round(h_big, 6)
+    assert got["s"]["h_rate"] == round(h_big - h_uni, 6)
+    # t: 3 distinct unigrams (H=ln3), 2 distinct bigrams (H=ln2)
+    assert got["t"]["h_unigram"] == round(math.log(3), 6)
+    assert got["t"]["h_bigram"] == round(math.log(2), 6)

@@ -128,6 +128,7 @@ SF_MED_STRENGTHENED = [
     "q163_label_noise",
     "q164_label_separation",
     "q165_label_cohesion",
+    "q166_entropy_rate",
 ]
 
 
