@@ -7298,6 +7298,91 @@ def q166(spark, sf_dir):
     return drift_ops.entropy_rate(d, "source", "text")
 
 
+def _label_noise_ivf_sql(n_centroids: int, nprobe: int, k: int) -> str:
+    """DuckDB reproduction of label_noise_audit_ivf: the q30 IVF pipeline
+    (hash-minimal centroid pick, argmax cell assignment, nprobe probe,
+    exact in-cell top-k) composed with q163's neighborhood vote. Every
+    cosine is _cos_sql (bit-identical to Spark), all ties ruled, centroids
+    hash-picked — the whole APPROXIMATE audit hash-matches exactly."""
+    md5_id = hashing.md5_long_sql("vec_id")
+    assign_cos = _cos_sql("e.embedding", "c.centroid")
+    probe_cos = _cos_sql("q.qvec", "c.centroid")
+    score_cos = _cos_sql("a.embedding", "p.qvec")
+    return f"""
+    WITH c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS centroid_id,
+             embedding AS centroid
+      FROM (SELECT vec_id, embedding, {md5_id} AS h
+            FROM embeddings ORDER BY h, vec_id LIMIT {n_centroids})),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {assign_cos} DESC, c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE {md5_id} % 4 = 0),
+    probe AS (
+      SELECT query_id, qvec, centroid_id FROM (
+        SELECT q.query_id, q.qvec, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {probe_cos} DESC, c.centroid_id) AS cr
+        FROM q CROSS JOIN c0 c) WHERE cr <= {nprobe}),
+    scored AS (
+      SELECT p.query_id, a.vec_id, {score_cos} AS cosv
+      FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.query_id),
+    nn AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosv DESC, vec_id) AS rnk
+        FROM scored) WHERE rnk <= {k}),
+    votes AS (SELECT n.query_id, e.label AS nb_label, COUNT(*) AS v
+              FROM nn n JOIN embeddings e ON e.vec_id = n.vec_id
+              GROUP BY 1, 2),
+    maj AS (SELECT query_id, nb_label FROM (
+              SELECT query_id, nb_label,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY v DESC, nb_label ASC) AS r
+              FROM votes) WHERE r = 1)
+    SELECT e.label AS label,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN m.nb_label <> e.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suspect,
+           ROUND(CAST(SUM(CASE WHEN m.nb_label <> e.label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS suspect_rate
+    FROM embeddings e JOIN maj m ON m.query_id = e.vec_id
+    GROUP BY e.label
+    """
+
+
+@register(
+    "q167_label_noise_ivf",
+    _label_noise_ivf_sql(16, 4, 5),
+    tags=["label-noise audit, IVF-routed (the corpus-scale path)"],
+)
+def q167(spark, sf_dir):
+    """q163's label-noise vote on IVF-probed neighbors instead of exact
+    brute-force (operators/similarity.label_noise_audit_ivf) — the
+    corpus-scale path the r13 verdict flagged as documented-but-unwired.
+    Same deterministic 1-in-4 hash audit sample; neighbor search is
+    pick_centroids → narrow assign_centroids → knn_ivf with the SHUFFLE
+    probe (broadcast_probe=False: the audit sample is a corpus fraction,
+    so broadcasting it is the exact 100 TB OOM being removed). Pair work
+    is O(N_audit · nprobe · N/C) — sub-quadratic with C ≈ √N — and the
+    plan contains no corpus×corpus join and no corpus-side broadcast
+    (pinned in tests/test_plans.py). Hash-matches the unrolled DuckDB
+    oracle because every stage is deterministic and every cosine
+    bit-identical; recall vs the exact q163 vote is graded in tests."""
+    e = t(spark, sf_dir, "embeddings")
+    audit = e.filter(hashing.md5_long(F.col("vec_id")) % 4 == 0)
+    return sim_ops.label_noise_audit_ivf(
+        e, "vec_id", "embedding", "label", k=5, audit=audit,
+        num_centroids=16, nprobe=4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The verification driver records correctness rows for the
 # FIRST 50 registry entries only (rounds 1 and 2 both captured exactly the
@@ -7368,23 +7453,49 @@ _DEMOTED_PAST_WINDOW = [
     "q29_embedding_neardup_lsh",
     "q33_token_stats",
     "q51_winnowing_fingerprints",
-    "q83_funnel",
-    "q84_cohort_retention",
-    "q85_pagerank",
-    "q86_scd2_history",
-    "q87_quality_classifier",
-    "q88_pq_adc_topk",
-    "q89_weighted_sample",
-    "q90_ivf_pq",
-    "q91_setsim_prefix_join",
-    "q92_stat_aggregates",
-    "q93_media_text_match",
-    # round 7: parity-gated from birth (same policy).
-    "q94_scd2_apply",
-    "q95_leakage_free_split",
-    "q96_best_of_cluster",
-    "q97_audio_frames",
-    "q98_session_examples",
+    # round 14: window rotation (VERDICT r13 #2, mechanical queue per
+    # tools/rotation_status.py: oldest never-driver-verified first).
+    # Promoted INTO the window: q83_funnel … q98_session_examples (16
+    # entries — the rounds-6/7 families: funnel/cohort/pagerank, SCD2
+    # build+apply, quality classifier, PQ/IVF-PQ, weighted sampling,
+    # set-similarity join, stat aggregates, media-text match, leakage-free
+    # split, best-of-cluster, audio frames, session examples). All are
+    # many-rounds sf0.01-parity-green (SF_MED_STRENGTHENED). Demoted to
+    # make room — each ≥4-rounds driver-green (most 13), its family still
+    # driver-proven in-window: q03 (generic star join; the join surface
+    # stays via q57's real-loader chain + promoted q91/q112, and entry()
+    # still smoke-runs q03 every round), q05 (LWW X5; merge-policy family
+    # stays via q132 golden records, X6/X7 test-gated), q07 (symmetric
+    # union X3/X4; accumulation shape stays parity via q138), q12
+    # (point-in-interval; range-join family stays via q127/q129/q131),
+    # q16 (3-way ontology join; ontology surface stays via in-window q14
+    # closure), q22 (exact dedup; family stays via q25 LSH + promoted
+    # q96), q34 (as-of; stays via q128 forward as-of), q43 (components;
+    # stays via q117 entity resolution), q40 (multimodal features; stays
+    # via promoted q93 media-text + q97 audio frames), q58 (contamination;
+    # stays via q119/q122 decontam), q61 (pack-sequences; chunk/explode
+    # stays via promoted q98 session examples), q64 (gopher quality; stays
+    # via promoted q87 classifier), q70 (span dedup; stays via q142-family
+    # parity + q119), q99 (triangles; graph family stays via promoted q85
+    # pagerank), q101 (profiling; stays via promoted q92 stat aggregates),
+    # q110 (heavy hitters; sketch family stays parity via q108/q111 — the
+    # r10 q38 precedent).
+    "q03_revenue_by_nation",
+    "q05_lww_dedup",
+    "q07_symmetric_pairs",
+    "q12_point_in_interval",
+    "q16_subtree_semijoin",
+    "q22_exact_dedup",
+    "q34_asof_join",
+    "q43_dedup_clusters",
+    "q40_multimodal_features",
+    "q58_contamination",
+    "q61_pack_sequences",
+    "q64_gopher_quality",
+    "q70_span_dedup",
+    "q99_triangle_counts",
+    "q101_profile_orders",
+    "q110_heavy_hitters",
     # round 8: parity-gated from birth (same policy).
     "q100_gapfill_hourly",
     "q102_zorder_key",
@@ -7501,6 +7612,9 @@ _DEMOTED_PAST_WINDOW = [
     "q164_label_separation",
     "q165_label_cohesion",
     "q166_entropy_rate",
+    # round 14: parity-gated from birth (standing policy; backlog-growth
+    # policy holds new entries ≤ promotions — 1 new vs 16 promoted).
+    "q167_label_noise_ivf",
 ]
 
 

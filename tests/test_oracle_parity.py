@@ -129,6 +129,8 @@ SF_MED_STRENGTHENED = [
     "q164_label_separation",
     "q165_label_cohesion",
     "q166_entropy_rate",
+    # round 14
+    "q167_label_noise_ivf",
 ]
 
 

@@ -875,6 +875,36 @@ def test_knn_batch_probe_join_is_shuffle_not_broadcast(spark):
     )
 
 
+def test_label_noise_ivf_no_corpus_broadcast(spark):
+    """q167 (VERDICT r13 #1): the IVF-routed label-noise audit must plan
+    with NO corpus×corpus join and NO corpus-side broadcast. Under
+    autoBroadcastJoinThreshold=-1 (the 100 TB posture — size-based
+    broadcasts off, only HINTED ones survive):
+      - the scored probe→cell join is a shuffle join keyed on centroid_id
+        (broadcast_probe=False: the corpus-fraction audit sample never
+        rides a BroadcastExchange);
+      - every surviving BroadcastExchange is IdentityBroadcastMode — the
+        two 16-row centroid-array sides of the bounded BNLJs (assign
+        argmax + probe ranking); a HashedRelationBroadcastMode anywhere
+        would mean a hinted broadcast of a corpus-scale frame;
+      - no CartesianProduct."""
+    thr = "spark.sql.autoBroadcastJoinThreshold"
+    with spark_conf(spark, thr, "-1"):
+        p = plan_of(spark, "q167_label_noise_ivf")
+    assert re.search(
+        r"\(\d+\) (SortMergeJoin|ShuffledHashJoin)[^\n]*\n"
+        r"Left keys \[\d+\]: \[centroid_id",
+        p,
+    ), f"probe join is not a centroid_id shuffle join:\n{p[:2000]}"
+    assert "CartesianProduct" not in p
+    assert not re.search(
+        r"\(\d+\) BroadcastHashJoin[^\n]*\nLeft keys \[\d+\]: \[centroid_id", p
+    )
+    assert "HashedRelationBroadcastMode" not in p, (
+        "a corpus-scale frame was hint-broadcast in the IVF audit path"
+    )
+
+
 def test_q113_probability_window_runs_on_grid_not_events(spark):
     """q113's conditional-probability window partitions by prev_type over
     the AGGREGATED |types|x|types| grid — the plan must show the bigram
@@ -969,6 +999,9 @@ _BNLJ_INTENTIONAL = {
     "q156_length_psi",  # 1-row min/max + totals scalars, tiny bin-range frame
     "q162_embedding_collapse",  # 1-row norm-stats scalar joined back
     "q163_label_noise",  # broadcast query vectors x corpus (q27's exact shape)
+    "q167_label_noise_ivf",  # bounded: 16-row centroid array broadcasts only
+    # (assign argmax + probe ranking); the corpus-fraction audit side is
+    # NEVER broadcast — pinned by test_label_noise_ivf_no_corpus_broadcast
 }
 
 

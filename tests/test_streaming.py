@@ -3356,3 +3356,83 @@ def test_dup_profile_fold_and_reports(spark, tmp_path_factory):
     assert {
         tuple(r) for r in dp.dup_histogram_report(spark, state2).collect()
     } == want_hist
+
+
+def test_label_centroid_fold_and_health_reports(spark, tmp_path_factory):
+    """Streaming embedding-health monitor (round 14 — the q162-q167
+    family's streaming twin): (a) the maintained per-label (n, sumvec)
+    state equals the one-shot sums of everything folded, (b) a committed
+    redelivery does NOT double the sums (non-idempotent merge — the case
+    the fold's sentinel discipline exists for), (c) the separation
+    report reproduces q164's centroid cosine from state alone, (d) the
+    per-batch health report flags a planted mislabel via the
+    centroid vote and scores cohesion against the MAINTAINED centroids,
+    (e) the stream twin converges to the same state."""
+    import math
+
+    from syntenybrowserv2_etl_spark.streaming import embhealth as eh
+
+    base = str(tmp_path_factory.mktemp("embhealth"))
+    state = os.path.join(base, "state")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    batches = [
+        [(0, [1.0, 0.0], 0), (1, [1.0, 0.1], 0), (2, [0.0, 1.0], 1)],
+        [(3, [0.9, 0.0], 0), (4, [0.1, 1.0], 1), (5, [0.0, 1.2], 1)],
+    ]
+    for i, rows in enumerate(batches):
+        eh.label_centroid_fold_batch(mk(rows), i, state_path=state, n_buckets=4)
+    got = {r["label"]: r for r in eh.read_label_centroids(spark, state).collect()}
+    all_rows = [r for b in batches for r in b]
+    for lb in (0, 1):
+        members = [r for r in all_rows if r[2] == lb]
+        assert got[lb]["n"] == len(members)
+        for d in range(2):
+            want = sum(float(r[1][d]) for r in members)
+            assert got[lb]["sumvec"][d] == pytest.approx(want, rel=1e-6)
+
+    # committed redelivery: state unchanged (no double count)
+    eh.label_centroid_fold_batch(mk(batches[1]), 1, state_path=state, n_buckets=4)
+    again = {r["label"]: r for r in eh.read_label_centroids(spark, state).collect()}
+    assert {k: (v["n"], v["sumvec"]) for k, v in again.items()} == {
+        k: (v["n"], v["sumvec"]) for k, v in got.items()
+    }
+
+    # separation report == cosine of the label sum-vectors
+    sep = eh.centroid_separation_report(
+        eh.read_label_centroids(spark, state)
+    ).collect()
+    assert len(sep) == 1 and sep[0]["label_a"] == 0 and sep[0]["label_b"] == 1
+    sa, sb = got[0]["sumvec"], got[1]["sumvec"]
+    want_cos = sum(x * y for x, y in zip(sa, sb)) / (
+        math.hypot(*sa) * math.hypot(*sb)
+    )
+    assert sep[0]["centroid_cos"] == pytest.approx(want_cos, abs=1e-6)
+    assert (sep[0]["n_a"], sep[0]["n_b"]) == (3, 3)
+
+    # batch health: vec 7 carries label 0 but sits on the label-1 axis
+    probe = mk([(6, [1.0, 0.05], 0), (7, [0.0, 1.0], 0), (8, [0.05, 1.0], 1)])
+    rep = {r["label"]: r for r in
+           eh.batch_label_health_report(probe, state).collect()}
+    assert rep[0]["n_batch"] == 2 and rep[0]["n_suspect"] == 1
+    assert rep[0]["suspect_rate"] == 0.5
+    assert rep[1]["n_suspect"] == 0 and rep[1]["mean_cos_own"] > 0.99
+
+    # stream twin over the same files converges to the same state
+    src = os.path.join(base, "src")
+    for rows in batches:
+        mk(rows).coalesce(1).write.mode("append").parquet(src)
+    state2 = os.path.join(base, "state2")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    eh.label_centroid_stream(
+        stream, state2, n_buckets=4, checkpoint=os.path.join(base, "ck")
+    ).awaitTermination(120)
+    got2 = {r["label"]: r for r in eh.read_label_centroids(spark, state2).collect()}
+    assert {k: (v["n"], [round(x, 9) for x in v["sumvec"]]) for k, v in got2.items()} == {
+        k: (v["n"], [round(x, 9) for x in v["sumvec"]]) for k, v in got.items()
+    }

@@ -108,6 +108,7 @@ KNOWN_OPS = frozenset({
     "unigram_kl", "token_fold", "lang_kappa", "corpus_diversity",
     "repeated_spans", "repeated_spans_hash", "roc_auc_binned",
     "excise_repeated", "shingle_fold",
+    "label_noise_ivf",
     "assoc_mi", "ks_drift", "kmv_overlap", "zipf_fit",
     "balanced_shards", "key_skew", "dist_psi", "ipf_reweight",
     "emb_covariance",
@@ -192,6 +193,24 @@ def main():
             F.col("vec_id").alias("query_id"), "embedding"
         )
         measure("knn_bruteforce", lambda: noop(sim.knn_bruteforce(emb, q, k=10)))
+
+        # q167: IVF-routed label-noise audit. The 1-in-4 audit sample and
+        # neighbor pool BOTH grow with the corpus, so the exact vote would
+        # be quadratic; the IVF route is O(n_audit * nprobe * n/C) with
+        # C ~ sqrt(n) — the measured curve should grow ~linearly in f.
+        from syntenybrowserv2_etl_spark.functions import hashing as hsh
+
+        lab_emb = emb.withColumn("label", (F.col("vec_id") % 10).cast("int"))
+        aud = lab_emb.filter(hsh.md5_long(F.col("vec_id")) % 4 == 0)
+        c_sqrt = max(16, int((max(n_emb, 1)) ** 0.5 / 4))
+        measure("label_noise_ivf",
+            lambda: noop(
+                sim.label_noise_audit_ivf(
+                    lab_emb, k=5, audit=aud, num_centroids=c_sqrt, nprobe=4,
+                    probe_salt=max(1, 32 // c_sqrt),
+                )
+            )
+        )
 
         # closure on a 16-ary forest over n_docs*f nodes: depth ~log16(n)
         edges = (
