@@ -1,10 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The image/audio decode libraries are not in this container, so the decode
-kernels are STUBBED (clearly marked below) behind a deterministic fake that
-preserves every real Spark-side concern: schema contracts, Arrow batch
-shape, ``mapInPandas`` iterator discipline, partition sizing, and metadata
-propagation. Swapping the stub for PIL/torchaudio is a one-function change.
+The image/audio decode libraries are not in this container. REAL pure-
+stdlib decode kernels cover PNG (inflate + un-filter), baseline JPEG
+(Huffman + dequant + IDCT, round 14), and PCM16 WAV; other containers
+(progressive/subsampled JPEG, h264, ...) are explicit NotImplementedError
+codec boundaries, and a clearly-marked deterministic STUB kernel remains
+for exercising the plumbing. All preserve every real Spark-side concern:
+schema contracts, Arrow batch shape, ``mapInPandas`` iterator discipline,
+partition sizing, and metadata propagation. Swapping a boundary for
+PIL/torchaudio is a one-function change.
 
 Scale posture: binary payloads ride in parquet binary columns; transforms
 run as Arrow-batched ``mapInPandas`` so each Python worker sees columnar
@@ -149,6 +153,448 @@ def _png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     return w, h, channels, bytes(out)
 
 
+# --- JPEG baseline codec (round 14 — VERDICT r13 optional #7) -------------
+# Pure stdlib, mirroring the PNG treatment: a REAL decoder for the hot
+# boundary (baseline sequential DCT, 8-bit, 1- or 3-component with no
+# chroma subsampling) plus a minimal grayscale encoder for fixtures whose
+# encode→decode roundtrip is INTEGER-EXACT by construction (block-constant
+# pixels with 8·(c−128) a multiple of the DC quant step: FDCT of a constant
+# block is DC-only, the DC quantizes losslessly, and the DC-only IDCT
+# reconstructs the constant — so a SQL oracle can recompute decoded pixel
+# sums closed-form, q143's discipline, despite JPEG being lossy in
+# general). Progressive (SOF2), 12-bit, arithmetic coding, and subsampled
+# chroma stay behind NotImplementedError — the same documented codec seam.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1 luminance quantization table, natural (row-major) order.
+_JPEG_QL = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# Annex K.3 typical Huffman tables (luminance DC / AC): (bits[1..16], vals).
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+_JPEG_COS = [
+    [__import__("math").cos((2 * x + 1) * u * __import__("math").pi / 16.0)
+     for x in range(8)]
+    for u in range(8)
+]
+_JPEG_C = [0.7071067811865476] + [1.0] * 7  # 1/sqrt(2) for u == 0
+
+
+def _dct8(vec: list[float]) -> list[float]:
+    return [
+        0.5 * _JPEG_C[u] * sum(vec[x] * _JPEG_COS[u][x] for x in range(8))
+        for u in range(8)
+    ]
+
+
+def _idct8(coef: list[float]) -> list[float]:
+    return [
+        0.5 * sum(_JPEG_C[u] * coef[u] * _JPEG_COS[u][x] for u in range(8))
+        for x in range(8)
+    ]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the canonical JPEG assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def done(self) -> bytes:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _jpeg_encode(w: int, h: int, ch: int, pix: bytes) -> bytes:
+    """Minimal baseline JFIF writer: 8-bit grayscale (ch=1) or RGB (ch=3,
+    converted to YCbCr), 1:1 sampling, Annex-K luminance quant + Huffman
+    tables shared by every component (legal, and it keeps the fixture's
+    exactness reasoning to ONE quant table). General input (the tests
+    roundtrip gradients within the quantization error bound); the q168
+    fixture feeds block-constant even-offset grays so the roundtrip is
+    integer-exact (header comment)."""
+    import struct
+
+    if ch not in (1, 3):
+        raise NotImplementedError("encoder supports grayscale or RGB only")
+    if ch == 1:
+        planes = [[float(b) for b in pix]]
+    else:
+        n = w * h
+        ys, cbs, crs = [0.0] * n, [0.0] * n, [0.0] * n
+        for i in range(n):
+            r, g, b = pix[3 * i], pix[3 * i + 1], pix[3 * i + 2]
+            ys[i] = 0.299 * r + 0.587 * g + 0.114 * b
+            cbs[i] = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+            crs[i] = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [ys, cbs, crs]
+
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    pred = [0] * ch
+
+    def category(v: int) -> int:
+        return v.bit_length() if v > 0 else (-v).bit_length()
+
+    for by in range(0, (h + 7) // 8 * 8, 8):
+        for bx in range(0, (w + 7) // 8 * 8, 8):
+            for ci, plane in enumerate(planes):
+                block = [
+                    plane[min(by + yy, h - 1) * w + min(bx + xx, w - 1)]
+                    - 128.0
+                    for yy in range(8)
+                    for xx in range(8)
+                ]
+                rows = [_dct8(block[r * 8 : (r + 1) * 8]) for r in range(8)]
+                coef = [0.0] * 64
+                for c in range(8):
+                    col = _dct8([rows[r][c] for r in range(8)])
+                    for r in range(8):
+                        coef[r * 8 + c] = col[r]
+                q = [int(round(coef[i] / _JPEG_QL[i])) for i in range(64)]
+                zz = [q[_JPEG_ZIGZAG[k]] for k in range(64)]
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                s = category(diff)
+                bw.put(*dc_codes[s])
+                if s:
+                    bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+                run = 0
+                for k in range(1, 64):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bw.put(*ac_codes[0xF0])  # ZRL
+                        run -= 16
+                    s = category(v)
+                    bw.put(*ac_codes[(run << 4) | s])
+                    bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    bw.put(*ac_codes[0x00])  # EOB
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = bytes([0]) + bytes(_JPEG_QL[_JPEG_ZIGZAG[k]] for k in range(64))
+    sof = struct.pack(">BHHB", 8, h, w, ch) + b"".join(
+        bytes([c + 1, 0x11, 0]) for c in range(ch)
+    )
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = bytes([ch]) + b"".join(
+        bytes([c + 1, 0x00]) for c in range(ch)
+    ) + bytes([0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC0, sof)
+        + seg(0xFFC4, dht)
+        + seg(0xFFDA, sos)
+        + bw.done()
+        + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("marker inside JPEG entropy stream")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib baseline JPEG decode: marker parse, canonical Huffman,
+    dequantize, de-zigzag, separable float IDCT, level shift + clamp;
+    3-component frames must be 1:1 sampled (no chroma subsampling) and
+    convert YCbCr→RGB. Returns (width, height, channels, row-major bytes)
+    — _png_decode's exact contract, so image_stats/decode_real dispatch on
+    magic bytes and share everything downstream."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comps: list[tuple[int, int, int]] = []  # (id, qtab, sampling)
+    scan: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
+    restart = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        body = data[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                if p + 65 > len(body):
+                    raise ValueError("truncated JPEG DQT segment")
+                zz = list(body[p + 1 : p + 65])
+                tab = [0] * 64
+                for k in range(64):
+                    tab[_JPEG_ZIGZAG[k]] = zz[k]
+                qt[tq] = tab
+                p += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0) supported"
+            )
+        elif marker == 0xC0:  # SOF0
+            if len(body) < 6 or len(body) < 6 + body[5] * 3:
+                raise ValueError("truncated JPEG SOF0 segment")
+            if body[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise NotImplementedError("1- or 3-component JPEG only")
+            for c in range(nc):
+                cid, samp, tq2 = body[6 + c * 3 : 9 + c * 3]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled chroma not supported (1:1 only)"
+                    )
+                comps.append((cid, tq2, samp))
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                if p + 17 > len(body):
+                    raise ValueError("truncated JPEG DHT segment")
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                nv = sum(bits)
+                if p + 17 + nv > len(body):
+                    raise ValueError("truncated JPEG DHT segment")
+                vals = list(body[p + 17 : p + 17 + nv])
+                codes = _canonical_codes(bits, vals)
+                huff[(tc, th)] = {cl: sym for sym, cl in codes.items()}
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS
+            if len(body) < 1 or len(body) < 1 + body[0] * 2 + 3:
+                raise ValueError("truncated JPEG SOS segment")
+            ns = body[0]
+            for c in range(ns):
+                cs, tabs = body[1 + c * 2], body[2 + c * 2]
+                idx = next(
+                    i for i, (cid, _, _) in enumerate(comps) if cid == cs
+                )
+                scan.append((idx, tabs >> 4, tabs & 0xF))
+            pos = pos  # entropy data starts here
+            break
+        # APPn / COM / others: skipped via ln
+    if w is None or not scan:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    def decode_sym(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+        code, ln2 = 0, 0
+        while ln2 < 16:
+            code = (code << 1) | br.bit()
+            ln2 += 1
+            sym = table.get((code, ln2))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG huffman code")
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    br = _BitReader(data, pos)
+    nc = len(comps)
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    planes = [bytearray(bw_ * 8 * bh_ * 8) for _ in range(nc)]
+    pred = [0] * nc
+    n_mcu = 0
+    for myy in range(bh_):
+        for mxx in range(bw_):
+            if restart and n_mcu and n_mcu % restart == 0:
+                # byte-align and consume RSTn
+                br.n = 0
+                if (
+                    br.pos + 2 <= len(br.data)
+                    and br.data[br.pos] == 0xFF
+                    and 0xD0 <= br.data[br.pos + 1] <= 0xD7
+                ):
+                    br.pos += 2
+                pred = [0] * nc
+            n_mcu += 1
+            for ci, dct, act in scan:
+                dc_tab = huff.get((0, dct))
+                ac_tab = huff.get((1, act))
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                q = qt[comps[ci][1]]
+                zz = [0] * 64
+                s = decode_sym(br, dc_tab)
+                diff = extend(br.bits(s), s) if s else 0
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = decode_sym(br, ac_tab)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    zz[k] = extend(br.bits(s), s)
+                    k += 1
+                coef = [0.0] * 64
+                for k2 in range(64):
+                    nat = _JPEG_ZIGZAG[k2]
+                    coef[nat] = zz[k2] * q[nat]
+                rows = [_idct8(coef[r * 8 : (r + 1) * 8]) for r in range(8)]
+                plane = planes[ci]
+                stride = bw_ * 8
+                for xx in range(8):
+                    col = _idct8([rows[r][xx] for r in range(8)])
+                    for yy in range(8):
+                        v = int(round(col[yy] + 128.0))
+                        plane[(myy * 8 + yy) * stride + mxx * 8 + xx] = (
+                            0 if v < 0 else (255 if v > 255 else v)
+                        )
+    stride = bw_ * 8
+    if nc == 1:
+        out = bytearray(w * h)
+        for y in range(h):
+            out[y * w : (y + 1) * w] = planes[0][y * stride : y * stride + w]
+        return w, h, 1, bytes(out)
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        for x in range(w):
+            yv = planes[0][y * stride + x]
+            cb = planes[1][y * stride + x] - 128
+            cr = planes[2][y * stride + x] - 128
+            for c, v in enumerate(
+                (yv + 1.402 * cr, yv - 0.344136 * cb - 0.714136 * cr,
+                 yv + 1.772 * cb)
+            ):
+                iv = int(round(v))
+                out[(y * w + x) * 3 + c] = (
+                    0 if iv < 0 else (255 if iv > 255 else iv)
+                )
+    return w, h, 3, bytes(out)
+
+
+def _decode_image(data: bytes) -> tuple[int, int, int, bytes]:
+    """Magic-byte dispatch over the stdlib image decoders (PNG / baseline
+    JPEG) — one entry point for image_stats and decode_real."""
+    if data[:8] == _PNG_MAGIC:
+        return _png_decode(data)
+    if data[:2] == b"\xff\xd8":
+        return _jpeg_decode(data)
+    raise NotImplementedError("payload is neither PNG nor baseline JPEG")
+
+
 def _wav_decode(data: bytes) -> tuple[int, int, list[int]]:
     """Pure-stdlib RIFF/WAVE PCM16 decode via struct unpacking.
 
@@ -185,18 +631,21 @@ def decode_real(payload: bytes, kind: str) -> list[float]:
     - PNG (8-bit, non-interlaced, non-palette): full inflate + un-filter,
       feature = [mean of each of up to 4 channels / 255 (absent → 0),
       mean luminance of each image quadrant / 255].
+    - JPEG (baseline sequential, 8-bit, 1:1 sampling): full marker parse,
+      Huffman decode, dequantize + IDCT (round 14) — same image feature.
     - WAV (RIFF PCM16): full chunk parse, feature = RMS of 8 equal
       sample segments, normalized by 2^15.
 
-    Anything else (JPEG, h264, ...) raises NotImplementedError — that
+    Anything else (progressive/subsampled JPEG, h264, ...) raises
+    NotImplementedError — that
     remains the documented seam for containers with the codec libraries
     installed. Same 8-float output contract as ``_decode_stub``, so the
     two kernels are drop-in interchangeable in ``extract_features``.
     """
     if payload is None:
         return [0.0] * 8
-    if payload[:8] == _PNG_MAGIC:
-        w, h, ch, pix = _png_decode(payload)
+    if payload[:8] == _PNG_MAGIC or payload[:2] == b"\xff\xd8":
+        w, h, ch, pix = _decode_image(payload)
         n_px = w * h
         chan_means = [0.0] * 4
         for c in range(ch):
@@ -233,8 +682,9 @@ def decode_real(payload: bytes, kind: str) -> list[float]:
             out.append(rms / 32768.0)
         return out
     raise NotImplementedError(
-        "payload is neither PNG nor PCM16 WAV; decoding other containers "
-        "needs the real codec libraries (PIL / torchaudio / pyav)"
+        "payload is neither PNG, baseline JPEG, nor PCM16 WAV; decoding "
+        "other containers needs the real codec libraries (PIL / "
+        "torchaudio / pyav)"
     )
 
 
@@ -399,7 +849,7 @@ def image_stats(media: DataFrame) -> DataFrame:
                 if kind != "image" or payload is None:
                     continue
                 try:
-                    w, h, ch, pix = _png_decode(bytes(payload))
+                    w, h, ch, pix = _decode_image(bytes(payload))
                 except (ValueError, NotImplementedError):
                     continue
                 csum = [0, 0, 0]
@@ -517,6 +967,37 @@ def synthetic_png_media(spark, n: int = 48) -> DataFrame:
         )
         rows.append(
             (i, "image", _png_encode(w, h, 3, pix), w, h, None, "png")
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def synthetic_jpeg_media(spark, n: int = 40) -> DataFrame:
+    """Deterministic REAL-JPEG fixture whose decode is INTEGER-EXACT:
+    grayscale baseline JPEGs, dimensions multiples of 8, every 8×8 block a
+    constant gray with an EVEN offset from 128:
+
+        c(id, bx, by) = 128 + 2·((id·31 + bx·7 + by·13) mod 60) − 60,
+        w(id) = 8·(2 + id mod 3),  h(id) = 8·(1 + id mod 4)
+
+    FDCT of a constant block is DC-only with DC = 8·(c−128); the Annex-K
+    DC quant step is 16, so an even (c−128) quantizes LOSSLESSLY and the
+    DC-only IDCT reconstructs c exactly — lossy JPEG, exact roundtrip by
+    construction. A SQL oracle therefore recomputes per-image pixel sums
+    from the closed form in pure integer arithmetic while Spark runs the
+    FULL byte path (parquet binary → Arrow → _jpeg_decode: marker parse,
+    Huffman, dequant, IDCT). The JPEG leg of the q97/q143 discipline.
+    The encoder's Huffman/DCT generality (AC runs, byte stuffing,
+    gradients, RGB) is covered by roundtrip-tolerance unit tests."""
+    rows = []
+    for i in range(n):
+        w, h = 8 * (2 + i % 3), 8 * (1 + i % 4)
+        pix = bytes(
+            128 + 2 * ((i * 31 + (x // 8) * 7 + (y // 8) * 13) % 60) - 60
+            for y in range(h)
+            for x in range(w)
+        )
+        rows.append(
+            (i, "image", _jpeg_encode(w, h, 1, pix), w, h, None, "jpeg")
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 

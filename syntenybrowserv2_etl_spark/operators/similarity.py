@@ -194,6 +194,7 @@ def knn_ivf(
     nprobe: int = 2,
     broadcast_probe: bool = True,
     probe_salt: int = 1,
+    narrow_probe: bool = False,
 ) -> DataFrame:
     """IVF probe: per query, rank centroids, scan only the top ``nprobe``
     cells, exact-rank within them. Same output shape as knn_bruteforce.
@@ -212,6 +213,18 @@ def knn_ivf(
       itself table-scale (millions of rows × nprobe replicas would melt a
       broadcast).
 
+    ``narrow_probe`` (round 14): the default probe ranks centroids with a
+    row_number window — an exchange of (queries × C) rows carrying a
+    REPLICATED copy of every query vector, fine for interactive query
+    sets, real shuffle traffic when the query side is a corpus fraction
+    (q167's audit sample). With ``narrow_probe=True`` the top-``nprobe``
+    cells come from a broadcast centroid ARRAY per query row —
+    ``array_sort`` on (−sim, id) structs then ``slice`` — so probe
+    selection is a pure map: zero exchanges, no vector replication, and
+    the identical cells/tie-breaks as the window form (pinned by test).
+    Degenerate zero-norm queries (NaN cosine) may order differently
+    between the two forms; both are meaningless for them.
+
     ``probe_salt`` (shuffle path only): a bare cell-keyed join has at
     most |cells| distinct keys, so cluster parallelism COLLAPSES to the
     centroid count no matter how many executors exist — the SCALE.md
@@ -225,28 +238,76 @@ def knn_ivf(
     1 disables.
     """
     q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
-    cw = Window.partitionBy(query_id_col).orderBy(
-        F.col("__csim").desc(), F.col("centroid_id").asc()
-    )
-    probe = (
-        q.crossJoin(F.broadcast(centroids))
-        .select(
-            query_id_col,
-            "__qvec",
-            "centroid_id",
-            cosine_expr(F.col("__qvec"), F.col("centroid")).alias("__csim"),
+    if narrow_probe:
+        cent_arr = F.broadcast(
+            centroids.agg(
+                F.collect_list(
+                    F.struct(
+                        F.col("centroid_id").alias("id"),
+                        F.col("centroid").alias("vec"),
+                        norm_expr(F.col("centroid")).alias("nrm"),
+                    )
+                ).alias("__cents")
+            )
         )
-        .withColumn("__cr", F.row_number().over(cw))
-        .filter(F.col("__cr") <= nprobe)
-        # query norm staged once per (query, probed cell) — materialized
-        # through the broadcast/shuffle, never recomputed per scored pair
-        .select(
-            query_id_col,
-            "__qvec",
-            "centroid_id",
-            norm_expr(F.col("__qvec")).alias("__qnrm"),
+        # (−sim, id) struct ordering ≡ the window's (sim DESC, id ASC)
+        top_cells = F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("__cents"),
+                    lambda c: F.struct(
+                        (
+                            -(
+                                dot_expr(F.col("__qvec"), c["vec"])
+                                / (F.col("__qnrm") * c["nrm"])
+                            )
+                        ).alias("negsim"),
+                        c["id"].alias("id"),
+                    ),
+                )
+            ),
+            1,
+            nprobe,
         )
-    )
+        probe = (
+            q.withColumn("__qnrm", norm_expr(F.col("__qvec")))
+            .crossJoin(cent_arr)
+            .select(
+                query_id_col,
+                "__qvec",
+                "__qnrm",
+                F.explode(top_cells).alias("__tc"),
+            )
+            .select(
+                query_id_col,
+                "__qvec",
+                F.col("__tc")["id"].alias("centroid_id"),
+                "__qnrm",
+            )
+        )
+    else:
+        cw = Window.partitionBy(query_id_col).orderBy(
+            F.col("__csim").desc(), F.col("centroid_id").asc()
+        )
+        probe = (
+            q.crossJoin(F.broadcast(centroids))
+            .select(
+                query_id_col,
+                "__qvec",
+                "centroid_id",
+                cosine_expr(F.col("__qvec"), F.col("centroid")).alias("__csim"),
+            )
+            .withColumn("__cr", F.row_number().over(cw))
+            .filter(F.col("__cr") <= nprobe)
+            # query norm staged once per (query, probed cell) — materialized
+            # through the broadcast/shuffle, never recomputed per scored pair
+            .select(
+                query_id_col,
+                "__qvec",
+                "centroid_id",
+                norm_expr(F.col("__qvec")).alias("__qnrm"),
+            )
+        )
     # corpus norm staged once per corpus row (the exchange/Join boundary
     # keeps CollapseProject from re-inlining it into the per-pair cosine)
     corpus = assigned.withColumn("__vnrm", norm_expr(F.col(vec_col)))
@@ -1247,6 +1308,9 @@ def label_noise_audit_ivf(
         nprobe=nprobe,
         broadcast_probe=False,
         probe_salt=probe_salt,
+        # corpus-fraction query set: probe selection must not exchange
+        # (queries × C) replicated vectors — narrow array ranking instead
+        narrow_probe=True,
     )
     return label_noise_audit(
         emb, id_col, vec_col, label_col, k=k, audit=audited, neighbors=nn

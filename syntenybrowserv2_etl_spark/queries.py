@@ -7358,6 +7358,65 @@ def _label_noise_ivf_sql(n_centroids: int, nprobe: int, k: int) -> str:
 
 
 @register(
+    "q168_jpeg_stats",
+    """
+    WITH ids AS (SELECT unnest(range(0, 40)) AS media_id),
+    dims AS (SELECT media_id, 8 * (2 + media_id % 3) AS w,
+                    8 * (1 + media_id % 4) AS h
+             FROM ids),
+    px AS (
+      SELECT d.media_id, d.w, d.h,
+             128 + 2 * ((d.media_id * 31 + (x.x // 8) * 7
+                         + (y.y // 8) * 13) % 60) - 60 AS v,
+             CASE WHEN y.y >= (d.h + 1) // 2 THEN 2 ELSE 0 END
+             + CASE WHEN x.x >= (d.w + 1) // 2 THEN 1 ELSE 0 END AS q
+      FROM dims d,
+      LATERAL (SELECT unnest(range(0, d.w)) AS x) AS x,
+      LATERAL (SELECT unnest(range(0, d.h)) AS y) AS y)
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS sum_c0,
+           CAST(0 AS BIGINT) AS sum_c1,
+           CAST(0 AS BIGINT) AS sum_c2,
+           CAST(SUM(CASE WHEN q = 0 THEN v ELSE 0 END) AS BIGINT) AS lum_q0,
+           CAST(SUM(CASE WHEN q = 1 THEN v ELSE 0 END) AS BIGINT) AS lum_q1,
+           CAST(SUM(CASE WHEN q = 2 THEN v ELSE 0 END) AS BIGINT) AS lum_q2,
+           CAST(SUM(CASE WHEN q = 3 THEN v ELSE 0 END) AS BIGINT) AS lum_q3
+    FROM px GROUP BY media_id
+    """,
+    tags=["image stats through the REAL baseline-JPEG decode (mapInPandas)"],
+)
+def q168(spark, sf_dir):
+    """q143's discipline for the LOSSY codec: per-image pixel sums through
+    the FULL binary path — valid baseline JPEGs (marker parse → Huffman →
+    dequant → IDCT, operators/multimodal._jpeg_decode) — hash-matching a
+    pure-integer SQL oracle. Exactness despite lossiness is by fixture
+    construction (synthetic_jpeg_media: block-constant grays with even
+    offset from 128, whose DC quantizes losslessly and whose AC vanish),
+    so this value-checks the JPEG decode leg itself; the codec's general
+    (inexact) paths — AC runs, byte stuffing, gradients, RGB/YCbCr — are
+    roundtrip-tolerance unit tests. operators/multimodal.image_stats
+    dispatches PNG/JPEG by magic bytes."""
+    media = mm_ops.synthetic_jpeg_media(spark, 40)
+    s = mm_ops.image_stats(media)
+    return s.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "sum_c0",
+        "sum_c1",
+        "sum_c2",
+        "lum_q0",
+        "lum_q1",
+        "lum_q2",
+        "lum_q3",
+    )
+
+
+@register(
     "q167_label_noise_ivf",
     _label_noise_ivf_sql(16, 4, 5),
     tags=["label-noise audit, IVF-routed (the corpus-scale path)"],
@@ -7613,8 +7672,9 @@ _DEMOTED_PAST_WINDOW = [
     "q165_label_cohesion",
     "q166_entropy_rate",
     # round 14: parity-gated from birth (standing policy; backlog-growth
-    # policy holds new entries ≤ promotions — 1 new vs 16 promoted).
+    # policy holds new entries ≤ promotions — 2 new vs 16 promoted).
     "q167_label_noise_ivf",
+    "q168_jpeg_stats",
 ]
 
 

@@ -1411,6 +1411,78 @@ def test_decode_real_malformed_payloads_raise_clean_errors():
         multimodal._wav_decode(short_fmt)
 
 
+def test_jpeg_roundtrip_block_constant_exact():
+    """The q168 exactness construction: grayscale block-constant pixels
+    with even offsets from 128 survive encode→decode BIT-EXACTLY (DC
+    quantizes losslessly, AC vanish) — through the full real codec
+    (FDCT, Huffman encode, marker stream, Huffman decode, IDCT)."""
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+
+    w, h = 24, 32
+    pix = bytes(
+        128 + 2 * ((5 * 31 + (x // 8) * 7 + (y // 8) * 13) % 60) - 60
+        for y in range(h)
+        for x in range(w)
+    )
+    w2, h2, ch, out = mm._jpeg_decode(mm._jpeg_encode(w, h, 1, pix))
+    assert (w2, h2, ch) == (w, h, 1)
+    assert out == pix
+
+
+def test_jpeg_roundtrip_gradients_within_quant_error():
+    """General (inexact) paths — AC coefficients, run-lengths, byte
+    stuffing, non-multiple-of-8 dimensions, RGB/YCbCr — reconstruct
+    within a small per-pixel bound (Annex-K tables keep smooth gradients
+    within a few levels)."""
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+
+    w, h = 21, 13  # deliberately not multiples of 8 (edge replication)
+    gray = bytes((x * 5 + y * 3) % 256 for y in range(h) for x in range(w))
+    _, _, ch, out = mm._jpeg_decode(mm._jpeg_encode(w, h, 1, gray))
+    assert ch == 1 and len(out) == w * h
+    assert max(abs(a - b) for a, b in zip(gray, out)) <= 8
+
+    rgb = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in ((x * 9) % 256, (y * 13) % 256, ((x + y) * 5) % 256)
+    )
+    w2, h2, ch3, out3 = mm._jpeg_decode(mm._jpeg_encode(w, h, 3, rgb))
+    assert (w2, h2, ch3) == (w, h, 3)
+    assert max(abs(a - b) for a, b in zip(rgb, out3)) <= 12
+
+
+def test_jpeg_codec_boundaries():
+    """Progressive (SOF2) and subsampled-chroma JPEGs stay behind
+    NotImplementedError (the documented codec seam); structural garbage
+    raises ValueError; decode_real dispatches JPEG by magic and keeps the
+    8-float contract."""
+    import pytest as _pt
+
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+
+    base = mm._jpeg_encode(8, 8, 1, bytes([130] * 64))
+    # flip SOF0 -> SOF2 (progressive)
+    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pt.raises(NotImplementedError, match="baseline"):
+        mm._jpeg_decode(prog)
+    # 2x2-subsampled luminance: patch the SOF sampling byte (0x11 -> 0x22)
+    sof_at = base.index(b"\xff\xc0")
+    sub = bytearray(base)
+    sub[sof_at + 11] = 0x22  # marker(2) + len(2) + P(1) + Y(2) + X(2) + Nf(1) + Cid(1)
+    with _pt.raises(NotImplementedError, match="subsampl"):
+        mm._jpeg_decode(bytes(sub))
+    with _pt.raises(ValueError, match="not a JPEG"):
+        mm._jpeg_decode(b"\x00\x11" + base)
+    with _pt.raises(ValueError):
+        mm._jpeg_decode(base[:40])  # truncated mid-headers
+    feat = mm.decode_real(base, "image")
+    assert len(feat) == 8
+    assert feat[0] == _pt.approx(130 / 255.0, abs=1e-9)
+    assert all(q == _pt.approx(130 / 255.0, abs=1e-9) for q in feat[4:])
+
+
 def test_bm25_rank_empty_query_terms_rejected(spark):
     import pytest as _pt
 
@@ -3875,9 +3947,14 @@ def test_image_stats_real_decode_and_codec_boundary(spark):
         schema=multimodal.MEDIA_SCHEMA,
     )
     assert multimodal.image_stats(junk).count() == 0
-    # the documented codec boundary still raises for compressed formats
-    with pytest.raises(NotImplementedError):
+    # a JPEG magic with a garbage body is now a DECODE error — the real
+    # baseline decoder landed in round 14, so the codec boundary moved to
+    # progressive/subsampled variants (test_jpeg_codec_boundaries);
+    # unknown containers still raise NotImplementedError
+    with pytest.raises(ValueError):
         multimodal.decode_real(b"\xff\xd8\xff\xe0JFIF-ish", "image")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"\x00unknown-container-magic", "image")
 
 
 def test_categorical_association_hand_computed(spark):
@@ -4376,6 +4453,35 @@ def test_label_noise_audit_ivf_matches_exact_on_clusters(spark):
                df, k=5, num_centroids=2, nprobe=2).collect()}
     assert ivf == exact
     assert ivf[9] == (1, 1)
+
+
+def test_knn_ivf_narrow_probe_identical_to_window_probe(spark):
+    """The round-14 narrow probe (array_sort over the broadcast centroid
+    array — zero probe-stage exchanges) must select the SAME cells with
+    the SAME tie-breaks as the window form, hence produce identical
+    (query_id, vec_id, rank) output on a real query table."""
+    from pyspark.sql import functions as F
+
+    from syntenybrowserv2_etl_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.pick_centroids(emb, 16)
+    assigned = S.assign_centroids(emb, cents)
+    q = emb.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=5, nprobe=4, broadcast_probe=False)
+    window_out = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in S.knn_ivf(assigned, cents, q, **kw).collect()
+    }
+    narrow_out = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in S.knn_ivf(
+            assigned, cents, q, narrow_probe=True, **kw
+        ).collect()
+    }
+    assert narrow_out == window_out and len(narrow_out) > 0
 
 
 def test_label_noise_audit_ivf_recall_vs_exact_sf0001(spark):

@@ -27,111 +27,11 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-# The newest parity-gated entries additionally run at sf0.01 — the same
-# scale as the driver's own correctness window — so their verification
-# strength matches the promoted queries' (VERDICT r5 "What's missing" #2).
-SF_MED_STRENGTHENED = [
-    "q72_bloom_incremental",
-    "q73_curate_pipeline",
-    "q74_bpe_merges",
-    "q75_bpe_token_budget",
-    "q76_semantic_dedup",
-    "q77_tfidf_terms",
-    "q78_bm25_rank",
-    "q79_domain_cap",
-    "q80_temperature_mix",
-    "q81_perplexity_buckets",
-    "q82_dsir_importance",
-    "q83_funnel",
-    "q84_cohort_retention",
-    "q85_pagerank",
-    "q86_scd2_history",
-    "q87_quality_classifier",
-    "q88_pq_adc_topk",
-    "q89_weighted_sample",
-    "q90_ivf_pq",
-    "q91_setsim_prefix_join",
-    "q92_stat_aggregates",
-    "q93_media_text_match",
-    "q94_scd2_apply",
-    "q95_leakage_free_split",
-    "q96_best_of_cluster",
-    "q97_audio_frames",
-    "q98_session_examples",
-    "q99_triangle_counts",
-    "q100_gapfill_hourly",
-    "q101_profile_orders",
-    "q102_zorder_key",
-    "q103_zscore_outliers",
-    "q104_snapshot_diff",
-    "q105_expectations",
-    "q106_ohlc_daily",
-    "q107_time_weighted_avg",
-    "q108_approx_quantile_bounds",
-    "q109_seasonal_naive_backtest",
-    "q110_heavy_hitters",
-    "q111_sketch_rollup",
-    "q112_containment_join",
-    "q113_event_transitions",
-    "q114_trailing_window",
-    "q115_editdist1_join",
-    "q116_knn_batch",
-    "q117_entity_resolution",
-    "q118_phrase_search",
-    "q119_neardup_decontam",
-    "q120_multi_phrase",
-    "q121_phrase_decontam",
-    "q122_embedding_decontam",
-    "q123_copurchase",
-    "q124_cusum_drift",
-    "q125_mad_outliers",
-    "q126_hard_negatives",
-    # round 11
-    "q127_interval_coverage",
-    "q128_asof_forward",
-    "q129_interval_gaps",
-    "q130_pareto_frontier",
-    "q131_max_concurrency",
-    "q132_golden_records",
-    # round 12
-    "q133_rrf_fusion",
-    "q134_roc_auc",
-    "q135_token_kl_drift",
-    "q136_stopword_calibration",
-    "q137_pmi_collocations",
-    "q138_shard_stitch",
-    "q139_lang_kappa",
-    "q140_source_diversity",
-    "q141_dup_histogram",
-    # round 13
-    "q142_repeated_spans",
-    "q143_image_stats",
-    "q144_excise_repeated",
-    "q145_retrieval_metrics",
-    "q146_substr_decontam",
-    "q147_repeated_coverage",
-    "q148_source_lang_mi",
-    "q149_length_ks",
-    "q150_source_overlap",
-    "q151_zipf_slope",
-    "q152_balanced_shards",
-    "q153_key_skew",
-    "q154_lsh_recall",
-    "q155_ipf_reweight",
-    "q156_length_psi",
-    "q157_dup_flow",
-    "q158_effective_size",
-    "q159_embedding_covariance",
-    "q160_exact_quantile_grid",
-    "q161_oov_rate",
-    "q162_embedding_collapse",
-    "q163_label_noise",
-    "q164_label_separation",
-    "q165_label_cohesion",
-    "q166_entropy_rate",
-    # round 14
-    "q167_label_noise_ivf",
-]
+# Round 14 (VERDICT r13 #6): EVERY demoted entry runs its full value oracle
+# at sf0.01 as well — the same scale as the driver's own correctness gate —
+# not just the q72+ tranche this list previously enumerated. The suite-time
+# cost is absorbed by tools/partest.py (8-way sharded run, r13 #3).
+SF_MED_STRENGTHENED = list(Q._DEMOTED_PAST_WINDOW)
 
 
 def canon(df: pd.DataFrame) -> list[tuple]:
@@ -199,7 +99,8 @@ def test_demoted_query_matches_oracle(spark, duck, name):
 
 @pytest.mark.parametrize("name", SF_MED_STRENGTHENED)
 def test_newest_parity_entries_match_oracle_at_sf001(spark, duck_med, name):
-    """q72+ run their full value oracle at sf0.01 as well — an order of
-    magnitude more data than the sf0.001 sweep above, matching the
-    verification strength of the driver's own correctness window."""
+    """Every demoted entry runs its full value oracle at sf0.01 as well —
+    an order of magnitude more data than the sf0.001 sweep above, matching
+    the verification strength of the driver's own correctness window
+    (extended from the q72+ tranche to ALL demoted entries in round 14)."""
     _assert_parity(spark, duck_med, name, SF_MED)

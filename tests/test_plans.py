@@ -887,6 +887,9 @@ def test_label_noise_ivf_no_corpus_broadcast(spark):
         two 16-row centroid-array sides of the bounded BNLJs (assign
         argmax + probe ranking); a HashedRelationBroadcastMode anywhere
         would mean a hinted broadcast of a corpus-scale frame;
+      - probe-cell selection is the NARROW array ranking (array_sort over
+        the broadcast centroid array) — no window exchange of
+        (audit × C) replicated query vectors;
       - no CartesianProduct."""
     thr = "spark.sql.autoBroadcastJoinThreshold"
     with spark_conf(spark, thr, "-1"):
@@ -902,6 +905,14 @@ def test_label_noise_ivf_no_corpus_broadcast(spark):
     )
     assert "HashedRelationBroadcastMode" not in p, (
         "a corpus-scale frame was hint-broadcast in the IVF audit path"
+    )
+    assert "array_sort" in p, "probe ranking is not the narrow array form"
+    # the probe-stage window over the audit sample is gone: its marker
+    # columns (__csim cosine rank input, __cr row_number) appear nowhere
+    # (remaining Windows: in-cell top-k, majority vote, and the 16-row
+    # centroid pick — all bounded)
+    assert "__csim" not in p and "__cr" not in p, (
+        "the (audit × C) window probe is back"
     )
 
 

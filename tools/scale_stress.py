@@ -108,7 +108,8 @@ KNOWN_OPS = frozenset({
     "unigram_kl", "token_fold", "lang_kappa", "corpus_diversity",
     "repeated_spans", "repeated_spans_hash", "roc_auc_binned",
     "excise_repeated", "shingle_fold",
-    "label_noise_ivf",
+    "label_noise_ivf", "quantile_grid", "oov_rate", "entropy_rate",
+    "embedding_collapse", "label_separation", "label_cohesion",
     "assoc_mi", "ks_drift", "kmv_overlap", "zipf_fit",
     "balanced_shards", "key_skew", "dist_psi", "ipf_reweight",
     "emb_covariance",
@@ -1204,6 +1205,65 @@ def main():
                         "k", F.expr("cast(sqrt(doc_id) as long)")
                     ),
                     "k",
+                )
+            ),
+        )
+
+        # round 14: the q160-q166 tail (VERDICT r13 #5) — exact quantile
+        # grid, OOV, collapse, label separation/cohesion, entropy rate.
+        measure(
+            "quantile_grid",
+            lambda: noop(
+                __import__(
+                    "syntenybrowserv2_etl_spark.operators.profiling",
+                    fromlist=["exact_quantiles_bounded"],
+                ).exact_quantiles_bounded(
+                    _audit_docs().withColumn("n_chars", F.length("text")),
+                    "source",
+                    "n_chars",
+                    qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+                )
+            ),
+        )
+        measure(
+            "oov_rate",
+            lambda: noop(
+                txt.oov_rate(_audit_docs(), "source", "text", vocab_k=1000)
+            ),
+        )
+        measure(
+            "entropy_rate",
+            lambda: noop(
+                __import__(
+                    "syntenybrowserv2_etl_spark.operators.drift",
+                    fromlist=["entropy_rate"],
+                ).entropy_rate(_audit_docs(), "source", "text")
+            ),
+        )
+        measure(
+            "embedding_collapse",
+            lambda: noop(
+                sim.embedding_collapse_report(emb, "vec_id", "embedding")
+            ),
+        )
+        measure(
+            "label_separation",
+            lambda: noop(
+                sim.label_centroid_separation(
+                    emb.withColumn("label", (F.col("vec_id") % 10).cast("int")),
+                    "label",
+                    "embedding",
+                )
+            ),
+        )
+        measure(
+            "label_cohesion",
+            lambda: noop(
+                sim.label_cohesion(
+                    emb.withColumn("label", (F.col("vec_id") % 10).cast("int")),
+                    "label",
+                    "embedding",
+                    "vec_id",
                 )
             ),
         )
