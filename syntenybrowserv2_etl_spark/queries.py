@@ -4940,7 +4940,11 @@ def q116(spark, sf_dir):
     strategy that survives query sets too large to replicate into every
     executor — each task scores one cell's corpus rows against exactly
     the queries probing that cell, and per-query k-capping runs on the
-    query-partitioned side of that same exchange.
+    query-partitioned side of that same exchange. Round 14: probe-cell
+    selection is the NARROW array ranking (narrow_probe=True — no
+    (queries × C) window exchange of replicated vectors; identical
+    cells/tie-breaks, equality-pinned), the right default for exactly
+    this table-scale query shape.
     """
     emb = t(spark, sf_dir, "embeddings")
     cents = sim_ops.pick_centroids(emb, 16)
@@ -4949,7 +4953,8 @@ def q116(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = sim_ops.knn_ivf(
-        assigned, cents, qs, k=3, nprobe=4, broadcast_probe=False
+        assigned, cents, qs, k=3, nprobe=4, broadcast_probe=False,
+        narrow_probe=True,
     )
     return out.select(
         "query_id",
