@@ -3436,3 +3436,40 @@ def test_label_centroid_fold_and_health_reports(spark, tmp_path_factory):
     assert {k: (v["n"], [round(x, 9) for x in v["sumvec"]]) for k, v in got2.items()} == {
         k: (v["n"], [round(x, 9) for x in v["sumvec"]]) for k, v in got.items()
     }
+
+
+def test_label_centroid_fold_lost_marker_detection(spark, tmp_path_factory):
+    """embhealth's merge is an elementwise SUM — same worst-case
+    non-idempotency as the drift monitor: a fully-committed batch whose
+    marker directory was lost must be detected via __b and skipped
+    (state files untouched, centroid sums not doubled)."""
+    from syntenybrowserv2_etl_spark.streaming import embhealth as eh
+
+    base = str(tmp_path_factory.mktemp("emb_lostmark"))
+    state = os.path.join(base, "state")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    eh.label_centroid_fold_batch(
+        mk([(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 1)]), 0,
+        state_path=state, n_buckets=4,
+    )
+    eh.label_centroid_fold_batch(
+        mk([(2, [2.0, 0.0], 0)]), 1, state_path=state, n_buckets=4
+    )
+    want = {
+        r["label"]: (r["n"], r["sumvec"])
+        for r in eh.read_label_centroids(spark, state).collect()
+    }
+    assert want[0] == (2, [3.0, 0.0]) and want[1] == (1, [0.0, 1.0])
+    files = sorted(glob.glob(os.path.join(state, "__kb=*", "*.parquet")))
+    shutil.rmtree(os.path.join(state, "_batches", "1"))
+    eh.label_centroid_fold_batch(
+        mk([(2, [2.0, 0.0], 0)]), 1, state_path=state, n_buckets=4
+    )
+    assert sorted(glob.glob(os.path.join(state, "__kb=*", "*.parquet"))) == files
+    assert {
+        r["label"]: (r["n"], r["sumvec"])
+        for r in eh.read_label_centroids(spark, state).collect()
+    } == want
+    assert os.path.isdir(os.path.join(state, "_batches", "1"))
