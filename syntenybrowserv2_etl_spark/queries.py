@@ -7179,7 +7179,8 @@ def q163(spark, sf_dir):
     a different label is a suspect annotation — the pre-training label
     audit. Exact brute-force neighbors at this oracle-checkable scale;
     at corpus scale the identical vote runs on knn_ivf's probed
-    neighbors (the q27:q30 split). Majority ties break to the smaller
+    neighbors — q167_label_noise_ivf, a real wired code path since
+    round 14 (label_noise_audit_ivf), not just the q27:q30 analogy. Majority ties break to the smaller
     label; neighbor ranks tie-break by id — deterministic cross-engine
     on the bit-identical cosine. The audited set is a deterministic
     1-in-4 hash sample (sample-the-audit, keep-the-pool — the neighbor

@@ -4482,6 +4482,15 @@ def test_knn_ivf_narrow_probe_identical_to_window_probe(spark):
         ).collect()
     }
     assert narrow_out == window_out and len(narrow_out) > 0
+    # the narrow probe composes with cell salting (salt applies AFTER
+    # probe construction; result-invariant by the sub-key argument)
+    salted = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in S.knn_ivf(
+            assigned, cents, q, narrow_probe=True, probe_salt=5, **kw
+        ).collect()
+    }
+    assert salted == window_out
 
 
 def test_label_noise_audit_ivf_recall_vs_exact_sf0001(spark):

@@ -3473,3 +3473,48 @@ def test_label_centroid_fold_lost_marker_detection(spark, tmp_path_factory):
         for r in eh.read_label_centroids(spark, state).collect()
     } == want
     assert os.path.isdir(os.path.join(state, "_batches", "1"))
+
+
+def test_maintain_cli_covers_embhealth_state(spark, tmp_path_factory, monkeypatch, capsys):
+    """The round-14 embedding-health monitor's centroid state is the same
+    marker-append fold sink — the ONE maintenance entrypoint must cover
+    it: `prune` advances its watermark and the state stays readable and
+    foldable afterwards."""
+    import sys as _sys
+
+    import tools.maintain as maintain
+    from syntenybrowserv2_etl_spark.streaming import embhealth as eh
+
+    state = str(tmp_path_factory.mktemp("maintain_emb")) + "/centstate"
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    for b, rows in enumerate(
+        [
+            [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 1)],
+            [(2, [2.0, 0.0], 0)],
+            [(3, [0.0, 3.0], 1)],
+        ]
+    ):
+        eh.label_centroid_fold_batch(mk(rows), b, state_path=state, n_buckets=4)
+
+    def run_cli(*argv):
+        monkeypatch.setattr(_sys, "argv", ["maintain.py", *argv])
+        assert maintain.main() == 0
+        return capsys.readouterr().out
+
+    out = run_cli("prune", state)
+    assert "watermark=2" in out
+    got = {
+        r["label"]: (r["n"], r["sumvec"])
+        for r in eh.read_label_centroids(spark, state).collect()
+    }
+    assert got == {0: (2, [3.0, 0.0]), 1: (2, [0.0, 4.0])}
+    # still foldable after prune; pruned-batch redelivery still skipped
+    eh.label_centroid_fold_batch(
+        mk([(2, [2.0, 0.0], 0)]), 1, state_path=state, n_buckets=4
+    )
+    assert {
+        r["label"]: (r["n"], r["sumvec"])
+        for r in eh.read_label_centroids(spark, state).collect()
+    } == got

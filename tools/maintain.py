@@ -26,8 +26,9 @@ learning four modules:
 Run it like compaction: between batches, from one maintenance process.
 
 Coverage note: every ``touched_bucket_fold`` state store (merge, scd2
-open set, rollup grid, intervals, skyline, token-count drift monitor)
-is maintained by ``prune`` alone — the fold's rename-swap leaves one
+open set, rollup grid, intervals, skyline, token-count drift monitor,
+value-histogram KS monitor, shingle-count substring state, per-label
+centroid embedding-health monitor) is maintained by ``prune`` alone — the fold's rename-swap leaves one
 file per partition by construction, so there is nothing to compact, and
 ``compact-table`` REFUSES such stores (pinned by
 tests/test_streaming.py::test_maintain_cli_covers_drift_state).
