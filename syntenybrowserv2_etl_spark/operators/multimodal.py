@@ -971,6 +971,123 @@ def synthetic_png_media(spark, n: int = 48) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+IMAGE_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        # signed-wrapped 64-bit gradient hash + its four 16-bit bands
+        # (bands emitted here so neither engine needs unsigned-shift
+        # gymnastics on the signed hash)
+        T.StructField("dhash", T.LongType(), True),
+        T.StructField("b0", T.IntegerType(), True),
+        T.StructField("b1", T.IntegerType(), True),
+        T.StructField("b2", T.IntegerType(), True),
+        T.StructField("b3", T.IntegerType(), True),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over REAL decoded images — the
+    multimodal near-dup primitive (image dedup before training): decode
+    (PNG or baseline JPEG, magic dispatch), integer luma, reduce to a
+    9×8 grid of cell sums, emit one bit per horizontal gradient.
+
+    Every step is INTEGER-exact so a SQL oracle reproduces the hash from
+    a closed-form fixture (q169 — the q143/q168 discipline applied to a
+    fingerprint, not just sums):
+
+      luma = 2126·r + 7152·g + 722·b   (ch≥3; ch≤2: first channel ×10000)
+      cell(gx, gy) = pixels with x·9//w == gx, y·8//h == gy
+      bit(gx, gy)  = s(gx+1,gy)·c(gx,gy) > s(gx,gy)·c(gx+1,gy)
+                     (mean comparison cross-multiplied — no division)
+      k = gy·8 + gx,  gx ∈ 0..7, gy ∈ 0..7  →  64-bit hash
+
+    Uniform brightness shifts cancel exactly in the cross-multiplied
+    comparison (s→s+δ·c on both sides), so re-encoded/brightness-tweaked
+    copies hash identically — the invariance q169's fixture plants.
+    Images smaller than the grid (w<9 or h<8) and undecodable payloads
+    contribute zero rows. Map-only Arrow batches; pair search downstream
+    buckets the four 16-bit bands (pigeonhole-complete for Hamming ≤ 2,
+    the LSH-band shape the dedup family already proves at scale).
+    """
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in IMAGE_DHASH_SCHEMA.fields
+            }
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image" or payload is None:
+                    continue
+                try:
+                    w, h, ch, pix = _decode_image(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                if w < 9 or h < 8:
+                    continue
+                arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch)
+                if ch >= 3:
+                    luma = (
+                        2126 * arr[:, :, 0].astype(np.int64)
+                        + 7152 * arr[:, :, 1].astype(np.int64)
+                        + 722 * arr[:, :, 2].astype(np.int64)
+                    )
+                else:
+                    luma = arr[:, :, 0].astype(np.int64) * 10000
+                gx = (np.arange(w) * 9) // w
+                gy = (np.arange(h) * 8) // h
+                cell = gy[:, None] * 9 + gx[None, :]
+                s = np.bincount(cell.ravel(), weights=luma.ravel(), minlength=72)
+                s = s.astype(np.int64)
+                c = np.bincount(cell.ravel(), minlength=72).astype(np.int64)
+                uh = 0
+                for gyy in range(8):
+                    for gxx in range(8):
+                        a, b = gyy * 9 + gxx, gyy * 9 + gxx + 1
+                        if int(s[b]) * int(c[a]) > int(s[a]) * int(c[b]):
+                            uh |= 1 << (gyy * 8 + gxx)
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["dhash"].append(uh - (1 << 64) if uh >= (1 << 63) else uh)
+                for j in range(4):
+                    out[f"b{j}"].append((uh >> (16 * j)) & 0xFFFF)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        gen, IMAGE_DHASH_SCHEMA
+    )
+
+
+def synthetic_neardup_png_media(spark, n_base: int = 16, n_levels: int = 3) -> DataFrame:
+    """Near-duplicate REAL-PNG fixture for q169: ``n_base`` closed-form
+    RGB patterns, each at ``n_levels`` uniform brightness levels
+    (delta = 2·level added to every channel; base values capped at 240 so
+    nothing clamps). Uniform shifts are exactly invariant under
+    image_dhash's cross-multiplied gradient bits, so each base's copies
+    hash IDENTICALLY — the planted duplicate clusters. media_id =
+    level·n_base + base."""
+    rows = []
+    for i in range(n_base * n_levels):
+        base, delta = i % n_base, (i // n_base) * 2
+        w, h = 12 + base % 4, 9 + base % 3
+        pix = bytes(
+            (base * 37 + x * 11 + y * 23 + c * 71) % 240 + delta
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        rows.append(
+            (i, "image", _png_encode(w, h, 3, pix), w, h, None, "png")
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
 def synthetic_jpeg_media(spark, n: int = 40) -> DataFrame:
     """Deterministic REAL-JPEG fixture whose decode is INTEGER-EXACT:
     grayscale baseline JPEGs, dimensions multiples of 8, every 8×8 block a

@@ -7423,6 +7423,90 @@ def q168(spark, sf_dir):
 
 
 @register(
+    "q169_image_dedup",
+    """
+    WITH ids AS (SELECT unnest(range(0, 48)) AS media_id),
+    dims AS (SELECT media_id, media_id % 16 AS base, (media_id // 16) * 2 AS delta,
+                    12 + (media_id % 16) % 4 AS w, 9 + (media_id % 16) % 3 AS h
+             FROM ids),
+    px AS (
+      SELECT d.media_id,
+             (x.x * 9) // d.w AS gx, (y.y * 8) // d.h AS gy,
+             2126 * ((d.base*37 + x.x*11 + y.y*23) % 240 + d.delta)
+           + 7152 * ((d.base*37 + x.x*11 + y.y*23 + 71) % 240 + d.delta)
+           +  722 * ((d.base*37 + x.x*11 + y.y*23 + 142) % 240 + d.delta) AS luma
+      FROM dims d,
+      LATERAL (SELECT unnest(range(0, d.w)) AS x) AS x,
+      LATERAL (SELECT unnest(range(0, d.h)) AS y) AS y),
+    cells AS (SELECT media_id, gx, gy, SUM(luma) AS s, COUNT(*) AS c
+              FROM px GROUP BY 1, 2, 3),
+    bits AS (SELECT a.media_id, a.gy, a.gx,
+                    CASE WHEN b.s * a.c > a.s * b.c THEN 1 ELSE 0 END AS bit
+             FROM cells a JOIN cells b
+               ON b.media_id = a.media_id AND b.gy = a.gy AND b.gx = a.gx + 1
+             WHERE a.gx < 8),
+    halves AS (SELECT media_id,
+                      SUM(CASE WHEN gy*8+gx < 32
+                               THEN bit * (CAST(1 AS BIGINT) << (gy*8+gx))
+                               ELSE 0 END) AS lo,
+                      SUM(CASE WHEN gy*8+gx >= 32
+                               THEN bit * (CAST(1 AS BIGINT) << (gy*8+gx-32))
+                               ELSE 0 END) AS hi
+               FROM bits GROUP BY media_id),
+    hashes AS (SELECT media_id,
+                      CASE WHEN hi >= 2147483648
+                           THEN (hi - 4294967296) * 4294967296 + lo
+                           ELSE hi * 4294967296 + lo END AS dhash
+               FROM halves)
+    SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+    """,
+    tags=["multimodal near-dup: perceptual dHash over real decoded images"],
+)
+def q169(spark, sf_dir):
+    """Image near-duplicate detection through the FULL binary path: real
+    PNG payloads → mapInPandas decode → integer perceptual dHash
+    (operators/multimodal.image_dhash) → Hamming-≤2 pair join via the
+    four 16-bit band buckets (pigeonhole-complete at this radius — the
+    LSH-band shape the text-dedup family already proves at scale; no
+    all-pairs join on the Spark side). The oracle recomputes every hash
+    from the fixture's closed-form pixels in pure integer SQL and takes
+    brute-force pairs — banding must lose nothing. The fixture plants 16
+    clusters of 3 brightness-shifted copies (uniform shifts cancel
+    exactly in the cross-multiplied gradient bits), so the expected
+    output is the 48 within-cluster pairs at hamming 0 plus any
+    cross-base near-collisions both engines agree on."""
+    media = mm_ops.synthetic_neardup_png_media(spark, 16, 3)
+    hs = mm_ops.image_dhash(media)
+    lhs = hs.select(
+        F.col("media_id").alias("media_id_a"),
+        F.col("dhash").alias("__ha"),
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("__bi", "__bv"),
+    )
+    rhs = hs.select(
+        F.col("media_id").alias("media_id_b"),
+        F.col("dhash").alias("__hb"),
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("__bi", "__bv"),
+    )
+    cand = (
+        lhs.join(rhs, ["__bi", "__bv"])
+        .filter(F.col("media_id_a") < F.col("media_id_b"))
+        .select("media_id_a", "media_id_b", "__ha", "__hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 2)
+        .select("media_id_a", "media_id_b", "hamming")
+    )
+
+
+@register(
     "q167_label_noise_ivf",
     _label_noise_ivf_sql(16, 4, 5),
     tags=["label-noise audit, IVF-routed (the corpus-scale path)"],
@@ -7678,9 +7762,10 @@ _DEMOTED_PAST_WINDOW = [
     "q165_label_cohesion",
     "q166_entropy_rate",
     # round 14: parity-gated from birth (standing policy; backlog-growth
-    # policy holds new entries ≤ promotions — 2 new vs 16 promoted).
+    # policy holds new entries ≤ promotions — 3 new vs 16 promoted).
     "q167_label_noise_ivf",
     "q168_jpeg_stats",
+    "q169_image_dedup",
 ]
 
 

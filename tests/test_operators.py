@@ -1483,6 +1483,52 @@ def test_jpeg_codec_boundaries():
     assert all(q == _pt.approx(130 / 255.0, abs=1e-9) for q in feat[4:])
 
 
+def test_image_dhash_brightness_invariant_and_boundaries(spark):
+    """image_dhash (q169's primitive): uniform brightness shifts hash
+    identically (the cross-multiplied gradient bits cancel the shift
+    exactly); genuinely different patterns hash differently; sub-grid
+    images and undecodable payloads contribute zero rows; bands always
+    reassemble the hash; the JPEG decode path feeds the same hash."""
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+
+    media = mm.synthetic_neardup_png_media(spark, 4, 3)
+    rows = {r["media_id"]: r for r in mm.image_dhash(media).collect()}
+    assert set(rows) == set(range(12))
+    for base in range(4):
+        assert (
+            rows[base]["dhash"]
+            == rows[4 + base]["dhash"]
+            == rows[8 + base]["dhash"]
+        )
+    assert len({rows[b]["dhash"] for b in range(4)}) == 4
+    for r in rows.values():
+        uh = r["dhash"] + (1 << 64) if r["dhash"] < 0 else r["dhash"]
+        assert all(((uh >> (16 * j)) & 0xFFFF) == r[f"b{j}"] for j in range(4))
+
+    # 8x8 (below the 9-wide grid) and junk payloads: zero rows
+    small_png = mm._png_encode(8, 8, 1, bytes(range(64)))
+    edge = spark.createDataFrame(
+        [(0, "image", small_png, 8, 8, None, "png"),
+         (1, "image", b"junk", None, None, None, "png")],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    assert mm.image_dhash(edge).count() == 0
+
+    # a (lossless-by-construction) JPEG of a gradient hashes through the
+    # JPEG decode leg — same magic-dispatch pipeline
+    w, h = 16, 16
+    pix = bytes((x * 16) % 256 for y in range(h) for x in range(w))
+    jpg = mm._jpeg_encode(w, h, 1, pix)
+    jm = spark.createDataFrame(
+        [(7, "image", jpg, w, h, None, "jpeg")], schema=mm.MEDIA_SCHEMA
+    )
+    out = mm.image_dhash(jm).collect()
+    assert len(out) == 1 and out[0]["media_id"] == 7
+    # a monotone left-to-right ramp: every gradient bit set
+    uh = out[0]["dhash"] + (1 << 64) if out[0]["dhash"] < 0 else out[0]["dhash"]
+    assert uh == (1 << 64) - 1
+
+
 def test_bm25_rank_empty_query_terms_rejected(spark):
     import pytest as _pt
 
