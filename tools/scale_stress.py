@@ -109,6 +109,7 @@ KNOWN_OPS = frozenset({
     "repeated_spans", "repeated_spans_hash", "roc_auc_binned",
     "excise_repeated", "shingle_fold",
     "label_noise_ivf", "quantile_grid", "oov_rate", "entropy_rate",
+    "image_dhash",
     "embedding_collapse", "label_separation", "label_cohesion",
     "assoc_mi", "ks_drift", "kmv_overlap", "zipf_fit",
     "balanced_shards", "key_skew", "dist_psi", "ipf_reweight",
@@ -777,6 +778,26 @@ def main():
 
         if only is None or "interval_union" in only:
             _interval_union()
+
+        # round 14: perceptual image hashing (q169's primitive) — the
+        # decode+hash is map-only Arrow work, so cost must track rows
+        # linearly with no shuffle. 48 real PNG payloads built once
+        # driver-side, replicated f×16 in Spark with distinct ids
+        # (payload bytes identical per replica — per-image decode cost
+        # doesn't care; the pair join's growth is the LSH-band family's
+        # already-measured story, not re-measured here).
+        def _image_dhash():
+            from syntenybrowserv2_etl_spark.operators import multimodal as mmod
+
+            media48 = mmod.synthetic_neardup_png_media(spark, 16, 3)
+            reps16 = spark.range(16 * f).select(F.col("id").alias("rep"))
+            big = media48.crossJoin(reps16).select(
+                (F.col("media_id") + F.col("rep") * 48).alias("media_id"),
+                "kind", "payload", "width", "height", "duration_ms", "codec",
+            )
+            noop(mmod.image_dhash(big))
+
+        measure("image_dhash", _image_dhash)
 
         # round 11: the single-pass JSONL ingest (r10 weak #2 fix) —
         # dump scaled f×, one validity-partitioned write job splitting
