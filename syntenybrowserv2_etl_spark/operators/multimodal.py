@@ -1199,6 +1199,120 @@ def audio_frame_features(media: DataFrame, frame_samples: int = 256) -> DataFram
     )
 
 
+AUDIO_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("ahash", T.LongType(), True),
+        T.StructField("b0", T.IntegerType(), True),
+        T.StructField("b1", T.IntegerType(), True),
+        T.StructField("b2", T.IntegerType(), True),
+        T.StructField("b3", T.IntegerType(), True),
+    ]
+)
+
+
+def audio_envelope_hash(media: DataFrame, n_segments: int = 65) -> DataFrame:
+    """Perceptual audio fingerprint over REAL decoded PCM16 — the audio
+    twin of ``image_dhash`` (near-dup detection for audio corpora):
+    decode (_wav_decode), reduce the sample stream to ``n_segments``
+    energy cells, emit one bit per energy gradient.
+
+    Integer-exact throughout (the q169 discipline):
+
+      seg(j)  = j·n_segments // n          (sample j of n)
+      e(s)    = Σ v²  over segment s,  c(s) = segment sample count
+      bit(k)  = e(k+1)·c(k) > e(k)·c(k+1)  (mean-energy comparison
+                cross-multiplied — no division, no floats)
+      k ∈ 0..n_segments−2  →  64-bit hash at the default 65 segments
+
+    Uniform GAIN g scales every energy by g² exactly (integer samples,
+    exact int scaling), so re-mastered louder/quieter copies hash
+    IDENTICALLY — q170's planted invariance. Multi-channel streams hash
+    the interleaved stream as-is (channel-mix-invariant enough for a
+    candidate filter; exactness is per-stream either way). Streams
+    shorter than ``n_segments`` samples and undecodable payloads
+    contribute zero rows. Map-only Arrow batches; downstream pair search
+    reuses the four 16-bit band buckets (Hamming ≤ 2 pigeonhole)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in AUDIO_HASH_SCHEMA.fields
+            }
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "audio" or payload is None:
+                    continue
+                try:
+                    _ch, _rate, samples = _wav_decode(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                n = len(samples)
+                if n < n_segments:
+                    continue
+                v = np.asarray(samples, dtype=np.int64)
+                seg = (np.arange(n) * n_segments) // n
+                # int64 accumulation (bincount weights are float64 —
+                # inexact past 2^53 on very long streams)
+                e = np.zeros(n_segments, dtype=np.int64)
+                np.add.at(e, seg, v * v)
+                c = np.bincount(seg, minlength=n_segments).astype(np.int64)
+                uh = 0
+                for k in range(n_segments - 1):
+                    if int(e[k + 1]) * int(c[k]) > int(e[k]) * int(c[k + 1]):
+                        uh |= 1 << k
+                out["media_id"].append(int(mid))
+                out["n_samples"].append(n)
+                out["ahash"].append(uh - (1 << 64) if uh >= (1 << 63) else uh)
+                for j in range(4):
+                    out[f"b{j}"].append((uh >> (16 * j)) & 0xFFFF)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        gen, AUDIO_HASH_SCHEMA
+    )
+
+
+def synthetic_neardup_wav_media(
+    spark, n_base: int = 16, n_gains: int = 3
+) -> DataFrame:
+    """Near-duplicate REAL-WAV fixture for q170: ``n_base`` closed-form
+    PCM16 patterns, each at ``n_gains`` exact integer gain levels
+    (sample = base_sample · (1+gain); |base| < 1000 so ×3 stays well
+    inside int16). Gain scales every segment energy by gain² exactly, so
+    each base's copies hash IDENTICALLY under audio_envelope_hash.
+    media_id = gain_level·n_base + base."""
+    import struct
+
+    rows = []
+    for i in range(n_base * n_gains):
+        base, gain = i % n_base, 1 + i // n_base
+        n = 130 + base % 7
+        samples = [
+            (((base * 37 + j * (11 + 2 * base)) % 2000) - 1000) * gain
+            for j in range(n)
+        ]
+        pcm = struct.pack(f"<{len(samples)}h", *samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (
+            b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", len(fmt))
+            + fmt
+            + b"data"
+            + struct.pack("<I", len(pcm))
+            + pcm
+        )
+        wav = b"RIFF" + struct.pack("<I", len(body)) + body
+        rows.append(
+            (i, "audio", wav, None, None, n * 1000 // 8000, "pcm")
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
 def synthetic_wav_media(
     spark, n: int = 48, base_samples: int = 200
 ) -> DataFrame:

@@ -7507,6 +7507,86 @@ def q169(spark, sf_dir):
 
 
 @register(
+    "q170_audio_dedup",
+    """
+    WITH ids AS (SELECT unnest(range(0, 48)) AS media_id),
+    dims AS (SELECT media_id, media_id % 16 AS base, 1 + media_id // 16 AS gain,
+                    130 + (media_id % 16) % 7 AS n
+             FROM ids),
+    sm AS (
+      SELECT d.media_id,
+             (j.j * 65) // d.n AS seg,
+             (((d.base*37 + j.j*(11 + 2*d.base)) % 2000) - 1000) * d.gain AS v
+      FROM dims d,
+      LATERAL (SELECT unnest(range(0, d.n)) AS j) AS j),
+    cells AS (SELECT media_id, seg, SUM(v * v) AS e, COUNT(*) AS c
+              FROM sm GROUP BY 1, 2),
+    bits AS (SELECT a.media_id, a.seg AS k,
+                    CASE WHEN b.e * a.c > a.e * b.c THEN 1 ELSE 0 END AS bit
+             FROM cells a JOIN cells b
+               ON b.media_id = a.media_id AND b.seg = a.seg + 1
+             WHERE a.seg < 64),
+    halves AS (SELECT media_id,
+                      SUM(CASE WHEN k < 32
+                               THEN bit * (CAST(1 AS BIGINT) << k)
+                               ELSE 0 END) AS lo,
+                      SUM(CASE WHEN k >= 32
+                               THEN bit * (CAST(1 AS BIGINT) << (k-32))
+                               ELSE 0 END) AS hi
+               FROM bits GROUP BY media_id),
+    hashes AS (SELECT media_id,
+                      CASE WHEN hi >= 2147483648
+                           THEN (hi - 4294967296) * 4294967296 + lo
+                           ELSE hi * 4294967296 + lo END AS ahash
+               FROM halves)
+    SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+    """,
+    tags=["multimodal near-dup: energy-envelope hash over real decoded WAV"],
+)
+def q170(spark, sf_dir):
+    """q169's near-dup discipline for AUDIO: real PCM16 payloads →
+    mapInPandas decode → integer energy-envelope fingerprint
+    (operators/multimodal.audio_envelope_hash: 65 energy cells, one
+    cross-multiplied gradient bit each) → Hamming-≤2 pair join via the
+    four 16-bit band buckets. The fixture plants 16 clusters of 3
+    exact-integer gain levels (gain scales every energy by gain² —
+    invariant under the cross-multiplied compare), the oracle recomputes
+    every hash from the closed-form samples in pure integer SQL and
+    brute-forces pairs — banding must lose nothing. Together with q169
+    this closes the multimodal near-dup family over both real decode
+    legs."""
+    media = mm_ops.synthetic_neardup_wav_media(spark, 16, 3)
+    hs = mm_ops.audio_envelope_hash(media, 65)
+    lhs = hs.select(
+        F.col("media_id").alias("media_id_a"),
+        F.col("ahash").alias("__ha"),
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("__bi", "__bv"),
+    )
+    rhs = hs.select(
+        F.col("media_id").alias("media_id_b"),
+        F.col("ahash").alias("__hb"),
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("__bi", "__bv"),
+    )
+    cand = (
+        lhs.join(rhs, ["__bi", "__bv"])
+        .filter(F.col("media_id_a") < F.col("media_id_b"))
+        .select("media_id_a", "media_id_b", "__ha", "__hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 2)
+        .select("media_id_a", "media_id_b", "hamming")
+    )
+
+
+@register(
     "q167_label_noise_ivf",
     _label_noise_ivf_sql(16, 4, 5),
     tags=["label-noise audit, IVF-routed (the corpus-scale path)"],
@@ -7762,10 +7842,11 @@ _DEMOTED_PAST_WINDOW = [
     "q165_label_cohesion",
     "q166_entropy_rate",
     # round 14: parity-gated from birth (standing policy; backlog-growth
-    # policy holds new entries ≤ promotions — 3 new vs 16 promoted).
+    # policy holds new entries ≤ promotions — 4 new vs 16 promoted).
     "q167_label_noise_ivf",
     "q168_jpeg_stats",
     "q169_image_dedup",
+    "q170_audio_dedup",
 ]
 
 

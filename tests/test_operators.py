@@ -1529,6 +1529,46 @@ def test_image_dhash_brightness_invariant_and_boundaries(spark):
     assert uh == (1 << 64) - 1
 
 
+def test_audio_envelope_hash_gain_invariant_and_boundaries(spark):
+    """audio_envelope_hash (q170's primitive): exact integer gain levels
+    hash identically (energies scale by gain², cancelling in the
+    cross-multiplied compare); distinct frequencies hash differently;
+    sub-segment-count streams and junk payloads contribute zero rows;
+    bands reassemble the hash."""
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+
+    media = mm.synthetic_neardup_wav_media(spark, 4, 3)
+    rows = {r["media_id"]: r for r in mm.audio_envelope_hash(media).collect()}
+    assert set(rows) == set(range(12))
+    for base in range(4):
+        assert (
+            rows[base]["ahash"]
+            == rows[4 + base]["ahash"]
+            == rows[8 + base]["ahash"]
+        )
+    assert len({rows[b]["ahash"] for b in range(4)}) == 4
+    for r in rows.values():
+        uh = r["ahash"] + (1 << 64) if r["ahash"] < 0 else r["ahash"]
+        assert all(((uh >> (16 * j)) & 0xFFFF) == r[f"b{j}"] for j in range(4))
+
+    import struct
+
+    short_pcm = struct.pack("<10h", *range(10))  # 10 samples < 65 segments
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 28 + len(short_pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(short_pcm)) + short_pcm
+    )
+    edge = spark.createDataFrame(
+        [(0, "audio", wav, None, None, 1, "pcm"),
+         (1, "audio", b"RIFFjunk", None, None, None, "pcm"),
+         (2, "image", b"not audio", None, None, None, "png")],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    assert mm.audio_envelope_hash(edge).count() == 0
+
+
 def test_bm25_rank_empty_query_terms_rejected(spark):
     import pytest as _pt
 
