@@ -109,7 +109,7 @@ KNOWN_OPS = frozenset({
     "repeated_spans", "repeated_spans_hash", "roc_auc_binned",
     "excise_repeated", "shingle_fold",
     "label_noise_ivf", "quantile_grid", "oov_rate", "entropy_rate",
-    "image_dhash",
+    "image_dhash", "audio_ehash",
     "embedding_collapse", "label_separation", "label_cohesion",
     "assoc_mi", "ks_drift", "kmv_overlap", "zipf_fit",
     "balanced_shards", "key_skew", "dist_psi", "ipf_reweight",
@@ -143,6 +143,7 @@ def main():
         "event_transitions", "transitions_apply", "merge_apply_skew",
         "interval_union", "jsonl_ingest", "pareto_skyline",
         "roc_auc", "rrf_fuse", "token_fold",
+        "image_dhash", "audio_ehash",
     }
     results = []
     for f in factors:
@@ -798,6 +799,19 @@ def main():
             noop(mmod.image_dhash(big))
 
         measure("image_dhash", _image_dhash)
+
+        def _audio_ehash():
+            from syntenybrowserv2_etl_spark.operators import multimodal as mmod
+
+            wav48 = mmod.synthetic_neardup_wav_media(spark, 16, 3)
+            reps16 = spark.range(16 * f).select(F.col("id").alias("rep"))
+            big = wav48.crossJoin(reps16).select(
+                (F.col("media_id") + F.col("rep") * 48).alias("media_id"),
+                "kind", "payload", "width", "height", "duration_ms", "codec",
+            )
+            noop(mmod.audio_envelope_hash(big))
+
+        measure("audio_ehash", _audio_ehash)
 
         # round 11: the single-pass JSONL ingest (r10 weak #2 fix) —
         # dump scaled f×, one validity-partitioned write job splitting
