@@ -5,6 +5,14 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 Each query is forced end-to-end with the noop sink (full computation, no
 driver-side result transfer), timed after a session warm-up so JVM/codegen
 startup isn't billed to the first query.
+
+Round 15 additions (VERDICT r14 #2/#7): a fixed 3-query calibration probe
+runs at session start AND end; BENCH_DETAIL.json carries the probe times,
+a drift_factor vs the previous committed detail, and drift-NORMALIZED
+per-query regression ratios — host drift no longer needs prose
+normalization. The three slowest exact-oracle demos are timed on even
+rounds only (carried forward otherwise; SPARK_GRAFT_BENCH_FULL=1 forces
+all) — their value oracles still run every pytest.
 """
 
 from __future__ import annotations
@@ -118,13 +126,77 @@ CURATION = [
 ]
 
 
+# Round 15 (VERDICT r14 #2): a mechanical drift anchor. Host throughput
+# drifted monotonically ~20% across the round-14 session with no code
+# change; cross-round comparison rested on prose ("normalize by the
+# session's own suite83"). Now it's data: a fixed 3-query probe runs at
+# session START and END (same warm-up + min-of-3 discipline), the probe
+# times land in BENCH_DETAIL.json, and drift_factor = this session's mean
+# probe time / the previous committed detail's — so the summary also emits
+# drift-NORMALIZED per-query ratios vs last round, and only normalized
+# moves are regression signals.
+CALIBRATION = ["q01_pricing_summary", "q22_exact_dedup", "q31_text_profile"]
+
+# Round 15 (VERDICT r14 #7): the three slowest EXACT-oracle demos dominated
+# ~10% of suite wall (r14: q163 9.1 s + q91 6.7 s + q76 6.5 s ≈ 22 s timed,
+# ~90 s with warm-up passes) while their regression-detection value per
+# second was the suite's lowest — each is a deliberately-exact
+# demonstration whose production twin (q167 / PPJoin pruning / cluster
+# bounding) is benched every round. They now run at a demoted cadence:
+# benched on EVEN rounds (round parity from the committed CORRECTNESS_r*
+# history) or when SPARK_GRAFT_BENCH_FULL=1; on skip rounds the previous
+# committed BENCH_DETAIL value is carried forward and listed under
+# "carried" so totals stay comparable. Their DuckDB value oracles still
+# run every pytest (both SFs) — cadence affects TIMING only.
+EXPENSIVE_EXACT_DEMOS = [
+    "q163_label_noise",
+    "q91_setsim_prefix_join",
+    "q76_semantic_dedup",
+]
+
+
+def _current_round(repo: str) -> int:
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", f))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _time_query(spark, sf_dir: str, name: str, trials: int = 3) -> float:
+    fn = q.REGISTRY[name].spark_fn
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    repo = os.path.dirname(os.path.abspath(__file__))
     spark = get_spark("bench")
     # warm-up: touch every input table once (JVM + codegen + FS cache)
     for name in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         q.t(spark, sf_dir, name).count()
+
+    prev = None
+    try:
+        with open(os.path.join(repo, "BENCH_DETAIL.json")) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        pass
+
+    cal_start = round(
+        sum(_time_query(spark, sf_dir, n) for n in CALIBRATION), 3
+    )
 
     # Per-query: one untimed warm-up pass, then three timed passes keeping
     # the min. Single-shot timings on a 32-core local JVM are dominated by
@@ -140,16 +212,50 @@ def main() -> None:
     # keys: headline15_sec (the round-1 set) and suite83_sec (the
     # rounds-3-11 suite) keep the old totals comparable.
     suite83 = HEADLINE + CURATION
+    bench_full = os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
+    this_round = _current_round(repo)
+    demote_timing = not bench_full and this_round % 2 == 1
     times: dict[str, float] = {}
+    carried: list[str] = []
     for name in q.REGISTRY:
-        fn = q.REGISTRY[name].spark_fn
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        trials = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            trials.append(time.perf_counter() - t0)
-        times[name] = round(min(trials), 3)
+        if (
+            demote_timing
+            and name in EXPENSIVE_EXACT_DEMOS
+            and prev is not None
+            and name in prev.get("queries", {})
+        ):
+            times[name] = prev["queries"][name]
+            carried.append(name)
+            continue
+        times[name] = round(_time_query(spark, sf_dir, name), 3)
+
+    cal_end = round(sum(_time_query(spark, sf_dir, n) for n in CALIBRATION), 3)
+    cal_mean = round((cal_start + cal_end) / 2, 3)
+    prev_cal = (prev or {}).get("drift", {}).get("calibration_sec")
+    if prev_cal is None and prev is not None:
+        # bootstrap from the previous round's in-loop times for the same
+        # three queries — same min-of-3 discipline, so the ratio is a
+        # valid anchor even before the first detail with a drift block
+        try:
+            prev_cal = round(
+                sum(prev["queries"][n] for n in CALIBRATION), 3
+            )
+        except KeyError:
+            prev_cal = None
+    drift_factor = (
+        round(cal_mean / prev_cal, 4) if prev_cal else None
+    )
+    # drift-normalized per-query ratios vs the previous committed detail:
+    # ratio = (t_now / drift_factor) / t_prev — only these are regression
+    # signals; raw ratios conflate host drift with code changes
+    norm_regressions: dict[str, float] = {}
+    if drift_factor and prev:
+        for name, t_now in times.items():
+            t_prev = prev.get("queries", {}).get(name)
+            if t_prev and t_prev >= 0.2 and name not in carried:
+                r = (t_now / drift_factor) / t_prev
+                if r >= 1.3:
+                    norm_regressions[name] = round(r, 3)
 
     # Round 11: the full per-query map outgrew the driver's 2000-char stdout
     # tail (BENCH_r10.json came back parsed:null), so the LAST line printed
@@ -165,6 +271,17 @@ def main() -> None:
         "sf": sf,
         "headline15_sec": round(sum(times[n] for n in HEADLINE), 3),
         "suite83_sec": round(sum(times[n] for n in suite83), 3),
+        "drift": {
+            "calibration_queries": CALIBRATION,
+            "calibration_start_sec": cal_start,
+            "calibration_end_sec": cal_end,
+            "calibration_sec": cal_mean,
+            "prev_calibration_sec": prev_cal,
+            "drift_factor": drift_factor,
+            "normalized_regressions_ge_1p3": norm_regressions,
+        },
+        "carried": carried,
+        "round": this_round,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
@@ -179,6 +296,10 @@ def main() -> None:
         "headline15_sec": detail["headline15_sec"],
         "suite83_sec": detail["suite83_sec"],
         "n_queries": len(times),
+        "calibration_sec": cal_mean,
+        "drift_factor": drift_factor,
+        "n_norm_regressions": len(norm_regressions),
+        "n_carried": len(carried),
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(compact))

@@ -479,6 +479,16 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             if len(body) < 1 or len(body) < 1 + body[0] * 2 + 3:
                 raise ValueError("truncated JPEG SOS segment")
             ns = body[0]
+            if ns != len(comps):
+                # A legal baseline JPEG may split components across several
+                # scans (non-interleaved). This decoder handles exactly one
+                # interleaved scan; decoding only the first scan would emit
+                # all-zero planes for the missing components — garbage pixels
+                # with no error. Keep the codec seam explicit instead
+                # (ADVICE r14: contract says unsupported variants raise).
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG not supported"
+                )
             for c in range(ns):
                 cs, tabs = body[1 + c * 2], body[2 + c * 2]
                 idx = next(
@@ -1042,8 +1052,11 @@ def image_dhash(media: DataFrame) -> DataFrame:
                 gx = (np.arange(w) * 9) // w
                 gy = (np.arange(h) * 8) // h
                 cell = gy[:, None] * 9 + gx[None, :]
-                s = np.bincount(cell.ravel(), weights=luma.ravel(), minlength=72)
-                s = s.astype(np.int64)
+                # int64 accumulation (np.add.at), mirroring the audio path:
+                # float64-weighted bincount would round past 2^53 and break
+                # the INTEGER-exact contract above (ADVICE r14)
+                s = np.zeros(72, dtype=np.int64)
+                np.add.at(s, cell.ravel(), luma.ravel())
                 c = np.bincount(cell.ravel(), minlength=72).astype(np.int64)
                 uh = 0
                 for gyy in range(8):
@@ -1273,6 +1286,62 @@ def audio_envelope_hash(media: DataFrame, n_segments: int = 65) -> DataFrame:
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         gen, AUDIO_HASH_SCHEMA
+    )
+
+
+def band_candidates(
+    hashes: DataFrame, id_col: str, hash_col: str
+) -> DataFrame:
+    """Candidate pairs from the four 16-bit band buckets (``b0..b3``
+    emitted by image_dhash / audio_envelope_hash): explode each row into
+    its four (band index, band value) keys, equi-join on them, keep
+    ordered distinct pairs. Pigeonhole-complete for Hamming ≤ 2 — two
+    hashes within radius 2 differ in ≤ 2 of the 4 bands, so at least one
+    band matches exactly. The same banded-LSH shape the text-dedup family
+    proves at scale: shuffle on (band, value), never all-pairs.
+
+    Output: ``({id}_a, {id}_b, __ha, __hb)`` — the un-filtered candidate
+    frame, exposed separately so the scale harness can count candidates
+    vs emitted pairs (VERDICT r14 #3)."""
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    lhs = hashes.select(
+        F.col(id_col).alias(a),
+        F.col(hash_col).alias("__ha"),
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("__bi", "__bv"),
+    )
+    rhs = hashes.select(
+        F.col(id_col).alias(b),
+        F.col(hash_col).alias("__hb"),
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("__bi", "__bv"),
+    )
+    return (
+        lhs.join(rhs, ["__bi", "__bv"])
+        .filter(F.col(a) < F.col(b))
+        .select(a, b, "__ha", "__hb")
+        .distinct()
+    )
+
+
+def hamming_band_pairs(
+    hashes: DataFrame, id_col: str, hash_col: str, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs within ``max_hamming`` of each other via the band
+    buckets (``band_candidates``) + an exact bit_count filter — the shared
+    pair stage of q169 (images) and q170 (audio). ``max_hamming`` > 2
+    would break pigeonhole completeness of 4 bands and is refused."""
+    if max_hamming > 2:
+        raise ValueError(
+            "4-band bucketing is only pigeonhole-complete for Hamming <= 2"
+        )
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    return (
+        band_candidates(hashes, id_col, hash_col)
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(a, b, "hamming")
     )
 
 

@@ -7480,30 +7480,7 @@ def q169(spark, sf_dir):
     cross-base near-collisions both engines agree on."""
     media = mm_ops.synthetic_neardup_png_media(spark, 16, 3)
     hs = mm_ops.image_dhash(media)
-    lhs = hs.select(
-        F.col("media_id").alias("media_id_a"),
-        F.col("dhash").alias("__ha"),
-        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("__bi", "__bv"),
-    )
-    rhs = hs.select(
-        F.col("media_id").alias("media_id_b"),
-        F.col("dhash").alias("__hb"),
-        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("__bi", "__bv"),
-    )
-    cand = (
-        lhs.join(rhs, ["__bi", "__bv"])
-        .filter(F.col("media_id_a") < F.col("media_id_b"))
-        .select("media_id_a", "media_id_b", "__ha", "__hb")
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int"),
-        )
-        .filter(F.col("hamming") <= 2)
-        .select("media_id_a", "media_id_b", "hamming")
-    )
+    return mm_ops.hamming_band_pairs(hs, "media_id", "dhash", max_hamming=2)
 
 
 @register(
@@ -7560,30 +7537,7 @@ def q170(spark, sf_dir):
     legs."""
     media = mm_ops.synthetic_neardup_wav_media(spark, 16, 3)
     hs = mm_ops.audio_envelope_hash(media, 65)
-    lhs = hs.select(
-        F.col("media_id").alias("media_id_a"),
-        F.col("ahash").alias("__ha"),
-        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("__bi", "__bv"),
-    )
-    rhs = hs.select(
-        F.col("media_id").alias("media_id_b"),
-        F.col("ahash").alias("__hb"),
-        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("__bi", "__bv"),
-    )
-    cand = (
-        lhs.join(rhs, ["__bi", "__bv"])
-        .filter(F.col("media_id_a") < F.col("media_id_b"))
-        .select("media_id_a", "media_id_b", "__ha", "__hb")
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int"),
-        )
-        .filter(F.col("hamming") <= 2)
-        .select("media_id_a", "media_id_b", "hamming")
-    )
+    return mm_ops.hamming_band_pairs(hs, "media_id", "ahash", max_hamming=2)
 
 
 @register(
@@ -7726,16 +7680,7 @@ _DEMOTED_PAST_WINDOW = [
     "q101_profile_orders",
     "q110_heavy_hitters",
     # round 8: parity-gated from birth (same policy).
-    "q100_gapfill_hourly",
-    "q102_zorder_key",
-    "q103_zscore_outliers",
-    "q104_snapshot_diff",
-    "q105_expectations",
-    "q106_ohlc_daily",
-    "q107_time_weighted_avg",
-    "q108_approx_quantile_bounds",
-    "q109_seasonal_naive_backtest",
-    "q111_sketch_rollup",
+    # (round 15 promoted the whole block: q100, q102-q109, q111.)
     # round 10: window rotation (VERDICT r9 #3) — the in-window set had been
     # static since r5, so operators built in rounds 6-9 had zero driver
     # CORRECTNESS history. Promoted INTO the window: q99 triangles, q101
@@ -7754,10 +7699,8 @@ _DEMOTED_PAST_WINDOW = [
     # round 10: parity-gated from birth (rounds-7/8 policy) — new families
     # added after the r10 window rotation landed, kept out of the window so
     # the freshly-promoted post-r6 operators accumulate driver history.
-    # (round 12 promoted q116/q120/q123/q125/q126 out of this block.)
-    "q113_event_transitions",
-    "q114_trailing_window",
-    "q121_phrase_decontam",
+    # (round 12 promoted q116/q120/q123/q125/q126 out of this block;
+    # round 15 promoted the remainder: q113, q114, q121.)
     # round 11: window rotation (VERDICT r10 #1) — the six round-10 family
     # heads (q115 editdist join, q117 entity resolution, q118 phrase search,
     # q119 near-dup decontam, q122 embedding decontam, q124 CUSUM drift) are
@@ -7806,9 +7749,7 @@ _DEMOTED_PAST_WINDOW = [
     "q66_chunk_documents",
     "q67_unigram_logprob",
     # round 12: parity-gated from birth (standing policy for new families)
-    "q133_rrf_fusion",
-    "q134_roc_auc",
-    "q135_token_kl_drift",
+    # (round 15 promoted q133/q134/q135 out of this block.)
     "q136_stopword_calibration",
     "q137_pmi_collocations",
     "q138_shard_stitch",
@@ -7847,6 +7788,52 @@ _DEMOTED_PAST_WINDOW = [
     "q168_jpeg_stats",
     "q169_image_dedup",
     "q170_audio_dedup",
+    # round 15: window rotation (VERDICT r14 #1, mechanical queue per
+    # tools/rotation_status.py: oldest never-driver-verified first).
+    # Promoted INTO the window: q100_gapfill_hourly, q102_zorder_key,
+    # q103_zscore_outliers, q104_snapshot_diff, q105_expectations,
+    # q106_ohlc_daily, q107_time_weighted_avg, q108_approx_quantile_bounds,
+    # q109_seasonal_naive_backtest, q111_sketch_rollup,
+    # q113_event_transitions, q114_trailing_window, q121_phrase_decontam,
+    # q133_rrf_fusion, q134_roc_auc, q135_token_kl_drift (16 entries — all
+    # many-rounds sf0.001+sf0.01-parity-green, SF_MED_STRENGTHENED).
+    # Demoted to make room — the 16 LONGEST-driver-green in-window entries
+    # (10-14 green rounds for the five reference-core heads, 3-5 for the
+    # rest), each family still driver-proven in-window or freshly promoted:
+    # q14 closure (14 greens; iterative-graph family stays via q85
+    # pagerank; A3 parity at both SFs every pytest), q25 minhash LSH (14;
+    # near-dup family stays via q76 semantic dedup + q91 setsim; LSH recall
+    # parity via q154), q57 gene-exon loader chain (12; J1 stays pinned by
+    # tests/test_loaders.py + both-SF parity; join surface stays via
+    # q91/q93/q128), q54 k-means (11; clustering stays via q76 + q95/q96),
+    # q30 IVF kNN (10; ANN family stays via q88 PQ-ADC, q90 IVF-PQ, q116
+    # batched kNN, q126 hard negatives), q112 containment join (5; set-sim
+    # join family stays via q91), q115 editdist-1 join (4; fuzzy-join
+    # stays via q91 + parity), q117 entity resolution (4; components
+    # family stays via q132 golden records), q118 phrase search (4; stays
+    # via q120 multi-phrase), q119 near-dup decontam (4; stays via
+    # freshly-promoted q121 phrase decontam), q122 embedding decontam (4;
+    # stays via q121 + q126), q124 CUSUM drift (4; robust-drift family
+    # stays via freshly-promoted q103 z-score outliers), q123 co-purchase
+    # (3; generic self-join/agg), q125 MAD outliers (3; stays via q103),
+    # q129 interval gaps (3; interval family stays via q127 coverage),
+    # q131 peak concurrency (3; stays via q127).
+    "q14_transitive_closure",
+    "q25_minhash_lsh_pairs",
+    "q30_knn_ivf",
+    "q54_kmeans_clusters",
+    "q57_gene_exon_join",
+    "q112_containment_join",
+    "q115_editdist1_join",
+    "q117_entity_resolution",
+    "q118_phrase_search",
+    "q119_neardup_decontam",
+    "q122_embedding_decontam",
+    "q124_cusum_drift",
+    "q123_copurchase",
+    "q125_mad_outliers",
+    "q129_interval_gaps",
+    "q131_max_concurrency",
 ]
 
 

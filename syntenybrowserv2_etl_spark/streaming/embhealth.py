@@ -195,7 +195,13 @@ def batch_label_health_report(
     suspect_rate R6)`` where ``cos_own`` is the row's cosine to its own
     label's maintained centroid (q165's cohesion, incremental) and a row
     is SUSPECT when the nearest maintained centroid carries a different
-    label (ties to the smaller label — q163/q167's rule). Centroids ride
+    label (ties to the smaller label — q163/q167's rule) OR when no vote
+    exists at all (empty/absent centroid state — nothing vouches for the
+    row, so it counts suspect rather than silently dropping out of the
+    NULL-skipping sum; ADVICE r14). ``mean_cos_own`` stays NULL-skipping
+    by design: a first-seen label has no maintained centroid yet, so its
+    rows contribute no own-cosine (documented, not an undercount — those
+    same rows DO count suspect via the coalesce). Centroids ride
     one broadcast array row; the batch never shuffles for scoring."""
     spark = batch_df.sparkSession
     cents = read_label_centroids(spark, state_path)
@@ -224,12 +230,14 @@ def batch_label_health_report(
             ),
         )
     )
-    own_cos = F.element_at(
+    # F.get (0-indexed) returns NULL when the label has no maintained
+    # centroid — ANSI element_at would throw on the empty-state batch
+    own_cos = F.get(
         F.transform(
             F.filter(F.col("__cents"), lambda c: c["lb"] == F.col("__own")),
             lambda c: dot(c) / (F.col("__vn") * c["nrm"]),
         ),
-        1,
+        F.lit(0),
     )
     scored = (
         batch_df.select(
@@ -244,15 +252,15 @@ def batch_label_health_report(
             (-best["neglb"]).alias("__vote"),
         )
     )
+    # NULL vote (empty centroid state) must count suspect, not vanish
+    # into NULL-skipping aggregation
+    suspect = F.coalesce(F.col("__vote") != F.col("__own"), F.lit(True))
     return scored.groupBy(F.col("__own").alias("label")).agg(
         F.count(F.lit(1)).cast("long").alias("n_batch"),
         F.round(F.avg("__oc"), 6).alias("mean_cos_own"),
-        F.sum((F.col("__vote") != F.col("__own")).cast("long")).alias(
-            "n_suspect"
-        ),
+        F.sum(suspect.cast("long")).alias("n_suspect"),
         F.round(
-            F.sum((F.col("__vote") != F.col("__own")).cast("int"))
-            / F.count(F.lit(1)),
+            F.sum(suspect.cast("int")) / F.count(F.lit(1)),
             6,
         ).alias("suspect_rate"),
     )

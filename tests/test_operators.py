@@ -1477,6 +1477,15 @@ def test_jpeg_codec_boundaries():
         mm._jpeg_decode(b"\x00\x11" + base)
     with _pt.raises(ValueError):
         mm._jpeg_decode(base[:40])  # truncated mid-headers
+    # non-interleaved (multi-scan): SOS lists fewer components than SOF —
+    # decoding only the first scan would return all-zero planes for the
+    # missing components with no error (ADVICE r14); the seam must raise
+    rgb3 = mm._jpeg_encode(8, 8, 3, bytes([10, 200, 60] * 64))
+    sos_at = rgb3.index(b"\xff\xda")
+    multi = bytearray(rgb3)
+    multi[sos_at + 4] = 1  # ns: 3 -> 1 (luma-only first scan)
+    with _pt.raises(NotImplementedError, match="non-interleaved"):
+        mm._jpeg_decode(bytes(multi))
     feat = mm.decode_real(base, "image")
     assert len(feat) == 8
     assert feat[0] == _pt.approx(130 / 255.0, abs=1e-9)
@@ -4579,19 +4588,34 @@ def test_knn_ivf_narrow_probe_identical_to_window_probe(spark):
     assert salted == window_out
 
 
-def test_label_noise_audit_ivf_recall_vs_exact_sf0001(spark):
-    """Recall grade for the q167 approximation (VERDICT r13 #1 'recall
-    note'): on the real sf0.001 embeddings with the q163/q167 audit
-    sample, the IVF vote (C=16, nprobe=4) must agree with the exact vote
-    on >= 80% of audited vectors' majority labels — the quantitative
-    license for routing the 100 TB audit through the probed path. (At
-    sf0.001 measured agreement is ~0.9; threshold leaves noise room.)"""
+@pytest.mark.parametrize(
+    "sf_dir,max_flip_mass",
+    [
+        ("/root/testdata/sf0.001", 0.12),
+        ("/root/testdata/sf0.01", 0.08),
+    ],
+)
+def test_label_noise_audit_ivf_recall_vs_exact(spark, sf_dir, max_flip_mass):
+    """Recall grade for the q167 approximation, floor RAISED to the
+    measured band (VERDICT r14 #4; was a loose 0.20 at sf0.001 only):
+    on the real embeddings with the q163/q167 audit sample, the IVF
+    report (C=16, nprobe=4, hash-picked centroids — q167's exact
+    config) must keep per-label flip mass within the measured value +
+    noise room: measured 0.0976 at sf0.001 and 0.0650 at sf0.01
+    (deterministic — no RNG anywhere in the path; see
+    tools/recall_curve.py and SCALE.md's round-15 recall table, which
+    also grades nprobe ∈ {2,4,8} and k-means-trained centroids).
+    Flip mass bounds the audit's DELIVERABLE (per-label suspect
+    rates); the stricter per-vector metrics are recorded in SCALE.md
+    (suspect-flag agreement 0.83-0.94 across the curve; raw majority-
+    vote agreement is low on these near-random synthetic neighborhoods
+    and is documented, not pinned)."""
     from pyspark.sql import functions as F
 
     from syntenybrowserv2_etl_spark.functions import hashing
     from syntenybrowserv2_etl_spark.operators import similarity as S
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     audit = emb.filter(hashing.md5_long(F.col("vec_id")) % 4 == 0)
     exact = S.label_noise_audit(emb, k=5, audit=audit)
     appx = S.label_noise_audit_ivf(
@@ -4604,7 +4628,7 @@ def test_label_noise_audit_ivf_recall_vs_exact_sf0001(spark):
     # per-label suspect counts can only differ where the majority vote
     # flipped; bound the total flip mass
     flips = sum(abs(e[k]["n_suspect"] - a[k]["n_suspect"]) for k in e)
-    assert n > 0 and flips / n <= 0.2, (flips, n)
+    assert n > 0 and flips / n <= max_flip_mass, (flips, n)
 
 
 def test_label_centroid_separation_known_geometry(spark):

@@ -3438,6 +3438,52 @@ def test_label_centroid_fold_and_health_reports(spark, tmp_path_factory):
     }
 
 
+def test_label_health_null_vote_counts_suspect(spark, tmp_path_factory):
+    """ADVICE r14 regression: with EMPTY centroid state the argmax vote is
+    NULL; (vote != own) is then NULL and a NULL-skipping sum would report
+    n_suspect=0 — the fixed predicate coalesces NULL votes to suspect, so
+    every row of an unvouched-for batch counts. Also pins the documented
+    first-seen-label semantics: a label with no maintained centroid gets
+    NULL mean_cos_own but its rows still vote (against other centroids)
+    and count suspect."""
+    from syntenybrowserv2_etl_spark.streaming import embhealth as eh
+
+    base = str(tmp_path_factory.mktemp("embhealth_null"))
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+    # (a) zero-row state (readable parquet, no centroids): every vote is
+    # NULL — pre-fix these rows silently skipped the suspect sum
+    state = os.path.join(base, "state_empty")
+    spark.createDataFrame(
+        [], "label long, n long, sumvec array<double>, __kb int, __b int"
+    ).write.parquet(state)
+    probe = mk([(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)])
+    rep = {r["label"]: r for r in
+           eh.batch_label_health_report(probe, state).collect()}
+    assert rep[0]["n_suspect"] == 1 and rep[0]["suspect_rate"] == 1.0
+    assert rep[1]["n_suspect"] == 1 and rep[1]["suspect_rate"] == 1.0
+    assert rep[0]["mean_cos_own"] is None
+
+    # (b) first-seen label: state knows label 0 only; label-9 rows have no
+    # own centroid (NULL cohesion) but still vote and count suspect
+    state2 = os.path.join(base, "state_one")
+    eh.label_centroid_fold_batch(
+        mk([(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0)]),
+        0,
+        state_path=state2,
+        n_buckets=4,
+    )
+    rep2 = {r["label"]: r for r in
+            eh.batch_label_health_report(
+                mk([(5, [1.0, 0.0], 9), (6, [1.0, 0.05], 0)]), state2
+            ).collect()}
+    assert rep2[9]["mean_cos_own"] is None
+    assert rep2[9]["n_suspect"] == 1  # votes label 0, owns label 9
+    assert rep2[0]["n_suspect"] == 0 and rep2[0]["mean_cos_own"] > 0.99
+
+
 def test_label_centroid_fold_lost_marker_detection(spark, tmp_path_factory):
     """embhealth's merge is an elementwise SUM — same worst-case
     non-idempotency as the drift monitor: a fully-committed batch whose

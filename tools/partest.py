@@ -27,11 +27,6 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOGDIR = os.path.join(REPO, ".scratch", "partest")
 
-_SUMMARY = re.compile(
-    r"(?:(\d+) failed)?(?:, )?(?:(\d+) passed)?(?:, )?(?:(\d+) skipped)?"
-    r"(?:, )?(?:(\d+) deselected)?(?:, )?(?:(\d+) error)?"
-)
-
 
 def _parse_tail(path: str) -> dict[str, int]:
     counts = {"failed": 0, "passed": 0, "skipped": 0, "deselected": 0, "error": 0}
@@ -82,12 +77,19 @@ def main() -> int:
         counts = _parse_tail(log)
         for k in total:
             total[k] += counts[k]
-        status = "ok" if p.returncode == 0 else f"RC={p.returncode}"
+        # pytest exits 5 when a worker's hash shard deselects every
+        # collected test ("no tests ran") — with -k or a single-file arg
+        # a shard can legitimately be empty; that is success, not failure
+        empty_ok = (
+            p.returncode == 5 and counts["failed"] == 0 and counts["error"] == 0
+        )
+        ok = p.returncode == 0 or empty_ok
+        status = "ok" if ok else f"RC={p.returncode}"
         print(
             f"worker {i}: {counts['passed']} passed, {counts['failed']} failed,"
             f" {counts['skipped']} skipped [{status}] ({log})"
         )
-        if p.returncode != 0:
+        if not ok:
             rc = 1
             with open(log, errors="replace") as f:
                 lines = f.readlines()
