@@ -7423,6 +7423,68 @@ def q168(spark, sf_dir):
 
 
 @register(
+    "q171_jpeg420_stats",
+    """
+    WITH ids AS (SELECT unnest(range(0, 40)) AS media_id),
+    dims AS (SELECT media_id, 16 * (1 + media_id % 2) AS w,
+                    16 * (1 + media_id % 3) AS h
+             FROM ids),
+    px AS (
+      SELECT d.media_id, d.w, d.h,
+             128 + 2 * ((d.media_id * 31 + (x.x // 16) * 7
+                         + (y.y // 16) * 13) % 60) - 60 AS v,
+             CASE WHEN y.y >= (d.h + 1) // 2 THEN 2 ELSE 0 END
+             + CASE WHEN x.x >= (d.w + 1) // 2 THEN 1 ELSE 0 END AS q
+      FROM dims d,
+      LATERAL (SELECT unnest(range(0, d.w)) AS x) AS x,
+      LATERAL (SELECT unnest(range(0, d.h)) AS y) AS y)
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS sum_c0,
+           CAST(SUM(v) AS BIGINT) AS sum_c1,
+           CAST(SUM(v) AS BIGINT) AS sum_c2,
+           CAST(3 * SUM(CASE WHEN q = 0 THEN v ELSE 0 END) AS BIGINT) AS lum_q0,
+           CAST(3 * SUM(CASE WHEN q = 1 THEN v ELSE 0 END) AS BIGINT) AS lum_q1,
+           CAST(3 * SUM(CASE WHEN q = 2 THEN v ELSE 0 END) AS BIGINT) AS lum_q2,
+           CAST(3 * SUM(CASE WHEN q = 3 THEN v ELSE 0 END) AS BIGINT) AS lum_q3
+    FROM px GROUP BY media_id
+    """,
+    tags=["image stats through the REAL 4:2:0 baseline-JPEG decode"],
+)
+def q171(spark, sf_dir):
+    """q168's discipline for the CHROMA-SUBSAMPLED codec leg (round 15,
+    VERDICT r14 #5): per-image pixel sums through the full binary path —
+    valid 4:2:0 baseline JPEGs (interleaved 16×16 MCUs: four luma blocks
+    + box-averaged Cb/Cr, nearest chroma upsample on decode,
+    operators/multimodal._jpeg_decode) — hash-matching a pure-integer
+    SQL oracle. Exactness despite lossiness + subsampling is by fixture
+    construction (synthetic_jpeg420_media: MCU-constant even-offset
+    GRAYS, so luma DC quantizes losslessly and chroma is exactly
+    neutral); the general inexact 4:2:0 paths (colored MCUs, gradients)
+    are roundtrip-tolerance unit tests. The quadrant split lands
+    mid-MCU for the 16-px dimension — the sums see individual upsampled
+    pixels, not whole MCUs, so a chroma/luma indexing bug cannot
+    cancel."""
+    media = mm_ops.synthetic_jpeg420_media(spark, 40)
+    s = mm_ops.image_stats(media)
+    return s.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "sum_c0",
+        "sum_c1",
+        "sum_c2",
+        "lum_q0",
+        "lum_q1",
+        "lum_q2",
+        "lum_q3",
+    )
+
+
+@register(
     "q169_image_dedup",
     """
     WITH ids AS (SELECT unnest(range(0, 48)) AS media_id),
@@ -7834,6 +7896,9 @@ _DEMOTED_PAST_WINDOW = [
     "q125_mad_outliers",
     "q129_interval_gaps",
     "q131_max_concurrency",
+    # round 15: parity-gated from birth (standing policy; backlog-growth
+    # policy holds new entries ≤ promotions — 1 new vs 16 promoted).
+    "q171_jpeg420_stats",
 ]
 
 

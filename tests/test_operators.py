@@ -1486,10 +1486,79 @@ def test_jpeg_codec_boundaries():
     multi[sos_at + 4] = 1  # ns: 3 -> 1 (luma-only first scan)
     with _pt.raises(NotImplementedError, match="non-interleaved"):
         mm._jpeg_decode(bytes(multi))
+    # 4:2:2 (luma 2x1) is NOT the supported 4:2:0 layout — still a seam
+    rgb420 = mm._jpeg_encode(16, 16, 3, bytes([90, 90, 90] * 256), subsample="420")
+    sof420 = rgb420.index(b"\xff\xc0")
+    h422 = bytearray(rgb420)
+    h422[sof420 + 11] = 0x21  # luma 2x2 -> 2x1
+    with _pt.raises(NotImplementedError, match="subsampl"):
+        mm._jpeg_decode(bytes(h422))
     feat = mm.decode_real(base, "image")
     assert len(feat) == 8
     assert feat[0] == _pt.approx(130 / 255.0, abs=1e-9)
     assert all(q == _pt.approx(130 / 255.0, abs=1e-9) for q in feat[4:])
+
+
+def test_jpeg420_roundtrips():
+    """Round 15 (VERDICT r14 #5): the 4:2:0 leg. (a) MCU-constant
+    even-offset grays roundtrip EXACTLY (the q171 fixture's claim),
+    including dims that are not MCU multiples; (b) per-MCU constant
+    COLORS roundtrip within the quantization tolerance — this exercises
+    non-neutral chroma through the box-downsample + nearest-upsample
+    path; (c) full-image gradients stay within the same bound the 1:1
+    tests allow."""
+    import pytest as _pt
+
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+
+    # (a) exact: 2x2-MCU gray checkerboard, then odd dims 20x12
+    pix = bytearray()
+    for y in range(32):
+        for x in range(32):
+            v = 130 if (x // 16 + y // 16) % 2 == 0 else 184
+            pix += bytes([v, v, v])
+    w2, h2, ch, out = mm._jpeg_decode(
+        mm._jpeg_encode(32, 32, 3, bytes(pix), subsample="420")
+    )
+    assert (w2, h2, ch) == (32, 32, 3) and out == bytes(pix)
+    odd = bytes([140, 140, 140] * (20 * 12))
+    w3, h3, ch3, out3 = mm._jpeg_decode(
+        mm._jpeg_encode(20, 12, 3, odd, subsample="420")
+    )
+    assert (w3, h3, ch3) == (20, 12, 3) and out3 == odd
+
+    # (b) colored MCUs: chroma is real (nonzero Cb/Cr), bounded error
+    cpix = bytearray()
+    colors = [(200, 80, 40), (40, 180, 220), (90, 200, 90), (230, 230, 30)]
+    for y in range(32):
+        for x in range(32):
+            cpix += bytes(colors[(x // 16) + 2 * (y // 16)])
+    _, _, _, cout = mm._jpeg_decode(
+        mm._jpeg_encode(32, 32, 3, bytes(cpix), subsample="420")
+    )
+    assert max(abs(a - b) for a, b in zip(cout, cpix)) <= 4
+
+    # (c) gradient tolerance (quant error + 2x2 chroma averaging)
+    gpix = bytes(
+        min(255, (x * 5 + y * 3 + c * 7) % 220)
+        for y in range(16)
+        for x in range(16)
+        for c in range(3)
+    )
+    _, _, _, gout = mm._jpeg_decode(
+        mm._jpeg_encode(16, 16, 3, gpix, subsample="420")
+    )
+    # chroma is 2x2-averaged: neighboring-pixel chroma deltas fold in
+    assert max(abs(a - b) for a, b in zip(gout, gpix)) <= 40
+    n = len(gpix)
+    mean_err = sum(abs(a - b) for a, b in zip(gout, gpix)) / n
+    assert mean_err <= 8, mean_err
+
+    # encoder seam: unknown subsample mode refused
+    with _pt.raises(NotImplementedError, match="444 or 420"):
+        mm._jpeg_encode(16, 16, 3, bytes(768), subsample="422")
+    with _pt.raises(ValueError, match="RGB"):
+        mm._jpeg_encode(16, 16, 1, bytes(256), subsample="420")
 
 
 def test_image_dhash_brightness_invariant_and_boundaries(spark):

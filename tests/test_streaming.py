@@ -3484,6 +3484,128 @@ def test_label_health_null_vote_counts_suspect(spark, tmp_path_factory):
     assert rep2[0]["n_suspect"] == 0 and rep2[0]["mean_cos_own"] > 0.99
 
 
+def test_media_neardup_gate_fold_equals_batch(spark, tmp_path_factory):
+    """Round 15 (VERDICT r14 #6) — the streaming media-ingest near-dup
+    gate: (a) folding the q169 image fixture in three interleaved
+    micro-batches emits, in union, EXACTLY the one-shot
+    hamming_band_pairs over the whole corpus (fold ≡ batch — cross-batch
+    pairs are found when the later side arrives, within-batch pairs by
+    the shared operator); (b) a committed redelivery changes neither the
+    index nor the pairs (marker idempotence); (c) the audio twin holds
+    the same invariant; (d) the maintained index equals the batch hash
+    run's band rows."""
+    import os
+
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+    from syntenybrowserv2_etl_spark.streaming import mediadedup as md
+
+    base = str(tmp_path_factory.mktemp("mediadedup"))
+
+    def drive(kind, media, hash_fn, hcol):
+        state = os.path.join(base, f"state_{kind}")
+        pairs = os.path.join(base, f"pairs_{kind}")
+        # interleave clusters across batches: batch b gets media_id % 3 == b
+        for b in range(3):
+            batch = media.filter(F.col("media_id") % 3 == b)
+            md.media_neardup_fold_batch(
+                batch, b, state_path=state, pairs_path=pairs, kind=kind,
+                n_buckets=4,
+            )
+        got = {
+            (r["media_id_a"], r["media_id_b"], r["hamming"])
+            for r in md.read_dup_pairs(spark, pairs).collect()
+        }
+        hs = hash_fn(media)
+        want = {
+            (r["media_id_a"], r["media_id_b"], r["hamming"])
+            for r in mm.hamming_band_pairs(hs, "media_id", hcol).collect()
+        }
+        assert got == want and len(want) >= 48, (len(got), len(want))
+
+        # (d) index == batch band rows
+        idx = {
+            (r["bi"], r["bv"], r["media_id"], r["hsh"])
+            for r in md.read_media_index(spark, state).collect()
+        }
+        want_idx = {
+            (r["bi"], r["bv"], r["media_id"], r["hsh"])
+            for r in md._band_rows(
+                hs.select(
+                    "media_id", F.col(hcol).alias("hsh"), "b0", "b1", "b2", "b3"
+                )
+            ).collect()
+        }
+        assert idx == want_idx
+
+        # (b) committed redelivery: everything unchanged
+        md.media_neardup_fold_batch(
+            media.filter(F.col("media_id") % 3 == 1), 1,
+            state_path=state, pairs_path=pairs, kind=kind, n_buckets=4,
+        )
+        again = {
+            (r["media_id_a"], r["media_id_b"], r["hamming"])
+            for r in md.read_dup_pairs(spark, pairs).collect()
+        }
+        idx2 = {
+            (r["bi"], r["bv"], r["media_id"], r["hsh"])
+            for r in md.read_media_index(spark, state).collect()
+        }
+        assert again == got and idx2 == idx
+
+    drive(
+        "image",
+        mm.synthetic_neardup_png_media(spark, 16, 3),
+        mm.image_dhash,
+        "dhash",
+    )
+    drive(
+        "audio",
+        mm.synthetic_neardup_wav_media(spark, 16, 3),
+        mm.audio_envelope_hash,
+        "ahash",
+    )
+
+
+def test_media_neardup_gate_stream_twin(spark, tmp_path_factory):
+    """The readStream twin converges to the same pairs + index as the
+    manual fold over the same files (availableNow, maxFilesPerTrigger=1
+    → one fold per file)."""
+    import os
+
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+    from syntenybrowserv2_etl_spark.streaming import mediadedup as md
+
+    base = str(tmp_path_factory.mktemp("mediadedup_stream"))
+    media = mm.synthetic_neardup_png_media(spark, 8, 3)
+    src = os.path.join(base, "src")
+    for b in range(2):
+        media.filter(F.col("media_id") % 2 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    state = os.path.join(base, "state")
+    pairs = os.path.join(base, "pairs")
+    stream = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    md.media_neardup_stream(
+        stream, state, pairs, kind="image", n_buckets=4,
+        checkpoint=os.path.join(base, "ck"),
+    ).awaitTermination(120)
+    got = {
+        (r["media_id_a"], r["media_id_b"], r["hamming"])
+        for r in md.read_dup_pairs(spark, pairs).collect()
+    }
+    want = {
+        (r["media_id_a"], r["media_id_b"], r["hamming"])
+        for r in mm.hamming_band_pairs(
+            mm.image_dhash(media), "media_id", "dhash"
+        ).collect()
+    }
+    assert got == want and len(want) >= 24
+
+
 def test_label_centroid_fold_lost_marker_detection(spark, tmp_path_factory):
     """embhealth's merge is an elementwise SUM — same worst-case
     non-idempotency as the drift monitor: a fully-committed batch whose
