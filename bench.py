@@ -131,10 +131,12 @@ CURATION = [
 # change; cross-round comparison rested on prose ("normalize by the
 # session's own suite83"). Now it's data: a fixed 3-query probe runs at
 # session START and END (same warm-up + min-of-3 discipline), the probe
-# times land in BENCH_DETAIL.json, and drift_factor = this session's mean
-# probe time / the previous committed detail's — so the summary also emits
-# drift-NORMALIZED per-query ratios vs last round, and only normalized
-# moves are regression signals.
+# times land in BENCH_DETAIL.json, and drift_factor = this session's END
+# (steady-state) probe / the previous committed detail's — so the summary
+# also emits drift-NORMALIZED per-query ratios vs last round, and only
+# normalized moves are regression signals. (The start probe is recorded
+# for intra-session visibility but is NOT the anchor — it is
+# systematically JIT-inflated right after session start.)
 CALIBRATION = ["q01_pricing_summary", "q22_exact_dedup", "q31_text_profile"]
 
 # Round 15 (VERDICT r14 #7): the three slowest EXACT-oracle demos dominated
@@ -230,12 +232,19 @@ def main() -> None:
         times[name] = round(_time_query(spark, sf_dir, name), 3)
 
     cal_end = round(sum(_time_query(spark, sf_dir, n) for n in CALIBRATION), 3)
-    cal_mean = round((cal_start + cal_end) / 2, 3)
-    prev_cal = (prev or {}).get("drift", {}).get("calibration_sec")
+    # The cross-round anchor is the END (steady-state) probe: the start
+    # probe is systematically JIT-inflated (measured r15: start 2.47 s vs
+    # end 1.02 s on a host whose median raw per-query ratio vs r14 was
+    # 1.01 — a mean-of-both factor would fabricate 65% "drift"). The
+    # start probe is still recorded: start/end within one session shows
+    # intra-session drift, and start-to-start across rounds is its own
+    # apples-to-apples series once two rounds carry it.
+    prev_cal = (prev or {}).get("drift", {}).get("calibration_end_sec")
     if prev_cal is None and prev is not None:
         # bootstrap from the previous round's in-loop times for the same
-        # three queries — same min-of-3 discipline, so the ratio is a
-        # valid anchor even before the first detail with a drift block
+        # three queries — same min-of-3 discipline, measured mid-session
+        # (steady state), so the ratio is a valid anchor even before the
+        # first detail with a drift block
         try:
             prev_cal = round(
                 sum(prev["queries"][n] for n in CALIBRATION), 3
@@ -243,7 +252,7 @@ def main() -> None:
         except KeyError:
             prev_cal = None
     drift_factor = (
-        round(cal_mean / prev_cal, 4) if prev_cal else None
+        round(cal_end / prev_cal, 4) if prev_cal else None
     )
     # drift-normalized per-query ratios vs the previous committed detail:
     # ratio = (t_now / drift_factor) / t_prev — only these are regression
@@ -275,8 +284,7 @@ def main() -> None:
             "calibration_queries": CALIBRATION,
             "calibration_start_sec": cal_start,
             "calibration_end_sec": cal_end,
-            "calibration_sec": cal_mean,
-            "prev_calibration_sec": prev_cal,
+            "prev_calibration_end_sec": prev_cal,
             "drift_factor": drift_factor,
             "normalized_regressions_ge_1p3": norm_regressions,
         },
@@ -296,7 +304,7 @@ def main() -> None:
         "headline15_sec": detail["headline15_sec"],
         "suite83_sec": detail["suite83_sec"],
         "n_queries": len(times),
-        "calibration_sec": cal_mean,
+        "calibration_sec": cal_end,
         "drift_factor": drift_factor,
         "n_norm_regressions": len(norm_regressions),
         "n_carried": len(carried),

@@ -1561,6 +1561,162 @@ def test_jpeg420_roundtrips():
         mm._jpeg_encode(16, 16, 1, bytes(256), subsample="420")
 
 
+def test_apng_codec_roundtrip_and_seams():
+    """Round 15 (VERDICT r14 #8, preferred shape): the APNG codec.
+    (a) full-frame encode→decode roundtrip is EXACT (PNG lossless),
+    delays preserved, held frames byte-identical; (b) a REGION frame
+    (fcTL offsets) composes onto the canvas, and dispose_op=1 clears its
+    region for the next frame; (c) blend_op=1 / dispose_op=2 stay behind
+    NotImplementedError; a plain PNG raises ValueError (no acTL); frame
+    count must match acTL; (d) the still decoder reads an APNG's default
+    image (frame 0) — the spec's fallback behavior."""
+    import struct
+    import zlib
+
+    import pytest as _pt
+
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+
+    w, h, ch = 12, 9, 3
+    f0 = bytes(
+        (x * 11 + y * 23 + c * 71) % 256
+        for y in range(h) for x in range(w) for c in range(ch)
+    )
+    f2 = bytes(
+        (5 + x * 11 + y * 23 + c * 71) % 256
+        for y in range(h) for x in range(w) for c in range(ch)
+    )
+    apng = mm._apng_encode(w, h, ch, [f0, f0, f2], [(4, 100), (5, 100), (6, 100)])
+    w2, h2, ch2, frames = mm._apng_decode(apng)
+    assert (w2, h2, ch2) == (w, h, ch)
+    assert [f[:2] for f in frames] == [(4, 100), (5, 100), (6, 100)]
+    assert frames[0][2] == f0 and frames[1][2] == f0 and frames[2][2] == f2
+    # (d) still-decoder fallback: default image = frame 0
+    assert mm._png_decode(apng)[3] == f0
+    with _pt.raises(ValueError, match="acTL"):
+        mm._apng_decode(mm._png_encode(8, 8, 1, bytes(64)))
+
+    # (b) hand-build: frame 2 is a 4x3 region at (2, 1) over frame 1,
+    # dispose_op=1 on frame 2 so frame 3 sees the region cleared
+    region = bytes(range(4 * 3 * ch))
+    out = bytearray(mm._PNG_MAGIC)
+    out += mm._png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    out += mm._png_chunk(b"acTL", struct.pack(">II", 3, 0))
+    out += mm._png_chunk(
+        b"fcTL", struct.pack(">IIIIIHHBB", 0, w, h, 0, 0, 4, 100, 0, 0)
+    )
+    out += mm._png_chunk(
+        b"IDAT", zlib.compress(mm._png_filter_scanlines(w, h, ch, f0))
+    )
+    out += mm._png_chunk(
+        b"fcTL", struct.pack(">IIIIIHHBB", 1, 4, 3, 2, 1, 4, 100, 1, 0)
+    )
+    out += mm._png_chunk(
+        b"fdAT",
+        struct.pack(">I", 2)
+        + zlib.compress(mm._png_filter_scanlines(4, 3, ch, region)),
+    )
+    out += mm._png_chunk(
+        b"fcTL", struct.pack(">IIIIIHHBB", 3, 1, 1, 0, 0, 4, 100, 0, 0)
+    )
+    out += mm._png_chunk(
+        b"fdAT",
+        struct.pack(">I", 4)
+        + zlib.compress(mm._png_filter_scanlines(1, 1, ch, f0[:3])),
+    )
+    out += mm._png_chunk(b"IEND", b"")
+    _, _, _, fr3 = mm._apng_decode(bytes(out))
+    # frame 2: region pasted over f0
+    want = bytearray(f0)
+    for yy in range(3):
+        dst = ((1 + yy) * w + 2) * ch
+        want[dst : dst + 4 * ch] = region[yy * 4 * ch : (yy + 1) * 4 * ch]
+    assert fr3[1][2] == bytes(want)
+    # frame 3: region cleared (dispose 1), then 1x1 repaint at origin
+    want3 = bytearray(f0)
+    for yy in range(3):
+        dst = ((1 + yy) * w + 2) * ch
+        want3[dst : dst + 4 * ch] = bytes(4 * ch)
+    want3[0:3] = f0[:3]
+    assert fr3[2][2] == bytes(want3)
+
+    # (c) seams
+    bad_blend = bytearray(out)
+    # patch the SECOND fcTL's blend byte (last byte of its 26-byte body)
+    idx = bad_blend.index(b"fcTL", bad_blend.index(b"fcTL") + 4)
+    bad_blend[idx + 4 + 25] = 1
+    # fix CRC: rebuild chunk
+    body = bytes(bad_blend[idx + 4 : idx + 4 + 26])
+    fixed = (
+        bytes(bad_blend[: idx - 4])
+        + mm._png_chunk(b"fcTL", body)
+        + bytes(bad_blend[idx + 4 + 26 + 4 :])
+    )
+    with _pt.raises(NotImplementedError, match="blend"):
+        mm._apng_decode(fixed)
+    bad_disp = bytearray(out)
+    idx = bad_disp.index(b"fcTL", bad_disp.index(b"fcTL") + 4)
+    body = bytearray(bad_disp[idx + 4 : idx + 4 + 26])
+    body[24] = 2
+    fixed2 = (
+        bytes(bad_disp[: idx - 4])
+        + mm._png_chunk(b"fcTL", bytes(body))
+        + bytes(bad_disp[idx + 4 + 26 + 4 :])
+    )
+    with _pt.raises(NotImplementedError, match="previous"):
+        mm._apng_decode(fixed2)
+    # acTL/frame-count mismatch
+    trunc = bytearray(mm._apng_encode(w, h, ch, [f0, f2]))
+    actl_at = trunc.index(b"acTL")
+    body = struct.pack(">II", 5, 0)
+    fixed3 = (
+        bytes(trunc[: actl_at - 4])
+        + mm._png_chunk(b"acTL", body)
+        + bytes(trunc[actl_at + 4 + 8 + 4 :])
+    )
+    with _pt.raises(ValueError, match="declares"):
+        mm._apng_decode(fixed3)
+
+
+def test_video_operators_edge_cases(spark):
+    """video_frame_stats / video_scene_changes: non-video rows, NULL
+    payloads, and undecodable bytes contribute zero rows; a video
+    smaller than the 9x8 dHash grid yields stats but no scene rows;
+    planted held frames flag scene_change exactly on pattern changes."""
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+
+    tiny = mm._apng_encode(
+        4, 4, 3, [bytes(48), bytes(48)], [(4, 100), (4, 100)]
+    )
+    good = mm._apng_encode(
+        12, 9, 3,
+        [bytes([10] * 324), bytes([10] * 324),
+         bytes((x * 13 + y * 29 + c) % 256 for y in range(9) for x in range(12) for c in range(3))],
+        [(4, 100), (5, 100), (25, 1000)],
+    )
+    media = spark.createDataFrame(
+        [
+            (0, "video", good, 12, 9, 115, "apng"),
+            (1, "video", tiny, 4, 4, 80, "apng"),
+            (2, "image", good, 12, 9, None, "apng"),  # wrong kind
+            (3, "video", None, None, None, None, "apng"),
+            (4, "video", b"garbage", None, None, None, "apng"),
+        ],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    stats = mm.video_frame_stats(media).collect()
+    by_media = {}
+    for r in stats:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == {0, 1}
+    assert [r["t_ms"] for r in sorted(by_media[0], key=lambda r: r["frame_idx"])] == [0, 40, 90]
+    assert by_media[0][0]["sum_c0"] == 10 * 108
+    scenes = mm.video_scene_changes(media).collect()
+    assert {r["media_id"] for r in scenes} == {0}  # tiny video: no rows
+    flags = [r["scene_change"] for r in sorted(scenes, key=lambda r: r["frame_idx"])]
+    assert flags == [True, False, True]
+
+
 def test_image_dhash_brightness_invariant_and_boundaries(spark):
     """image_dhash (q169's primitive): uniform brightness shifts hash
     identically (the cross-multiplied gradient bits cancel the shift
