@@ -110,6 +110,7 @@ KNOWN_OPS = frozenset({
     "excise_repeated", "shingle_fold",
     "label_noise_ivf", "quantile_grid", "oov_rate", "entropy_rate",
     "image_dhash", "audio_ehash", "image_pair_join", "audio_pair_join",
+    "media_gate_fold",
     "embedding_collapse", "label_separation", "label_cohesion",
     "assoc_mi", "ks_drift", "kmv_overlap", "zipf_fit",
     "balanced_shards", "key_skew", "dist_psi", "ipf_reweight",
@@ -144,6 +145,7 @@ def main():
         "interval_union", "jsonl_ingest", "pareto_skyline",
         "roc_auc", "rrf_fuse", "token_fold",
         "image_dhash", "audio_ehash", "image_pair_join", "audio_pair_join",
+        "media_gate_fold",
     }
     results = []
     for f in factors:
@@ -838,7 +840,7 @@ def main():
             v = (v * 0x2545F491) & 0xFFFFFFFF
             return (v ^ (v >> 13)) & 0xFFFFFFFF
 
-        def _entropy_png_media(n_base, n_levels):
+        def _entropy_png_media(n_base, n_levels, base_off=0, id_off=0):
             from syntenybrowserv2_etl_spark.operators import multimodal as mmod
 
             rows = []
@@ -846,13 +848,21 @@ def main():
                 b, delta = i % n_base, (i // n_base) * 2
                 w, h = 12 + b % 4, 9 + b % 3
                 pix = bytes(
-                    _mix32(b, x, y, c) % 240 + delta
+                    _mix32(b + base_off, x, y, c) % 240 + delta
                     for y in range(h)
                     for x in range(w)
                     for c in range(3)
                 )
                 rows.append(
-                    (i, "image", mmod._png_encode(w, h, 3, pix), w, h, None, "png")
+                    (
+                        i + id_off,
+                        "image",
+                        mmod._png_encode(w, h, 3, pix),
+                        w,
+                        h,
+                        None,
+                        "png",
+                    )
                 )
             return spark.createDataFrame(rows, schema=mmod.MEDIA_SCHEMA)
 
@@ -879,6 +889,47 @@ def main():
                     None, None, n * 1000 // 8000, "pcm",
                 ))
             return spark.createDataFrame(rows, schema=mmod.MEDIA_SCHEMA)
+
+        # round 15: the streaming media gate's per-batch cost vs INDEX
+        # size — pre-grow the banded index to 45·f images (untimed),
+        # then time ONE constant 6-image batch fold (decode + bucket-
+        # pruned probe + pair write + state merge). The batch touches
+        # ≤ 24 of 64 buckets, so probe volume is (touched/64)·index:
+        # growth must stay well under the index's own 16×. At production
+        # n_buckets scales with the corpus (the family's sizing rule),
+        # keeping per-batch probe volume bounded regardless of index
+        # size.
+        def _media_gate_fold():
+            import shutil as _sh
+
+            from syntenybrowserv2_etl_spark.streaming import mediadedup as md
+
+            state = f"{SCRATCH}/mgate_state_x{f}"
+            pairs = f"{SCRATCH}/mgate_pairs_x{f}"
+            _sh.rmtree(state, ignore_errors=True)
+            _sh.rmtree(pairs, ignore_errors=True)
+            md.media_neardup_fold_batch(
+                _entropy_png_media(15 * f, 3),
+                0,
+                state_path=state,
+                pairs_path=pairs,
+                kind="image",
+                n_buckets=64,
+            )
+            batch = _entropy_png_media(2, 3, base_off=900_000, id_off=9_000_000)
+            r["media_gate_fold"] = timed(
+                lambda: md.media_neardup_fold_batch(
+                    batch,
+                    1,
+                    state_path=state,
+                    pairs_path=pairs,
+                    kind="image",
+                    n_buckets=64,
+                )
+            )
+
+        if only is None or "media_gate_fold" in only:
+            _media_gate_fold()
 
         def _media_pair_join(key, gen, hash_fn, hash_col):
             from syntenybrowserv2_etl_spark.operators import multimodal as mmod
