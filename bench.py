@@ -148,7 +148,10 @@ CALIBRATION = ["q01_pricing_summary", "q22_exact_dedup", "q31_text_profile"]
 # benched on EVEN rounds (round parity from the committed CORRECTNESS_r*
 # history) or when SPARK_GRAFT_BENCH_FULL=1; on skip rounds the previous
 # committed BENCH_DETAIL value is carried forward and listed under
-# "carried" so totals stay comparable. Their DuckDB value oracles still
+# "carried" so totals stay comparable (a skip-round suite83 therefore
+# mixes ~3 seconds of prior-epoch timings — read it with the drift
+# block; carried entries are excluded from normalized-regression flags
+# in both directions for the same reason). Their DuckDB value oracles still
 # run every pytest (both SFs) — cadence affects TIMING only.
 EXPENSIVE_EXACT_DEMOS = [
     "q163_label_noise",
@@ -259,9 +262,18 @@ def main() -> None:
     # signals; raw ratios conflate host drift with code changes
     norm_regressions: dict[str, float] = {}
     if drift_factor and prev:
+        prev_carried = set(prev.get("carried", []))
         for name, t_now in times.items():
             t_prev = prev.get("queries", {}).get(name)
-            if t_prev and t_prev >= 0.2 and name not in carried:
+            # skip entries carried in EITHER round: a carried t_prev was
+            # measured under an older host-speed epoch than drift_factor
+            # spans, so its normalized ratio conflates two drifts
+            if (
+                t_prev
+                and t_prev >= 0.2
+                and name not in carried
+                and name not in prev_carried
+            ):
                 r = (t_now / drift_factor) / t_prev
                 if r >= 1.3:
                     norm_regressions[name] = round(r, 3)

@@ -554,8 +554,16 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             for c in range(ns):
                 cs, tabs = body[1 + c * 2], body[2 + c * 2]
                 idx = next(
-                    i for i, (cid, _, _) in enumerate(comps) if cid == cs
+                    (i for i, (cid, _, _) in enumerate(comps) if cid == cs),
+                    None,
                 )
+                if idx is None:
+                    # a bare StopIteration here would escape the decode
+                    # seam as RuntimeError inside mapInPandas (PEP 479)
+                    # and fail the whole task instead of skipping the row
+                    raise ValueError(
+                        "JPEG SOS references unknown component id"
+                    )
                 scan.append((idx, tabs >> 4, tabs & 0xF))
             pos = pos  # entropy data starts here
             break

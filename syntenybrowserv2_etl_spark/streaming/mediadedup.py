@@ -14,15 +14,22 @@ incremental-state protocol). Per batch:
    file landed before the sentinel, so nothing is lost or doubled);
 2. decode + hash the batch (image_dhash / audio_envelope_hash — REAL
    Arrow-batched decode, map-only);
-3. probe the LIVE pre-state for Hamming-≤``max_hamming`` pairs — the
-   read is bucket-PRUNED to the batch's own (bi, bv) bucket ids, so
-   per-batch cost is O(batch keys), never O(index) — plus the
-   within-batch pairs via the shared ``multimodal.hamming_band_pairs``;
-4. write the batch's pairs to ``{pairs}/__ingest_batch=<id>``
-   (idempotent overwrite — a crash-and-recompute replay re-runs steps
-   2-4 against the unchanged pre-state and overwrites identically);
-5. fold the batch's band rows into state (union + key-dedup merge;
-   the marker landing here is the batch's commit sentinel).
+3. inside the fold's ``merge_fn`` — where ``touched_bucket_fold`` has
+   already HEALED any partial swap and handed over the live pre-state
+   of exactly the touched buckets — probe that pre-state for
+   Hamming-≤``max_hamming`` pairs (bucket-PRUNED by construction: the
+   fold reads only the batch's own (bi, bv) buckets, so per-batch cost
+   is O(batch keys · bucket size), never O(index)) plus the
+   within-batch pairs via the shared ``multimodal.hamming_band_pairs``,
+   and write them to ``{pairs}/__ingest_batch=<id>`` (idempotent
+   overwrite, ordered BEFORE the staged write and sentinel — a
+   crash-and-recompute replay re-runs the merge against the identical
+   healed pre-state and overwrites identically; running the probe
+   outside the fold would race the swap's two-rename window and could
+   permanently drop a bucket's cross pairs);
+4. the merge returns pre ∪ batch band rows (key-dedup) as the new
+   bucket contents; the fold's marker landing is the batch's commit
+   sentinel.
 
 Exactness invariant (fold ≡ batch, pinned in tests): after any batch
 split, the DISTINCT union of emitted pairs equals
@@ -78,21 +85,6 @@ def _band_rows(hashes: DataFrame) -> DataFrame:
     ).select("bi", "bv", "media_id", "hsh")
 
 
-def _bucket_expr(n_buckets: int):
-    return F.pmod(F.hash(F.col("bi"), F.col("bv")), F.lit(n_buckets))
-
-
-def _live_bucket_dirs(spark: SparkSession, path: str) -> dict[int, str]:
-    hpath = spark._jvm.org.apache.hadoop.fs.Path
-    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(hpath(path)):
-        return {}
-    return {
-        int(st.getPath().getName().split("=", 1)[1]): str(st.getPath())
-        for st in fs.globStatus(hpath(f"{path}/__kb=*"))
-    }
-
-
 def media_neardup_fold_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -115,57 +107,44 @@ def media_neardup_fold_batch(
     hashes = _hashes(batch_df, kind).localCheckpoint(eager=True)
     bands = _band_rows(hashes)
 
-    # within-batch pairs (shared production operator)
-    within = mm.hamming_band_pairs(hashes, "media_id", "hsh", max_hamming)
-
-    # cross pairs vs the LIVE pre-state, bucket-pruned to the batch keys
-    touched = {
-        r["__p"]
-        for r in bands.select(_bucket_expr(n_buckets).alias("__p"))
-        .distinct()
-        .collect()
-    }
-    live = _live_bucket_dirs(spark, state_path)
-    probe_dirs = [live[b] for b in sorted(touched) if b in live]
-    if probe_dirs:
-        idx = (
-            spark.read.option("basePath", state_path)
-            .parquet(*probe_dirs)
-            .drop(*_LAYOUT_COLS)
-        )
-        cross = (
-            bands.join(
-                idx.select(
-                    "bi",
-                    "bv",
-                    F.col("media_id").alias("__mid2"),
-                    F.col("hsh").alias("__h2"),
-                ),
-                ["bi", "bv"],
-            )
-            .filter(F.col("media_id") != F.col("__mid2"))
-            .select(
-                F.least("media_id", "__mid2").alias("media_id_a"),
-                F.greatest("media_id", "__mid2").alias("media_id_b"),
-                F.bit_count(F.col("hsh").bitwiseXOR(F.col("__h2")))
-                .cast("int")
-                .alias("hamming"),
-            )
-            .filter(F.col("hamming") <= max_hamming)
-            .distinct()
-        )
-        pairs = within.unionByName(cross).distinct()
-    else:
-        pairs = within
-    # idempotent per-batch pair file (written BEFORE the fold's sentinel:
-    # a replay recomputes against the unchanged pre-state and overwrites
-    # the same content); coalesce(1) guarantees a schema-bearing file
-    # even for an empty pair set
-    pairs.coalesce(1).write.mode("overwrite").parquet(
-        f"{pairs_path}/__ingest_batch={batch_id}"
-    )
-
     def merge(pre: DataFrame | None, part: DataFrame) -> DataFrame:
+        # Runs AFTER the fold has healed any partial swap: ``pre`` is
+        # the authoritative live content of exactly the touched buckets
+        # — the complete, bucket-pruned probe set. Pair computation and
+        # the idempotent pair-file write live HERE so a crash-and-
+        # recompute replay sees the identical pre-state (probing
+        # outside the fold races the swap's two-rename window).
+        within = mm.hamming_band_pairs(hashes, "media_id", "hsh", max_hamming)
+        if pre is not None:
+            cross = (
+                part.join(
+                    pre.select(
+                        "bi",
+                        "bv",
+                        F.col("media_id").alias("__mid2"),
+                        F.col("hsh").alias("__h2"),
+                    ),
+                    ["bi", "bv"],
+                )
+                .filter(F.col("media_id") != F.col("__mid2"))
+                .select(
+                    F.least("media_id", "__mid2").alias("media_id_a"),
+                    F.greatest("media_id", "__mid2").alias("media_id_b"),
+                    F.bit_count(F.col("hsh").bitwiseXOR(F.col("__h2")))
+                    .cast("int")
+                    .alias("hamming"),
+                )
+                .filter(F.col("hamming") <= max_hamming)
+                .distinct()
+            )
+            pairs = within.unionByName(cross).distinct()
+        else:
+            pairs = within
+        # coalesce(1) guarantees a schema-bearing file even when the
+        # pair set is empty
+        pairs.coalesce(1).write.mode("overwrite").parquet(
+            f"{pairs_path}/__ingest_batch={batch_id}"
+        )
         if pre is None:
             return part
         return pre.unionByName(part).dropDuplicates(["bi", "bv", "media_id"])
@@ -223,7 +202,17 @@ def read_dup_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
     """All emitted pairs, distinct — equals the one-shot
     ``hamming_band_pairs`` over everything folded (the gate's fold ≡
     batch invariant; a redelivered-in-two-batches media_id can emit a
-    pair twice across batch files, which distinct collapses)."""
+    pair twice across batch files, which distinct collapses). An empty
+    or never-written pairs directory reads as zero pairs, not an
+    error — callers may poll the gate's output before the first batch
+    lands."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(pairs_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if (
+        not fs.exists(hpath(pairs_path))
+        or not fs.globStatus(hpath(f"{pairs_path}/__ingest_batch=*"))
+    ):
+        return spark.createDataFrame([], PAIR_SCHEMA)
     return (
         spark.read.option("basePath", pairs_path)
         .parquet(f"{pairs_path}/__ingest_batch=*")

@@ -1486,6 +1486,12 @@ def test_jpeg_codec_boundaries():
     multi[sos_at + 4] = 1  # ns: 3 -> 1 (luma-only first scan)
     with _pt.raises(NotImplementedError, match="non-interleaved"):
         mm._jpeg_decode(bytes(multi))
+    # SOS naming a component id absent from SOF: ValueError, not a bare
+    # StopIteration escaping mapInPandas as RuntimeError (PEP 479)
+    badcs = bytearray(base)
+    badcs[badcs.index(b"\xff\xda") + 5] = 9  # cs: 1 -> 9
+    with _pt.raises(ValueError, match="unknown component"):
+        mm._jpeg_decode(bytes(badcs))
     # 4:2:2 (luma 2x1) is NOT the supported 4:2:0 layout — still a seam
     rgb420 = mm._jpeg_encode(16, 16, 3, bytes([90, 90, 90] * 256), subsample="420")
     sof420 = rgb420.index(b"\xff\xc0")

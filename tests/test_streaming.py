@@ -3501,6 +3501,14 @@ def test_media_neardup_gate_fold_equals_batch(spark, tmp_path_factory):
 
     base = str(tmp_path_factory.mktemp("mediadedup"))
 
+    # polling the gate's output before any batch landed reads as zero
+    # pairs, not a path error
+    from syntenybrowserv2_etl_spark.streaming import mediadedup as md0
+
+    empty = md0.read_dup_pairs(spark, os.path.join(base, "never_written"))
+    assert empty.count() == 0
+    assert set(empty.columns) == {"media_id_a", "media_id_b", "hamming"}
+
     def drive(kind, media, hash_fn, hcol):
         state = os.path.join(base, f"state_{kind}")
         pairs = os.path.join(base, f"pairs_{kind}")
