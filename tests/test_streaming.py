@@ -3574,6 +3574,77 @@ def test_media_neardup_gate_fold_equals_batch(spark, tmp_path_factory):
     )
 
 
+def test_media_neardup_gate_crash_mid_swap_replay(spark, tmp_path_factory):
+    """Round-15 review finding #1, pinned: a crash BETWEEN the swap's
+    two renames (live bucket displaced into _pre, staged replacement
+    waiting with __stagedone, marker lost) must not cost the batch's
+    pair file its cross pairs. The fix computes pairs inside the fold's
+    merge_fn — on this replay the fold resumes the swap WITHOUT
+    re-merging, so the complete pair file from the first attempt
+    survives; the pre-fix code re-probed the broken live tree (missing
+    the displaced bucket) and overwrote the pair file with that
+    bucket's cross pairs gone."""
+    import os
+    import shutil
+
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+    from syntenybrowserv2_etl_spark.streaming import mediadedup as md
+
+    base = str(tmp_path_factory.mktemp("mediadedup_crash"))
+    state = os.path.join(base, "state")
+    pairs = os.path.join(base, "pairs")
+    media = mm.synthetic_neardup_png_media(spark, 16, 3)
+    b0 = media.filter(F.col("media_id") % 2 == 0)
+    b1 = media.filter(F.col("media_id") % 2 == 1)
+    md.media_neardup_fold_batch(
+        b0, 0, state_path=state, pairs_path=pairs, kind="image", n_buckets=4
+    )
+    # snapshot a bucket's PRE-batch-1 content for the _pre archive
+    bucket = sorted(
+        d for d in os.listdir(state) if d.startswith("__kb=")
+    )[0]
+    pre_snap = os.path.join(base, "pre_snap")
+    shutil.copytree(os.path.join(state, bucket), pre_snap)
+    md.media_neardup_fold_batch(
+        b1, 1, state_path=state, pairs_path=pairs, kind="image", n_buckets=4
+    )
+    want_pairs = {
+        (r["media_id_a"], r["media_id_b"], r["hamming"])
+        for r in md.read_dup_pairs(spark, pairs).collect()
+    }
+    want_idx = {
+        (r["bi"], r["bv"], r["media_id"], r["hsh"])
+        for r in md.read_media_index(spark, state).collect()
+    }
+    assert want_pairs and len(want_pairs) >= 48
+    # crash state: bucket displaced into _pre, its post-merge (= current
+    # live) content staged with the sentinel, marker lost
+    staging = os.path.join(state, "_staging", "1")
+    os.makedirs(staging, exist_ok=True)
+    shutil.move(os.path.join(state, bucket), os.path.join(staging, bucket))
+    os.makedirs(os.path.join(staging, "__stagedone"), exist_ok=True)
+    pre_dir = os.path.join(state, "_pre", "1")
+    os.makedirs(pre_dir, exist_ok=True)
+    shutil.copytree(pre_snap, os.path.join(pre_dir, bucket))
+    shutil.rmtree(os.path.join(state, "_batches", "1"))
+    # redeliver batch 1 against the broken tree
+    md.media_neardup_fold_batch(
+        b1, 1, state_path=state, pairs_path=pairs, kind="image", n_buckets=4
+    )
+    got_pairs = {
+        (r["media_id_a"], r["media_id_b"], r["hamming"])
+        for r in md.read_dup_pairs(spark, pairs).collect()
+    }
+    got_idx = {
+        (r["bi"], r["bv"], r["media_id"], r["hsh"])
+        for r in md.read_media_index(spark, state).collect()
+    }
+    assert got_pairs == want_pairs
+    assert got_idx == want_idx
+    assert os.path.isdir(os.path.join(state, "_batches", "1"))
+    assert not os.path.exists(staging) and not os.path.exists(pre_dir)
+
+
 def test_media_neardup_gate_stream_twin(spark, tmp_path_factory):
     """The readStream twin converges to the same pairs + index as the
     manual fold over the same files (availableNow, maxFilesPerTrigger=1
