@@ -294,10 +294,10 @@ def _jpeg_encode(
 
     if ch not in (1, 3):
         raise NotImplementedError("encoder supports grayscale or RGB only")
-    if subsample not in ("444", "420"):
-        raise NotImplementedError("encoder supports 444 or 420 only")
-    if subsample == "420" and ch != 3:
-        raise ValueError("420 subsampling requires RGB input")
+    if subsample not in ("444", "420", "422", "440"):
+        raise NotImplementedError("encoder supports 444, 420, 422 or 440 only")
+    if subsample != "444" and ch != 3:
+        raise ValueError("chroma subsampling requires RGB input")
     if ch == 1:
         planes = [[float(b) for b in pix]]
     else:
@@ -363,21 +363,24 @@ def _jpeg_encode(
                     ])
         samp_bytes = [0x11] * ch
     else:
-        # 4:2:0: 16×16 MCUs — four luma blocks (2×2) then one Cb, one Cr
-        # block of 2×2-box-averaged chroma (edge-replicated)
-        def chroma_avg(plane: list[float], cx: int, cy: int) -> float:
-            return (
-                sample(plane, 2 * cx, 2 * cy)
-                + sample(plane, 2 * cx + 1, 2 * cy)
-                + sample(plane, 2 * cx, 2 * cy + 1)
-                + sample(plane, 2 * cx + 1, 2 * cy + 1)
-            ) / 4.0
+        # luma-led subsampling: (8·fh)×(8·fv) MCUs — fv×fh luma blocks
+        # then one Cb, one Cr block of fh×fv-box-averaged chroma
+        # (edge-replicated). 420 → 2×2, 422 → 2×1, 440 → 1×2.
+        fh, fv = {"420": (2, 2), "422": (2, 1), "440": (1, 2)}[subsample]
 
-        for my in range(0, (h + 15) // 16):
-            for mx in range(0, (w + 15) // 16):
-                for byy in range(2):
-                    for bxx in range(2):
-                        x0, y0 = mx * 16 + bxx * 8, my * 16 + byy * 8
+        def chroma_avg(plane: list[float], cx: int, cy: int) -> float:
+            return sum(
+                sample(plane, fh * cx + dx, fv * cy + dy)
+                for dy in range(fv)
+                for dx in range(fh)
+            ) / (fh * fv)
+
+        for my in range(0, (h + 8 * fv - 1) // (8 * fv)):
+            for mx in range(0, (w + 8 * fh - 1) // (8 * fh)):
+                for byy in range(fv):
+                    for bxx in range(fh):
+                        x0 = mx * 8 * fh + bxx * 8
+                        y0 = my * 8 * fv + byy * 8
                         put_block(0, [
                             sample(planes[0], x0 + xx, y0 + yy) - 128.0
                             for yy in range(8)
@@ -390,7 +393,7 @@ def _jpeg_encode(
                         for yy in range(8)
                         for xx in range(8)
                     ])
-        samp_bytes = [0x22, 0x11, 0x11]
+        samp_bytes = [(fh << 4) | fv, 0x11, 0x11]
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -452,10 +455,11 @@ class _BitReader:
 def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     """Pure-stdlib baseline JPEG decode: marker parse, canonical Huffman,
     dequantize, de-zigzag, separable float IDCT, level shift + clamp;
-    3-component frames may be 1:1 sampled or 4:2:0 (luma 2×2 + 1:1
-    chroma, the dominant real-world layout — round 15; chroma is
-    nearest/box-upsampled) and convert YCbCr→RGB. Other subsampling
-    layouts stay behind NotImplementedError. Returns (width, height,
+    3-component frames may be 1:1 sampled or luma-led subsampled —
+    4:2:0 (luma 2×2, the dominant real-world layout), 4:2:2 (2×1),
+    4:4:0 (1×2), all with 1:1 chroma (round 15; chroma is nearest/box-
+    upsampled) — and convert YCbCr→RGB. Other subsampling layouts stay
+    behind NotImplementedError. Returns (width, height,
     channels, row-major bytes) — _png_decode's exact contract, so
     image_stats/decode_real dispatch on magic bytes and share everything
     downstream."""
@@ -510,16 +514,25 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 cid, samp, tq2 = body[6 + c * 3 : 9 + c * 3]
                 comps.append((cid, tq2, samp))
             samps = [s for (_, _, s) in comps]
-            # supported layouts: 1:1 everywhere, or 4:2:0 (luma 2x2 +
-            # 1:1 chroma — the dominant real-world payload, round 15).
-            # 4:2:2 / 4:4:0 / exotic factors stay behind the seam.
+            # supported layouts (round 15): 1:1 everywhere, or a
+            # luma-led subsampled frame — 4:2:0 (luma 2×2), 4:2:2
+            # (luma 2×1), 4:4:0 (luma 1×2) — with 1:1 chroma. The MCU
+            # loop and nearest upsample below are factor-general; the
+            # gate whitelists the layouts with exactness fixtures and
+            # roundtrip tests. Exotic factors (4:1:1's 4×1, per-chroma
+            # subsampling) stay behind the seam.
             if not (
                 all(s == 0x11 for s in samps)
-                or (nc == 3 and samps == [0x22, 0x11, 0x11])
+                or (
+                    nc == 3
+                    and samps[0] in (0x22, 0x21, 0x12)
+                    and samps[1] == samps[2] == 0x11
+                )
             ):
                 raise NotImplementedError(
-                    "only 1:1 and 4:2:0 sampling supported; other "
-                    "subsampled chroma layouts not supported"
+                    "only 1:1, 4:2:0, 4:2:2 and 4:4:0 sampling "
+                    "supported; other subsampled chroma layouts not "
+                    "supported"
                 )
         elif marker == 0xC4:  # DHT
             p = 0
@@ -1811,6 +1824,50 @@ def synthetic_jpeg420_media(spark, n: int = 40) -> DataFrame:
                 i,
                 "image",
                 _jpeg_encode(w, h, 3, pix, subsample="420"),
+                w,
+                h,
+                None,
+                "jpeg",
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def synthetic_jpeg_subsampled_media(spark, n: int = 40) -> DataFrame:
+    """Deterministic REAL 4:2:2 / 4:4:0 JPEG fixture (round 15 — the
+    q171 discipline extended to the remaining supported luma-led
+    layouts): even media_ids are 4:2:2 (16×8 MCUs), odd are 4:4:0
+    (8×16 MCUs), dimensions multiples of the MCU, every MCU a constant
+    GRAY with an even offset from 128:
+
+        v(id, mx, my) = 128 + 2·((id·31 + mx·7 + my·13) mod 60) − 60
+        4:2:2: w = 16·(1 + (id//2) mod 2), h =  8·(1 + (id//2) mod 3)
+        4:4:0: w =  8·(1 + (id//2) mod 3), h = 16·(1 + (id//2) mod 2)
+
+    Same exactness argument as synthetic_jpeg420_media: gray RGB makes
+    luma DC quantize losslessly and chroma exactly neutral, so the
+    decode (interleaved fv×fh luma blocks + box-averaged chroma +
+    nearest upsample) reproduces (v, v, v) bit-exactly and a pure-
+    integer SQL oracle recomputes the sums (q174)."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            mode, mw, mh = "422", 16, 8
+            w, h = 16 * (1 + (i // 2) % 2), 8 * (1 + (i // 2) % 3)
+        else:
+            mode, mw, mh = "440", 8, 16
+            w, h = 8 * (1 + (i // 2) % 3), 16 * (1 + (i // 2) % 2)
+        pix = bytes(
+            128 + 2 * ((i * 31 + (x // mw) * 7 + (y // mh) * 13) % 60) - 60
+            for y in range(h)
+            for x in range(w)
+            for _c in range(3)
+        )
+        rows.append(
+            (
+                i,
+                "image",
+                _jpeg_encode(w, h, 3, pix, subsample=mode),
                 w,
                 h,
                 None,

@@ -7485,6 +7485,71 @@ def q171(spark, sf_dir):
 
 
 @register(
+    "q174_jpeg_subsampled_stats",
+    """
+    WITH ids AS (SELECT unnest(range(0, 40)) AS media_id),
+    dims AS (SELECT media_id,
+                    CASE WHEN media_id % 2 = 0
+                         THEN 16 * (1 + (media_id // 2) % 2)
+                         ELSE 8 * (1 + (media_id // 2) % 3) END AS w,
+                    CASE WHEN media_id % 2 = 0
+                         THEN 8 * (1 + (media_id // 2) % 3)
+                         ELSE 16 * (1 + (media_id // 2) % 2) END AS h,
+                    CASE WHEN media_id % 2 = 0 THEN 16 ELSE 8 END AS mw,
+                    CASE WHEN media_id % 2 = 0 THEN 8 ELSE 16 END AS mh
+             FROM ids),
+    px AS (
+      SELECT d.media_id, d.w, d.h,
+             128 + 2 * ((d.media_id * 31 + (x.x // d.mw) * 7
+                         + (y.y // d.mh) * 13) % 60) - 60 AS v,
+             CASE WHEN y.y >= (d.h + 1) // 2 THEN 2 ELSE 0 END
+             + CASE WHEN x.x >= (d.w + 1) // 2 THEN 1 ELSE 0 END AS q
+      FROM dims d,
+      LATERAL (SELECT unnest(range(0, d.w)) AS x) AS x,
+      LATERAL (SELECT unnest(range(0, d.h)) AS y) AS y)
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS sum_c0,
+           CAST(SUM(v) AS BIGINT) AS sum_c1,
+           CAST(SUM(v) AS BIGINT) AS sum_c2,
+           CAST(3 * SUM(CASE WHEN q = 0 THEN v ELSE 0 END) AS BIGINT) AS lum_q0,
+           CAST(3 * SUM(CASE WHEN q = 1 THEN v ELSE 0 END) AS BIGINT) AS lum_q1,
+           CAST(3 * SUM(CASE WHEN q = 2 THEN v ELSE 0 END) AS BIGINT) AS lum_q2,
+           CAST(3 * SUM(CASE WHEN q = 3 THEN v ELSE 0 END) AS BIGINT) AS lum_q3
+    FROM px GROUP BY media_id
+    """,
+    tags=["image stats through the REAL 4:2:2 / 4:4:0 baseline-JPEG decode"],
+)
+def q174(spark, sf_dir):
+    """q171's discipline for the remaining supported luma-led layouts:
+    4:2:2 (even ids, 16×8 MCUs) and 4:4:0 (odd ids, 8×16 MCUs) in ONE
+    fixture, per-image pixel sums through the full binary path
+    hash-matching a pure-integer SQL oracle (MCU-constant even-offset
+    grays — synthetic_jpeg_subsampled_media). With q168 (1:1) and q171
+    (4:2:0) this value-checks every sampling layout the decoder
+    accepts; the general MCU loop is factor-driven, so one geometry bug
+    in the interleave or the nearest upsample shows up as a hash
+    mismatch here."""
+    media = mm_ops.synthetic_jpeg_subsampled_media(spark, 40)
+    s = mm_ops.image_stats(media)
+    return s.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "sum_c0",
+        "sum_c1",
+        "sum_c2",
+        "lum_q0",
+        "lum_q1",
+        "lum_q2",
+        "lum_q3",
+    )
+
+
+@register(
     "q172_apng_frames",
     """
     WITH ids AS (SELECT unnest(range(0, 24)) AS media_id),
@@ -8048,10 +8113,11 @@ _DEMOTED_PAST_WINDOW = [
     "q129_interval_gaps",
     "q131_max_concurrency",
     # round 15: parity-gated from birth (standing policy; backlog-growth
-    # policy holds new entries ≤ promotions — 3 new vs 16 promoted).
+    # policy holds new entries ≤ promotions — 4 new vs 16 promoted).
     "q171_jpeg420_stats",
     "q172_apng_frames",
     "q173_scene_changes",
+    "q174_jpeg_subsampled_stats",
 ]
 
 

@@ -1492,13 +1492,18 @@ def test_jpeg_codec_boundaries():
     badcs[badcs.index(b"\xff\xda") + 5] = 9  # cs: 1 -> 9
     with _pt.raises(ValueError, match="unknown component"):
         mm._jpeg_decode(bytes(badcs))
-    # 4:2:2 (luma 2x1) is NOT the supported 4:2:0 layout — still a seam
+    # exotic factors stay behind the seam: 4:1:1 luma (4x1), and
+    # subsampled CHROMA (non-1:1 second component)
     rgb420 = mm._jpeg_encode(16, 16, 3, bytes([90, 90, 90] * 256), subsample="420")
     sof420 = rgb420.index(b"\xff\xc0")
-    h422 = bytearray(rgb420)
-    h422[sof420 + 11] = 0x21  # luma 2x2 -> 2x1
+    h411 = bytearray(rgb420)
+    h411[sof420 + 11] = 0x41  # luma 2x2 -> 4x1
     with _pt.raises(NotImplementedError, match="subsampl"):
-        mm._jpeg_decode(bytes(h422))
+        mm._jpeg_decode(bytes(h411))
+    hsubc = bytearray(rgb420)
+    hsubc[sof420 + 14] = 0x21  # Cb 1x1 -> 2x1
+    with _pt.raises(NotImplementedError, match="subsampl"):
+        mm._jpeg_decode(bytes(hsubc))
     feat = mm.decode_real(base, "image")
     assert len(feat) == 8
     assert feat[0] == _pt.approx(130 / 255.0, abs=1e-9)
@@ -1560,11 +1565,44 @@ def test_jpeg420_roundtrips():
     mean_err = sum(abs(a - b) for a, b in zip(gout, gpix)) / n
     assert mean_err <= 8, mean_err
 
-    # encoder seam: unknown subsample mode refused
-    with _pt.raises(NotImplementedError, match="444 or 420"):
-        mm._jpeg_encode(16, 16, 3, bytes(768), subsample="422")
+    # encoder seam: unknown subsample mode refused; gray + subsampling
+    # is a contradiction
+    with _pt.raises(NotImplementedError, match="444, 420, 422 or 440"):
+        mm._jpeg_encode(16, 16, 3, bytes(768), subsample="411")
     with _pt.raises(ValueError, match="RGB"):
         mm._jpeg_encode(16, 16, 1, bytes(256), subsample="420")
+
+
+@pytest.mark.parametrize(
+    "mode,mw,mh", [("422", 16, 8), ("440", 8, 16)]
+)
+def test_jpeg422_440_roundtrips(mode, mw, mh):
+    """Round 15: the remaining luma-led layouts (q174's legs) — MCU-
+    constant even-offset grays roundtrip EXACTLY incl. non-MCU-multiple
+    dims; colored MCUs within quant tolerance (real chroma through the
+    fh×fv box-downsample + nearest-upsample path)."""
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+
+    W, H = mw * 2, mh  # two MCUs side by side
+    pix = bytearray()
+    for y in range(H):
+        for x in range(W):
+            v = 130 if x < mw else 184
+            pix += bytes([v, v, v])
+    w2, h2, ch, out = mm._jpeg_decode(
+        mm._jpeg_encode(W, H, 3, bytes(pix), subsample=mode)
+    )
+    assert (w2, h2, ch) == (W, H, 3) and out == bytes(pix)
+    odd = bytes([140, 140, 140] * (21 * 13))
+    w3, h3, _, oo = mm._jpeg_decode(
+        mm._jpeg_encode(21, 13, 3, odd, subsample=mode)
+    )
+    assert (w3, h3) == (21, 13) and oo == odd
+    cpix = bytes([200, 80, 40] * (mw * mh))
+    _, _, _, oc = mm._jpeg_decode(
+        mm._jpeg_encode(mw, mh, 3, cpix, subsample=mode)
+    )
+    assert max(abs(a - b) for a, b in zip(oc, cpix)) <= 4
 
 
 def test_apng_codec_roundtrip_and_seams():
