@@ -110,7 +110,7 @@ KNOWN_OPS = frozenset({
     "excise_repeated", "shingle_fold",
     "label_noise_ivf", "quantile_grid", "oov_rate", "entropy_rate",
     "image_dhash", "audio_ehash", "image_pair_join", "audio_pair_join",
-    "media_gate_fold",
+    "media_gate_fold", "jpeg_decode_stats", "apng_decode_stats",
     "embedding_collapse", "label_separation", "label_cohesion",
     "assoc_mi", "ks_drift", "kmv_overlap", "zipf_fit",
     "balanced_shards", "key_skew", "dist_psi", "ipf_reweight",
@@ -145,7 +145,7 @@ def main():
         "interval_union", "jsonl_ingest", "pareto_skyline",
         "roc_auc", "rrf_fuse", "token_fold",
         "image_dhash", "audio_ehash", "image_pair_join", "audio_pair_join",
-        "media_gate_fold",
+        "media_gate_fold", "jpeg_decode_stats", "apng_decode_stats",
     }
     results = []
     for f in factors:
@@ -889,6 +889,38 @@ def main():
                     None, None, n * 1000 // 8000, "pcm",
                 ))
             return spark.createDataFrame(rows, schema=mmod.MEDIA_SCHEMA)
+
+        # round 15: the two heaviest Python decode kernels (pure-stdlib
+        # JPEG Huffman+IDCT, APNG inflate+unfilter+compose) through the
+        # same replicate-payload harness as image_dhash — map-only
+        # Arrow work, so wall must track images linearly with no
+        # shuffle (per-image decode cost is payload-identical across
+        # replicas by construction).
+        def _jpeg_decode_stats():
+            from syntenybrowserv2_etl_spark.operators import multimodal as mmod
+
+            m40 = mmod.synthetic_jpeg420_media(spark, 40)
+            reps = spark.range(4 * f).select(F.col("id").alias("rep"))
+            big = m40.crossJoin(reps).select(
+                (F.col("media_id") + F.col("rep") * 40).alias("media_id"),
+                "kind", "payload", "width", "height", "duration_ms", "codec",
+            )
+            noop(mmod.image_stats(big))
+
+        measure("jpeg_decode_stats", _jpeg_decode_stats)
+
+        def _apng_decode_stats():
+            from syntenybrowserv2_etl_spark.operators import multimodal as mmod
+
+            m24 = mmod.synthetic_apng_media(spark, 24)
+            reps = spark.range(4 * f).select(F.col("id").alias("rep"))
+            big = m24.crossJoin(reps).select(
+                (F.col("media_id") + F.col("rep") * 24).alias("media_id"),
+                "kind", "payload", "width", "height", "duration_ms", "codec",
+            )
+            noop(mmod.video_frame_stats(big))
+
+        measure("apng_decode_stats", _apng_decode_stats)
 
         # round 15: the streaming media gate's per-batch cost vs INDEX
         # size — pre-grow the banded index to 45·f images (untimed),
