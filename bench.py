@@ -150,8 +150,11 @@ CALIBRATION = ["q01_pricing_summary", "q22_exact_dedup", "q31_text_profile"]
 # committed BENCH_DETAIL value is carried forward and listed under
 # "carried" so totals stay comparable (a skip-round suite83 therefore
 # mixes ~3 seconds of prior-epoch timings — read it with the drift
-# block; carried entries are excluded from normalized-regression flags
-# in both directions for the same reason). Their DuckDB value oracles still
+# block; same-round carried entries are excluded from normalized-
+# regression flags, and a fresh re-time of a previously-carried entry
+# is compared against its last FRESH value under the COMPOUNDED drift
+# factor of the two rounds it spans, so the cadenced demos stay
+# watched). Their DuckDB value oracles still
 # run every pytest (both SFs) — cadence affects TIMING only.
 EXPENSIVE_EXACT_DEMOS = [
     "q163_label_noise",
@@ -263,20 +266,21 @@ def main() -> None:
     norm_regressions: dict[str, float] = {}
     if drift_factor and prev:
         prev_carried = set(prev.get("carried", []))
+        prev_df = prev.get("drift", {}).get("drift_factor") or 1.0
         for name, t_now in times.items():
             t_prev = prev.get("queries", {}).get(name)
-            # skip entries carried in EITHER round: a carried t_prev was
-            # measured under an older host-speed epoch than drift_factor
-            # spans, so its normalized ratio conflates two drifts
-            if (
-                t_prev
-                and t_prev >= 0.2
-                and name not in carried
-                and name not in prev_carried
-            ):
-                r = (t_now / drift_factor) / t_prev
-                if r >= 1.3:
-                    norm_regressions[name] = round(r, 3)
+            if not t_prev or t_prev < 0.2 or name in carried:
+                # entries carried THIS round are copies — no new signal
+                continue
+            # an entry carried in the PREVIOUS round holds the round-
+            # before-previous FRESH measurement verbatim, so it spans
+            # TWO drift epochs: compound this round's factor with the
+            # previous round's (review r15: plain exclusion would leave
+            # the cadenced demos permanently unwatched)
+            df = drift_factor * prev_df if name in prev_carried else drift_factor
+            r = (t_now / df) / t_prev
+            if r >= 1.3:
+                norm_regressions[name] = round(r, 3)
 
     # Round 11: the full per-query map outgrew the driver's 2000-char stdout
     # tail (BENCH_r10.json came back parsed:null), so the LAST line printed

@@ -101,10 +101,12 @@ def main() -> int:
         f" {total['skipped']} skipped, {total['error']} errors"
         f" across {n} workers in {wall}s"
     )
-    if rc == 0 and total["passed"] == 0:
+    if rc == 0 and total["passed"] == 0 and total["skipped"] == 0:
         # every worker was an empty shard (e.g. a -k expression matching
-        # nothing): a run that executed zero tests must not read green
-        print("TOTAL: 0 tests executed — treating as failure")
+        # nothing): a run that SELECTED zero tests must not read green.
+        # (passed==0 with skipped>0 is a legitimately all-skipped
+        # selection — still green.)
+        print("TOTAL: 0 tests selected — treating as failure")
         rc = 1
     return rc
 
