@@ -1414,6 +1414,61 @@ def synthetic_apng_media(spark, n: int = 24) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def synthetic_neardup_apng_media(
+    spark, n_clusters: int = 8, n_copies: int = 3
+) -> DataFrame:
+    """Near-duplicate REAL-APNG fixture for q175 (video near-dup — the
+    third modality twin of q169/q170): ``n_clusters`` clusters of
+    ``n_copies`` videos each; within a cluster the EVEN frame indexes
+    carry the cluster's shared closed-form pattern (identical pixels →
+    identical dHash across the cluster) while ODD frames are unique per
+    video — so every within-cluster pair shares exactly the even
+    frames' fingerprints and the pair join must count them, not just
+    detect byte-identical files. All videos have 4 frames at w=12, h=9.
+
+        cluster c, copy k, media_id = c·n_copies + k
+        even f:  v = (c·53  + f·101 + x·11 + y·23 + c3·71) mod 256
+        odd  f:  v = (id·37 + f·101 + x·11 + y·23 + c3·71 + 7) mod 256
+    """
+    rows = []
+    w, h, nf = 12, 9, 4
+    for i in range(n_clusters * n_copies):
+        c = i // n_copies
+        frames = []
+        for f in range(nf):
+            if f % 2 == 0:
+                frames.append(
+                    bytes(
+                        (c * 53 + f * 101 + x * 11 + y * 23 + c3 * 71) % 256
+                        for y in range(h)
+                        for x in range(w)
+                        for c3 in range(3)
+                    )
+                )
+            else:
+                frames.append(
+                    bytes(
+                        (i * 37 + f * 101 + x * 11 + y * 23 + c3 * 71 + 7)
+                        % 256
+                        for y in range(h)
+                        for x in range(w)
+                        for c3 in range(3)
+                    )
+                )
+        rows.append(
+            (
+                i,
+                "video",
+                _apng_encode(w, h, 3, frames),
+                w,
+                h,
+                nf * 40,
+                "apng",
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
 IMAGE_DHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -7550,6 +7550,94 @@ def q174(spark, sf_dir):
 
 
 @register(
+    "q175_video_dedup",
+    """
+    WITH ids AS (SELECT unnest(range(0, 24)) AS media_id),
+    fr AS (SELECT media_id, f.f AS frame_idx, media_id // 3 AS cl
+           FROM ids, LATERAL (SELECT unnest(range(0, 4)) AS f) AS f),
+    px AS (
+      SELECT fr.media_id, fr.frame_idx,
+             (x.x * 9) // 12 AS gx, (y.y * 8) // 9 AS gy,
+             2126 * (CASE WHEN fr.frame_idx % 2 = 0
+                     THEN (fr.cl * 53 + fr.frame_idx * 101
+                           + x.x * 11 + y.y * 23) % 256
+                     ELSE (fr.media_id * 37 + fr.frame_idx * 101
+                           + x.x * 11 + y.y * 23 + 7) % 256 END)
+             + 7152 * (CASE WHEN fr.frame_idx % 2 = 0
+                       THEN (fr.cl * 53 + fr.frame_idx * 101
+                             + x.x * 11 + y.y * 23 + 71) % 256
+                       ELSE (fr.media_id * 37 + fr.frame_idx * 101
+                             + x.x * 11 + y.y * 23 + 78) % 256 END)
+             + 722 * (CASE WHEN fr.frame_idx % 2 = 0
+                      THEN (fr.cl * 53 + fr.frame_idx * 101
+                            + x.x * 11 + y.y * 23 + 142) % 256
+                      ELSE (fr.media_id * 37 + fr.frame_idx * 101
+                            + x.x * 11 + y.y * 23 + 149) % 256 END) AS luma
+      FROM fr,
+      LATERAL (SELECT unnest(range(0, 12)) AS x) AS x,
+      LATERAL (SELECT unnest(range(0, 9)) AS y) AS y),
+    cells AS (SELECT media_id, frame_idx, gx, gy,
+                     SUM(luma) AS s, COUNT(*) AS c
+              FROM px GROUP BY 1, 2, 3, 4),
+    bits AS (SELECT a.media_id, a.frame_idx, a.gy, a.gx,
+                    CASE WHEN b.s * a.c > a.s * b.c THEN 1 ELSE 0 END AS bit
+             FROM cells a JOIN cells b
+               ON b.media_id = a.media_id AND b.frame_idx = a.frame_idx
+              AND b.gy = a.gy AND b.gx = a.gx + 1
+             WHERE a.gx < 8),
+    halves AS (SELECT media_id, frame_idx,
+                      SUM(CASE WHEN gy*8+gx < 32
+                               THEN bit * (CAST(1 AS BIGINT) << (gy*8+gx))
+                               ELSE 0 END) AS lo,
+                      SUM(CASE WHEN gy*8+gx >= 32
+                               THEN bit * (CAST(1 AS BIGINT) << (gy*8+gx-32))
+                               ELSE 0 END) AS hi
+               FROM bits GROUP BY media_id, frame_idx),
+    dh AS (SELECT DISTINCT media_id,
+                  CAST(CASE WHEN hi >= 2147483648
+                       THEN (hi - 4294967296) * 4294967296 + lo
+                       ELSE hi * 4294967296 + lo END AS BIGINT) AS dhash
+           FROM halves)
+    SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM dh a JOIN dh b
+      ON b.dhash = a.dhash AND a.media_id < b.media_id
+    GROUP BY a.media_id, b.media_id
+    """,
+    tags=["video near-dup via shared frame fingerprints (third modality twin)"],
+)
+def q175(spark, sf_dir):
+    """Video near-duplicate detection — the THIRD modality twin
+    completing the q169 (image) / q170 (audio) family: real APNG decode
+    → per-frame shared dHash kernel (video_scene_changes) → videos
+    paired by EXACT shared frame fingerprints, counted per pair. The
+    join is a hash-partitioned equi-join ON THE FINGERPRINT ITSELF
+    (stricter than banding — identical pixels hash identically, the
+    fixture's planted invariance; a Hamming-tolerant per-frame variant
+    composes directly via multimodal.hamming_band_pairs on the frame
+    hash frame). The fixture plants 8 clusters of 3 videos sharing
+    exactly their even frames, so every within-cluster pair reports
+    n_shared = 2; the linear-ramp odd frames also produce some
+    accidental cross-video fingerprint collisions (gradient-sign hashes
+    of ramp patterns collide readily — the hot-bucket skew story
+    SCALE.md documents for this fixture family), and the oracle — which
+    recomputes every frame hash from the closed form — agrees
+    pair-for-pair on those too (44 pairs at the gate, 24 planted). No
+    all-pairs anywhere: pair work is Σ_buckets C(occ,2) over
+    fingerprint buckets, the exact-dedup shape (q22) applied to frames."""
+    media = mm_ops.synthetic_neardup_apng_media(spark, 8, 3)
+    hs = mm_ops.video_scene_changes(media).select("media_id", "dhash").distinct()
+    a = hs.select(F.col("media_id").alias("media_id_a"), "dhash")
+    b = hs.select(F.col("media_id").alias("media_id_b"), "dhash")
+    return (
+        a.join(b, "dhash")
+        .filter(F.col("media_id_a") < F.col("media_id_b"))
+        .groupBy("media_id_a", "media_id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+@register(
     "q172_apng_frames",
     """
     WITH ids AS (SELECT unnest(range(0, 24)) AS media_id),
@@ -8113,11 +8201,12 @@ _DEMOTED_PAST_WINDOW = [
     "q129_interval_gaps",
     "q131_max_concurrency",
     # round 15: parity-gated from birth (standing policy; backlog-growth
-    # policy holds new entries ≤ promotions — 4 new vs 16 promoted).
+    # policy holds new entries ≤ promotions — 5 new vs 16 promoted).
     "q171_jpeg420_stats",
     "q172_apng_frames",
     "q173_scene_changes",
     "q174_jpeg_subsampled_stats",
+    "q175_video_dedup",
 ]
 
 

@@ -1761,6 +1761,26 @@ def test_video_operators_edge_cases(spark):
     assert flags == [True, False, True]
 
 
+def test_video_dedup_planted_clusters(spark):
+    """q175's planted semantics: every within-cluster video pair shares
+    AT LEAST its two even frames' fingerprints (n_shared >= 2); all 24
+    within-cluster pairs are present; pair ids are ordered a < b."""
+    from syntenybrowserv2_etl_spark import queries as q
+
+    got = {
+        (r["media_id_a"], r["media_id_b"]): r["n_shared"]
+        for r in q.REGISTRY["q175_video_dedup"]
+        .spark_fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    for c in range(8):
+        ids = [c * 3 + k for k in range(3)]
+        for i in range(3):
+            for j in range(i + 1, 3):
+                assert got[(ids[i], ids[j])] >= 2, (ids[i], ids[j])
+    assert all(a < b for a, b in got)
+
+
 def test_image_dhash_brightness_invariant_and_boundaries(spark):
     """image_dhash (q169's primitive): uniform brightness shifts hash
     identically (the cross-multiplied gradient bits cancel the shift
