@@ -160,19 +160,52 @@ EXPENSIVE_EXACT_DEMOS = [
     "q163_label_noise",
     "q91_setsim_prefix_join",
     "q76_semantic_dedup",
+    # Round 16 (VERDICT r15 #7): the next ≥4 s dominators join the same
+    # cadence — each a deliberately-exact or exhaustive demo whose value
+    # oracle runs every pytest at both SFs: q99 (exact triangle counts;
+    # the wedge-join shape is also exercised by q85 pagerank every
+    # round), q52 (winnowing substring-overlap pairs; span family benched
+    # via q142/q144/q147), q112 (exact containment join; PPJoin twin q91
+    # is the production path), q101 (full-table profiling sweep; the
+    # stat-aggregate shape is benched via q92).
+    "q99_triangle_counts",
+    "q52_substring_overlap_pairs",
+    "q112_containment_join",
+    "q101_profile_orders",
 ]
 
 
-def _current_round(repo: str) -> int:
+def _bench_round(repo: str, prev: dict | None) -> tuple[int, int]:
+    """Round label for the demo cadence + the correctness-file count.
+
+    Round 16 (ADVICE r15): counting CORRECTNESS_r*.json files alone made
+    the even/odd cadence flip when bench re-ran within one round before
+    vs after the round's correctness file landed. The label is now
+    anchored to the previous committed BENCH_DETAIL: it advances by one
+    exactly when the correctness history has GROWN since that detail was
+    written (a new correctness file is the round boundary), and stays
+    stable across any number of same-round re-runs. The file count is
+    recorded in the detail so the next run can apply the same rule;
+    first run after this change bootstraps from the old count-based rule.
+    """
     import glob
     import re
 
-    rounds = [
-        int(m.group(1))
-        for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
-        if (m := re.search(r"_r(\d+)\.json$", f))
-    ]
-    return (max(rounds) + 1) if rounds else 1
+    n_corr = len(
+        [
+            f
+            for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+            if re.search(r"_r(\d+)\.json$", f)
+        ]
+    )
+    if (
+        prev is not None
+        and isinstance(prev.get("round"), int)
+        and isinstance(prev.get("n_correctness_files"), int)
+    ):
+        grown = n_corr > prev["n_correctness_files"]
+        return (prev["round"] + 1 if grown else prev["round"]), n_corr
+    return n_corr + 1, n_corr
 
 
 def _time_query(spark, sf_dir: str, name: str, trials: int = 3) -> float:
@@ -221,7 +254,7 @@ def main() -> None:
     # rounds-3-11 suite) keep the old totals comparable.
     suite83 = HEADLINE + CURATION
     bench_full = os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
-    this_round = _current_round(repo)
+    this_round, n_corr = _bench_round(repo, prev)
     demote_timing = not bench_full and this_round % 2 == 1
     times: dict[str, float] = {}
     carried: list[str] = []
@@ -260,9 +293,50 @@ def main() -> None:
     drift_factor = (
         round(cal_end / prev_cal, 4) if prev_cal else None
     )
+    # Round 16 (VERDICT r15 #4): the drift anchor is now TWO-SIDED.
+    # End-to-end remains the normalization anchor (steady-state), but the
+    # start-to-start series is its own apples-to-apples comparison (both
+    # probes equally JIT-inflated), and the two series should AGREE: a
+    # mid-session host shift — exactly the r14 monotone-drift case —
+    # shows as end/end drift WITHOUT start/start drift (or vice versa).
+    # agreement = drift_factor_start / drift_factor; outside [0.8, 1.25]
+    # is flagged so the round's regression flags are read with suspicion.
+    prev_cal_start = (prev or {}).get("drift", {}).get("calibration_start_sec")
+    drift_factor_start = (
+        round(cal_start / prev_cal_start, 4) if prev_cal_start else None
+    )
+    start_end_agreement = (
+        round(drift_factor_start / drift_factor, 4)
+        if drift_factor_start and drift_factor
+        else None
+    )
+    drift_disagreement = (
+        start_end_agreement is not None
+        and not (0.8 <= start_end_agreement <= 1.25)
+    )
+    # Cumulative drift (ADVICE r15): cum_drift compounds drift_factor over
+    # the committed-detail chain (bootstrap 1.0), and fresh_meta records,
+    # per query, the round and cum_drift at which its value was FRESHLY
+    # measured (carried entries copy their source's meta verbatim). A
+    # value carried across ANY number of rounds is then normalized over
+    # the actual epochs it spans — cum_now / cum_at_fresh — instead of
+    # assuming it spans exactly two.
+    prev_cum = (prev or {}).get("drift", {}).get("cum_drift") or 1.0
+    cum_drift = round(prev_cum * (drift_factor or 1.0), 4)
+    prev_fresh_meta = (prev or {}).get("fresh_meta", {})
+    fresh_meta: dict[str, dict] = {}
+    for name in times:
+        if name in carried:
+            fresh_meta[name] = prev_fresh_meta.get(
+                name,
+                {"round": (prev or {}).get("round"), "cum_drift": prev_cum},
+            )
+        else:
+            fresh_meta[name] = {"round": this_round, "cum_drift": cum_drift}
     # drift-normalized per-query ratios vs the previous committed detail:
-    # ratio = (t_now / drift_factor) / t_prev — only these are regression
-    # signals; raw ratios conflate host drift with code changes
+    # ratio = (t_now / df) / t_prev where df spans the epochs between the
+    # previous value's FRESH measurement and now — only these are
+    # regression signals; raw ratios conflate host drift with code changes
     norm_regressions: dict[str, float] = {}
     if drift_factor and prev:
         prev_carried = set(prev.get("carried", []))
@@ -272,12 +346,16 @@ def main() -> None:
             if not t_prev or t_prev < 0.2 or name in carried:
                 # entries carried THIS round are copies — no new signal
                 continue
-            # an entry carried in the PREVIOUS round holds the round-
-            # before-previous FRESH measurement verbatim, so it spans
-            # TWO drift epochs: compound this round's factor with the
-            # previous round's (review r15: plain exclusion would leave
-            # the cadenced demos permanently unwatched)
-            df = drift_factor * prev_df if name in prev_carried else drift_factor
+            meta = prev_fresh_meta.get(name)
+            if meta and meta.get("cum_drift"):
+                df = cum_drift / meta["cum_drift"]
+            elif name in prev_carried:
+                # pre-fresh_meta bootstrap: a previously-carried entry
+                # holds the round-before-previous FRESH measurement, so
+                # compound the two known factors (review r15)
+                df = drift_factor * prev_df
+            else:
+                df = drift_factor
             r = (t_now / df) / t_prev
             if r >= 1.3:
                 norm_regressions[name] = round(r, 3)
@@ -301,11 +379,18 @@ def main() -> None:
             "calibration_start_sec": cal_start,
             "calibration_end_sec": cal_end,
             "prev_calibration_end_sec": prev_cal,
+            "prev_calibration_start_sec": prev_cal_start,
             "drift_factor": drift_factor,
+            "drift_factor_start": drift_factor_start,
+            "start_end_agreement": start_end_agreement,
+            "drift_disagreement": drift_disagreement,
+            "cum_drift": cum_drift,
             "normalized_regressions_ge_1p3": norm_regressions,
         },
         "carried": carried,
+        "fresh_meta": fresh_meta,
         "round": this_round,
+        "n_correctness_files": n_corr,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
@@ -322,6 +407,8 @@ def main() -> None:
         "n_queries": len(times),
         "calibration_sec": cal_end,
         "drift_factor": drift_factor,
+        "drift_factor_start": drift_factor_start,
+        "drift_disagreement": drift_disagreement,
         "n_norm_regressions": len(norm_regressions),
         "n_carried": len(carried),
         "detail": "BENCH_DETAIL.json",

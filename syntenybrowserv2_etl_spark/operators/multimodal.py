@@ -742,16 +742,19 @@ def decode_real(payload: bytes, kind: str) -> list[float]:
     - PNG (8-bit, non-interlaced, non-palette): full inflate + un-filter,
       feature = [mean of each of up to 4 channels / 255 (absent → 0),
       mean luminance of each image quadrant / 255].
-    - JPEG (baseline sequential, 8-bit, 1:1 sampling): full marker parse,
-      Huffman decode, dequantize + IDCT (round 14) — same image feature.
+    - JPEG (baseline sequential, 8-bit; 1:1, 4:2:0, 4:2:2 and 4:4:0
+      luma-led chroma subsampling): full marker parse, Huffman decode,
+      dequantize + IDCT (round 14; subsampled legs round 15) — same
+      image feature.
     - WAV (RIFF PCM16): full chunk parse, feature = RMS of 8 equal
       sample segments, normalized by 2^15.
 
-    Anything else (progressive/subsampled JPEG, h264, ...) raises
-    NotImplementedError — that
-    remains the documented seam for containers with the codec libraries
-    installed. Same 8-float output contract as ``_decode_stub``, so the
-    two kernels are drop-in interchangeable in ``extract_features``.
+    Anything else (progressive JPEG, exotic sampling factors such as
+    4:1:1, 16-bit quant tables, h264, ...) raises NotImplementedError —
+    that remains the documented seam for containers with the codec
+    libraries installed. Same 8-float output contract as
+    ``_decode_stub``, so the two kernels are drop-in interchangeable in
+    ``extract_features``.
     """
     if payload is None:
         return [0.0] * 8

@@ -8115,24 +8115,10 @@ _DEMOTED_PAST_WINDOW = [
     "q66_chunk_documents",
     "q67_unigram_logprob",
     # round 12: parity-gated from birth (standing policy for new families)
-    # (round 15 promoted q133/q134/q135 out of this block.)
-    "q136_stopword_calibration",
-    "q137_pmi_collocations",
-    "q138_shard_stitch",
-    "q139_lang_kappa",
-    "q140_source_diversity",
-    "q141_dup_histogram",
+    # (round 15 promoted q133/q134/q135 out of this block; round 16
+    # promoted the remainder: q136-q141.)
     # round 13: parity-gated from birth (standing policy for new families)
-    "q142_repeated_spans",
-    "q143_image_stats",
-    "q144_excise_repeated",
-    "q145_retrieval_metrics",
-    "q146_substr_decontam",
-    "q147_repeated_coverage",
-    "q148_source_lang_mi",
-    "q149_length_ks",
-    "q150_source_overlap",
-    "q151_zipf_slope",
+    # (round 16 promoted q142-q151 out of this block.)
     "q152_balanced_shards",
     "q153_key_skew",
     "q154_lsh_recall",
@@ -8207,6 +8193,55 @@ _DEMOTED_PAST_WINDOW = [
     "q173_scene_changes",
     "q174_jpeg_subsampled_stats",
     "q175_video_dedup",
+    # round 16: window rotation (VERDICT r15 #1, mechanical queue per
+    # tools/rotation_status.py: oldest never-driver-verified first).
+    # Promoted INTO the window: q136_stopword_calibration,
+    # q137_pmi_collocations, q138_shard_stitch, q139_lang_kappa,
+    # q140_source_diversity, q141_dup_histogram, q142_repeated_spans,
+    # q143_image_stats, q144_excise_repeated, q145_retrieval_metrics,
+    # q146_substr_decontam, q147_repeated_coverage, q148_source_lang_mi,
+    # q149_length_ks, q150_source_overlap, q151_zipf_slope (16 entries —
+    # all many-rounds sf0.001+sf0.01-parity-green every pytest run).
+    # Demoted to make room — the 16 longest-driver-green in-window entries
+    # EXCEPT q127_interval_coverage / q132_golden_records (4 greens each but
+    # each is its family's last in-window representative after the r15
+    # demotions of q129/q131 and q117; they stay). Each demotion's family
+    # remains driver-proven in-window or freshly promoted:
+    # q116 batched kNN (4 greens; ANN family stays via q88 PQ-ADC + q90
+    # IVF-PQ), q120 multi-phrase (4; phrase-index family stays via q121
+    # phrase decontam, promoted r15), q126 hard negatives (4; mining rides
+    # the in-window q88/q90 ANN machinery), q128 forward as-of (4;
+    # temporal-join surface stays via q86/q94 SCD2 + q100 gapfill + q107
+    # time-weighted avg), q130 Pareto frontier (4; ranking/window shapes
+    # stay via q133 RRF + q134 ROC-AUC), q72 bloom incremental (3;
+    # incremental-dedup family stays via freshly-promoted q141 dup
+    # histogram + streaming fold≡batch tests), q73 curate pipeline (3;
+    # curation stays via q89 weighted sample + q98 session examples +
+    # freshly-promoted q140 source diversity), q74 BPE merges / q75 BPE
+    # token budget (3 each; tokenizer stats stay via q135 token-KL drift +
+    # freshly-promoted q136 stopword calibration + q161 OOV parity), q76
+    # semantic dedup (3; clustering stays via q95 leakage-free split + q96
+    # best-of-cluster), q77 TF-IDF / q78 BM25 (3 each; relevance family
+    # stays via freshly-promoted q145 retrieval metrics + q87 quality
+    # classifier), q79 domain cap / q80 temperature mix / q81 perplexity
+    # buckets / q82 DSIR (3 each; the curation-mix family stays via
+    # q89/q98/q140 as above).
+    "q72_bloom_incremental",
+    "q73_curate_pipeline",
+    "q74_bpe_merges",
+    "q75_bpe_token_budget",
+    "q76_semantic_dedup",
+    "q77_tfidf_terms",
+    "q78_bm25_rank",
+    "q79_domain_cap",
+    "q80_temperature_mix",
+    "q81_perplexity_buckets",
+    "q82_dsir_importance",
+    "q116_knn_batch",
+    "q120_multi_phrase",
+    "q126_hard_negatives",
+    "q128_asof_forward",
+    "q130_pareto_frontier",
 ]
 
 
