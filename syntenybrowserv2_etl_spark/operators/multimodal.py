@@ -23,7 +23,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1792,8 +1792,62 @@ def audio_envelope_hash(media: DataFrame, n_segments: int = 65) -> DataFrame:
     )
 
 
+def _banded_hash_keys(hashes: DataFrame, id_col: str, hash_col: str) -> DataFrame:
+    """Explode each 64-bit hash into its four (band index, band value)
+    keys — the shared stage under band_candidates / the occupancy report /
+    the streaming media gate's index rows."""
+    return hashes.select(
+        F.col(id_col),
+        F.col(hash_col).alias("__h"),
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("__bi", "__bv"),
+    )
+
+
+def band_occupancy_report(
+    hashes: DataFrame, id_col: str, hash_col: str, max_bucket: int = 64
+) -> DataFrame:
+    """Per-band occupancy diagnostic for the 4-band Hamming index — the
+    pre-flight skew check before ``hamming_band_pairs`` at scale (round
+    16, VERDICT r15 #2: SCALE.md measured ~N^1.6 candidate growth on
+    STRUCTURED hash patterns whose band values concentrate; this makes
+    the hot-bucket mass visible as data, mirroring ``key_skew_report``'s
+    posture for generic join keys).
+
+    One row per band index: bucket count, max/heaviest occupancy, the
+    implied candidate-pair mass Σ c·(c−1)/2, and how much of that mass
+    sits in buckets over ``max_bucket`` — i.e. exactly the candidates a
+    ``hamming_band_pairs(..., max_bucket=...)`` run would skip. Scale
+    shape: explode → per-(band,value) counts (map-side combinable) →
+    4-row aggregate; nothing all-pairs, no windows."""
+    occ = (
+        _banded_hash_keys(hashes, id_col, hash_col)
+        .groupBy("__bi", "__bv")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pair_mass = (F.col("c").cast("double") * (F.col("c") - 1) / 2).alias("pm")
+    return (
+        occ.select("__bi", "c", pair_mass)
+        .groupBy(F.col("__bi").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("c").cast("long").alias("max_occupancy"),
+            F.sum("pm").cast("long").alias("candidate_pairs"),
+            F.sum(F.when(F.col("c") > max_bucket, F.col("pm")).otherwise(0.0))
+            .cast("long")
+            .alias("over_cap_pairs"),
+            F.sum((F.col("c") > max_bucket).cast("long")).alias(
+                "over_cap_buckets"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
 def band_candidates(
-    hashes: DataFrame, id_col: str, hash_col: str
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from the four 16-bit band buckets (``b0..b3``
     emitted by image_dhash / audio_envelope_hash): explode each row into
@@ -1803,19 +1857,40 @@ def band_candidates(
     band matches exactly. The same banded-LSH shape the text-dedup family
     proves at scale: shuffle on (band, value), never all-pairs.
 
+    ``max_bucket`` (round 16, VERDICT r15 #2) is the hot-bucket guard for
+    STRUCTURED hash populations: (band, value) buckets holding more than
+    ``max_bucket`` rows are excluded from pair generation — the standard
+    LSH occupancy cap (same sizing rule as the MinHash family's bucket
+    discipline), turning the measured ~N^1.6 candidate blow-up on
+    low-entropy fixtures back into bounded growth. The cap TRADES RECALL
+    for cost: a true pair is lost only if EVERY band it agrees on is
+    over-cap; ``band_occupancy_report`` quantifies exactly the skipped
+    pair mass so the trade is measured, not guessed. ``None`` (default)
+    keeps the exact pigeonhole-complete behavior.
+
     Output: ``({id}_a, {id}_b, __ha, __hb)`` — the un-filtered candidate
     frame, exposed separately so the scale harness can count candidates
     vs emitted pairs (VERDICT r14 #3)."""
     a, b = f"{id_col}_a", f"{id_col}_b"
-    lhs = hashes.select(
-        F.col(id_col).alias(a),
-        F.col(hash_col).alias("__ha"),
-        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("__bi", "__bv"),
+    keys = _banded_hash_keys(hashes, id_col, hash_col)
+    if max_bucket is not None:
+        if max_bucket < 1:
+            raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
+        # per-(band,value) occupancy via a window over the SAME keys the
+        # join shuffles on — the count reuses the join's partitioning, so
+        # the guard costs one aggregation over exploded keys, not a new
+        # shuffle of the hash frame
+        w = Window.partitionBy("__bi", "__bv")
+        keys = (
+            keys.withColumn("__occ", F.count(F.lit(1)).over(w))
+            .filter(F.col("__occ") <= max_bucket)
+            .drop("__occ")
+        )
+    lhs = keys.select(
+        F.col(id_col).alias(a), F.col("__h").alias("__ha"), "__bi", "__bv"
     )
-    rhs = hashes.select(
-        F.col(id_col).alias(b),
-        F.col(hash_col).alias("__hb"),
-        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("__bi", "__bv"),
+    rhs = keys.select(
+        F.col(id_col).alias(b), F.col("__h").alias("__hb"), "__bi", "__bv"
     )
     return (
         lhs.join(rhs, ["__bi", "__bv"])
@@ -1826,19 +1901,28 @@ def band_candidates(
 
 
 def hamming_band_pairs(
-    hashes: DataFrame, id_col: str, hash_col: str, max_hamming: int = 2
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs within ``max_hamming`` of each other via the band
     buckets (``band_candidates``) + an exact bit_count filter — the shared
     pair stage of q169 (images) and q170 (audio). ``max_hamming`` > 2
-    would break pigeonhole completeness of 4 bands and is refused."""
+    would break pigeonhole completeness of 4 bands and is refused.
+    ``max_bucket`` forwards the band-occupancy guard (see
+    ``band_candidates``): precision is unaffected (the exact Hamming
+    verify still runs), recall loss is confined to pairs whose every
+    matching band is hotter than the cap — measurable up front via
+    ``band_occupancy_report``."""
     if max_hamming > 2:
         raise ValueError(
             "4-band bucketing is only pigeonhole-complete for Hamming <= 2"
         )
     a, b = f"{id_col}_a", f"{id_col}_b"
     return (
-        band_candidates(hashes, id_col, hash_col)
+        band_candidates(hashes, id_col, hash_col, max_bucket=max_bucket)
         .withColumn(
             "hamming",
             F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int"),

@@ -1781,6 +1781,88 @@ def test_video_dedup_planted_clusters(spark):
     assert all(a < b for a, b in got)
 
 
+def _band_hash_row(i, b0, b1, b2, b3):
+    h = (b3 << 48) | (b2 << 32) | (b1 << 16) | b0
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return (i, h, b0, b1, b2, b3)
+
+
+def test_hamming_band_pairs_occupancy_guard(spark):
+    """The band-occupancy guard (round 16, VERDICT r15 #2): a planted
+    hot-bucket population — 10 rows sharing the SAME band-0 and band-1
+    values but pairwise Hamming 4 — generates 66 useless candidates
+    uncapped; with max_bucket=6 those buckets are skipped, the cool-bucket
+    true pair survives, and the hot-only true pair (every matching band
+    over cap) is the documented recall loss. band_occupancy_report
+    hand-checks the per-band bucket counts and the skipped pair mass."""
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+
+    rows = []
+    # hot population: bands 0/1 identical across all 10, bands 2/3 are
+    # disjoint single bits -> pairwise Hamming 4 (never true pairs)
+    for i in range(10):
+        rows.append(_band_hash_row(i, 0xAAAA, 0xBBBB, 1 << i, 1 << (15 - i)))
+    # cool true pair: shares three cool buckets, Hamming 1
+    rows.append(_band_hash_row(100, 0x1111, 0x2222, 0x3333, 0x4444))
+    rows.append(_band_hash_row(101, 0x1111, 0x2222, 0x3333, 0x4445))
+    # hot-only true pair: Hamming 2, but its ONLY matching bands (0 and 1)
+    # are the hot buckets
+    rows.append(_band_hash_row(200, 0xAAAA, 0xBBBB, 0x5555, 0x6666))
+    rows.append(_band_hash_row(201, 0xAAAA, 0xBBBB, 0x5554, 0x6667))
+    hashes = spark.createDataFrame(
+        rows, "media_id long, hsh long, b0 long, b1 long, b2 long, b3 long"
+    )
+
+    uncapped = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in mm.hamming_band_pairs(hashes, "media_id", "hsh").collect()
+    }
+    assert uncapped == {(100, 101): 1, (200, 201): 2}
+    # 12 rows share the band-0 bucket AND the band-1 bucket -> 66 distinct
+    # candidate pairs, plus the cool pair
+    assert mm.band_candidates(hashes, "media_id", "hsh").count() == 67
+
+    capped_cands = mm.band_candidates(
+        hashes, "media_id", "hsh", max_bucket=6
+    )
+    assert capped_cands.count() == 1
+    capped = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in mm.hamming_band_pairs(
+            hashes, "media_id", "hsh", max_bucket=6
+        ).collect()
+    }
+    assert capped == {(100, 101): 1}  # hot-only pair is the recall trade
+
+    rep = {
+        r["band"]: r
+        for r in mm.band_occupancy_report(
+            hashes, "media_id", "hsh", max_bucket=6
+        ).collect()
+    }
+    assert set(rep) == {0, 1, 2, 3}
+    for band in (0, 1):
+        r = rep[band]
+        assert r["n_buckets"] == 2
+        assert r["max_occupancy"] == 12
+        assert r["candidate_pairs"] == 66 + 1
+        assert r["over_cap_pairs"] == 66
+        assert r["over_cap_buckets"] == 1
+    assert rep[2]["n_buckets"] == 13
+    assert rep[2]["max_occupancy"] == 2
+    assert rep[2]["candidate_pairs"] == 1
+    assert rep[2]["over_cap_pairs"] == 0
+    assert rep[3]["n_buckets"] == 14
+    assert rep[3]["max_occupancy"] == 1
+    assert rep[3]["candidate_pairs"] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.band_candidates(hashes, "media_id", "hsh", max_bucket=0)
+
+
 def test_image_dhash_brightness_invariant_and_boundaries(spark):
     """image_dhash (q169's primitive): uniform brightness shifts hash
     identically (the cross-multiplied gradient bits cancel the shift

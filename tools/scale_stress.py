@@ -110,6 +110,7 @@ KNOWN_OPS = frozenset({
     "excise_repeated", "shingle_fold",
     "label_noise_ivf", "quantile_grid", "oov_rate", "entropy_rate",
     "image_dhash", "audio_ehash", "image_pair_join", "audio_pair_join",
+    "structured_pair_join",
     "media_gate_fold", "jpeg_decode_stats", "apng_decode_stats",
     "embedding_collapse", "label_separation", "label_cohesion",
     "assoc_mi", "ks_drift", "kmv_overlap", "zipf_fit",
@@ -145,6 +146,7 @@ def main():
         "interval_union", "jsonl_ingest", "pareto_skyline",
         "roc_auc", "rrf_fuse", "token_fold",
         "image_dhash", "audio_ehash", "image_pair_join", "audio_pair_join",
+        "structured_pair_join",
         "media_gate_fold", "jpeg_decode_stats", "apng_decode_stats",
     }
     results = []
@@ -997,6 +999,53 @@ def main():
             _image_pair_join()
         if only is None or "audio_pair_join" in only:
             _audio_pair_join()
+
+        # round 16 (VERDICT r15 #2): the STRUCTURED (linear-ramp) fixture
+        # whose band values concentrate — previously measured ad hoc at
+        # ~N^1.6 candidates — now measured WITH the band-occupancy guard
+        # wired into the operator. max_bucket=8 (clusters are 3 copies;
+        # any bucket past ~2 cluster widths is structural collision mass,
+        # the same sizing rule as the LSH family's bucket cap). The
+        # capped candidate count must grow ~linearly while retained true
+        # pairs stay 45·f (occupancy-capped buckets only hold cross-base
+        # ramp collisions at these sizes).
+        def _structured_pair_join():
+            from syntenybrowserv2_etl_spark.operators import multimodal as mmod
+
+            hs_path = f"{SCRATCH}/structured_hashes_x{f}"
+            mmod.image_dhash(
+                mmod.synthetic_neardup_png_media(spark, 15 * f, 3)
+            ).write.mode("overwrite").parquet(hs_path)
+            hs = spark.read.parquet(hs_path)
+            r["structured_candidates"] = mmod.band_candidates(
+                hs, "media_id", "dhash"
+            ).count()
+            r["structured_pairs"] = mmod.hamming_band_pairs(
+                hs, "media_id", "dhash"
+            ).count()
+            capped = mmod.hamming_band_pairs(
+                hs, "media_id", "dhash", max_bucket=8
+            )
+            r["structured_pair_join"] = timed(lambda: noop(capped))
+            r["structured_capped_candidates"] = mmod.band_candidates(
+                hs, "media_id", "dhash", max_bucket=8
+            ).count()
+            r["structured_capped_pairs"] = capped.count()
+            occ = {
+                row["band"]: row
+                for row in mmod.band_occupancy_report(
+                    hs, "media_id", "dhash", max_bucket=8
+                ).collect()
+            }
+            r["structured_max_occupancy"] = max(
+                row["max_occupancy"] for row in occ.values()
+            )
+            r["structured_over_cap_pairs"] = sum(
+                row["over_cap_pairs"] for row in occ.values()
+            )
+
+        if only is None or "structured_pair_join" in only:
+            _structured_pair_join()
 
         # round 11: the single-pass JSONL ingest (r10 weak #2 fix) —
         # dump scaled f×, one validity-partitioned write job splitting
