@@ -1,8 +1,12 @@
-"""Streaming media-ingest near-dup gate (round 15, VERDICT r14 #6):
-q169/q170's perceptual-hash band index maintained incrementally, so
-image/audio near-duplicate detection runs at the ingest door like
-q119's text twin — every arriving micro-batch is probed against
-everything admitted so far WITHOUT re-scanning the corpus.
+"""Streaming media-ingest near-dup gate (round 15, VERDICT r14 #6;
+video leg round 16, VERDICT r15 #3): q169/q170's perceptual-hash band
+index — and q175's video frame-fingerprint index — maintained
+incrementally, so image/audio/video near-duplicate detection runs at
+the ingest door like q119's text twin — every arriving micro-batch is
+probed against everything admitted so far WITHOUT re-scanning the
+corpus. Image/audio state is the 4-band Hamming index described below;
+video state is (frame fingerprint, media_id) rows keyed by the exact
+fingerprint (see ``_video_fold_batch`` / ``read_video_dup_pairs``).
 
 State is the banded hash index: one row per (band index ``bi``, 16-bit
 band value ``bv``, ``media_id``) with the full 64-bit hash alongside,
@@ -60,6 +64,14 @@ _LAYOUT_COLS = ("__kb", "__b")
 
 PAIR_SCHEMA = "media_id_a long, media_id_b long, hamming int"
 
+# Video pairs are emitted at (pair, shared fingerprint) granularity —
+# the fp column IS the exactness device: a media_id whose fingerprints
+# arrive split across batches emits partial pair rows that DISTINCT
+# re-unifies, so read_video_dup_pairs' per-pair count is exact under any
+# batch split (a count emitted at pair granularity would double or
+# fragment instead).
+VIDEO_PAIR_SCHEMA = "media_id_a long, media_id_b long, fp long"
+
 
 def _hashes(batch_df: DataFrame, kind: str) -> DataFrame:
     """(media_id, hsh, b0..b3) for the batch via the REAL decode+hash."""
@@ -95,7 +107,18 @@ def media_neardup_fold_batch(
     n_buckets: int = 16,
     max_hamming: int = 2,
 ) -> None:
-    """One micro-batch of the media near-dup gate (module docstring)."""
+    """One micro-batch of the media near-dup gate (module docstring).
+
+    ``kind="video"`` (round 16, VERDICT r15 #3) folds q175's batch shape:
+    state is one row per (frame fingerprint ``fp``, ``media_id``) from
+    the real APNG decode (``video_scene_changes``' shared dHash kernel),
+    buckets keyed by ``fp`` itself — EXACT fingerprint equality, q175's
+    contract, so ``max_hamming`` does not apply (a Hamming-tolerant
+    variant composes via hamming_band_pairs over the frame-hash frame).
+    Pairs are written as (media_id_a, media_id_b, fp) triples; see
+    ``VIDEO_PAIR_SCHEMA`` for why the triple granularity is what makes
+    fold ≡ batch hold, and ``read_video_dup_pairs`` for the q175-shaped
+    (pair, n_shared) readout."""
     spark = batch_df.sparkSession
     from ..sources.io import batch_is_committed
 
@@ -103,6 +126,15 @@ def media_neardup_fold_batch(
         # pairs for this batch landed before the sentinel — recomputing
         # them now would probe the POST-fold index (the batch would
         # collide with itself); skip entirely.
+        return
+    if kind == "video":
+        _video_fold_batch(
+            batch_df,
+            batch_id,
+            state_path=state_path,
+            pairs_path=pairs_path,
+            n_buckets=n_buckets,
+        )
         return
     hashes = _hashes(batch_df, kind).localCheckpoint(eager=True)
     bands = _band_rows(hashes)
@@ -156,6 +188,93 @@ def media_neardup_fold_batch(
         key_cols=["bi", "bv"],
         merge_fn=merge,
         n_buckets=n_buckets,
+    )
+
+
+def _video_fold_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    state_path: str,
+    pairs_path: str,
+    n_buckets: int,
+) -> None:
+    """Video leg of the gate: fold (fp, media_id) frame-fingerprint rows
+    with the identical touched-bucket discipline. The merge probes the
+    healed pre-state of exactly the batch's own fp buckets (per-batch
+    cost O(batch fps · bucket size), never O(index)) and writes the
+    batch's (a, b, fp) triples before the staged write + sentinel — the
+    same crash-mid-swap ordering the image/audio leg pins."""
+    fps = (
+        mm.video_scene_changes(batch_df)
+        .select("media_id", F.col("dhash").alias("fp"))
+        .distinct()
+        .select("fp", "media_id")
+        .localCheckpoint(eager=True)
+    )
+
+    def merge(pre: DataFrame | None, part: DataFrame) -> DataFrame:
+        a = fps.select(F.col("media_id").alias("media_id_a"), "fp")
+        b = fps.select(F.col("media_id").alias("media_id_b"), "fp")
+        within = a.join(b, "fp").filter(
+            F.col("media_id_a") < F.col("media_id_b")
+        ).select("media_id_a", "media_id_b", "fp")
+        if pre is not None:
+            cross = (
+                part.join(
+                    pre.select("fp", F.col("media_id").alias("__mid2")), "fp"
+                )
+                .filter(F.col("media_id") != F.col("__mid2"))
+                .select(
+                    F.least("media_id", "__mid2").alias("media_id_a"),
+                    F.greatest("media_id", "__mid2").alias("media_id_b"),
+                    "fp",
+                )
+                .distinct()
+            )
+            pairs = within.unionByName(cross).distinct()
+        else:
+            pairs = within
+        pairs.coalesce(1).write.mode("overwrite").parquet(
+            f"{pairs_path}/__ingest_batch={batch_id}"
+        )
+        if pre is None:
+            return part
+        return pre.unionByName(part).dropDuplicates(["fp", "media_id"])
+
+    touched_bucket_fold(
+        fps,
+        batch_id,
+        path=state_path,
+        key_cols=["fp"],
+        merge_fn=merge,
+        n_buckets=n_buckets,
+    )
+
+
+def read_video_dup_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
+    """q175-shaped readout of the video gate: distinct (a, b, fp)
+    triples across all batch files, counted per pair — equals the
+    one-shot q175 join over everything folded (fold ≡ batch at the
+    triple granularity, so a media_id split across batches cannot double
+    or fragment a pair's n_shared). Output: (media_id_a, media_id_b,
+    n_shared)."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(pairs_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if (
+        not fs.exists(hpath(pairs_path))
+        or not fs.globStatus(hpath(f"{pairs_path}/__ingest_batch=*"))
+    ):
+        return spark.createDataFrame(
+            [], "media_id_a long, media_id_b long, n_shared long"
+        )
+    return (
+        spark.read.option("basePath", pairs_path)
+        .parquet(f"{pairs_path}/__ingest_batch=*")
+        .drop("__ingest_batch")
+        .distinct()
+        .groupBy("media_id_a", "media_id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
 
 

@@ -3645,6 +3645,157 @@ def test_media_neardup_gate_crash_mid_swap_replay(spark, tmp_path_factory):
     assert not os.path.exists(staging) and not os.path.exists(pre_dir)
 
 
+def _video_batch_pairs(spark, media):
+    """The one-shot q175 join shape over the whole corpus."""
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+
+    hs = (
+        mm.video_scene_changes(media)
+        .select("media_id", F.col("dhash").alias("fp"))
+        .distinct()
+    )
+    a = hs.select(F.col("media_id").alias("media_id_a"), "fp")
+    b = hs.select(F.col("media_id").alias("media_id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("media_id_a") < F.col("media_id_b"))
+        .groupBy("media_id_a", "media_id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+def test_media_neardup_gate_video_fold_equals_batch(spark, tmp_path_factory):
+    """Round 16 (VERDICT r15 #3) — the gate's video leg: (a) folding the
+    q175 APNG fixture in three interleaved micro-batches yields, via
+    read_video_dup_pairs, EXACTLY the one-shot q175 join over the whole
+    corpus (fold ≡ batch at the (pair, fp) triple granularity); (b) a
+    committed redelivery changes neither the index nor the pairs; (c)
+    the maintained index equals the batch fingerprint rows; (d) an
+    unwritten pairs path reads as zero pairs with the q175 schema."""
+    import os
+
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+    from syntenybrowserv2_etl_spark.streaming import mediadedup as md
+
+    base = str(tmp_path_factory.mktemp("mediadedup_video"))
+    empty = md.read_video_dup_pairs(spark, os.path.join(base, "never"))
+    assert empty.count() == 0
+    assert set(empty.columns) == {"media_id_a", "media_id_b", "n_shared"}
+
+    media = mm.synthetic_neardup_apng_media(spark, 8, 3)
+    state = os.path.join(base, "state")
+    pairs = os.path.join(base, "pairs")
+    for b in range(3):
+        md.media_neardup_fold_batch(
+            media.filter(F.col("media_id") % 3 == b), b,
+            state_path=state, pairs_path=pairs, kind="video", n_buckets=4,
+        )
+    got = {
+        (r["media_id_a"], r["media_id_b"], r["n_shared"])
+        for r in md.read_video_dup_pairs(spark, pairs).collect()
+    }
+    want = {
+        (r["media_id_a"], r["media_id_b"], r["n_shared"])
+        for r in _video_batch_pairs(spark, media).collect()
+    }
+    # q175's fixture plants 8 clusters of 3 sharing their even frames
+    assert got == want and len(want) >= 24, (len(got), len(want))
+
+    idx = {
+        (r["fp"], r["media_id"])
+        for r in md.read_media_index(spark, state).collect()
+    }
+    want_idx = {
+        (r["fp"], r["media_id"])
+        for r in mm.video_scene_changes(media)
+        .select(F.col("dhash").alias("fp"), "media_id")
+        .distinct()
+        .collect()
+    }
+    assert idx == want_idx
+
+    # committed redelivery: everything unchanged
+    md.media_neardup_fold_batch(
+        media.filter(F.col("media_id") % 3 == 1), 1,
+        state_path=state, pairs_path=pairs, kind="video", n_buckets=4,
+    )
+    again = {
+        (r["media_id_a"], r["media_id_b"], r["n_shared"])
+        for r in md.read_video_dup_pairs(spark, pairs).collect()
+    }
+    idx2 = {
+        (r["fp"], r["media_id"])
+        for r in md.read_media_index(spark, state).collect()
+    }
+    assert again == got and idx2 == idx
+
+
+def test_media_neardup_gate_video_crash_mid_swap_replay(
+    spark, tmp_path_factory
+):
+    """The crash-mid-swap replay pin extended to the video leg: a crash
+    between the swap's two renames (bucket displaced into _pre, staged
+    replacement waiting with __stagedone, marker lost) must not cost the
+    batch's (a, b, fp) pair file its cross triples — the fold resumes
+    the swap WITHOUT re-merging, so the first attempt's complete pair
+    file survives and the replayed gate equals the unbroken run."""
+    import os
+    import shutil
+
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+    from syntenybrowserv2_etl_spark.streaming import mediadedup as md
+
+    base = str(tmp_path_factory.mktemp("mediadedup_video_crash"))
+    state = os.path.join(base, "state")
+    pairs = os.path.join(base, "pairs")
+    media = mm.synthetic_neardup_apng_media(spark, 8, 3)
+    b0 = media.filter(F.col("media_id") % 2 == 0)
+    b1 = media.filter(F.col("media_id") % 2 == 1)
+    md.media_neardup_fold_batch(
+        b0, 0, state_path=state, pairs_path=pairs, kind="video", n_buckets=4
+    )
+    bucket = sorted(
+        d for d in os.listdir(state) if d.startswith("__kb=")
+    )[0]
+    pre_snap = os.path.join(base, "pre_snap")
+    shutil.copytree(os.path.join(state, bucket), pre_snap)
+    md.media_neardup_fold_batch(
+        b1, 1, state_path=state, pairs_path=pairs, kind="video", n_buckets=4
+    )
+    want_pairs = {
+        (r["media_id_a"], r["media_id_b"], r["n_shared"])
+        for r in md.read_video_dup_pairs(spark, pairs).collect()
+    }
+    want_idx = {
+        (r["fp"], r["media_id"])
+        for r in md.read_media_index(spark, state).collect()
+    }
+    assert want_pairs and len(want_pairs) >= 24
+    staging = os.path.join(state, "_staging", "1")
+    os.makedirs(staging, exist_ok=True)
+    shutil.move(os.path.join(state, bucket), os.path.join(staging, bucket))
+    os.makedirs(os.path.join(staging, "__stagedone"), exist_ok=True)
+    pre_dir = os.path.join(state, "_pre", "1")
+    os.makedirs(pre_dir, exist_ok=True)
+    shutil.copytree(pre_snap, os.path.join(pre_dir, bucket))
+    shutil.rmtree(os.path.join(state, "_batches", "1"))
+    md.media_neardup_fold_batch(
+        b1, 1, state_path=state, pairs_path=pairs, kind="video", n_buckets=4
+    )
+    got_pairs = {
+        (r["media_id_a"], r["media_id_b"], r["n_shared"])
+        for r in md.read_video_dup_pairs(spark, pairs).collect()
+    }
+    got_idx = {
+        (r["fp"], r["media_id"])
+        for r in md.read_media_index(spark, state).collect()
+    }
+    assert got_pairs == want_pairs
+    assert got_idx == want_idx
+    assert os.path.isdir(os.path.join(state, "_batches", "1"))
+    assert not os.path.exists(staging) and not os.path.exists(pre_dir)
+
+
 def test_media_neardup_gate_stream_twin(spark, tmp_path_factory):
     """The readStream twin converges to the same pairs + index as the
     manual fold over the same files (availableNow, maxFilesPerTrigger=1
