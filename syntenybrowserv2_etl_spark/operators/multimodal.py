@@ -2,8 +2,10 @@
 
 The image/audio decode libraries are not in this container. REAL pure-
 stdlib decode kernels cover PNG (inflate + un-filter), baseline JPEG
-(Huffman + dequant + IDCT, round 14), and PCM16 WAV; other containers
-(progressive/subsampled JPEG, h264, ...) are explicit NotImplementedError
+(Huffman + dequant + IDCT, round 14; 4:2:0/4:2:2/4:4:0 subsampling round
+15; non-interleaved multi-scan round 16), and PCM16 WAV; other containers
+(progressive JPEG, exotic sampling factors, h264, ...) are explicit
+NotImplementedError
 codec boundaries, and a clearly-marked deterministic STUB kernel remains
 for exercising the plumbing. All preserve every real Spark-side concern:
 schema contracts, Arrow batch shape, ``mapInPandas`` iterator discipline,
@@ -279,7 +281,12 @@ class _BitWriter:
 
 
 def _jpeg_encode(
-    w: int, h: int, ch: int, pix: bytes, subsample: str = "444"
+    w: int,
+    h: int,
+    ch: int,
+    pix: bytes,
+    subsample: str = "444",
+    scans: str = "interleaved",
 ) -> bytes:
     """Minimal baseline JFIF writer: 8-bit grayscale (ch=1) or RGB (ch=3,
     converted to YCbCr), 1:1 sampling by default or 4:2:0 with
@@ -289,7 +296,15 @@ def _jpeg_encode(
     keeps the fixture's exactness reasoning to ONE quant table). General
     input (the tests roundtrip gradients within the quantization error
     bound); the q168/q171 fixtures feed block-constant values chosen to
-    quantize losslessly so the roundtrip is integer-exact."""
+    quantize losslessly so the roundtrip is integer-exact.
+
+    ``scans="separate"`` (round 16, VERDICT r15 #5) writes a
+    NON-INTERLEAVED baseline stream: one SOS per component, each scan's
+    data units in raster order over that component's own block grid —
+    the multi-scan layout real-world encoders emit for baseline ≥3
+    components and the first seam a real corpus hits. Requires RGB
+    (grayscale is single-component, its one scan is already the
+    non-interleaved form)."""
     import struct
 
     if ch not in (1, 3):
@@ -298,6 +313,10 @@ def _jpeg_encode(
         raise NotImplementedError("encoder supports 444, 420, 422 or 440 only")
     if subsample != "444" and ch != 3:
         raise ValueError("chroma subsampling requires RGB input")
+    if scans not in ("interleaved", "separate"):
+        raise ValueError("scans must be 'interleaved' or 'separate'")
+    if scans == "separate" and ch != 3:
+        raise ValueError("separate scans require RGB input")
     if ch == 1:
         planes = [[float(b) for b in pix]]
     else:
@@ -318,7 +337,8 @@ def _jpeg_encode(
     def category(v: int) -> int:
         return v.bit_length() if v > 0 else (-v).bit_length()
 
-    def put_block(ci: int, block: list[float]) -> None:
+    def put_block(ci: int, block: list[float], wr=None) -> None:
+        wr = bw if wr is None else wr
         rows = [_dct8(block[r * 8 : (r + 1) * 8]) for r in range(8)]
         coef = [0.0] * 64
         for c in range(8):
@@ -330,9 +350,9 @@ def _jpeg_encode(
         diff = zz[0] - pred[ci]
         pred[ci] = zz[0]
         s = category(diff)
-        bw.put(*dc_codes[s])
+        wr.put(*dc_codes[s])
         if s:
-            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            wr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
         run = 0
         for k in range(1, 64):
             v = zz[k]
@@ -340,19 +360,56 @@ def _jpeg_encode(
                 run += 1
                 continue
             while run > 15:
-                bw.put(*ac_codes[0xF0])  # ZRL
+                wr.put(*ac_codes[0xF0])  # ZRL
                 run -= 16
             s = category(v)
-            bw.put(*ac_codes[(run << 4) | s])
-            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+            wr.put(*ac_codes[(run << 4) | s])
+            wr.put(v if v > 0 else v + (1 << s) - 1, s)
             run = 0
         if run:
-            bw.put(*ac_codes[0x00])  # EOB
+            wr.put(*ac_codes[0x00])  # EOB
 
     def sample(plane: list[float], x: int, y: int) -> float:
         return plane[min(y, h - 1) * w + min(x, w - 1)]
 
     if subsample == "444":
+        fh = fv = 1
+        samp_bytes = [0x11] * ch
+    else:
+        # luma-led subsampling: (8·fh)×(8·fv) MCUs — fv×fh luma blocks
+        # then one Cb, one Cr block of fh×fv-box-averaged chroma
+        # (edge-replicated). 420 → 2×2, 422 → 2×1, 440 → 1×2.
+        fh, fv = {"420": (2, 2), "422": (2, 1), "440": (1, 2)}[subsample]
+        samp_bytes = [(fh << 4) | fv, 0x11, 0x11]
+
+    def chroma_avg(plane: list[float], cx: int, cy: int) -> float:
+        return sum(
+            sample(plane, fh * cx + dx, fv * cy + dy)
+            for dy in range(fv)
+            for dx in range(fh)
+        ) / (fh * fv)
+
+    entropy: list[bytes] = []
+    if scans == "separate":
+        # one scan per component, data units in raster order over the
+        # component's OWN block grid (the non-interleaved layout)
+        for ci in range(ch):
+            wr = _BitWriter()
+            if ci == 0 or (fh, fv) == (1, 1):
+                cw2, ch2 = w, h
+                get = lambda cx, cy, p=planes[ci]: sample(p, cx, cy)  # noqa: E731
+            else:
+                cw2, ch2 = -(-w // fh), -(-h // fv)
+                get = lambda cx, cy, p=planes[ci]: chroma_avg(p, cx, cy)  # noqa: E731
+            for byy in range(-(-ch2 // 8)):
+                for bxx in range(-(-cw2 // 8)):
+                    put_block(ci, [
+                        get(bxx * 8 + xx, byy * 8 + yy) - 128.0
+                        for yy in range(8)
+                        for xx in range(8)
+                    ], wr)
+            entropy.append(wr.done())
+    elif subsample == "444":
         for by in range(0, (h + 7) // 8 * 8, 8):
             for bx in range(0, (w + 7) // 8 * 8, 8):
                 for ci, plane in enumerate(planes):
@@ -361,20 +418,7 @@ def _jpeg_encode(
                         for yy in range(8)
                         for xx in range(8)
                     ])
-        samp_bytes = [0x11] * ch
     else:
-        # luma-led subsampling: (8·fh)×(8·fv) MCUs — fv×fh luma blocks
-        # then one Cb, one Cr block of fh×fv-box-averaged chroma
-        # (edge-replicated). 420 → 2×2, 422 → 2×1, 440 → 1×2.
-        fh, fv = {"420": (2, 2), "422": (2, 1), "440": (1, 2)}[subsample]
-
-        def chroma_avg(plane: list[float], cx: int, cy: int) -> float:
-            return sum(
-                sample(plane, fh * cx + dx, fv * cy + dy)
-                for dy in range(fv)
-                for dx in range(fh)
-            ) / (fh * fv)
-
         for my in range(0, (h + 8 * fv - 1) // (8 * fv)):
             for mx in range(0, (w + 8 * fh - 1) // (8 * fh)):
                 for byy in range(fv):
@@ -393,7 +437,6 @@ def _jpeg_encode(
                         for yy in range(8)
                         for xx in range(8)
                     ])
-        samp_bytes = [(fh << 4) | fv, 0x11, 0x11]
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -406,17 +449,23 @@ def _jpeg_encode(
         bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
         + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
     )
-    sos = bytes([ch]) + b"".join(
-        bytes([c + 1, 0x00]) for c in range(ch)
-    ) + bytes([0, 63, 0])
+    if scans == "separate":
+        scan_bytes = b"".join(
+            seg(0xFFDA, bytes([1, c + 1, 0x00, 0, 63, 0])) + entropy[c]
+            for c in range(ch)
+        )
+    else:
+        sos = bytes([ch]) + b"".join(
+            bytes([c + 1, 0x00]) for c in range(ch)
+        ) + bytes([0, 63, 0])
+        scan_bytes = seg(0xFFDA, sos) + bw.done()
     return (
         b"\xff\xd8"
         + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         + seg(0xFFDB, dqt)
         + seg(0xFFC0, sof)
         + seg(0xFFC4, dht)
-        + seg(0xFFDA, sos)
-        + bw.done()
+        + scan_bytes
         + b"\xff\xd9"
     )
 
@@ -458,8 +507,13 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     3-component frames may be 1:1 sampled or luma-led subsampled —
     4:2:0 (luma 2×2, the dominant real-world layout), 4:2:2 (2×1),
     4:4:0 (1×2), all with 1:1 chroma (round 15; chroma is nearest/box-
-    upsampled) — and convert YCbCr→RGB. Other subsampling layouts stay
-    behind NotImplementedError. Returns (width, height,
+    upsampled) — and convert YCbCr→RGB. Scans may be a single
+    interleaved scan OR a sequence of single-component non-interleaved
+    scans (round 16, VERDICT r15 #5: per-scan Huffman/restart
+    snapshots, per-scan DC predictors, raster block order over each
+    component's own grid). Other subsampling layouts and partially
+    interleaved multi-component scans stay behind NotImplementedError.
+    Returns (width, height,
     channels, row-major bytes) — _png_decode's exact contract, so
     image_stats/decode_real dispatch on magic bytes and share everything
     downstream."""
@@ -470,7 +524,12 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
     comps: list[tuple[int, int, int]] = []  # (id, qtab, sampling)
-    scan: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
+    # each scan: (scan components [(comp idx, dc tab, ac tab)], Huffman
+    # table snapshot at SOS time, restart interval at SOS time, entropy
+    # data offset). Baseline allows MULTIPLE scans — either one
+    # interleaved scan over all components or a sequence of
+    # single-component (non-interleaved) scans (round 16, VERDICT r15 #5).
+    scans: list[tuple[list[tuple[int, int, int]], dict, int, int]] = []
     restart = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -554,16 +613,7 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             if len(body) < 1 or len(body) < 1 + body[0] * 2 + 3:
                 raise ValueError("truncated JPEG SOS segment")
             ns = body[0]
-            if ns != len(comps):
-                # A legal baseline JPEG may split components across several
-                # scans (non-interleaved). This decoder handles exactly one
-                # interleaved scan; decoding only the first scan would emit
-                # all-zero planes for the missing components — garbage pixels
-                # with no error. Keep the codec seam explicit instead
-                # (ADVICE r14: contract says unsupported variants raise).
-                raise NotImplementedError(
-                    "non-interleaved (multi-scan) baseline JPEG not supported"
-                )
+            scomps: list[tuple[int, int, int]] = []
             for c in range(ns):
                 cs, tabs = body[1 + c * 2], body[2 + c * 2]
                 idx = next(
@@ -577,12 +627,43 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError(
                         "JPEG SOS references unknown component id"
                     )
-                scan.append((idx, tabs >> 4, tabs & 0xF))
-            pos = pos  # entropy data starts here
-            break
+                scomps.append((idx, tabs >> 4, tabs & 0xF))
+            # snapshot the Huffman tables and restart interval AT SOS
+            # time — later DHT/DRI segments may legally redefine them
+            # for a later scan (shallow copy suffices: DHT replaces
+            # whole table entries, never mutates them)
+            scans.append((scomps, dict(huff), restart, pos))
+            # skip the entropy-coded data to the next true marker
+            # (stuffed 0xFF00 bytes and RST0-7 belong to the scan)
+            p = pos
+            while p + 1 < len(data):
+                if (
+                    data[p] == 0xFF
+                    and data[p + 1] != 0x00
+                    and not (0xD0 <= data[p + 1] <= 0xD7)
+                ):
+                    break
+                p += 1
+            pos = p
         # APPn / COM / others: skipped via ln
-    if w is None or not scan:
+    if w is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
+    seen = sorted(
+        ci for scomps, _, _, _ in scans for (ci, _, _) in scomps
+    )
+    if seen != list(range(len(comps))):
+        raise ValueError(
+            "JPEG scans must cover each frame component exactly once"
+        )
+    for scomps, _, _, _ in scans:
+        if len(scomps) not in (1, len(comps)):
+            # 2-of-3-component interleaved scans are legal but unseen in
+            # practice; the seam stays explicit (ADVICE r14 contract:
+            # unsupported variants raise, never emit garbage planes)
+            raise NotImplementedError(
+                "partially interleaved multi-component JPEG scans "
+                "not supported"
+            )
 
     def decode_sym(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
         code, ln2 = 0, 0
@@ -597,7 +678,6 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     def extend(v: int, s: int) -> int:
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
-    br = _BitReader(data, pos)
     nc = len(comps)
     hs = [s >> 4 for (_, _, s) in comps]
     vs = [s & 0xF for (_, _, s) in comps]
@@ -608,67 +688,103 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     planes = [
         bytearray(strides[ci] * mcuy * 8 * vs[ci]) for ci in range(nc)
     ]
-    pred = [0] * nc
-    n_mcu = 0
-    for myy in range(mcuy):
-        for mxx in range(mcux):
-            if restart and n_mcu and n_mcu % restart == 0:
-                # byte-align and consume RSTn
-                br.n = 0
-                if (
-                    br.pos + 2 <= len(br.data)
-                    and br.data[br.pos] == 0xFF
-                    and 0xD0 <= br.data[br.pos + 1] <= 0xD7
-                ):
-                    br.pos += 2
-                pred = [0] * nc
-            n_mcu += 1
-            for ci, dct, act in scan:
-                dc_tab = huff.get((0, dct))
-                ac_tab = huff.get((1, act))
-                if dc_tab is None or ac_tab is None:
-                    raise ValueError("JPEG scan references missing DHT")
-                q = qt[comps[ci][1]]
-                # interleaved MCU: hs[ci]×vs[ci] blocks per component
-                for byy in range(vs[ci]):
-                    for bxx in range(hs[ci]):
-                        zz = [0] * 64
-                        s = decode_sym(br, dc_tab)
-                        diff = extend(br.bits(s), s) if s else 0
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = decode_sym(br, ac_tab)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run past block end")
-                            zz[k] = extend(br.bits(s), s)
-                            k += 1
-                        coef = [0.0] * 64
-                        for k2 in range(64):
-                            nat = _JPEG_ZIGZAG[k2]
-                            coef[nat] = zz[k2] * q[nat]
-                        rows = [
-                            _idct8(coef[r * 8 : (r + 1) * 8]) for r in range(8)
-                        ]
-                        plane = planes[ci]
-                        stride = strides[ci]
-                        y0 = (myy * vs[ci] + byy) * 8
-                        x0 = (mxx * hs[ci] + bxx) * 8
-                        for xx in range(8):
-                            col = _idct8([rows[r][xx] for r in range(8)])
-                            for yy in range(8):
-                                v = int(round(col[yy] + 128.0))
-                                plane[(y0 + yy) * stride + x0 + xx] = (
-                                    0 if v < 0 else (255 if v > 255 else v)
+
+    def decode_block(br, dc_tab, ac_tab, q, pred, ci, x0, y0) -> None:
+        zz = [0] * 64
+        s = decode_sym(br, dc_tab)
+        diff = extend(br.bits(s), s) if s else 0
+        pred[ci] += diff
+        zz[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = decode_sym(br, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run past block end")
+            zz[k] = extend(br.bits(s), s)
+            k += 1
+        coef = [0.0] * 64
+        for k2 in range(64):
+            nat = _JPEG_ZIGZAG[k2]
+            coef[nat] = zz[k2] * q[nat]
+        rows = [_idct8(coef[r * 8 : (r + 1) * 8]) for r in range(8)]
+        plane = planes[ci]
+        stride = strides[ci]
+        for xx in range(8):
+            col = _idct8([rows[r][xx] for r in range(8)])
+            for yy in range(8):
+                v = int(round(col[yy] + 128.0))
+                plane[(y0 + yy) * stride + x0 + xx] = (
+                    0 if v < 0 else (255 if v > 255 else v)
+                )
+
+    def eat_restart(br, pred) -> None:
+        # byte-align and consume RSTn; DC predictors reset
+        br.n = 0
+        if (
+            br.pos + 2 <= len(br.data)
+            and br.data[br.pos] == 0xFF
+            and 0xD0 <= br.data[br.pos + 1] <= 0xD7
+        ):
+            br.pos += 2
+        pred[:] = [0] * nc
+
+    for scomps, stables, srestart, soff in scans:
+        br = _BitReader(data, soff)
+        pred = [0] * nc
+        tabs = {}
+        for ci, dct, act in scomps:
+            dc_tab = stables.get((0, dct))
+            ac_tab = stables.get((1, act))
+            if dc_tab is None or ac_tab is None:
+                raise ValueError("JPEG scan references missing DHT")
+            tabs[ci] = (dc_tab, ac_tab, qt[comps[ci][1]])
+        if len(scomps) == nc:
+            # interleaved scan: MCU loop, hs[ci]×vs[ci] blocks per
+            # component per MCU
+            n_mcu = 0
+            for myy in range(mcuy):
+                for mxx in range(mcux):
+                    if srestart and n_mcu and n_mcu % srestart == 0:
+                        eat_restart(br, pred)
+                    n_mcu += 1
+                    for ci, _dct, _act in scomps:
+                        dc_tab, ac_tab, q = tabs[ci]
+                        for byy in range(vs[ci]):
+                            for bxx in range(hs[ci]):
+                                decode_block(
+                                    br, dc_tab, ac_tab, q, pred, ci,
+                                    (mxx * hs[ci] + bxx) * 8,
+                                    (myy * vs[ci] + byy) * 8,
                                 )
+        else:
+            # non-interleaved (single-component) scan: data units in
+            # raster order over the COMPONENT's own block grid — which
+            # is ceil(comp dims / 8), NOT the interleaved MCU padding
+            # (for a subsampled frame's luma the two differ at the
+            # right/bottom edge). Restart interval counts single blocks
+            # here (one data unit per MCU, per the standard).
+            ci, _dct, _act = scomps[0]
+            dc_tab, ac_tab, q = tabs[ci]
+            comp_w = -(-(w * hs[ci]) // hmax)
+            comp_h = -(-(h * vs[ci]) // vmax)
+            bw_ = -(-comp_w // 8)
+            bh_ = -(-comp_h // 8)
+            n_blk = 0
+            for byy in range(bh_):
+                for bxx in range(bw_):
+                    if srestart and n_blk and n_blk % srestart == 0:
+                        eat_restart(br, pred)
+                    n_blk += 1
+                    decode_block(
+                        br, dc_tab, ac_tab, q, pred, ci, bxx * 8, byy * 8
+                    )
     if nc == 1:
         stride = strides[0]
         out = bytearray(w * h)
@@ -743,8 +859,9 @@ def decode_real(payload: bytes, kind: str) -> list[float]:
       feature = [mean of each of up to 4 channels / 255 (absent → 0),
       mean luminance of each image quadrant / 255].
     - JPEG (baseline sequential, 8-bit; 1:1, 4:2:0, 4:2:2 and 4:4:0
-      luma-led chroma subsampling): full marker parse, Huffman decode,
-      dequantize + IDCT (round 14; subsampled legs round 15) — same
+      luma-led chroma subsampling; interleaved or non-interleaved
+      multi-scan): full marker parse, Huffman decode, dequantize + IDCT
+      (round 14; subsampled legs round 15; multi-scan round 16) — same
       image feature.
     - WAV (RIFF PCM16): full chunk parse, feature = RMS of 8 equal
       sample segments, normalized by 2^15.
@@ -2010,6 +2127,49 @@ def synthetic_jpeg_subsampled_media(spark, n: int = 40) -> DataFrame:
                 i,
                 "image",
                 _jpeg_encode(w, h, 3, pix, subsample=mode),
+                w,
+                h,
+                None,
+                "jpeg",
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def synthetic_jpeg_multiscan_media(spark, n: int = 40) -> DataFrame:
+    """Deterministic REAL NON-INTERLEAVED (multi-scan) baseline JPEG
+    fixture (round 16, VERDICT r15 #5 — the first seam a real-world
+    corpus hits, now open): every payload carries THREE SOS scans, one
+    per component, data units in raster order over each component's own
+    block grid. Even media_ids are 4:2:0 (so the luma scan's grid
+    differs from the interleaved MCU padding at no point here but its
+    block ORDER does — raster over the full luma grid, not 2×2 per
+    MCU), odd media_ids are 4:4:4. Same closed form and exactness
+    argument as synthetic_jpeg420_media (q171):
+
+        v(id, mx, my) = 128 + 2·((id·31 + mx·7 + my·13) mod 60) − 60,
+        w(id) = 16·(1 + id mod 2),  h(id) = 16·(1 + id mod 3)
+
+    16×16-constant gray regions are also 8×8-block-constant, so the
+    SAME pure-integer SQL oracle covers both layouts: luma DC quantizes
+    losslessly, chroma is exactly neutral, and the multi-scan decode
+    (per-scan DC predictors, per-scan entropy segments) must reproduce
+    (v, v, v) bit-exactly (q176)."""
+    rows = []
+    for i in range(n):
+        w, h = 16 * (1 + i % 2), 16 * (1 + i % 3)
+        pix = bytes(
+            128 + 2 * ((i * 31 + (x // 16) * 7 + (y // 16) * 13) % 60) - 60
+            for y in range(h)
+            for x in range(w)
+            for _c in range(3)
+        )
+        sub = "420" if i % 2 == 0 else "444"
+        rows.append(
+            (
+                i,
+                "image",
+                _jpeg_encode(w, h, 3, pix, subsample=sub, scans="separate"),
                 w,
                 h,
                 None,

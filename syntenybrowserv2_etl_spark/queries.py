@@ -7550,6 +7550,69 @@ def q174(spark, sf_dir):
 
 
 @register(
+    "q176_jpeg_multiscan_stats",
+    """
+    WITH ids AS (SELECT unnest(range(0, 40)) AS media_id),
+    dims AS (SELECT media_id, 16 * (1 + media_id % 2) AS w,
+                    16 * (1 + media_id % 3) AS h
+             FROM ids),
+    px AS (
+      SELECT d.media_id, d.w, d.h,
+             128 + 2 * ((d.media_id * 31 + (x.x // 16) * 7
+                         + (y.y // 16) * 13) % 60) - 60 AS v,
+             CASE WHEN y.y >= (d.h + 1) // 2 THEN 2 ELSE 0 END
+             + CASE WHEN x.x >= (d.w + 1) // 2 THEN 1 ELSE 0 END AS q
+      FROM dims d,
+      LATERAL (SELECT unnest(range(0, d.w)) AS x) AS x,
+      LATERAL (SELECT unnest(range(0, d.h)) AS y) AS y)
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS sum_c0,
+           CAST(SUM(v) AS BIGINT) AS sum_c1,
+           CAST(SUM(v) AS BIGINT) AS sum_c2,
+           CAST(3 * SUM(CASE WHEN q = 0 THEN v ELSE 0 END) AS BIGINT) AS lum_q0,
+           CAST(3 * SUM(CASE WHEN q = 1 THEN v ELSE 0 END) AS BIGINT) AS lum_q1,
+           CAST(3 * SUM(CASE WHEN q = 2 THEN v ELSE 0 END) AS BIGINT) AS lum_q2,
+           CAST(3 * SUM(CASE WHEN q = 3 THEN v ELSE 0 END) AS BIGINT) AS lum_q3
+    FROM px GROUP BY media_id
+    """,
+    tags=[
+        "image stats through the REAL non-interleaved (multi-scan) "
+        "baseline-JPEG decode"
+    ],
+)
+def q176(spark, sf_dir):
+    """q171's discipline for the NON-INTERLEAVED baseline layout (round
+    16, VERDICT r15 #5 — the first codec seam a real-world corpus would
+    hit, now open): per-image pixel sums through the full binary path of
+    three-scan JPEGs (one SOS per component, per-scan Huffman-table
+    snapshots and DC predictors, raster block order over each
+    component's own grid — operators/multimodal._jpeg_decode's scan
+    loop), hash-matching the same pure-integer SQL oracle as q171. The
+    fixture mixes 4:2:0 (even ids) and 4:4:4 (odd ids) so the
+    multi-scan path is value-checked against BOTH a subsampled and a 1:1
+    frame geometry; exactness is by the q171 construction (MCU-constant
+    even-offset grays — synthetic_jpeg_multiscan_media)."""
+    media = mm_ops.synthetic_jpeg_multiscan_media(spark, 40)
+    s = mm_ops.image_stats(media)
+    return s.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "sum_c0",
+        "sum_c1",
+        "sum_c2",
+        "lum_q0",
+        "lum_q1",
+        "lum_q2",
+        "lum_q3",
+    )
+
+
+@register(
     "q175_video_dedup",
     """
     WITH ids AS (SELECT unnest(range(0, 24)) AS media_id),
@@ -8242,6 +8305,9 @@ _DEMOTED_PAST_WINDOW = [
     "q126_hard_negatives",
     "q128_asof_forward",
     "q130_pareto_frontier",
+    # round 16: parity-gated from birth (standing policy; backlog-growth
+    # policy holds new entries ≤ promotions — 1 new vs 16 promoted).
+    "q176_jpeg_multiscan_stats",
 ]
 
 

@@ -1477,14 +1477,17 @@ def test_jpeg_codec_boundaries():
         mm._jpeg_decode(b"\x00\x11" + base)
     with _pt.raises(ValueError):
         mm._jpeg_decode(base[:40])  # truncated mid-headers
-    # non-interleaved (multi-scan): SOS lists fewer components than SOF —
-    # decoding only the first scan would return all-zero planes for the
-    # missing components with no error (ADVICE r14); the seam must raise
+    # a scan sequence that leaves components never coded (here: the SOS
+    # hacked to a luma-only scan, chroma scans absent) — decoding it
+    # would return all-zero chroma planes with no error (ADVICE r14).
+    # Since round 16 the decoder ACCEPTS legal multi-scan baseline
+    # streams, so the incomplete sequence is structural invalidity
+    # (ValueError), no longer an unsupported-feature seam.
     rgb3 = mm._jpeg_encode(8, 8, 3, bytes([10, 200, 60] * 64))
     sos_at = rgb3.index(b"\xff\xda")
     multi = bytearray(rgb3)
     multi[sos_at + 4] = 1  # ns: 3 -> 1 (luma-only first scan)
-    with _pt.raises(NotImplementedError, match="non-interleaved"):
+    with _pt.raises(ValueError, match="cover each frame component"):
         mm._jpeg_decode(bytes(multi))
     # SOS naming a component id absent from SOF: ValueError, not a bare
     # StopIteration escaping mapInPandas as RuntimeError (PEP 479)
@@ -1508,6 +1511,81 @@ def test_jpeg_codec_boundaries():
     assert len(feat) == 8
     assert feat[0] == _pt.approx(130 / 255.0, abs=1e-9)
     assert all(q == _pt.approx(130 / 255.0, abs=1e-9) for q in feat[4:])
+
+
+def test_jpeg_multiscan_roundtrips_and_boundaries():
+    """The non-interleaved (multi-scan) baseline leg (round 16, VERDICT
+    r15 #5): (a) a separate-scans stream decodes BIT-IDENTICALLY to the
+    interleaved stream of the same source for every supported sampling
+    layout, including non-MCU-multiple dims where the luma scan's raster
+    grid differs from the interleaved padding; (b) MCU-constant
+    even-offset grays roundtrip exactly (the q176 fixture's claim); (c)
+    a partially interleaved (2-of-3-component) scan and a scan sequence
+    coding a component twice stay behind their seams."""
+    import pytest as _pt
+
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+
+    for sub in ("444", "420", "422", "440"):
+        w, h = 20, 18
+        pix = bytes(
+            (x * 7 + y * 13 + c * 29) % 240
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        sep = mm._jpeg_decode(
+            mm._jpeg_encode(w, h, 3, pix, subsample=sub, scans="separate")
+        )
+        inter = mm._jpeg_decode(mm._jpeg_encode(w, h, 3, pix, subsample=sub))
+        assert sep == inter, sub
+
+    # constant-gray MCUs: exact through three scans (q176's argument)
+    w, h = 32, 48
+    pix = bytes(
+        128 + 2 * ((3 + (x // 16) * 7 + (y // 16) * 13) % 60) - 60
+        for y in range(h)
+        for x in range(w)
+        for _c in range(3)
+    )
+    for sub in ("444", "420"):
+        got = mm._jpeg_decode(
+            mm._jpeg_encode(w, h, 3, pix, subsample=sub, scans="separate")
+        )
+        assert got == (w, h, 3, pix), sub
+
+    # seam: a 2-of-3-component scan (legal but unseen in practice).
+    # Surgery on the separate-scans stream: replace scan 1's SOS with a
+    # 2-component header and drop scan 2's SOS so coverage stays exact —
+    # the parse phase must raise BEFORE touching entropy data.
+    data = mm._jpeg_encode(16, 16, 3, bytes([90] * 768), scans="separate")
+    sos = [i for i in range(len(data) - 1)
+           if data[i] == 0xFF and data[i + 1] == 0xDA]
+    assert len(sos) == 3
+    two_comp = bytes([0xFF, 0xDA, 0x00, 0x0A, 2, 1, 0x00, 2, 0x00, 0, 63, 0])
+    hacked = (
+        data[: sos[0]]
+        + two_comp
+        + data[sos[0] + 10 : sos[1]]  # scan 1 entropy (1-comp SOS is 10 B)
+        + data[sos[1] + 10 : sos[2]]  # scan 2 entropy, ITS SOS DROPPED
+        + data[sos[2] :]
+    )
+    with _pt.raises(NotImplementedError, match="partially interleaved"):
+        mm._jpeg_decode(hacked)
+
+    # seam: a component coded twice across scans (structural invalidity)
+    dup = (
+        data[: sos[2]]
+        + data[sos[0] : sos[1]]  # scan 1 (component 1) again
+        + data[sos[2] :]
+    )
+    with _pt.raises(ValueError, match="cover each frame component"):
+        mm._jpeg_decode(dup)
+
+    with _pt.raises(ValueError, match="separate scans require RGB"):
+        mm._jpeg_encode(8, 8, 1, bytes(64), scans="separate")
+    with _pt.raises(ValueError, match="interleaved"):
+        mm._jpeg_encode(8, 8, 3, bytes(192), scans="progressive")
 
 
 def test_jpeg420_roundtrips():
