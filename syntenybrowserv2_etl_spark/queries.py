@@ -8181,8 +8181,7 @@ _DEMOTED_PAST_WINDOW = [
     # (round 15 promoted q133/q134/q135 out of this block; round 16
     # promoted the remainder: q136-q141.)
     # round 13: parity-gated from birth (standing policy for new families)
-    # (round 16 promoted q142-q151 out of this block.)
-    "q152_balanced_shards",
+    # (round 16 promoted q142-q152 out of this block.)
     "q153_key_skew",
     "q154_lsh_recall",
     "q155_ipf_reweight",
@@ -8263,8 +8262,10 @@ _DEMOTED_PAST_WINDOW = [
     # q140_source_diversity, q141_dup_histogram, q142_repeated_spans,
     # q143_image_stats, q144_excise_repeated, q145_retrieval_metrics,
     # q146_substr_decontam, q147_repeated_coverage, q148_source_lang_mi,
-    # q149_length_ks, q150_source_overlap, q151_zipf_slope (16 entries —
-    # all many-rounds sf0.001+sf0.01-parity-green every pytest run).
+    # q149_length_ks, q150_source_overlap, q151_zipf_slope, plus
+    # q152_balanced_shards as the 17th so the backlog nets ≤ 24 after
+    # this round's q176 addition (17 entries — all many-rounds
+    # sf0.001+sf0.01-parity-green every pytest run).
     # Demoted to make room — the 16 longest-driver-green in-window entries
     # EXCEPT q127_interval_coverage / q132_golden_records (4 greens each but
     # each is its family's last in-window representative after the r15
@@ -8288,7 +8289,10 @@ _DEMOTED_PAST_WINDOW = [
     # stays via freshly-promoted q145 retrieval metrics + q87 quality
     # classifier), q79 domain cap / q80 temperature mix / q81 perplexity
     # buckets / q82 DSIR (3 each; the curation-mix family stays via
-    # q89/q98/q140 as above).
+    # q89/q98/q140 as above), q83 funnel (2; the windowed-sequence
+    # family stays via q84 cohort retention + q113 event transitions,
+    # both in-window).
+    "q83_funnel",
     "q72_bloom_incremental",
     "q73_curate_pipeline",
     "q74_bpe_merges",
