@@ -203,8 +203,11 @@ def _bench_round(repo: str, prev: dict | None) -> tuple[int, int]:
         and isinstance(prev.get("round"), int)
         and isinstance(prev.get("n_correctness_files"), int)
     ):
-        grown = n_corr > prev["n_correctness_files"]
-        return (prev["round"] + 1 if grown else prev["round"]), n_corr
+        # advance by the number of correctness files landed since the
+        # previous detail (review r16: a +1 cap would mislabel every
+        # round after a skipped bench round and flip the demo cadence)
+        grown = max(0, n_corr - prev["n_correctness_files"])
+        return prev["round"] + grown, n_corr
     return n_corr + 1, n_corr
 
 

@@ -534,6 +534,14 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        if data[pos + 1] == 0xFF:
+            # B.1.1.2: a marker may be preceded by any number of 0xFF
+            # fill bytes — real encoders emit them (review r16: the
+            # multi-scan skip lands HERE when a scan ends in fill bytes,
+            # and treating 0xFF as a length-prefixed marker misread the
+            # next SOS as a segment length, dropping legal streams)
+            pos += 1
+            continue
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break

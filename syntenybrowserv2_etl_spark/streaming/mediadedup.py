@@ -265,16 +265,16 @@ def read_video_dup_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
         not fs.exists(hpath(pairs_path))
         or not fs.globStatus(hpath(f"{pairs_path}/__ingest_batch=*"))
     ):
-        return spark.createDataFrame(
-            [], "media_id_a long, media_id_b long, n_shared long"
+        triples = spark.createDataFrame([], VIDEO_PAIR_SCHEMA)
+    else:
+        triples = (
+            spark.read.option("basePath", pairs_path)
+            .parquet(f"{pairs_path}/__ingest_batch=*")
+            .drop("__ingest_batch")
+            .distinct()
         )
-    return (
-        spark.read.option("basePath", pairs_path)
-        .parquet(f"{pairs_path}/__ingest_batch=*")
-        .drop("__ingest_batch")
-        .distinct()
-        .groupBy("media_id_a", "media_id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    return triples.groupBy("media_id_a", "media_id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared")
     )
 
 

@@ -1554,6 +1554,25 @@ def test_jpeg_multiscan_roundtrips_and_boundaries():
         )
         assert got == (w, h, 3, pix), sub
 
+    # legal 0xFF fill bytes before markers (B.1.1.2 — real encoders emit
+    # them; review r16: the first skip implementation misread a
+    # fill-prefixed SOS as a segment length and dropped legal streams)
+    pix2 = bytes(
+        (x * 7 + y * 13 + c * 29) % 240
+        for y in range(18)
+        for x in range(20)
+        for c in range(3)
+    )
+    data2 = mm._jpeg_encode(20, 18, 3, pix2, subsample="420", scans="separate")
+    want2 = mm._jpeg_decode(data2)
+    sos2 = [i for i in range(len(data2) - 1)
+            if data2[i] == 0xFF and data2[i + 1] == 0xDA]
+    filled = (
+        data2[: sos2[1]] + b"\xff\xff\xff" + data2[sos2[1] : sos2[2]]
+        + b"\xff" + data2[sos2[2] : -2] + b"\xff\xff" + data2[-2:]
+    )
+    assert mm._jpeg_decode(filled) == want2
+
     # seam: a 2-of-3-component scan (legal but unseen in practice).
     # Surgery on the separate-scans stream: replace scan 1's SOS with a
     # 2-component header and drop scan 2's SOS so coverage stays exact —
