@@ -111,7 +111,8 @@ KNOWN_OPS = frozenset({
     "label_noise_ivf", "quantile_grid", "oov_rate", "entropy_rate",
     "image_dhash", "audio_ehash", "image_pair_join", "audio_pair_join",
     "structured_pair_join",
-    "media_gate_fold", "jpeg_decode_stats", "apng_decode_stats",
+    "media_gate_fold", "media_gate_fold_video",
+    "jpeg_decode_stats", "apng_decode_stats",
     "embedding_collapse", "label_separation", "label_cohesion",
     "assoc_mi", "ks_drift", "kmv_overlap", "zipf_fit",
     "balanced_shards", "key_skew", "dist_psi", "ipf_reweight",
@@ -147,7 +148,8 @@ def main():
         "roc_auc", "rrf_fuse", "token_fold",
         "image_dhash", "audio_ehash", "image_pair_join", "audio_pair_join",
         "structured_pair_join",
-        "media_gate_fold", "jpeg_decode_stats", "apng_decode_stats",
+        "media_gate_fold", "media_gate_fold_video",
+        "jpeg_decode_stats", "apng_decode_stats",
     }
     results = []
     for f in factors:
@@ -964,6 +966,48 @@ def main():
 
         if only is None or "media_gate_fold" in only:
             _media_gate_fold()
+
+        # round 16 (VERDICT r15 #3): the gate's VIDEO leg under the same
+        # discipline — pre-grow the frame-fingerprint index from 8·f
+        # videos (untimed), then time ONE constant 2-video batch fold
+        # (APNG decode + fingerprint-bucket-pruned probe + triple write
+        # + state merge). Per-batch cost is bounded by the batch's own
+        # fingerprints × bucket size, never O(index).
+        def _media_gate_fold_video():
+            import shutil as _sh
+
+            from syntenybrowserv2_etl_spark.operators import multimodal as mmod
+            from syntenybrowserv2_etl_spark.streaming import mediadedup as md
+
+            state = f"{SCRATCH}/mgate_video_state_x{f}"
+            pairs = f"{SCRATCH}/mgate_video_pairs_x{f}"
+            _sh.rmtree(state, ignore_errors=True)
+            _sh.rmtree(pairs, ignore_errors=True)
+            md.media_neardup_fold_batch(
+                mmod.synthetic_neardup_apng_media(spark, 8 * f, 3),
+                0,
+                state_path=state,
+                pairs_path=pairs,
+                kind="video",
+                n_buckets=64,
+            )
+            batch = mmod.synthetic_neardup_apng_media(spark, 2, 1).select(
+                (F.col("media_id") + 9_000_000).alias("media_id"),
+                "kind", "payload", "width", "height", "duration_ms", "codec",
+            )
+            r["media_gate_fold_video"] = timed(
+                lambda: md.media_neardup_fold_batch(
+                    batch,
+                    1,
+                    state_path=state,
+                    pairs_path=pairs,
+                    kind="video",
+                    n_buckets=64,
+                )
+            )
+
+        if only is None or "media_gate_fold_video" in only:
+            _media_gate_fold_video()
 
         def _media_pair_join(key, gen, hash_fn, hash_col):
             from syntenybrowserv2_etl_spark.operators import multimodal as mmod
