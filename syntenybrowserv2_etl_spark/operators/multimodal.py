@@ -1,11 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
 The image/audio decode libraries are not in this container. REAL pure-
-stdlib decode kernels cover PNG (inflate + un-filter), baseline JPEG
-(Huffman + dequant + IDCT, round 14; 4:2:0/4:2:2/4:4:0 subsampling round
-15; non-interleaved multi-scan round 16), and PCM16 WAV; other containers
-(progressive JPEG, exotic sampling factors, h264, ...) are explicit
-NotImplementedError
+stdlib decode kernels cover PNG (inflate + un-filter), JPEG (Huffman +
+dequant + IDCT, round 14; 4:2:0/4:2:2/4:4:0 subsampling round 15;
+non-interleaved multi-scan AND progressive SOF2 round 16), and PCM16
+WAV; other containers (extended-sequential SOF1, arithmetic coding,
+exotic sampling factors, h264, ...) are explicit NotImplementedError
 codec boundaries, and a clearly-marked deterministic STUB kernel remains
 for exercising the plumbing. All preserve every real Spark-side concern:
 schema contracts, Arrow batch shape, ``mapInPandas`` iterator discipline,
@@ -197,6 +197,18 @@ _JPEG_QL = [
 # Annex K.3 typical Huffman tables (luminance DC / AC): (bits[1..16], vals).
 _JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _JPEG_DC_VALS = list(range(12))
+# Progressive AC table (encoder's table id 1): the Annex-K AC table has
+# no EOBn run-length symbols (n ≥ 1), which progressive AC scans need.
+# All 176 symbols a progressive AC scan can emit — EOB0..EOB14, ZRL,
+# and (run, size) for size 1..10 — as a flat 8-bit canonical table
+# (176/256 Kraft mass; the all-ones code stays unassigned, as required).
+_JPEG_PROG_AC_VALS = sorted(
+    [n << 4 for n in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_JPEG_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPEG_PROG_AC_VALS),
+                      0, 0, 0, 0, 0, 0, 0, 0]
 _JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
 _JPEG_AC_VALS = [
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
@@ -304,7 +316,17 @@ def _jpeg_encode(
     the multi-scan layout real-world encoders emit for baseline ≥3
     components and the first seam a real corpus hits. Requires RGB
     (grayscale is single-component, its one scan is already the
-    non-interleaved form)."""
+    non-interleaved form).
+
+    ``scans="progressive"`` writes a PROGRESSIVE (SOF2) stream with
+    spectral selection only (one interleaved DC scan + one full-band AC
+    scan per component); ``scans="progressive_sa"`` adds successive
+    approximation (coarse DC/AC scans at Al=1 followed by DC
+    refinement bits and T.81 G.1.2.3 AC refinement scans at Al=0 —
+    five+ scans, the layout real web encoders emit). Progressive AC
+    scans use a dedicated flat 8-bit Huffman table (table id 1,
+    ``_JPEG_PROG_AC_VALS``) because the Annex-K table lacks EOBn
+    run symbols."""
     import struct
 
     if ch not in (1, 3):
@@ -313,8 +335,12 @@ def _jpeg_encode(
         raise NotImplementedError("encoder supports 444, 420, 422 or 440 only")
     if subsample != "444" and ch != 3:
         raise ValueError("chroma subsampling requires RGB input")
-    if scans not in ("interleaved", "separate"):
-        raise ValueError("scans must be 'interleaved' or 'separate'")
+    if scans not in ("interleaved", "separate", "progressive",
+                     "progressive_sa"):
+        raise ValueError(
+            "scans must be 'interleaved', 'separate', 'progressive' or "
+            "'progressive_sa'"
+        )
     if scans == "separate" and ch != 3:
         raise ValueError("separate scans require RGB input")
     if ch == 1:
@@ -337,8 +363,8 @@ def _jpeg_encode(
     def category(v: int) -> int:
         return v.bit_length() if v > 0 else (-v).bit_length()
 
-    def put_block(ci: int, block: list[float], wr=None) -> None:
-        wr = bw if wr is None else wr
+    def quant_block(block: list[float]) -> list[int]:
+        # FDCT + Annex-K quantize, returned in ZIGZAG order
         rows = [_dct8(block[r * 8 : (r + 1) * 8]) for r in range(8)]
         coef = [0.0] * 64
         for c in range(8):
@@ -346,7 +372,11 @@ def _jpeg_encode(
             for r in range(8):
                 coef[r * 8 + c] = col[r]
         q = [int(round(coef[i] / _JPEG_QL[i])) for i in range(64)]
-        zz = [q[_JPEG_ZIGZAG[k]] for k in range(64)]
+        return [q[_JPEG_ZIGZAG[k]] for k in range(64)]
+
+    def put_block(ci: int, block: list[float], wr=None) -> None:
+        wr = bw if wr is None else wr
+        zz = quant_block(block)
         diff = zz[0] - pred[ci]
         pred[ci] = zz[0]
         s = category(diff)
@@ -390,7 +420,199 @@ def _jpeg_encode(
         ) / (fh * fv)
 
     entropy: list[bytes] = []
-    if scans == "separate":
+    # progressive scans: (comp ids, Ss, Se, Ah, Al, entropy bytes)
+    prog: list[tuple[list[int], int, int, int, int, bytes]] = []
+    if scans in ("progressive", "progressive_sa"):
+        ac_prog = _canonical_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+        # precompute every component's quantized blocks over the
+        # MCU-padded grid (interleaved DC scans code the padding too)
+        hs_e = ([fh] + [1] * (ch - 1))
+        vs_e = ([fv] + [1] * (ch - 1))
+        mcux_e = (w + 8 * fh - 1) // (8 * fh)
+        mcuy_e = (h + 8 * fv - 1) // (8 * fv)
+        cbw_e = [mcux_e * hs_e[ci] for ci in range(ch)]
+        cbh_e = [mcuy_e * vs_e[ci] for ci in range(ch)]
+
+        def comp_block(ci, bxx, byy):
+            get = (
+                (lambda cx, cy: sample(planes[ci], cx, cy))
+                if ci == 0 or (fh, fv) == (1, 1)
+                else (lambda cx, cy: chroma_avg(planes[ci], cx, cy))
+            )
+            return [
+                get(bxx * 8 + xx, byy * 8 + yy) - 128.0
+                for yy in range(8)
+                for xx in range(8)
+            ]
+
+        czz = [
+            [
+                quant_block(comp_block(ci, bxx, byy))
+                for byy in range(cbh_e[ci])
+                for bxx in range(cbw_e[ci])
+            ]
+            for ci in range(ch)
+        ]
+
+        def comp_grid(ci):
+            cw_ = -(-(w * hs_e[ci]) // fh)
+            chh_ = -(-(h * vs_e[ci]) // fv)
+            return -(-cw_ // 8), -(-chh_ // 8)
+
+        def emit_dc(al, refine):
+            wr = _BitWriter()
+            predp = [0] * ch
+
+            def one(ci, idx):
+                zz0 = czz[ci][idx][0]
+                if refine:
+                    wr.put((zz0 >> al) & 1, 1)
+                    return
+                v = zz0 >> al  # DC point transform: arithmetic shift
+                d = v - predp[ci]
+                predp[ci] = v
+                s = category(d)
+                wr.put(*dc_codes[s])
+                if s:
+                    wr.put(d if d > 0 else d + (1 << s) - 1, s)
+
+            if ch > 1:
+                for myy in range(mcuy_e):
+                    for mxx in range(mcux_e):
+                        for ci in range(ch):
+                            for byy in range(vs_e[ci]):
+                                for bxx in range(hs_e[ci]):
+                                    one(ci, (myy * vs_e[ci] + byy)
+                                        * cbw_e[ci] + mxx * hs_e[ci] + bxx)
+            else:
+                for idx in range(cbw_e[0] * cbh_e[0]):
+                    one(0, idx)
+            return wr.done()
+
+        def emit_ac_first(ci, ss2, se2, al):
+            # T.81 G.1.2.2 / libjpeg encode_mcu_AC_first
+            wr = _BitWriter()
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun > 0:
+                    nb = eobrun.bit_length() - 1
+                    wr.put(*ac_prog[nb << 4])
+                    if nb:
+                        wr.put(eobrun - (1 << nb), nb)
+                    eobrun = 0
+
+            gw, gh = comp_grid(ci)
+            for byy in range(gh):
+                for bxx in range(gw):
+                    zz = czz[ci][byy * cbw_e[ci] + bxx]
+                    r = 0
+                    for k in range(ss2, se2 + 1):
+                        v = zz[k]
+                        if v < 0:
+                            t = (-v) >> al
+                            t2 = ~t
+                        else:
+                            t = v >> al
+                            t2 = t
+                        if t == 0:
+                            r += 1
+                            continue
+                        flush_eob()
+                        while r > 15:
+                            wr.put(*ac_prog[0xF0])
+                            r -= 16
+                        nb = t.bit_length()
+                        wr.put(*ac_prog[(r << 4) | nb])
+                        wr.put(t2 & ((1 << nb) - 1), nb)
+                        r = 0
+                    if r > 0:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+            flush_eob()
+            return wr.done()
+
+        def emit_ac_refine(ci, ss2, se2, al):
+            # T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine: ZRL flush
+            # happens BEFORE buffering a history coefficient's bit
+            wr = _BitWriter()
+            eobrun = 0
+            bbuf: list[int] = []
+
+            def flush_eob():
+                nonlocal eobrun, bbuf
+                if eobrun > 0:
+                    nb = eobrun.bit_length() - 1
+                    wr.put(*ac_prog[nb << 4])
+                    if nb:
+                        wr.put(eobrun - (1 << nb), nb)
+                    eobrun = 0
+                    for b in bbuf:
+                        wr.put(b, 1)
+                    bbuf = []
+
+            gw, gh = comp_grid(ci)
+            for byy in range(gh):
+                for bxx in range(gw):
+                    zz = czz[ci][byy * cbw_e[ci] + bxx]
+                    absv = [abs(zz[k]) >> al for k in range(ss2, se2 + 1)]
+                    eobpos = ss2 - 1
+                    for i, t in enumerate(absv):
+                        if t == 1:
+                            eobpos = ss2 + i
+                    r = 0
+                    brb: list[int] = []
+                    for k in range(ss2, se2 + 1):
+                        t = absv[k - ss2]
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and k <= eobpos:
+                            flush_eob()
+                            wr.put(*ac_prog[0xF0])
+                            r -= 16
+                            for b in brb:
+                                wr.put(b, 1)
+                            brb = []
+                        if t > 1:
+                            brb.append(t & 1)
+                            continue
+                        flush_eob()
+                        wr.put(*ac_prog[(r << 4) | 1])
+                        wr.put(1 if zz[k] > 0 else 0, 1)
+                        for b in brb:
+                            wr.put(b, 1)
+                        brb = []
+                        r = 0
+                    if r > 0 or brb:
+                        eobrun += 1
+                        bbuf.extend(brb)
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+            flush_eob()
+            return wr.done()
+
+        allc = list(range(ch))
+        if scans == "progressive":
+            # spectral selection only: DC then each component's full band
+            prog.append((allc, 0, 0, 0, 0, emit_dc(0, False)))
+            for ci in range(ch):
+                prog.append(([ci], 1, 63, 0, 0,
+                             emit_ac_first(ci, 1, 63, 0)))
+        else:
+            # successive approximation: coarse DC/AC at Al=1, then
+            # DC refinement bits and AC refinement scans at Al=0
+            prog.append((allc, 0, 0, 0, 1, emit_dc(1, False)))
+            for ci in range(ch):
+                prog.append(([ci], 1, 63, 0, 1,
+                             emit_ac_first(ci, 1, 63, 1)))
+            prog.append((allc, 0, 0, 1, 0, emit_dc(0, True)))
+            for ci in range(ch):
+                prog.append(([ci], 1, 63, 1, 0,
+                             emit_ac_refine(ci, 1, 63, 0)))
+    elif scans == "separate":
         # one scan per component, data units in raster order over the
         # component's OWN block grid (the non-interleaved layout)
         for ci in range(ch):
@@ -449,7 +671,27 @@ def _jpeg_encode(
         bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
         + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
     )
-    if scans == "separate":
+    if prog:
+        dht += (
+            bytes([0x11])
+            + bytes(_JPEG_PROG_AC_BITS)
+            + bytes(_JPEG_PROG_AC_VALS)
+        )
+    if prog:
+        scan_bytes = b"".join(
+            seg(
+                0xFFDA,
+                bytes([len(cids)])
+                + b"".join(
+                    bytes([c + 1, 0x01 if ss2 > 0 else 0x00])
+                    for c in cids
+                )
+                + bytes([ss2, se2, (ah2 << 4) | al2]),
+            )
+            + ent
+            for cids, ss2, se2, ah2, al2, ent in prog
+        )
+    elif scans == "separate":
         scan_bytes = b"".join(
             seg(0xFFDA, bytes([1, c + 1, 0x00, 0, 63, 0])) + entropy[c]
             for c in range(ch)
@@ -463,7 +705,7 @@ def _jpeg_encode(
         b"\xff\xd8"
         + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         + seg(0xFFDB, dqt)
-        + seg(0xFFC0, sof)
+        + seg(0xFFC2 if prog else 0xFFC0, sof)
         + seg(0xFFC4, dht)
         + scan_bytes
         + b"\xff\xd9"
@@ -511,8 +753,12 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     interleaved scan OR a sequence of single-component non-interleaved
     scans (round 16, VERDICT r15 #5: per-scan Huffman/restart
     snapshots, per-scan DC predictors, raster block order over each
-    component's own grid). Other subsampling layouts and partially
-    interleaved multi-component scans stay behind NotImplementedError.
+    component's own grid), and PROGRESSIVE (SOF2) frames decode in
+    full — spectral selection and successive approximation, per-block
+    coefficient accumulation across scans, EOB-run and refinement-bit
+    semantics per T.81 G.2 (round 16, part 2). Other subsampling
+    layouts and partially interleaved multi-component scans stay
+    behind NotImplementedError.
     Returns (width, height,
     channels, row-major bytes) — _png_decode's exact contract, so
     image_stats/decode_real dispatch on magic bytes and share everything
@@ -526,11 +772,18 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     comps: list[tuple[int, int, int]] = []  # (id, qtab, sampling)
     # each scan: (scan components [(comp idx, dc tab, ac tab)], Huffman
     # table snapshot at SOS time, restart interval at SOS time, entropy
-    # data offset). Baseline allows MULTIPLE scans — either one
-    # interleaved scan over all components or a sequence of
-    # single-component (non-interleaved) scans (round 16, VERDICT r15 #5).
-    scans: list[tuple[list[tuple[int, int, int]], dict, int, int]] = []
+    # data offset, (Ss, Se, Ah, Al) spectral/approximation header).
+    # Baseline allows MULTIPLE scans — either one interleaved scan over
+    # all components or a sequence of single-component (non-interleaved)
+    # scans (round 16, VERDICT r15 #5); progressive (SOF2, round 16 part
+    # 2) distributes DC and AC bands over many scans with successive
+    # approximation.
+    scans: list[
+        tuple[list[tuple[int, int, int]], dict, int, int,
+              tuple[int, int, int, int]]
+    ] = []
     restart = 0
+    progressive = False
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -562,12 +815,13 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                     tab[_JPEG_ZIGZAG[k]] = zz[k]
                 qt[tq] = tab
                 p += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0) supported"
+                "only baseline (SOF0) and progressive (SOF2) JPEG supported"
             )
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if len(body) < 6 or len(body) < 6 + body[5] * 3:
                 raise ValueError("truncated JPEG SOF0 segment")
             if body[0] != 8:
@@ -636,11 +890,17 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                         "JPEG SOS references unknown component id"
                     )
                 scomps.append((idx, tabs >> 4, tabs & 0xF))
+            spec = (
+                body[1 + ns * 2],
+                body[2 + ns * 2],
+                body[3 + ns * 2] >> 4,
+                body[3 + ns * 2] & 0xF,
+            )
             # snapshot the Huffman tables and restart interval AT SOS
             # time — later DHT/DRI segments may legally redefine them
             # for a later scan (shallow copy suffices: DHT replaces
             # whole table entries, never mutates them)
-            scans.append((scomps, dict(huff), restart, pos))
+            scans.append((scomps, dict(huff), restart, pos, spec))
             # skip the entropy-coded data to the next true marker
             # (stuffed 0xFF00 bytes and RST0-7 belong to the scan)
             p = pos
@@ -656,22 +916,57 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
         # APPn / COM / others: skipped via ln
     if w is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
-    seen = sorted(
-        ci for scomps, _, _, _ in scans for (ci, _, _) in scomps
-    )
-    if seen != list(range(len(comps))):
-        raise ValueError(
-            "JPEG scans must cover each frame component exactly once"
+    if not progressive:
+        seen = sorted(
+            ci for scomps, _, _, _, _ in scans for (ci, _, _) in scomps
         )
-    for scomps, _, _, _ in scans:
-        if len(scomps) not in (1, len(comps)):
-            # 2-of-3-component interleaved scans are legal but unseen in
-            # practice; the seam stays explicit (ADVICE r14 contract:
-            # unsupported variants raise, never emit garbage planes)
-            raise NotImplementedError(
-                "partially interleaved multi-component JPEG scans "
-                "not supported"
+        if seen != list(range(len(comps))):
+            raise ValueError(
+                "JPEG scans must cover each frame component exactly once"
             )
+        for scomps, _, _, _, _ in scans:
+            if len(scomps) not in (1, len(comps)):
+                # 2-of-3-component interleaved scans are legal but
+                # unseen in practice; the seam stays explicit (ADVICE
+                # r14 contract: unsupported variants raise, never emit
+                # garbage planes)
+                raise NotImplementedError(
+                    "partially interleaved multi-component JPEG scans "
+                    "not supported"
+                )
+    else:
+        # progressive: every component must receive at least one DC
+        # scan (an AC-only component would decode as a flat gray plane
+        # with no error); AC scans are single-component by the standard
+        dc_seen = {
+            ci
+            for scomps, _, _, _, (ss, _, _, _) in scans
+            if ss == 0
+            for (ci, _, _) in scomps
+        }
+        if dc_seen != set(range(len(comps))):
+            raise ValueError(
+                "progressive JPEG scans must include a DC scan for "
+                "every frame component"
+            )
+        for scomps, _, _, _, (ss, se, _, _) in scans:
+            if ss == 0:
+                if se != 0:
+                    raise ValueError(
+                        "progressive DC scan must have Se == 0"
+                    )
+                if len(scomps) not in (1, len(comps)):
+                    raise NotImplementedError(
+                        "partially interleaved progressive DC scans "
+                        "not supported"
+                    )
+            else:
+                if len(scomps) != 1:
+                    raise ValueError(
+                        "progressive AC scan must be single-component"
+                    )
+                if not (1 <= ss <= se <= 63):
+                    raise ValueError("bad progressive spectral band")
 
     def decode_sym(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
         code, ln2 = 0, 0
@@ -697,6 +992,23 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
         bytearray(strides[ci] * mcuy * 8 * vs[ci]) for ci in range(nc)
     ]
 
+    def block_to_plane(zz, q, ci, x0, y0) -> None:
+        # zz is the block's quantized coefficients in ZIGZAG order
+        coef = [0.0] * 64
+        for k2 in range(64):
+            nat = _JPEG_ZIGZAG[k2]
+            coef[nat] = zz[k2] * q[nat]
+        rows = [_idct8(coef[r * 8 : (r + 1) * 8]) for r in range(8)]
+        plane = planes[ci]
+        stride = strides[ci]
+        for xx in range(8):
+            col = _idct8([rows[r][xx] for r in range(8)])
+            for yy in range(8):
+                v = int(round(col[yy] + 128.0))
+                plane[(y0 + yy) * stride + x0 + xx] = (
+                    0 if v < 0 else (255 if v > 255 else v)
+                )
+
     def decode_block(br, dc_tab, ac_tab, q, pred, ci, x0, y0) -> None:
         zz = [0] * 64
         s = decode_sym(br, dc_tab)
@@ -717,20 +1029,7 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("JPEG AC run past block end")
             zz[k] = extend(br.bits(s), s)
             k += 1
-        coef = [0.0] * 64
-        for k2 in range(64):
-            nat = _JPEG_ZIGZAG[k2]
-            coef[nat] = zz[k2] * q[nat]
-        rows = [_idct8(coef[r * 8 : (r + 1) * 8]) for r in range(8)]
-        plane = planes[ci]
-        stride = strides[ci]
-        for xx in range(8):
-            col = _idct8([rows[r][xx] for r in range(8)])
-            for yy in range(8):
-                v = int(round(col[yy] + 128.0))
-                plane[(y0 + yy) * stride + x0 + xx] = (
-                    0 if v < 0 else (255 if v > 255 else v)
-                )
+        block_to_plane(zz, q, ci, x0, y0)
 
     def eat_restart(br, pred) -> None:
         # byte-align and consume RSTn; DC predictors reset
@@ -743,7 +1042,180 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             br.pos += 2
         pred[:] = [0] * nc
 
-    for scomps, stables, srestart, soff in scans:
+    def comp_block_grid(ci) -> tuple[int, int]:
+        # the component's OWN block grid (non-interleaved scans) —
+        # ceil(comp dims / 8), ≤ the interleaved MCU padding
+        comp_w = -(-(w * hs[ci]) // hmax)
+        comp_h = -(-(h * vs[ci]) // vmax)
+        return -(-comp_w // 8), -(-comp_h // 8)
+
+    def ac_first(br, ac_tab, zz, ss, se, al, eobrun) -> int:
+        # T.81 G.2.2 / libjpeg decode_mcu_AC_first: first pass over an
+        # AC band — run/size symbols with EOB-run codes, values << Al
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = decode_sym(br, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.bits(r)
+                return eobrun - 1
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past band end")
+            zz[k] = extend(br.bits(s), s) << al
+            k += 1
+        return 0
+
+    def ac_refine(br, ac_tab, zz, ss, se, al, eobrun) -> int:
+        # T.81 G.2.2 / libjpeg decode_mcu_AC_refine: refinement pass —
+        # newly-significant coefficients of magnitude 1<<Al plus one
+        # correction bit per already-nonzero coefficient passed
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = decode_sym(br, ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    # r == 15 (ZRL): skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("bad JPEG AC refinement magnitude")
+                    newval = p1 if br.bit() else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        if br.bit() and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError(
+                            "JPEG AC refinement past band end"
+                        )
+                    zz[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    if br.bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    if progressive:
+        # coefficient accumulation over the MCU-padded block grids;
+        # reconstruction happens once after every scan has landed
+        cbw = [mcux * hs[ci] for ci in range(nc)]
+        cbh = [mcuy * vs[ci] for ci in range(nc)]
+        coefs = [
+            [[0] * 64 for _ in range(cbw[ci] * cbh[ci])]
+            for ci in range(nc)
+        ]
+        for scomps, stables, srestart, soff, (ss, se, ah, al) in scans:
+            br = _BitReader(data, soff)
+            pred = [0] * nc
+            eobrun = 0
+            if ss == 0:  # DC scan (first pass or refinement)
+                dctabs = {}
+                if ah == 0:
+                    for ci, dct, _act in scomps:
+                        t = stables.get((0, dct))
+                        if t is None:
+                            raise ValueError(
+                                "JPEG scan references missing DHT"
+                            )
+                        dctabs[ci] = t
+
+                def dc_block(br, ci, zz):
+                    if ah == 0:
+                        s = decode_sym(br, dctabs[ci])
+                        diff = extend(br.bits(s), s) if s else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci] << al
+                    else:
+                        zz[0] |= br.bit() << al
+
+                if len(scomps) == nc and nc > 1:  # interleaved DC
+                    n_mcu = 0
+                    for myy in range(mcuy):
+                        for mxx in range(mcux):
+                            if srestart and n_mcu and n_mcu % srestart == 0:
+                                eat_restart(br, pred)
+                            n_mcu += 1
+                            for ci, _d, _a in scomps:
+                                for byy in range(vs[ci]):
+                                    for bxx in range(hs[ci]):
+                                        dc_block(
+                                            br, ci,
+                                            coefs[ci][
+                                                (myy * vs[ci] + byy)
+                                                * cbw[ci]
+                                                + mxx * hs[ci] + bxx
+                                            ],
+                                        )
+                else:  # single-component DC scan
+                    ci = scomps[0][0]
+                    bw_, bh_ = comp_block_grid(ci)
+                    n_blk = 0
+                    for byy in range(bh_):
+                        for bxx in range(bw_):
+                            if srestart and n_blk and n_blk % srestart == 0:
+                                eat_restart(br, pred)
+                            n_blk += 1
+                            dc_block(
+                                br, ci, coefs[ci][byy * cbw[ci] + bxx]
+                            )
+            else:  # AC scan: single component (validated above)
+                ci, _dct, act = scomps[0]
+                ac_tab = stables.get((1, act))
+                if ac_tab is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                bw_, bh_ = comp_block_grid(ci)
+                n_blk = 0
+                for byy in range(bh_):
+                    for bxx in range(bw_):
+                        if srestart and n_blk and n_blk % srestart == 0:
+                            eat_restart(br, pred)
+                            eobrun = 0
+                        n_blk += 1
+                        zz = coefs[ci][byy * cbw[ci] + bxx]
+                        if ah == 0:
+                            eobrun = ac_first(
+                                br, ac_tab, zz, ss, se, al, eobrun
+                            )
+                        else:
+                            eobrun = ac_refine(
+                                br, ac_tab, zz, ss, se, al, eobrun
+                            )
+        for ci in range(nc):
+            q = qt[comps[ci][1]]
+            for byy in range(cbh[ci]):
+                for bxx in range(cbw[ci]):
+                    block_to_plane(
+                        coefs[ci][byy * cbw[ci] + bxx], q, ci,
+                        bxx * 8, byy * 8,
+                    )
+        scans = []  # planes populated; skip the baseline scan loop
+
+    for scomps, stables, srestart, soff, _spec in scans:
         br = _BitReader(data, soff)
         pred = [0] * nc
         tabs = {}
@@ -866,16 +1338,18 @@ def decode_real(payload: bytes, kind: str) -> list[float]:
     - PNG (8-bit, non-interlaced, non-palette): full inflate + un-filter,
       feature = [mean of each of up to 4 channels / 255 (absent → 0),
       mean luminance of each image quadrant / 255].
-    - JPEG (baseline sequential, 8-bit; 1:1, 4:2:0, 4:2:2 and 4:4:0
-      luma-led chroma subsampling; interleaved or non-interleaved
-      multi-scan): full marker parse, Huffman decode, dequantize + IDCT
-      (round 14; subsampled legs round 15; multi-scan round 16) — same
-      image feature.
+    - JPEG (baseline sequential OR progressive SOF2, 8-bit; 1:1,
+      4:2:0, 4:2:2 and 4:4:0 luma-led chroma subsampling; interleaved,
+      non-interleaved multi-scan, spectral selection, successive
+      approximation): full marker parse, Huffman decode, dequantize +
+      IDCT (round 14; subsampled legs round 15; multi-scan and
+      progressive round 16) — same image feature.
     - WAV (RIFF PCM16): full chunk parse, feature = RMS of 8 equal
       sample segments, normalized by 2^15.
 
-    Anything else (progressive JPEG, exotic sampling factors such as
-    4:1:1, 16-bit quant tables, h264, ...) raises NotImplementedError —
+    Anything else (extended-sequential SOF1 / 12-bit / arithmetic-coded
+    JPEG, exotic sampling factors such as 4:1:1, 16-bit quant tables,
+    h264, ...) raises NotImplementedError —
     that remains the documented seam for containers with the codec
     libraries installed. Same 8-float output contract as
     ``_decode_stub``, so the two kernels are drop-in interchangeable in
@@ -2178,6 +2652,52 @@ def synthetic_jpeg_multiscan_media(spark, n: int = 40) -> DataFrame:
                 i,
                 "image",
                 _jpeg_encode(w, h, 3, pix, subsample=sub, scans="separate"),
+                w,
+                h,
+                None,
+                "jpeg",
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def synthetic_jpeg_progressive_media(spark, n: int = 40) -> DataFrame:
+    """Deterministic REAL PROGRESSIVE (SOF2) JPEG fixture (round 16,
+    part 2 — the dominant real-world web layout, the largest codec seam
+    now open): even media_ids are 4:2:0 with SUCCESSIVE APPROXIMATION
+    (coarse DC/AC at Al=1, then DC refinement bits and AC refinement
+    scans at Al=0 — five scans), odd media_ids are 4:4:4 with SPECTRAL
+    SELECTION only (DC scan + per-component AC band scans — four
+    scans). Same closed form and exactness argument as
+    synthetic_jpeg420_media (q171):
+
+        v(id, mx, my) = 128 + 2·((id·31 + mx·7 + my·13) mod 60) − 60,
+        w(id) = 16·(1 + id mod 2),  h(id) = 16·(1 + id mod 3)
+
+    Constant gray makes luma DC quantize losslessly and chroma exactly
+    neutral; under successive approximation the DC first pass codes
+    v>>1 diffs and the refinement scan restores bit 0, so the
+    accumulated coefficients — and therefore the IDCT — are identical
+    to the baseline path bit-for-bit (q177). General content is pinned
+    by progressive≡interleaved bit-equality unit tests across all four
+    sampling layouts and both scan styles."""
+    rows = []
+    for i in range(n):
+        w, h = 16 * (1 + i % 2), 16 * (1 + i % 3)
+        pix = bytes(
+            128 + 2 * ((i * 31 + (x // 16) * 7 + (y // 16) * 13) % 60) - 60
+            for y in range(h)
+            for x in range(w)
+            for _c in range(3)
+        )
+        sub, mode = (
+            ("420", "progressive_sa") if i % 2 == 0 else ("444", "progressive")
+        )
+        rows.append(
+            (
+                i,
+                "image",
+                _jpeg_encode(w, h, 3, pix, subsample=sub, scans=mode),
                 w,
                 h,
                 None,

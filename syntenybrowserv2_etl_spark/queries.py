@@ -7613,6 +7613,70 @@ def q176(spark, sf_dir):
 
 
 @register(
+    "q177_jpeg_progressive_stats",
+    """
+    WITH ids AS (SELECT unnest(range(0, 40)) AS media_id),
+    dims AS (SELECT media_id, 16 * (1 + media_id % 2) AS w,
+                    16 * (1 + media_id % 3) AS h
+             FROM ids),
+    px AS (
+      SELECT d.media_id, d.w, d.h,
+             128 + 2 * ((d.media_id * 31 + (x.x // 16) * 7
+                         + (y.y // 16) * 13) % 60) - 60 AS v,
+             CASE WHEN y.y >= (d.h + 1) // 2 THEN 2 ELSE 0 END
+             + CASE WHEN x.x >= (d.w + 1) // 2 THEN 1 ELSE 0 END AS q
+      FROM dims d,
+      LATERAL (SELECT unnest(range(0, d.w)) AS x) AS x,
+      LATERAL (SELECT unnest(range(0, d.h)) AS y) AS y)
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS sum_c0,
+           CAST(SUM(v) AS BIGINT) AS sum_c1,
+           CAST(SUM(v) AS BIGINT) AS sum_c2,
+           CAST(3 * SUM(CASE WHEN q = 0 THEN v ELSE 0 END) AS BIGINT) AS lum_q0,
+           CAST(3 * SUM(CASE WHEN q = 1 THEN v ELSE 0 END) AS BIGINT) AS lum_q1,
+           CAST(3 * SUM(CASE WHEN q = 2 THEN v ELSE 0 END) AS BIGINT) AS lum_q2,
+           CAST(3 * SUM(CASE WHEN q = 3 THEN v ELSE 0 END) AS BIGINT) AS lum_q3
+    FROM px GROUP BY media_id
+    """,
+    tags=[
+        "image stats through the REAL progressive (SOF2) JPEG decode"
+    ],
+)
+def q177(spark, sf_dir):
+    """q171's discipline for PROGRESSIVE (SOF2) JPEG — the dominant
+    real-world web layout and the largest remaining codec seam, now
+    open (round 16, part 2): per-image pixel sums through the full
+    binary path of multi-scan progressive streams — even ids 4:2:0
+    with successive approximation (coarse Al=1 scans + DC/AC
+    refinement), odd ids 4:4:4 with spectral selection — accumulated
+    per-block coefficients across scans, then dequant + IDCT
+    (operators/multimodal._jpeg_decode's progressive branch),
+    hash-matching the same pure-integer SQL oracle as q171/q176.
+    Exactness is by the q171 construction; general content is pinned
+    by progressive≡interleaved bit-equality unit tests over smooth,
+    spike, noise and checkerboard inputs
+    (synthetic_jpeg_progressive_media)."""
+    media = mm_ops.synthetic_jpeg_progressive_media(spark, 40)
+    s = mm_ops.image_stats(media)
+    return s.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "sum_c0",
+        "sum_c1",
+        "sum_c2",
+        "lum_q0",
+        "lum_q1",
+        "lum_q2",
+        "lum_q3",
+    )
+
+
+@register(
     "q175_video_dedup",
     """
     WITH ids AS (SELECT unnest(range(0, 24)) AS media_id),
@@ -8181,8 +8245,7 @@ _DEMOTED_PAST_WINDOW = [
     # (round 15 promoted q133/q134/q135 out of this block; round 16
     # promoted the remainder: q136-q141.)
     # round 13: parity-gated from birth (standing policy for new families)
-    # (round 16 promoted q142-q152 out of this block.)
-    "q153_key_skew",
+    # (round 16 promoted q142-q153 out of this block.)
     "q154_lsh_recall",
     "q155_ipf_reweight",
     "q156_length_psi",
@@ -8263,9 +8326,10 @@ _DEMOTED_PAST_WINDOW = [
     # q143_image_stats, q144_excise_repeated, q145_retrieval_metrics,
     # q146_substr_decontam, q147_repeated_coverage, q148_source_lang_mi,
     # q149_length_ks, q150_source_overlap, q151_zipf_slope, plus
-    # q152_balanced_shards as the 17th so the backlog nets ≤ 24 after
-    # this round's q176 addition (17 entries — all many-rounds
-    # sf0.001+sf0.01-parity-green every pytest run).
+    # q152_balanced_shards and q153_key_skew as the 17th/18th so the
+    # backlog nets ≤ 24 after this round's q176 and q177 additions
+    # (18 entries — all many-rounds sf0.001+sf0.01-parity-green every
+    # pytest run).
     # Demoted to make room — the 16 longest-driver-green in-window entries
     # EXCEPT q127_interval_coverage / q132_golden_records (4 greens each but
     # each is its family's last in-window representative after the r15
@@ -8289,10 +8353,11 @@ _DEMOTED_PAST_WINDOW = [
     # stays via freshly-promoted q145 retrieval metrics + q87 quality
     # classifier), q79 domain cap / q80 temperature mix / q81 perplexity
     # buckets / q82 DSIR (3 each; the curation-mix family stays via
-    # q89/q98/q140 as above), q83 funnel (2; the windowed-sequence
-    # family stays via q84 cohort retention + q113 event transitions,
-    # both in-window).
+    # q89/q98/q140 as above), q83 funnel / q84 cohort retention (2 each;
+    # the windowed-sequence family stays via q113 event transitions +
+    # q114 trailing window + q100 gapfill, all in-window).
     "q83_funnel",
+    "q84_cohort_retention",
     "q72_bloom_incremental",
     "q73_curate_pipeline",
     "q74_bpe_merges",
@@ -8310,8 +8375,9 @@ _DEMOTED_PAST_WINDOW = [
     "q128_asof_forward",
     "q130_pareto_frontier",
     # round 16: parity-gated from birth (standing policy; backlog-growth
-    # policy holds new entries ≤ promotions — 1 new vs 16 promoted).
+    # policy holds new entries ≤ promotions — 2 new vs 18 promoted).
     "q176_jpeg_multiscan_stats",
+    "q177_jpeg_progressive_stats",
 ]
 
 
