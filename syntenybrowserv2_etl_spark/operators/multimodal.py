@@ -331,8 +331,10 @@ def _jpeg_encode(
 
     if ch not in (1, 3):
         raise NotImplementedError("encoder supports grayscale or RGB only")
-    if subsample not in ("444", "420", "422", "440"):
-        raise NotImplementedError("encoder supports 444, 420, 422 or 440 only")
+    if subsample not in ("444", "420", "422", "440", "411", "411v"):
+        raise NotImplementedError(
+            "encoder supports 444, 420, 422, 440, 411 or 411v only"
+        )
     if subsample != "444" and ch != 3:
         raise ValueError("chroma subsampling requires RGB input")
     if scans not in ("interleaved", "separate", "progressive",
@@ -409,7 +411,10 @@ def _jpeg_encode(
         # luma-led subsampling: (8·fh)×(8·fv) MCUs — fv×fh luma blocks
         # then one Cb, one Cr block of fh×fv-box-averaged chroma
         # (edge-replicated). 420 → 2×2, 422 → 2×1, 440 → 1×2.
-        fh, fv = {"420": (2, 2), "422": (2, 1), "440": (1, 2)}[subsample]
+        fh, fv = {
+            "420": (2, 2), "422": (2, 1), "440": (1, 2),
+            "411": (4, 1), "411v": (1, 4),
+        }[subsample]
         samp_bytes = [(fh << 4) | fv, 0x11, 0x11]
 
     def chroma_avg(plane: list[float], cx: int, cy: int) -> float:
@@ -835,23 +840,24 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 cid, samp, tq2 = body[6 + c * 3 : 9 + c * 3]
                 comps.append((cid, tq2, samp))
             samps = [s for (_, _, s) in comps]
-            # supported layouts (round 15): 1:1 everywhere, or a
-            # luma-led subsampled frame — 4:2:0 (luma 2×2), 4:2:2
-            # (luma 2×1), 4:4:0 (luma 1×2) — with 1:1 chroma. The MCU
-            # loop and nearest upsample below are factor-general; the
-            # gate whitelists the layouts with exactness fixtures and
-            # roundtrip tests. Exotic factors (4:1:1's 4×1, per-chroma
-            # subsampling) stay behind the seam.
+            # supported layouts (round 15; 4:1:1 round 16): 1:1
+            # everywhere, or a luma-led subsampled frame — 4:2:0 (luma
+            # 2×2), 4:2:2 (2×1), 4:4:0 (1×2), 4:1:1 (4×1) and its
+            # vertical mirror (1×4) — with 1:1 chroma. The MCU loop and
+            # nearest upsample below are factor-general; the gate
+            # whitelists the layouts with exactness fixtures and
+            # roundtrip tests. Per-chroma subsampling and mixed luma
+            # factors (2×4 etc.) stay behind the seam.
             if not (
                 all(s == 0x11 for s in samps)
                 or (
                     nc == 3
-                    and samps[0] in (0x22, 0x21, 0x12)
+                    and samps[0] in (0x22, 0x21, 0x12, 0x41, 0x14)
                     and samps[1] == samps[2] == 0x11
                 )
             ):
                 raise NotImplementedError(
-                    "only 1:1, 4:2:0, 4:2:2 and 4:4:0 sampling "
+                    "only 1:1, 4:2:0, 4:2:2, 4:4:0 and 4:1:1 sampling "
                     "supported; other subsampled chroma layouts not "
                     "supported"
                 )
@@ -1303,7 +1309,14 @@ def _decode_image(data: bytes) -> tuple[int, int, int, bytes]:
 
 
 def _wav_decode(data: bytes) -> tuple[int, int, list[int]]:
-    """Pure-stdlib RIFF/WAVE PCM16 decode via struct unpacking.
+    """Pure-stdlib RIFF/WAVE decode via struct unpacking — PCM16 (round
+    14) plus the other common sample formats (round 16): unsigned PCM8,
+    signed PCM24 and IEEE float32, each normalized INTO the int16
+    domain ((b−128)<<8, v>>8, round(f·32767) clamped) so every caller
+    keeps the one 16-bit contract (RMS features / envelope hashes
+    normalize by 2^15 regardless of container precision; PCM24's low
+    byte is truncated by the normalization — full-precision callers
+    would take a scale parameter, not a wider contract).
 
     Returns (n_channels, sample_rate, interleaved 16-bit samples)."""
     import struct
@@ -1325,11 +1338,67 @@ def _wav_decode(data: bytes) -> tuple[int, int, list[int]]:
     if fmt is None or pcm is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, n_ch, rate, _bps, _block, bits = fmt
-    if audio_fmt != 1 or bits != 16:
-        raise NotImplementedError("only PCM16 WAV supported")
-    pcm = pcm[: len(pcm) // 2 * 2]  # a truncated final sample byte is dropped
-    samples = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+    if audio_fmt == 1 and bits == 16:
+        # a truncated final sample byte is dropped
+        pcm = pcm[: len(pcm) // 2 * 2]
+        samples = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+    elif audio_fmt == 1 and bits == 8:
+        # unsigned 8-bit, midpoint 128 → int16 domain
+        samples = [(b - 128) << 8 for b in pcm]
+    elif audio_fmt == 1 and bits == 24:
+        pcm = pcm[: len(pcm) // 3 * 3]
+        samples = [
+            int.from_bytes(pcm[i : i + 3], "little", signed=True) >> 8
+            for i in range(0, len(pcm), 3)
+        ]
+    elif audio_fmt == 3 and bits == 32:
+        # IEEE float, nominal [-1, 1] → int16 domain, clamped
+        pcm = pcm[: len(pcm) // 4 * 4]
+        samples = [
+            max(-32768, min(32767, round(f * 32767)))
+            for f in struct.unpack(f"<{len(pcm) // 4}f", pcm)
+        ]
+    else:
+        raise NotImplementedError(
+            "only PCM 8/16/24-bit and IEEE-float32 WAV supported"
+        )
     return n_ch, rate, samples
+
+
+def _wav_encode(
+    n_ch: int, rate: int, samples: list[int], fmt: str = "pcm16"
+) -> bytes:
+    """Minimal RIFF/WAVE writer for fixtures — int16-domain samples out
+    through any of the decoder's four sample formats: ``pcm16``,
+    ``pcm8`` (s>>8 biased to unsigned), ``pcm24`` (s<<8) or
+    ``float32`` (s/32767)."""
+    import struct
+
+    if fmt == "pcm16":
+        afmt, bits = 1, 16
+        body = struct.pack(f"<{len(samples)}h", *samples)
+    elif fmt == "pcm8":
+        afmt, bits = 1, 8
+        body = bytes((s >> 8) + 128 for s in samples)
+    elif fmt == "pcm24":
+        afmt, bits = 1, 24
+        body = b"".join(
+            (s << 8).to_bytes(3, "little", signed=True) for s in samples
+        )
+    elif fmt == "float32":
+        afmt, bits = 3, 32
+        body = struct.pack(
+            f"<{len(samples)}f", *[s / 32767.0 for s in samples]
+        )
+    else:
+        raise ValueError(f"unknown WAV fixture format {fmt!r}")
+    block = n_ch * bits // 8
+    hdr = struct.pack(
+        "<HHIIHH", afmt, n_ch, rate, rate * block, block, bits
+    )
+    chunks = b"fmt " + len(hdr).to_bytes(4, "little") + hdr
+    chunks += b"data" + len(body).to_bytes(4, "little") + body
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
 def decode_real(payload: bytes, kind: str) -> list[float]:
@@ -1670,10 +1739,10 @@ def _png_filter_scanlines(w: int, h: int, ch: int, pix: bytes) -> bytes:
 # A video-shaped demo REUSING the real PNG machinery (inflate, unfilter,
 # CRC chunks) rather than pretending at h264: APNG is the one animation
 # container fully decodable from the stdlib. Supported profile mirrors
-# the still decoder (8-bit, non-interlaced, non-palette) plus dispose_op
-# 0/1 and blend_op 0 (source); blend_op 1 (alpha-over) and dispose_op 2
-# (previous) stay behind NotImplementedError — the same documented codec
-# seam discipline as JPEG.
+# the still decoder (8-bit, non-interlaced, non-palette) plus the FULL
+# fcTL compositing model (round 16): dispose_op 0/1/2 (none /
+# background / previous) and blend_op 0/1 (source / alpha-over, exact
+# integer rounding documented at the compositing site).
 
 
 def _apng_decode(
@@ -1747,14 +1816,15 @@ def _apng_decode(
     del idat_before_fctl  # informational only; default image is skipped
     canvas = bytearray(w * h * channels)
     frames: list[tuple[int, int, bytes]] = []
-    for fctl, comp in entries:
+    for fi, (fctl, comp) in enumerate(entries):
         (_seq, fw, fh, x0, y0, dnum, dden, dispose, blend) = fctl
-        if blend != 0:
-            raise NotImplementedError("APNG blend_op over not supported")
-        if dispose == 2:
-            raise NotImplementedError("APNG dispose_op previous not supported")
-        if dispose not in (0, 1):
+        if blend not in (0, 1):
+            raise ValueError(f"bad APNG blend_op {blend}")
+        if dispose not in (0, 1, 2):
             raise ValueError(f"bad APNG dispose_op {dispose}")
+        if dispose == 2 and fi == 0:
+            # spec: PREVIOUS on the first frame is treated as BACKGROUND
+            dispose = 1
         if x0 + fw > w or y0 + fh > h or fw == 0 or fh == 0:
             raise ValueError("APNG frame region outside canvas")
         stride = fw * channels
@@ -1766,15 +1836,64 @@ def _apng_decode(
         if len(raw) != expected:
             raise ValueError("APNG frame data size mismatch")
         region = _png_unfilter(raw, fw, fh, channels)
-        for yy in range(fh):
-            dst = ((y0 + yy) * w + x0) * channels
-            src = yy * stride
-            canvas[dst : dst + stride] = region[src : src + stride]
+        prev_snap = (
+            [
+                bytes(
+                    canvas[
+                        ((y0 + yy) * w + x0) * channels :
+                        ((y0 + yy) * w + x0) * channels + stride
+                    ]
+                )
+                for yy in range(fh)
+            ]
+            if dispose == 2
+            else None
+        )
+        if blend == 1 and channels in (2, 4):
+            # alpha-over (round 16), exact integer rounding: with
+            # fg alpha fa and bg alpha da, den = fa·255 + da·(255−fa);
+            # out color = round((fa·255·fg + da·(255−fa)·bg) / den),
+            # out alpha = round(den / 255). fa=255 replaces, fa=0 keeps.
+            aidx = channels - 1
+            for yy in range(fh):
+                for xx in range(fw):
+                    so = (yy * fw + xx) * channels
+                    do = ((y0 + yy) * w + x0 + xx) * channels
+                    fa = region[so + aidx]
+                    if fa == 255:
+                        canvas[do : do + channels] = region[
+                            so : so + channels
+                        ]
+                    elif fa == 0:
+                        continue
+                    else:
+                        da = canvas[do + aidx]
+                        den = fa * 255 + da * (255 - fa)
+                        for c in range(aidx):
+                            num = (
+                                fa * 255 * region[so + c]
+                                + da * (255 - fa) * canvas[do + c]
+                            )
+                            canvas[do + c] = (
+                                (num + den // 2) // den if den else 0
+                            )
+                        canvas[do + aidx] = (den + 127) // 255
+        else:
+            # blend source (blend 1 without an alpha channel reduces to
+            # source: implicit alpha is 255)
+            for yy in range(fh):
+                dst = ((y0 + yy) * w + x0) * channels
+                src = yy * stride
+                canvas[dst : dst + stride] = region[src : src + stride]
         frames.append((dnum, dden if dden else 100, bytes(canvas)))
         if dispose == 1:  # background: clear the region after snapshot
             for yy in range(fh):
                 dst = ((y0 + yy) * w + x0) * channels
                 canvas[dst : dst + stride] = bytes(stride)
+        elif dispose == 2:  # previous: revert the region after snapshot
+            for yy in range(fh):
+                dst = ((y0 + yy) * w + x0) * channels
+                canvas[dst : dst + stride] = prev_snap[yy]
     return w, h, channels, frames
 
 
@@ -1784,18 +1903,25 @@ def _apng_encode(
     ch: int,
     frames: list[bytes],
     delays: list[tuple[int, int]] | None = None,
+    fctls: list[tuple[int, int, int, int, int, int]] | None = None,
 ) -> bytes:
     """Minimal APNG writer for fixtures: full-canvas frames (dispose 0,
-    blend 0), per-row filter ``y % 5`` like the still encoder, first
-    frame in IDAT, the rest in fdAT — a valid animated PNG (CRCs and
-    sequence numbers included)."""
+    blend 0) by default, per-row filter ``y % 5`` like the still
+    encoder, first frame in IDAT, the rest in fdAT — a valid animated
+    PNG (CRCs and sequence numbers included). ``fctls`` (round 16)
+    optionally gives each frame a region + compositing spec
+    ``(x0, y0, fw, fh, dispose, blend)`` — the corresponding
+    ``frames[i]`` then holds the fw×fh REGION pixels — so the decoder's
+    dispose-previous and alpha-over legs are testable from real
+    streams. Alpha channels (ch 2 and 4) are supported."""
     import struct
     import zlib
 
     if not frames:
         raise ValueError("APNG needs at least one frame")
     delays = delays or [(4, 100)] * len(frames)
-    ctype = {1: 0, 3: 2}[ch]
+    fctls = fctls or [(0, 0, w, h, 0, 0)] * len(frames)
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     out = bytearray(_PNG_MAGIC)
     out += _png_chunk(
         b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
@@ -1804,12 +1930,16 @@ def _apng_encode(
     seq = 0
     for fi, pix in enumerate(frames):
         dnum, dden = delays[fi]
+        x0, y0, fw, fh, dispose, blend = fctls[fi]
         out += _png_chunk(
             b"fcTL",
-            struct.pack(">IIIIIHHBB", seq, w, h, 0, 0, dnum, dden, 0, 0),
+            struct.pack(
+                ">IIIIIHHBB", seq, fw, fh, x0, y0, dnum, dden,
+                dispose, blend,
+            ),
         )
         seq += 1
-        comp = zlib.compress(_png_filter_scanlines(w, h, ch, pix))
+        comp = zlib.compress(_png_filter_scanlines(fw, fh, ch, pix))
         if fi == 0:
             out += _png_chunk(b"IDAT", comp)
         else:

@@ -1501,14 +1501,15 @@ def test_jpeg_codec_boundaries():
     badcs[badcs.index(b"\xff\xda") + 5] = 9  # cs: 1 -> 9
     with _pt.raises(ValueError, match="unknown component"):
         mm._jpeg_decode(bytes(badcs))
-    # exotic factors stay behind the seam: 4:1:1 luma (4x1), and
-    # subsampled CHROMA (non-1:1 second component)
+    # exotic factors stay behind the seam: mixed luma factors (2x4 —
+    # 4:1:1's 4x1 DECODES since round 16), and subsampled CHROMA
+    # (non-1:1 second component)
     rgb420 = mm._jpeg_encode(16, 16, 3, bytes([90, 90, 90] * 256), subsample="420")
     sof420 = rgb420.index(b"\xff\xc0")
-    h411 = bytearray(rgb420)
-    h411[sof420 + 11] = 0x41  # luma 2x2 -> 4x1
+    h24 = bytearray(rgb420)
+    h24[sof420 + 11] = 0x24  # luma 2x2 -> 2x4
     with _pt.raises(NotImplementedError, match="subsampl"):
-        mm._jpeg_decode(bytes(h411))
+        mm._jpeg_decode(bytes(h24))
     hsubc = bytearray(rgb420)
     hsubc[sof420 + 14] = 0x21  # Cb 1x1 -> 2x1
     with _pt.raises(NotImplementedError, match="subsampl"):
@@ -1517,6 +1518,45 @@ def test_jpeg_codec_boundaries():
     assert len(feat) == 8
     assert feat[0] == _pt.approx(130 / 255.0, abs=1e-9)
     assert all(q == _pt.approx(130 / 255.0, abs=1e-9) for q in feat[4:])
+
+
+def test_jpeg_411_roundtrips():
+    """4:1:1 (luma 4×1, 32×8 MCUs) and its vertical mirror (1×4) — the
+    last common luma-led layout, open since round 16 (the MCU loop and
+    nearest upsample were already factor-general; this pins the
+    whitelist): (a) MCU-constant even-offset grays roundtrip EXACTLY
+    through ALL FOUR scan modes (interleaved, separate, progressive,
+    progressive_sa); (b) general content decodes identically across
+    scan modes; (c) mixed luma factors (2×4) stay behind the seam."""
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+
+    for sub, mw, mh in (("411", 32, 8), ("411v", 8, 32)):
+        w, h = mw * 2, mh * 3
+        pix = bytes(
+            128 + 2 * ((5 + (x // mw) * 7 + (y // mh) * 13) % 60) - 60
+            for y in range(h)
+            for x in range(w)
+            for _c in range(3)
+        )
+        for mode in ("interleaved", "separate", "progressive",
+                     "progressive_sa"):
+            got = mm._jpeg_decode(
+                mm._jpeg_encode(w, h, 3, pix, subsample=sub, scans=mode)
+            )
+            assert got == (w, h, 3, pix), (sub, mode)
+
+    w, h = 36, 20  # not MCU multiples: edge-replicated padding
+    pix = bytes(
+        (x * 5 + y * 9 + c * 17) % 240
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    ref = mm._jpeg_decode(mm._jpeg_encode(w, h, 3, pix, subsample="411"))
+    for mode in ("separate", "progressive", "progressive_sa"):
+        assert mm._jpeg_decode(
+            mm._jpeg_encode(w, h, 3, pix, subsample="411", scans=mode)
+        ) == ref, mode
 
 
 def test_jpeg_progressive_roundtrips_and_boundaries():
@@ -1773,10 +1813,10 @@ def test_jpeg420_roundtrips():
     mean_err = sum(abs(a - b) for a, b in zip(gout, gpix)) / n
     assert mean_err <= 8, mean_err
 
-    # encoder seam: unknown subsample mode refused; gray + subsampling
-    # is a contradiction
-    with _pt.raises(NotImplementedError, match="444, 420, 422 or 440"):
-        mm._jpeg_encode(16, 16, 3, bytes(768), subsample="411")
+    # encoder seam: unknown subsample mode refused ("411" ENCODES since
+    # round 16); gray + subsampling is a contradiction
+    with _pt.raises(NotImplementedError, match="444, 420, 422, 440"):
+        mm._jpeg_encode(16, 16, 3, bytes(768), subsample="211")
     with _pt.raises(ValueError, match="RGB"):
         mm._jpeg_encode(16, 16, 1, bytes(256), subsample="420")
 
@@ -1813,15 +1853,91 @@ def test_jpeg422_440_roundtrips(mode, mw, mh):
     assert max(abs(a - b) for a, b in zip(oc, cpix)) <= 4
 
 
+def test_apng_compositing_legs():
+    """Round 16: the full fcTL compositing model. (a) dispose_op=2
+    (previous) reverts the painted region to its pre-frame content, so
+    a later partial frame shows the restored canvas; (b) blend_op=1
+    (alpha-over) on RGBA: fa=255 replaces, fa=0 keeps, fa=128 over an
+    opaque background lands exactly on the documented integer rounding
+    (den = fa·255 + da·(255−fa); white over black at fa=128 → 128);
+    (c) dispose_op=2 on the FIRST frame is treated as background per
+    spec; (d) gray+alpha (ch=2) composites through the same path."""
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+
+    w, h = 10, 8
+    base = bytes(10 for _ in range(w * h * 3))
+    patch = bytes(200 for _ in range(4 * 3 * 3))
+    tiny = bytes(99 for _ in range(2 * 2 * 3))
+    _, _, _, fr = mm._apng_decode(mm._apng_encode(
+        w, h, 3, [base, patch, tiny],
+        fctls=[(0, 0, w, h, 0, 0), (2, 1, 4, 3, 2, 0), (0, 0, 2, 2, 0, 0)],
+    ))
+    c1 = bytearray(base)  # frame 1: patch visible at (2,1)
+    for yy in range(3):
+        o = ((1 + yy) * w + 2) * 3
+        c1[o : o + 12] = bytes([200] * 12)
+    assert fr[1][2] == bytes(c1)
+    c2 = bytearray(base)  # frame 2: patch REVERTED, tiny painted at 0,0
+    for yy in range(2):
+        o = (yy * w) * 3
+        c2[o : o + 6] = bytes([99] * 6)
+    assert fr[2][2] == bytes(c2)
+
+    # (b) alpha-over on RGBA
+    w2, h2 = 4, 2
+    bg = bytes([0, 0, 0, 255] * (w2 * h2))
+    fg = bytes([255, 255, 255, 128] * (w2 * h2))
+    _, _, _, fr = mm._apng_decode(mm._apng_encode(
+        w2, h2, 4, [bg, fg],
+        fctls=[(0, 0, w2, h2, 0, 0), (0, 0, w2, h2, 0, 1)],
+    ))
+    assert fr[1][2][0:4] == bytes([128, 128, 128, 255])
+    fg2 = bytes([7, 8, 9, 255]) + bytes([1, 2, 3, 0]) + bytes(
+        [7, 8, 9, 255] * (w2 * h2 - 2)
+    )
+    _, _, _, fr = mm._apng_decode(mm._apng_encode(
+        w2, h2, 4, [bg, fg2],
+        fctls=[(0, 0, w2, h2, 0, 0), (0, 0, w2, h2, 0, 1)],
+    ))
+    assert fr[1][2][0:4] == bytes([7, 8, 9, 255])   # fa=255 replaces
+    assert fr[1][2][4:8] == bytes([0, 0, 0, 255])   # fa=0 keeps bg
+
+    # (c) first-frame dispose=2 -> background (no raise, region cleared)
+    nxt = bytes(55 for _ in range(2 * 2 * 3))
+    _, _, _, fr = mm._apng_decode(mm._apng_encode(
+        w, h, 3, [base, nxt],
+        fctls=[(0, 0, w, h, 2, 0), (1, 1, 2, 2, 0, 0)],
+    ))
+    want = bytearray(w * h * 3)  # cleared canvas after frame 0
+    for yy in range(2):
+        o = ((1 + yy) * w + 1) * 3
+        want[o : o + 6] = bytes([55] * 6)
+    assert fr[1][2] == bytes(want)
+
+    # (d) gray+alpha over
+    bg2 = bytes([40, 255] * 6)
+    fg3 = bytes([240, 128] * 6)
+    _, _, _, fr = mm._apng_decode(mm._apng_encode(
+        3, 2, 2, [bg2, fg3],
+        fctls=[(0, 0, 3, 2, 0, 0), (0, 0, 3, 2, 0, 1)],
+    ))
+    # den = 128*255 + 255*127 = 65025; out = (128*255*240 + 255*127*40)/den
+    expect = (128 * 255 * 240 + 255 * 127 * 40 + 65025 // 2) // 65025
+    assert fr[1][2][0:2] == bytes([expect, 255])
+
+
 def test_apng_codec_roundtrip_and_seams():
     """Round 15 (VERDICT r14 #8, preferred shape): the APNG codec.
     (a) full-frame encode→decode roundtrip is EXACT (PNG lossless),
     delays preserved, held frames byte-identical; (b) a REGION frame
     (fcTL offsets) composes onto the canvas, and dispose_op=1 clears its
-    region for the next frame; (c) blend_op=1 / dispose_op=2 stay behind
-    NotImplementedError; a plain PNG raises ValueError (no acTL); frame
-    count must match acTL; (d) the still decoder reads an APNG's default
-    image (frame 0) — the spec's fallback behavior."""
+    region for the next frame; (c) out-of-range blend/dispose codes
+    raise ValueError, and blend_op=1 WITHOUT an alpha channel reduces
+    to source (implicit alpha 255 — the over/previous semantics proper
+    are pinned in test_apng_compositing_legs); a plain PNG raises
+    ValueError (no acTL); frame count must match acTL; (d) the still
+    decoder reads an APNG's default image (frame 0) — the spec's
+    fallback behavior."""
     import struct
     import zlib
 
@@ -1892,30 +2008,41 @@ def test_apng_codec_roundtrip_and_seams():
     want3[0:3] = f0[:3]
     assert fr3[2][2] == bytes(want3)
 
-    # (c) seams
+    # (c) compositing-code boundaries: since round 16 blend 1 and
+    # dispose 2 DECODE; out-of-range codes raise, and alpha-less
+    # blend-over reduces to source
     bad_blend = bytearray(out)
     # patch the SECOND fcTL's blend byte (last byte of its 26-byte body)
     idx = bad_blend.index(b"fcTL", bad_blend.index(b"fcTL") + 4)
-    bad_blend[idx + 4 + 25] = 1
-    # fix CRC: rebuild chunk
-    body = bytes(bad_blend[idx + 4 : idx + 4 + 26])
+    body = bytes(
+        bad_blend[idx + 4 : idx + 4 + 25]
+    ) + bytes([1])  # blend 0 -> 1 (legal; no alpha channel here)
     fixed = (
         bytes(bad_blend[: idx - 4])
         + mm._png_chunk(b"fcTL", body)
         + bytes(bad_blend[idx + 4 + 26 + 4 :])
     )
-    with _pt.raises(NotImplementedError, match="blend"):
-        mm._apng_decode(fixed)
+    assert [f[2] for f in mm._apng_decode(fixed)[3]] == [
+        f[2] for f in mm._apng_decode(out)[3]
+    ]  # alpha-less over == source
+    body_bad = bytes(bad_blend[idx + 4 : idx + 4 + 25]) + bytes([9])
+    fixed_bad = (
+        bytes(bad_blend[: idx - 4])
+        + mm._png_chunk(b"fcTL", body_bad)
+        + bytes(bad_blend[idx + 4 + 26 + 4 :])
+    )
+    with _pt.raises(ValueError, match="blend_op"):
+        mm._apng_decode(fixed_bad)
     bad_disp = bytearray(out)
     idx = bad_disp.index(b"fcTL", bad_disp.index(b"fcTL") + 4)
     body = bytearray(bad_disp[idx + 4 : idx + 4 + 26])
-    body[24] = 2
+    body[24] = 3  # out-of-range dispose
     fixed2 = (
         bytes(bad_disp[: idx - 4])
         + mm._png_chunk(b"fcTL", bytes(body))
         + bytes(bad_disp[idx + 4 + 26 + 4 :])
     )
-    with _pt.raises(NotImplementedError, match="previous"):
+    with _pt.raises(ValueError, match="dispose_op"):
         mm._apng_decode(fixed2)
     # acTL/frame-count mismatch
     trunc = bytearray(mm._apng_encode(w, h, ch, [f0, f2]))
@@ -2115,6 +2242,51 @@ def test_image_dhash_brightness_invariant_and_boundaries(spark):
     # a monotone left-to-right ramp: every gradient bit set
     uh = out[0]["dhash"] + (1 << 64) if out[0]["dhash"] < 0 else out[0]["dhash"]
     assert uh == (1 << 64) - 1
+
+
+def test_wav_sample_format_legs():
+    """Round 16: the WAV decoder's three new sample formats — unsigned
+    PCM8, signed PCM24, IEEE float32 — each normalized into the int16
+    domain. (a) int16 samples that are multiples of 256 roundtrip
+    EXACTLY through all four containers; (b) general int16 samples stay
+    exact through pcm16/pcm24/float32 while pcm8 quantizes to the high
+    byte as documented; (c) the SAME waveform in different containers
+    yields the SAME decode_real feature vector; (d) 32-bit integer PCM
+    stays behind the seam."""
+    import struct
+
+    import pytest as _pt
+
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+
+    samples = [(((i * 37) % 256) - 128) * 256 for i in range(200)]
+    feats = set()
+    for fmt in ("pcm16", "pcm8", "pcm24", "float32"):
+        data = mm._wav_encode(1, 8000, samples, fmt)
+        n_ch, rate, got = mm._wav_decode(data)
+        assert (n_ch, rate, got) == (1, 8000, samples), fmt
+        feats.add(tuple(mm.decode_real(data, "audio")))
+    assert len(feats) == 1  # container-independent features
+
+    s2 = [((i * 123) % 4001) - 2000 for i in range(150)]
+    for fmt in ("pcm16", "pcm24", "float32"):
+        assert mm._wav_decode(mm._wav_encode(1, 8000, s2, fmt))[2] == s2
+    assert mm._wav_decode(mm._wav_encode(1, 8000, s2, "pcm8"))[2] == [
+        (s >> 8) << 8 for s in s2
+    ]
+
+    # seam: 32-bit integer PCM (fmt 1, bits 32)
+    hdr = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 4, 4, 32)
+    body = struct.pack("<10i", *range(10))
+    bad = (
+        b"RIFF" + (4 + 8 + len(hdr) + 8 + len(body)).to_bytes(4, "little")
+        + b"WAVE" + b"fmt " + len(hdr).to_bytes(4, "little") + hdr
+        + b"data" + len(body).to_bytes(4, "little") + body
+    )
+    with _pt.raises(NotImplementedError, match="WAV"):
+        mm._wav_decode(bad)
+    with _pt.raises(ValueError, match="WAV fixture format"):
+        mm._wav_encode(1, 8000, s2, "alaw")
 
 
 def test_audio_envelope_hash_gain_invariant_and_boundaries(spark):
