@@ -4,8 +4,8 @@ The image/audio decode libraries are not in this container. REAL pure-
 stdlib decode kernels cover PNG (inflate + un-filter), JPEG (Huffman +
 dequant + IDCT, round 14; 4:2:0/4:2:2/4:4:0 subsampling round 15;
 non-interleaved multi-scan AND progressive SOF2 round 16), and PCM16
-WAV; other containers (extended-sequential SOF1, arithmetic coding,
-exotic sampling factors, h264, ...) are explicit NotImplementedError
+WAV; other containers (12-bit JPEG, arithmetic coding, hierarchical
+SOF3+, h264, ...) are explicit NotImplementedError
 codec boundaries, and a clearly-marked deterministic STUB kernel remains
 for exercising the plumbing. All preserve every real Spark-side concern:
 schema contracts, Arrow batch shape, ``mapInPandas`` iterator discipline,
@@ -810,22 +810,32 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             p = 0
             while p < len(body):
                 pq, tq = body[p] >> 4, body[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit JPEG quant tables")
-                if p + 65 > len(body):
+                if pq not in (0, 1):
+                    raise ValueError(f"bad JPEG DQT precision {pq}")
+                step = 1 + pq  # Pq=1: 16-bit big-endian entries (round 16)
+                if p + 1 + 64 * step > len(body):
                     raise ValueError("truncated JPEG DQT segment")
-                zz = list(body[p + 1 : p + 65])
+                zz = [
+                    int.from_bytes(
+                        body[p + 1 + k * step : p + 1 + (k + 1) * step],
+                        "big",
+                    )
+                    for k in range(64)
+                ]
                 tab = [0] * 64
                 for k in range(64):
                     tab[_JPEG_ZIGZAG[k]] = zz[k]
                 qt[tq] = tab
-                p += 65
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                p += 1 + 64 * step
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline (SOF0) and progressive (SOF2) JPEG supported"
+                "only baseline (SOF0), extended sequential (SOF1) and "
+                "progressive (SOF2) JPEG supported"
             )
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (identical
+            # semantics at 8-bit precision — round 16) / SOF2 progressive
             progressive = marker == 0xC2
             if len(body) < 6 or len(body) < 6 + body[5] * 3:
                 raise ValueError("truncated JPEG SOF0 segment")
@@ -1407,18 +1417,20 @@ def decode_real(payload: bytes, kind: str) -> list[float]:
     - PNG (8-bit, non-interlaced, non-palette): full inflate + un-filter,
       feature = [mean of each of up to 4 channels / 255 (absent → 0),
       mean luminance of each image quadrant / 255].
-    - JPEG (baseline sequential OR progressive SOF2, 8-bit; 1:1,
-      4:2:0, 4:2:2 and 4:4:0 luma-led chroma subsampling; interleaved,
+    - JPEG (baseline SOF0 / extended sequential SOF1 / progressive
+      SOF2, 8-bit; 1:1, 4:2:0, 4:2:2, 4:4:0 and 4:1:1 luma-led chroma
+      subsampling; 8- or 16-bit quant tables; interleaved,
       non-interleaved multi-scan, spectral selection, successive
       approximation): full marker parse, Huffman decode, dequantize +
-      IDCT (round 14; subsampled legs round 15; multi-scan and
-      progressive round 16) — same image feature.
+      IDCT (round 14; subsampled legs round 15; multi-scan,
+      progressive, 4:1:1, SOF1 and wide-DQT round 16) — same image
+      feature.
     - WAV (RIFF PCM16): full chunk parse, feature = RMS of 8 equal
       sample segments, normalized by 2^15.
 
-    Anything else (extended-sequential SOF1 / 12-bit / arithmetic-coded
-    JPEG, exotic sampling factors such as 4:1:1, 16-bit quant tables,
-    h264, ...) raises NotImplementedError —
+    Anything else (12-bit / arithmetic-coded / hierarchical JPEG,
+    mixed luma factors such as 2×4, h264, ...) raises
+    NotImplementedError —
     that remains the documented seam for containers with the codec
     libraries installed. Same 8-float output contract as
     ``_decode_stub``, so the two kernels are drop-in interchangeable in

@@ -1469,10 +1469,38 @@ def test_jpeg_codec_boundaries():
     prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with _pt.raises(ValueError, match="Se == 0"):
         mm._jpeg_decode(prog)
-    # extended sequential (SOF1) stays behind the seam
+    # extended sequential (SOF1): identical semantics at 8-bit, decodes
+    # like SOF0 since round 16; 12-bit sample precision stays seamed,
+    # as do the hierarchical/arithmetic SOF codes
     sof1 = base.replace(b"\xff\xc0", b"\xff\xc1", 1)
-    with _pt.raises(NotImplementedError, match="SOF0"):
-        mm._jpeg_decode(sof1)
+    assert mm._jpeg_decode(sof1) == mm._jpeg_decode(base)
+    twelve = bytearray(sof1)
+    twelve[sof1.index(b"\xff\xc1") + 4] = 12
+    with _pt.raises(NotImplementedError, match="8-bit"):
+        mm._jpeg_decode(bytes(twelve))
+    with _pt.raises(NotImplementedError, match="SOF"):
+        mm._jpeg_decode(base.replace(b"\xff\xc0", b"\xff\xc3", 1))
+    # 16-bit (Pq=1) quant tables parse since round 16; a bad precision
+    # nibble is structural invalidity
+    import struct as _st
+
+    dqt_at = base.index(b"\xff\xdb")
+    ln = int.from_bytes(base[dqt_at + 2 : dqt_at + 4], "big")
+    body = base[dqt_at + 4 : dqt_at + 2 + ln]
+    body16 = bytes([0x10]) + b"".join(
+        _st.pack(">H", v) for v in body[1:]
+    )
+    wide = (
+        base[:dqt_at]
+        + _st.pack(">HH", 0xFFDB, len(body16) + 2)
+        + body16
+        + base[dqt_at + 2 + ln :]
+    )
+    assert mm._jpeg_decode(wide) == mm._jpeg_decode(base)
+    with _pt.raises(ValueError, match="DQT precision"):
+        mm._jpeg_decode(
+            base[: dqt_at + 4] + bytes([0x20]) + base[dqt_at + 5 :]
+        )
     # 2x2-subsampled luminance: patch the SOF sampling byte (0x11 -> 0x22)
     sof_at = base.index(b"\xff\xc0")
     sub = bytearray(base)
