@@ -682,7 +682,6 @@ def _jpeg_encode(
             + bytes(_JPEG_PROG_AC_BITS)
             + bytes(_JPEG_PROG_AC_VALS)
         )
-    if prog:
         scan_bytes = b"".join(
             seg(
                 0xFFDA,
@@ -956,14 +955,14 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
         # with no error); AC scans are single-component by the standard
         dc_seen = {
             ci
-            for scomps, _, _, _, (ss, _, _, _) in scans
-            if ss == 0
+            for scomps, _, _, _, (ss, _, ah, _) in scans
+            if ss == 0 and ah == 0  # refinement-only DC doesn't count
             for (ci, _, _) in scomps
         }
         if dc_seen != set(range(len(comps))):
             raise ValueError(
-                "progressive JPEG scans must include a DC scan for "
-                "every frame component"
+                "progressive JPEG scans must include a first-pass "
+                "(Ah=0) DC scan for every frame component"
             )
         for scomps, _, _, _, (ss, se, _, _) in scans:
             if ss == 0:
@@ -1222,7 +1221,9 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                                 br, ac_tab, zz, ss, se, al, eobrun
                             )
         for ci in range(nc):
-            q = qt[comps[ci][1]]
+            q = qt.get(comps[ci][1])
+            if q is None:
+                raise ValueError("JPEG SOF references missing DQT")
             for byy in range(cbh[ci]):
                 for bxx in range(cbw[ci]):
                     block_to_plane(
@@ -1240,7 +1241,10 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             ac_tab = stables.get((1, act))
             if dc_tab is None or ac_tab is None:
                 raise ValueError("JPEG scan references missing DHT")
-            tabs[ci] = (dc_tab, ac_tab, qt[comps[ci][1]])
+            q = qt.get(comps[ci][1])
+            if q is None:
+                raise ValueError("JPEG SOF references missing DQT")
+            tabs[ci] = (dc_tab, ac_tab, q)
         if len(scomps) == nc:
             # interleaved scan: MCU loop, hs[ci]×vs[ci] blocks per
             # component per MCU
@@ -1268,10 +1272,7 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             # here (one data unit per MCU, per the standard).
             ci, _dct, _act = scomps[0]
             dc_tab, ac_tab, q = tabs[ci]
-            comp_w = -(-(w * hs[ci]) // hmax)
-            comp_h = -(-(h * vs[ci]) // vmax)
-            bw_ = -(-comp_w // 8)
-            bh_ = -(-comp_h // 8)
+            bw_, bh_ = comp_block_grid(ci)
             n_blk = 0
             for byy in range(bh_):
                 for bxx in range(bw_):
@@ -1315,7 +1316,9 @@ def _decode_image(data: bytes) -> tuple[int, int, int, bytes]:
         return _png_decode(data)
     if data[:2] == b"\xff\xd8":
         return _jpeg_decode(data)
-    raise NotImplementedError("payload is neither PNG nor baseline JPEG")
+    raise NotImplementedError(
+        "payload is neither PNG nor a supported (SOF0/1/2) JPEG"
+    )
 
 
 def _wav_decode(data: bytes) -> tuple[int, int, list[int]]:
@@ -1362,12 +1365,20 @@ def _wav_decode(data: bytes) -> tuple[int, int, list[int]]:
             for i in range(0, len(pcm), 3)
         ]
     elif audio_fmt == 3 and bits == 32:
-        # IEEE float, nominal [-1, 1] → int16 domain, clamped
+        # IEEE float, nominal [-1, 1] → int16 domain. Clamp BEFORE
+        # round — round(inf) raises OverflowError, which would escape
+        # the callers' (ValueError, NotImplementedError) quarantine and
+        # fail the whole task on one corrupt row; NaN (fails both
+        # comparisons) maps to 0.
         pcm = pcm[: len(pcm) // 4 * 4]
-        samples = [
-            max(-32768, min(32767, round(f * 32767)))
-            for f in struct.unpack(f"<{len(pcm) // 4}f", pcm)
-        ]
+        samples = []
+        for f in struct.unpack(f"<{len(pcm) // 4}f", pcm):
+            v = f * 32767
+            if not (-32768.0 <= v <= 32767.0):
+                v = 32767.0 if v > 32767.0 else (
+                    -32768.0 if v < -32768.0 else 0.0
+                )
+            samples.append(round(v))
     else:
         raise NotImplementedError(
             "only PCM 8/16/24-bit and IEEE-float32 WAV supported"
@@ -1476,9 +1487,10 @@ def decode_real(payload: bytes, kind: str) -> list[float]:
             out.append(rms / 32768.0)
         return out
     raise NotImplementedError(
-        "payload is neither PNG, baseline JPEG, nor PCM16 WAV; decoding "
-        "other containers needs the real codec libraries (PIL / "
-        "torchaudio / pyav)"
+        "payload is neither PNG, supported JPEG (SOF0/1/2), nor "
+        "supported WAV (PCM 8/16/24, float32); decoding other "
+        "containers needs the real codec libraries (PIL / torchaudio / "
+        "pyav)"
     )
 
 

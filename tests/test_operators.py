@@ -1501,6 +1501,10 @@ def test_jpeg_codec_boundaries():
         mm._jpeg_decode(
             base[: dqt_at + 4] + bytes([0x20]) + base[dqt_at + 5 :]
         )
+    # review r16: a stream whose SOF references a never-defined quant
+    # table raises ValueError, not a bare KeyError escaping mapInPandas
+    with _pt.raises(ValueError, match="missing DQT"):
+        mm._jpeg_decode(base[:dqt_at] + base[dqt_at + 2 + ln :])
     # 2x2-subsampled luminance: patch the SOF sampling byte (0x11 -> 0x22)
     sof_at = base.index(b"\xff\xc0")
     sub = bytearray(base)
@@ -1673,6 +1677,14 @@ def test_jpeg_progressive_roundtrips_and_boundaries():
     no_dc = data[: sos[0]] + data[sos[1] :]
     with _pt.raises(ValueError, match="DC scan for"):
         mm._jpeg_decode(no_dc)
+    # review r16: a refinement-only DC scan must NOT satisfy the gate —
+    # dropping the Ah=0 first pass from an SA stream while keeping the
+    # DC refinement would decode flat gray with no error
+    sa = mm._jpeg_encode(16, 16, 3, bytes([200] * 768), scans="progressive_sa")
+    sos_sa = [i for i in range(len(sa) - 1)
+              if sa[i] == 0xFF and sa[i + 1] == 0xDA]
+    with _pt.raises(ValueError, match="first-pass"):
+        mm._jpeg_decode(sa[: sos_sa[0]] + sa[sos_sa[1] :])
     # multi-component AC scan: patch an AC SOS to ns=3 (header bytes
     # exist in the stream? build one by hand with a legal length)
     two_comp_ac = bytes(
@@ -2315,6 +2327,16 @@ def test_wav_sample_format_legs():
         mm._wav_decode(bad)
     with _pt.raises(ValueError, match="WAV fixture format"):
         mm._wav_encode(1, 8000, s2, "alaw")
+
+    # review r16: inf/-inf clamp, NaN -> 0 — round(inf) would raise
+    # OverflowError, escaping the callers' quarantine and failing the
+    # whole Arrow task on one corrupt row
+    data = bytearray(mm._wav_encode(1, 8000, [1000] * 8, "float32"))
+    off = bytes(data).index(b"data") + 8
+    data[off : off + 4] = struct.pack("<f", float("inf"))
+    data[off + 4 : off + 8] = struct.pack("<f", float("-inf"))
+    data[off + 8 : off + 12] = struct.pack("<f", float("nan"))
+    assert mm._wav_decode(bytes(data))[2][:3] == [32767, -32768, 0]
 
 
 def test_audio_envelope_hash_gain_invariant_and_boundaries(spark):
