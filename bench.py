@@ -313,9 +313,32 @@ def main() -> None:
         if drift_factor_start and drift_factor
         else None
     )
+    # Round 16 (late-session finding): a THIRD series — the raw
+    # per-query MEDIAN ratio vs the previous detail over non-carried,
+    # ≥0.2 s queries. Two re-runs showed the probe trio can speed up
+    # 20% while the suite median sits at 1.07 (even with start/end
+    # probes agreeing), which would inflate ~80 spurious flags; the
+    # median is robust to that. The probe stays the normalization
+    # anchor; probe-vs-median disagreement joins the drift_disagreement
+    # flag so the adjudication is mechanical, not prose.
+    med_ratios = sorted(
+        t / prev["queries"][nme]
+        for nme, t in times.items()
+        if prev
+        and prev.get("queries", {}).get(nme, 0) >= 0.2
+        and nme not in carried
+        and nme not in set(prev.get("carried", []))
+    ) if prev else []
+    drift_factor_median = (
+        round(med_ratios[len(med_ratios) // 2], 4) if med_ratios else None
+    )
     drift_disagreement = (
         start_end_agreement is not None
         and not (0.8 <= start_end_agreement <= 1.25)
+    ) or (
+        drift_factor_median is not None
+        and drift_factor is not None
+        and not (0.8 <= drift_factor_median / drift_factor <= 1.25)
     )
     # Cumulative drift (ADVICE r15): cum_drift compounds drift_factor over
     # the committed-detail chain (bootstrap 1.0), and fresh_meta records,
@@ -385,6 +408,7 @@ def main() -> None:
             "prev_calibration_start_sec": prev_cal_start,
             "drift_factor": drift_factor,
             "drift_factor_start": drift_factor_start,
+            "drift_factor_median": drift_factor_median,
             "start_end_agreement": start_end_agreement,
             "drift_disagreement": drift_disagreement,
             "cum_drift": cum_drift,
