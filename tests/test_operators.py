@@ -2097,6 +2097,45 @@ def test_apng_codec_roundtrip_and_seams():
         mm._apng_decode(fixed3)
 
 
+def test_video_operators_rgba_alpha_over(spark):
+    """Round 16: an RGBA APNG whose second frame alpha-overs the first
+    flows through BOTH video operators — frame stats report the
+    composited (blended) channel sums with channels=4 (alpha excluded
+    from the per-channel sums by the min(ch,3) rule), and the per-frame
+    dHash sees the blended pixels (both frames distinct here)."""
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+
+    w, h = 12, 9
+    f0 = bytes(
+        (x * 11 + y * 23 + c * 71) % 256
+        for y in range(h) for x in range(w) for c in range(4)
+    )
+    f1 = bytes([255, 255, 255, 128] * (w * h))
+    apng = mm._apng_encode(
+        w, h, 4, [f0, f1],
+        fctls=[(0, 0, w, h, 0, 0), (0, 0, w, h, 0, 1)],
+    )
+    media = spark.createDataFrame(
+        [(0, "video", apng, w, h, 80, "apng")], schema=mm.MEDIA_SCHEMA
+    )
+    stats = sorted(
+        mm.video_frame_stats(media).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert len(stats) == 2 and stats[0]["channels"] == 4
+    # frame 1 is f1 alpha-overed onto f0 — recompute the blend exactly
+    _, _, _, frames = mm._apng_decode(apng)
+    import numpy as np
+
+    arr = np.frombuffer(frames[1][2], dtype=np.uint8).reshape(-1, 4)
+    for c in range(3):
+        assert stats[1][f"sum_c{c}"] == int(
+            arr[:, c].astype(np.int64).sum()
+        )
+    hashes = mm.video_scene_changes(media).collect()
+    assert len(hashes) == 2
+    assert hashes[0]["dhash"] != hashes[1]["dhash"]
+
+
 def test_video_operators_edge_cases(spark):
     """video_frame_stats / video_scene_changes: non-video rows, NULL
     payloads, and undecodable bytes contribute zero rows; a video
