@@ -8245,26 +8245,10 @@ _DEMOTED_PAST_WINDOW = [
     # (round 15 promoted q133/q134/q135 out of this block; round 16
     # promoted the remainder: q136-q141.)
     # round 13: parity-gated from birth (standing policy for new families)
-    # (round 16 promoted q142-q153 out of this block.)
-    "q154_lsh_recall",
-    "q155_ipf_reweight",
-    "q156_length_psi",
-    "q157_dup_flow",
-    "q158_effective_size",
-    "q159_embedding_covariance",
-    "q160_exact_quantile_grid",
-    "q161_oov_rate",
-    "q162_embedding_collapse",
-    "q163_label_noise",
-    "q164_label_separation",
-    "q165_label_cohesion",
-    "q166_entropy_rate",
-    # round 14: parity-gated from birth (standing policy; backlog-growth
-    # policy holds new entries ≤ promotions — 4 new vs 16 promoted).
-    "q167_label_noise_ivf",
-    "q168_jpeg_stats",
-    "q169_image_dedup",
-    "q170_audio_dedup",
+    # (round 16 promoted q142-q153 out of this block; round 17 promoted
+    # the remainder, q154-q166.)
+    # round 14: parity-gated from birth (round 17 promoted q167-q170
+    # out of this block.)
     # round 15: window rotation (VERDICT r14 #1, mechanical queue per
     # tools/rotation_status.py: oldest never-driver-verified first).
     # Promoted INTO the window: q100_gapfill_hourly, q102_zorder_key,
@@ -8313,7 +8297,7 @@ _DEMOTED_PAST_WINDOW = [
     "q131_max_concurrency",
     # round 15: parity-gated from birth (standing policy; backlog-growth
     # policy holds new entries ≤ promotions — 5 new vs 16 promoted).
-    "q171_jpeg420_stats",
+    # (round 17 promoted q171 out of this block.)
     "q172_apng_frames",
     "q173_scene_changes",
     "q174_jpeg_subsampled_stats",
@@ -8378,6 +8362,67 @@ _DEMOTED_PAST_WINDOW = [
     # policy holds new entries ≤ promotions — 2 new vs 18 promoted).
     "q176_jpeg_multiscan_stats",
     "q177_jpeg_progressive_stats",
+    # round 17: window rotation (VERDICT r16 #1, mechanical queue per
+    # tools/rotation_status.py: oldest never-driver-verified first).
+    # Promoted INTO the window: q154_lsh_recall, q155_ipf_reweight,
+    # q156_length_psi, q157_dup_flow, q158_effective_size,
+    # q159_embedding_covariance, q160_exact_quantile_grid, q161_oov_rate,
+    # q162_embedding_collapse, q163_label_noise, q164_label_separation,
+    # q165_label_cohesion, q166_entropy_rate, q167_label_noise_ivf,
+    # q168_jpeg_stats, q169_image_dedup, q170_audio_dedup,
+    # q171_jpeg420_stats (18 entries — all many-rounds
+    # sf0.001+sf0.01-parity-green every pytest; q154/q158/q160/q166/q169
+    # additionally green on the r16 judge's own sf0.01 check_oracle
+    # drive). Backlog after this rotation: q172-q177 (6).
+    # Demoted to make room — the 18 longest-driver-green in-window
+    # entries EXCEPT q127_interval_coverage / q132_golden_records (5
+    # greens each but each is its family's last in-window
+    # representative; they stay). Each demotion's family remains
+    # driver-proven in-window or freshly promoted:
+    # q85 pagerank (3 greens; the iterative wedge-join shape stays
+    # exercised by q113 event transitions + q133 RRF in-window, A3
+    # closure parity at both SFs every pytest), q86/q94 SCD2 history +
+    # apply (3 each; the temporal-join surface stays via q100 gapfill,
+    # q107 time-weighted avg and q114 trailing window, plus the
+    # streaming SCD2 fold≡batch pins), q87 quality classifier (3;
+    # text-quality family stays via q136 stopword calibration + q139
+    # lang kappa), q88 PQ-ADC + q90 IVF-PQ (3 each; the ANN family
+    # stays via freshly-promoted q167 IVF-routed label noise), q89
+    # weighted sample + q98 session examples (3 each; curation-mix
+    # family stays via q140 source diversity + freshly-promoted q155
+    # IPF reweight), q91 setsim prefix join (3; set-similarity family
+    # stays via freshly-promoted q154 LSH recall + q146 substr
+    # decontam), q92 stat aggregates (3; stays via q148 MI / q149 KS /
+    # q151 Zipf in-window), q93 media-text match (3; the media surface
+    # stays via q143 image stats + freshly-promoted q168-q171), q95
+    # leakage-free split + q96 best-of-cluster (3 each; the
+    # cluster-bounded family stays via freshly-promoted q163-q165
+    # label-noise/separation/cohesion), q97 audio frames (3; stays via
+    # freshly-promoted q170 audio dedup), q102 z-order key (2; layout
+    # family stays via q152 balanced shards), q103 z-score outliers
+    # (2; robust-stats family stays via q149 length-KS + q153 key
+    # skew), q108 approx-quantile bounds (2; quantile family stays via
+    # freshly-promoted q160 exact quantile grid), q111 sketch rollup
+    # (2; sketch family stays via q141 dup histogram + freshly-promoted
+    # q158 effective sample size).
+    "q85_pagerank",
+    "q86_scd2_history",
+    "q87_quality_classifier",
+    "q88_pq_adc_topk",
+    "q89_weighted_sample",
+    "q90_ivf_pq",
+    "q91_setsim_prefix_join",
+    "q92_stat_aggregates",
+    "q93_media_text_match",
+    "q94_scd2_apply",
+    "q95_leakage_free_split",
+    "q96_best_of_cluster",
+    "q97_audio_frames",
+    "q98_session_examples",
+    "q102_zorder_key",
+    "q103_zscore_outliers",
+    "q108_approx_quantile_bounds",
+    "q111_sketch_rollup",
 ]
 
 
