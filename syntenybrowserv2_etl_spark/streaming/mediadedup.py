@@ -106,6 +106,7 @@ def media_neardup_fold_batch(
     kind: str = "image",
     n_buckets: int = 16,
     max_hamming: int = 2,
+    max_bucket: int | None = None,
 ) -> None:
     """One micro-batch of the media near-dup gate (module docstring).
 
@@ -118,7 +119,41 @@ def media_neardup_fold_batch(
     Pairs are written as (media_id_a, media_id_b, fp) triples; see
     ``VIDEO_PAIR_SCHEMA`` for why the triple granularity is what makes
     fold ≡ batch hold, and ``read_video_dup_pairs`` for the q175-shaped
-    (pair, n_shared) readout."""
+    (pair, n_shared) readout.
+
+    ``max_bucket`` (round 17, VERDICT r16 #3) forwards the band-occupancy
+    guard the batch pair join got in round 16
+    (``multimodal.hamming_band_pairs(max_bucket=)``): without it, a hot
+    (band, value) bucket ACCUMULATED IN STATE by a structured hash
+    population makes every later batch's probe of that bucket
+    O(batch-keys-in-bucket x bucket size) with an unbounded bucket —
+    per-batch cost grows with the index instead of staying flat. With
+    the cap, (bi, bv) buckets whose TOTAL occupancy (state + batch,
+    distinct media) exceeds ``max_bucket`` are excluded from pair
+    generation — both within-batch and cross — while the STATE still
+    indexes their rows (the cap shapes probing, never what is
+    remembered, so raising the cap later restores recall for future
+    arrivals). Per-batch probe cost is then O(batch keys x max_bucket).
+    Semantics vs the batch operator (monotone sandwich, pinned in
+    tests/test_streaming.py): bucket occupancy only grows as batches
+    fold, so any bucket under the cap at full-corpus time was under it
+    at every earlier batch — the capped fold's pair set is a SUPERSET of
+    one-shot ``hamming_band_pairs(corpus, max_bucket=...)`` and a subset
+    of the uncapped exact set; with no over-cap buckets all three
+    coincide (the existing fold ≡ batch invariant). Like ``max_hamming``,
+    the knob applies to the banded-Hamming kinds only; ``kind="video"``
+    (exact-fingerprint counting, where skipping a bucket would silently
+    undercount n_shared rather than drop redundant candidates) refuses
+    it."""
+    if max_bucket is not None and max_bucket < 1:
+        raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
+    if max_bucket is not None and kind == "video":
+        raise ValueError(
+            "max_bucket applies to the banded-Hamming kinds (image/audio); "
+            "the video kind counts EXACT shared fingerprints, where "
+            "skipping a hot fp bucket would undercount n_shared instead "
+            "of dropping redundant candidates"
+        )
     spark = batch_df.sparkSession
     from ..sources.io import batch_is_committed
 
@@ -139,6 +174,20 @@ def media_neardup_fold_batch(
     hashes = _hashes(batch_df, kind).localCheckpoint(eager=True)
     bands = _band_rows(hashes)
 
+    def _pair_cols(left: DataFrame) -> DataFrame:
+        return (
+            left.filter(F.col("media_id") != F.col("__mid2"))
+            .select(
+                F.least("media_id", "__mid2").alias("media_id_a"),
+                F.greatest("media_id", "__mid2").alias("media_id_b"),
+                F.bit_count(F.col("hsh").bitwiseXOR(F.col("__h2")))
+                .cast("int")
+                .alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+
     def merge(pre: DataFrame | None, part: DataFrame) -> DataFrame:
         # Runs AFTER the fold has healed any partial swap: ``pre`` is
         # the authoritative live content of exactly the touched buckets
@@ -146,11 +195,38 @@ def media_neardup_fold_batch(
         # the idempotent pair-file write live HERE so a crash-and-
         # recompute replay sees the identical pre-state (probing
         # outside the fold races the swap's two-rename window).
-        within = mm.hamming_band_pairs(hashes, "media_id", "hsh", max_hamming)
-        if pre is not None:
-            cross = (
-                part.join(
-                    pre.select(
+        part_probe, pre_probe = part, pre
+        if max_bucket is not None:
+            # occupancy guard (docstring): exclude (bi, bv) buckets whose
+            # TOTAL occupancy (state + batch, distinct media) exceeds the
+            # cap from pair generation. The hot set is tiny (distinct
+            # over-cap keys) — both exclusions are broadcast anti-joins.
+            combined = (
+                part if pre is None else part.unionByName(pre)
+            ).dropDuplicates(["bi", "bv", "media_id"])
+            hot = (
+                combined.groupBy("bi", "bv")
+                .agg(F.count(F.lit(1)).alias("__occ"))
+                .filter(F.col("__occ") > max_bucket)
+                .select("bi", "bv")
+            )
+            part_probe = part.join(F.broadcast(hot), ["bi", "bv"], "left_anti")
+            if pre is not None:
+                pre_probe = pre.join(
+                    F.broadcast(hot), ["bi", "bv"], "left_anti"
+                )
+        if max_bucket is None:
+            within = mm.hamming_band_pairs(
+                hashes, "media_id", "hsh", max_hamming
+            )
+        else:
+            # capped within-batch pairs from the guarded band rows (the
+            # uncapped path keeps the original whole-batch kernel; here
+            # occupancy is a corpus property, so pairs must come from the
+            # same guarded buckets the cross probe uses)
+            within = _pair_cols(
+                part_probe.join(
+                    part_probe.select(
                         "bi",
                         "bv",
                         F.col("media_id").alias("__mid2"),
@@ -158,16 +234,18 @@ def media_neardup_fold_batch(
                     ),
                     ["bi", "bv"],
                 )
-                .filter(F.col("media_id") != F.col("__mid2"))
-                .select(
-                    F.least("media_id", "__mid2").alias("media_id_a"),
-                    F.greatest("media_id", "__mid2").alias("media_id_b"),
-                    F.bit_count(F.col("hsh").bitwiseXOR(F.col("__h2")))
-                    .cast("int")
-                    .alias("hamming"),
+            )
+        if pre is not None:
+            cross = _pair_cols(
+                part_probe.join(
+                    pre_probe.select(
+                        "bi",
+                        "bv",
+                        F.col("media_id").alias("__mid2"),
+                        F.col("hsh").alias("__h2"),
+                    ),
+                    ["bi", "bv"],
                 )
-                .filter(F.col("hamming") <= max_hamming)
-                .distinct()
             )
             pairs = within.unionByName(cross).distinct()
         else:
@@ -285,6 +363,7 @@ def media_neardup_stream(
     kind: str = "image",
     n_buckets: int = 16,
     max_hamming: int = 2,
+    max_bucket: int | None = None,
     query_name: str = "media_neardup_gate",
     checkpoint: str | None = None,
 ):
@@ -299,6 +378,7 @@ def media_neardup_stream(
             kind=kind,
             n_buckets=n_buckets,
             max_hamming=max_hamming,
+            max_bucket=max_bucket,
         )
 
     writer = (

@@ -3836,6 +3836,121 @@ def test_media_neardup_gate_stream_twin(spark, tmp_path_factory):
     assert got == want and len(want) >= 24
 
 
+def test_media_neardup_gate_occupancy_guard(spark, tmp_path_factory, monkeypatch):
+    """Round 17 (VERDICT r16 #3): the streaming gate forwards the
+    band-occupancy guard the batch pair join got in round 16. Planted
+    skew (the batch test's fixture shape, accumulated ACROSS batches into
+    state): a hot (band, value) population that holds no true pairs, one
+    cool true pair split across batches, one hot-only true pair. Pins the
+    monotone sandwich from the docstring:
+
+      one-shot hamming_band_pairs(corpus, max_bucket)
+        ⊆ capped fold  ⊆  uncapped exact
+
+    with STRICT containment on both sides here: the fold emits the
+    early-arriving hot pair (its bucket was still under cap when the
+    later side arrived — pairs the one-shot capped run loses), and drops
+    the late-arriving one (bucket already hot in state — the documented
+    recall trade); a generous cap reproduces the exact uncapped fold ≡
+    batch invariant; max_bucket=0 and kind="video" + max_bucket are
+    refused. The decode stage is stubbed with planted hash rows (the
+    real decode feeding identical band rows is pinned by
+    test_media_neardup_gate_fold_equals_batch); the guard logic under
+    test is the fold's merge probe."""
+    import os
+
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+    from syntenybrowserv2_etl_spark.streaming import mediadedup as md
+
+    base = str(tmp_path_factory.mktemp("mediadedup_occ"))
+
+    def band_row(i, b0, b1, b2, b3):
+        h = (b3 << 48) | (b2 << 32) | (b1 << 16) | b0
+        if h >= 1 << 63:
+            h -= 1 << 64
+        return (i, h, b0, b1, b2, b3)
+
+    rows = []
+    # hot population: bands 0/1 identical across all 10, bands 2/3
+    # disjoint single bits -> pairwise Hamming 4, never true pairs
+    for i in range(10):
+        rows.append(band_row(i, 0xAAAA, 0xBBBB, 1 << i, 1 << (15 - i)))
+    # cool true pair, split across batches 0 and 1
+    rows.append(band_row(100, 0x1111, 0x2222, 0x3333, 0x4444))
+    rows.append(band_row(101, 0x1111, 0x2222, 0x3333, 0x4445))
+    # early hot pair: Hamming 2, only matching bands are the hot buckets,
+    # but BOTH sides arrive in batch 0 while the bucket is still cool
+    rows.append(band_row(200, 0xAAAA, 0xBBBB, 0x5555, 0x6666))
+    rows.append(band_row(201, 0xAAAA, 0xBBBB, 0x5554, 0x6667))
+    # late hot pair: the earlier side indexed, the later side arrives
+    # after the bucket went hot
+    rows.append(band_row(300, 0xAAAA, 0xBBBB, 0x7777, 0x0888))
+    rows.append(band_row(301, 0xAAAA, 0xBBBB, 0x7776, 0x0889))
+    hashes = spark.createDataFrame(
+        rows, "media_id long, hsh long, b0 long, b1 long, b2 long, b3 long"
+    )
+
+    # stub the decode stage: batches ARE hash rows (docstring)
+    monkeypatch.setattr(
+        md, "_hashes", lambda batch_df, kind: batch_df.select(
+            "media_id", "hsh", "b0", "b1", "b2", "b3"
+        )
+    )
+
+    batches = [
+        [200, 201, 300, 0, 1],        # hot bucket occupancy 5 <= 6: early
+        [2, 3, 4, 5, 6, 100],         # pair emitted before it goes hot
+        [7, 8, 9, 101, 301],          # bucket hot: late pair dropped
+    ]
+
+    def drive(tag, max_bucket):
+        state = os.path.join(base, f"state_{tag}")
+        pairs = os.path.join(base, f"pairs_{tag}")
+        for b, ids in enumerate(batches):
+            md.media_neardup_fold_batch(
+                hashes.filter(F.col("media_id").isin(ids)), b,
+                state_path=state, pairs_path=pairs, kind="image",
+                n_buckets=4, max_bucket=max_bucket,
+            )
+        return {
+            (r["media_id_a"], r["media_id_b"], r["hamming"])
+            for r in md.read_dup_pairs(spark, pairs).collect()
+        }
+
+    exact = {
+        (r["media_id_a"], r["media_id_b"], r["hamming"])
+        for r in mm.hamming_band_pairs(hashes, "media_id", "hsh").collect()
+    }
+    assert exact == {(100, 101, 1), (200, 201, 2), (300, 301, 2)}
+    oneshot_capped = {
+        (r["media_id_a"], r["media_id_b"], r["hamming"])
+        for r in mm.hamming_band_pairs(
+            hashes, "media_id", "hsh", max_bucket=6
+        ).collect()
+    }
+    assert oneshot_capped == {(100, 101, 1)}
+
+    capped_fold = drive("capped", 6)
+    # strict sandwich: early hot pair kept, late hot pair dropped
+    assert capped_fold == {(100, 101, 1), (200, 201, 2)}
+    assert oneshot_capped < capped_fold < exact
+
+    # generous cap: the exact fold ≡ batch invariant is untouched
+    assert drive("generous", 100) == exact
+    assert drive("uncapped", None) == exact
+
+    with pytest.raises(ValueError):
+        md.media_neardup_fold_batch(
+            hashes, 0, state_path=os.path.join(base, "s0"),
+            pairs_path=os.path.join(base, "p0"), max_bucket=0,
+        )
+    with pytest.raises(ValueError):
+        md.media_neardup_fold_batch(
+            hashes, 0, state_path=os.path.join(base, "s1"),
+            pairs_path=os.path.join(base, "p1"), kind="video", max_bucket=4,
+        )
+
+
 def test_label_centroid_fold_lost_marker_detection(spark, tmp_path_factory):
     """embhealth's merge is an elementwise SUM — same worst-case
     non-idempotency as the drift monitor: a fully-committed batch whose
