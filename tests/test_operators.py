@@ -2277,6 +2277,87 @@ def test_hamming_band_pairs_occupancy_guard(spark):
         mm.band_candidates(hashes, "media_id", "hsh", max_bucket=0)
 
 
+def test_dhash_bands_matches_kernel_convention(spark):
+    """dhash_bands re-derives b0..b3 from the packed signed hash; it
+    must agree bit-for-bit with the bands the hash kernel emits inline
+    (image_dhash) — including hashes whose top band sets the sign bit."""
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+
+    media = mm.synthetic_neardup_png_media(spark, 6, 3)
+    hs = mm.image_dhash(media)
+    rederived = mm.dhash_bands(
+        hs.select("media_id", "dhash"), "dhash"
+    )
+    want = {
+        r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in hs.collect()
+    }
+    got = {
+        r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in rederived.collect()
+    }
+    assert got == want
+    # at least one fixture hash is negative (sign bit set) or the
+    # top-band extraction under arithmetic shiftright went untested
+    assert any(r["dhash"] < 0 for r in hs.collect())
+
+
+def test_video_neardup_hamming_pairs(spark):
+    """video_neardup_hamming_pairs (q178's operator): banded join ≡
+    brute-force all-pairs Hamming over the per-frame hashes (pigeonhole
+    completeness on a fixture with real near-misses — the q175 fixture
+    carries Hamming-1 and Hamming-2 cross-video frame pairs beyond its
+    exact collisions); n_near ≥ q175's exact n_shared pairwise with
+    strictly more total mass; radius > 2 is refused; the occupancy
+    guard forwards."""
+    import itertools
+
+    import pytest as _pytest
+
+    from syntenybrowserv2_etl_spark.operators import multimodal as mm
+
+    media = mm.synthetic_neardup_apng_media(spark, 8, 3)
+    got = {
+        (r["media_id_a"], r["media_id_b"]): r["n_near"]
+        for r in mm.video_neardup_hamming_pairs(media).collect()
+    }
+
+    # brute-force oracle from the same decoded hashes, driver-side
+    hs = {}
+    for r in mm.video_scene_changes(media).select("media_id", "dhash").collect():
+        hs.setdefault(r["media_id"], set()).add(r["dhash"])
+    want = {}
+    for a, b in itertools.combinations(sorted(hs), 2):
+        n = sum(
+            1
+            for ha in hs[a]
+            for hb in hs[b]
+            if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= 2
+        )
+        if n:
+            want[(a, b)] = n
+    assert got == want
+    # the tolerant radius finds strictly more than exact fingerprinting
+    exact = {
+        (a, b): len(hs[a] & hs[b])
+        for a, b in itertools.combinations(sorted(hs), 2)
+        if hs[a] & hs[b]
+    }
+    assert all(got[k] >= v for k, v in exact.items())
+    assert sum(got.values()) > sum(exact.values())
+
+    with _pytest.raises(ValueError):
+        mm.video_neardup_hamming_pairs(media, max_hamming=3)
+    # a generous cap changes nothing; the knob reaches band_candidates
+    capped = {
+        (r["media_id_a"], r["media_id_b"]): r["n_near"]
+        for r in mm.video_neardup_hamming_pairs(
+            media, max_bucket=10_000
+        ).collect()
+    }
+    assert capped == got
+
+
 def test_image_dhash_brightness_invariant_and_boundaries(spark):
     """image_dhash (q169's primitive): uniform brightness shifts hash
     identically (the cross-multiplied gradient bits cancel the shift
