@@ -72,6 +72,15 @@ PAIR_SCHEMA = "media_id_a long, media_id_b long, hamming int"
 # fragment instead).
 VIDEO_PAIR_SCHEMA = "media_id_a long, media_id_b long, fp long"
 
+# Hamming-tolerant video pairs are emitted at (pair, near frame-hash
+# combo) granularity — the (ha, hb) columns are the same exactness
+# device as VIDEO_PAIR_SCHEMA's fp: DISTINCT across batch files
+# re-unifies combos re-found under redelivery or batch splits, so
+# read_video_hamming_pairs' n_near is exact under any split.
+VIDEO_HAMMING_PAIR_SCHEMA = (
+    "media_id_a long, media_id_b long, ha long, hb long, hamming int"
+)
+
 
 def _hashes(batch_df: DataFrame, kind: str) -> DataFrame:
     """(media_id, hsh, b0..b3) for the batch via the REAL decode+hash."""
@@ -114,8 +123,10 @@ def media_neardup_fold_batch(
     state is one row per (frame fingerprint ``fp``, ``media_id``) from
     the real APNG decode (``video_scene_changes``' shared dHash kernel),
     buckets keyed by ``fp`` itself — EXACT fingerprint equality, q175's
-    contract, so ``max_hamming`` does not apply (a Hamming-tolerant
-    variant composes via hamming_band_pairs over the frame-hash frame).
+    contract, so ``max_hamming`` does not apply; the Hamming-tolerant
+    variant is ``kind="video_hamming"`` (round 17 — q178's streaming
+    twin, ``_video_hamming_fold_batch``: banded per-frame hashes, combo
+    granularity, the full occupancy guard).
     Pairs are written as (media_id_a, media_id_b, fp) triples; see
     ``VIDEO_PAIR_SCHEMA`` for why the triple granularity is what makes
     fold ≡ batch hold, and ``read_video_dup_pairs`` for the q175-shaped
@@ -169,6 +180,17 @@ def media_neardup_fold_batch(
             state_path=state_path,
             pairs_path=pairs_path,
             n_buckets=n_buckets,
+        )
+        return
+    if kind == "video_hamming":
+        _video_hamming_fold_batch(
+            batch_df,
+            batch_id,
+            state_path=state_path,
+            pairs_path=pairs_path,
+            n_buckets=n_buckets,
+            max_hamming=max_hamming,
+            max_bucket=max_bucket,
         )
         return
     hashes = _hashes(batch_df, kind).localCheckpoint(eager=True)
@@ -327,6 +349,152 @@ def _video_fold_batch(
         key_cols=["fp"],
         merge_fn=merge,
         n_buckets=n_buckets,
+    )
+
+
+def _video_hamming_fold_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    state_path: str,
+    pairs_path: str,
+    n_buckets: int,
+    max_hamming: int,
+    max_bucket: int | None,
+) -> None:
+    """Hamming-TOLERANT video leg (round 17, VERDICT r16 #4 — the
+    streaming twin of ``multimodal.video_neardup_hamming_pairs``):
+    state is the image leg's banded index but over per-FRAME dHashes —
+    one row per (band index, band value, media_id, frame hash), keyed
+    and bucketed by (bi, bv) — so a media can hold many hashes and the
+    state dedup key must include the hash. Pairs are written at
+    (pair, ha, hb, hamming) granularity (``VIDEO_HAMMING_PAIR_SCHEMA``
+    — the fp-column exactness device generalized to combos), probed
+    from the healed pre-state exactly like the image leg, with the same
+    ``max_bucket`` occupancy guard (total state+batch occupancy per
+    band bucket) and the same monotone-sandwich semantics under it.
+    ``read_video_hamming_pairs`` groups the distinct combos to q178's
+    (pair, n_near) shape; fold ≡ batch because a cross-batch near combo
+    is found when the later frame hash arrives and banding is
+    pigeonhole-complete at radius ≤ 2."""
+    if max_hamming > 2:
+        raise ValueError(
+            "4-band bucketing is only pigeonhole-complete for Hamming <= 2"
+        )
+    fps = (
+        mm.video_scene_changes(batch_df)
+        .select("media_id", F.col("dhash").alias("hsh"))
+        .distinct()
+    )
+    bands = (
+        fps.select(
+            "media_id",
+            "hsh",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("hsh"), 16 * j)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .cast("int")
+                        for j in range(4)
+                    ]
+                )
+            ).alias("bi", "bv"),
+        )
+        .select("bi", "bv", "media_id", "hsh")
+        .localCheckpoint(eager=True)
+    )
+
+    def _combo_cols(left: DataFrame) -> DataFrame:
+        # ordered (a, b) with the hash columns following the same
+        # assignment, so a combo is one row regardless of probe side
+        a_first = F.col("media_id") < F.col("__mid2")
+        return (
+            left.filter(F.col("media_id") != F.col("__mid2"))
+            .select(
+                F.least("media_id", "__mid2").alias("media_id_a"),
+                F.greatest("media_id", "__mid2").alias("media_id_b"),
+                F.when(a_first, F.col("hsh")).otherwise(F.col("__h2")).alias("ha"),
+                F.when(a_first, F.col("__h2")).otherwise(F.col("hsh")).alias("hb"),
+                F.bit_count(F.col("hsh").bitwiseXOR(F.col("__h2")))
+                .cast("int")
+                .alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+
+    def merge(pre: DataFrame | None, part: DataFrame) -> DataFrame:
+        part_probe, pre_probe = part, pre
+        if max_bucket is not None:
+            combined = (
+                part if pre is None else part.unionByName(pre)
+            ).dropDuplicates(["bi", "bv", "media_id", "hsh"])
+            hot = (
+                combined.groupBy("bi", "bv")
+                .agg(F.count(F.lit(1)).alias("__occ"))
+                .filter(F.col("__occ") > max_bucket)
+                .select("bi", "bv")
+            )
+            part_probe = part.join(F.broadcast(hot), ["bi", "bv"], "left_anti")
+            if pre is not None:
+                pre_probe = pre.join(
+                    F.broadcast(hot), ["bi", "bv"], "left_anti"
+                )
+        rhs = ["bi", "bv", F.col("media_id").alias("__mid2"),
+               F.col("hsh").alias("__h2")]
+        within = _combo_cols(
+            part_probe.join(part_probe.select(*rhs), ["bi", "bv"])
+        )
+        if pre is not None:
+            cross = _combo_cols(
+                part_probe.join(pre_probe.select(*rhs), ["bi", "bv"])
+            )
+            pairs = within.unionByName(cross).distinct()
+        else:
+            pairs = within
+        pairs.coalesce(1).write.mode("overwrite").parquet(
+            f"{pairs_path}/__ingest_batch={batch_id}"
+        )
+        if pre is None:
+            return part
+        return pre.unionByName(part).dropDuplicates(
+            ["bi", "bv", "media_id", "hsh"]
+        )
+
+    touched_bucket_fold(
+        bands,
+        batch_id,
+        path=state_path,
+        key_cols=["bi", "bv"],
+        merge_fn=merge,
+        n_buckets=n_buckets,
+    )
+
+
+def read_video_hamming_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
+    """q178-shaped readout of the Hamming-tolerant video gate: distinct
+    (a, b, ha, hb) combos across all batch files, counted per pair —
+    equals one-shot ``video_neardup_hamming_pairs`` over everything
+    folded (fold ≡ batch at combo granularity, so frames split across
+    batches cannot double or fragment n_near). Output: (media_id_a,
+    media_id_b, n_near)."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(pairs_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if (
+        not fs.exists(hpath(pairs_path))
+        or not fs.globStatus(hpath(f"{pairs_path}/__ingest_batch=*"))
+    ):
+        combos = spark.createDataFrame([], VIDEO_HAMMING_PAIR_SCHEMA)
+    else:
+        combos = (
+            spark.read.option("basePath", pairs_path)
+            .parquet(f"{pairs_path}/__ingest_batch=*")
+            .drop("__ingest_batch")
+            .distinct()
+        )
+    return combos.groupBy("media_id_a", "media_id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_near")
     )
 
 
