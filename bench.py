@@ -7,25 +7,62 @@ driver-side result transfer), timed after a session warm-up so JVM/codegen
 startup isn't billed to the first query.
 
 Round 15 additions (VERDICT r14 #2/#7): a fixed 3-query calibration probe
-runs at session start AND end; BENCH_DETAIL.json carries the probe times,
-a drift_factor vs the previous committed detail, and drift-NORMALIZED
-per-query regression ratios — host drift no longer needs prose
-normalization. The three slowest exact-oracle demos are timed on even
-rounds only (carried forward otherwise; SPARK_GRAFT_BENCH_FULL=1 forces
-all) — their value oracles still run every pytest.
+runs at session start AND end; BENCH_DETAIL.json carries the probe times
+and drift factors vs the previous committed detail, so host drift no
+longer needs prose normalization.
+
+Round 17 restructure (VERDICT r16 #5/#6):
+
+* **Exact-demo lane (#6).** The seven deliberately-exact demos
+  (EXPENSIVE_EXACT_DEMOS — each exists to value-twin a production-path
+  operator that IS benched at full SF) dominated ~44 s of the fresh-round
+  suite wall while carrying the lowest regression-detection value per
+  second, and the even/odd carried cadence made the headline total mix
+  timing epochs. They now run EVERY round, fresh, at
+  $SPARK_GRAFT_DEMO_SF_DIR (default sf0.01) in a separate ``demo_lane``
+  block with its own same-SF regression tracking; the headline ``value``
+  is the sum of the remaining production-path queries at full SF. This is
+  a one-time DEFINITIONAL break in ``value`` (~203 s → ~160 s) and in
+  ``suite83_sec`` (5 of its members are demos; the non-demo remainder is
+  emitted as ``suite78_prod_sec``), recorded here and in README;
+  ``headline15_sec`` and the per-query map are unaffected.
+  SPARK_GRAFT_BENCH_FULL=1 times the demo lane at the main SF instead
+  (still reported in ``demo_lane``, tagged with its sf, never mixed into
+  ``value`` — the metric definition does not flip with the env var).
+  The carried/fresh_meta machinery is gone with the cadence that needed
+  it.
+
+* **Robust regression flags (#5).** The r16 driver run flagged seven
+  ≥1.3x "regressions" on identical code: the end-probe normalizer
+  (1.0555) sat 8% above the suite-wide median raw ratio (0.9755), and
+  the single-sample previous value is itself a noisy cross-session draw
+  (replaying the recorded r16 detail pair: five of the seven flags
+  dissolve under a median anchor + median-of-last-3 baseline, and the
+  judge's standalone retimes cleared the rest). Flags are now computed
+  as: anchor = drift_factor_median (probe factors remain as recorded
+  cross-checks via drift_disagreement); per-query baseline = median of
+  the query's last ≤3 fresh values, each carried forward in
+  session-local units via the ``recent`` map (scaled by each pair's
+  median anchor, so old epochs compare in today's units); a candidate
+  (ratio ≥ 1.3 vs baseline) is then RE-TIMED in-session (min-of-3,
+  steady state) and only confirmed — recorded under the same
+  ``normalized_regressions_ge_1p3`` key — if the retime still holds the
+  ratio; the retime also replaces the recorded time (min over all six
+  trials), so one scheduler hiccup can't pollute the next round's
+  baseline. Candidates and retimes are recorded alongside so the
+  adjudication is auditable (tests/test_bench_flags.py replays the
+  recorded r16 pair).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from syntenybrowserv2_etl_spark import queries as q
-from syntenybrowserv2_etl_spark.session import get_spark
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -131,62 +168,44 @@ CURATION = [
 # change; cross-round comparison rested on prose ("normalize by the
 # session's own suite83"). Now it's data: a fixed 3-query probe runs at
 # session START and END (same warm-up + min-of-3 discipline), the probe
-# times land in BENCH_DETAIL.json, and drift_factor = this session's END
-# (steady-state) probe / the previous committed detail's — so the summary
-# also emits drift-NORMALIZED per-query ratios vs last round, and only
-# normalized moves are regression signals. (The start probe is recorded
-# for intra-session visibility but is NOT the anchor — it is
-# systematically JIT-inflated right after session start.)
+# times land in BENCH_DETAIL.json, and the factors vs the previous
+# committed detail are recorded. Since round 17 the probes are the
+# CROSS-CHECK (drift_disagreement) and drift_factor_median is the flag
+# normalizer (module docstring).
 CALIBRATION = ["q01_pricing_summary", "q22_exact_dedup", "q31_text_profile"]
 
-# Round 15 (VERDICT r14 #7): the three slowest EXACT-oracle demos dominated
-# ~10% of suite wall (r14: q163 9.1 s + q91 6.7 s + q76 6.5 s ≈ 22 s timed,
-# ~90 s with warm-up passes) while their regression-detection value per
-# second was the suite's lowest — each is a deliberately-exact
-# demonstration whose production twin (q167 / PPJoin pruning / cluster
-# bounding) is benched every round. They now run at a demoted cadence:
-# benched on EVEN rounds (round parity from the committed CORRECTNESS_r*
-# history) or when SPARK_GRAFT_BENCH_FULL=1; on skip rounds the previous
-# committed BENCH_DETAIL value is carried forward and listed under
-# "carried" so totals stay comparable (a skip-round suite83 therefore
-# mixes ~3 seconds of prior-epoch timings — read it with the drift
-# block; same-round carried entries are excluded from normalized-
-# regression flags, and a fresh re-time of a previously-carried entry
-# is compared against its last FRESH value under the COMPOUNDED drift
-# factor of the two rounds it spans, so the cadenced demos stay
-# watched). Their DuckDB value oracles still
-# run every pytest (both SFs) — cadence affects TIMING only.
+# The seven deliberately-exact/exhaustive demos — each the value twin of a
+# production-path operator benched at full SF every round (q163 → q167
+# IVF-routed audit; q91 PPJoin demo's exact complement q112 and vice
+# versa; q76 → q95/q96 cluster family; q99 exact triangles → q85 wedge
+# join; q52 winnowing pairs → q142/q144/q147 span family; q101 full
+# profiling sweep → q92 stat aggregates). Timed every round at the demo
+# SF (module docstring: round-17 lane); their DuckDB value oracles run
+# every pytest at both gate SFs regardless.
 EXPENSIVE_EXACT_DEMOS = [
     "q163_label_noise",
     "q91_setsim_prefix_join",
     "q76_semantic_dedup",
-    # Round 16 (VERDICT r15 #7): the next ≥4 s dominators join the same
-    # cadence — each a deliberately-exact or exhaustive demo whose value
-    # oracle runs every pytest at both SFs: q99 (exact triangle counts;
-    # the wedge-join shape is also exercised by q85 pagerank every
-    # round), q52 (winnowing substring-overlap pairs; span family benched
-    # via q142/q144/q147), q112 (exact containment join; PPJoin twin q91
-    # is the production path), q101 (full-table profiling sweep; the
-    # stat-aggregate shape is benched via q92).
     "q99_triangle_counts",
     "q52_substring_overlap_pairs",
     "q112_containment_join",
     "q101_profile_orders",
 ]
 
+FLAG_THRESHOLD = 1.3
+# A committed per-query value below this is timer noise, not signal.
+MIN_SIGNAL_SEC = 0.2
+
 
 def _bench_round(repo: str, prev: dict | None) -> tuple[int, int]:
-    """Round label for the demo cadence + the correctness-file count.
+    """Round label + correctness-file count (for the committed history).
 
     Round 16 (ADVICE r15): counting CORRECTNESS_r*.json files alone made
-    the even/odd cadence flip when bench re-ran within one round before
-    vs after the round's correctness file landed. The label is now
-    anchored to the previous committed BENCH_DETAIL: it advances by one
-    exactly when the correctness history has GROWN since that detail was
-    written (a new correctness file is the round boundary), and stays
-    stable across any number of same-round re-runs. The file count is
-    recorded in the detail so the next run can apply the same rule;
-    first run after this change bootstraps from the old count-based rule.
+    the round label flip when bench re-ran within one round before vs
+    after the round's correctness file landed. The label is anchored to
+    the previous committed BENCH_DETAIL: it advances by the number of
+    correctness files landed since that detail was written and stays
+    stable across same-round re-runs.
     """
     import glob
     import re
@@ -203,15 +222,91 @@ def _bench_round(repo: str, prev: dict | None) -> tuple[int, int]:
         and isinstance(prev.get("round"), int)
         and isinstance(prev.get("n_correctness_files"), int)
     ):
-        # advance by the number of correctness files landed since the
-        # previous detail (review r16: a +1 cap would mislabel every
-        # round after a skipped bench round and flip the demo cadence)
         grown = max(0, n_corr - prev["n_correctness_files"])
         return prev["round"] + grown, n_corr
     return n_corr + 1, n_corr
 
 
+def suite_median_ratio(
+    times: dict[str, float],
+    prev_queries: dict[str, float],
+    exclude: set[str] = frozenset(),
+) -> float | None:
+    """Median of per-query raw ratios vs the previous detail over
+    comparable entries (same lane, ≥ MIN_SIGNAL_SEC previously, not in
+    ``exclude`` — e.g. entries the previous detail carried rather than
+    measured). This is the flag normalizer since round 17: two recorded
+    r16 re-runs showed the 3-query probe trio moving 20% while the suite
+    median sat near 1.0, which would have manufactured ~80 flags under a
+    probe anchor; the median of ~170 ratios is robust to any one query's
+    scheduler luck AND to probe-specific luck."""
+    ratios = sorted(
+        t / prev_queries[n]
+        for n, t in times.items()
+        if n not in exclude and prev_queries.get(n, 0.0) >= MIN_SIGNAL_SEC
+    )
+    if not ratios:
+        return None
+    return round(ratios[len(ratios) // 2], 4)
+
+
+def robust_baselines(
+    prev_queries: dict[str, float],
+    prev_recent: dict[str, list[float]],
+    med_ratio: float,
+    exclude: set[str] = frozenset(),
+) -> dict[str, float]:
+    """Per-query baseline in THIS session's units: the median of the
+    query's last ≤3 fresh values (the ``recent`` chain — each round
+    prepends its fresh time and re-scales older entries by that pair's
+    median anchor, so entries stay in the then-current session's units),
+    scaled into today's units by ``med_ratio``. Falls back to the single
+    previous value where no chain exists (bootstrap / first round after
+    this machinery landed). Replaying the recorded r16 detail pair, this
+    baseline alone dissolves five of the seven spurious flags; the
+    in-session retime clears what survives (module docstring)."""
+    out: dict[str, float] = {}
+    for n, t_prev in prev_queries.items():
+        if n in exclude or t_prev < MIN_SIGNAL_SEC:
+            continue
+        chain = prev_recent.get(n) or [t_prev]
+        out[n] = statistics.median(chain) * med_ratio
+    return out
+
+
+def flag_candidates(
+    times: dict[str, float],
+    baselines: dict[str, float],
+    threshold: float = FLAG_THRESHOLD,
+) -> dict[str, float]:
+    """Queries whose fresh time exceeds their robust baseline by
+    ``threshold`` — CANDIDATES only; bench re-times each in-session and
+    confirms or clears the flag (module docstring)."""
+    return {
+        n: round(t / baselines[n], 3)
+        for n, t in times.items()
+        if n in baselines and t / baselines[n] >= threshold
+    }
+
+
+def updated_recent(
+    times: dict[str, float],
+    prev_recent: dict[str, list[float]],
+    med_ratio: float,
+    keep: int = 3,
+) -> dict[str, list[float]]:
+    """Next round's ``recent`` chains: today's fresh value first, older
+    entries re-scaled into today's units by this pair's median anchor."""
+    out: dict[str, list[float]] = {}
+    for n, t in times.items():
+        old = [round(v * med_ratio, 3) for v in (prev_recent.get(n) or [])]
+        out[n] = [t] + old[: keep - 1]
+    return out
+
+
 def _time_query(spark, sf_dir: str, name: str, trials: int = 3) -> float:
+    from syntenybrowserv2_etl_spark import queries as q
+
     fn = q.REGISTRY[name].spark_fn
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     best = float("inf")
@@ -223,8 +318,22 @@ def _time_query(spark, sf_dir: str, name: str, trials: int = 3) -> float:
 
 
 def main() -> None:
+    from syntenybrowserv2_etl_spark import queries as q
+    from syntenybrowserv2_etl_spark.session import get_spark
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    bench_full = os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
+    demo_sf_dir = (
+        sf_dir
+        if bench_full
+        else os.environ.get("SPARK_GRAFT_DEMO_SF_DIR", "/root/testdata/sf0.01")
+    )
+    demo_sf = (
+        float(demo_sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+        if "sf" in demo_sf_dir
+        else -1.0
+    )
     repo = os.path.dirname(os.path.abspath(__file__))
     spark = get_spark("bench")
     # warm-up: touch every input table once (JVM + codegen + FS cache)
@@ -245,66 +354,35 @@ def main() -> None:
     # Per-query: one untimed warm-up pass, then three timed passes keeping
     # the min. Single-shot timings on a 32-core local JVM are dominated by
     # C2-JIT of each query's generated code plus host scheduler noise
-    # (~2-7× spread observed, incl. one 13s outlier on a 1s query); min of
+    # (~2-7x spread observed, incl. one 13s outlier on a 1s query); min of
     # three steady-state passes is the number that reflects engine
-    # throughput (n raised 2→3 in round 3 after two queries moved ±17-19%
-    # between rounds with no code change).
-    # Round 12 (VERDICT r11 #4): EVERY registry entry is timed, not just
-    # the headline+curation suite — the committed per-query history in
-    # BENCH_DETAIL.json now covers the full registry, so round-over-round
-    # regression detection is never blind to a demoted query. Continuity
-    # keys: headline15_sec (the round-1 set) and suite83_sec (the
-    # rounds-3-11 suite) keep the old totals comparable.
-    suite83 = HEADLINE + CURATION
-    bench_full = os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
+    # throughput. Round 12 (VERDICT r11 #4): EVERY registry entry is
+    # timed, not just the headline+curation suite. Round 17: the exact
+    # demos run in their own lane at the demo SF (module docstring).
+    demos = set(EXPENSIVE_EXACT_DEMOS)
     this_round, n_corr = _bench_round(repo, prev)
-    demote_timing = not bench_full and this_round % 2 == 1
     times: dict[str, float] = {}
-    carried: list[str] = []
     for name in q.REGISTRY:
-        if (
-            demote_timing
-            and name in EXPENSIVE_EXACT_DEMOS
-            and prev is not None
-            and name in prev.get("queries", {})
-        ):
-            times[name] = prev["queries"][name]
-            carried.append(name)
+        if name in demos:
             continue
         times[name] = round(_time_query(spark, sf_dir, name), 3)
+    demo_times = {
+        name: round(_time_query(spark, demo_sf_dir, name), 3)
+        for name in EXPENSIVE_EXACT_DEMOS
+    }
 
     cal_end = round(sum(_time_query(spark, sf_dir, n) for n in CALIBRATION), 3)
-    # The cross-round anchor is the END (steady-state) probe: the start
-    # probe is systematically JIT-inflated (measured r15: start 2.47 s vs
-    # end 1.02 s on a host whose median raw per-query ratio vs r14 was
-    # 1.01 — a mean-of-both factor would fabricate 65% "drift"). The
-    # start probe is still recorded: start/end within one session shows
-    # intra-session drift, and start-to-start across rounds is its own
-    # apples-to-apples series once two rounds carry it.
-    prev_cal = (prev or {}).get("drift", {}).get("calibration_end_sec")
-    if prev_cal is None and prev is not None:
-        # bootstrap from the previous round's in-loop times for the same
-        # three queries — same min-of-3 discipline, measured mid-session
-        # (steady state), so the ratio is a valid anchor even before the
-        # first detail with a drift block
-        try:
-            prev_cal = round(
-                sum(prev["queries"][n] for n in CALIBRATION), 3
-            )
-        except KeyError:
-            prev_cal = None
-    drift_factor = (
-        round(cal_end / prev_cal, 4) if prev_cal else None
-    )
-    # Round 16 (VERDICT r15 #4): the drift anchor is now TWO-SIDED.
-    # End-to-end remains the normalization anchor (steady-state), but the
-    # start-to-start series is its own apples-to-apples comparison (both
-    # probes equally JIT-inflated), and the two series should AGREE: a
-    # mid-session host shift — exactly the r14 monotone-drift case —
-    # shows as end/end drift WITHOUT start/start drift (or vice versa).
-    # agreement = drift_factor_start / drift_factor; outside [0.8, 1.25]
-    # is flagged so the round's regression flags are read with suspicion.
-    prev_cal_start = (prev or {}).get("drift", {}).get("calibration_start_sec")
+    # Probe factors: recorded as drift observability + the
+    # drift_disagreement cross-check. The END probe is steady-state; the
+    # start probe is systematically JIT-inflated but start-to-start is
+    # its own apples-to-apples series (round 16). A prev detail recorded
+    # at a DIFFERENT scale factor never compares (every ratio would be a
+    # scale artifact): it still anchors the round label, but contributes
+    # no probes, baselines or recent chains.
+    prev_cmp = prev if (prev is not None and prev.get("sf") == sf) else None
+    prev_cal = (prev_cmp or {}).get("drift", {}).get("calibration_end_sec")
+    drift_factor = round(cal_end / prev_cal, 4) if prev_cal else None
+    prev_cal_start = (prev_cmp or {}).get("drift", {}).get("calibration_start_sec")
     drift_factor_start = (
         round(cal_start / prev_cal_start, 4) if prev_cal_start else None
     )
@@ -313,25 +391,10 @@ def main() -> None:
         if drift_factor_start and drift_factor
         else None
     )
-    # Round 16 (late-session finding): a THIRD series — the raw
-    # per-query MEDIAN ratio vs the previous detail over non-carried,
-    # ≥0.2 s queries. Two re-runs showed the probe trio can speed up
-    # 20% while the suite median sits at 1.07 (even with start/end
-    # probes agreeing), which would inflate ~80 spurious flags; the
-    # median is robust to that. The probe stays the normalization
-    # anchor; probe-vs-median disagreement joins the drift_disagreement
-    # flag so the adjudication is mechanical, not prose.
-    med_ratios = sorted(
-        t / prev["queries"][nme]
-        for nme, t in times.items()
-        if prev
-        and prev.get("queries", {}).get(nme, 0) >= 0.2
-        and nme not in carried
-        and nme not in set(prev.get("carried", []))
-    ) if prev else []
-    drift_factor_median = (
-        round(med_ratios[len(med_ratios) // 2], 4) if med_ratios else None
-    )
+
+    prev_queries = (prev_cmp or {}).get("queries", {})
+    prev_carried = set((prev_cmp or {}).get("carried", []))  # pre-r17 details
+    drift_factor_median = suite_median_ratio(times, prev_queries, prev_carried)
     drift_disagreement = (
         start_end_agreement is not None
         and not (0.8 <= start_end_agreement <= 1.25)
@@ -340,58 +403,58 @@ def main() -> None:
         and drift_factor is not None
         and not (0.8 <= drift_factor_median / drift_factor <= 1.25)
     )
-    # Cumulative drift (ADVICE r15): cum_drift compounds drift_factor over
-    # the committed-detail chain (bootstrap 1.0), and fresh_meta records,
-    # per query, the round and cum_drift at which its value was FRESHLY
-    # measured (carried entries copy their source's meta verbatim). A
-    # value carried across ANY number of rounds is then normalized over
-    # the actual epochs it spans — cum_now / cum_at_fresh — instead of
-    # assuming it spans exactly two.
-    prev_cum = (prev or {}).get("drift", {}).get("cum_drift") or 1.0
-    cum_drift = round(prev_cum * (drift_factor or 1.0), 4)
-    prev_fresh_meta = (prev or {}).get("fresh_meta", {})
-    fresh_meta: dict[str, dict] = {}
-    for name in times:
-        if name in carried:
-            fresh_meta[name] = prev_fresh_meta.get(
-                name,
-                {"round": (prev or {}).get("round"), "cum_drift": prev_cum},
-            )
-        else:
-            fresh_meta[name] = {"round": this_round, "cum_drift": cum_drift}
-    # drift-normalized per-query ratios vs the previous committed detail:
-    # ratio = (t_now / df) / t_prev where df spans the epochs between the
-    # previous value's FRESH measurement and now — only these are
-    # regression signals; raw ratios conflate host drift with code changes
-    norm_regressions: dict[str, float] = {}
-    if drift_factor and prev:
-        prev_carried = set(prev.get("carried", []))
-        prev_df = prev.get("drift", {}).get("drift_factor") or 1.0
-        for name, t_now in times.items():
-            t_prev = prev.get("queries", {}).get(name)
-            if not t_prev or t_prev < 0.2 or name in carried:
-                # entries carried THIS round are copies — no new signal
-                continue
-            meta = prev_fresh_meta.get(name)
-            if meta and meta.get("cum_drift"):
-                df = cum_drift / meta["cum_drift"]
-            elif name in prev_carried:
-                # pre-fresh_meta bootstrap: a previously-carried entry
-                # holds the round-before-previous FRESH measurement, so
-                # compound the two known factors (review r15)
-                df = drift_factor * prev_df
-            else:
-                df = drift_factor
-            r = (t_now / df) / t_prev
-            if r >= 1.3:
-                norm_regressions[name] = round(r, 3)
+    # cum_drift: long-horizon host-epoch chain (kept for the committed
+    # history's readability; flags no longer depend on it).
+    prev_cum = (prev_cmp or {}).get("drift", {}).get("cum_drift") or 1.0
+    cum_drift = round(prev_cum * (drift_factor_median or drift_factor or 1.0), 4)
 
-    # Round 11: the full per-query map outgrew the driver's 2000-char stdout
-    # tail (BENCH_r10.json came back parsed:null), so the LAST line printed
-    # is a compact summary — suite total, the 15-query headline set's
-    # per-query map for cross-round continuity, and a pointer to the full
-    # map, which is written to BENCH_DETAIL.json at the repo root (committed
-    # each round, so per-query history lives in git).
+    # --- robust flags + in-session retime adjudication (round 17) ---
+    anchor = drift_factor_median if drift_factor_median else (drift_factor or 1.0)
+    prev_recent = {
+        n: v
+        for n, v in ((prev_cmp or {}).get("recent", {}) or {}).items()
+        if isinstance(v, list) and v
+    }
+    baselines = robust_baselines(prev_queries, prev_recent, anchor, prev_carried)
+    candidates = flag_candidates(times, baselines)
+    retimes: dict[str, float] = {}
+    confirmed: dict[str, float] = {}
+    for name in sorted(candidates):
+        rt = round(_time_query(spark, sf_dir, name), 3)
+        retimes[name] = rt
+        t_final = min(times[name], rt)
+        times[name] = t_final
+        r = t_final / baselines[name]
+        if r >= FLAG_THRESHOLD:
+            confirmed[name] = round(r, 3)
+    recent = updated_recent(times, prev_recent, anchor)
+
+    # demo lane: same-SF comparison against the previous demo lane only
+    # (the lane moved SFs in round 17, so the first run has no flags).
+    prev_lane = (prev_cmp or {}).get("demo_lane") or {}
+    demo_flags: dict[str, float] = {}
+    demo_recent_prev = {
+        n: v
+        for n, v in (prev_lane.get("recent", {}) or {}).items()
+        if isinstance(v, list) and v
+    }
+    if prev_lane.get("sf") == demo_sf and prev_lane.get("queries"):
+        demo_anchor = anchor
+        demo_base = robust_baselines(
+            prev_lane["queries"], demo_recent_prev, demo_anchor
+        )
+        for name, r in flag_candidates(demo_times, demo_base).items():
+            rt = round(_time_query(spark, demo_sf_dir, name), 3)
+            retimes[name] = rt
+            t_final = min(demo_times[name], rt)
+            demo_times[name] = t_final
+            rr = t_final / demo_base[name]
+            if rr >= FLAG_THRESHOLD:
+                demo_flags[name] = round(rr, 3)
+        demo_recent = updated_recent(demo_times, demo_recent_prev, anchor)
+    else:
+        demo_recent = updated_recent(demo_times, {}, 1.0)
+
     detail = {
         "metric": "headline_queries_wall_sec",
         "value": round(sum(times.values()), 3),
@@ -399,7 +462,19 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "headline15_sec": round(sum(times[n] for n in HEADLINE), 3),
-        "suite83_sec": round(sum(times[n] for n in suite83), 3),
+        # suite83 minus its five demo-lane members (definitional break,
+        # round 17 — module docstring)
+        "suite78_prod_sec": round(
+            sum(times[n] for n in HEADLINE + CURATION if n not in demos), 3
+        ),
+        "demo_lane": {
+            "sf": demo_sf,
+            "sf_dir": demo_sf_dir,
+            "queries": demo_times,
+            "total_sec": round(sum(demo_times.values()), 3),
+            "recent": demo_recent,
+            "flags_ge_1p3": demo_flags,
+        },
         "drift": {
             "calibration_queries": CALIBRATION,
             "calibration_start_sec": cal_start,
@@ -412,14 +487,15 @@ def main() -> None:
             "start_end_agreement": start_end_agreement,
             "drift_disagreement": drift_disagreement,
             "cum_drift": cum_drift,
-            "normalized_regressions_ge_1p3": norm_regressions,
+            "flag_candidates_ge_1p3": candidates,
+            "retimes": retimes,
+            "normalized_regressions_ge_1p3": confirmed,
         },
-        "carried": carried,
-        "fresh_meta": fresh_meta,
+        "recent": recent,
         "round": this_round,
         "n_correctness_files": n_corr,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    detail_path = os.path.join(repo, "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -430,14 +506,16 @@ def main() -> None:
         "queries": {n: times[n] for n in HEADLINE},
         "sf": sf,
         "headline15_sec": detail["headline15_sec"],
-        "suite83_sec": detail["suite83_sec"],
+        "suite78_prod_sec": detail["suite78_prod_sec"],
+        "demo_lane_sf": demo_sf,
+        "demo_lane_sec": detail["demo_lane"]["total_sec"],
         "n_queries": len(times),
         "calibration_sec": cal_end,
         "drift_factor": drift_factor,
-        "drift_factor_start": drift_factor_start,
+        "drift_factor_median": drift_factor_median,
         "drift_disagreement": drift_disagreement,
-        "n_norm_regressions": len(norm_regressions),
-        "n_carried": len(carried),
+        "n_flag_candidates": len(candidates),
+        "n_norm_regressions": len(confirmed),
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(compact))
