@@ -111,7 +111,7 @@ KNOWN_OPS = frozenset({
     "label_noise_ivf", "quantile_grid", "oov_rate", "entropy_rate",
     "image_dhash", "audio_ehash", "image_pair_join", "audio_pair_join",
     "structured_pair_join",
-    "media_gate_fold", "media_gate_fold_video",
+    "media_gate_fold", "media_gate_fold_video", "media_gate_fold_skew",
     "jpeg_decode_stats", "apng_decode_stats",
     "embedding_collapse", "label_separation", "label_cohesion",
     "assoc_mi", "ks_drift", "kmv_overlap", "zipf_fit",
@@ -149,6 +149,7 @@ def main():
         "image_dhash", "audio_ehash", "image_pair_join", "audio_pair_join",
         "structured_pair_join",
         "media_gate_fold", "media_gate_fold_video",
+        "media_gate_fold_skew",
         "jpeg_decode_stats", "apng_decode_stats",
     }
     results = []
@@ -1008,6 +1009,57 @@ def main():
 
         if only is None or "media_gate_fold_video" in only:
             _media_gate_fold_video()
+
+        # round 17 (VERDICT r16 #3): the streaming gate's occupancy
+        # guard under skew-planted STATE — pre-grow the index from the
+        # STRUCTURED (linear-ramp) population whose band values
+        # concentrate (the ~N^1.6 batch-side blow-up fixture), then time
+        # ONE constant 2-image batch fold with and without
+        # max_bucket=8. Uncapped, the batch's probe of the hot
+        # accumulated buckets grows with the index; capped, per-batch
+        # probe volume is bounded by batch keys x 8 and the wall must
+        # stay flat across index growth.
+        def _media_gate_fold_skew():
+            import shutil as _sh
+
+            from syntenybrowserv2_etl_spark.operators import multimodal as mmod
+            from syntenybrowserv2_etl_spark.streaming import mediadedup as md
+
+            batch = mmod.synthetic_neardup_png_media(spark, 1, 2).select(
+                (F.col("media_id") + 9_000_000).alias("media_id"),
+                "kind", "payload", "width", "height", "duration_ms", "codec",
+            )
+            for tag, cap in (("capped", 8), ("uncapped", None)):
+                state = f"{SCRATCH}/mgate_skew_state_{tag}_x{f}"
+                pairs = f"{SCRATCH}/mgate_skew_pairs_{tag}_x{f}"
+                _sh.rmtree(state, ignore_errors=True)
+                _sh.rmtree(pairs, ignore_errors=True)
+                md.media_neardup_fold_batch(
+                    mmod.synthetic_neardup_png_media(spark, 15 * f, 3),
+                    0,
+                    state_path=state,
+                    pairs_path=pairs,
+                    kind="image",
+                    n_buckets=64,
+                    max_bucket=cap,
+                )
+                r[f"media_gate_fold_skew_{tag}"] = timed(
+                    lambda: md.media_neardup_fold_batch(
+                        batch,
+                        1,
+                        state_path=state,
+                        pairs_path=pairs,
+                        kind="image",
+                        n_buckets=64,
+                        max_bucket=cap,
+                    )
+                )
+                r[f"media_gate_fold_skew_{tag}_pairs"] = md.read_dup_pairs(
+                    spark, pairs
+                ).count()
+
+        if only is None or "media_gate_fold_skew" in only:
+            _media_gate_fold_skew()
 
         def _media_pair_join(key, gen, hash_fn, hash_col):
             from syntenybrowserv2_etl_spark.operators import multimodal as mmod
