@@ -240,14 +240,14 @@ def suite_median_ratio(
     median sat near 1.0, which would have manufactured ~80 flags under a
     probe anchor; the median of ~170 ratios is robust to any one query's
     scheduler luck AND to probe-specific luck."""
-    ratios = sorted(
+    ratios = [
         t / prev_queries[n]
         for n, t in times.items()
         if n not in exclude and prev_queries.get(n, 0.0) >= MIN_SIGNAL_SEC
-    )
+    ]
     if not ratios:
         return None
-    return round(ratios[len(ratios) // 2], 4)
+    return round(statistics.median(ratios), 4)
 
 
 def robust_baselines(
@@ -429,31 +429,51 @@ def main() -> None:
             confirmed[name] = round(r, 3)
     recent = updated_recent(times, prev_recent, anchor)
 
-    # demo lane: same-SF comparison against the previous demo lane only
-    # (the lane moved SFs in round 17, so the first run has no flags).
+    # demo lane: same-SF comparison only, with chains kept PER SF in
+    # recent_by_sf so an incompatible run (SPARK_GRAFT_BENCH_FULL times
+    # the lane at the main SF) never destroys the normal lane's history
+    # — the other SFs' chains carry through untouched (their units go
+    # one host-epoch stale per skipped round; the retime adjudication
+    # backstops that). The lane has its own candidates/retimes maps —
+    # demo retimes are measured at the demo SF and must not mix into
+    # drift.retimes next to full-SF values.
     prev_lane = (prev_cmp or {}).get("demo_lane") or {}
+    prev_lane_by_sf = dict(prev_lane.get("recent_by_sf") or {})
+    if prev_lane.get("sf") is not None and prev_lane.get("recent"):
+        # back-compat: details before recent_by_sf keyed chains by the
+        # lane's single sf
+        prev_lane_by_sf.setdefault(str(prev_lane["sf"]), prev_lane["recent"])
     demo_flags: dict[str, float] = {}
+    demo_candidates: dict[str, float] = {}
+    demo_retimes: dict[str, float] = {}
     demo_recent_prev = {
         n: v
-        for n, v in (prev_lane.get("recent", {}) or {}).items()
+        for n, v in (prev_lane_by_sf.get(str(demo_sf)) or {}).items()
         if isinstance(v, list) and v
     }
-    if prev_lane.get("sf") == demo_sf and prev_lane.get("queries"):
-        demo_anchor = anchor
+    demo_prev_queries = (
+        prev_lane.get("queries") or {}
+        if prev_lane.get("sf") == demo_sf
+        else {n: c[0] for n, c in demo_recent_prev.items()}
+    )
+    if demo_prev_queries:
         demo_base = robust_baselines(
-            prev_lane["queries"], demo_recent_prev, demo_anchor
+            demo_prev_queries, demo_recent_prev, anchor
         )
-        for name, r in flag_candidates(demo_times, demo_base).items():
+        demo_candidates = flag_candidates(demo_times, demo_base)
+        for name in sorted(demo_candidates):
             rt = round(_time_query(spark, demo_sf_dir, name), 3)
-            retimes[name] = rt
+            demo_retimes[name] = rt
             t_final = min(demo_times[name], rt)
             demo_times[name] = t_final
             rr = t_final / demo_base[name]
             if rr >= FLAG_THRESHOLD:
                 demo_flags[name] = round(rr, 3)
-        demo_recent = updated_recent(demo_times, demo_recent_prev, anchor)
-    else:
-        demo_recent = updated_recent(demo_times, {}, 1.0)
+    demo_recent = updated_recent(
+        demo_times, demo_recent_prev, anchor if demo_prev_queries else 1.0
+    )
+    recent_by_sf = dict(prev_lane_by_sf)
+    recent_by_sf[str(demo_sf)] = demo_recent
 
     detail = {
         "metric": "headline_queries_wall_sec",
@@ -473,6 +493,9 @@ def main() -> None:
             "queries": demo_times,
             "total_sec": round(sum(demo_times.values()), 3),
             "recent": demo_recent,
+            "recent_by_sf": recent_by_sf,
+            "flag_candidates_ge_1p3": demo_candidates,
+            "retimes": demo_retimes,
             "flags_ge_1p3": demo_flags,
         },
         "drift": {

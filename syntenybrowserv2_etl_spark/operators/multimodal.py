@@ -2699,7 +2699,17 @@ def dhash_bands(frame: DataFrame, hash_col: str = "dhash") -> DataFrame:
     tests). Lets band machinery (``band_candidates`` /
     ``hamming_band_pairs`` / ``band_occupancy_report``) run over hash
     frames that carry only the packed hash — e.g.
-    ``video_scene_changes``' per-frame output."""
+    ``video_scene_changes``' per-frame output. Frames that already
+    carry band columns (image_dhash / audio_envelope_hash output) are
+    refused — re-deriving would shadow them with ambiguous
+    duplicates."""
+    dupes = [f"b{j}" for j in range(4) if f"b{j}" in frame.columns]
+    if dupes:
+        raise ValueError(
+            f"frame already carries band columns {dupes}; dhash_bands is "
+            "for hash frames without inline bands (the hash kernels emit "
+            "b0..b3 themselves)"
+        )
     return frame.select(
         "*",
         *[

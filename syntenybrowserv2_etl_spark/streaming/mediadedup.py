@@ -386,23 +386,11 @@ def _video_hamming_fold_batch(
         .select("media_id", F.col("dhash").alias("hsh"))
         .distinct()
     )
-    bands = (
-        fps.select(
-            "media_id",
-            "hsh",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.shiftright(F.col("hsh"), 16 * j)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .cast("int")
-                        for j in range(4)
-                    ]
-                )
-            ).alias("bi", "bv"),
-        )
-        .select("bi", "bv", "media_id", "hsh")
-        .localCheckpoint(eager=True)
+    # the shared band convention, in one place: dhash_bands re-derives
+    # b0..b3 from the packed hash, _band_rows explodes them into the
+    # index rows — bit-for-bit the batch operator's stage
+    bands = _band_rows(mm.dhash_bands(fps, "hsh")).localCheckpoint(
+        eager=True
     )
 
     def _combo_cols(left: DataFrame) -> DataFrame:

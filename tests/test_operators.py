@@ -2300,6 +2300,12 @@ def test_dhash_bands_matches_kernel_convention(spark):
     # at least one fixture hash is negative (sign bit set) or the
     # top-band extraction under arithmetic shiftright went untested
     assert any(r["dhash"] < 0 for r in hs.collect())
+    # frames that already carry inline bands are refused (re-deriving
+    # would shadow them with ambiguous duplicates — review r17)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.dhash_bands(hs, "dhash")
 
 
 def test_video_neardup_hamming_pairs(spark):
