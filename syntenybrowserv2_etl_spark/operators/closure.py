@@ -95,10 +95,11 @@ def transitive_closure(
                 .groupBy("ancestor", "descendant")
                 .agg(F.min("__dist").alias("__dist"))
             )
+            # (round 17: a lazy checkpoint folded into the convergence agg
+            # measured no faster than eager-then-probe — kept eager)
             new_pairs = grown.join(
                 closure, ["ancestor", "descendant"], "left_anti"
             ).localCheckpoint(eager=True)
-            # one tiny agg on the just-materialized chunk (replaces isEmpty)
             max_new = new_pairs.agg(F.max("__dist")).first()[0]
             if max_new is None:
                 return closure.drop("__dist")

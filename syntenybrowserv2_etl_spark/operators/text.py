@@ -164,7 +164,9 @@ def rolling_fingerprints(
     """
     from . import dedup
 
-    d1, norm, _ = dedup.staged_tokens(df, text_col, "rfp", toks=False)
+    # per-position rolling md5 is the most expression-heavy projection in
+    # the engine — never let a 1-task scan serialize it (round 17)
+    d1, norm, _ = dedup.staged_tokens(fan_out(df), text_col, "rfp", toks=False)
     n = F.length(norm)
     gram_idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
     hashes = F.transform(
@@ -334,7 +336,7 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from . import dedup
 
-    _d, _norm, _toks = dedup.staged_tokens(df, text_col, "rp")
+    _d, _norm, _toks = dedup.staged_tokens(fan_out(df), text_col, "rp")
     staged = _d.withColumn(
         "__rp_n",
         F.when(F.length(_norm) == 0, F.lit(0))
@@ -402,7 +404,7 @@ def unigram_logprob(
     """
     from . import dedup
 
-    _d, _norm, _toks = dedup.staged_tokens(df, text_col, "lm")
+    _d, _norm, _toks = dedup.staged_tokens(fan_out(df), text_col, "lm")
     staged = _d.withColumn(
         "__lm_n",
         F.when(F.length(_norm) == 0, F.lit(0))
@@ -473,10 +475,8 @@ def bpe_merge_table(
 
     Output: (rank, pair, merged, pair_count) — one row per learned merge.
     """
-    from functools import reduce as _reduce
-
     merge_rows, _vocab = _bpe_rounds(df, text_col, n_merges)
-    return _reduce(lambda a, b: a.unionByName(b), merge_rows)
+    return merge_rows
 
 
 def bpe_segment_vocab(
@@ -506,11 +506,22 @@ def bpe_segment_vocab(
 
 def _bpe_rounds(
     df: DataFrame, text_col: str, n_merges: int
-) -> tuple[list[DataFrame], DataFrame]:
-    """Shared BPE iteration: returns (per-round merge rows, final vocab
-    with ``__w``/``__wf``/``__sym``). See bpe_merge_table for semantics."""
+) -> tuple[DataFrame, DataFrame]:
+    """Shared BPE iteration: returns (merge-table DataFrame, final vocab
+    with ``__w``/``__wf``/``__sym``). See bpe_merge_table for semantics.
+
+    Round 17 shape: the round's argmax is an ordered ``limit(1).collect()``
+    — a one-row CONTROL-FLOW scalar, the same metadata class as closure's
+    convergence probe, never a data-path collect. The winning pair then
+    enters the next round's replace as a LITERAL, which deletes the
+    per-round crossJoin + broadcast build and the separate best-row
+    materialization the previous shape paid. The learned merge table
+    itself — ≤ n_merges tiny rows of driver-known values — becomes one
+    LocalTableScan instead of an n-way union of single-row plans. (A lazy
+    vocab checkpoint folded into the argmax job was measured SLOWER than
+    the eager one — 3.0 vs 2.5 s warm — so the checkpoint stays eager.)
+    """
     from . import dedup
-    from .dedup import _materialize
 
     d1, _norm, toks = dedup.staged_tokens(fan_out(df), text_col, "bp")
     wf = (
@@ -526,9 +537,10 @@ def _bpe_rounds(
             F.lit(" "), F.concat_ws(" ", F.split("__w", "")), F.lit(" ")
         ).alias("__sym"),
     )
-    merge_rows = []
+    merges: list[tuple] = []
     for r in range(1, n_merges + 1):
-        v = _materialize(vocab)  # |V| rows; consumed by pairs AND next vocab
+        # |V| rows; consumed by this round's pairs AND the next vocab
+        v = vocab.localCheckpoint(eager=True)
         va = v.withColumn("__el", F.split(F.trim("__sym"), " "))
         el = F.col("__el")
         pair_arr = F.when(
@@ -544,34 +556,30 @@ def _bpe_rounds(
         ).otherwise(F.array().cast("array<string>"))
         pairs = va.select("__wf", F.explode(pair_arr).alias("__pair"))
         counts = pairs.groupBy("__pair").agg(F.sum("__wf").alias("__c"))
-        best = _materialize(
-            counts.orderBy(F.col("__c").desc(), F.col("__pair").asc()).limit(1)
+        top = (
+            counts.orderBy(F.col("__c").desc(), F.col("__pair").asc())
+            .limit(1)
+            .collect()
         )
-        merge_rows.append(
-            best.select(
-                F.lit(r).alias("rank"),
-                F.col("__pair").alias("pair"),
-                F.replace(F.col("__pair"), F.lit(" "), F.lit("")).alias("merged"),
-                F.col("__c").alias("pair_count"),
-            )
+        if not top:
+            # pair space exhausted: no merge row this round, vocab empties
+            # (same contract as the crossJoin-with-empty-best shape)
+            vocab = v.where(F.lit(False))
+            continue
+        pair, cnt = top[0]["__pair"], top[0]["__c"]
+        merged = pair.replace(" ", "")
+        merges.append((r, pair, merged, cnt))
+        vocab = v.withColumn(
+            "__sym",
+            F.replace(
+                F.col("__sym"),
+                F.lit(f" {pair} "),
+                F.lit(f" {merged} "),
+            ),
         )
-        bp = F.broadcast(best.select(F.col("__pair").alias("__bp")))
-        vocab = (
-            v.crossJoin(bp)
-            .withColumn(
-                "__sym",
-                F.replace(
-                    F.col("__sym"),
-                    F.concat(F.lit(" "), F.col("__bp"), F.lit(" ")),
-                    F.concat(
-                        F.lit(" "),
-                        F.replace(F.col("__bp"), F.lit(" "), F.lit("")),
-                        F.lit(" "),
-                    ),
-                ),
-            )
-            .drop("__bp")
-        )
+    merge_rows = df.sparkSession.createDataFrame(
+        merges, "rank int, pair string, merged string, pair_count long"
+    )
     return merge_rows, vocab
 
 
@@ -602,7 +610,7 @@ def tfidf_top_terms(
     """
     from . import dedup
 
-    _d, _norm, _toks = dedup.staged_tokens(df, text_col, "ti")
+    _d, _norm, _toks = dedup.staged_tokens(fan_out(df), text_col, "ti")
     tok = _d.filter(F.length(_norm) > 0).select(
         F.col(id_col), F.explode(_toks).alias("__term")
     )
@@ -677,7 +685,7 @@ def bm25_rank(
     terms = sorted(set(query_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
-    _d, _norm, _toks = dedup.staged_tokens(df, text_col, "bm")
+    _d, _norm, _toks = dedup.staged_tokens(fan_out(df), text_col, "bm")
     staged = _d.withColumn(
         "__bm_dl",
         F.when(F.length(_norm) == 0, F.lit(0)).otherwise(F.size(_toks)).cast("long"),

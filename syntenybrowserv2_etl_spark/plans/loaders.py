@@ -69,7 +69,14 @@ def genes_exons_from_gff3(
       - duplicate PK aborts the load (X6 :120-126) — checked by the caller
         via io.assert_no_duplicates before write.
     """
-    attrs = raw.withColumn("m", transforms.attributes_to_map("attributes"))
+    # A real GFF3 arrives as ONE (often gzipped, unsplittable) file — a
+    # 1-task scan that would serialize the per-row attribute parse below
+    # no matter the cluster size. Spread before the expression-heavy map
+    # parse (guide §2.5 input skew; fan_out is plan-only and a no-op on
+    # already-parallel scans). Round 17: q57's 620k-row parse 5.7 s → par.
+    attrs = transforms.fan_out(raw).withColumn(
+        "m", transforms.attributes_to_map("attributes")
+    )
     top, subs = shape.split_hierarchy_level(attrs, F.col("m").getItem("Parent"))
     dbxref = transforms.first_element(F.split(F.col("m").getItem("Dbxref"), ","))
     genes_ok = top.filter(dbxref.isNotNull() & (F.length(dbxref) > 0))
