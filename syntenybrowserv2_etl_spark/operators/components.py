@@ -58,24 +58,25 @@ def connected_components(
         hooked = (
             labels.unionByName(nbr).groupBy("id").agg(F.min("comp").alias("comp"))
         )
-        # compress: comp ← comp(comp)
+        # compress: comp ← comp(comp). The change flag is computed INSIDE
+        # the same materialized plan (old labels re-attached here) instead
+        # of by a separate compressed⋈labels probe job per round — the
+        # convergence check below is then a limit-1 filter over the
+        # just-checkpointed rows (round 17: one fewer join per round).
         parent = hooked.select(
             F.col("id").alias("__pid"), F.col("comp").alias("__pcomp")
         )
         compressed = (
             hooked.join(parent, hooked["comp"] == parent["__pid"], "left")
+            .select("id", F.coalesce("__pcomp", "comp").alias("comp"))
+            .join(labels.withColumnRenamed("comp", "__old"), "id")
             .select(
-                "id", F.coalesce("__pcomp", "comp").alias("comp")
+                "id", "comp", (F.col("comp") != F.col("__old")).alias("__chg")
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            compressed.join(labels.withColumnRenamed("comp", "__old"), "id")
-            .filter(F.col("comp") != F.col("__old"))
-            .limit(1)
-        )
-        stable = changed.isEmpty()
-        labels = compressed
+        stable = compressed.filter(F.col("__chg")).limit(1).isEmpty()
+        labels = compressed.select("id", "comp")
         if stable:
             return labels
     raise RuntimeError(

@@ -514,6 +514,10 @@ def _hyperplane_bucketed(
     (two-sided), so both bucket bit-identically."""
     from .similarity import norm_expr  # local import to avoid cycle
 
+    # the per-plane signed fold below is dim × planes expression work per
+    # row — spread a 1-task scan before it (round 17)
+    emb = fan_out(emb)
+
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
 
     def plane_sign(p: int):
@@ -1542,7 +1546,7 @@ def shingle_positions(
     of ``repeated_spans`` / ``excise_repeated_spans`` and the streaming
     shingle-count fold; downstream column pruning drops ``__sh`` for
     hash-only consumers."""
-    toks = df.select(
+    toks = fan_out(df).select(
         F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")
     ).filter(F.size("__toks") >= k)
     return toks.select(

@@ -92,6 +92,19 @@ def knn_bruteforce(
     )
 
 
+def _local_table(df: DataFrame) -> DataFrame:
+    """Materialize a METADATA-SCALE frame (centroid / codebook tables — the
+    exact rows assign_centroids already ships through the driver inside a
+    broadcast build) as a driver-local relation: ONE collect job, after
+    which every downstream broadcast reads local rows — no checkpoint-scan
+    job per consumer and no per-round broadcast-rebuild job (round 17;
+    the iterative trainers' per-round sync cost). Scale-neutral: anything
+    too big to collect here was already too big to broadcast in the
+    assignment join. Bit-exact: float32 values round-trip JVM → Python
+    double → float32 unchanged (widening then exact narrowing)."""
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
+
+
 def assign_centroids(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -409,12 +422,14 @@ def kmeans_centroids(
     Updated means are L2-normalized: with cosine assignment the
     normalized-mean update is the monotone (spherical) variant — plain
     Lloyd means are not monotone under cosine. Empty clusters drop out
-    (standard behavior); per-round localCheckpoint keeps lineage flat.
+    (standard behavior); per-round centroids materialize as a
+    driver-local relation (_local_table) — flat lineage, no per-round
+    checkpoint job or broadcast rebuild.
 
     Deterministic given the corpus: init is the hash-minimal sample
     (pick_centroids), no RNG anywhere.
     """
-    cents = pick_centroids(corpus, k, id_col, vec_col).localCheckpoint(eager=True)
+    cents = _local_table(pick_centroids(corpus, k, id_col, vec_col))
     for _ in range(iters):
         assigned = assign_centroids(corpus, cents, id_col, vec_col)
         dims = (
@@ -442,7 +457,7 @@ def kmeans_centroids(
                 "__mean", lambda x: (x / F.col("__nrm")).cast("float")
             ).alias("centroid"),
         )
-        cents = normed.localCheckpoint(eager=True)
+        cents = _local_table(normed)
     return cents
 
 
@@ -550,8 +565,9 @@ def pq_codebooks(
     Deterministic: hash-minimal init (the same k corpus rows seed every
     subspace), argmin ties to the smaller codeword id, no RNG. Updates are
     per-dimension means cast to float (no normalization — L2 Lloyd);
-    empty codewords drop out. Per-round localCheckpoint keeps lineage
-    flat. Output: (s, centroid_id, centroid).
+    empty codewords drop out. Per-round codebooks materialize as a
+    driver-local relation (_local_table — flat lineage, no per-round
+    checkpoint job). Output: (s, centroid_id, centroid).
     """
     if dim is None:
         dim = corpus.select(F.min(F.size(vec_col)).alias("d")).first()["d"]
@@ -571,10 +587,10 @@ def pq_codebooks(
             F.row_number().over(Window.orderBy("__h", id_col)).alias("centroid_id"),
         )
     )
-    cents = (
-        sv.join(seeds, id_col)
-        .select("s", "centroid_id", F.col("__sub").alias("centroid"))
-        .localCheckpoint(eager=True)
+    cents = _local_table(
+        sv.join(seeds, id_col).select(
+            "s", "centroid_id", F.col("__sub").alias("centroid")
+        )
     )
     for _ in range(iters):
         assigned = _pq_assign(sv, cents)
@@ -599,8 +615,8 @@ def pq_codebooks(
                     F.col("__pairs"), lambda p: p["__avg"].cast("float")
                 ).alias("centroid"),
             )
-            .localCheckpoint(eager=True)
         )
+        cents = _local_table(cents)
     return cents
 
 
