@@ -1452,7 +1452,9 @@ def editdist1_join(
             )
         ),
     )
-    nbhd = df.select(
+    # neighborhood explode is |s|+1 substring builds per row — spread a
+    # 1-task scan before it (round 17); the self-join shuffle follows
+    nbhd = fan_out(df).select(
         F.col(id_col).alias("__id"),
         F.col(str_col).alias("__s"),
         F.explode(F.array_distinct(variants)).alias("__v"),

@@ -1330,8 +1330,11 @@ def label_noise_audit_ivf(
             centroids = kmeans_centroids(
                 emb, k=num_centroids, iters=3, id_col=id_col, vec_col=vec_col
             )
+    # materialized once: the hash-minimal sample otherwise re-executes its
+    # corpus scan under every consumer's broadcast build (assignment AND
+    # probe ranking) — 2-3 corpus scans instead of 1 at scale (round 17)
     cents = (
-        pick_centroids(emb, num_centroids, id_col, vec_col)
+        _local_table(pick_centroids(emb, num_centroids, id_col, vec_col))
         if centroids is None
         else centroids
     )

@@ -1090,7 +1090,8 @@ def q30(spark, sf_dir):
     the unrolled DuckDB oracle. Recall vs exact q27 is additionally graded
     in tests."""
     emb = t(spark, sf_dir, "embeddings")
-    cents = sim_ops.pick_centroids(emb, 16)
+    # one corpus sample job; feeds assignment AND probe (round 17)
+    cents = sim_ops._local_table(sim_ops.pick_centroids(emb, 16))
     assigned = sim_ops.assign_centroids(emb, cents)
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -4169,7 +4170,8 @@ def q90(spark, sf_dir):
     all value-checked against the composed round-unrolled oracle.
     operators/similarity.ivf_pq_topk."""
     emb = t(spark, sf_dir, "embeddings")
-    cells = sim_ops.pick_centroids(emb, 16)
+    # one corpus sample job; feeds assignment AND routing (round 17)
+    cells = sim_ops._local_table(sim_ops.pick_centroids(emb, 16))
     assigned = sim_ops.assign_centroids(emb, cells).select("vec_id", "centroid_id")
     cb = sim_ops.pq_codebooks(emb, m_subspaces=4, k=4, iters=2, dim=64)
     codes = sim_ops.pq_encode(emb, cb, 4, dim=64)
@@ -4953,7 +4955,8 @@ def q116(spark, sf_dir):
     this table-scale query shape.
     """
     emb = t(spark, sf_dir, "embeddings")
-    cents = sim_ops.pick_centroids(emb, 16)
+    # one corpus sample job; feeds assignment AND probe (round 17)
+    cents = sim_ops._local_table(sim_ops.pick_centroids(emb, 16))
     assigned = sim_ops.assign_centroids(emb, cents)
     qs = emb.filter(F.col("vec_id") < 64).select(
         F.col("vec_id").alias("query_id"), "embedding"
