@@ -93,15 +93,18 @@ def knn_bruteforce(
 
 
 def _local_table(df: DataFrame) -> DataFrame:
-    """Materialize a METADATA-SCALE frame (centroid / codebook tables — the
-    exact rows assign_centroids already ships through the driver inside a
-    broadcast build) as a driver-local relation: ONE collect job, after
-    which every downstream broadcast reads local rows — no checkpoint-scan
-    job per consumer and no per-round broadcast-rebuild job (round 17;
-    the iterative trainers' per-round sync cost). Scale-neutral: anything
-    too big to collect here was already too big to broadcast in the
-    assignment join. Bit-exact: float32 values round-trip JVM → Python
-    double → float32 unchanged (widening then exact narrowing)."""
+    """Materialize a METADATA-SCALE frame (centroid / codebook tables) as
+    a driver-local relation. Bit-exact: float32 values round-trip JVM →
+    Python double → float32 unchanged (widening then exact narrowing;
+    pinned by test_local_table_bit_exact_float_roundtrip).
+
+    Round-17 measurement note: this was trialled as the per-round
+    materialization of the kmeans/PQ trainers and REJECTED — in
+    full-query context the createDataFrame(parallelize) roundtrip costs
+    more than the localCheckpoint job it replaces (alternating A/B, both
+    orders: q88 old 2.9-5.4 s vs new 4.4-6.3 s). localCheckpoint remains
+    the trainers' materialization; this helper stays for callers that
+    need a genuinely local relation (e.g. plan-size control)."""
     return df.sparkSession.createDataFrame(df.collect(), df.schema)
 
 
@@ -422,14 +425,15 @@ def kmeans_centroids(
     Updated means are L2-normalized: with cosine assignment the
     normalized-mean update is the monotone (spherical) variant — plain
     Lloyd means are not monotone under cosine. Empty clusters drop out
-    (standard behavior); per-round centroids materialize as a
-    driver-local relation (_local_table) — flat lineage, no per-round
-    checkpoint job or broadcast rebuild.
+    (standard behavior); per-round localCheckpoint keeps lineage flat
+    (round 17: a driver-local-relation variant measured SLOWER in
+    full-query context — createDataFrame roundtrip per round — and was
+    reverted; see _local_table).
 
     Deterministic given the corpus: init is the hash-minimal sample
     (pick_centroids), no RNG anywhere.
     """
-    cents = _local_table(pick_centroids(corpus, k, id_col, vec_col))
+    cents = pick_centroids(corpus, k, id_col, vec_col).localCheckpoint(eager=True)
     for _ in range(iters):
         assigned = assign_centroids(corpus, cents, id_col, vec_col)
         dims = (
@@ -457,7 +461,7 @@ def kmeans_centroids(
                 "__mean", lambda x: (x / F.col("__nrm")).cast("float")
             ).alias("centroid"),
         )
-        cents = _local_table(normed)
+        cents = normed.localCheckpoint(eager=True)
     return cents
 
 
@@ -565,9 +569,9 @@ def pq_codebooks(
     Deterministic: hash-minimal init (the same k corpus rows seed every
     subspace), argmin ties to the smaller codeword id, no RNG. Updates are
     per-dimension means cast to float (no normalization — L2 Lloyd);
-    empty codewords drop out. Per-round codebooks materialize as a
-    driver-local relation (_local_table — flat lineage, no per-round
-    checkpoint job). Output: (s, centroid_id, centroid).
+    empty codewords drop out. Per-round localCheckpoint keeps lineage
+    flat (round 17: the driver-local-relation variant measured slower —
+    see _local_table). Output: (s, centroid_id, centroid).
     """
     if dim is None:
         dim = corpus.select(F.min(F.size(vec_col)).alias("d")).first()["d"]
@@ -587,10 +591,10 @@ def pq_codebooks(
             F.row_number().over(Window.orderBy("__h", id_col)).alias("centroid_id"),
         )
     )
-    cents = _local_table(
-        sv.join(seeds, id_col).select(
-            "s", "centroid_id", F.col("__sub").alias("centroid")
-        )
+    cents = (
+        sv.join(seeds, id_col)
+        .select("s", "centroid_id", F.col("__sub").alias("centroid"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(iters):
         assigned = _pq_assign(sv, cents)
@@ -616,7 +620,7 @@ def pq_codebooks(
                 ).alias("centroid"),
             )
         )
-        cents = _local_table(cents)
+        cents = cents.localCheckpoint(eager=True)
     return cents
 
 
@@ -1334,7 +1338,9 @@ def label_noise_audit_ivf(
     # corpus scan under every consumer's broadcast build (assignment AND
     # probe ranking) — 2-3 corpus scans instead of 1 at scale (round 17)
     cents = (
-        _local_table(pick_centroids(emb, num_centroids, id_col, vec_col))
+        pick_centroids(emb, num_centroids, id_col, vec_col).localCheckpoint(
+            eager=True
+        )
         if centroids is None
         else centroids
     )

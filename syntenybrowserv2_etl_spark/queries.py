@@ -1091,7 +1091,7 @@ def q30(spark, sf_dir):
     in tests."""
     emb = t(spark, sf_dir, "embeddings")
     # one corpus sample job; feeds assignment AND probe (round 17)
-    cents = sim_ops._local_table(sim_ops.pick_centroids(emb, 16))
+    cents = sim_ops.pick_centroids(emb, 16).localCheckpoint(eager=True)
     assigned = sim_ops.assign_centroids(emb, cents)
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -4171,7 +4171,7 @@ def q90(spark, sf_dir):
     operators/similarity.ivf_pq_topk."""
     emb = t(spark, sf_dir, "embeddings")
     # one corpus sample job; feeds assignment AND routing (round 17)
-    cells = sim_ops._local_table(sim_ops.pick_centroids(emb, 16))
+    cells = sim_ops.pick_centroids(emb, 16).localCheckpoint(eager=True)
     assigned = sim_ops.assign_centroids(emb, cells).select("vec_id", "centroid_id")
     cb = sim_ops.pq_codebooks(emb, m_subspaces=4, k=4, iters=2, dim=64)
     codes = sim_ops.pq_encode(emb, cb, 4, dim=64)
@@ -4956,7 +4956,7 @@ def q116(spark, sf_dir):
     """
     emb = t(spark, sf_dir, "embeddings")
     # one corpus sample job; feeds assignment AND probe (round 17)
-    cents = sim_ops._local_table(sim_ops.pick_centroids(emb, 16))
+    cents = sim_ops.pick_centroids(emb, 16).localCheckpoint(eager=True)
     assigned = sim_ops.assign_centroids(emb, cents)
     qs = emb.filter(F.col("vec_id") < 64).select(
         F.col("vec_id").alias("query_id"), "embedding"

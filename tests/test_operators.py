@@ -5674,3 +5674,30 @@ def test_entropy_rate_hand_computed(spark):
     # t: 3 distinct unigrams (H=ln3), 2 distinct bigrams (H=ln2)
     assert got["t"]["h_unigram"] == round(math.log(3), 6)
     assert got["t"]["h_bigram"] == round(math.log(2), 6)
+
+
+def test_local_table_bit_exact_float_roundtrip(spark):
+    """_local_table (round 17: the iterative trainers' per-round
+    materialization) must reproduce float32 arrays BIT-exactly through the
+    driver round-trip — the property that lets kmeans/PQ centroids keep
+    hash-matching their unrolled oracles. Adversarial values: subnormals,
+    ulp-neighbors, and halves that don't round-trip through float16."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from syntenybrowserv2_etl_spark.operators import similarity as sim
+
+    vals = [1.0, 1.0 + 2**-23, 2**-149, 3.337779e-7, -0.1, 1e38]
+    df = spark.createDataFrame(
+        [(i, [float(struct.unpack("f", struct.pack("f", v))[0])]) for i, v in enumerate(vals)],
+        "id long, vec array<float>",
+    )
+    back = sim._local_table(df)
+    got = {r["id"]: r["vec"][0] for r in back.collect()}
+    want = {r["id"]: r["vec"][0] for r in df.collect()}
+    assert got == want
+    # and the norm expression over both sources agrees bit-for-bit
+    a = df.select(sim.norm_expr(F.col("vec")).alias("n")).collect()
+    b = back.select(sim.norm_expr(F.col("vec")).alias("n")).collect()
+    assert [r["n"] for r in a] == [r["n"] for r in b]
