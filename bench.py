@@ -196,6 +196,29 @@ FLAG_THRESHOLD = 1.3
 # A committed per-query value below this is timer noise, not signal.
 MIN_SIGNAL_SEC = 0.2
 
+# Queries whose wall time is dominated by in-Python construction of their
+# synthetic media fixture INSIDE the timed region (caching it across passes
+# would be forbidden precomputation, so it stays timed — VERDICT r17 #8:
+# label it so flag adjudication doesn't chase fixture noise as an engine
+# regression). Tagged in BENCH_DETAIL as fixture_bound.
+FIXTURE_BOUND = [
+    "q40_multimodal_features",
+    "q93_media_text_match",
+    "q97_audio_frames",
+    "q143_image_stats",
+    "q168_jpeg_stats",
+    "q169_image_dedup",
+    "q170_audio_dedup",
+    "q171_jpeg420_stats",
+    "q172_apng_frames",
+    "q173_scene_changes",
+    "q174_jpeg_subsampled_stats",
+    "q175_video_dedup",
+    "q176_jpeg_multiscan_stats",
+    "q177_jpeg_progressive_stats",
+    "q178_video_neardup_hamming",
+]
+
 
 def _bench_round(repo: str, prev: dict | None) -> tuple[int, int]:
     """Round label + correctness-file count (for the committed history).
@@ -304,11 +327,25 @@ def updated_recent(
     return out
 
 
-def _time_query(spark, sf_dir: str, name: str, trials: int = 3) -> float:
+def _time_query(
+    spark, sf_dir: str, name: str, trials: int = 3, stats_out: dict | None = None
+) -> float:
     from syntenybrowserv2_etl_spark import queries as q
 
     fn = q.REGISTRY[name].spark_fn
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    if stats_out is None:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    else:
+        # Round 18 (VERDICT r17 #2): job/stage/task counts, collected on
+        # the UNTIMED warm-up pass via a job group — the timed min-of-N
+        # passes below are byte-identical to every previous round's. At
+        # sf0.1 wall ratios between core counts sit at ~1.0 (sub-second,
+        # latency-bound queries), so task counts are the scale evidence:
+        # a fan_out/salted path must show max_stage_tasks > 1 where the
+        # 1-row-group testdata scan would otherwise plan one task.
+        from tools.jobstats import query_jobstats
+
+        stats_out[name] = query_jobstats(spark, fn, sf_dir, f"bench:{name}")
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
@@ -362,10 +399,13 @@ def main() -> None:
     demos = set(EXPENSIVE_EXACT_DEMOS)
     this_round, n_corr = _bench_round(repo, prev)
     times: dict[str, float] = {}
+    task_stats: dict[str, dict] = {}
     for name in q.REGISTRY:
         if name in demos:
             continue
-        times[name] = round(_time_query(spark, sf_dir, name), 3)
+        times[name] = round(
+            _time_query(spark, sf_dir, name, stats_out=task_stats), 3
+        )
     demo_times = {
         name: round(_time_query(spark, demo_sf_dir, name), 3)
         for name in EXPENSIVE_EXACT_DEMOS
@@ -515,6 +555,11 @@ def main() -> None:
             "normalized_regressions_ge_1p3": confirmed,
         },
         "recent": recent,
+        # round 18 additions (VERDICT r17 #2/#8) — observability only, no
+        # timing-path change: per-query job/stage/task counts from the
+        # untimed warm-up pass, and the fixture-bound media tag.
+        "tasks": task_stats,
+        "fixture_bound": FIXTURE_BOUND,
         "round": this_round,
         "n_correctness_files": n_corr,
     }

@@ -43,42 +43,58 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        und.select(F.col("a").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("comp"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iterations):
-        # hook: min label over self + neighbors
-        nbr = (
-            und.join(labels, und["a"] == labels["id"])
-            .select(F.col("b").alias("id"), "comp")
-        )
-        hooked = (
-            labels.unionByName(nbr).groupBy("id").agg(F.min("comp").alias("comp"))
-        )
-        # compress: comp ← comp(comp). The change flag is computed INSIDE
-        # the same materialized plan (old labels re-attached here) instead
-        # of by a separate compressed⋈labels probe job per round — the
-        # convergence check below is then a limit-1 filter over the
-        # just-checkpointed rows (round 17: one fewer join per round).
+
+    def compress(hooked: DataFrame) -> DataFrame:
+        """comp ← comp(comp), + the did-anything-change flag. ``hooked``
+        carries (id, comp, __old); the flag folds into the SAME
+        materialized plan (round 17: no separate probe join per round) and
+        the old label rides the hook aggregation itself (round 18: the
+        re-attach join on ``labels`` is gone too — labels has exactly one
+        row per id, so min(__old) through the union recovers it). The
+        parent side projects the same aggregation subtree, so the
+        exchange is planned once and reused."""
         parent = hooked.select(
             F.col("id").alias("__pid"), F.col("comp").alias("__pcomp")
         )
-        compressed = (
+        return (
             hooked.join(parent, hooked["comp"] == parent["__pid"], "left")
-            .select("id", F.coalesce("__pcomp", "comp").alias("comp"))
-            .join(labels.withColumnRenamed("comp", "__old"), "id")
             .select(
-                "id", "comp", (F.col("comp") != F.col("__old")).alias("__chg")
+                "id",
+                F.coalesce("__pcomp", "comp").alias("comp"),
+                (F.coalesce("__pcomp", "comp") != F.col("__old")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
+
+    # Round 1 fused (round 18): labels₀(v) = v makes the first hook a plain
+    # per-source aggregation — min(v, min over neighbors) — so the
+    # init-labels distinct+checkpoint job AND round 1's hook join both
+    # disappear (und is symmetric, so the distinct sources ARE the vertex
+    # set). __old = id by construction.
+    hooked = und.groupBy("a").agg(F.min("b").alias("__mb")).select(
+        F.col("a").alias("id"),
+        F.least("a", "__mb").alias("comp"),
+        F.col("a").alias("__old"),
+    )
+    for _ in range(max_iterations):
+        compressed = compress(hooked)
         stable = compressed.filter(F.col("__chg")).limit(1).isEmpty()
         labels = compressed.select("id", "comp")
         if stable:
             return labels
+        # hook: min label over self + neighbors; the previous round's
+        # label rides along as __old (null on neighbor rows — min skips)
+        nbr = (
+            und.join(labels, und["a"] == labels["id"])
+            .select(F.col("b").alias("id"), "comp")
+            .withColumn("__old", F.lit(None).cast(labels.schema["comp"].dataType))
+        )
+        hooked = (
+            labels.withColumn("__old", F.col("comp"))
+            .unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"), F.min("__old").alias("__old"))
+        )
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
     )
@@ -284,7 +300,10 @@ def _pagerank_rounds(
     # dst-only nodes have no out-edges: their rank teleports uniformly
     # each round instead of silently draining out of the distribution.
     # src_nodes IS the has-out-edges set by construction, so the dangling
-    # set is one dst-distinct anti-join over the MATERIALIZED edge table
+    # set is one dst-distinct anti-join over ``wedges`` (for pagerank()
+    # callers a lazy ee⋈deg join over the two checkpointed tables — the
+    # deg broadcast build re-executes here and per round, metadata-scale
+    # both times; for pagerank_table callers the bucketed table itself)
     # — detected ONCE, and the common symmetric-feed case (q85) pays
     # neither the per-round mass aggregate nor a doubled node-distinct
     # (both measured: +70% on the bench when every round carried the
@@ -310,17 +329,13 @@ def _pagerank_rounds(
     ranks = nodes.select(
         "node", F.round(F.lit(1.0) / F.lit(float(n_nodes)), round_to).alias("rank")
     )
-    # Per-round materialization is only REQUIRED when ranks is read twice
-    # per round (the dangling-mass aggregate) — without it that subtree
-    # would re-execute and the lineage would grow 2^iters. In the common
-    # single-read case a few rounds nest as a linear plan executed in ONE
-    # job (each round's broadcast builds on demand), dropping the per-round
-    # checkpoint jobs (round 17: −0.2 s/round on q85). Past ~8 rounds the
-    # nested plan's optimizer cost dominates, so long iterations keep the
-    # flat-lineage checkpoints regardless.
-    ckpt_rounds = True
-    if ckpt_rounds:
-        ranks = ranks.localCheckpoint(eager=True)
+    # Every round eager-checkpoints ranks. A lazy no-per-round-checkpoint
+    # variant (rounds nested as one linear plan, broadcasts built on
+    # demand) was MEASURED SLOWER in round 17 — 5.6 s vs 4.7 s on q85
+    # (the 3-deep nested broadcast builds re-execute upstream rounds) —
+    # and rejected; don't re-try it without a new measurement
+    # (OPTIMIZATION_r17.md "q85 pagerank").
+    ranks = ranks.localCheckpoint(eager=True)
     # Per-round join strategy: ranks is |nodes|-sized — typically MANY
     # orders smaller than the edge table (1M-node graph ≈ tens of MB of
     # (node, rank) rows vs billions of edges). Below the threshold the
@@ -353,8 +368,7 @@ def _pagerank_rounds(
             "node",
             F.round(base + F.lit(damping) * inflow, round_to).alias("rank"),
         )
-        if ckpt_rounds:
-            ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -104,8 +104,49 @@ def _local_table(df: DataFrame) -> DataFrame:
     more than the localCheckpoint job it replaces (alternating A/B, both
     orders: q88 old 2.9-5.4 s vs new 4.4-6.3 s). localCheckpoint remains
     the trainers' materialization; this helper stays for callers that
-    need a genuinely local relation (e.g. plan-size control)."""
-    return df.sparkSession.createDataFrame(df.collect(), df.schema)
+    need a genuinely local relation (e.g. plan-size control).
+
+    Guarded to metadata scale (ADVICE r17): collect() of a corpus-scale
+    frame would be a driver OOM, so a caller passing one is a bug."""
+    max_rows = 100_000
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"_local_table is for metadata-scale frames (> {max_rows} rows "
+            "collected); materialize with localCheckpoint instead"
+        )
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
+def centroid_array(
+    centroids: DataFrame,
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """The ONE-ROW ``array<struct<id, vec, nrm>>`` form of a centroid
+    table — the broadcast unit every narrow IVF consumer shares.
+
+    ``assign_centroids`` (argmax assignment) and ``knn_ivf``'s
+    ``narrow_probe`` ranking both fold over exactly this struct array.
+    Built independently by each consumer, the plan carries the
+    collect_list aggregation (ObjectHashAggregate + its Exchange) and a
+    separate BroadcastExchange TWICE per pipeline (round-17 q167/q116
+    after-plans). Building it once — and, in multi-consumer pipelines,
+    ``localCheckpoint(eager=True)``-ing the one-row result — leaves one
+    aggregation job; the consumers' broadcast subtrees become identical
+    ``Scan ExistingRDD`` leaves Spark can reuse (round 18, guide §2.4).
+    Element order is whatever collect_list produced; every consumer is
+    order-insensitive (array_max / array_sort with explicit tie-breaks).
+    """
+    return centroids.agg(
+        F.collect_list(
+            F.struct(
+                F.col(centroid_id_col).alias("id"),
+                F.col(centroid_vec_col).alias("vec"),
+                norm_expr(F.col(centroid_vec_col)).alias("nrm"),
+            )
+        ).alias("__cents")
+    )
 
 
 def assign_centroids(
@@ -115,6 +156,7 @@ def assign_centroids(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid",
+    cent_arr: DataFrame | None = None,
 ) -> DataFrame:
     """IVF assignment: tag every corpus vector with its nearest centroid.
 
@@ -136,16 +178,13 @@ def assign_centroids(
     # the final projection (which is what keeps CollapseProject from
     # re-inlining it into the lambda). Same float bits as cosine_expr —
     # the identical sqrt, computed once.
+    # ``cent_arr``: a prebuilt (possibly checkpointed) centroid_array()
+    # frame — multi-consumer pipelines pass it so the collect_list
+    # aggregation runs once, not once per consumer (round 18).
     cent_arr = F.broadcast(
-        centroids.agg(
-            F.collect_list(
-                F.struct(
-                    F.col(centroid_id_col).alias("id"),
-                    F.col(centroid_vec_col).alias("vec"),
-                    norm_expr(F.col(centroid_vec_col)).alias("nrm"),
-                )
-            ).alias("__cents")
-        )
+        centroid_array(centroids, centroid_id_col, centroid_vec_col)
+        if cent_arr is None
+        else cent_arr
     )
     best = F.array_max(
         F.transform(
@@ -211,6 +250,7 @@ def knn_ivf(
     broadcast_probe: bool = True,
     probe_salt: int = 1,
     narrow_probe: bool = False,
+    cent_arr: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe: per query, rank centroids, scan only the top ``nprobe``
     cells, exact-rank within them. Same output shape as knn_bruteforce.
@@ -252,19 +292,18 @@ def knn_ivf(
     (cell, salt) sub-key), join parallelism |cells| × salt, probe-side
     rows × salt as the price. Size it so |cells| × salt ≳ cluster cores;
     1 disables.
+
+    ``cent_arr`` (round 18, narrow_probe only): a prebuilt
+    :func:`centroid_array` frame; pipelines whose assignment uses the same
+    centroids pass the one (checkpointed) array so the collect_list build
+    runs once per pipeline instead of once per consumer.
     """
     q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
     if narrow_probe:
+        # prebuilt cent_arr (see centroid_array): pipelines that also
+        # assign with the same centroids share ONE collect_list build
         cent_arr = F.broadcast(
-            centroids.agg(
-                F.collect_list(
-                    F.struct(
-                        F.col("centroid_id").alias("id"),
-                        F.col("centroid").alias("vec"),
-                        norm_expr(F.col("centroid")).alias("nrm"),
-                    )
-                ).alias("__cents")
-            )
+            centroid_array(centroids) if cent_arr is None else cent_arr
         )
         # (−sim, id) struct ordering ≡ the window's (sim DESC, id ASC)
         top_cells = F.slice(
@@ -1334,17 +1373,22 @@ def label_noise_audit_ivf(
             centroids = kmeans_centroids(
                 emb, k=num_centroids, iters=3, id_col=id_col, vec_col=vec_col
             )
-    # materialized once: the hash-minimal sample otherwise re-executes its
-    # corpus scan under every consumer's broadcast build (assignment AND
-    # probe ranking) — 2-3 corpus scans instead of 1 at scale (round 17)
     cents = (
-        pick_centroids(emb, num_centroids, id_col, vec_col).localCheckpoint(
-            eager=True
-        )
+        pick_centroids(emb, num_centroids, id_col, vec_col)
         if centroids is None
         else centroids
     )
-    assigned = assign_centroids(emb, cents, id_col, vec_col)
+    # materialized once, in ARRAY form: assignment's argmax and the narrow
+    # probe ranking both consume the same one-row array<struct<id,vec,nrm>>
+    # — built per consumer it costs the collect_list aggregation (and, when
+    # centroids come from pick_centroids, the corpus sample scan) twice;
+    # checkpointing the array leaves ONE sample-and-aggregate job and two
+    # in-memory broadcasts of identical subtrees (round 18; round 17
+    # checkpointed the 16-row table, which still re-aggregated per side)
+    arr = centroid_array(cents, "centroid_id", "centroid").localCheckpoint(
+        eager=True
+    )
+    assigned = assign_centroids(emb, cents, id_col, vec_col, cent_arr=arr)
     audited = emb if audit is None else audit
     q = audited.select(F.col(id_col).alias("query_id"), F.col(vec_col))
     nn = knn_ivf(
@@ -1361,6 +1405,7 @@ def label_noise_audit_ivf(
         # corpus-fraction query set: probe selection must not exchange
         # (queries × C) replicated vectors — narrow array ranking instead
         narrow_probe=True,
+        cent_arr=arr,
     )
     return label_noise_audit(
         emb, id_col, vec_col, label_col, k=k, audit=audited, neighbors=nn

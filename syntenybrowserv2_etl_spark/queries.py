@@ -4955,15 +4955,19 @@ def q116(spark, sf_dir):
     this table-scale query shape.
     """
     emb = t(spark, sf_dir, "embeddings")
-    # one corpus sample job; feeds assignment AND probe (round 17)
-    cents = sim_ops.pick_centroids(emb, 16).localCheckpoint(eager=True)
-    assigned = sim_ops.assign_centroids(emb, cents)
+    # one corpus-sample-and-aggregate job, in ARRAY form: assignment's
+    # argmax and the narrow probe ranking broadcast the same one-row
+    # array<struct> (round 18; round 17 checkpointed the 16-row table,
+    # which still paid the collect_list build once PER consumer)
+    cents = sim_ops.pick_centroids(emb, 16)
+    arr = sim_ops.centroid_array(cents).localCheckpoint(eager=True)
+    assigned = sim_ops.assign_centroids(emb, cents, cent_arr=arr)
     qs = emb.filter(F.col("vec_id") < 64).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = sim_ops.knn_ivf(
         assigned, cents, qs, k=3, nprobe=4, broadcast_probe=False,
-        narrow_probe=True,
+        narrow_probe=True, cent_arr=arr,
     )
     return out.select(
         "query_id",

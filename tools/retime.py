@@ -1,28 +1,30 @@
 """Standalone per-query retime with the bench's exact methodology:
 session warm-up, one untimed pass, then min-of-N noop-sink passes.
 
-Usage: python tools/retime.py [-n TRIALS] [sf_dir] query [query ...]
+Usage: python tools/retime.py [-n TRIALS] [--sf-dir DIR] query [query ...]
 """
 
 from __future__ import annotations
 
-import os
+import argparse
 import sys
 import time
+
+import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    args = sys.argv[1:]
-    trials = 3
-    if args[:1] == ["-n"]:
-        trials = int(args[1])
-        args = args[2:]
-    sf_dir = "/root/testdata/sf0.1"
-    if args and os.path.isdir(args[0]):
-        sf_dir = args[0]
-        args = args[1:]
+    # explicit --sf-dir flag (ADVICE r17: the old positional sniff via
+    # os.path.isdir(args[0]) silently ate a query name that happened to
+    # collide with a local directory)
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-n", dest="trials", type=int, default=3)
+    ap.add_argument("--sf-dir", dest="sf_dir", default="/root/testdata/sf0.1")
+    ap.add_argument("queries", nargs="+")
+    ns = ap.parse_args()
+    trials, sf_dir, args = ns.trials, ns.sf_dir, ns.queries
     from syntenybrowserv2_etl_spark import queries as q
     from syntenybrowserv2_etl_spark.session import get_spark
 
